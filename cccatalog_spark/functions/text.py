@@ -1,0 +1,94 @@
+"""Text-analysis column functions for the training-data pipeline layer:
+tokenization, quality scoring, n-gram language ID, shingling, and
+document fingerprinting. All pure Column expressions (whole-stage
+codegen) — no Python UDFs in the hot path.
+
+These extend the reference's surface (BASELINE.json north star): the
+reference has only per-row sanitizers; a 100 TB documents table needs
+these as first-class distributed transforms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "was"],
+    "es": ["el", "la", "los", "las", "es"],
+    "fr": ["le", "la", "les", "est", "et"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty strings removed."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    sw = F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS))
+    return F.size(sw) / F.greatest(F.size(t), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Length/punctuation/stopword composite in [0,1] — the standard
+    cheap pre-filter for LLM training corpora."""
+    n = token_count(text)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = distinct_token_ratio(text)
+    sw = stopword_ratio(text)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.3))
+    return F.round((len_score + diversity + sw_score) / 3.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-token vote language ID. Deterministic, SQL-expressible;
+    ties broken by language code order."""
+    t = F.transform(tokens(text), lambda x: F.lower(x))
+    scores = [
+        F.struct(
+            F.size(F.filter(t, lambda x: x.isin(*markers))).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    # array_max on structs compares (score, lang); reverse-sorted input
+    # means the max with equal scores picks the alphabetically-first lang
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), the MinHash/Jaccard input."""
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: min md5 over 5-gram shingles (a 1-hash
+    MinHash / winnowing-style rolling signature); md5 of the whole
+    normalized text when too short to shingle."""
+    sh = shingles(text, 5)
+    norm = F.array_join(tokens(text), " ")
+    return F.coalesce(
+        F.array_min(F.transform(sh, lambda s: F.md5(s))), F.md5(norm)
+    )

@@ -1,0 +1,277 @@
+"""Deduplication family for the training-data pipeline layer.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash — each a
+DataFrame→DataFrame transform designed for the 100 TB shape:
+
+- exact: one shuffle on the content hash; deterministic survivor
+  (min id) instead of the reference's arbitrary ctid survivor
+  (util/loader/sql.py:171-182 — divergence documented in SURVEY §7.3).
+- n-gram Jaccard: explode shingles → self-join on shingle → per-pair
+  common counts. The shingle join is the classic inverted-index plan;
+  hot shingles are the skew risk — AQE skew-join handles moderate skew,
+  and ``max_doc_freq`` drops ubiquitous shingles (standard trick).
+- MinHash+LSH: per-doc k-hash signature via min(md5(seed‖shingle)) —
+  md5 so the DuckDB oracle can reproduce it bit-for-bit — banded into
+  b bands; candidate pairs are an equi-join on (band, band-signature),
+  then verified with exact Jaccard. Avoids the all-pairs product
+  entirely; scales as Σ bucket².
+- SimHash: 64-bit signature from per-token md5 bits, majority-weighted;
+  near-dup = Hamming distance ≤ r via banded equi-join on 16-bit chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.functions.text import shingles, tokens
+
+
+def dedup_exact(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """One survivor (min id) per exact content hash; adds group size."""
+    h = F.md5(F.col(content_col))
+    return (
+        df.withColumn("_h", h)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .withColumnRenamed("_h", "content_hash")
+    )
+
+
+def _pair_jaccard(
+    shingled: DataFrame, id_col: str, max_doc_freq: int | None = None
+) -> DataFrame:
+    """(id_a, id_b, common, jaccard) for all pairs sharing ≥1 shingle.
+
+    ``shingled``: (id, shingle array ``sh``, size ``n_sh``).
+    """
+    ex = shingled.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        freq = ex.groupBy("shingle").count().where(F.col("count") <= max_doc_freq)
+        ex = ex.join(freq.select("shingle"), "shingle")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return pairs.withColumn(
+        "jaccard",
+        F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+    ).select("id_a", "id_b", "common", "jaccard")
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard ≥ threshold."""
+    shingled = df.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh")).where(F.col("n_sh") > 0)
+    pairs = _pair_jaccard(shingled, id_col, max_doc_freq)
+    return pairs.where(F.col("jaccard") >= threshold)
+
+
+def minhash_signature(text: Column, k: int = 3, num_hashes: int = 8) -> Column:
+    """Array of ``num_hashes`` MinHash values: min over shingles of
+    md5(i‖':'‖shingle), as hex strings. md5 is deliberate — it exists
+    identically in DuckDB, so oracle checks are exact; at 100 TB scale
+    swap in xxhash64 for ~4× cheaper hashing (same plan shape).
+    """
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact Jaccard verification.
+
+    Returns (id_a, id_b, est_jaccard, jaccard) for verified pairs.
+    Plan: signatures (narrow) → explode bands (num rows × bands) →
+    shuffle on band key → per-bucket pairs → verify. No all-pairs
+    product; the band join is the only wide stage.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        shingles(F.col(text_col), k).alias("sh"),
+        minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
+    ).where(F.size("sh") > 0)
+
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array_join(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band), "|"
+                        ).alias("bsig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bsig")
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    # verify candidates with exact jaccard + signature agreement estimate
+    sigs = sig.select(
+        F.col(id_col), F.col("sh"), F.col("sig")
+    )
+    out = (
+        cand.join(sigs.withColumnRenamed(id_col, "id_a").alias("sa"), "id_a")
+        .join(
+            sigs.select(
+                F.col(id_col).alias("id_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("sig").alias("sig_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .withColumn(
+            "common", F.size(F.array_intersect("sh", "sh_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh") + F.size("sh_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+    )
+    return out
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over whitespace tokens as a signed bigint.
+
+    Per token, a 64-bit hash (xxhash64 — JVM-side, cheap); each bit
+    votes ±1; the signature takes the sign of each bit's total.
+    Token-frequency weighting is inherent (duplicate tokens vote again).
+    """
+    tok = tokens(text)
+    hashes = F.transform(tok, lambda t: F.xxhash64(t))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i.cast("int"))).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Banding: split the 64-bit signature into 4×16-bit chunks; any pair
+    within distance ≤3 agrees on ≥1 chunk (pigeonhole), so candidates
+    come from 4 equi-joins (union) — never an all-pairs product.
+    """
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    chunks = sig.select(
+        id_col,
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright("sim", i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "sim", "ck.chunk", "ck.ckey")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,51 @@
+"""Parquet scans over the driver's synthetic tables.
+
+Plain ``spark.read.parquet`` — Catalyst handles predicate pushdown and
+column pruning, so callers should express filters/projections
+declaratively and let them reach the scan (verify with
+``df.explain('formatted')`` → PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+# rejects; read nanos as long and floor-divide to microseconds — exactly
+# the truncation DuckDB applies when it reads the same file into its
+# microsecond TIMESTAMP, so oracle comparisons agree.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Dynamic SQL confs the engine's semantics rely on, applied to
+    whatever session the caller hands us (the correctness driver builds
+    its own vanilla session — we cannot assume get_spark() ran):
+
+    - UTC session timezone: parquet/oracle timestamps are naive;
+      any other TZ shifts collected instants vs the DuckDB oracle.
+    - LAST_WIN map keys: PostgreSQL jsonb ``||`` right-bias for the
+      merge operators (default EXCEPTION would throw on key conflicts).
+    - nanosAsLong: lets the events table load (converted below).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
