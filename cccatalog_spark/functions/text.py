@@ -60,15 +60,21 @@ def lang_id(text: Column) -> Column:
     """Marker-token vote language ID. Deterministic, SQL-expressible;
     ties broken by language code order."""
     t = F.transform(tokens(text), lambda x: F.lower(x))
+    langs = sorted(LANG_MARKERS)
+    # struct (score, anti-alphabetical rank, lang): array_max picks the
+    # highest score, breaking ties toward the alphabetically-FIRST lang
+    # (rank decreases along the alphabet) — replicable as an ordered
+    # CASE chain in SQL oracles
     scores = [
         F.struct(
-            F.size(F.filter(t, lambda x: x.isin(*markers))).alias("score"),
+            F.size(F.filter(t, lambda x: x.isin(*LANG_MARKERS[lang]))).alias(
+                "score"
+            ),
+            F.lit(len(langs) - i).alias("rank"),
             F.lit(lang).alias("lang"),
         )
-        for lang, markers in sorted(LANG_MARKERS.items(), reverse=True)
+        for i, lang in enumerate(langs)
     ]
-    # array_max on structs compares (score, lang); reverse-sorted input
-    # means the max with equal scores picks the alphabetically-first lang
     best = F.array_max(F.array(*scores))
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 

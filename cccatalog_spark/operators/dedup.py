@@ -201,28 +201,37 @@ def simhash64(text: Column) -> Column:
     Per token, a 64-bit hash (xxhash64 — JVM-side, cheap); each bit
     votes ±1; the signature takes the sign of each bit's total.
     Token-frequency weighting is inherent (duplicate tokens vote again).
+
+    Single pass over the token array: fold the 64 bit-votes as an
+    int array (getbit supports a column bit position; shiftright does
+    not), then map votes to a literal power-of-two array and sum.
     """
     tok = tokens(text)
     hashes = F.transform(tok, lambda t: F.xxhash64(t))
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    zeros = F.array_repeat(F.lit(0), 64)
+    positions = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            positions,
+            lambda a, i: a + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
         ),
+    )
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("bigint")
+            for i in range(64)
+        ]
     )
     return F.aggregate(
         F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("bigint"), i.cast("int"))).otherwise(
-                F.lit(0).cast("bigint")
-            ),
+            votes, pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
         ),
         F.lit(0).cast("bigint"),
-        lambda acc, x: acc.bitwiseXOR(x),
+        lambda acc, x: acc + x,
     )
 
 

@@ -524,6 +524,736 @@ def q15_tags_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q16 — license resolution (F9/F10): regex extraction of (license,
+# version) from CC URL paths with zero→cc0 / mark→pdm normalization,
+# over URLs synthesized deterministically from part keys.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_license_extract",
+    oracle=r"""
+    WITH urls AS (
+        SELECT 'https://creativecommons.org' ||
+            CASE CAST(p_partkey % 6 AS INT)
+                WHEN 0 THEN '/licenses/by/'
+                WHEN 1 THEN '/licenses/by-sa/'
+                WHEN 2 THEN '/licenses/by-nc-nd/'
+                WHEN 3 THEN '/publicdomain/zero/'
+                WHEN 4 THEN '/publicdomain/mark/'
+                ELSE '/l/by-nc/' END ||
+            CASE CAST(p_partkey % 4 AS INT)
+                WHEN 0 THEN '1.0' WHEN 1 THEN '2.0'
+                WHEN 2 THEN '3.0' ELSE '4.0' END || '/' AS url
+        FROM part
+    ),
+    ext AS (
+        SELECT regexp_extract(url, '/(licenses|publicdomain)/([a-z\-\+]+)/([0-9]\.[0-9])', 2) AS raw,
+               regexp_extract(url, '/(licenses|publicdomain)/([a-z\-\+]+)/([0-9]\.[0-9])', 3) AS ver
+        FROM urls
+    )
+    SELECT CASE WHEN raw = 'zero' THEN 'cc0'
+                WHEN raw = 'mark' THEN 'pdm'
+                WHEN raw = '' THEN NULL ELSE raw END AS license,
+           CASE WHEN ver = '' THEN NULL ELSE ver END AS license_version,
+           count(*) AS n
+    FROM ext GROUP BY 1, 2
+    """,
+)
+def q16_license_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    path = F.element_at(
+        F.array(
+            F.lit("/licenses/by/"),
+            F.lit("/licenses/by-sa/"),
+            F.lit("/licenses/by-nc-nd/"),
+            F.lit("/publicdomain/zero/"),
+            F.lit("/publicdomain/mark/"),
+            F.lit("/l/by-nc/"),
+        ),
+        (F.col("p_partkey") % 6).cast("int") + 1,
+    )
+    ver = F.element_at(
+        F.array(F.lit("1.0"), F.lit("2.0"), F.lit("3.0"), F.lit("4.0")),
+        (F.col("p_partkey") % 4).cast("int") + 1,
+    )
+    url = F.concat(F.lit("https://creativecommons.org"), path, ver, F.lit("/"))
+    lic = license_from_path(url)
+    return (
+        p.select(lic["license"].alias("license"),
+                 lic["license_version"].alias("license_version"))
+        .groupBy("license", "license_version")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — string sanitize + char limit (F1/F2), the ImageStore
+# prepare_string pipeline as pure expressions.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_sanitize",
+    oracle=r"""
+    WITH noisy AS (
+        SELECT doc_id, '  ' || text || '  says "hi"  ' AS raw FROM documents
+    ),
+    clean AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(raw, '"', '''', 'g'),
+                                   '\s+', ' ', 'g')) AS s
+        FROM noisy
+    )
+    SELECT doc_id,
+           CASE WHEN length(s) > 50 THEN substring(s, 1, 50) ELSE s END AS clean50,
+           CASE WHEN length(s) > 2000 THEN NULL ELSE s END IS NOT NULL AS kept
+    FROM clean
+    """,
+)
+def q17_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("  "), F.col("text"), F.lit('  says "hi"  '))
+    s = sanitize_string(raw)
+    return d.select(
+        "doc_id",
+        enforce_char_limit(s, 50, truncate=True).alias("clean50"),
+        enforce_char_limit(s, 2000, truncate=False).isNotNull().alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — URL key normalization (F19/F6 pure parts: scheme strip, domain,
+# path split) over synthesized URLs.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_url_normalize",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/docs/' ||
+                   CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT split_part(regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                      '/', 1) AS domain,
+           count(*) AS n,
+           count(DISTINCT url) AS distinct_urls
+    FROM u GROUP BY 1
+    """,
+)
+def q18_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(url_domain(url).alias("domain"), url.alias("url"))
+        .groupBy("domain")
+        .agg(F.count("*").alias("n"), F.countDistinct("url").alias("distinct_urls"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — expiration predicate (P9: updated_on < NOW() - INTERVAL) with a
+# deterministic anchor (max ts) instead of NOW().
+# ---------------------------------------------------------------------------
+@query(
+    "q19_expired_rows",
+    oracle="""
+    SELECT event_type, count(*) AS expired
+    FROM events
+    WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+    GROUP BY event_type
+    """,
+)
+def q19_expired_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .where(F.col("ts") < F.col("_mx") - F.expr("INTERVAL 7 DAYS"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("expired"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — tumbling-window aggregation (§2.9 streaming semantics, batch
+# form: F.window == date_trunc for aligned 1h tumbling windows).
+# ---------------------------------------------------------------------------
+@query(
+    "q20_window_tumbling",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q20_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n",
+                "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21/q22/q23 — text analysis layer: token stats, quality score,
+# language ID (extension operators; SURVEY build plan M9).
+# ---------------------------------------------------------------------------
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+@query(
+    "q21_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents)
+    SELECT lang,
+           count(*) AS docs,
+           sum(len(toks)) AS total_tokens,
+           round(avg(CAST(len(list_distinct(toks)) AS DOUBLE) /
+                     greatest(len(toks), 1)), 6) AS avg_distinct_ratio
+    FROM t GROUP BY lang
+    """,
+)
+def q21_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum(TX.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(TX.distinct_token_ratio(F.col("text"))), 6).alias(
+            "avg_distinct_ratio"
+        ),
+    )
+
+
+@query(
+    "q22_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) AS len_score,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1) AS diversity,
+               CAST(len(list_filter(toks, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is'], lower(x))))
+                   AS DOUBLE) / greatest(len(toks), 1) AS sw
+        FROM t
+    )
+    SELECT doc_id,
+           round((len_score + diversity + (1.0 - abs(sw - 0.3))) / 3.0, 6)
+               AS quality
+    FROM m
+    """,
+)
+def q22_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "q23_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT lang, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    s AS (
+        SELECT lang,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['the','and','of','is','was'], x)))  AS s_en,
+            len(list_filter(toks, x -> list_contains(['el','la','los','las','es'], x)))   AS s_es,
+            len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x)))   AS s_fr,
+            len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+        FROM t
+    )
+    SELECT lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+           count(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q23_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TX.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24/q25 — fuzzy dedup: n-gram Jaccard pairs via inverted shingle
+# index, and MinHash+LSH with md5 signatures (DuckDB-reproducible).
+# ---------------------------------------------------------------------------
+_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+
+@query(
+    "q24_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM shn),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS n_a, b.n AS n_b, count(*) AS common
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, common,
+           round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.4
+    """,
+)
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_ngram_jaccard(d, "text", "doc_id", k=3, threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", "common", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query(
+    "q25_minhash_lsh",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id, s,
+               [list_min(list_transform(s, x -> md5('0:' || x))),
+                list_min(list_transform(s, x -> md5('1:' || x))),
+                list_min(list_transform(s, x -> md5('2:' || x))),
+                list_min(list_transform(s, x -> md5('3:' || x))),
+                list_min(list_transform(s, x -> md5('4:' || x))),
+                list_min(list_transform(s, x -> md5('5:' || x))),
+                list_min(list_transform(s, x -> md5('6:' || x))),
+                list_min(list_transform(s, x -> md5('7:' || x)))] AS sg
+        FROM shn
+    ),
+    banded AS (
+        SELECT doc_id, u.band,
+               sg[2 * u.band + 1] || '|' || sg[2 * u.band + 2] AS bsig
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) u
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_filter(range(1, 9),
+                    i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / 8.0 AS est_jaccard,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                   (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                   AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard,
+           round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.4
+    """,
+)
+def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_minhash_lsh(
+        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.4
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q26/q27/q28 — similarity search over array<float> embeddings.
+# Dot products in double precision, sequential order → bit-identical to
+# DuckDB's list_cosine_similarity on DOUBLE[].
+# ---------------------------------------------------------------------------
+@query(
+    "q26_ann_topk",
+    oracle="""
+    SELECT e.vec_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                        q.embedding::DOUBLE[]), 6) AS cosine_sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q26_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    return (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(SIM.cosine(F.col("embedding"), F.col("_qv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q27_knn_join",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
+                    FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            p.pv::DOUBLE[]), 6) AS cosine_sim
+        FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cosine_sim, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                   ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def q27_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id").isin(0, 1, 2))
+    return SIM.knn_join_topk(emb, probes, "embedding", "vec_id", k=5)
+
+
+@query(
+    "q28_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.4
+    """,
+)
+def q28_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = SIM.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cos >= 0.4)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
+# validated structurally in tests/test_dedup.py instead).
+# ---------------------------------------------------------------------------
+@query("q29_simhash_neardup")
+def q29_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.dedup_simhash(d, "text", "doc_id", max_hamming=8)
+
+
+# ---------------------------------------------------------------------------
+# q30 — document fingerprint (rolling min-hash signature).
+# ---------------------------------------------------------------------------
+_SHINGLES5 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 4), ' ')))"
+)
+
+
+@query(
+    "q30_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    fp AS (
+        SELECT doc_id,
+               coalesce(list_min(list_transform({_SHINGLES5}, x -> md5(x))),
+                        md5(array_to_string(toks, ' '))) AS fp
+        FROM t
+    )
+    SELECT fp, min(doc_id) AS doc_id, count(*) AS n FROM fp GROUP BY fp
+    """,
+)
+def q30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(TX.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — sessionization (gap > 30 min starts a new session): lag +
+# running sum, the batch form of streaming session windows.
+# ---------------------------------------------------------------------------
+@query(
+    "q31_sessionization",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    )
+    SELECT user_id,
+           sum(brk) + 1 AS sessions,
+           count(*) AS n_events
+    FROM x GROUP BY user_id
+    """,
+)
+def q31_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.col("ts") - F.lag(F.col("ts")).over(w) > F.expr("INTERVAL 30 MINUTES"),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("brk", brk)
+        .groupBy("user_id")
+        .agg(
+            (F.sum("brk") + 1).alias("sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — union of batches + key dedup (U2 + A5: per-batch TSV append
+# then load-table dedup keeping one row per key).
+# ---------------------------------------------------------------------------
+@query(
+    "q32_union_dedup",
+    oracle="""
+    WITH unioned AS (
+        SELECT * FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT * FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(DISTINCT o_orderkey) AS n_keys
+    FROM unioned GROUP BY o_orderstatus
+    """,
+)
+def q32_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    unioned = o.where(F.col("o_orderkey") % 2 == 0).unionByName(
+        o.where(F.col("o_orderkey") % 3 == 0)
+    )
+    return unioned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q33 — array-containment join (J4: europeana sub-provider jsonb
+# `?` containment → array_contains against a broadcast dimension).
+# ---------------------------------------------------------------------------
+@query(
+    "q33_array_contains_join",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dim AS (SELECT unnest(['spark', 'join', 'window', 'stream', 'hash'])
+                AS word)
+    SELECT dim.word, count(*) AS n_docs
+    FROM t JOIN dim ON list_contains(t.toks, dim.word)
+    GROUP BY dim.word
+    """,
+)
+def q33_array_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    dim = spark.createDataFrame(
+        [("spark",), ("join",), ("window",), ("stream",), ("hash",)], "word string"
+    )
+    return (
+        toks.join(F.broadcast(dim), F.array_contains(F.col("toks"), F.col("word")))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — computed-key equi-join (J6: CC-tags merge joins on
+# scheme-stripped, rtrim'd URL keys computed on both sides).
+# ---------------------------------------------------------------------------
+@query(
+    "q34_computed_key_join",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, 'http://' || source || '.example.org/d/' ||
+               CAST(doc_id AS VARCHAR) AS url, n_chars
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, 'https://' || source || '.example.org/d/' ||
+               CAST(doc_id AS VARCHAR) || '/' AS url, lang
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT count(*) AS matched,
+           sum(a.n_chars) AS sum_chars,
+           count(DISTINCT b.lang) AS langs
+    FROM a JOIN b
+      ON rtrim(regexp_replace(a.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/')
+       = rtrim(regexp_replace(b.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/')
+    """,
+)
+def q34_computed_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id", "n_chars",
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example.org/d/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+    )
+    b = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("doc_id_b"), "lang",
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/d/"),
+                 F.col("doc_id").cast("string"), F.lit("/")).alias("url"),
+    )
+    norm = lambda c: F.regexp_replace(strip_scheme(c), "/+$", "")  # noqa: E731
+    joined = a.join(b, norm(a["url"]) == norm(b["url"]))
+    return joined.agg(
+        F.count("*").alias("matched"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("lang").alias("langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — date-sequence explode (F20: date → sub-interval expansion).
+# ---------------------------------------------------------------------------
+@query(
+    "q35_date_explode",
+    oracle="""
+    WITH days AS (
+        SELECT o_orderkey,
+               unnest(generate_series(o_orderdate,
+                                      o_orderdate + INTERVAL 2 DAY,
+                                      INTERVAL 1 DAY)) AS day
+        FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT day, count(*) AS n FROM days GROUP BY day
+    """,
+)
+def q35_date_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("o_orderdate"),
+                    F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — grouped counter rendered as a stable string (A2: per-page
+# outbound-domain Counter → JSON map; rendered sorted for hashing).
+# ---------------------------------------------------------------------------
+@query(
+    "q36_grouped_counter",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           array_to_string(list_sort(list(event_type || ':' ||
+               CAST(cnt AS VARCHAR))), ',') AS type_counts
+    FROM c GROUP BY user_id
+    """,
+)
+def q36_grouped_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    return c.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat(F.col("event_type"), F.lit(":"),
+                             F.col("cnt").cast("string"))
+                )
+            ),
+            ",",
+        ).alias("type_counts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q37 — JSON struct parse (cc_links html_metadata shape:
+# from_json STRUCT<Images INT, Links MAP<STRING,INT>>).
+# ---------------------------------------------------------------------------
+@query(
+    "q37_json_struct_parse",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               '{"Images": ' || regexp_extract(props, '"k": ([0-9]+)', 1) ||
+               ', "Links": {"' || event_type || '": 1}}' AS html_metadata,
+               event_type
+        FROM events
+    )
+    SELECT event_type,
+           sum(CAST(regexp_extract(html_metadata, '"Images": ([0-9]+)', 1)
+               AS BIGINT)) AS total_images,
+           count(*) AS n
+    FROM j GROUP BY event_type
+    """,
+)
+def q37_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.schemas import HTML_METADATA
+
+    ev = load_table(spark, sf_dir, "events")
+    j = ev.select(
+        "event_type",
+        F.concat(
+            F.lit('{"Images": '),
+            F.regexp_extract("props", '"k": ([0-9]+)', 1),
+            F.lit(', "Links": {"'),
+            F.col("event_type"),
+            F.lit('": 1}}'),
+        ).alias("html_metadata"),
+    )
+    parsed = j.select(
+        "event_type", F.from_json("html_metadata", HTML_METADATA).alias("m")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("m.Images").cast("bigint")).alias("total_images"),
+        F.count("*").alias("n"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

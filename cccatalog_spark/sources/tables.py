@@ -43,7 +43,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # TIMESTAMP_NTZ, not TIMESTAMP: NTZ collects as naive UTC
+            # regardless of host TZ (LTZ→datetime conversion in PySpark
+            # uses the OS timezone, which would shift outputs vs the
+            # naive-UTC DuckDB oracle). Cast runs under the UTC session
+            # TZ pinned above, so the wall-clock values are UTC.
+            df = df.withColumn(
+                c,
+                F.expr(f"CAST(timestamp_micros(`{c}` div 1000) AS TIMESTAMP_NTZ)"),
+            )
     return df
 
 
