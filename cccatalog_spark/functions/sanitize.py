@@ -35,8 +35,12 @@ def enforce_char_limit(c: Column, limit: int, truncate: bool = True) -> Column:
 
 
 def int_coerce(c: Column) -> Column:
-    """Best-effort ``int(float(x))`` cast, else null (columns.py:70-86)."""
-    return c.cast("double").cast("int")
+    """Best-effort ``int(float(x))`` cast, else null (columns.py:70-86).
+
+    ``try_cast`` (not ``cast``): Spark 4 runs under ANSI mode, where a
+    malformed cast throws — the reference's contract is null-on-failure.
+    """
+    return c.try_cast("double").try_cast("int")
 
 
 def bool_coerce(c: Column) -> Column:

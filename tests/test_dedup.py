@@ -1,0 +1,74 @@
+"""Dedup family on crafted micro-corpora: exact survivor rule, Jaccard
+values, MinHash-LSH recall on identical/near-identical docs, SimHash
+Hamming banding guarantees."""
+
+from __future__ import annotations
+
+from cccatalog_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = BASE.replace("today", "tonight")
+OTHER = "completely different words about spark shuffles and parquet files"
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_min_id_survivor(spark):
+    df = _docs(spark, [BASE, BASE, OTHER])
+    out = {r["doc_id"]: r for r in dedup_exact(df, "text", "doc_id").collect()}
+    assert set(out) == {0, 2}
+    assert out[0]["dup_count"] == 2
+    assert out[2]["dup_count"] == 1
+
+
+def test_jaccard_identical_is_one(spark):
+    df = _docs(spark, [BASE, BASE, OTHER])
+    rows = dedup_ngram_jaccard(df, "text", "doc_id", k=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (0, 1)
+    assert abs(r["jaccard"] - 1.0) < 1e-12
+
+
+def test_jaccard_near_dup_detected_not_unrelated(spark):
+    df = _docs(spark, [BASE, NEAR, OTHER])
+    rows = dedup_ngram_jaccard(df, "text", "doc_id", k=3, threshold=0.4).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_identical_always_candidate(spark):
+    # identical docs share every band signature: recall 1.0 guaranteed
+    df = _docs(spark, [BASE, BASE, OTHER])
+    rows = dedup_minhash_lsh(
+        df, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+    assert rows[0]["est_jaccard"] == 1.0
+    assert rows[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = _docs(spark, [BASE, BASE, OTHER])
+    rows = dedup_simhash(df, "text", "doc_id", max_hamming=3).collect()
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert out.get((0, 1)) == 0
+    assert not any(2 in p for p in out)
+
+
+def test_simhash_near_dup_within_banding_bound(spark):
+    # banding (4×16-bit chunks) is complete for distance ≤ 3 by pigeonhole
+    df = _docs(spark, [BASE, NEAR])
+    rows = dedup_simhash(df, "text", "doc_id", max_hamming=16).collect()
+    if rows:  # near-dup signatures are close; if ≤16 it must be found
+        assert rows[0]["hamming"] <= 16

@@ -1,0 +1,174 @@
+"""Scalar function library (F1-F19 families): sanitizers, license
+resolution, URL algebra, popularity math, JSONB merge — value-level
+checks on literal rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cccatalog_spark.functions.json_merge import jsonb_object_merge
+from cccatalog_spark.functions.licenses import (
+    canonical_license_url,
+    license_from_path,
+    resolve_license_pair,
+)
+from cccatalog_spark.functions.popularity import (
+    percentile_disc,
+    popularity_constant,
+    standardized_popularity,
+    zero_guard,
+)
+from cccatalog_spark.functions.sanitize import (
+    bool_coerce,
+    enforce_char_limit,
+    int_coerce,
+    sanitize_string,
+)
+from cccatalog_spark.functions.text import lang_id, quality_score, token_count
+from cccatalog_spark.functions.urls import (
+    basic_url_valid,
+    strip_scheme,
+    url_domain,
+    url_path,
+)
+
+
+def _one(spark, col, value=None, typ="string"):
+    df = spark.createDataFrame([(value,)], f"v {typ}")
+    return df.select(col.alias("out")).collect()[0]["out"]
+
+
+# --- sanitize (F1-F4) -------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [
+        ('hello  "world"\t\n x', "hello 'world' x"),
+        ("  padded  ", "padded"),
+        ("back\\slash", "back\\\\slash"),
+    ],
+)
+def test_sanitize_string(spark, raw, want):
+    assert _one(spark, sanitize_string(F.col("v")), raw) == want
+
+
+def test_enforce_char_limit(spark):
+    assert _one(spark, enforce_char_limit(F.col("v"), 3, True), "abcdef") == "abc"
+    assert _one(spark, enforce_char_limit(F.col("v"), 3, False), "abcdef") is None
+    assert _one(spark, enforce_char_limit(F.col("v"), 10, False), "abc") == "abc"
+
+
+@pytest.mark.parametrize(
+    "raw,want", [("42", 42), ("3.9", 3), ("junk", None), (None, None)]
+)
+def test_int_coerce(spark, raw, want):
+    assert _one(spark, int_coerce(F.col("v")), raw) == want
+
+
+@pytest.mark.parametrize(
+    "raw,want",
+    [("true", True), ("T", True), ("f", False), ("0", False), ("maybe", None)],
+)
+def test_bool_coerce(spark, raw, want):
+    assert _one(spark, bool_coerce(F.col("v")), raw) == want
+
+
+# --- licenses (F9/F10) ------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "url,lic,ver",
+    [
+        ("https://creativecommons.org/licenses/by-sa/4.0/", "by-sa", "4.0"),
+        ("http://creativecommons.org/publicdomain/zero/1.0/", "cc0", "1.0"),
+        ("http://creativecommons.org/publicdomain/mark/1.0/", "pdm", "1.0"),
+        ("https://example.org/nothing/", None, None),
+    ],
+)
+def test_license_from_path(spark, url, lic, ver):
+    out = _one(spark, license_from_path(F.col("v")), url)
+    assert out["license"] == lic
+    assert out["license_version"] == ver
+
+
+def test_resolve_license_pair(spark):
+    df = spark.createDataFrame([(" BY-SA ", "4")], "l string, v string")
+    out = df.select(
+        resolve_license_pair(F.col("l"), F.col("v")).alias("o")
+    ).collect()[0]["o"]
+    assert out["license"] == "by-sa"
+    assert out["license_version"] == "4.0"
+
+
+def test_canonical_license_url(spark):
+    df = spark.createDataFrame([("by", "4.0"), ("cc0", None)], "l string, v string")
+    rows = df.select(
+        canonical_license_url(F.col("l"), F.col("v")).alias("u")
+    ).collect()
+    assert rows[0]["u"] == "https://creativecommons.org/licenses/by/4.0/"
+    assert rows[1]["u"] == "https://creativecommons.org/publicdomain/zero/1.0/"
+
+
+# --- urls (F6/F19) ----------------------------------------------------------
+
+def test_url_algebra(spark):
+    u = "https://img.example.org/a/b?x=1"
+    assert _one(spark, strip_scheme(F.col("v")), u) == "img.example.org/a/b?x=1"
+    assert _one(spark, url_domain(F.col("v")), u) == "img.example.org"
+    assert _one(spark, url_path(F.col("v")), u) == "/a/b?x=1"
+    assert _one(spark, basic_url_valid(F.col("v")), u) is True
+    assert _one(spark, basic_url_valid(F.col("v")), "notaurl") is False
+
+
+# --- popularity math (A8/A9/F17/F18) ---------------------------------------
+
+def test_percentile_disc_matches_postgres_semantics(spark):
+    # values 1..10: percentile_disc(0.85) = element ceil(8.5)=9
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    out = df.agg(percentile_disc(F.col("v"), 0.85).alias("p")).collect()[0]["p"]
+    assert out == 9.0
+    out50 = df.agg(percentile_disc(F.col("v"), 0.5).alias("p")).collect()[0]["p"]
+    assert out50 == 5.0
+
+
+def test_popularity_scalar_math(spark):
+    df = spark.createDataFrame([(0.0,), (85.0,)], "v double")
+    rows = df.select(
+        zero_guard(F.col("v")).alias("g"),
+        popularity_constant(zero_guard(F.col("v")), F.lit(0.85)).alias("c"),
+    ).collect()
+    assert rows[0]["g"] == 1.0
+    assert abs(rows[1]["c"] - (0.15 / 0.85) * 85.0) < 1e-9
+    s = _one(
+        spark,
+        standardized_popularity(F.lit(15.0), F.lit(15.0)),
+        None,
+    )
+    assert abs(s - 0.5) < 1e-12
+
+
+# --- jsonb merge (F16) ------------------------------------------------------
+
+def test_jsonb_object_merge_right_bias_null_strip(spark):
+    df = spark.createDataFrame(
+        [({"a": "1", "d": None}, {"a": "2", "b": None, "c": "3"})],
+        "o map<string,string>, n map<string,string>",
+    )
+    out = df.select(
+        jsonb_object_merge(F.col("o"), F.col("n")).alias("m")
+    ).collect()[0]["m"]
+    assert out == {"a": "2", "c": "3"}
+
+
+# --- text layer -------------------------------------------------------------
+
+def test_token_count_and_lang_id(spark):
+    assert _one(spark, token_count(F.col("v")), "  a  b\tc \n") == 3
+    assert _one(spark, lang_id(F.col("v")), "the cat and the dog is here") == "en"
+    assert _one(spark, lang_id(F.col("v")), "el perro es la casa") == "es"
+    assert _one(spark, lang_id(F.col("v")), "zzz qqq") == "und"
+
+
+def test_quality_score_bounds(spark):
+    q = _one(spark, quality_score(F.col("v")), "the quick brown fox is here")
+    assert 0.0 <= q <= 1.0

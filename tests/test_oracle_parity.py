@@ -1,0 +1,67 @@
+"""Every queries() entry vs its oracle_sql() on DuckDB at sf0.001 —
+the local replica of the driver's correctness gate (row count, column
+set, order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return repr(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(name, spark, duck, sf_dir):
+    sdf = QUERIES[name](spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    if name not in ORACLES:
+        # rows-only contract: runs and yields a stable schema
+        assert s_cols, f"{name}: no output columns"
+        return
+
+    res = duck.execute(ORACLES[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), f"{name}: column mismatch"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    sc, dc = _canon(s_rows, s_cols), _canon(d_rows, d_cols)
+    if sc != dc:
+        diff = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+        pytest.fail(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+def test_every_query_has_oracle_or_is_documented():
+    # q29 (simhash/xxhash64) is the only rows-only query today; anything
+    # newly added without an oracle must be deliberate.
+    missing = set(QUERIES) - set(ORACLES)
+    assert missing <= {"q29_simhash_neardup", "q38_stream_loader",
+                       "q39_multimodal_meta"}, missing
