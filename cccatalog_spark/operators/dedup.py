@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cccatalog_spark.functions.text import shingles, tokens
+from cccatalog_spark.sources.tables import fan_out
 
 
 def dedup_exact(
@@ -33,7 +34,7 @@ def dedup_exact(
     """One survivor (min id) per exact content hash; adds group size."""
     h = F.md5(F.col(content_col))
     return (
-        df.withColumn("_h", h)
+        fan_out(df).withColumn("_h", h)
         .groupBy("_h")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
         .withColumnRenamed("_h", "content_hash")
@@ -79,27 +80,45 @@ def dedup_ngram_jaccard(
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard ≥ threshold."""
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh")).where(F.col("n_sh") > 0)
     pairs = _pair_jaccard(shingled, id_col, max_doc_freq)
     return pairs.where(F.col("jaccard") >= threshold)
 
 
-def minhash_signature(text: Column, k: int = 3, num_hashes: int = 8) -> Column:
-    """Array of ``num_hashes`` MinHash values: min over shingles of
-    md5(i‖':'‖shingle), as hex strings. md5 is deliberate — it exists
-    identically in DuckDB, so oracle checks are exact; at 100 TB scale
-    swap in xxhash64 for ~4× cheaper hashing (same plan shape).
+def minhash_signature(sh: Column, num_hashes: int = 8) -> Column:
+    """Array of ``num_hashes`` MinHash values over a shingle-array
+    column: min over shingles of md5(i‖':'‖shingle), as hex strings.
+    md5 is deliberate — it exists identically in DuckDB, so oracle
+    checks are exact; at 100 TB scale swap in xxhash64 for ~4× cheaper
+    hashing (same plan shape).
+
+    Takes the shingle COLUMN (not the text) and folds all num_hashes
+    minima in ONE ``aggregate`` pass, so the (possibly expensive)
+    shingle expression appears exactly once in the plan — the naive
+    ``array(array_min(transform(sh,...)) × num_hashes)`` form gets the
+    shingle expression re-inlined per hash by projection collapse.
+
+    Hex md5 strings are fixed-width lowercase, so lexicographic
+    ``least`` equals numeric min — identical to the oracle's
+    ``list_min(list_transform(...))`` per seed.
     """
-    sh = shingles(text, k)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+    sentinel = "f" * 32  # ≥ every md5 hex digest
+    init = F.array_repeat(F.lit(sentinel), num_hashes)
+    return F.aggregate(
+        sh,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.md5(F.concat(F.lit(f"{i}:"), s))
+                    for i in range(num_hashes)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -120,11 +139,14 @@ def dedup_minhash_lsh(
     product; the band join is the only wide stage.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col),
-        shingles(F.col(text_col), k).alias("sh"),
-        minhash_signature(F.col(text_col), k, num_hashes).alias("sig"),
+    shingled = fan_out(df).select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
     ).where(F.size("sh") > 0)
+    sig = shingled.select(
+        F.col(id_col),
+        F.col("sh"),
+        minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+    )
 
     banded = sig.select(
         id_col,
@@ -247,7 +269,7 @@ def dedup_simhash(
     within distance ≤3 agrees on ≥1 chunk (pigeonhole), so candidates
     come from 4 equi-joins (union) — never an all-pairs product.
     """
-    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    sig = fan_out(df).select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
     chunks = sig.select(
         id_col,
         "sim",

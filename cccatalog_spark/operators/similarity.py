@@ -26,6 +26,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cccatalog_spark.sources.tables import fan_out
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -53,11 +55,59 @@ def cosine_topk(
     """Exact top-k by cosine similarity to a literal query vector.
     Ties broken by id for full determinism."""
     q = F.array(*[F.lit(float(v)) for v in query])
-    scored = df.select(
+    scored = fan_out(df).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup family).
+
+    Exact all-pairs semantics (matches a brute-force oracle), shaped to
+    be as cheap as an O(n²) scan can be:
+
+    - per-row norms computed ONCE before the join (n, not n²/2 times);
+    - the pair dot product evaluated once, via a select-then-filter on
+      the materialized column (the naive where(cos)+select(cos) form
+      evaluates the whole dot twice);
+    - cosine = dot/(norm_a*norm_b) in the exact same operation order as
+      computing it per-pair, so results are bit-identical to the naive
+      form (and to DuckDB's list_cosine_similarity on DOUBLE[]).
+
+    At 100 TB this operator is the *verification* stage; candidate
+    generation must come from LSH bucketing (``lsh_bucket``) — an
+    unbucketed n² over the full corpus is never the plan.
+    """
+    base = fan_out(df).select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_n"),
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "_cos"
+            ),
+        )
+        .where(F.col("_cos") >= threshold)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine_sim"))
+    )
 
 
 def knn_join_topk(
@@ -79,6 +129,7 @@ def knn_join_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
+    corpus = fan_out(corpus)
     scored = corpus.alias("c").join(F.broadcast(p), F.col(f"c.{id_col}") != F.col("probe_id")).select(
         "probe_id",
         F.col(f"c.{id_col}").alias("neighbor_id"),
@@ -146,7 +197,7 @@ def lsh_cosine_topk(
         if sum(a * b for a, b in zip(query, plane)) >= 0
     )
     q = F.array(*[F.lit(float(v)) for v in query])
-    bucketed = df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    bucketed = fan_out(df).withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
     return (
         bucketed.where(F.col("_bucket") == qbucket)
         .select(

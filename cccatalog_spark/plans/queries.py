@@ -952,14 +952,7 @@ def q27_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    cos = SIM.cosine(F.col("va"), F.col("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(cos >= 0.4)
-        .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
-    )
+    return SIM.cosine_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,31 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # microsecond TIMESTAMP, so oracle comparisons agree.
 _NANOS_TS_COLS = {"events": ["ts"]}
 
+# Tables whose per-row work dominates their byte size (shingling,
+# hashing, vector math). Their parquet footprint is tiny (often a single
+# row group → a single scan task), so CPU-heavy operators over them run
+# on one core unless fanned out. At 100 TB these tables arrive as many
+# files/row-groups and fan_out is a no-op.
+_CPU_HEAVY_TABLES = {"documents", "embeddings"}
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Repartition a narrow DataFrame up to the session's parallelism.
+
+    A parquet scan can never be split finer than a row group, so small
+    synthetic inputs (one row group) pin every downstream narrow stage
+    to one task. An explicit round-robin repartition costs one tiny
+    shuffle and unlocks all cores for expensive per-row expressions.
+    No-op when the input already has enough partitions — i.e. at real
+    scale this never adds a shuffle. The explicit partition count also
+    stops AQE from coalescing the exchange back down.
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Dynamic SQL confs the engine's semantics rely on, applied to
@@ -52,6 +77,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 c,
                 F.expr(f"CAST(timestamp_micros(`{c}` div 1000) AS TIMESTAMP_NTZ)"),
             )
+    if name in _CPU_HEAVY_TABLES:
+        df = fan_out(df)
     return df
 
 
