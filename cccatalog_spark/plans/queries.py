@@ -1247,6 +1247,508 @@ def q37_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q38 — Common Crawl link extraction core (S2/P1/P2/A1/A2,
+# ExtractCCLinks.py:98-195): pages with links arrays → per-page
+# html_metadata → explode → CC filter → per-domain stats. The Images
+# count round-trips through the html_metadata JSON exactly like the
+# reference's parquet rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q38_cc_link_extract",
+    oracle="""
+    WITH pages AS (
+        SELECT doc_id, source,
+               source || '.example.org' AS pd,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS img,
+               CASE WHEN doc_id % 5 <> 0
+                    THEN 'https://creativecommons.org/licenses/by/4.0/' END AS cc1,
+               CASE WHEN doc_id % 7 = 0
+                    THEN 'https://creativecommons.org/licenses/by-nc/2.0/' END AS cc2
+        FROM documents),
+    cc AS (
+        SELECT pd, doc_id, img,
+               unnest(list_filter([cc1, cc2], x -> x IS NOT NULL)) AS cc_url
+        FROM pages)
+    SELECT pd AS provider_domain,
+           count(*)               AS n_cc_links,
+           count(DISTINCT doc_id) AS n_pages,
+           sum(img)               AS sum_images
+    FROM cc GROUP BY pd
+    """,
+)
+def q38_cc_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.cc_links import extract_cc_links
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    href = F.lit("A@/href")
+    link = lambda u, p: F.struct(u.alias("url"), p.alias("path"))  # noqa: E731
+    links = F.filter(
+        F.array(
+            F.when(
+                sid % 5 != 0,
+                link(F.lit("https://creativecommons.org/licenses/by/4.0/"), href),
+            ),
+            F.when(
+                sid % 7 == 0,
+                link(F.lit("https://creativecommons.org/licenses/by-nc/2.0/"), href),
+            ),
+            link(
+                F.concat(F.lit("https://offsite"), (sid % 3).cast("string"),
+                         F.lit(".example.com/x")),
+                href,
+            ),
+            F.when(
+                sid % 2 == 0,
+                link(
+                    F.concat(F.lit("https://img."), F.col("source"),
+                             F.lit(".example.org/i/"), sid.cast("string"),
+                             F.lit(".jpg")),
+                    F.lit("IMG@/src"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/p/"),
+                 sid.cast("string")).alias("url"),
+        links.alias("links"),
+    )
+    cc = extract_cc_links(pages)
+    return cc.groupBy("provider_domain").agg(
+        F.count("*").alias("n_cc_links"),
+        F.countDistinct("page_url").alias("n_pages"),
+        F.sum(
+            F.get_json_object("html_metadata", "$.Images").cast("long")
+        ).alias("sum_images"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — sub-provider broadcast update (J3, util/loader/sql.py:354-451):
+# tiny (creator_url, sub_provider) dim joined broadcast; matched rows'
+# source replaced. The reference's per-sub-provider UPDATE loop is one
+# pass here.
+# ---------------------------------------------------------------------------
+@query(
+    "q39_sub_provider_update",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 <> 0 THEN 'flickr' ELSE 'inst' END AS provider,
+               source AS src
+        FROM documents)
+    SELECT provider,
+           CASE WHEN provider = 'flickr'
+                     AND CAST(substring(src, 4) AS INT) % 2 = 0
+                THEN 'museum_' || src
+                ELSE 'orig_' || src END AS source,
+           count(*) AS n
+    FROM img GROUP BY 1, 2
+    """,
+)
+def q39_sub_provider_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.providers import apply_sub_providers
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    image = d.select(
+        sid.alias("doc_id"),
+        F.when(sid % 3 != 0, F.lit("flickr")).otherwise(F.lit("inst")).alias(
+            "provider"
+        ),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org")).alias(
+            "creator_url"
+        ),
+        F.concat(F.lit("orig_"), F.col("source")).alias("source"),
+    )
+    dim = spark.createDataFrame(
+        [
+            (f"https://src{i}.example.org", f"museum_src{i}")
+            for i in range(0, 20, 2)
+        ],
+        "creator_url string, sub_provider string",
+    )
+    updated = apply_sub_providers(image, dim, "creator_url", "flickr")
+    return updated.groupBy("provider", "source").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q40 — the ImageStore normalization pipeline end-to-end (M5: F1-F4,
+# F9, F16, F24, F25, P6/P7/P10) over synthesized raw provider rows.
+# The oracle re-implements every prepare rule independently in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q40_image_normalize",
+    oracle=r"""
+    WITH raw AS (SELECT doc_id AS sid, text, source AS src FROM documents),
+    prep AS (
+        SELECT sid,
+            CASE WHEN sid % 10 = 0 THEN NULL
+                 ELSE CAST(sid AS VARCHAR) END                       AS fid,
+            CASE WHEN sid % 7 = 0 THEN NULL ELSE 'u' END             AS url,
+            CASE WHEN sid % 4 = 0 THEN NULL
+                 ELSE CAST(100 + sid % 500 AS INT) END               AS width,
+            CAST(trunc(CAST(sid % 300 AS DOUBLE) + 0.5) AS INT)     AS height,
+            CASE CAST(sid % 6 AS INT)
+                WHEN 0 THEN 'by' WHEN 1 THEN 'by-sa' WHEN 2 THEN 'cc0'
+                WHEN 3 THEN NULL WHEN 4 THEN 'by-nc-nd' ELSE 'pdm'
+            END                                                      AS license,
+            CASE CAST(sid % 4 AS INT)
+                WHEN 0 THEN '4.0' WHEN 1 THEN '3.0'
+                WHEN 2 THEN 'N/A' ELSE '2.0' END                     AS license_version,
+            CASE CAST(sid % 3 AS INT)
+                WHEN 0 THEN true WHEN 1 THEN false ELSE NULL END     AS watermarked,
+            coalesce(CASE WHEN sid % 2 = 0 THEN NULL
+                          ELSE 'sub' || CAST(sid % 3 AS VARCHAR) END,
+                     'testprov')                                     AS source,
+            CASE WHEN sid % 2 = 0 THEN 3 ELSE 2 END                  AS n_tags,
+            length(trim(regexp_replace(regexp_replace(
+                '  ' || text || ' has "quotes" ', '"', '''', 'g'),
+                '\s+', ' ', 'g')))                                   AS title_len
+        FROM raw)
+    SELECT (fid IS NULL OR url IS NULL OR license IS NULL) AS rejected,
+           license, license_version,
+           count(*)                                   AS n,
+           sum(width)                                 AS sum_width,
+           sum(height)                                AS sum_height,
+           count(*) FILTER (WHERE watermarked)        AS n_watermarked,
+           count(DISTINCT source)                     AS n_sources,
+           sum(n_tags)                                AS sum_tags,
+           sum(1 + CASE WHEN license IS NOT NULL THEN 1 ELSE 0 END)
+                                                      AS sum_meta_keys,
+           sum(title_len)                             AS sum_title_len
+    FROM prep GROUP BY 1, 2, 3
+    """,
+)
+def q40_image_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.normalize import normalize_image_batch
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    raw = d.select(
+        F.when(sid % 10 == 0, F.lit(None)).otherwise(sid.cast("string")).alias(
+            "foreign_identifier"
+        ),
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/d/"),
+                 sid.cast("string")).alias("foreign_landing_url"),
+        F.when(sid % 7 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("https://img."), F.col("source"), F.lit(".org/"),
+                     sid.cast("string"), F.lit(".jpg"))
+        ).alias("url"),
+        F.when(sid % 4 == 0, F.lit("junk")).otherwise(
+            (sid % 500 + 100).cast("string")
+        ).alias("width"),
+        ((sid % 300).cast("double") + 0.5).cast("string").alias("height"),
+        F.element_at(
+            F.array(F.lit("BY"), F.lit("by-sa"), F.lit("CC0"), F.lit("wtfpl"),
+                    F.lit("by-nc-nd"), F.lit("PDM")),
+            (sid % 6).cast("int") + 1,
+        ).alias("license"),
+        F.element_at(
+            F.array(F.lit("4"), F.lit("3.0"), F.lit("N/A"), F.lit("2")),
+            (sid % 4).cast("int") + 1,
+        ).alias("license_version"),
+        F.concat(F.lit("  "), F.col("text"), F.lit(' has "quotes" ')).alias(
+            "title"
+        ),
+        F.element_at(
+            F.array(F.lit("t"), F.lit("f"), F.lit("maybe")),
+            (sid % 3).cast("int") + 1,
+        ).alias("watermarked"),
+        F.lit("testprov").alias("provider"),
+        F.when(sid % 2 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("sub"), (sid % 3).cast("string"))
+        ).alias("source"),
+        F.concat(F.lit('{"views": "'), sid.cast("string"), F.lit('"}')).alias(
+            "meta_data"
+        ),
+        F.concat(
+            F.lit('["art","by","k'), (sid % 5).cast("string"), F.lit('"'),
+            F.when(sid % 2 == 0, F.lit(',"extra"')).otherwise(F.lit("")),
+            F.lit("]"),
+        ).alias("tags"),
+    )
+    prepared = normalize_image_batch(raw)
+    return prepared.groupBy(
+        F.col("_rejected").alias("rejected"), "license", "license_version"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("width").alias("sum_width"),
+        F.sum("height").alias("sum_height"),
+        F.count(F.when(F.col("watermarked"), 1)).alias("n_watermarked"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size("tags")).alias("sum_tags"),
+        F.sum(F.size(F.map_keys("meta_data"))).alias("sum_meta_keys"),
+        F.sum(F.length("title")).alias("sum_title_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — expiration marking (P9, util/loader/sql.py:621-667) with a
+# per-provider TTL map and a deterministic anchor.
+# ---------------------------------------------------------------------------
+@query(
+    "q41_expiration_mark",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT event_type AS provider,
+           count(*) FILTER (WHERE
+               (event_type = 'click' AND ts < m - INTERVAL 7 DAY) OR
+               (event_type = 'view'  AND ts < m - INTERVAL 14 DAY) OR
+               (event_type = 'error' AND ts < m - INTERVAL 3 DAY)) AS n_expired,
+           count(*) AS n
+    FROM events, mx GROUP BY 1
+    """,
+)
+def q41_expiration_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.providers import mark_expired
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_mx"))
+    image = ev.crossJoin(F.broadcast(mx)).select(
+        F.col("event_type").alias("provider"),
+        F.col("ts").alias("updated_on"),
+        F.lit(False).alias("removed_from_source"),
+        "_mx",
+    )
+    marked = mark_expired(
+        image,
+        {"click": "7 DAYS", "view": "14 DAYS", "error": "3 DAYS"},
+        now=F.col("_mx"),
+    )
+    return marked.groupBy("provider").agg(
+        F.count(F.when(F.col("removed_from_source"), 1)).alias("n_expired"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — hex-prefix partitioned scan (F21, smithsonian.py:198-202 /
+# pg_cleaner.py:162-166): generated prefix dimension joined on a
+# computed key.
+# ---------------------------------------------------------------------------
+@query(
+    "q42_hex_prefix_scan",
+    oracle="""
+    WITH dim AS (SELECT printf('%02x', i) AS prefix FROM range(256) t(i)),
+    docs AS (SELECT substring(md5(text), 1, 2) AS p2, n_chars FROM documents)
+    SELECT prefix, count(*) AS n, sum(n_chars) AS sum_chars
+    FROM docs JOIN dim ON p2 = prefix
+    GROUP BY prefix
+    """,
+)
+def q42_hex_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dim = spark.range(256).select(
+        F.format_string("%02x", F.col("id").cast("int")).alias("prefix")
+    )
+    docs = d.select(
+        F.substring(F.md5("text"), 1, 2).alias("p2"), "n_chars"
+    )
+    return (
+        docs.join(F.broadcast(dim), F.col("p2") == F.col("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — rolling time-range window (extension beyond the reference's
+# single row_number: RANGE frame over event time, the batch form of a
+# sliding stream aggregation).
+# ---------------------------------------------------------------------------
+@query(
+    "q43_rolling_window",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w          AS n_7d,
+           round(sum(value) OVER w, 2) AS sum_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def q43_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-7 * 86400 * 10**6, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q44 — rollup (multi-level aggregate; engine-completeness beyond the
+# reference's flat GROUP BYs).
+# ---------------------------------------------------------------------------
+@query(
+    "q44_rollup",
+    oracle="""
+    SELECT p_brand, p_type, count(*) AS n,
+           round(sum(p_retailprice), 2) AS sum_retail
+    FROM part GROUP BY ROLLUP (p_brand, p_type)
+    """,
+)
+def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.rollup("p_brand", "p_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_retail"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — the streaming loader end-to-end (§2.9): two TSV micro-batches
+# dropped into a watch dir, drained oldest-first by a Structured
+# Streaming file source (maxFilesPerTrigger=1, availableNow) through
+# foreachBatch MERGE into a parquet table. The oracle is the
+# equivalent two sequential upserts collapsed to SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q45_stream_loader",
+    oracle="""
+    WITH b1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderpriority, o_orderdate
+        FROM orders WHERE o_orderkey % 2 = 0),
+    b2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT coalesce(b2.o_orderkey, b1.o_orderkey)           AS o_orderkey,
+           coalesce(b2.o_custkey, b1.o_custkey)             AS o_custkey,
+           coalesce(b2.o_orderstatus, b1.o_orderstatus)     AS o_orderstatus,
+           round(coalesce(b2.o_totalprice, b1.o_totalprice), 2) AS o_totalprice,
+           coalesce(b2.o_orderpriority, b1.o_orderpriority) AS o_orderpriority,
+           coalesce(b2.o_orderdate, b1.o_orderdate)         AS o_orderdate
+    FROM b1 FULL OUTER JOIN b2 ON b1.o_orderkey = b2.o_orderkey
+    """,
+)
+def q45_stream_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from cccatalog_spark.streaming.loader import (
+        ParquetUpsertTable,
+        start_tsv_upsert_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="ccc_stream_")
+    watch = os.path.join(base, "in")
+    os.makedirs(watch)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate",
+    )
+    k = F.col("o_orderkey")
+    b1 = o.where(k % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    b2 = o.where(k % 3 == 0).withColumn(
+        "o_orderpriority",
+        F.when(k % 4 == 0, F.lit(None)).otherwise(F.col("o_orderpriority")),
+    )
+    now = time.time()
+    for i, b in enumerate([b1, b2]):
+        stage = os.path.join(base, f"stage{i}")
+        (
+            b.coalesce(1)
+            .write.option("sep", "\t")
+            .option("nullValue", "\\N")
+            .mode("overwrite")
+            .csv(stage)
+        )
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(watch, f"batch{i}.tsv")
+        os.rename(os.path.join(stage, part), dst)
+        # oldest-first drain order (paths.py:72-99 semantics)
+        os.utime(dst, (now - 120 + i * 60, now - 120 + i * 60))
+
+    # timestamp_ntz, matching how the parquet tables read: NTZ values
+    # collect as naive wall-clock regardless of the host TZ (LTZ would
+    # shift through the Python-side OS-timezone conversion)
+    schema = _parse_datatype_string(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string, o_orderdate timestamp_ntz"
+    )
+    table = ParquetUpsertTable(
+        spark, os.path.join(base, "table"), ["o_orderkey"], schema
+    )
+    stream = start_tsv_upsert_stream(
+        spark, watch, table, schema, os.path.join(base, "ckpt")
+    )
+    stream.awaitTermination(300)
+    return table.read().withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+# ---------------------------------------------------------------------------
+# q46 — multimodal feature extraction: binary payload column through
+# the Arrow-batched mapInPandas decode stage (deterministic fake
+# codec); the oracle recomputes the byte-bucket features from hex.
+# ---------------------------------------------------------------------------
+@query(
+    "q46_multimodal_features",
+    oracle="""
+    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents),
+    b AS (SELECT doc_id,
+                 list_transform(range(1, 17), i ->
+                     (strpos('0123456789abcdef', substring(hx, 2*i-1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1)
+                 ) AS bytes
+          FROM h)
+    SELECT doc_id AS media_id,
+           CAST(16 AS BIGINT) AS byte_len,
+           round(list_sum(bytes) / 4.0, 6) AS sum_feature
+    FROM b
+    """,
+)
+def q46_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.to_binary(F.md5("text"), F.lit("hex"))
+    media = d.select(F.col("doc_id"), payload.alias("payload"))
+    feats = MM.extract_features(media, "doc_id", "payload", dim=4)
+    return feats.select(
+        "media_id",
+        "byte_len",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sum_feature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — LSH-bucketed approximate nearest neighbor (the scale path for
+# q26's exact scan; rows-only — recall vs the exact baseline is
+# asserted in tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+@query("q47_ann_lsh")
+def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return SIM.lsh_cosine_topk(emb, "embedding", "vec_id", probe, k=10, bits=4)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -79,9 +79,10 @@ IMAGE_TSV_RAW = T.StructType(
     [T.StructField(f.name, T.StringType()) for f in IMAGE_TSV.fields]
 )
 
-# Columns whose null in an incoming row drops the row
+# Columns whose null in an incoming row drops the row: the loader
+# deletes rows with null url/license/landing_url/foreign_identifier
 # (util/loader/sql.py:155-170; image.py:321-338)
-IMAGE_REQUIRED = ["foreign_landing_url", "url", "license"]
+IMAGE_REQUIRED = ["foreign_identifier", "foreign_landing_url", "url", "license"]
 
 # ---------------------------------------------------------------------------
 # image — canonical merged table, image_tsv + system columns

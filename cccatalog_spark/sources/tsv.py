@@ -51,6 +51,12 @@ def split_quarantine(
     loader's tolerance cap (sql.py:97-125): if more rows are malformed
     the whole batch should be failed by the caller — we surface the
     count instead of raising inside the plan."""
+    # Spark refuses corrupt-record-only queries straight off a raw CSV
+    # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the parsed batch must be
+    # materialized first. Micro-batches are small by construction
+    # (loader stages ≤1 file per run); at warehouse scale, write both
+    # streams out in one pass instead of caching.
+    df = df.cache()
     clean = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

@@ -1,0 +1,115 @@
+"""Streaming loader — the reference's minutely Airflow loader DAG
+(SURVEY §2.9) as a Structured Streaming job.
+
+Reference mechanics → Spark mapping:
+
+- cron ``* * * * *`` staging ≤1 oldest TSV per run
+  (dags/loader_workflow.py:22-26; util/loader/paths.py:72-99)
+  → file-source stream with ``maxFilesPerTrigger=1`` (oldest-first is
+  the file source's default ordering by modification time);
+- min-file-age gate (15 min, writer may still be appending)
+  → ``maxFileAge``/processing-time trigger delay — for the batch-test
+  form we use ``Trigger.AvailableNow`` which only sees closed files;
+- load → clean → upsert-on-conflict (util/loader/sql.py:97-271)
+  → ``foreachBatch`` running normalize + merge_upsert into the managed
+  parquet table;
+- per-run load table named by timestamp (sql.py:325-329)
+  → the epoch_id foreachBatch already provides; MERGE idempotence makes
+  at-least-once delivery safe.
+
+The managed table is plain parquet with an atomic directory-swap
+commit (write to ``<path>.staging-<epoch>``, then rename) — the
+no-Delta MERGE materialization strategy from SURVEY §4.3.1.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class ParquetUpsertTable:
+    """A keyed parquet table that commits merged snapshots atomically.
+
+    At 100 TB the swap unit would be key-range/provider partitions
+    (rewrite only partitions containing matched keys — the micro-batch
+    is small, so few partitions rewrite); locally the whole snapshot
+    swaps. Delta Lake's MERGE INTO is the drop-in upgrade where
+    available.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: Sequence[str],
+        schema: T.StructType,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.key = list(key)
+        self.schema = schema
+
+    def read(self) -> DataFrame:
+        if os.path.isdir(self.path):
+            return self.spark.read.schema(self.schema).parquet(self.path)
+        return self.spark.createDataFrame([], self.schema)
+
+    def merge_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from cccatalog_spark.operators.merge import merge_upsert
+
+        target = self.read()
+        merged = merge_upsert(target, batch, self.key)
+        staging = f"{self.path}.staging-{epoch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.replace(staging, self.path)
+
+
+def start_tsv_upsert_stream(
+    spark: SparkSession,
+    watch_dir: str,
+    table: ParquetUpsertTable,
+    wire_schema: T.StructType,
+    checkpoint_dir: str,
+    *,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Watch a directory of TSVs, upserting each micro-batch into the
+    table. Returns the StreamingQuery (caller awaits termination).
+
+    ``available_now=True`` drains the current backlog then stops — the
+    deterministic test/batch form; ``False`` runs continuously like the
+    reference's minutely DAG.
+    """
+    raw = (
+        spark.readStream.option("sep", "\t")
+        .option("nullValue", "\\N")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .schema(wire_schema)
+        .csv(watch_dir)
+    )
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        if transform is not None:
+            batch = transform(batch)
+        # intra-batch key dedup (A5): one row per key per batch, so the
+        # full-outer merge join stays 1:1
+        batch = batch.dropDuplicates(table.key)
+        table.merge_batch(batch, epoch_id)
+
+    writer = raw.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="60 seconds")
+    return writer.start()

@@ -1,0 +1,112 @@
+"""CC-links extraction and provider-maintenance operators on crafted
+micro-frames."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cccatalog_spark.operators.cc_links import extract_cc_links
+from cccatalog_spark.operators.providers import (
+    apply_sub_providers,
+    mark_expired,
+    sub_provider_from_code,
+    unit_code_diff,
+)
+
+
+def _pages(spark):
+    rows = [
+        (
+            "https://site-a.org/page1",
+            [
+                ("https://creativecommons.org/licenses/by/4.0/", "A@/href"),
+                ("https://offsite.com/x", "A@/href"),
+                ("https://offsite.com/y", "A@/href"),
+                ("https://site-a.org/self", "A@/href"),
+                ("https://img.site-a.org/1.jpg", "IMG@/src"),
+                ("https://img.site-a.org/1.jpg", "IMG@/src"),
+                ("https://img.site-a.org/2.jpg", "IMG@/src"),
+            ],
+        ),
+        ("https://site-b.org/page2", [("https://nothing.example/z", "A@/href")]),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, links array<struct<url string, path string>>"
+    )
+
+
+def test_extract_cc_links(spark):
+    out = extract_cc_links(_pages(spark)).collect()
+    assert len(out) == 1  # page2 has no CC link
+    r = out[0]
+    assert r["provider_domain"] == "site-a.org"
+    assert r["cc_url"].startswith("https://creativecommons.org/")
+    meta = json.loads(r["html_metadata"])
+    assert meta["Images"] == 2  # distinct img srcs
+    # offsite counter: all A@/href links whose URL doesn't contain the
+    # page netloc — CC links included, same-domain links excluded
+    # (ExtractCCLinks.py:183 semantics)
+    assert meta["Links"] == {"offsite.com": 2, "creativecommons.org": 1}
+
+
+def test_apply_sub_providers_broadcast_update(spark):
+    image = spark.createDataFrame(
+        [
+            ("flickr", "https://museum.example", "flickr"),
+            ("flickr", "https://nobody.example", "flickr"),
+            ("other", "https://museum.example", "other"),
+        ],
+        "provider string, creator_url string, source string",
+    )
+    dim = spark.createDataFrame(
+        [("https://museum.example", "museum")], "creator_url string, sub_provider string"
+    )
+    out = apply_sub_providers(image, dim, "creator_url", "flickr").collect()
+    got = {(r["provider"], r["creator_url"]): r["source"] for r in out}
+    assert got[("flickr", "https://museum.example")] == "museum"
+    assert got[("flickr", "https://nobody.example")] == "flickr"
+    assert got[("other", "https://museum.example")] == "other"  # wrong provider
+
+
+def test_sub_provider_from_code(spark):
+    image = spark.createDataFrame(
+        [("smithsonian", "NMNH", "s"), ("smithsonian", "???", "s"), ("x", "NMNH", "x")],
+        "provider string, unit_code string, source string",
+    )
+    out = sub_provider_from_code(
+        image, {"NMNH": "natural_history"}, "unit_code", "smithsonian"
+    ).collect()
+    by_code = {(r["provider"], r["unit_code"]): r for r in out}
+    assert by_code[("smithsonian", "NMNH")]["source"] == "natural_history"
+    assert by_code[("smithsonian", "???")]["_unknown_code"] is True
+    assert by_code[("x", "NMNH")]["source"] == "x"
+
+
+def test_mark_expired_per_provider_ttl(spark):
+    rows = [
+        ("flickr", "2024-01-01 00:00:00", False),
+        ("flickr", "2024-06-01 00:00:00", False),
+        ("met", "2024-01-01 00:00:00", False),
+    ]
+    image = spark.createDataFrame(
+        rows, "provider string, updated_on string, removed_from_source boolean"
+    ).withColumn("updated_on", F.col("updated_on").cast("timestamp"))
+    out = mark_expired(
+        image,
+        {"flickr": "90 DAYS"},
+        now=F.lit("2024-07-01 00:00:00").cast("timestamp"),
+    ).collect()
+    got = {(r["provider"], str(r["updated_on"])): r["removed_from_source"] for r in out}
+    assert got[("flickr", "2024-01-01 00:00:00")] is True
+    assert got[("flickr", "2024-06-01 00:00:00")] is False
+    assert got[("met", "2024-01-01 00:00:00")] is False  # no TTL configured
+
+
+def test_unit_code_diff(spark):
+    cur = spark.createDataFrame([("A",), ("B",)], "unit_code string")
+    sav = spark.createDataFrame([("B",), ("C",)], "unit_code string")
+    new, outdated = unit_code_diff(cur, sav)
+    assert {r["unit_code"] for r in new.collect()} == {"A"}
+    assert {r["unit_code"] for r in outdated.collect()} == {"C"}
