@@ -26,8 +26,15 @@ def main() -> int:
     spark = get_spark("cccatalog-bench")
     queries = all_queries()
 
-    # warm the JVM + parquet footers so q01 isn't charged for JIT/startup
+    # warm the JVM + parquet footers so q01 isn't charged for JIT/startup,
+    # and spawn the Python UDF workers (one per core; they're long-lived
+    # in production) so the first mapInPandas query isn't charged ~10s of
+    # interpreter startup
     queries["q01_pricing_summary"](spark, SF_DIR).count()
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers * 10, 1, n_workers).mapInPandas(
+        lambda batches: (b for b in batches), "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):

@@ -52,6 +52,10 @@ def _pair_jaccard(
     if max_doc_freq is not None:
         freq = ex.groupBy("shingle").count().where(F.col("count") <= max_doc_freq)
         ex = ex.join(freq.select("shingle"), "shingle")
+    # the inverted index feeds both sides of the self-join: persist it
+    # so tokenize+shingle+explode runs once, not twice (at 100 TB this
+    # materialization is the standard index-build step, not a luxury)
+    ex = ex.persist()
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -142,11 +146,15 @@ def dedup_minhash_lsh(
     shingled = fan_out(df).select(
         F.col(id_col), shingles(F.col(text_col), k).alias("sh")
     ).where(F.size("sh") > 0)
+    # sig feeds four consumers (both banded join sides + both verify
+    # sides): persist so shingling + k×md5 hashing run once per doc,
+    # not four times — the signature table IS the LSH index artifact
+    # you'd materialize at scale
     sig = shingled.select(
         F.col(id_col),
         F.col("sh"),
         minhash_signature(F.col("sh"), num_hashes).alias("sig"),
-    )
+    ).persist()
 
     banded = sig.select(
         id_col,

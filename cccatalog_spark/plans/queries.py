@@ -1735,6 +1735,96 @@ def q46_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q48 — the CC-tags merge (J6, dags/scripts/merge_cc_tags.py:28-123)
+# end-to-end: computed-key equi-join on scheme-stripped rtrim'd URLs,
+# tags distinct-union, meta_data right-biased null-stripped merge —
+# rendered stably for hashing.
+# ---------------------------------------------------------------------------
+@query(
+    "q48_cc_tags_merge",
+    oracle="""
+    WITH api AS (
+        SELECT doc_id,
+               'http://' || source || '.example.org/d/' ||
+                   CAST(doc_id AS VARCHAR)                  AS url,
+               ['alpha', 'k' || CAST(doc_id % 5 AS VARCHAR)] AS tags,
+               CAST(doc_id AS VARCHAR)                       AS views
+        FROM documents),
+    cc AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/d/' ||
+                   CAST(doc_id AS VARCHAR) || '/'           AS url,
+               ['cc', 'k' || CAST(doc_id % 3 AS VARCHAR)]   AS tags,
+               CAST(doc_id % 7 AS VARCHAR)                  AS quality
+        FROM documents WHERE doc_id % 2 = 0),
+    joined AS (
+        SELECT a.doc_id, a.tags AS t_a, a.views,
+               c.tags AS t_b, c.quality,
+               c.doc_id IS NOT NULL AS matched
+        FROM api a LEFT JOIN cc c
+          ON rtrim(regexp_replace(a.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/')
+           = rtrim(regexp_replace(c.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/'))
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+               t_a || coalesce(t_b, []))), ',')             AS tags,
+           CASE WHEN matched
+                THEN 'quality:' || quality || ',views:' || views
+                ELSE 'views:' || views END                  AS meta
+    FROM joined
+    """,
+)
+def q48_cc_tags_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.json_merge import (
+        jsonb_object_merge,
+        tags_distinct_union,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    api = d.select(
+        sid.alias("doc_id"),
+        F.concat(F.lit("http://"), F.col("source"), F.lit(".example.org/d/"),
+                 sid.cast("string")).alias("url"),
+        F.array(F.lit("alpha"),
+                F.concat(F.lit("k"), (sid % 5).cast("string"))).alias("tags"),
+        F.map_from_arrays(
+            F.array(F.lit("views")), F.array(sid.cast("string"))
+        ).alias("meta"),
+    )
+    cc = d.where(sid % 2 == 0).select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example.org/d/"),
+                 sid.cast("string"), F.lit("/")).alias("url"),
+        F.array(F.lit("cc"),
+                F.concat(F.lit("k"), (sid % 3).cast("string"))).alias("tags_cc"),
+        F.map_from_arrays(
+            F.array(F.lit("quality"), F.lit("views")),
+            F.array((sid % 7).cast("string"), F.lit(None).cast("string")),
+        ).alias("meta_cc"),
+    )
+    norm = lambda c: F.regexp_replace(strip_scheme(c), "/+$", "")  # noqa: E731
+    joined = api.join(cc, norm(api["url"]) == norm(cc["url"]), "left")
+    merged = joined.select(
+        "doc_id",
+        tags_distinct_union(F.col("tags"), F.col("tags_cc")).alias("_tags"),
+        jsonb_object_merge(F.col("meta"), F.col("meta_cc")).alias("_meta"),
+    )
+    render_map = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries("_meta"),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return merged.select(
+        "doc_id",
+        F.array_join(F.array_sort("_tags"), ",").alias("tags"),
+        render_map.alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q47 — LSH-bucketed approximate nearest neighbor (the scale path for
 # q26's exact scan; rows-only — recall vs the exact baseline is
 # asserted in tests/test_similarity.py).
