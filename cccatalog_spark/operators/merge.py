@@ -74,7 +74,7 @@ def merge_upsert(
     # string-qualified refs so self-join lineage (target and batch often
     # derive from the same scan) never trips ambiguous-column resolution
     t = target.alias("__t")
-    b = batch.alias("__b")
+    b = batch.withColumn("__b_present", F.lit(True)).alias("__b")
 
     def tc(c: str) -> Column:
         return F.col(f"__t.{c}")
@@ -82,16 +82,20 @@ def merge_upsert(
     def bc(c: str) -> Column:
         return F.col(f"__b.{c}")
 
+    # plain equality, NOT eqNullSafe: Postgres unique indexes treat
+    # NULL keys as distinct (ON CONFLICT never fires on them), so
+    # null-keyed rows pass through unmatched on both sides — and plain
+    # keys let a bucketed target join without reshuffling
+    # (tests/test_plans.py asserts the Exchange-free target side)
     cond = None
     for k in key:
-        clause = tc(k).eqNullSafe(bc(k))
+        clause = tc(k) == bc(k)
         cond = clause if cond is None else cond & clause
     joined = t.join(b, cond, "full_outer")
 
-    # a batch row exists iff its key is non-null post-join
-    batch_present = bc(key[0]).isNotNull()
-    for k in key[1:]:
-        batch_present = batch_present | bc(k).isNotNull()
+    # a batch row exists iff the sentinel survived the outer join
+    # (key-nullness can't tell: null keys never match but are valid rows)
+    batch_present = bc("__b_present").isNotNull()
 
     out: list[Column] = []
     t_cols, b_cols = set(target.columns), set(batch.columns)

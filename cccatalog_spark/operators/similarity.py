@@ -147,6 +147,84 @@ def knn_join_topk(
     )
 
 
+def _cos_py(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    return num / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, id_col: str, n_lists: int
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse-quantizer centroids: the first ``n_lists`` vectors by
+    id — deterministic stand-in for a k-means train step (identical
+    plan shape downstream). Centroids are a driver-resident catalog
+    (n_lists × dim floats), never distributed data."""
+    rows = df.orderBy(F.col(id_col).asc()).limit(n_lists).collect()
+    return [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame:
+    """Corpus + ``_ivf_list`` (argmax-cosine centroid id) in ONE narrow
+    pass — centroid vectors are literals in the plan, so assignment is
+    pure whole-stage-codegen'd expression work: no join, no shuffle.
+    At scale, write the output partitioned by ``_ivf_list`` so probes
+    become partition pruning."""
+    cand = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col), F.array(*[F.lit(x) for x in vec])
+                ).alias("sim"),
+                F.lit(lid).alias("lid"),
+            )
+            for lid, vec in centroids
+        ]
+    )
+    return df.withColumn("_ivf_list", F.array_max(cand)["lid"])
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: rank centroids against the query driver-side,
+    scan only the ``nprobe`` closest inverted lists, exact re-rank
+    inside (TakeOrderedAndProject — no global sort).
+
+    Scan fraction ≈ nprobe/n_lists; recall grows with nprobe (nprobe =
+    n_lists degenerates to the exact scan). Paired with cosine_topk in
+    tests/test_similarity.py to report recall@k.
+    """
+    centroids = ivf_centroids(df, vec_col, id_col, n_lists)
+    ranked = sorted(
+        ((_cos_py(query, vec), lid) for lid, vec in centroids), reverse=True
+    )
+    probe_lists = [lid for _, lid in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(v)) for v in query])
+    assigned = ivf_assign(fan_out(df), vec_col, id_col, centroids)
+    return (
+        assigned.where(F.col("_ivf_list").isin(probe_lists))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG-based — no
     numpy dependency in the plan, reproducible across runs/engines)."""

@@ -1,0 +1,41 @@
+"""Skew mitigation for hot-key joins — the explicit fallback when AQE
+skew-splitting isn't enough (e.g. one provider holding 60% of a 100 TB
+image table, SURVEY §7.0; BASELINE.md records flickr alone at 314 M of
+1.4 B rows).
+
+``salted_join``: replicate the small side R times, salt the big side's
+key with ``hash(row) % R`` — every hot key spreads over R reduce
+partitions. Exact same join result, R× small-side duplication cost.
+AQE's skew-join handles moderate skew automatically (enabled in
+session.get_spark); use this for the pathological keys AQE can't split
+(single-key hash partitions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    *,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side salted into ``salt_buckets``
+    sub-keys and the small side exploded across all of them.
+
+    Result is identical to ``big.join(small, on, how)`` for inner /
+    left joins (each big row pairs with exactly one replica of each
+    matching small row)."""
+    salt = F.abs(F.xxhash64(*[F.col(c) for c in big.columns])) % salt_buckets
+    b = big.withColumn("_salt", salt.cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return b.join(s, [*on, "_salt"], how).drop("_salt")

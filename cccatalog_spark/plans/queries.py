@@ -1839,6 +1839,64 @@ def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_cosine_topk(emb, "embedding", "vec_id", probe, k=10, bits=4)
 
 
+# ---------------------------------------------------------------------------
+# q49 — big×big shuffle join chain (lineitem⋈orders⋈customer⋈nation):
+# the one plan family the reference never runs but a warehouse must.
+# Two sort-merge/shuffled-hash joins (AQE decides) + broadcast dims;
+# filter pushed to the orders scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q49_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q49_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — IVF approximate nearest neighbor (the partition-pruning scale
+# path; rows-only — recall vs the exact scan asserted in
+# tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+@query("q50_ann_ivf")
+def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return SIM.ivf_cosine_topk(
+        emb, "embedding", "vec_id", probe, k=10, n_lists=16, nprobe=4
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

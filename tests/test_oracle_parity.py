@@ -64,4 +64,8 @@ def test_every_query_has_oracle_or_is_documented():
     # q29 uses xxhash64 (no DuckDB equivalent), q47 is approximate by
     # construction (recall asserted in tests/test_similarity.py).
     missing = set(QUERIES) - set(ORACLES)
-    assert missing <= {"q29_simhash_neardup", "q47_ann_lsh"}, missing
+    assert missing <= {
+        "q29_simhash_neardup",  # xxhash64 has no DuckDB equivalent
+        "q47_ann_lsh",          # approximate; recall-tested vs exact
+        "q50_ann_ivf",          # approximate; recall-tested vs exact
+    }, missing

@@ -1,0 +1,120 @@
+"""Plan-shape regression tests: the optimizations the 100 TB design
+depends on must be visible in the physical plan, not assumed —
+predicate pushdown into the parquet scan, column pruning, broadcast
+joins for small dims, and Exchange-free joins over co-bucketed tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cccatalog_spark.sources.bucketed import read_bucketed, write_bucketed
+from cccatalog_spark.sources.tables import load_table
+
+
+def _drop_table(spark, name: str) -> None:
+    """Drop table + orphaned warehouse location (a crashed prior run
+    can leave the directory behind with a fresh derby metastore)."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"), name
+    )
+    shutil.rmtree(loc, ignore_errors=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_and_projection_reach_the_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.where(F.col("l_shipdate") <= "1995-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan reads only the 3 referenced columns
+    read_schema = next(
+        line for line in plan.splitlines() if "ReadSchema" in line
+    )
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    plan = _plan(c.join(n, c.c_nationkey == n.n_nationkey))
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-based join strategies so bucketing (not broadcast)
+    is what eliminates the Exchange — sf0.001 tables would otherwise
+    all broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    _drop_table(spark, "t_bucket_a")
+    _drop_table(spark, "t_bucket_b")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed(o, "t_bucket_a", ["o_orderkey"], n_buckets=4)
+    write_bucketed(
+        o.withColumn("o_totalprice", F.col("o_totalprice") + 1),
+        "t_bucket_b",
+        ["o_orderkey"],
+        n_buckets=4,
+    )
+    a, b = read_bucketed(spark, "t_bucket_a"), read_bucketed(spark, "t_bucket_b")
+    joined = a.join(b, "o_orderkey")
+    plan = _plan(joined)
+    # co-bucketed equi-join: the planner must not reshuffle either side
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert joined.count() == o.count()
+    # and a groupBy on the bucket key also avoids the shuffle
+    agg_plan = _plan(a.groupBy("o_orderkey").agg(F.sum("o_totalprice")))
+    assert "Exchange" not in agg_plan, agg_plan
+
+
+def test_merge_against_bucketed_target_shuffles_batch_only(
+    spark, sf_dir, no_broadcast
+):
+    """The merge co-location story (merge.py docstring): with a
+    bucketed target, the full-outer merge join shuffles only the
+    incoming batch side."""
+    from cccatalog_spark.operators.merge import merge_upsert
+
+    _drop_table(spark, "t_bucket_target")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed(o, "t_bucket_target", ["o_orderkey"], n_buckets=4)
+    target = read_bucketed(spark, "t_bucket_target")
+    batch = o.where(F.col("o_orderkey") % 50 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = merge_upsert(target, batch, ["o_orderkey"])
+    plan = _plan(merged)
+    # shuffle exchanges only on the batch lineage — the bucketed target
+    # side contributes none (formatted mode puts "(n) Exchange" headers
+    # and their hashpartitioning arguments on separate lines)
+    n_shuffles = plan.count(") Exchange")
+    assert n_shuffles == 1, plan
+    assert merged.count() == o.count()

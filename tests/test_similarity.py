@@ -50,6 +50,27 @@ def test_knn_join_excludes_self_and_ranks(spark):
     assert [r["rank"] for r in rows] == [1, 2]
 
 
+def test_ivf_topk_recall_and_degeneration(spark, sf_dir):
+    """IVF with nprobe=n_lists must equal the exact scan (no pruning);
+    with nprobe<n_lists it keeps the self-match and decent recall."""
+    from cccatalog_spark.operators.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [float(x) for x in
+             emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in
+             cosine_topk(emb, "embedding", "vec_id", probe, k=10).collect()]
+    full = [r["vec_id"] for r in
+            ivf_cosine_topk(emb, "embedding", "vec_id", probe, k=10,
+                            n_lists=8, nprobe=8).collect()]
+    assert full == exact  # degenerate IVF == exact scan
+    pruned = {r["vec_id"] for r in
+              ivf_cosine_topk(emb, "embedding", "vec_id", probe, k=10,
+                              n_lists=8, nprobe=2).collect()}
+    assert 0 in pruned
+    assert len(set(exact) & pruned) >= 3
+
+
 def test_lsh_topk_hits_exact_top1(spark, sf_dir):
     """LSH with few bits over the real embeddings table: recall of the
     exact top-1 (the probe itself lives in its own bucket, so the top-1
