@@ -41,6 +41,9 @@ def main() -> int:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # dedup/LSH operators persist their index frames; drop them so
+        # one query's cache doesn't occupy memory for the next
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -1897,6 +1897,81 @@ def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q51 — provider ingestion end-to-end (M5): raw flickr-shaped JSON
+# records → declarative spec mapping → shared normalize pipeline →
+# survivors aggregated. Covers the license-id map, size-preference URL
+# pick, tag dedup/sort/cap, meta_data views, and CC-record rejection.
+# ---------------------------------------------------------------------------
+@query(
+    "q51_provider_ingest",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS sid,
+            CASE CAST(doc_id % 11 AS INT)
+                WHEN 1 THEN 'by-nc-sa' WHEN 2 THEN 'by-nc'
+                WHEN 3 THEN 'by-nc-nd' WHEN 4 THEN 'by'
+                WHEN 5 THEN 'by-sa'    WHEN 6 THEN 'by-nd'
+                WHEN 9 THEN 'cc0'      WHEN 10 THEN 'pdm'
+            END AS license,
+            CASE WHEN CAST(doc_id % 11 AS INT) IN (9, 10) THEN '1.0'
+                 WHEN CAST(doc_id % 11 AS INT) IN (1, 2, 3, 4, 5, 6)
+                 THEN '2.0' END AS license_version,
+            CASE WHEN doc_id % 2 = 0 THEN 800 ELSE 240 END AS width,
+            CAST(doc_id % 1000 AS INT) AS views
+        FROM documents)
+    SELECT license, license_version,
+           count(*)      AS n,
+           sum(width)    AS sum_width,
+           sum(views)    AS sum_views,
+           sum(2)        AS sum_tags
+    FROM m WHERE license IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q51_provider_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.normalize import (
+        normalize_image_batch,
+        split_rejected,
+    )
+    from cccatalog_spark.operators.provider_specs import apply_spec, flickr_spec
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    url_m = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('"https://img.example.org/m/'), sid, F.lit('.jpg"')),
+    ).otherwise(F.lit("null"))
+    width_m = F.when(F.col("doc_id") % 2 == 0, F.lit("800")).otherwise(
+        F.lit("null")
+    )
+    j = F.concat(
+        F.lit('{"id": "'), sid,
+        F.lit('", "owner": "u'), (F.col("doc_id") % 50).cast("string"),
+        F.lit('", "title": "doc '), sid,
+        F.lit('", "license": "'), (F.col("doc_id") % 11).cast("string"),
+        F.lit('", "tags": "t'), (F.col("doc_id") % 3).cast("string"),
+        F.lit(" common t"), (F.col("doc_id") % 3).cast("string"),
+        F.lit('", "url_m": '), url_m,
+        F.lit(', "url_s": "https://img.example.org/s/'), sid,
+        F.lit('.jpg", "width_m": '), width_m,
+        F.lit(', "width_s": 240, "views": "'),
+        (F.col("doc_id") % 1000).cast("string"),
+        F.lit('"}'),
+    )
+    records = d.select(j.alias("json"))
+    raw = apply_spec(records, flickr_spec())
+    good, _rejected = split_rejected(normalize_image_batch(raw))
+    return good.groupBy("license", "license_version").agg(
+        F.count("*").alias("n"),
+        F.sum("width").alias("sum_width"),
+        F.sum(F.element_at("meta_data", "views").cast("int")).alias(
+            "sum_views"
+        ),
+        F.sum(F.size("tags")).alias("sum_tags"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
