@@ -123,6 +123,52 @@ def merge_upsert(
     return joined.select(*out)
 
 
+def image_merge(
+    target: DataFrame,
+    batch: DataFrame,
+    *,
+    now: Column | None = None,
+) -> DataFrame:
+    """The reference upsert, fully assembled (J1, util/loader/sql.py:
+    185-271 + system columns sql.py:220-252): merge on IMAGE_KEY with
+
+    - ``updated_on`` / ``last_synced_with_source`` refreshed to ``now``
+      on every touched row (matched or inserted);
+    - ``removed_from_source`` reset to false on touched rows;
+    - ``created_on`` stamped and ``identifier`` (uuid) assigned for
+      inserted rows only (column defaults in the DDL);
+    - everything else: newest-non-null scalars, right-biased
+      null-stripped meta_data merge, tag distinct union.
+
+    ``now`` defaults to current_timestamp(); pass a literal for
+    deterministic tests.
+    """
+    from cccatalog_spark.schemas import IMAGE_KEY
+
+    now = now if now is not None else F.current_timestamp()
+    merged = merge_upsert(
+        target,
+        batch,
+        IMAGE_KEY,
+        refresh={
+            "updated_on": now,
+            "last_synced_with_source": now,
+            "removed_from_source": F.lit(False),
+        },
+    )
+    # insert-time defaults: rows new to the target have null
+    # created_on/identifier (target-side-only columns)
+    if "created_on" in merged.columns:
+        merged = merged.withColumn(
+            "created_on", F.coalesce(F.col("created_on"), now)
+        )
+    if "identifier" in merged.columns:
+        merged = merged.withColumn(
+            "identifier", F.coalesce(F.col("identifier"), F.expr("uuid()"))
+        )
+    return merged
+
+
 def merge_overwrite(
     target: DataFrame, batch: DataFrame, key: Sequence[str]
 ) -> DataFrame:
@@ -170,8 +216,11 @@ def replay_collapse(
                     acc, F.map_filter(F.coalesce(x["m"], empty), lambda k, v: v.isNotNull())
                 ),
             )
+            # null only when EVERY version's map was null — an empty
+            # (but present) map must stay {}, matching what sequential
+            # jsonb merges produce
             aggs.append(
-                F.when(F.size(F.map_keys(folded)) > 0, folded).alias(c)
+                F.when(F.max(F.col(c).isNotNull()), folded).alias(c)
             )
         elif _is_array(batch, c):
             pairs = F.array_sort(
@@ -180,7 +229,9 @@ def replay_collapse(
             folded = F.array_distinct(
                 F.flatten(F.transform(pairs, lambda x: F.coalesce(x["a"], F.array())))
             )
-            aggs.append(F.when(F.size(folded) > 0, folded).alias(c))
+            aggs.append(
+                F.when(F.max(F.col(c).isNotNull()), folded).alias(c)
+            )
         else:
             # last non-null in order: max_by ignores rows whose ordering
             # key is null, so null-out the ordering key where c is null

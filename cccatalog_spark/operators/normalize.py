@@ -182,6 +182,24 @@ def split_rejected(prepared: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+def ensure_ingestion_type(df: DataFrame, default: str | None = None) -> DataFrame:
+    """The one sanctioned schema-evolution hook (SURVEY §1.2): 17-column
+    legacy batches gain ``ingestion_type`` (util/loader/
+    ingestion_column.py:12-59). Reference backfill rule: 'commoncrawl'
+    when ``source`` is 'commoncrawl', else 'provider_api' — unless an
+    explicit default is given."""
+    if "ingestion_type" in df.columns:
+        return df
+    if default is not None:
+        return df.withColumn("ingestion_type", F.lit(default))
+    return df.withColumn(
+        "ingestion_type",
+        F.when(
+            F.col("source") == "commoncrawl", F.lit("commoncrawl")
+        ).otherwise(F.lit("provider_api")),
+    )
+
+
 def serialize_image_tsv(df: DataFrame) -> DataFrame:
     """Inverse wire encoding for write_tsv: maps/arrays → JSON strings,
     booleans → 't'/'f' (image.py:340-354)."""

@@ -174,6 +174,88 @@ def flickr_spec() -> ProviderSpec:
     )
 
 
+def creator_by_priority(
+    creators: Column, priority: dict[str, int]
+) -> Column:
+    """O4 (smithsonian.py:295-336): among candidate creator structs
+    ``(label, content)``, keep those whose label has the best (lowest)
+    priority, joined '; '-style with a final ' and ' when plural;
+    'unknown' contents and unprioritized labels are dropped. Pure
+    array algebra — sort by (priority, original position is preserved
+    by a stable array_sort comparator on priority alone).
+    """
+    pr = F.create_map(
+        *[x for k, v in priority.items() for x in (F.lit(k), F.lit(v))]
+    )
+    valid = F.filter(
+        creators,
+        lambda c: F.element_at(pr, F.lower(c["label"])).isNotNull()
+        & c["content"].isNotNull()
+        & ~F.lower(c["content"]).contains("unknown"),
+    )
+    ranked = F.transform(
+        valid,
+        lambda c: F.struct(
+            F.element_at(pr, F.lower(c["label"])).alias("p"),
+            c["content"].alias("name"),
+        ),
+    )
+    top = F.array_min(F.transform(ranked, lambda r: r["p"]))
+    names = F.transform(
+        F.filter(ranked, lambda r: r["p"] == top), lambda r: r["name"]
+    )
+    n = F.size(names)
+    head = F.array_join(F.slice(names, 1, F.greatest(n - 1, F.lit(1))), "; ")
+    return (
+        F.when(n <= 0, F.lit(None).cast("string"))
+        .when(n == 1, F.element_at(names, 1))
+        .otherwise(
+            F.concat(head, F.lit(" and "), F.element_at(names, n))
+        )
+    )
+
+
+# smithsonian.py CREATOR_TYPES shape: lower number = higher priority
+SMITHSONIAN_CREATOR_TYPES = {
+    "artist": 0, "artist/maker": 0, "creator": 1, "author": 2,
+    "photographer": 3, "architect": 4, "designer": 5, "maker": 6,
+}
+
+SMITHSONIAN_RECORD = (
+    "id string, title string, unit_code string, "
+    "landing_url string, image_url string, media_type string, "
+    "access string, creators array<struct<label string, content string>>"
+)
+
+
+def smithsonian_spec() -> ProviderSpec:
+    """Smithsonian: CC0-only records (smithsonian.py:454-458, P8),
+    priority-ordered creator selection (O4). unit_code → sub_provider
+    runs post-normalize via providers.sub_provider_from_code (J5)."""
+    return ProviderSpec(
+        provider="smithsonian",
+        record_schema=SMITHSONIAN_RECORD,
+        record_filter=lambda r: (r["media_type"] == "Images")
+        & (r["access"] == "CC0"),
+        columns={
+            "foreign_identifier": lambda r: r["id"],
+            "foreign_landing_url": lambda r: r["landing_url"],
+            "url": lambda r: r["image_url"],
+            "license": lambda r: F.lit("cc0"),
+            "license_version": lambda r: F.lit("1.0"),
+            "title": lambda r: r["title"],
+            "creator": lambda r: creator_by_priority(
+                r["creators"], SMITHSONIAN_CREATOR_TYPES
+            ),
+            "meta_data": lambda r: F.to_json(
+                F.map_from_arrays(
+                    F.array(F.lit("unit_code")), F.array(r["unit_code"])
+                )
+            ),
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # wikimedia commons
 # ---------------------------------------------------------------------------

@@ -112,6 +112,70 @@ def test_replay_collapse_last_non_null(spark):
     assert a["ord"] == 3
 
 
+def test_image_merge_system_columns(spark):
+    from cccatalog_spark.operators.merge import image_merge
+
+    t_schema = (
+        "identifier string, provider string, foreign_identifier string, "
+        "title string, created_on string, updated_on string, "
+        "last_synced_with_source string, removed_from_source boolean"
+    )
+    old = "2020-01-01 00:00:00"
+    target = spark.createDataFrame(
+        [
+            ("uuid-1", "p", "f1", "old title", old, old, old, True),
+            ("uuid-2", "p", "f2", "untouched", old, old, old, False),
+        ],
+        t_schema,
+    ).selectExpr(
+        "identifier", "provider", "foreign_identifier", "title",
+        "CAST(created_on AS TIMESTAMP) created_on",
+        "CAST(updated_on AS TIMESTAMP) updated_on",
+        "CAST(last_synced_with_source AS TIMESTAMP) last_synced_with_source",
+        "removed_from_source",
+    )
+    batch = spark.createDataFrame(
+        [("p", "f1", "new title"), ("p", "f3", "inserted")],
+        "provider string, foreign_identifier string, title string",
+    )
+    now = F.lit("2024-06-01 12:00:00").cast("timestamp")
+    out = {
+        r["foreign_identifier"]: r
+        for r in image_merge(target, batch, now=now).collect()
+    }
+    f1, f2, f3 = out["f1"], out["f2"], out["f3"]
+    # matched: refreshed timestamps, removed reset, created_on kept
+    assert str(f1["updated_on"]) == "2024-06-01 12:00:00"
+    assert f1["removed_from_source"] is False
+    assert str(f1["created_on"]) == "2020-01-01 00:00:00"
+    assert f1["identifier"] == "uuid-1"
+    assert f1["title"] == "new title"
+    # untouched: nothing refreshed, removed flag kept
+    assert str(f2["updated_on"]) == "2020-01-01 00:00:00"
+    assert f2["removed_from_source"] is False
+    # inserted: created_on stamped, identifier assigned
+    assert str(f3["created_on"]) == "2024-06-01 12:00:00"
+    assert f3["identifier"] is not None and len(f3["identifier"]) == 36
+    assert f3["removed_from_source"] is False
+
+
+def test_ensure_ingestion_type_backfill(spark):
+    from cccatalog_spark.operators.normalize import ensure_ingestion_type
+
+    df = spark.createDataFrame(
+        [("a", "commoncrawl"), ("b", "flickr")],
+        "foreign_identifier string, source string",
+    )
+    out = {r["foreign_identifier"]: r["ingestion_type"]
+           for r in ensure_ingestion_type(df).collect()}
+    assert out == {"a": "commoncrawl", "b": "provider_api"}
+    # already-migrated frames pass through untouched
+    again = ensure_ingestion_type(
+        ensure_ingestion_type(df), default="ignored"
+    )
+    assert again.columns.count("ingestion_type") == 1
+
+
 def test_replay_collapse_then_upsert_equals_sequential_upserts(spark):
     """J7 equivalence: collapse+one-upsert == N sequential upserts."""
     target = _frame(spark, [("a", "t0", 0, {"base": "1"}, ["t0"])])

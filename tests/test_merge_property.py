@@ -66,6 +66,49 @@ def _model_merge(target, batch):
     return out
 
 
+VERSIONS = st.lists(
+    st.tuples(KEYS, VAL, NUM, META, TAGS), min_size=1, max_size=6
+)
+
+
+@given(SIDE, VERSIONS)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_replay_collapse_equals_sequential_upserts(spark, target_rows, versions):
+    """J7 invariant, randomized: collapsing a multi-version batch then
+    doing ONE upsert must equal upserting each version in order."""
+    from cccatalog_spark.operators.merge import replay_collapse
+
+    schema_v = (
+        "k int, ord int, val string, num int, "
+        "meta map<string,string>, tags array<string>"
+    )
+    target = spark.createDataFrame(target_rows, SCHEMA)
+
+    seq = target
+    for v in versions:
+        seq = merge_upsert(
+            seq, spark.createDataFrame([v], SCHEMA), ["k"]
+        )
+
+    vrows = [(v[0], i, v[1], v[2], v[3], v[4]) for i, v in enumerate(versions)]
+    batch = spark.createDataFrame(vrows, schema_v)
+    collapsed = replay_collapse(batch, ["k"], "ord").drop("ord")
+    one = merge_upsert(target, collapsed, ["k"])
+
+    def canon(df):
+        out = {}
+        for r in df.collect():
+            out[r["k"]] = (r["val"], r["num"], r["meta"],
+                           sorted(r["tags"]) if r["tags"] is not None else None)
+        return out
+
+    assert canon(seq) == canon(one)
+
+
 @given(SIDE, SIDE)
 @settings(
     max_examples=25,

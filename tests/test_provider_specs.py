@@ -83,6 +83,64 @@ def test_flickr_tag_cap(spark):
     assert len(row["tags"]) == 20  # A11 cap
 
 
+def test_smithsonian_cc0_filter_and_creator_priority(spark):
+    from cccatalog_spark.operators.provider_specs import smithsonian_spec
+
+    rec = {
+        "id": "edanmdm-1",
+        "title": "Artifact",
+        "unit_code": "NMNH",
+        "landing_url": "https://si.edu/object/1",
+        "image_url": "https://ids.si.edu/1.jpg",
+        "media_type": "Images",
+        "access": "CC0",
+        "creators": [
+            {"label": "Author", "content": "Writer W"},
+            {"label": "Artist", "content": "Painter A"},
+            {"label": "artist/maker", "content": "Painter B"},
+            {"label": "Artist", "content": "Unknown person"},
+            {"label": "irrelevant", "content": "Nobody"},
+        ],
+    }
+    non_cc0 = dict(rec, id="2", access="Restricted")
+    raw = apply_spec(_records(spark, [rec, non_cc0]), smithsonian_spec())
+    good, bad = split_rejected(normalize_image_batch(raw))
+    rows = good.collect()
+    assert len(rows) == 1 and bad.count() == 0  # non-CC0 filtered pre-pipeline
+    row = rows[0]
+    assert row["license"] == "cc0" and row["license_version"] == "1.0"
+    # priority 0 labels win; plural rendering 'a and b'; unknown dropped
+    assert row["creator"] == "Painter A and Painter B"
+    assert row["meta_data"]["unit_code"] == "NMNH"
+
+
+def test_creator_priority_single_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from cccatalog_spark.operators.provider_specs import (
+        SMITHSONIAN_CREATOR_TYPES,
+        creator_by_priority,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ([("Author", "Solo S")],),
+            ([("nope", "X")],),
+            ([],),
+        ],
+        "creators array<struct<label string, content string>>",
+    )
+    out = [
+        r["c"]
+        for r in df.select(
+            creator_by_priority(
+                F.col("creators"), SMITHSONIAN_CREATOR_TYPES
+            ).alias("c")
+        ).collect()
+    ]
+    assert out == ["Solo S", None, None]
+
+
 def test_wikimedia_bitmap_filter_and_license_path(spark):
     bitmap = {
         "pageid": "81754323",
