@@ -1972,6 +1972,99 @@ def q51_provider_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q52 — as-of join (custom temporal operator via composition: union +
+# one window pass, SCALE.md): every click/view event aligned to the
+# user's latest purchase at-or-before it. DuckDB's native ASOF LEFT
+# JOIN is the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q52_asof_join",
+    oracle="""
+    WITH r0 AS (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, value FROM r0 WHERE rn = 1),
+    l AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type IN ('click', 'view'))
+    SELECT l.event_id, l.user_id,
+           round(r.value, 2) AS last_purchase_value
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q52_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    wdedup = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    right = (
+        ev.where(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wdedup))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    left = ev.where(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        left, right, on="user_id", ts="ts", right_cols=["value"]
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.round("value_asof", 2).alias("last_purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — interval (range) join via bucketed candidate generation + exact
+# filter (never a theta cross-product): clicks attributed to 45-minute
+# post-purchase windows.
+# ---------------------------------------------------------------------------
+@query(
+    "q53_interval_join",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, ts AS start_ts,
+               ts + INTERVAL 45 MINUTE AS end_ts
+        FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'click')
+    SELECT c.user_id,
+           count(*)                   AS n_pairs,
+           count(DISTINCT c.event_id) AS n_clicks,
+           round(sum(c.value), 2)     AS sum_value
+    FROM c JOIN iv
+      ON c.user_id = iv.user_id
+     AND c.ts >= iv.start_ts AND c.ts < iv.end_ts
+    GROUP BY c.user_id
+    """,
+)
+def q53_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = interval_join(
+        clicks, intervals, on="user_id", ts="ts",
+        start="start_ts", end="end_ts", bucket="1 hour",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("event_id").alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

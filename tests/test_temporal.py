@@ -1,0 +1,91 @@
+"""As-of and interval join semantics on crafted micro-frames:
+boundary inclusion/exclusion, ties, unmatched rows, bucket-boundary
+independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cccatalog_spark.operators.temporal import asof_join, interval_join
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for name, dtype in df.dtypes:
+        if name.endswith("ts") and dtype == "string":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
+def test_asof_join_latest_at_or_before(spark):
+    left = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "l1"),
+            (1, "2024-01-01 12:00:00", "l2"),
+            (1, "2024-01-01 08:00:00", "l0"),  # before any right row
+            (2, "2024-01-01 10:00:00", "l3"),  # no right rows at all
+        ],
+        "k int, ts string, tag string",
+    )
+    right = _ts(
+        spark,
+        [
+            (1, "2024-01-01 09:00:00", 100.0),
+            (1, "2024-01-01 12:00:00", 200.0),  # exact tie with l2
+        ],
+        "k int, ts string, v double",
+    )
+    out = {
+        r["tag"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_cols=["v"]
+        ).collect()
+    }
+    assert out == {"l1": 100.0, "l2": 200.0, "l0": None, "l3": None}
+
+
+def test_interval_join_boundaries_and_bucket_independence(spark):
+    events = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "on_start"),   # inclusive
+            (1, "2024-01-01 10:44:59", "inside"),
+            (1, "2024-01-01 10:45:00", "on_end"),     # exclusive
+            (1, "2024-01-01 09:59:59", "before"),
+            (2, "2024-01-01 10:10:00", "other_key"),
+        ],
+        "k int, ts string, tag string",
+    )
+    intervals = _ts(
+        spark,
+        [(1, "2024-01-01 10:00:00", "2024-01-01 10:45:00")],
+        "k int, start_ts string, end_ts string",
+    )
+    for bucket in ("1 hour", "15 minutes"):
+        got = sorted(
+            r["tag"]
+            for r in interval_join(
+                events, intervals, on="k", ts="ts",
+                start="start_ts", end="end_ts", bucket=bucket,
+            ).collect()
+        )
+        assert got == ["inside", "on_start"], bucket
+
+
+def test_interval_join_overlapping_windows_yield_pairs(spark):
+    events = _ts(
+        spark, [(1, "2024-01-01 10:30:00", "e")], "k int, ts string, tag string"
+    )
+    intervals = _ts(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+            (1, "2024-01-01 10:15:00", "2024-01-01 10:45:00"),
+        ],
+        "k int, start_ts string, end_ts string",
+    )
+    out = interval_join(
+        events, intervals, on="k", ts="ts", start="start_ts", end="end_ts"
+    )
+    assert out.count() == 2  # one pair per containing window
