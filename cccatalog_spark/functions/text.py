@@ -58,24 +58,52 @@ def quality_score(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Marker-token vote language ID. Deterministic, SQL-expressible;
-    ties broken by language code order."""
-    t = F.transform(tokens(text), lambda x: F.lower(x))
+    ties broken by language code order.
+
+    Single pass over the token array: one ``aggregate`` accumulates
+    all per-language counters at once (the naive per-language
+    ``size(filter(...))`` form re-inlines the tokenize expression once
+    per language via projection collapse), then the counts array —
+    evaluated exactly once as a ``zip_with`` child — is reduced to the
+    winning struct. Tie-break: struct compare on (score, rank) where
+    rank decreases along the alphabet, so the alphabetically-first
+    language wins ties — replicable as an ordered CASE chain in SQL
+    oracles.
+    """
     langs = sorted(LANG_MARKERS)
-    # struct (score, anti-alphabetical rank, lang): array_max picks the
-    # highest score, breaking ties toward the alphabetically-FIRST lang
-    # (rank decreases along the alphabet) — replicable as an ordered
-    # CASE chain in SQL oracles
-    scores = [
-        F.struct(
-            F.size(F.filter(t, lambda x: x.isin(*LANG_MARKERS[lang]))).alias(
-                "score"
+    n = len(langs)
+    t = tokens(text)
+    zeros = F.array_repeat(F.lit(0), n)
+    counts = F.aggregate(
+        t,
+        zeros,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.lower(x).isin(*LANG_MARKERS[lang]).cast("int")
+                    for lang in langs
+                ]
             ),
-            F.lit(len(langs) - i).alias("rank"),
-            F.lit(lang).alias("lang"),
+            lambda a, b: a + b,
+        ),
+    )
+    rank_lang = F.array(
+        *[
+            F.struct(F.lit(n - i).alias("rank"), F.lit(lang).alias("lang"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(
+        F.zip_with(
+            counts,
+            rank_lang,
+            lambda c, rl: F.struct(
+                c.alias("score"), rl["rank"].alias("rank"),
+                rl["lang"].alias("lang"),
+            ),
         )
-        for i, lang in enumerate(langs)
-    ]
-    best = F.array_max(F.array(*scores))
+    )
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 

@@ -84,3 +84,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+def with_counters(df: DataFrame, name: str = "metrics"):
+    """A12 (ImageStore running totals / pg_cleaner load-vs-clean
+    asserts): attach row/null-url counters via ``observe`` — collected
+    as job metrics on the driver with zero extra passes, replacing the
+    reference's in-process Python counters."""
+    from pyspark.sql import Observation
+
+    cols = df.columns
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if "url" in cols:
+        metrics.append(
+            F.count(F.when(F.col("url").isNull(), 1)).alias("n_null_url")
+        )
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

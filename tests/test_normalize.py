@@ -135,6 +135,17 @@ def test_normalize_source_default(spark):
     assert {r["source"] for r in rows} == {"prov", "sub"}
 
 
+def test_with_counters_observe(spark):
+    from cccatalog_spark.sources.tables import with_counters
+
+    df = spark.createDataFrame(
+        [("a", "https://x"), ("b", None)], "k string, url string"
+    )
+    observed, obs = with_counters(df, "m1")
+    assert observed.count() == 2
+    assert obs.get == {"n_rows": 2, "n_null_url": 1}
+
+
 def test_serialize_wire_format(spark):
     df = _raw_df(spark, [_raw_row(meta_data='{"k": "v"}', tags='["a"]',
                                   watermarked="true")])
