@@ -2065,6 +2065,93 @@ def q53_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q54 — cube (completes the multi-level aggregate family with q44's
+# rollup).
+# ---------------------------------------------------------------------------
+@query(
+    "q54_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q54_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — anti/semi join pair (U1's relational complement: customers
+# with open orders but no finished ones).
+# ---------------------------------------------------------------------------
+@query(
+    "q55_semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    """,
+)
+def q55_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_keys = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        c.join(open_keys, c.c_custkey == open_keys.o_custkey, "left_semi")
+        .join(done_keys, c.c_custkey == done_keys.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q56 — edit-distance near-dup (short-string dedup family: levenshtein
+# over blocked candidates — block on length band + shared prefix so
+# the pair set stays linear-ish, never all-pairs).
+# ---------------------------------------------------------------------------
+@query(
+    "q56_levenshtein_neardup",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, substring(text, 1, 30) AS s30,
+               substring(text, 1, 4) AS blk
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.s30, b.s30) AS dist
+    FROM s a JOIN s b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.s30, b.s30) <= 5
+    """,
+)
+def q56_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("s30"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("a.s30"), F.col("b.s30")).alias("dist"),
+    )
+    return pairs.where(F.col("dist") <= 5)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
