@@ -34,6 +34,26 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-family pre-tokenizer shape: contraction suffixes, space-glued
+# letter runs, digit runs, punctuation runs. Chosen to behave
+# identically under Java regex (Spark) and RE2 (DuckDB) so oracle
+# checks are exact.
+BPE_PRETOKEN_RE = (
+    r"'(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+)
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokens (the unit an LLM tokenizer would merge
+    from); the realistic token-budget estimator for training-data
+    accounting, vs the whitespace `tokens` above."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def distinct_token_ratio(text: Column) -> Column:
     t = tokens(text)
     return F.size(F.array_distinct(t)) / F.greatest(F.size(t), F.lit(1))

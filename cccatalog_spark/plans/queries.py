@@ -2152,6 +2152,123 @@ def q56_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("dist") <= 5)
 
 
+# ---------------------------------------------------------------------------
+# q57 — BPE-style token accounting (training-data token budgeting):
+# GPT-2-shape pre-tokenizer regex, identical under Java regex and RE2.
+# ---------------------------------------------------------------------------
+@query(
+    "q57_bpe_tokens",
+    oracle=r"""
+    WITH t AS (
+        SELECT lang,
+               len(regexp_extract_all(
+                   text,
+                   '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'
+               )) AS n_bpe,
+               len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> '')) AS n_ws
+        FROM documents)
+    SELECT lang,
+           count(*) AS docs,
+           sum(n_bpe) AS total_bpe_tokens,
+           sum(n_ws)  AS total_ws_tokens,
+           round(avg(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1)), 6)
+               AS avg_bpe_per_word
+    FROM t GROUP BY lang
+    """,
+)
+def q57_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = TX.bpe_token_count(F.col("text"))
+    n_ws = TX.token_count(F.col("text"))
+    return (
+        d.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.round(
+                F.avg(F.col("n_bpe") / F.greatest(F.col("n_ws"), F.lit(1))), 6
+            ).alias("avg_bpe_per_word"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — smithsonian ingest + J5 unit-code sub-provider mapping:
+# CC0/Images record filter, priority-creator pick, code-map source
+# update with unknown-code surfacing.
+# ---------------------------------------------------------------------------
+@query(
+    "q58_smithsonian_ingest",
+    oracle="""
+    WITH kept AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'natural_history' WHEN 1 THEN 'american_art'
+                   WHEN 2 THEN 'portrait_gallery' ELSE 'smithsonian'
+               END AS source,
+               CAST(doc_id % 4 AS INT) = 3 AS unknown_code
+        FROM documents
+        WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 0 AND doc_id % 9 <> 0)
+    SELECT source, unknown_code, count(*) AS n
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def q58_smithsonian_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.normalize import (
+        normalize_image_batch,
+        split_rejected,
+    )
+    from cccatalog_spark.operators.provider_specs import (
+        apply_spec,
+        smithsonian_spec,
+    )
+    from cccatalog_spark.operators.providers import sub_provider_from_code
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    unit = F.element_at(
+        F.array(F.lit("NMNH"), F.lit("SAAM"), F.lit("NPG"), F.lit("XXX")),
+        (sid % 4).cast("int") + 1,
+    )
+    media = F.when(sid % 5 == 0, F.lit("Video")).otherwise(F.lit("Images"))
+    access = F.when(sid % 7 == 0, F.lit("Restricted")).otherwise(F.lit("CC0"))
+    img = F.when(sid % 9 == 0, F.lit("null")).otherwise(
+        F.concat(F.lit('"https://ids.si.example.org/'), sid.cast("string"),
+                 F.lit('.jpg"'))
+    )
+    j = F.concat(
+        F.lit('{"id": "si'), sid.cast("string"),
+        F.lit('", "title": "Object '), sid.cast("string"),
+        F.lit('", "unit_code": "'), unit,
+        F.lit('", "landing_url": "https://si.example.org/o/'),
+        sid.cast("string"),
+        F.lit('", "image_url": '), img,
+        F.lit(', "media_type": "'), media,
+        F.lit('", "access": "'), access,
+        F.lit('", "creators": [{"label": "Artist", "content": "A'),
+        (sid % 10).cast("string"),
+        F.lit('"}, {"label": "Author", "content": "B"}]}'),
+    )
+    raw = apply_spec(d.select(j.alias("json")), smithsonian_spec())
+    good, _rej = split_rejected(normalize_image_batch(raw))
+    with_unit = good.withColumn(
+        "unit_code", F.element_at("meta_data", "unit_code")
+    )
+    mapped = sub_provider_from_code(
+        with_unit,
+        {"NMNH": "natural_history", "SAAM": "american_art",
+         "NPG": "portrait_gallery"},
+        "unit_code",
+        "smithsonian",
+    )
+    return mapped.groupBy(
+        "source", F.col("_unknown_code").alias("unknown_code")
+    ).agg(F.count("*").alias("n"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -65,6 +65,49 @@ def test_stream_dedups_within_batch(spark, tmp_path):
     assert table.read().count() == 1
 
 
+def test_stateful_running_counts_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches
+    (two files, maxFilesPerTrigger=1 → two triggers)."""
+    import time
+
+    from cccatalog_spark.streaming.stateful import running_counts
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    now = time.time()
+    _write_tsv(str(watch / "b1.tsv"), ["a\t1", "a\t2", "b\t3"], now - 120)
+    _write_tsv(str(watch / "b2.tsv"), ["a\t4", "c\t5"], now - 60)
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .option("maxFilesPerTrigger", "1")
+        .schema(schema)
+        .csv(str(watch))
+    )
+    q = (
+        running_counts(stream, "k")
+        .writeStream.format("memory")
+        .queryName("running_counts_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM running_counts_test").collect()
+    # update mode: one emission per key per touched trigger; the LAST
+    # emission per key is the running total across batches
+    last = {}
+    for r in rows:
+        last[r["k"]] = r["n"]  # later triggers append later
+    assert last == {"a": 3, "b": 1, "c": 1}
+    # 'a' must have been emitted twice (batch1: 2, batch2: 3)
+    a_vals = [r["n"] for r in rows if r["k"] == "a"]
+    assert sorted(a_vals) == [2, 3]
+
+
 def test_parquet_upsert_table_snapshot_swap(spark, tmp_path):
     table = ParquetUpsertTable(spark, str(tmp_path / "tbl"), ["k"], SCHEMA)
     b1 = spark.createDataFrame([(1, "x", 1.0)], SCHEMA)
