@@ -48,7 +48,14 @@ def _pair_jaccard(
 
     ``shingled``: (id, shingle array ``sh``, size ``n_sh``).
     """
-    ex = shingled.select(id_col, "n_sh", F.explode("sh").alias("shingle"))
+    # join on the 8-byte xxhash64 of the shingle, not the ~25-byte
+    # string: ~3× smaller shuffle/build and cheaper key hashing. A
+    # hash collision would merge two shingles' postings (P ≈ n²/2⁶⁴ ≈
+    # 1e-8 at 1M distinct shingles) — the standard trade every
+    # large-scale shingle pipeline makes.
+    ex = shingled.select(
+        id_col, "n_sh", F.explode("sh").alias("_s")
+    ).select(id_col, "n_sh", F.xxhash64("_s").alias("shingle"))
     if max_doc_freq is not None:
         freq = ex.groupBy("shingle").count().where(F.col("count") <= max_doc_freq)
         ex = ex.join(freq.select("shingle"), "shingle")
