@@ -225,6 +225,53 @@ def ivf_cosine_topk(
     )
 
 
+def knn_topk_vectorized(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k like ``cosine_topk``, but the per-batch scoring runs
+    as a numpy matrix-vector product inside ``mapInPandas`` — the
+    Arrow-vectorized alternative to the JVM higher-order-function dot
+    product. Preferable when dim is large (hundreds+): one BLAS GEMV
+    per Arrow batch beats per-element codegen. Per-partition top-k is
+    computed in numpy; only ≤k rows per partition reach the final
+    TakeOrderedAndProject.
+
+    Results can differ from cosine_topk in the last float ulps (BLAS
+    accumulation order) — fine for ANN retrieval, not for hash-exact
+    oracles; tests assert neighbor-set equality.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def score(batches):
+        for pdf in batches:
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(m) == 0:
+                continue
+            sims = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            top = np.argsort(-sims)[:k]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[top],
+                    "cosine_sim": np.round(sims[top], 6),
+                }
+            )
+
+    scored = fan_out(corpus).select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, cosine_sim double"
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.asc(id_col)).limit(k)
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (LCG-based — no
     numpy dependency in the plan, reproducible across runs/engines)."""

@@ -71,6 +71,21 @@ def test_ivf_topk_recall_and_degeneration(spark, sf_dir):
     assert len(set(exact) & pruned) >= 3
 
 
+def test_vectorized_knn_matches_hof_topk(spark, sf_dir):
+    """The numpy mapInPandas scorer must retrieve the same neighbor
+    set (and same rounded sims) as the JVM expression scorer."""
+    from cccatalog_spark.operators.similarity import knn_topk_vectorized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [float(x) for x in
+             emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    hof = cosine_topk(emb, "embedding", "vec_id", probe, k=10).collect()
+    vec = knn_topk_vectorized(emb, "embedding", "vec_id", probe, k=10).collect()
+    assert [r["vec_id"] for r in hof] == [r["vec_id"] for r in vec]
+    for a, b in zip(hof, vec):
+        assert abs(a["cosine_sim"] - b["cosine_sim"]) <= 1e-6
+
+
 def test_lsh_topk_hits_exact_top1(spark, sf_dir):
     """LSH with few bits over the real embeddings table: recall of the
     exact top-1 (the probe itself lives in its own bucket, so the top-1
