@@ -2269,6 +2269,94 @@ def q58_smithsonian_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
+# ---------------------------------------------------------------------------
+# q59 — pivot (wide counters per key; the relational form of A2's
+# per-page domain counter).
+# ---------------------------------------------------------------------------
+@query(
+    "q59_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def q59_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields null for absent combinations; the FILTER oracle
+    # yields 0 — align
+    for k in kinds:
+        out = out.withColumn(k, F.coalesce(F.col(k), F.lit(0)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q60 — sliding event-time windows (batch form): 30-minute windows
+# sliding by 10 — every event contributes to 3 windows.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_sliding_window",
+    oracle="""
+    WITH w AS (
+        SELECT event_type,
+               CAST(to_timestamp((floor(epoch(ts) / 600) - k) * 600)
+                    AS TIMESTAMP) AS window_start
+        FROM events, (SELECT unnest([0, 1, 2]) AS k)
+        WHERE ts < CAST(to_timestamp((floor(epoch(ts) / 600) - k) * 600)
+                        AS TIMESTAMP) + INTERVAL 30 MINUTE)
+    SELECT window_start, event_type, count(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q60_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — above-group-average filter (correlated-subquery shape as a
+# broadcast re-join of the aggregate).
+# ---------------------------------------------------------------------------
+@query(
+    "q61_above_nation_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def q61_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    avgs = c.groupBy(F.col("c_nationkey").alias("_nk")).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    return (
+        c.join(F.broadcast(avgs), c.c_nationkey == F.col("_nk"))
+        .where(F.col("c_acctbal") > F.col("_avg"))
+        .select(
+            "c_custkey", "c_nationkey", F.round("c_acctbal", 2).alias("acctbal")
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
