@@ -2308,12 +2308,17 @@ def q59_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q60_sliding_window",
     oracle="""
     WITH w AS (
+        -- pure naive-timestamp arithmetic: to_timestamp() would detour
+        -- through TIMESTAMPTZ, whose TIMESTAMP cast renders in the
+        -- host timezone and breaks under a non-UTC driver
         SELECT event_type,
-               CAST(to_timestamp((floor(epoch(ts) / 600) - k) * 600)
-                    AS TIMESTAMP) AS window_start
+               TIMESTAMP '1970-01-01'
+                   + INTERVAL (((floor(epoch(ts) / 600) - k) * 10)) MINUTE
+                   AS window_start
         FROM events, (SELECT unnest([0, 1, 2]) AS k)
-        WHERE ts < CAST(to_timestamp((floor(epoch(ts) / 600) - k) * 600)
-                        AS TIMESTAMP) + INTERVAL 30 MINUTE)
+        WHERE ts < TIMESTAMP '1970-01-01'
+                   + INTERVAL (((floor(epoch(ts) / 600) - k) * 10)) MINUTE
+                   + INTERVAL 30 MINUTE)
     SELECT window_start, event_type, count(*) AS n
     FROM w GROUP BY 1, 2
     """,
