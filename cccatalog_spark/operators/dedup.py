@@ -63,8 +63,11 @@ def _pair_jaccard(
     # so tokenize+shingle+explode runs once, not twice (at 100 TB this
     # materialization is the standard index-build step, not a luxury)
     ex = ex.persist()
+    # force sort-merge: the exploded posting list is exactly the side
+    # that can never broadcast at real scale (it grows with the corpus),
+    # and locally the driver-side broadcast build is the GC-spike point
     a = ex.alias("a")
-    b = ex.alias("b")
+    b = ex.hint("merge").alias("b")
     pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
