@@ -70,6 +70,40 @@ def test_apply_sub_providers_broadcast_update(spark):
     assert got[("other", "https://museum.example")] == "other"  # wrong provider
 
 
+def test_apply_sub_providers_array_containment(spark):
+    """J4: membership of the dim key in an array column; ambiguity
+    surfaced via _sub_matches."""
+    from cccatalog_spark.operators.providers import apply_sub_providers_array
+
+    image = spark.createDataFrame(
+        [
+            ("i1", "europeana", ["museum_a", "lib_x"], "europeana"),
+            ("i2", "europeana", ["nothing"], "europeana"),
+            ("i3", "other", ["museum_a"], "other"),
+            ("i4", "europeana", ["museum_a", "museum_b"], "europeana"),
+        ],
+        "identifier string, provider string, data_providers array<string>, "
+        "source string",
+    )
+    dim = spark.createDataFrame(
+        [("museum_a", "sub_a"), ("museum_b", "sub_b")],
+        "data_provider string, sub_provider string",
+    )
+    out = {
+        r["identifier"]: r
+        for r in apply_sub_providers_array(
+            image, dim, "data_providers", "europeana"
+        ).collect()
+    }
+    assert out["i1"]["source"] == "sub_a"
+    assert out["i1"]["_sub_matches"] == 1
+    assert out["i2"]["source"] == "europeana"  # no match → unchanged
+    assert out["i3"]["source"] == "other"      # wrong provider
+    # ambiguous row: both sub-providers matched — reference errors here;
+    # we surface the count for the caller's assertion
+    assert out["i4"]["_sub_matches"] == 2
+
+
 def test_sub_provider_from_code(spark):
     image = spark.createDataFrame(
         [("smithsonian", "NMNH", "s"), ("smithsonian", "???", "s"), ("x", "NMNH", "x")],
