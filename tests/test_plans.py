@@ -57,6 +57,25 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_provider_partitioned_table_prunes(spark, sf_dir, tmp_path):
+    """SCALE.md storage layout: a provider-partitioned table must show
+    partition pruning (not a filter over a full scan) for
+    provider-keyed queries."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = str(tmp_path / "by_status")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    q = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = _plan(q)
+    pf_line = next(
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    )
+    assert "o_orderstatus" in pf_line and "F" in pf_line
+    # pruning fully satisfies the predicate: no residual Filter node
+    assert ") Filter" not in plan
+
+
 @pytest.fixture()
 def no_broadcast(spark):
     """Force shuffle-based join strategies so bucketing (not broadcast)
