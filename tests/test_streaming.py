@@ -119,3 +119,77 @@ def test_parquet_upsert_table_snapshot_swap(spark, tmp_path):
     assert out[2]["val"] == "y"
     # no staging leftovers
     assert not [p for p in os.listdir(tmp_path) if "staging" in p]
+
+
+def _bucket_file_state(table_path: str) -> dict[str, tuple]:
+    """bucket dir -> (sorted part names, their mtime_ns) fingerprint."""
+    state = {}
+    for d in os.listdir(table_path):
+        if not d.startswith("_bucket="):
+            continue
+        full = os.path.join(table_path, d)
+        parts = sorted(p for p in os.listdir(full) if p.startswith("part-"))
+        state[d] = (
+            tuple(parts),
+            tuple(os.stat(os.path.join(full, p)).st_mtime_ns for p in parts),
+        )
+    return state
+
+
+def test_bucketed_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    from cccatalog_spark.operators.merge import merge_upsert
+    from cccatalog_spark.streaming.loader import BucketedUpsertTable
+
+    path = str(tmp_path / "btbl")
+    table = BucketedUpsertTable(spark, path, ["k"], SCHEMA, num_buckets=8)
+
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(64)], SCHEMA
+    )
+    table.merge_batch(b1, 0)
+    before = _bucket_file_state(path)
+    assert len(before) > 1  # keys spread over several buckets
+
+    # batch 2: update two keys (one val-null to prove coalesce), insert one
+    b2 = spark.createDataFrame(
+        [(1, None, 100.0), (2, "two!", 200.0), (999, "new", 9.0)], SCHEMA
+    )
+    affected = {
+        f"_bucket={r[0]}"
+        for r in table._bucket_of(b2).select("_bucket").distinct().collect()
+    }
+    table.merge_batch(b2, 1)
+    after = _bucket_file_state(path)
+
+    # untouched buckets: identical part files, byte-untouched (same mtime)
+    untouched = set(before) - affected
+    assert untouched, "test wants at least one untouched bucket"
+    for d in untouched:
+        assert after[d] == before[d]
+
+    # contents equal the reference whole-table merge
+    expect = {
+        (r["k"], r["val"], r["num"])
+        for r in merge_upsert(b1, b2, ["k"]).collect()
+    }
+    got = {(r["k"], r["val"], r["num"]) for r in table.read().collect()}
+    assert got == expect
+    assert ({r["k"]: r["val"] for r in table.read().collect()}[1]) == "v1"
+
+
+def test_bucketed_upsert_read_prunes_to_requested_buckets(spark, tmp_path):
+    from cccatalog_spark.streaming.loader import BucketedUpsertTable
+
+    path = str(tmp_path / "btbl2")
+    table = BucketedUpsertTable(spark, path, ["k"], SCHEMA, num_buckets=4)
+    table.merge_batch(
+        spark.createDataFrame([(i, "x", 0.0) for i in range(32)], SCHEMA), 0
+    )
+    one = table._bucket_dirs()[0]
+    bucket_id = int(one.rsplit("=", 1)[1])
+    sub = table.read([bucket_id])
+    # the pruned read sees a strict, correct subset
+    assert 0 < sub.count() < 32
+    full_keys = {r["k"] for r in table.read().collect()}
+    assert {r["k"] for r in sub.collect()} <= full_keys
+    assert len(full_keys) == 32
