@@ -193,3 +193,28 @@ def test_bucketed_upsert_read_prunes_to_requested_buckets(spark, tmp_path):
     full_keys = {r["k"] for r in table.read().collect()}
     assert {r["k"] for r in sub.collect()} <= full_keys
     assert len(full_keys) == 32
+
+
+def test_stream_into_bucketed_table(spark, tmp_path):
+    """start_tsv_upsert_stream composes with BucketedUpsertTable: the
+    foreachBatch MERGE only needs .key/.merge_batch, so the scale sink
+    drops in without loader changes."""
+    from cccatalog_spark.streaming.loader import BucketedUpsertTable
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    now = time.time()
+    _write_tsv(str(watch / "b1.tsv"), ["1\tone\t1.0", "2\ttwo\t2.0"], now - 120)
+    _write_tsv(str(watch / "b2.tsv"), ["1\t\\N\t10.0", "3\tthree\t3.0"], now - 60)
+
+    table = BucketedUpsertTable(
+        spark, str(tmp_path / "btbl"), ["k"], SCHEMA, num_buckets=4
+    )
+    q = start_tsv_upsert_stream(
+        spark, str(watch), table, SCHEMA, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    out = {r["k"]: r for r in table.read().collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["val"] == "one" and out[1]["num"] == 10.0
