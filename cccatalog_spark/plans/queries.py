@@ -2362,6 +2362,34 @@ def q61_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q62 — explicit GROUPING SETS (completes the multi-level aggregate
+# family: q44 rollup, q54 cube). Two independent one-column groupings
+# plus the grand total in ONE scan — at scale this replaces three
+# separate aggregation jobs over the same 100 TB input with one
+# shuffle (Spark expands the sets map-side, partial-aggregates each).
+# ---------------------------------------------------------------------------
+@query(
+    "q62_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
