@@ -137,3 +137,20 @@ def test_merge_against_bucketed_target_shuffles_batch_only(
     n_shuffles = plan.count(") Exchange")
     assert n_shuffles == 1, plan
     assert merged.count() == o.count()
+
+
+def test_grouping_sets_is_one_scan_one_shuffle(spark, sf_dir):
+    """q62's scale claim: N grouping sets run as ONE scan + Expand +
+    partial/final aggregate pair — a single Exchange, not one
+    aggregation job per set."""
+    from cccatalog_spark.plans.queries import q62_grouping_sets
+
+    plan = _plan(q62_grouping_sets(spark, sf_dir))
+    # formatted explain repeats each node in the detail section; the
+    # tree (everything before the first blank line) counts each once
+    tree = plan.split("\n\n", 1)[0]
+    assert "Expand" in tree
+    assert tree.count("Scan parquet") == 1
+    # one shuffle for the aggregate (partial agg above the Expand,
+    # final below a single Exchange)
+    assert tree.count("Exchange") == 1
