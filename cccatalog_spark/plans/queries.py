@@ -485,7 +485,8 @@ def q13_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_json_extract",
     oracle="""
     SELECT event_type,
-           sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
            max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
            count(*) AS n
     FROM events GROUP BY event_type
@@ -713,7 +714,7 @@ _TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
     WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents)
     SELECT lang,
            count(*) AS docs,
-           sum(len(toks)) AS total_tokens,
+           CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
            round(avg(CAST(len(list_distinct(toks)) AS DOUBLE) /
                      greatest(len(toks), 1)), 6) AS avg_distinct_ratio
     FROM t GROUP BY lang
@@ -1011,7 +1012,7 @@ def q30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           sum(brk) + 1 AS sessions,
+           CAST(sum(brk) + 1 AS BIGINT) AS sessions,
            count(*) AS n_events
     FROM x GROUP BY user_id
     """,
@@ -1108,7 +1109,7 @@ def q33_array_contains_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id % 2 = 0
     )
     SELECT count(*) AS matched,
-           sum(a.n_chars) AS sum_chars,
+           CAST(sum(a.n_chars) AS BIGINT) AS sum_chars,
            count(DISTINCT b.lang) AS langs
     FROM a JOIN b
       ON rtrim(regexp_replace(a.url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '/')
@@ -1218,8 +1219,8 @@ def q36_grouped_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_type,
-           sum(CAST(regexp_extract(html_metadata, '"Images": ([0-9]+)', 1)
-               AS BIGINT)) AS total_images,
+           CAST(sum(CAST(regexp_extract(html_metadata, '"Images": ([0-9]+)', 1)
+               AS BIGINT)) AS BIGINT) AS total_images,
            count(*) AS n
     FROM j GROUP BY event_type
     """,
@@ -1273,7 +1274,7 @@ def q37_json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pd AS provider_domain,
            count(*)               AS n_cc_links,
            count(DISTINCT doc_id) AS n_pages,
-           sum(img)               AS sum_images
+           CAST(sum(img) AS BIGINT) AS sum_images
     FROM cc GROUP BY pd
     """,
 )
@@ -1412,14 +1413,14 @@ def q39_sub_provider_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (fid IS NULL OR url IS NULL OR license IS NULL) AS rejected,
            license, license_version,
            count(*)                                   AS n,
-           sum(width)                                 AS sum_width,
-           sum(height)                                AS sum_height,
+           CAST(sum(width) AS BIGINT)                 AS sum_width,
+           CAST(sum(height) AS BIGINT)                AS sum_height,
            count(*) FILTER (WHERE watermarked)        AS n_watermarked,
            count(DISTINCT source)                     AS n_sources,
-           sum(n_tags)                                AS sum_tags,
-           sum(1 + CASE WHEN license IS NOT NULL THEN 1 ELSE 0 END)
-                                                      AS sum_meta_keys,
-           sum(title_len)                             AS sum_title_len
+           CAST(sum(n_tags) AS BIGINT)                AS sum_tags,
+           CAST(sum(1 + CASE WHEN license IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT)                            AS sum_meta_keys,
+           CAST(sum(title_len) AS BIGINT)             AS sum_title_len
     FROM prep GROUP BY 1, 2, 3
     """,
 )
@@ -1535,7 +1536,7 @@ def q41_expiration_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH dim AS (SELECT printf('%02x', i) AS prefix FROM range(256) t(i)),
     docs AS (SELECT substring(md5(text), 1, 2) AS p2, n_chars FROM documents)
-    SELECT prefix, count(*) AS n, sum(n_chars) AS sum_chars
+    SELECT prefix, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM docs JOIN dim ON p2 = prefix
     GROUP BY prefix
     """,
@@ -1922,9 +1923,9 @@ def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents)
     SELECT license, license_version,
            count(*)      AS n,
-           sum(width)    AS sum_width,
-           sum(views)    AS sum_views,
-           sum(2)        AS sum_tags
+           CAST(sum(width) AS BIGINT) AS sum_width,
+           CAST(sum(views) AS BIGINT) AS sum_views,
+           CAST(sum(2) AS BIGINT)     AS sum_tags
     FROM m WHERE license IS NOT NULL
     GROUP BY 1, 2
     """,
@@ -2170,8 +2171,8 @@ def q56_levenshtein_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents)
     SELECT lang,
            count(*) AS docs,
-           sum(n_bpe) AS total_bpe_tokens,
-           sum(n_ws)  AS total_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT)  AS total_ws_tokens,
            round(avg(CAST(n_bpe AS DOUBLE) / greatest(n_ws, 1)), 6)
                AS avg_bpe_per_word
     FROM t GROUP BY lang

@@ -13,6 +13,24 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, ".")
 
 
+def _type_cat(t: str) -> str:
+    """Collapse a type name into a hash-compatibility category.
+
+    The real driver hashes Arrow-normalized values type-sensitively: DuckDB
+    sum(<integer>) returns HUGEINT (arrow decimal128) while Spark returns
+    BIGINT, and that alone fails hash_match even when values are equal
+    (round-1 verdict root cause). Mirror that here so it fails locally too.
+    """
+    t = t.lower()
+    if "decimal" in t or "hugeint" in t:
+        return "decimal"
+    if any(k in t for k in ("int", "long", "short", "byte")):
+        return "int"
+    if any(k in t for k in ("float", "double", "halffloat")):
+        return "float"
+    return "other"
+
+
 def norm(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else f"{v:.10g}"
@@ -50,10 +68,21 @@ def main() -> int:
         if name not in oracles:
             print(f"ok?  {name}: rows-only {len(srows)}")
             continue
-        res = con.execute(oracles[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        tbl = con.execute(oracles[name]).arrow()
+        dcols = list(tbl.schema.names)
+        dtypes = {f.name: str(f.type) for f in tbl.schema}
+        drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
         scols = sdf.columns
+        stypes = dict(sdf.dtypes)
+        tmism = [
+            c for c in scols
+            if c in dtypes and _type_cat(stypes[c]) != _type_cat(dtypes[c])
+        ]
+        if tmism:
+            bad.append(name)
+            print(f"FAIL {name} TYPE-SENSITIVE hash mismatch: "
+                  f"{[(c, stypes[c], dtypes[c]) for c in tmism]}")
+            continue
         sidx = sorted(range(len(scols)), key=lambda i: scols[i])
         didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
         sset = sorted(tuple(norm(r[i]) for i in sidx) for r in srows)
