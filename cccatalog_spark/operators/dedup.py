@@ -235,19 +235,31 @@ def dedup_minhash_lsh(
     return out
 
 
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, hash: str = "xxhash64") -> Column:
     """64-bit SimHash over whitespace tokens as a signed bigint.
 
-    Per token, a 64-bit hash (xxhash64 — JVM-side, cheap); each bit
-    votes ±1; the signature takes the sign of each bit's total.
-    Token-frequency weighting is inherent (duplicate tokens vote again).
+    Per token, a 64-bit hash; each bit votes ±1; the signature takes
+    the sign of each bit's total. Token-frequency weighting is inherent
+    (duplicate tokens vote again).
+
+    ``hash`` picks the per-token hash family — same plan either way:
+    - ``"xxhash64"``: JVM-native, the fast path at scale;
+    - ``"md5"``: signed bigint from the first 16 md5 hex chars
+      (``conv(..., 16, -10)``) — bit-for-bit reproducible in DuckDB
+      (hex-digit shifts), making the operator oracle-checkable.
 
     Single pass over the token array: fold the 64 bit-votes as an
     int array (getbit supports a column bit position; shiftright does
     not), then map votes to a literal power-of-two array and sum.
     """
     tok = tokens(text)
-    hashes = F.transform(tok, lambda t: F.xxhash64(t))
+    if hash == "md5":
+        per_token = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 16), 16, -10
+        ).cast("bigint")
+    else:
+        per_token = lambda t: F.xxhash64(t)  # noqa: E731
+    hashes = F.transform(tok, per_token)
     zeros = F.array_repeat(F.lit(0), 64)
     positions = F.sequence(F.lit(0), F.lit(63))
     votes = F.aggregate(
@@ -280,14 +292,24 @@ def dedup_simhash(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Banding: split the 64-bit signature into 4×16-bit chunks; any pair
-    within distance ≤3 agrees on ≥1 chunk (pigeonhole), so candidates
-    come from 4 equi-joins (union) — never an all-pairs product.
+    Banding with a COMPLETENESS GUARANTEE: the 64-bit signature splits
+    into ``max_hamming + 1`` chunks, so a pair within the distance
+    budget differs in at most ``max_hamming`` chunks and must agree on
+    at least one (pigeonhole) — candidates come from that many
+    equi-joins (union), never an all-pairs product, and recall is
+    exactly 1 (which is what lets the exact all-pairs oracle gate this
+    operator). Narrower chunks (higher max_hamming) mean coarser
+    buckets — the inherent cost of a larger distance budget.
     """
-    sig = fan_out(df).select(F.col(id_col), simhash64(F.col(text_col)).alias("sim"))
+    n_chunks = max_hamming + 1
+    bounds = [(i * 64 // n_chunks, (i + 1) * 64 // n_chunks) for i in range(n_chunks)]
+    sig = fan_out(df).select(
+        F.col(id_col), simhash64(F.col(text_col), hash=hash).alias("sim")
+    )
     chunks = sig.select(
         id_col,
         "sim",
@@ -296,11 +318,11 @@ def dedup_simhash(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright("sim", i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright("sim", lo)
+                        .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
                         .alias("ckey"),
                     )
-                    for i in range(4)
+                    for i, (lo, hi) in enumerate(bounds)
                 ]
             )
         ).alias("ck"),

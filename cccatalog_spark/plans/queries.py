@@ -940,30 +940,99 @@ def q27_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.knn_join_topk(emb, probes, "embedding", "vec_id", k=5)
 
 
+def neardup_corpus(emb: DataFrame) -> DataFrame:
+    """Embeddings ∪ deterministic near-duplicate copies (ids +1_000_000).
+
+    Each copy scales coordinate i by 1 + ((vec_id*31 + i*17) % 7 - 3)/100
+    (±3%), giving cosine ≈ .9998 to its original while unrelated pairs
+    stay ≤ ~.6 — the margin a real near-dup dedup workload has. Pure
+    integer-mod + IEEE double arithmetic so DuckDB reproduces it
+    bit-identically (indexed list_transform, 1-based i)."""
+    orig = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eps = lambda i: (  # noqa: E731
+        (F.col("vec_id") * 31 + i * 17) % 7 - 3
+    ) / F.lit(100.0)
+    # two-step select: a lambda's outer F.col("vec_id") resolves against
+    # the *output* projection, so the +1_000_000 re-id must come after
+    pert = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: x.cast("double") * (F.lit(1) + eps(i))
+        ).alias("embedding"),
+    ).select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return orig.unionAll(pert)
+
+
 @query(
     "q28_embedding_neardup",
     oracle="""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding::DOUBLE[],
+                   (x, i) -> x * (1 + ((vec_id*31 + (i-1)*17) % 7 - 3)/100.0))
+                   AS embedding
+        FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                        b.embedding::DOUBLE[]), 6) AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                 b.embedding::DOUBLE[]) >= 0.4
+           round(list_cosine_similarity(a.embedding, b.embedding), 6)
+               AS cosine_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding)
+          >= CAST(0.99 AS DOUBLE)
     """,
 )
 def q28_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup, wired the way it must run at 100 TB:
+    banded-LSH candidate generation → exact cosine verification
+    (operators/similarity.lsh_neardup_pairs). The all-pairs form
+    (cosine_neardup_pairs) survives only as the DuckDB oracle and the
+    equivalence tests — an unbucketed n² self-join is never the plan.
+    Corpus = embeddings plus deterministic ±3% perturbed copies, so the
+    workload contains actual near-duplicates (cos ≈ .9998) with a wide
+    margin over the background pair distribution (≤ ~.6)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.cosine_neardup_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    return SIM.lsh_neardup_pairs(
+        neardup_corpus(emb), "embedding", "vec_id",
+        threshold=0.99, bands=6, band_bits=12, dim=64,
+    )
 
 
 # ---------------------------------------------------------------------------
-# q29 — SimHash near-dup (rows-only: xxhash64 has no DuckDB equivalent;
-# validated structurally in tests/test_dedup.py instead).
+# q29 — SimHash near-dup. Per-token bits derive from md5 hex digits so
+# DuckDB reproduces the signature exactly (xxhash64 stays available as
+# the fast path at scale: dedup_simhash(hash="xxhash64")). The banding
+# uses max_hamming+1 chunks → pigeonhole-complete candidates, so the
+# all-pairs oracle is an exact gate, not a recall estimate.
 # ---------------------------------------------------------------------------
-@query("q29_simhash_neardup")
+@query(
+    "q29_simhash_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sig AS (
+        SELECT doc_id,
+               list_transform(range(0, 64), j ->
+                   CASE WHEN list_sum(list_transform(toks, tk ->
+                       CASE WHEN ((instr('0123456789abcdef',
+                                   substr(md5(tk), 16 - (j // 4), 1)) - 1)
+                                  >> (j % 4)) & 1 = 1
+                            THEN 1 ELSE -1 END)) > 0
+                        THEN 1 ELSE 0 END) AS sig
+        FROM t),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(list_sum(list_transform(range(1, 65), k ->
+                   CASE WHEN a.sig[k] <> b.sig[k] THEN 1 ELSE 0 END))
+                   AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+    """,
+)
 def q29_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.dedup_simhash(d, "text", "doc_id", max_hamming=8)
+    return D.dedup_simhash(d, "text", "doc_id", max_hamming=8, hash="md5")
 
 
 # ---------------------------------------------------------------------------

@@ -100,3 +100,55 @@ def test_lsh_topk_hits_exact_top1(spark, sf_dir):
                               bits=2).collect()}
     assert 0 in approx          # self-match always recalled
     assert len(exact & approx) >= 3  # loose recall floor at 2 bits
+
+
+def test_lsh_neardup_matches_exact_allpairs(spark, sf_dir):
+    """The q28 wiring contract: banded-LSH candidates + exact verify
+    returns the SAME pair set and cosines as the all-pairs form on the
+    real corpus (recall = 1 at the near-dup margin), so the all-pairs
+    shape is only ever an oracle, never the plan."""
+    from cccatalog_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+    from cccatalog_spark.plans.queries import neardup_corpus
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = neardup_corpus(emb)
+    lsh = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in lsh_neardup_pairs(
+               corpus, "embedding", "vec_id", 0.99,
+               bands=6, band_bits=12, dim=64).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in cosine_neardup_pairs(
+                 corpus, "embedding", "vec_id", 0.99).collect()}
+    assert lsh == exact
+    assert len(lsh) > 0  # the corpus really contains near-duplicates
+
+
+def test_lsh_neardup_max_bucket_guard(spark):
+    """Degenerate-bucket cap drops candidates from oversized buckets
+    (recall knob for adversarial skew) without emitting false pairs."""
+    from cccatalog_spark.operators.similarity import lsh_neardup_pairs
+
+    # 30 identical vectors: every band collapses to one bucket of 30
+    df = _vecs(spark, [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(30)])
+    full = lsh_neardup_pairs(df, "embedding", "vec_id", 0.99,
+                             bands=2, band_bits=4, dim=4)
+    capped = lsh_neardup_pairs(df, "embedding", "vec_id", 0.99,
+                               bands=2, band_bits=4, dim=4, max_bucket=10)
+    assert full.count() == 30 * 29 // 2
+    assert capped.count() == 0
+
+
+def test_q28_plan_is_banded_not_allpairs(spark, sf_dir):
+    """Plan-shape regression: the q28 entry must contain no nested-loop
+    or cartesian join — candidate generation is an equi join on
+    (band, bucket)."""
+    from cccatalog_spark.plans.queries import all_queries
+
+    plan = all_queries()["q28_embedding_neardup"](
+        spark, sf_dir
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
