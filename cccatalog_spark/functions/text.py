@@ -80,51 +80,66 @@ def lang_id(text: Column) -> Column:
     """Marker-token vote language ID. Deterministic, SQL-expressible;
     ties broken by language code order.
 
-    Single pass over the token array: one ``aggregate`` accumulates
-    all per-language counters at once (the naive per-language
-    ``size(filter(...))`` form re-inlines the tokenize expression once
-    per language via projection collapse), then the counts array —
-    evaluated exactly once as a ``zip_with`` child — is reduced to the
-    winning struct. Tie-break: struct compare on (score, rank) where
-    rank decreases along the alphabet, so the alphabetically-first
-    language wins ties — replicable as an ordered CASE chain in SQL
-    oracles.
+    Single pass over the token array with ONE literal-map probe per
+    token: each marker token maps to a bigint whose 12-bit fields hold
+    one increment per language containing it (markers shared between
+    languages — 'la' in es AND fr — just set two fields), so the fold
+    is ``acc + map[lower(token)]``: no per-token array allocation, no
+    per-language isin chain, ``lower`` evaluated once. The ``finish``
+    lambda unpacks the fields and takes the (score, rank) argmax —
+    inside the aggregate, so the packed accumulator is a lambda
+    variable and projection collapse can never re-inline the fold (the
+    repo's q23 perf lesson). Tie-break: rank decreases along the
+    alphabet, so the alphabetically-first language wins ties —
+    replicable as an ordered CASE chain in SQL oracles.
+
+    Field width caps per-language marker counts at 4095 per document;
+    beyond that a field would carry — irrelevant below ~4k repeated
+    marker tokens, and a clamp in the fold would cost more than it
+    protects at that margin.
     """
     langs = sorted(LANG_MARKERS)
     n = len(langs)
-    t = tokens(text)
-    zeros = F.array_repeat(F.lit(0), n)
-    counts = F.aggregate(
-        t,
-        zeros,
-        lambda acc, x: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.lower(x).isin(*LANG_MARKERS[lang]).cast("int")
-                    for lang in langs
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    rank_lang = F.array(
+    width = 12
+    mask = (1 << width) - 1
+    packed_inc: dict[str, int] = {}
+    for i, lang in enumerate(langs):
+        for marker in LANG_MARKERS[lang]:
+            packed_inc[marker] = packed_inc.get(marker, 0) + (1 << (width * i))
+    marker_map = F.create_map(
         *[
-            F.struct(F.lit(n - i).alias("rank"), F.lit(lang).alias("lang"))
-            for i, lang in enumerate(langs)
+            F.lit(x)
+            for marker in sorted(packed_inc)
+            for x in (marker, packed_inc[marker])
         ]
     )
-    best = F.array_max(
-        F.zip_with(
-            counts,
-            rank_lang,
-            lambda c, rl: F.struct(
-                c.alias("score"), rl["rank"].alias("rank"),
-                rl["lang"].alias("lang"),
-            ),
+
+    def finish(packed: Column) -> Column:
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.shiftright(packed, width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("score"),
+                        F.lit(n - i).alias("rank"),
+                        F.lit(lang).alias("lang"),
+                    )
+                    for i, lang in enumerate(langs)
+                ]
+            )
         )
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.coalesce(
+            F.try_element_at(marker_map, F.lower(x)), F.lit(0).cast("bigint")
+        ),
+        finish,
     )
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 def shingles(text: Column, k: int = 3) -> Column:
