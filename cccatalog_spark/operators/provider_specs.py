@@ -48,15 +48,25 @@ class ProviderSpec:
     record_schema: T.StructType | str
     columns: dict[str, Callable[[Column], Column]]
     record_filter: Callable[[Column], Column] | None = None
+    # Multi-image providers (metropolitan, brooklyn, science_museum,
+    # staten, museum_victoria, thingiverse, nypl, finnish): an expression
+    # over the record struct returning an ARRAY of per-image structs.
+    # apply_spec explodes it and column lambdas then receive
+    # struct(rec=<record>, img=<one image>) instead of the bare record —
+    # the engine-side shape of the reference scripts' inner
+    # `for img in images:` loops. Filter inside the array (F.filter) to
+    # drop unusable images before the explode.
+    images: Callable[[Column], Column] | None = None
 
 
 def apply_spec(records: DataFrame, spec: ProviderSpec, json_col: str = "json") -> DataFrame:
     """Raw JSON records → IMAGE_TSV_RAW-shaped string rows.
 
     One narrow pass: from_json parse, optional record filter (P8),
-    per-column expressions, string-cast to the TSV wire shape. Rows
-    whose JSON fails to parse are dropped via a corrupt-record field
-    (the reference's scripts skip undecodable records).
+    optional per-image explode (generate, no shuffle), per-column
+    expressions, string-cast to the TSV wire shape. Rows whose JSON
+    fails to parse are dropped via a corrupt-record field (the
+    reference's scripts skip undecodable records).
     """
     schema = spec.record_schema
     if isinstance(schema, str):
@@ -72,14 +82,17 @@ def apply_spec(records: DataFrame, spec: ProviderSpec, json_col: str = "json") -
     )
     if spec.record_filter is not None:
         df = df.where(spec.record_filter(F.col("_r")))
+    if spec.images is not None:
+        df = df.withColumn("_img", F.explode(spec.images(F.col("_r"))))
+        rec = F.struct(F.col("_r").alias("rec"), F.col("_img").alias("img"))
+    else:
+        rec = F.col("_r")
     out = []
     for name in RAW_COLS:
         if name == "provider":
             out.append(F.lit(spec.provider).alias(name))
         elif name in spec.columns:
-            out.append(
-                spec.columns[name](F.col("_r")).cast("string").alias(name)
-            )
+            out.append(spec.columns[name](rec).cast("string").alias(name))
         else:
             out.append(F.lit(None).cast("string").alias(name))
     return df.select(*out)

@@ -2460,6 +2460,100 @@ def q62_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q63 — europeana provider ingest (europeana.py:169-241 via the
+# declarative spec): CC-URL pick from the rights array, landing-URL
+# fallback edmIsShownAt→guid, Wellcome sub-provider selection by
+# dataProvider membership (J4), shared normalize + reject split.
+# Exercises the spec framework end-to-end for an array-heavy record
+# shape; the spec itself is provider_specs_ext.europeana_spec.
+# ---------------------------------------------------------------------------
+@query(
+    "q63_europeana_ingest",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN NULL
+                 WHEN doc_id % 3 = 0 THEN 'cc0'
+                 WHEN doc_id % 3 = 1 THEN 'by'
+                 ELSE 'by-sa' END AS license,
+            CASE WHEN doc_id % 4 = 0 THEN NULL
+                 WHEN doc_id % 3 = 0 THEN '1.0'
+                 WHEN doc_id % 3 = 1 THEN '4.0'
+                 ELSE '3.0' END AS license_version,
+            CASE WHEN doc_id % 7 = 0 THEN 'wellcome_collection'
+                 ELSE 'europeana' END AS source,
+            CAST(doc_id % 5 = 0 AS INT) AS guid_fallback
+        FROM documents)
+    SELECT license, license_version, source,
+           count(*) AS n,
+           CAST(sum(guid_fallback) AS BIGINT) AS n_guid_fallback
+    FROM m WHERE license IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def q63_europeana_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.normalize import (
+        normalize_image_batch,
+        split_rejected,
+    )
+    from cccatalog_spark.operators.provider_specs import apply_spec
+    from cccatalog_spark.operators.provider_specs_ext import europeana_spec
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    rights = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.lit('["http://rightsstatements.org/vocab/InC/1.0/"]'),
+    ).otherwise(
+        F.concat(
+            F.lit('["https://creativecommons.org/'),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("publicdomain/zero/1.0/")
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit("licenses/by/4.0/"))
+            .otherwise(F.lit("licenses/by-sa/3.0/")),
+            F.lit('"]'),
+        )
+    )
+    shown_at = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("null")
+    ).otherwise(
+        F.concat(
+            F.lit('["https://landing.example.org/e/'), sid, F.lit('"]')
+        )
+    )
+    data_provider = F.when(
+        F.col("doc_id") % 7 == 0, F.lit('"Wellcome Collection"')
+    ).otherwise(
+        F.concat(F.lit('"Museum '), (F.col("doc_id") % 4).cast("string"),
+                 F.lit('"'))
+    )
+    j = F.concat(
+        F.lit('{"id": "/e/'), sid,
+        F.lit('", "rights": '), rights,
+        F.lit(', "edmIsShownBy": ["https://img.example.org/e/'), sid,
+        F.lit('.jpg"], "edmIsShownAt": '), shown_at,
+        F.lit(', "guid": "https://www.europeana.eu/item/'), sid,
+        F.lit('", "edmPreview": ["https://img.example.org/p/'), sid,
+        F.lit('.jpg"], "title": ["Doc '), sid,
+        F.lit('"], "country": ["Nowhere"], "dataProvider": ['),
+        data_provider,
+        F.lit('], "dcDescription": ["d'), sid, F.lit('"]}'),
+    )
+    records = d.select(j.alias("json"))
+    raw = apply_spec(records, europeana_spec())
+    good, _rejected = split_rejected(normalize_image_batch(raw))
+    return good.groupBy("license", "license_version", "source").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.col("foreign_landing_url")
+            .startswith("https://www.europeana.eu/")
+            .cast("int")
+        ).alias("n_guid_fallback"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
