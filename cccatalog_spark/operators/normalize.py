@@ -130,10 +130,16 @@ def normalize_image_batch(raw: DataFrame) -> DataFrame:
             "license_version", F.col("_lic.license_version")
         ).drop("_lic")
 
-    # complex columns arrive as JSON strings on the TSV wire
+    # complex columns arrive as JSON strings on the TSV wire.
+    # F5: leaf-sanitize the WHOLE document first (recursive, depth-100 —
+    # columns.py:131-173) so nested meta_data objects are sanitized even
+    # though the engine's working type is a flat map; the map parse
+    # below then sees clean leaves.
     if "meta_data" in p.columns and dict(p.dtypes)["meta_data"] == "string":
+        from cccatalog_spark.functions.sanitize import sanitize_meta_map_col
+
         p = p.withColumn(
-            "meta_data", F.from_json("meta_data", "map<string,string>")
+            "meta_data", sanitize_meta_map_col(F.col("meta_data"))
         )
     if "tags" in p.columns and dict(p.dtypes)["tags"] == "string":
         p = p.withColumn("tags", F.from_json("tags", "array<string>"))

@@ -2554,6 +2554,123 @@ def q63_europeana_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q64 — J6 per-provider CC-tags merge keys (merge_cc_tags.py:41-66):
+# museums_victoria SPLIT_PART('-') key, science_museum
+# REVERSE+RTRIM(size-charset) key, met REVERSE last-segment key — each
+# matching API↔CC URL pairs that the generic scheme-strip key CANNOT
+# match (different size suffix / scheme / path), which is the whole
+# point of the provider variants.
+# ---------------------------------------------------------------------------
+@query(
+    "q64_cc_tags_provider_keys",
+    oracle="""
+    WITH strip AS (
+        SELECT 1
+    ),
+    pairs AS (
+        SELECT 'museums_victoria' AS provider,
+               'https://vic.example/media/' || CAST(doc_id AS VARCHAR)
+                   || '-large.jpg' AS api_url,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'http://vic.example/media/' || CAST(doc_id AS VARCHAR)
+                       || '-small.jpg' END AS cc_url,
+               doc_id
+        FROM documents
+        UNION ALL
+        SELECT 'science_museum',
+               'https://sci.example/images/large_img'
+                   || CAST(doc_id AS VARCHAR) || '.jpg',
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'http://sci.example/images/medium_img'
+                       || CAST(doc_id AS VARCHAR) || '.jpg' END,
+               doc_id
+        FROM documents
+        UNION ALL
+        SELECT 'met',
+               'https://met.example/CRD/original/DT'
+                   || CAST(doc_id AS VARCHAR) || '.jpg',
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'http://met.example/CRDImages/original/DT'
+                       || CAST(doc_id AS VARCHAR) || '.jpg' END,
+               doc_id
+        FROM documents),
+    keyed AS (
+        SELECT provider, doc_id,
+            CASE WHEN api_url LIKE 'https://%' THEN ltrim(api_url,'https:/')
+                 WHEN api_url LIKE 'http://%'  THEN ltrim(api_url,'http:/')
+                 ELSE api_url END AS a_strip,
+            CASE WHEN cc_url LIKE 'https://%' THEN ltrim(cc_url,'https:/')
+                 WHEN cc_url LIKE 'http://%'  THEN ltrim(cc_url,'http:/')
+                 ELSE cc_url END AS c_strip
+        FROM pairs),
+    k2 AS (
+        SELECT provider, doc_id,
+            CASE provider
+                WHEN 'museums_victoria' THEN split_part(a_strip, '-', 1)
+                WHEN 'science_museum' THEN
+                    rtrim(split_part(reverse(a_strip), '/', 1), 'medium|large')
+                ELSE split_part(reverse(a_strip), '/', 1) END AS a_key,
+            CASE WHEN c_strip IS NULL THEN NULL
+                 WHEN provider = 'museums_victoria'
+                     THEN split_part(c_strip, '-', 1)
+                 WHEN provider = 'science_museum' THEN
+                    rtrim(split_part(reverse(c_strip), '/', 1), 'medium|large')
+                 ELSE split_part(reverse(c_strip), '/', 1) END AS c_key
+        FROM keyed)
+    SELECT provider,
+           count(*) AS n_api,
+           count(*) FILTER (WHERE a_key = c_key) AS n_matched
+    FROM k2 GROUP BY provider
+    """,
+)
+def q64_cc_tags_provider_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.urls import cc_merge_key
+
+    d = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    families = [
+        (
+            "museums_victoria",
+            F.concat(F.lit("https://vic.example/media/"), sid,
+                     F.lit("-large.jpg")),
+            F.concat(F.lit("http://vic.example/media/"), sid,
+                     F.lit("-small.jpg")),
+        ),
+        (
+            "science_museum",
+            F.concat(F.lit("https://sci.example/images/large_img"), sid,
+                     F.lit(".jpg")),
+            F.concat(F.lit("http://sci.example/images/medium_img"), sid,
+                     F.lit(".jpg")),
+        ),
+        (
+            "met",
+            F.concat(F.lit("https://met.example/CRD/original/DT"), sid,
+                     F.lit(".jpg")),
+            F.concat(F.lit("http://met.example/CRDImages/original/DT"), sid,
+                     F.lit(".jpg")),
+        ),
+    ]
+    parts = []
+    for provider, api_url, cc_url in families:
+        part = d.select(
+            F.lit(provider).alias("provider"),
+            cc_merge_key(api_url, provider).alias("a_key"),
+            F.when(
+                F.col("doc_id") % 3 == 0, cc_merge_key(cc_url, provider)
+            ).alias("c_key"),
+        )
+        parts.append(part)
+    u = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return u.groupBy("provider").agg(
+        F.count("*").alias("n_api"),
+        F.count(F.when(F.col("a_key") == F.col("c_key"), 1)).alias(
+            "n_matched"
+        ),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

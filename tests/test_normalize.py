@@ -154,3 +154,70 @@ def test_serialize_wire_format(spark):
     assert row["watermarked"] == "t"
     assert row["meta_data"].startswith("{")
     assert isinstance(row["tags"], str)
+
+
+# ---------------------------------------------------------------------------
+# F5 — recursive JSON sanitize (columns.py:121-173; golden cases from
+# the reference's test_columns.py:182-237)
+# ---------------------------------------------------------------------------
+
+def test_sanitize_json_reference_golden_cases():
+    from cccatalog_spark.functions.sanitize import (
+        sanitize_json_text,
+        sanitize_json_value,
+    )
+
+    # empty list / empty dict → None (test_columns.py:182-195)
+    assert sanitize_json_text("[]") is None
+    assert sanitize_json_text("{}") is None
+    # flat dict round-trips with the reference's json.dumps spacing
+    assert sanitize_json_text('{"test": "dict"}') == '{"test": "dict"}'
+    # unicode preserved, not \u-escaped (test_columns.py:206-211)
+    assert sanitize_json_text(
+        '{"test": "A unicode Ǝ string ñ"}'
+    ) == '{"test": "A unicode Ǝ string ñ"}'
+    # nested dict leaves are sanitized (test_columns.py:226-237)
+    assert sanitize_json_value(
+        {"key1": 'va"l1', "key2": {"key3": "a\tb", "key4": ["x\\y", None]}}
+    ) == {
+        "key1": "va'l1",
+        "key2": {"key3": "a b", "key4": ["x\\\\y", None]},
+    }
+    # scalars (incl. bools/ints) stringify like the reference's
+    # __sanitize_string(str(data))
+    assert sanitize_json_value({"n": 3, "b": True}) == {"n": "3", "b": "True"}
+
+
+def test_sanitize_json_depth_limit_stringifies_beyond_100():
+    from cccatalog_spark.functions.sanitize import sanitize_json_value
+
+    deep = v = {}
+    for _ in range(105):
+        v["d"] = {}
+        v = v["d"]
+    v["leaf"] = 'x"y'
+    out = sanitize_json_value(deep)
+    for _ in range(99):
+        assert isinstance(out, dict)
+        out = out["d"]
+    # at the limit the remaining subtree is a sanitized repr string
+    assert isinstance(out["d"], str)
+
+
+def test_normalize_deep_sanitizes_nested_meta_data(spark):
+    from cccatalog_spark.operators.normalize import normalize_image_batch
+
+    raw = spark.createDataFrame(
+        [
+            ("x1", "https://l/1", "https://i/1.jpg", "by", "4.0",
+             '{"flat": "a\\tb", "nested": {"inner": "q\\"uote"}}'),
+        ],
+        "foreign_identifier string, foreign_landing_url string, url string, "
+        "license string, license_version string, meta_data string",
+    )
+    row = normalize_image_batch(raw).collect()[0]
+    md = row["meta_data"]
+    assert md["flat"] == "a b"
+    # nested object survives as a sanitized JSON-ish value under the
+    # flat-map working type — critically, its leaves are already clean
+    assert "q'uote" in md["nested"]
