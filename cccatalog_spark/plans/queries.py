@@ -2671,6 +2671,101 @@ def q64_cc_tags_provider_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q65 — the scale form of the q45 loader: min-file-age staging gate
+# (paths.py:72-99) feeding a BUCKETED upsert table whose micro-batch
+# MERGE rewrites only the key-hash buckets the batch touches (SURVEY
+# §4.3.1 partition-selective materialization). Same merge semantics as
+# q45, so the same oracle — what changes is the unit of rewrite.
+# ---------------------------------------------------------------------------
+@query(
+    "q65_bucketed_stream_loader",
+    oracle="""
+    WITH b1 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               o_orderpriority, o_orderdate
+        FROM orders WHERE o_orderkey % 2 = 0),
+    b2 AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderdate
+        FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT coalesce(b2.o_orderkey, b1.o_orderkey)           AS o_orderkey,
+           coalesce(b2.o_custkey, b1.o_custkey)             AS o_custkey,
+           coalesce(b2.o_orderstatus, b1.o_orderstatus)     AS o_orderstatus,
+           round(coalesce(b2.o_totalprice, b1.o_totalprice), 2) AS o_totalprice,
+           coalesce(b2.o_orderpriority, b1.o_orderpriority) AS o_orderpriority,
+           coalesce(b2.o_orderdate, b1.o_orderdate)         AS o_orderdate
+    FROM b1 FULL OUTER JOIN b2 ON b1.o_orderkey = b2.o_orderkey
+    """,
+)
+def q65_bucketed_stream_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from cccatalog_spark.streaming.loader import (
+        BucketedUpsertTable,
+        stage_eligible_files,
+        start_tsv_upsert_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="ccc_bstream_")
+    watch = os.path.join(base, "in")
+    staged = os.path.join(base, "staged")
+    os.makedirs(watch)
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate",
+    )
+    k = F.col("o_orderkey")
+    b1 = o.where(k % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    b2 = o.where(k % 3 == 0).withColumn(
+        "o_orderpriority",
+        F.when(k % 4 == 0, F.lit(None)).otherwise(F.col("o_orderpriority")),
+    )
+    now = time.time()
+    for i, b in enumerate([b1, b2]):
+        tmp = os.path.join(base, f"stage{i}")
+        (
+            b.coalesce(1)
+            .write.option("sep", "\t")
+            .option("nullValue", "\\N")
+            .mode("overwrite")
+            .csv(tmp)
+        )
+        part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+        dst = os.path.join(watch, f"batch{i}.tsv")
+        os.rename(os.path.join(tmp, part), dst)
+        # both files old enough to clear the 15-min gate; i preserves
+        # producer order for the oldest-first drain
+        os.utime(dst, (now - 3600 + i * 60, now - 3600 + i * 60))
+
+    # the reference's staging step: age-gated, oldest-first
+    assert stage_eligible_files(watch, staged, now=now, limit=None)
+
+    schema = _parse_datatype_string(
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string, o_orderdate timestamp_ntz"
+    )
+    table = BucketedUpsertTable(
+        spark, os.path.join(base, "table"), ["o_orderkey"], schema,
+        num_buckets=16,
+    )
+    stream = start_tsv_upsert_stream(
+        spark, staged, table, schema, os.path.join(base, "ckpt")
+    )
+    stream.awaitTermination(300)
+    return table.read().withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -181,6 +181,53 @@ class BucketedUpsertTable:
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def stage_eligible_files(
+    watch_dir: str,
+    staging_dir: str,
+    *,
+    min_age_seconds: float = 15 * 60,
+    limit: int | None = 1,
+    now: float | None = None,
+) -> list[str]:
+    """The reference's staging step (util/loader/paths.py:72-99 +
+    loader_workflow.py:22-26): of the files in ``watch_dir``, move the
+    oldest ``limit`` whose modification time is at least
+    ``min_age_seconds`` old into ``staging_dir`` — a file younger than
+    the gate may still be mid-write by the producer, so it is left
+    behind for a later run to pick up once it has aged.
+
+    Returns the staged destination paths (oldest first). Driver-side
+    file management, not data movement — the stream source then reads
+    only what was staged. ``now`` is injectable for deterministic
+    tests.
+    """
+    import time
+
+    if now is None:
+        now = time.time()
+    os.makedirs(staging_dir, exist_ok=True)
+    candidates = sorted(
+        (
+            (os.path.getmtime(p), p)
+            for f in os.listdir(watch_dir)
+            if os.path.isfile(p := os.path.join(watch_dir, f))
+        ),
+    )
+    staged: list[str] = []
+    for mtime, path in candidates:
+        if now - mtime < min_age_seconds:
+            continue
+        dst = os.path.join(staging_dir, os.path.basename(path))
+        os.replace(path, dst)
+        # preserve mtime so the file source's oldest-first ordering
+        # still reflects producer order after the move
+        os.utime(dst, (mtime, mtime))
+        staged.append(dst)
+        if limit is not None and len(staged) >= limit:
+            break
+    return staged
+
+
 def start_tsv_upsert_stream(
     spark: SparkSession,
     watch_dir: str,

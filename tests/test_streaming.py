@@ -218,3 +218,71 @@ def test_stream_into_bucketed_table(spark, tmp_path):
     out = {r["k"]: r for r in table.read().collect()}
     assert set(out) == {1, 2, 3}
     assert out[1]["val"] == "one" and out[1]["num"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# Min-file-age gate (util/loader/paths.py:72-99): a too-young file is
+# NOT staged (writer may still be appending); once aged it stages and
+# ingests. Oldest-first, one file per run, mtime preserved.
+# ---------------------------------------------------------------------------
+
+def test_min_file_age_gate_skips_young_then_stages_later(tmp_path):
+    from cccatalog_spark.streaming.loader import stage_eligible_files
+
+    watch = tmp_path / "in"
+    stage = tmp_path / "staged"
+    watch.mkdir()
+    now = time.time()
+    _write_tsv(str(watch / "old.tsv"), ["1\ta\t1.0"], now - 20 * 60)
+    _write_tsv(str(watch / "young.tsv"), ["2\tb\t2.0"], now - 60)
+
+    # run 1: only the aged file stages (limit=1 is also the oldest)
+    staged = stage_eligible_files(
+        str(watch), str(stage), min_age_seconds=15 * 60, now=now
+    )
+    assert [os.path.basename(p) for p in staged] == ["old.tsv"]
+    assert os.path.exists(watch / "young.tsv")  # left for a later run
+    # mtime preserved across the move (ordering contract)
+    assert abs(os.path.getmtime(stage / "old.tsv") - (now - 20 * 60)) < 1
+
+    # run 2, before aging: nothing eligible
+    assert stage_eligible_files(
+        str(watch), str(stage), min_age_seconds=15 * 60, now=now
+    ) == []
+
+    # run 3, 15 minutes later: the young file has aged in
+    staged = stage_eligible_files(
+        str(watch), str(stage), min_age_seconds=15 * 60, now=now + 15 * 60
+    )
+    assert [os.path.basename(p) for p in staged] == ["young.tsv"]
+    assert sorted(os.listdir(watch)) == []
+
+
+def test_staged_files_flow_through_stream(spark, tmp_path):
+    """End-to-end: gate → staging dir → stream → MERGE table. The
+    young file is invisible to the first drain and ingested after a
+    second staging pass."""
+    from cccatalog_spark.streaming.loader import stage_eligible_files
+
+    watch = tmp_path / "in"
+    stage = tmp_path / "staged"
+    watch.mkdir()
+    now = time.time()
+    _write_tsv(str(watch / "b1.tsv"), ["1\tone\t1.0"], now - 30 * 60)
+    _write_tsv(str(watch / "b2.tsv"), ["2\ttwo\t2.0"], now - 60)
+
+    table = ParquetUpsertTable(spark, str(tmp_path / "tbl"), ["k"], SCHEMA)
+    stage_eligible_files(str(watch), str(stage), now=now)
+    q = start_tsv_upsert_stream(
+        spark, str(stage), table, SCHEMA, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert {r["k"] for r in table.read().collect()} == {1}
+
+    # the young file ages; a later staging run + drain picks it up
+    stage_eligible_files(str(watch), str(stage), now=now + 16 * 60)
+    q = start_tsv_upsert_stream(
+        spark, str(stage), table, SCHEMA, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert {r["k"] for r in table.read().collect()} == {1, 2}
