@@ -91,3 +91,131 @@ def cc_merge_key(url: Column, provider_table: str) -> Column:
     if "met" in provider_table:
         return F.split_part(F.reverse(stripped), F.lit("/"), F.lit(1))
     return F.regexp_replace(strip_scheme(url), "/+$", "")
+
+
+# ---------------------------------------------------------------------------
+# F6 — full URL validation against a public-suffix table
+# (common/urls.py:16-53 validate_url_string / add_url_scheme:80-95).
+# The TLS-support probe (_test_domain_for_tls_support, urls.py:111-123)
+# is a network effect and stays ingestion-side; the engine's
+# deterministic policy is: preserve an explicit scheme, default
+# schemeless input to https.
+# ---------------------------------------------------------------------------
+
+# Snapshot of common entries from the Public Suffix List
+# (publicsuffix.org, Mozilla-maintained public data) — the same table
+# tldextract bundles. A deployment ships the full list the same way:
+# one small broadcast dimension. Multi-label entries are what make
+# longest-match non-trivial.
+PUBLIC_SUFFIX_SNAPSHOT: list[str] = [
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "us", "uk", "de", "fr", "jp", "au", "br", "ca", "cn",
+    "es", "eu", "fi", "in", "it", "nl", "no", "nz", "pl", "ru", "se",
+    "ch", "cz", "dk", "at", "be", "kr", "mx", "museum", "example",
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "org.au", "net.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "org.br", "net.br", "gov.br",
+    "co.nz", "org.nz", "net.nz", "govt.nz",
+    "co.in", "org.in", "net.in", "gov.in", "ac.in",
+    "com.cn", "org.cn", "net.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "go.kr", "com.mx", "org.mx", "gob.mx",
+]
+
+_IPV4_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+
+
+def add_url_scheme_col(url: Column, scheme: str = "https") -> Column:
+    """add_url_scheme (urls.py:80-95) as Column algebra: strip any
+    existing ``http(s):/*`` prefix, trim surrounding ``/`` runs, and
+    prepend ``<scheme>://``. NULL-safe."""
+    stripped = F.trim(url)
+    no_scheme = F.regexp_replace(stripped, r"^https*:/*", "")
+    bare = F.call_function("btrim", no_scheme, F.lit("/"))
+    return F.concat(F.lit(scheme + "://"), bare)
+
+
+def upgrade_url_scheme(url: Column) -> Column:
+    """Deterministic engine form of _add_best_scheme (urls.py:98-108):
+    explicit scheme preserved (normalized to one of http/https),
+    schemeless input defaults to https. The per-domain TLS probe that
+    would downgrade to http is a network call — ingestion-side."""
+    is_http = F.trim(url).rlike(r"^http:/")
+    return F.when(is_http, add_url_scheme_col(url, "http")).otherwise(
+        add_url_scheme_col(url, "https")
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased authority of a schemed URL (port/path/query cut)."""
+    return F.lower(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1)
+    )
+
+
+def validate_urls(
+    df,
+    url_col: str,
+    out_col: str = "valid_url",
+    *,
+    suffixes: list[str] | None = None,
+):
+    """F6 validate_url_string (urls.py:16-53) as a DataFrame operator:
+    adds ``out_col`` = scheme-upgraded URL when the host has a
+    registrable domain (≥1 label + a known public suffix, longest-match
+    like tldextract) or is a literal IPv4 address; NULL otherwise.
+
+    Plan shape (scale-safe): candidate suffixes of each host (≤ label
+    count, so ≤ ~6 rows per URL) are exploded and broadcast-joined
+    against the tiny suffix dimension; a groupBy over the row's
+    original columns keeps it one shuffle whose width is the candidate
+    fan-out, never a cross product. The suffix table is list-driven —
+    swap in the full PSL file at deployment, same plan.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    spark = df.sparkSession
+    suffix_df = spark.createDataFrame(
+        [(s,) for s in (suffixes or PUBLIC_SUFFIX_SNAPSHOT)],
+        "_suffix string",
+    )
+
+    up = upgrade_url_scheme(F.col(url_col))
+    host = url_host(up)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # every label-suffix of the host INCLUDING the whole host: tldextract
+    # picks the longest PSL match, and when that match is the entire
+    # host (e.g. 'co.uk') the domain is empty ⇒ invalid — so validity
+    # below requires the longest match to be strictly shorter than the
+    # host, leaving ≥1 domain label in front.
+    cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+
+    base_cols = df.columns
+    work = (
+        df.withColumn("_upgraded", up)
+        .withColumn("_host", host)
+        .withColumn("_cand", F.explode_outer(cands))
+    )
+    matched = (
+        work.join(
+            F.broadcast(suffix_df),
+            work["_cand"] == suffix_df["_suffix"],
+            "left",
+        )
+        .groupBy(*base_cols, "_upgraded", "_host")
+        .agg(F.max(F.length("_suffix")).alias("_sfx_len"))
+    )
+    ok = (
+        F.col("_sfx_len").isNotNull()
+        & (F.col("_sfx_len") < F.length("_host"))
+    ) | F.col("_host").rlike(_IPV4_RE)
+    return matched.withColumn(
+        out_col, F.when(ok, F.col("_upgraded"))
+    ).drop("_upgraded", "_host", "_sfx_len")

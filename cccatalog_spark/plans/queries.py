@@ -2766,6 +2766,88 @@ def q65_bucketed_stream_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().withColumn("o_totalprice", F.round("o_totalprice", 2))
 
 
+# ---------------------------------------------------------------------------
+# q66 — F6 full URL validation (common/urls.py:16-95): scheme
+# normalization + registrable-domain check against a broadcast
+# public-suffix table (longest match, whole-host match ⇒ empty domain
+# ⇒ invalid) with the IPv4-literal escape hatch. The oracle replicates
+# the entire decision in SQL — candidate label-suffix unnest, longest
+# PSL match, octet-checked IPv4 — over the suffix subset reachable by
+# these hosts (com/org/uk/co.uk; same outcome as the full snapshot).
+# ---------------------------------------------------------------------------
+@query(
+    "q66_url_validate",
+    oracle="""
+    WITH sfx(s) AS (VALUES ('com'), ('org'), ('uk'), ('co.uk')),
+    urls AS (
+        SELECT doc_id,
+            CASE doc_id % 8
+                WHEN 0 THEN 'img.example.com/p/' || CAST(doc_id AS VARCHAR)
+                WHEN 1 THEN 'http://media.example.co.uk/i/'
+                    || CAST(doc_id AS VARCHAR)
+                WHEN 2 THEN '8.8.8.8/obj/' || CAST(doc_id AS VARCHAR)
+                WHEN 3 THEN 'https:/only' || CAST(doc_id AS VARCHAR)
+                WHEN 4 THEN 'https://foo' || CAST(doc_id AS VARCHAR)
+                    || '.notareal/x'
+                WHEN 5 THEN 'co.uk'
+                WHEN 6 THEN '//cdn.example.org/f/' || CAST(doc_id AS VARCHAR)
+                ELSE 'https://256.1.2.3'
+            END AS u
+        FROM documents),
+    up AS (
+        SELECT doc_id,
+            CASE WHEN regexp_matches(trim(u), '^http:/')
+                 THEN 'http://' ELSE 'https://' END
+            || trim(regexp_replace(trim(u), '^https*:/*', ''), '/')
+                AS upgraded
+        FROM urls),
+    h AS (
+        SELECT doc_id, upgraded,
+            lower(regexp_extract(
+                upgraded, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1
+            )) AS host
+        FROM up),
+    cand AS (
+        SELECT h.doc_id, h.upgraded, h.host,
+            array_to_string(
+                list_slice(string_split(h.host, '.'), t.i, 1000), '.'
+            ) AS c
+        FROM h, LATERAL (
+            SELECT unnest(range(1, len(string_split(h.host, '.')) + 1)) AS i
+        ) t),
+    m AS (
+        SELECT doc_id, upgraded, host, max(length(sfx.s)) AS sl
+        FROM cand LEFT JOIN sfx ON cand.c = sfx.s
+        GROUP BY 1, 2, 3)
+    SELECT doc_id,
+        CASE WHEN (sl IS NOT NULL AND sl < length(host))
+               OR regexp_matches(host,
+                   '^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')
+             THEN upgraded END AS valid_url
+    FROM m
+    """,
+)
+def q66_url_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.urls import validate_urls
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 8
+    u = (
+        F.when(m == 0, F.concat(F.lit("img.example.com/p/"), sid))
+        .when(m == 1, F.concat(F.lit("http://media.example.co.uk/i/"), sid))
+        .when(m == 2, F.concat(F.lit("8.8.8.8/obj/"), sid))
+        .when(m == 3, F.concat(F.lit("https:/only"), sid))
+        .when(m == 4, F.concat(F.lit("https://foo"), sid, F.lit(".notareal/x")))
+        .when(m == 5, F.lit("co.uk"))
+        .when(m == 6, F.concat(F.lit("//cdn.example.org/f/"), sid))
+        .otherwise(F.lit("https://256.1.2.3"))
+    )
+    return validate_urls(d.withColumn("u", u), "u").select(
+        "doc_id", "valid_url"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -172,3 +172,66 @@ def test_token_count_and_lang_id(spark):
 def test_quality_score_bounds(spark):
     q = _one(spark, quality_score(F.col("v")), "the quick brown fox is here")
     assert 0.0 <= q <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# F6 — full URL validation (common/urls.py:16-95; golden cases from the
+# reference's test_urls.py:41-95,150-184). The TLS probe is
+# network-side; the engine policy is scheme-preserving / https default.
+# ---------------------------------------------------------------------------
+
+def _validate_one(spark, url):
+    from cccatalog_spark.functions.urls import validate_urls
+
+    df = spark.createDataFrame([(url,)], "u string")
+    return validate_urls(df, "u").collect()[0]["valid_url"]
+
+
+def test_validate_url_golden_cases(spark):
+    cases = {
+        # schemeless + registrable domain → https default
+        "creativecomons.org": "https://creativecomons.org",
+        # explicit scheme preserved (probe-free policy)
+        "http://abcd.com": "http://abcd.com",
+        "https://abcd.com": "https://abcd.com",
+        # single-label host: no suffix → None (test_urls.py:50-55)
+        "https:/abcd": None,
+        # IPv4 literals are valid (test_urls.py:65-77)
+        "http://8.8.8.8": "http://8.8.8.8",
+        "8.8.8.8": "https://8.8.8.8",
+        # protocol-relative wmc form (test_urls.py:79-86)
+        "//commons.wikimedia.org/wiki/User:potato":
+            "https://commons.wikimedia.org/wiki/User:potato",
+        # 'h'-leading host is not a scheme (test_urls.py:171-176)
+        "hreativecommons.org/h": "https://hreativecommons.org/h",
+        # non-prefix scheme text stays (test_urls.py:178-184)
+        "hreativecommons.org/?referer=https://abc.com":
+            "https://hreativecommons.org/?referer=https://abc.com",
+        # multi-label public suffix, longest match leaves a domain
+        "www.example.co.uk/a/b": "https://www.example.co.uk/a/b",
+        # the host IS a public suffix → empty domain → invalid
+        "https://co.uk": None,
+        # unknown TLD → invalid
+        "https://foo.notareal/x": None,
+        # bad IPv4 octet is not an address, 'x.999' not a suffix
+        "https://1.2.3.999": None,
+    }
+    from cccatalog_spark.functions.urls import validate_urls
+
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "u string"
+    )
+    got = {r["u"]: r["valid_url"] for r in validate_urls(df, "u").collect()}
+    assert got == cases
+
+
+def test_validate_urls_broadcasts_suffix_dim(spark):
+    """Plan shape: the suffix table joins as a broadcast — no shuffle
+    of the fact side for the dimension."""
+    from cccatalog_spark.functions.urls import validate_urls
+
+    df = spark.range(100).withColumn(
+        "u", F.concat(F.lit("https://d"), F.col("id"), F.lit(".example.com"))
+    )
+    plan = validate_urls(df, "u")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
