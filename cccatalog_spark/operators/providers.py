@@ -130,3 +130,48 @@ def unit_code_diff(
     cur = current.select(code_col).distinct()
     sav = saved.select(code_col).distinct()
     return cur.subtract(sav), sav.subtract(cur)
+
+
+def merge_continue_batches(
+    partials: DataFrame,
+    key: str = "pageid",
+    seq: str = "seq",
+    *,
+    list_cols: tuple[str, ...] = ("globalusage",),
+) -> DataFrame:
+    """Wikimedia continue-token response accumulation as an engine op
+    (wikimedia_commons.py:110-222, _merge_response_jsons /
+    _merge_image_pages): the API returns a page in PARTIAL slices
+    across continue-token requests; per page-id, scalar fields are
+    right-biased — the latest response that carries the field wins
+    (dict.update semantics) — while the ``globalusage`` usage lists
+    CONCATENATE in response order.
+
+    One hash aggregation on ``key`` (single shuffle):
+
+    - scalar columns → ``max_by(col, seq-where-present)``: the value
+      from the highest ``seq`` whose slice has the field non-null;
+    - list columns → ``flatten(sorted-by-seq collect_list)``: slice
+      order is preserved no matter which partition each slice arrived
+      in, so the op is deterministic under shuffle.
+
+    Per-page slice counts are API-bounded (MEAN_GLOBAL_USAGE_LIMIT),
+    so collect_list stays small per group — no skew concern at scale.
+    """
+    scalar_cols = [
+        c for c in partials.columns if c not in {key, seq, *list_cols}
+    ]
+    aggs: list[Column] = [
+        F.max_by(
+            F.col(c), F.when(F.col(c).isNotNull(), F.col(seq))
+        ).alias(c)
+        for c in scalar_cols
+    ]
+    for c in list_cols:
+        ordered = F.array_sort(
+            F.collect_list(F.struct(F.col(seq).alias("_s"), F.col(c).alias("_v")))
+        )
+        aggs.append(
+            F.flatten(F.transform(ordered, lambda s: s["_v"])).alias(c)
+        )
+    return partials.groupBy(key).agg(*aggs)

@@ -2848,6 +2848,80 @@ def q66_url_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q67 — wikimedia continue-token accumulation
+# (wikimedia_commons.py:110-222): pages arrive as partial slices across
+# continue requests; scalars are right-biased per present field
+# (dict.update), globalusage lists concatenate in response order. One
+# groupBy(pageid) — max_by for scalars, flatten(sorted collect_list)
+# for the usage list.
+# ---------------------------------------------------------------------------
+@query(
+    "q67_wikimedia_continue_merge",
+    oracle="""
+    WITH partials AS (
+        SELECT doc_id AS pageid, 0 AS seq,
+               'File_' || CAST(doc_id AS VARCHAR) AS title,
+               CAST(NULL AS BIGINT) AS byte_size,
+               ['w0.' || CAST(doc_id AS VARCHAR)] AS globalusage
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 1, NULL, doc_id * 10,
+               ['w1a.' || CAST(doc_id AS VARCHAR),
+                'w1b.' || CAST(doc_id AS VARCHAR)]
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'File_' || CAST(doc_id AS VARCHAR) || '_v2' END,
+               NULL, []::VARCHAR[]
+        FROM documents)
+    SELECT pageid,
+           arg_max(title, seq) FILTER (WHERE title IS NOT NULL) AS title,
+           arg_max(byte_size, seq) FILTER (WHERE byte_size IS NOT NULL)
+               AS byte_size,
+           flatten(list(globalusage ORDER BY seq)) AS globalusage,
+           len(flatten(list(globalusage ORDER BY seq))) AS n_usage
+    FROM partials GROUP BY pageid
+    """,
+)
+def q67_wikimedia_continue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.providers import merge_continue_batches
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    s0 = d.select(
+        F.col("doc_id").alias("pageid"),
+        F.lit(0).alias("seq"),
+        F.concat(F.lit("File_"), sid).alias("title"),
+        F.lit(None).cast("long").alias("byte_size"),
+        F.array(F.concat(F.lit("w0."), sid)).alias("globalusage"),
+    )
+    s1 = d.select(
+        F.col("doc_id").alias("pageid"),
+        F.lit(1).alias("seq"),
+        F.lit(None).cast("string").alias("title"),
+        (F.col("doc_id") * 10).alias("byte_size"),
+        F.array(
+            F.concat(F.lit("w1a."), sid), F.concat(F.lit("w1b."), sid)
+        ).alias("globalusage"),
+    )
+    s2 = d.select(
+        F.col("doc_id").alias("pageid"),
+        F.lit(2).alias("seq"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("File_"), sid, F.lit("_v2"))
+        ).alias("title"),
+        F.lit(None).cast("long").alias("byte_size"),
+        F.array().cast("array<string>").alias("globalusage"),
+    )
+    merged = merge_continue_batches(s0.unionAll(s1).unionAll(s2), "pageid")
+    return merged.select(
+        "pageid", "title", "byte_size", "globalusage",
+        F.size("globalusage").cast("long").alias("n_usage"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

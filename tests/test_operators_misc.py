@@ -144,3 +144,47 @@ def test_unit_code_diff(spark):
     new, outdated = unit_code_diff(cur, sav)
     assert {r["unit_code"] for r in new.collect()} == {"A"}
     assert {r["unit_code"] for r in outdated.collect()} == {"C"}
+
+
+# ---------------------------------------------------------------------------
+# Wikimedia continue-token accumulation (wikimedia_commons.py:110-222)
+# ---------------------------------------------------------------------------
+
+def test_merge_continue_batches_right_biased_and_ordered(spark):
+    from cccatalog_spark.operators.providers import merge_continue_batches
+
+    rows = [
+        # slices arrive SHUFFLED — seq order must still govern
+        (1, 2, None, ["u3"]),
+        (1, 0, "t0", ["u1"]),
+        (1, 1, "t1", ["u2a", "u2b"]),
+        (2, 1, None, []),
+        (2, 0, "only", ["x"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "pageid long, seq int, title string, globalusage array<string>"
+    ).repartition(8)
+    out = {
+        r["pageid"]: r
+        for r in merge_continue_batches(df, "pageid").collect()
+    }
+    # last PRESENT title wins (seq2's None does not clobber seq1's)
+    assert out[1]["title"] == "t1"
+    # usage concatenates in seq order regardless of arrival order
+    assert out[1]["globalusage"] == ["u1", "u2a", "u2b", "u3"]
+    assert out[2]["title"] == "only"
+    assert out[2]["globalusage"] == ["x"]
+
+
+def test_merge_continue_batches_single_shuffle(spark):
+    from cccatalog_spark.operators.providers import merge_continue_batches
+
+    df = spark.createDataFrame(
+        [(1, 0, "a", ["u"])],
+        "pageid long, seq int, title string, globalusage array<string>",
+    )
+    plan = (
+        merge_continue_batches(df, "pageid")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1
