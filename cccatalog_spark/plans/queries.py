@@ -2922,6 +2922,62 @@ def q67_wikimedia_continue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q68 — S8 paginated REST source, engine half (flickr.py:77-188 /
+# europeana cursor / smithsonian hash-prefix loops): request slices fan
+# out across executors, each task walks its slice's page chain via the
+# injected fetcher (deterministic fake here — the network callable is
+# the documented ingestion boundary). Oracle regenerates the same
+# slice×page×item lattice in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q68_rest_ingest",
+    oracle="""
+    WITH s AS (SELECT DISTINCT doc_id % 16 AS slice FROM documents),
+    p AS (SELECT unnest(range(0, 3)) AS page),
+    i AS (
+        SELECT page,
+               unnest(range(0, CASE WHEN page < 2 THEN 10 ELSE 5 END)) AS idx
+        FROM p)
+    SELECT s.slice, i.page,
+           s.slice * 100 + i.page * 10 + i.idx AS item_id,
+           'item_' || CAST(s.slice * 100 + i.page * 10 + i.idx AS VARCHAR)
+               AS title
+    FROM s CROSS JOIN i
+    """,
+)
+def q68_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.sources.rest import paginated_api_frame
+
+    slices = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 16).alias("slice"))
+        .distinct()
+    )
+
+    def fetch_page(params, token):
+        s = params["slice"]
+        page = 0 if token is None else token
+        n = 10 if page < 2 else 5
+        items = [
+            {
+                "page": page,
+                "item_id": s * 100 + page * 10 + i,
+                "title": f"item_{s * 100 + page * 10 + i}",
+            }
+            for i in range(n)
+        ]
+        return items, (page + 1 if page < 2 else None)
+
+    return paginated_api_frame(
+        slices,
+        fetch_page,
+        "slice long, page long, item_id long, title string",
+        max_pages_per_slice=10,
+        num_tasks=16,
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
