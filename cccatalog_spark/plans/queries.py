@@ -2978,6 +2978,74 @@ def q68_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q69 — S11 JDBC upsert sink roundtrip (util/loader/sql.py:97-271):
+# two order batches MERGE through the Derby in-memory database (staging
+# table + RENAME swap), result read back over partitioned JDBC input.
+# Same newest-non-null semantics as the parquet loader, so the oracle
+# is the q45-family full-outer coalesce.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_jdbc_upsert_roundtrip",
+    oracle="""
+    WITH b1 AS (
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders WHERE o_orderkey % 2 = 0),
+    b2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 4 = 0 THEN NULL
+                    ELSE o_orderstatus END AS o_orderstatus,
+               o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_orderdate
+        FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT coalesce(b2.o_orderkey, b1.o_orderkey)         AS o_orderkey,
+           coalesce(b2.o_orderstatus, b1.o_orderstatus)   AS o_orderstatus,
+           round(coalesce(b2.o_totalprice, b1.o_totalprice), 2)
+               AS o_totalprice,
+           coalesce(b2.o_orderdate, b1.o_orderdate)       AS o_orderdate
+    FROM b1 FULL OUTER JOIN b2 ON b1.o_orderkey = b2.o_orderkey
+    """,
+)
+def q69_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from cccatalog_spark.sources.jdbc import JdbcUpsertTable
+
+    schema = _parse_datatype_string(
+        "o_orderkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate date"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    k = F.col("o_orderkey")
+    b1 = o.where(k % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000.0
+    )
+    b2 = o.where(k % 3 == 0).withColumn(
+        "o_orderstatus",
+        F.when(k % 4 == 0, F.lit(None)).otherwise(F.col("o_orderstatus")),
+    )
+    table = JdbcUpsertTable(
+        spark,
+        f"jdbc:derby:memory:q69_{uuid.uuid4().hex[:12]};create=true",
+        "orders_tgt",
+        ["o_orderkey"],
+        schema,
+        partition_column="o_orderkey",
+    )
+    table.merge_batch(b1, 0)
+    table.merge_batch(b2, 1)
+    return table.read().withColumn(
+        "o_totalprice", F.round("o_totalprice", 2)
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
