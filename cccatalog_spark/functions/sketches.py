@@ -1,0 +1,70 @@
+"""Cardinality sketches (LLM-pipeline ops beyond the reference).
+
+KMV — k-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream"): hash every value into
+a uniform 60-bit space, keep the k smallest DISTINCT hashes per group;
+if fewer than k exist the count is exact, else estimate
+``(k-1) * 2^60 / h_k`` where ``h_k`` is the k-th smallest hash.
+
+Why KMV here instead of HyperLogLog: the estimate is a pure function
+of a deterministic hash (md5), so it is reproducible across engines —
+the DuckDB oracle recomputes the identical number, giving the sketch a
+hard correctness gate (Spark's native ``approx_count_distinct`` HLL++
+and DuckDB's HLL disagree by construction, so they can only be
+rows-only checked). Error is ~1/sqrt(k-2) relative.
+
+Scale shape: one exchange on the group key; the k-smallest selection
+is a window sort (spillable, no driver collect, no per-group
+collect_set of the full distinct set). At 100 TB you'd pre-aggregate
+``distinct(group, hash)`` map-side (the .distinct() below does —
+partial aggregation before the shuffle) so the sorted data per group
+is the distinct-hash set, not the raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 60)  # 15 hex digits
+
+
+def _hash60(c) -> "F.Column":
+    """Uniform 60-bit integer hash from md5 (engine-portable: the
+    oracle re-derives the same value from the same hex digits)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+    *,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col`` via a KMV
+    sketch. Returns ``group_cols + [n_hashes, out_col]`` where
+    ``out_col`` is a double: exact when the group has < k distinct
+    values, else the KMV estimate rounded to 2 decimals.
+    """
+    h = (
+        df.select(*group_cols, _hash60(F.col(value_col)).alias("_h"))
+        .distinct()  # partial agg map-side, then one exchange
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    topk = h.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= k
+    )
+    agg = topk.groupBy(*group_cols).agg(
+        F.count("*").alias("n_hashes"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_hk"),
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+    ).otherwise(
+        F.round(F.lit((k - 1) * _HASH_SPACE) / F.col("_hk"), 2)
+    )
+    return agg.withColumn(out_col, est).drop("_hk")

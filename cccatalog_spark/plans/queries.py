@@ -3046,6 +3046,53 @@ def q69_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q70 — KMV approximate distinct count (functions/sketches.py). The
+# sketch is md5-deterministic, so unlike HLL the oracle recomputes the
+# IDENTICAL estimate: same 60-bit hash (hex-digit fold), same k-th
+# minimum, same (k-1)*2^60/h_k formula — an approx-distinct operator
+# with a hard value gate, not a rows-only check.
+# ---------------------------------------------------------------------------
+_KMV_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substring(hx, {i + 1}, 1)) - 1) * "
+    f"{16 ** (15 - i - 1)}"
+    for i in range(15)
+)
+
+
+@query(
+    "q70_kmv_approx_distinct",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT l_returnflag,
+               md5(CAST(l_partkey AS VARCHAR)) AS hx
+        FROM lineitem),
+    hh AS (SELECT DISTINCT l_returnflag, {_KMV_FOLD} AS h FROM d),
+    r AS (
+        SELECT l_returnflag, h,
+               row_number() OVER (
+                   PARTITION BY l_returnflag ORDER BY h) AS rn
+        FROM hh)
+    SELECT l_returnflag,
+           count(*) AS n_hashes,
+           CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                ELSE round(
+                    CAST(255 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                    / max(CASE WHEN rn = 256 THEN h END), 2)
+           END AS approx_distinct
+    FROM r WHERE rn <= 256
+    GROUP BY l_returnflag
+    """,
+)
+def q70_kmv_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.sketches import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    )
+    return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=256)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

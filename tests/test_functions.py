@@ -235,3 +235,48 @@ def test_validate_urls_broadcasts_suffix_dim(spark):
     )
     plan = validate_urls(df, "u")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (functions/sketches.py)
+# ---------------------------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    from cccatalog_spark.functions.sketches import kmv_distinct
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 40).alias("v")
+    )
+    out = {r["g"]: r for r in kmv_distinct(df, ["g"], "v", k=256).collect()}
+    # 20 distinct v per group < k → exact
+    assert out[0]["approx_distinct"] == 20.0
+    assert out[1]["approx_distinct"] == 20.0
+    assert out[0]["n_hashes"] == 20
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    from cccatalog_spark.functions.sketches import kmv_distinct
+
+    n = 20000
+    df = spark.range(n).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    row = kmv_distinct(df, ["g"], "v", k=256).collect()[0]
+    rel_err = abs(row["approx_distinct"] - n) / n
+    # KMV std error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert rel_err < 0.25, rel_err
+    assert row["n_hashes"] == 256
+
+
+def test_kmv_no_full_collect_set_in_plan(spark):
+    from cccatalog_spark.functions.sketches import kmv_distinct
+
+    df = spark.range(1000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    plan = (
+        kmv_distinct(df, ["g"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the k-smallest selection is a window sort, never a collect_set
+    # of the whole distinct set into one aggregation buffer
+    assert "collect_set" not in plan
+    assert "Window" in plan
