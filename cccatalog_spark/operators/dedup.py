@@ -346,3 +346,70 @@ def dedup_simhash(
     return cand.withColumn(
         "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     ).where(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Dedup clustering: group near-dup PAIRS into connected
+    components so a pipeline can keep one canonical document per
+    cluster (the step after any pair generator — LSH, SimHash,
+    blocked levenshtein). Returns ``(node_col, cluster_id)`` where
+    ``cluster_id`` is the component's minimum node id; singletons
+    label themselves.
+
+    Pregel-style min-label propagation: each iteration every node
+    takes ``min(own label, neighbours' labels)`` — one shuffle join +
+    one aggregation per round, converging in O(component diameter)
+    rounds. Convergence is detected by the (strictly decreasing) sum
+    of labels — a single scalar aggregate per round, no driver-side
+    diff of the label table. Iterates persisted-to-persisted so each
+    round recomputes from the previous cache, not the lineage root.
+
+    At 100 TB: near-dup components are overwhelmingly tiny (pairs →
+    triangles → short chains), so diameter — and the round count —
+    stays single-digit; for adversarially long chains the
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") halves diameter per round
+    and drops in behind the same signature.
+    """
+    und = edges.select(
+        F.col(src_col).alias("n"), F.col(dst_col).alias("nbr")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("nbr"))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
+    ).persist()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr_min = (
+            und.join(labels, und["nbr"] == labels["n"])
+            .groupBy(und["n"].alias("n"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels only decrease ⇒ fixpoint
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("n").alias(node_col), F.col("lbl").alias("cluster_id")
+    )

@@ -3093,6 +3093,69 @@ def q70_kmv_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(li, ["l_returnflag"], "l_partkey", k=256)
 
 
+# ---------------------------------------------------------------------------
+# q71 — dedup clustering: the q56 blocked-levenshtein pair graph
+# grouped into connected components (operators/dedup.
+# connected_components, min-label propagation), labeling every
+# document with its cluster's minimum doc_id — the "keep one canonical
+# doc per near-dup cluster" pipeline step. Oracle: WITH RECURSIVE
+# transitive closure + min per node.
+# ---------------------------------------------------------------------------
+@query(
+    "q71_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, substring(text, 1, 30) AS s30,
+               substring(text, 1, 4) AS blk
+        FROM documents),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.s30, b.s30) <= 5),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM s
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN e ON e.src = reach.node)
+    SELECT node AS doc_id, min(r) AS cluster_id,
+           CAST(node = min(r) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def q71_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("s30"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.s30"), F.col("b.s30")) <= 5)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    clusters = connected_components(
+        s.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return clusters.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -72,3 +72,37 @@ def test_simhash_near_dup_within_banding_bound(spark):
     rows = dedup_simhash(df, "text", "doc_id", max_hamming=16).collect()
     if rows:  # near-dup signatures are close; if ≤16 it must be found
         assert rows[0]["hamming"] <= 16
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_singleton(spark):
+    from cccatalog_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    # chain 1-2-3-4 (diameter 3 → needs >1 propagation round),
+    # pair 5-6, singleton 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_label_flows_against_edge_direction(spark):
+    from cccatalog_spark.operators.dedup import connected_components
+
+    # min id is at the DST end: propagation must treat edges as
+    # undirected
+    nodes = spark.createDataFrame([(i,) for i in (10, 20, 1)], "node long")
+    edges = spark.createDataFrame([(10, 20), (20, 1)], "src long, dst long")
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert out == {10: 1, 20: 1, 1: 1}
