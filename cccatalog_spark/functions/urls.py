@@ -219,3 +219,52 @@ def validate_urls(
     return matched.withColumn(
         out_col, F.when(ok, F.col("_upgraded"))
     ).drop("_upgraded", "_host", "_sfx_len")
+
+
+# ---------------------------------------------------------------------------
+# F7/F8 engine halves — TLS-support policy and redirect rewrite
+# (common/urls.py:98-123 _add_best_scheme/_test_domain_for_tls_support;
+# urls.py:56-77 rewrite_redirected_url). The network probes run
+# ingestion-side and produce small result TABLES (domain→tls_supported,
+# url→final_url — the reference memoizes exactly these mappings in
+# lru_caches); the engine applies them as broadcast joins, which is the
+# distributed form of that cache.
+# ---------------------------------------------------------------------------
+
+def apply_tls_policy(df, url_col: str, tls_probes, out_col: str = "best_url"):
+    """_add_best_scheme with the probe table injected: a url whose
+    host probed tls_supported=true upgrades to https, a host that
+    probed false downgrades to http, an unprobed host keeps the
+    deterministic default (https). One broadcast hash join on the
+    (bounded, per-provider) probe dimension."""
+    up = upgrade_url_scheme(F.col(url_col))
+    host = url_host(up)
+    dim = tls_probes.select(
+        F.col("domain").alias("_dom"), F.col("tls_supported").alias("_tls")
+    )
+    joined = df.withColumn("_up", up).withColumn("_host", host).join(
+        F.broadcast(dim), F.col("_host") == F.col("_dom"), "left"
+    )
+    best = (
+        F.when(F.col("_tls") == False,  # noqa: E712 (Column op)
+               add_url_scheme_col(F.col("_up"), "http"))
+        .otherwise(add_url_scheme_col(F.col("_up"), "https"))
+    )
+    return joined.withColumn(out_col, best).drop(
+        "_up", "_host", "_dom", "_tls"
+    )
+
+
+def rewrite_redirects(df, url_col: str, redirects, out_col: str = "final_url"):
+    """rewrite_redirected_url (urls.py:56-77) with the redirect map
+    injected: urls found in the (url→final_url) table rewrite to their
+    resolved target, everything else passes through unchanged.
+    Broadcast left join — the distributed lru_cache."""
+    dim = redirects.select(
+        F.col("url").alias("_src"), F.col("final_url").alias("_dst")
+    )
+    return (
+        df.join(F.broadcast(dim), F.col(url_col) == F.col("_src"), "left")
+        .withColumn(out_col, F.coalesce(F.col("_dst"), F.col(url_col)))
+        .drop("_src", "_dst")
+    )

@@ -3156,6 +3156,75 @@ def q71_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q72 — F7/F8 engine halves (common/urls.py:56-123): the TLS probe and
+# redirect resolver run ingestion-side and emit TABLES
+# (domain→tls_supported, url→final_url); the engine applies both as
+# broadcast joins — probed-false hosts downgrade to http, probed-true /
+# unprobed keep https, then redirect-mapped urls rewrite to their
+# resolved target. The oracle performs the same two joins.
+# ---------------------------------------------------------------------------
+@query(
+    "q72_tls_redirect_policy",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'd' || CAST(doc_id % 10 AS VARCHAR) || '.example.com/img/'
+                   || CAST(doc_id AS VARCHAR) AS u
+        FROM documents),
+    probes AS (
+        SELECT 'd' || CAST(i AS VARCHAR) || '.example.com' AS domain,
+               (i % 2 = 0) AS tls_supported
+        FROM (SELECT unnest(range(0, 6)) AS i)),
+    redir AS (
+        SELECT 'https://d2.example.com/img/' || CAST(doc_id AS VARCHAR) AS src,
+               'https://cdn.example.com/v2/' || CAST(doc_id AS VARCHAR) AS dst
+        FROM documents WHERE doc_id % 10 = 2),
+    best AS (
+        SELECT urls.doc_id,
+               CASE WHEN probes.tls_supported = false
+                    THEN 'http://' || urls.u
+                    ELSE 'https://' || urls.u END AS best_url
+        FROM urls
+        LEFT JOIN probes
+          ON 'd' || CAST(urls.doc_id % 10 AS VARCHAR) || '.example.com'
+             = probes.domain)
+    SELECT best.doc_id, best.best_url,
+           coalesce(redir.dst, best.best_url) AS final_url
+    FROM best LEFT JOIN redir ON best.best_url = redir.src
+    """,
+)
+def q72_tls_redirect_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.urls import (
+        apply_tls_policy,
+        rewrite_redirects,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    urls = d.withColumn(
+        "u",
+        F.concat(
+            F.lit("d"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".example.com/img/"), sid,
+        ),
+    )
+    probes = spark.createDataFrame(
+        [(f"d{i}.example.com", i % 2 == 0) for i in range(6)],
+        "domain string, tls_supported boolean",
+    )
+    redirects = d.where(F.col("doc_id") % 10 == 2).select(
+        F.concat(F.lit("https://d2.example.com/img/"), sid).alias("url"),
+        F.concat(F.lit("https://cdn.example.com/v2/"), sid).alias(
+            "final_url"
+        ),
+    )
+    with_best = apply_tls_policy(urls, "u", probes)
+    return rewrite_redirects(with_best, "best_url", redirects).select(
+        "doc_id", "best_url", "final_url"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

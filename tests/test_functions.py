@@ -280,3 +280,40 @@ def test_kmv_no_full_collect_set_in_plan(spark):
     # of the whole distinct set into one aggregation buffer
     assert "collect_set" not in plan
     assert "Window" in plan
+
+
+def test_apply_tls_policy_table_driven(spark):
+    from cccatalog_spark.functions.urls import apply_tls_policy
+
+    df = spark.createDataFrame(
+        [("http://yes.example.com/a",),  # probed true → upgrade
+         ("https://no.example.com/b",),  # probed false → downgrade
+         ("unknown.example.com/c",)],    # unprobed → https default
+        "u string",
+    )
+    probes = spark.createDataFrame(
+        [("yes.example.com", True), ("no.example.com", False)],
+        "domain string, tls_supported boolean",
+    )
+    got = {r["u"]: r["best_url"]
+           for r in apply_tls_policy(df, "u", probes).collect()}
+    assert got == {
+        "http://yes.example.com/a": "https://yes.example.com/a",
+        "https://no.example.com/b": "http://no.example.com/b",
+        "unknown.example.com/c": "https://unknown.example.com/c",
+    }
+
+
+def test_rewrite_redirects_passthrough_and_hit(spark):
+    from cccatalog_spark.functions.urls import rewrite_redirects
+
+    df = spark.createDataFrame(
+        [("https://a/1",), ("https://a/2",)], "u string"
+    )
+    redirects = spark.createDataFrame(
+        [("https://a/1", "https://final/1")], "url string, final_url string"
+    )
+    got = {r["u"]: r["final_url"]
+           for r in rewrite_redirects(df, "u", redirects).collect()}
+    assert got == {"https://a/1": "https://final/1",
+                   "https://a/2": "https://a/2"}
