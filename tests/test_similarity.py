@@ -152,3 +152,44 @@ def test_q28_plan_is_banded_not_allpairs(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_vectorized_signatures_match_expression_path(spark, sf_dir):
+    """The numpy GEMV signature path and the Catalyst expression path
+    produce identical (id, band, bucket) rows — so switching the
+    default changes cost, never candidates."""
+    from cccatalog_spark.operators.similarity import (
+        _hyperplanes,
+        _norm,
+        lsh_bucket,
+        lsh_signatures_vectorized,
+    )
+    from cccatalog_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        _norm(F.col("embedding")).alias("_n"),
+    )
+    bands, band_bits = 4, 8
+    planes = _hyperplanes(64, bands * band_bits, 42)
+    vec = {
+        (r["_id"], r["band"]): r["bucket"]
+        for r in lsh_signatures_vectorized(
+            base, planes, bands, band_bits
+        ).collect()
+    }
+    expr_rows = base.select(
+        "_id",
+        *[
+            lsh_bucket(
+                F.col("_v"), planes[b * band_bits : (b + 1) * band_bits]
+            ).cast("long").alias(f"b{b}")
+            for b in range(bands)
+        ],
+    ).collect()
+    exp = {
+        (r["_id"], b): r[f"b{b}"] for r in expr_rows for b in range(bands)
+    }
+    assert vec == exp
