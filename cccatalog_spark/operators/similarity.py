@@ -290,11 +290,21 @@ def ivf_assign(
     pure whole-stage-codegen'd expression work: no join, no shuffle.
     At scale, write the output partitioned by ``_ivf_list`` so probes
     become partition pruning."""
+    # argmax_c cosine(v, c) = argmax_c dot(v, c)/||c||: the row norm
+    # is a constant positive factor across candidates, so it never
+    # changes the argmax — drop it, and fold 1/||c|| into the centroid
+    # literals driver-side. One dot per centroid per row, nothing else.
     cand = F.array(
         *[
             F.struct(
-                cosine(
-                    F.col(vec_col), F.array(*[F.lit(x) for x in vec])
+                _dot(
+                    F.col(vec_col),
+                    F.array(
+                        *[
+                            F.lit(x / (math.sqrt(sum(y * y for y in vec)) or 1.0))
+                            for x in vec
+                        ]
+                    ),
                 ).alias("sim"),
                 F.lit(lid).alias("lid"),
             )
