@@ -2988,18 +2988,22 @@ def q68_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q69_jdbc_upsert_roundtrip",
     oracle="""
-    WITH b1 AS (
+    WITH base AS (
+        -- mechanism gate, not a throughput bench: a 1-in-5 key slice
+        -- keeps the DB insert volume bounded at larger sf
+        SELECT * FROM orders WHERE o_orderkey % 5 = 0),
+    b1 AS (
         SELECT o_orderkey, o_orderstatus,
                o_totalprice + 1000.0 AS o_totalprice,
                CAST(o_orderdate AS DATE) AS o_orderdate
-        FROM orders WHERE o_orderkey % 2 = 0),
+        FROM base WHERE o_orderkey % 2 = 0),
     b2 AS (
         SELECT o_orderkey,
                CASE WHEN o_orderkey % 4 = 0 THEN NULL
                     ELSE o_orderstatus END AS o_orderstatus,
                o_totalprice,
                CAST(o_orderdate AS DATE) AS o_orderdate
-        FROM orders WHERE o_orderkey % 3 = 0)
+        FROM base WHERE o_orderkey % 3 = 0)
     SELECT coalesce(b2.o_orderkey, b1.o_orderkey)         AS o_orderkey,
            coalesce(b2.o_orderstatus, b1.o_orderstatus)   AS o_orderstatus,
            round(coalesce(b2.o_totalprice, b1.o_totalprice), 2)
@@ -3022,7 +3026,7 @@ def q69_jdbc_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice",
         F.col("o_orderdate").cast("date").alias("o_orderdate"),
-    )
+    ).where(F.col("o_orderkey") % 5 == 0)
     k = F.col("o_orderkey")
     b1 = o.where(k % 2 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") + 1000.0
