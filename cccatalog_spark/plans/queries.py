@@ -3229,6 +3229,53 @@ def q72_tls_redirect_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q73 — F22/F23 HTML text+metadata extraction (the reference's ~15
+# lxml/BS4 scraper scripts, extraction half): stdlib-html.parser pages
+# through an Arrow-batched UDF — script subtrees stripped, entities
+# decoded, title/links/og-meta lifted. Pages are synthesized from
+# documents so the oracle can state the expected fields directly; the
+# Spark side genuinely parses.
+# ---------------------------------------------------------------------------
+@query(
+    "q73_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+           'lead &x' AS first_line,
+           2 AS n_links,
+           'https://img.example/i/' || CAST(doc_id AS VARCHAR) || '.jpg'
+               AS og_image
+    FROM documents
+    """,
+)
+def q73_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.html import extract_page_col
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title> Doc  "), sid,
+        F.lit(" </title><meta property=\"og:image\" content=\""),
+        F.lit("https://img.example/i/"), sid, F.lit(".jpg\">"),
+        F.lit("<script>var x = '<p>not text</p>';</script></head>"),
+        F.lit("<body><p>  lead   &amp;x</p><a href=\"/a/"), sid,
+        F.lit("\">one</a><div>body of "), sid,
+        F.lit("</div><a href=\"https://b/"), sid, F.lit("\">two</a>"),
+        F.lit("<style>p{color:red}</style></body></html>"),
+    )
+    page = d.withColumn("_pg", extract_page_col(html))
+    return page.select(
+        "doc_id",
+        F.col("_pg.title").alias("title"),
+        F.split_part(F.col("_pg.text"), F.lit("\n"), F.lit(1)).alias(
+            "first_line"
+        ),
+        F.size("_pg.links").alias("n_links"),
+        F.col("_pg.meta")["og:image"].alias("og_image"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
