@@ -42,6 +42,7 @@ class _Extractor(HTMLParser):
         self.chunks: list[str] = []
         self.title_chunks: list[str] = []
         self.links: list[str] = []
+        self.images: list[str] = []
         self.meta: dict[str, str] = {}
         self._skip_depth = 0
         self._in_title = False
@@ -56,6 +57,10 @@ class _Extractor(HTMLParser):
             href = dict(attrs).get("href")
             if href:
                 self.links.append(href)
+        elif tag == "img":
+            src = dict(attrs).get("src")
+            if src:
+                self.images.append(src)
         elif tag == "meta":
             a = dict(attrs)
             key = a.get("property") or a.get("name")
@@ -82,7 +87,7 @@ class _Extractor(HTMLParser):
 
 
 def extract_page(html: str | None) -> dict | None:
-    """One page → {title, text, links, meta}. Whitespace in the
+    """One page → {title, text, links, images, meta}. Whitespace in the
     visible text collapses per line, blank lines drop — the
     normalization every HTML→text corpus step performs."""
     if html is None:
@@ -100,13 +105,14 @@ def extract_page(html: str | None) -> dict | None:
         "title": " ".join("".join(p.title_chunks).split()) or None,
         "text": text,
         "links": p.links,
+        "images": p.images,
         "meta": p.meta,
     }
 
 
 PAGE_SCHEMA = (
     "title string, text string, links array<string>, "
-    "meta map<string,string>"
+    "images array<string>, meta map<string,string>"
 )
 
 
@@ -119,7 +125,8 @@ def extract_page_col(html_col: Column) -> Column:
     def _udf(s: pd.Series) -> pd.DataFrame:
         rows = [
             extract_page(h) or {"title": None, "text": None,
-                                "links": None, "meta": None}
+                                "links": None, "images": None,
+                                "meta": None}
             for h in s
         ]
         return pd.DataFrame(rows)

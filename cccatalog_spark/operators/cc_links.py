@@ -74,6 +74,7 @@ def extract_cc_links(
     pages: DataFrame,
     url_col: str = "url",
     links_col: str = "links",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One output row per creativecommons.org link per page — the
     explode/filter core of the job (P1/P2 over the links array), with
@@ -89,6 +90,7 @@ def extract_cc_links(
         "html_metadata", page_html_metadata(F.col(links_col), page_domain)
     ).withColumn("provider_domain", page_domain)
     exploded = with_meta.select(
+        *keep_cols,
         "provider_domain",
         F.col(url_col).alias("page_url"),
         "html_metadata",
@@ -98,6 +100,7 @@ def extract_cc_links(
         F.col("link.url").isNotNull()
         & F.col("link.url").contains(CC_DOMAIN)
     ).select(
+        *keep_cols,
         "provider_domain",
         "page_url",
         F.col("link.url").alias("cc_url"),

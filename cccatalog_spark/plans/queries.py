@@ -3276,6 +3276,89 @@ def q73_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q74 — the full WAT-scan pipeline, engine side end-to-end
+# (ExtractCCLinks.py:98-195 + the scraper parse): raw page HTML →
+# html.parser extraction (anchors as A@/href, imgs as IMG@/src, the
+# WAT path vocabulary) → CC-link explode/filter with per-page image
+# stats. Pages are synthesized with known structure so the oracle can
+# state the expected CC rows directly; the HTML parse is real.
+# ---------------------------------------------------------------------------
+@query(
+    "q74_wat_pipeline",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+                   AS provider_domain,
+               'https://site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org/page/' || CAST(doc_id AS VARCHAR)
+                   AS page_url
+        FROM documents)
+    SELECT doc_id, provider_domain, page_url,
+           'https://creativecommons.org/licenses/by/4.0/' AS cc_url,
+           2 AS images
+    FROM base
+    UNION ALL
+    SELECT doc_id, provider_domain, page_url,
+           'https://creativecommons.org/licenses/by-nc/2.0/' AS cc_url,
+           2 AS images
+    FROM base WHERE doc_id % 5 = 0
+    """,
+)
+def q74_wat_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.html import extract_page_col
+    from cccatalog_spark.operators.cc_links import extract_cc_links
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    page_url = F.concat(
+        F.lit("https://site"), m7, F.lit(".example.org/page/"), sid
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://creativecommons.org/licenses/by/4.0/">CC</a>'),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<a href="https://creativecommons.org/licenses/by-nc/2.0/">NC</a>'),
+        ).otherwise(F.lit("")),
+        F.lit('<a href="https://ext'), (F.col("doc_id") % 3).cast("string"),
+        F.lit('.example.net/x">off</a><a href="/local">rel</a>'),
+        F.lit('<img src="i'), sid, F.lit('.jpg"><img src="i'), sid,
+        F.lit('.jpg"><img src="i'), sid, F.lit('b.jpg">'),
+        F.lit("</body></html>"),
+    )
+    parsed = d.withColumn("url", page_url).withColumn(
+        "_pg", extract_page_col(html)
+    )
+    # WAT path vocabulary: anchors A@/href, images IMG@/src
+    links = F.concat(
+        F.transform(
+            F.col("_pg.links"),
+            lambda u: F.struct(u.alias("url"), F.lit("A@/href").alias("path")),
+        ),
+        F.transform(
+            F.col("_pg.images"),
+            lambda u: F.struct(u.alias("url"), F.lit("IMG@/src").alias("path")),
+        ),
+    )
+    pages = parsed.withColumn("links", links).select(
+        "doc_id", "url", "links"
+    )
+    cc = extract_cc_links(
+        pages.select("url", "links", "doc_id"), keep_cols=("doc_id",)
+    )
+    return cc.select(
+        "doc_id",
+        "provider_domain",
+        "page_url",
+        "cc_url",
+        F.get_json_object("html_metadata", "$.Images").cast("int").alias(
+            "images"
+        ),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
