@@ -161,3 +161,75 @@ def fingerprint(text: Column) -> Column:
     return F.coalesce(
         F.array_min(F.transform(sh, lambda s: F.md5(s))), F.md5(norm)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# Appendix A1.1 — the public filter set most LLM corpus pipelines
+# reuse). Pure column algebra: one narrow pass, no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+
+def gopher_signals(text: Column) -> Column:
+    """struct of the Gopher quality signals for one document:
+
+    - n_words, mean_word_len (whitespace words)
+    - symbol_ratio: '#' and '...' occurrences per word
+    - bullet_frac / ellipsis_frac: lines starting with a bullet /
+      ending with an ellipsis
+    - dup_line_frac: 1 - distinct/total lines (repetition signal)
+    - alpha_word_frac: words containing ≥1 alphabetic char
+    - stopword_hits: words from the stopword set (lowercased)
+
+    Ratios round to 6 decimals so results are engine-portable.
+    """
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    sum_len = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.split(text, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullets = F.filter(
+        lines, lambda ln: F.ltrim(ln).rlike(r"^[-*•]")
+    )
+    ellipses = F.filter(lines, lambda ln: ln.endswith("..."))
+    alpha = F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    stops = F.filter(
+        words, lambda w: F.lower(w).isin(*STOPWORDS)
+    )
+    return F.struct(
+        n_words.alias("n_words"),
+        F.round(sum_len / nw, 6).alias("mean_word_len"),
+        F.round((n_hash + n_ell) / nw, 6).alias("symbol_ratio"),
+        F.round(F.size(bullets) / n_lines, 6).alias("bullet_frac"),
+        F.round(F.size(ellipses) / n_lines, 6).alias("ellipsis_frac"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines, 6
+        ).alias("dup_line_frac"),
+        F.round(F.size(alpha) / nw, 6).alias("alpha_word_frac"),
+        F.size(stops).alias("stopword_hits"),
+    )
+
+
+def gopher_keep(sig: Column) -> Column:
+    """The Gopher keep decision (A1.1 thresholds, doc-length bounds
+    relaxed to this corpus's scale): a document survives iff every
+    rule passes."""
+    return (
+        (sig["n_words"] >= 5)
+        & (sig["n_words"] <= 100000)
+        & (sig["mean_word_len"] >= 2)
+        & (sig["mean_word_len"] <= 12)
+        & (sig["symbol_ratio"] < 0.1)
+        & (sig["bullet_frac"] <= 0.9)
+        & (sig["ellipsis_frac"] <= 0.3)
+        & (sig["dup_line_frac"] < 0.3)
+        & (sig["alpha_word_frac"] > 0.8)
+        & (sig["stopword_hits"] >= 1)
+    )

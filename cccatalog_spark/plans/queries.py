@@ -3359,6 +3359,91 @@ def q74_wat_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q75 — Gopher-style quality filtering (Rae et al. 2021, A1.1): the
+# repetition/symbol/bullet/stopword rule set most LLM corpus pipelines
+# apply. Bodies are documents.text dressed with per-family defects
+# (duplicated lines, bullet walls, symbol spam) so every rule fires
+# somewhere; the oracle recomputes every signal with DuckDB list
+# algebra.
+# ---------------------------------------------------------------------------
+@query(
+    "q75_gopher_quality",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+            CASE doc_id % 4
+                WHEN 0 THEN text
+                WHEN 1 THEN text || chr(10) || text || chr(10) || text
+                WHEN 2 THEN '- one' || chr(10) || '- two' || chr(10) || text
+                ELSE text || ' ##### ... ... #####'
+            END AS body
+        FROM documents),
+    w AS (
+        SELECT doc_id, body,
+            list_filter(string_split_regex(body, '\\s+'),
+                        x -> x <> '') AS words,
+            string_split(body, chr(10)) AS lines
+        FROM b),
+    sig AS (
+        SELECT doc_id,
+            len(words) AS n_words,
+            round(CAST(coalesce(list_sum(list_transform(words,
+                      x -> len(x))), 0) AS DOUBLE)
+                  / greatest(len(words), 1), 6) AS mean_word_len,
+            round((CAST(len(body) - len(replace(body, '#', '')) AS DOUBLE)
+                   + CAST(len(body) - len(replace(body, '...', ''))
+                          AS DOUBLE) / 3)
+                  / greatest(len(words), 1), 6) AS symbol_ratio,
+            round(CAST(len(list_filter(lines,
+                      ln -> regexp_matches(ltrim(ln), '^[-*•]')))
+                  AS DOUBLE) / greatest(len(lines), 1), 6) AS bullet_frac,
+            round(CAST(len(list_filter(lines, ln -> ln LIKE '%...'))
+                  AS DOUBLE) / greatest(len(lines), 1), 6)
+                AS ellipsis_frac,
+            round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                  / greatest(len(lines), 1), 6) AS dup_line_frac,
+            round(CAST(len(list_filter(words,
+                      x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                  / greatest(len(words), 1), 6) AS alpha_word_frac,
+            len(list_filter(words, x -> lower(x) IN
+                ('the','a','an','and','or','of','to','in','is')))
+                AS stopword_hits
+        FROM w)
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+           ellipsis_frac, dup_line_frac, alpha_word_frac, stopword_hits,
+           (n_words >= 5 AND n_words <= 100000
+            AND mean_word_len >= 2 AND mean_word_len <= 12
+            AND symbol_ratio < CAST(0.1 AS DOUBLE)
+            AND bullet_frac <= CAST(0.9 AS DOUBLE)
+            AND ellipsis_frac <= CAST(0.3 AS DOUBLE)
+            AND dup_line_frac < CAST(0.3 AS DOUBLE)
+            AND alpha_word_frac > CAST(0.8 AS DOUBLE)
+            AND stopword_hits >= 1) AS keep
+    FROM sig
+    """,
+)
+def q75_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import gopher_keep, gopher_signals
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 4
+    body = (
+        F.when(m == 0, F.col("text"))
+        .when(
+            m == 1,
+            F.concat_ws("\n", F.col("text"), F.col("text"), F.col("text")),
+        )
+        .when(m == 2, F.concat_ws("\n", F.lit("- one"), F.lit("- two"), F.col("text")))
+        .otherwise(F.concat(F.col("text"), F.lit(" ##### ... ... #####")))
+    )
+    sig = gopher_signals(body)
+    out = d.select("doc_id", sig.alias("_s")).withColumn(
+        "keep", gopher_keep(F.col("_s"))
+    )
+    return out.select("doc_id", "_s.*", "keep")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

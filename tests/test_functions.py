@@ -317,3 +317,31 @@ def test_rewrite_redirects_passthrough_and_hit(spark):
            for r in rewrite_redirects(df, "u", redirects).collect()}
     assert got == {"https://a/1": "https://final/1",
                    "https://a/2": "https://a/2"}
+
+
+def test_gopher_rules_fire_per_defect(spark):
+    from cccatalog_spark.functions.text import gopher_keep, gopher_signals
+
+    rows = [
+        ("clean", "the quick brown fox jumps over the lazy dog and runs"),
+        ("dup_lines", "same line here\nsame line here\nsame line here"),
+        ("symbols", "the ##### text ##### is ##### spam ##### now #####"),
+        ("bullets", "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),
+        ("too_short", "tiny one"),
+        ("no_alpha", "1 2 3 4 5 the 7 8 9 10 11 12"),
+    ]
+    df = spark.createDataFrame(rows, "name string, body string")
+    sig = gopher_signals(F.col("body"))
+    out = {
+        r["name"]: r
+        for r in df.select("name", sig.alias("s"))
+        .withColumn("keep", gopher_keep(F.col("s")))
+        .collect()
+    }
+    assert out["clean"]["keep"] is True
+    assert out["dup_lines"]["keep"] is False      # dup_line_frac 2/3
+    assert out["symbols"]["keep"] is False        # symbol_ratio >= .1
+    assert out["bullets"]["keep"] is False        # bullet wall, no stopword
+    assert out["too_short"]["keep"] is False      # n_words < 5
+    assert out["no_alpha"]["keep"] is False       # alpha_word_frac ≤ .8
+    assert out["clean"]["s"]["stopword_hits"] >= 2
