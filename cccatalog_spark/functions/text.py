@@ -233,3 +233,46 @@ def gopher_keep(sig: Column) -> Column:
         & (sig["alpha_word_frac"] > 0.8)
         & (sig["stopword_hits"] >= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrub step): emails, phone numbers, and
+# IP literals replaced with typed tokens. Patterns stay in the
+# Java/RE2 common subset so the same regex runs engine-side and in the
+# DuckDB oracle. Pure regexp_replace chain — narrow, codegen'd, no UDF.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = (
+    r"\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+PII_PHONE_RE = r"\+?[0-9]{1,3}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def pii_counts(text: Column) -> Column:
+    """struct(n_email, n_ip, n_phone) found in the document. IPs are
+    counted before phones on the ORIGINAL text, phones on the
+    ip-redacted text — same sequencing as redaction, so counts always
+    agree with what pii_redact removed."""
+    no_email = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    no_ip = F.regexp_replace(no_email, PII_IP_RE, "<IP>")
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(no_email, F.lit(PII_IP_RE), 0)).alias(
+            "n_ip"
+        ),
+        F.size(F.regexp_extract_all(no_ip, F.lit(PII_PHONE_RE), 0)).alias(
+            "n_phone"
+        ),
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Email → IP → phone redaction chain (ordering matters: emails
+    can contain digit runs, IPs would otherwise match phone shapes)."""
+    step = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    step = F.regexp_replace(step, PII_IP_RE, "<IP>")
+    return F.regexp_replace(step, PII_PHONE_RE, "<PHONE>")

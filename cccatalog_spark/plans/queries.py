@@ -3444,6 +3444,88 @@ def q75_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "_s.*", "keep")
 
 
+# ---------------------------------------------------------------------------
+# q76 — PII redaction scrub: emails / IP literals / phone shapes
+# replaced with typed tokens, with per-doc counts. PII is injected
+# into documents.text deterministically so every pattern (and the
+# email-before-ip-before-phone sequencing) is exercised; the oracle
+# runs the identical RE2-subset regexes in DuckDB ('g' flag).
+# ---------------------------------------------------------------------------
+@query(
+    "q76_pii_redact",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id,
+            'Contact u' || CAST(doc_id AS VARCHAR)
+            || '@mail.example.com or ' ||
+            CASE WHEN doc_id % 2 = 0
+                 THEN 'host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 '
+                 ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN 'call +1 (555) 010-' ||
+                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' '
+                 ELSE '' END
+            || text AS body
+        FROM documents),
+    e AS (
+        SELECT doc_id, body,
+            regexp_replace(body,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g') AS no_email
+        FROM b),
+    i AS (
+        SELECT doc_id, body, no_email,
+            regexp_replace(no_email,
+                '\\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b',
+                '<IP>', 'g') AS no_ip
+        FROM e)
+    SELECT doc_id,
+        len(regexp_extract_all(body,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(no_email,
+            '\\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\b'))
+            AS n_ip,
+        len(regexp_extract_all(no_ip,
+            '\\+?[0-9]{1,3}[-. ]\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}'))
+            AS n_phone,
+        regexp_replace(no_ip,
+            '\\+?[0-9]{1,3}[-. ]\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+            '<PHONE>', 'g') AS redacted
+    FROM i
+    """,
+)
+def q76_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import pii_counts, pii_redact
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("Contact u"), sid, F.lit("@mail.example.com or "),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("host 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 "),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("call +1 (555) 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" "),
+            ),
+        ).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    out = d.withColumn("_b", body)
+    return out.select(
+        "doc_id",
+        pii_counts(F.col("_b")).alias("_c"),
+        pii_redact(F.col("_b")).alias("redacted"),
+    ).select("doc_id", "_c.*", "redacted")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

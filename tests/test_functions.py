@@ -345,3 +345,25 @@ def test_gopher_rules_fire_per_defect(spark):
     assert out["too_short"]["keep"] is False      # n_words < 5
     assert out["no_alpha"]["keep"] is False       # alpha_word_frac ≤ .8
     assert out["clean"]["s"]["stopword_hits"] >= 2
+
+
+def test_pii_redact_and_counts(spark):
+    from cccatalog_spark.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x.co.uk, ip 192.168.1.300 bad, ip 8.8.8.8 good, "
+          "call +44 (020) 555-1234 now",)],
+        "t string",
+    )
+    row = df.select(
+        pii_redact(F.col("t")).alias("r"),
+        pii_counts(F.col("t")).alias("c"),
+    ).collect()[0]
+    assert "<EMAIL>" in row["r"] and "a.b+c@x.co.uk" not in row["r"]
+    assert "<IP>" in row["r"] and "8.8.8.8" not in row["r"]
+    # 300 is not a valid octet — .300 must NOT redact as an IP
+    assert "1.300" in row["r"].replace("192.168.", "")
+    assert "<PHONE>" in row["r"] and "555-1234" not in row["r"]
+    assert (row["c"]["n_email"], row["c"]["n_ip"], row["c"]["n_phone"]) == (
+        1, 1, 1,
+    )
