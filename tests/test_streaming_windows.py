@@ -71,3 +71,55 @@ def test_reingestion_schedule_dates():
         dt.date(2024, 3, 8),
         dt.date(2024, 3, 1),
     ]
+
+
+def test_append_mode_emits_only_watermark_passed_windows(spark, tmp_path):
+    """Append-mode emission contract pinned on this Spark version:
+    after the stream drains (availableNow + a final no-data batch),
+    exactly the windows whose END the final watermark passed have been
+    emitted; open windows stay in state and never reach the sink."""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    T0 = 1767225600
+    b0 = "\n".join(f"{T0 + i * 60}\tk{i % 2}" for i in range(10))
+    b1 = f"{T0 + 720}\tk0"
+    now = time.time()
+    for i, content in enumerate([b0, b1]):
+        p = str(src / f"b{i}.tsv")
+        with open(p, "w") as f:
+            f.write(content + "\n")
+        os.utime(p, (now - 120 + i * 60, now - 120 + i * 60))
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("sec long, k string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(src))
+    )
+    agg = (
+        stream.select(F.timestamp_seconds("sec").alias("ts"), "k")
+        .withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("append_pin")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["s"] - T0, r["k"]): r["n"]
+        for r in spark.sql(
+            "SELECT unix_timestamp(window.start) s, k, n FROM append_pin"
+        ).collect()
+    }
+    # final watermark = (T0+720) - 300 = T0+420: window [0,300) closed
+    # and emitted; [300,600) and [600,900) still open → absent
+    assert got == {(0, "k0"): 3, (0, "k1"): 2}
