@@ -68,3 +68,72 @@ def refresh_image_view(
     is read from meta_data[metric]."""
     value = F.element_at(F.col("meta_data"), metric_field).cast("double")
     return build_popularity(image, metrics, "provider", value)
+
+
+def corpus_pipeline(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The LLM-training-corpus pipeline (extension layer): quality
+    filter → near-dup clustering → one canonical doc per cluster →
+    PII scrub → per-language token accounting, composed from the
+    engine's verified pieces.
+
+        documents
+          → Gopher rule filter          (functions/text.gopher_keep)
+          → blocked-levenshtein pairs   (q56 shape: block on prefix)
+          → connected components        (operators/dedup)
+          → keep cluster-min doc        (canonical survivor)
+          → PII redaction               (functions/text.pii_redact)
+          → whitespace+BPE token totals (functions/text)
+
+    Returns (lang, n_docs, total_ws_tokens, total_bpe_tokens). Plan:
+    the filter/scrub/count stages are narrow; the wide stages are the
+    blocked pair join and the per-round clustering joins — identical
+    budgets to q56/q71.
+    """
+    from cccatalog_spark.functions.text import (
+        bpe_token_count,
+        gopher_keep,
+        gopher_signals,
+        pii_redact,
+        token_count,
+    )
+    from cccatalog_spark.operators.dedup import connected_components
+
+    kept = docs.where(gopher_keep(gopher_signals(F.col("text"))))
+    s = kept.select(
+        id_col,
+        "lang",
+        "text",
+        F.substring("text", 1, 30).alias("_s30"),
+        F.substring("text", 1, 4).alias("_blk"),
+    ).persist()
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(F.levenshtein(F.col("a._s30"), F.col("b._s30")) <= 5)
+        .select(
+            F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst")
+        )
+    )
+    clusters = connected_components(
+        s.select(id_col), pairs, node_col=id_col
+    )
+    canonical = s.join(
+        clusters.where(F.col(id_col) == F.col("cluster_id")).select(id_col),
+        id_col,
+    )
+    scrubbed = canonical.select(
+        "lang", pii_redact(F.col("text")).alias("clean")
+    )
+    return scrubbed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("clean"))).cast("bigint").alias(
+            "total_ws_tokens"
+        ),
+        F.sum(bpe_token_count(F.col("clean"))).cast("bigint").alias(
+            "total_bpe_tokens"
+        ),
+    )

@@ -3526,6 +3526,101 @@ def q76_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "_c.*", "redacted")
 
 
+# ---------------------------------------------------------------------------
+# q77 — the flagship corpus pipeline end-to-end (pipelines.
+# corpus_pipeline): Gopher quality filter → blocked-levenshtein near-dup
+# pairs → connected-components clustering → canonical survivor → PII
+# scrub → per-language token totals. The oracle reassembles every stage
+# from its already-verified SQL fragment (q75 signals, q56 pairs, q71
+# closure, q76 regexes, q57 token counts) into one WITH RECURSIVE
+# statement.
+# ---------------------------------------------------------------------------
+@query(
+    "q77_corpus_pipeline",
+    oracle=r"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, lang, text,
+            list_filter(string_split_regex(text, '\s+'),
+                        x -> x <> '') AS words,
+            string_split(text, chr(10)) AS lines
+        FROM documents),
+    sig AS (
+        SELECT doc_id, lang, text,
+            len(words) AS n_words,
+            CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+                 AS DOUBLE) / greatest(len(words), 1) AS mean_word_len,
+            (CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)
+             + CAST(len(text) - len(replace(text, '...', '')) AS DOUBLE) / 3)
+                / greatest(len(words), 1) AS symbol_ratio,
+            CAST(len(list_filter(lines,
+                 ln -> regexp_matches(ltrim(ln), '^[-*•]'))) AS DOUBLE)
+                / greatest(len(lines), 1) AS bullet_frac,
+            CAST(len(list_filter(lines, ln -> ln LIKE '%...')) AS DOUBLE)
+                / greatest(len(lines), 1) AS ellipsis_frac,
+            1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                / greatest(len(lines), 1) AS dup_line_frac,
+            CAST(len(list_filter(words,
+                 x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                / greatest(len(words), 1) AS alpha_word_frac,
+            len(list_filter(words, x -> lower(x) IN
+                ('the','a','an','and','or','of','to','in','is')))
+                AS stopword_hits
+        FROM w),
+    kept AS (
+        SELECT doc_id, lang, text,
+               substring(text, 1, 30) AS s30, substring(text, 1, 4) AS blk
+        FROM sig
+        WHERE n_words >= 5 AND n_words <= 100000
+          AND round(mean_word_len, 6) >= 2 AND round(mean_word_len, 6) <= 12
+          AND round(symbol_ratio, 6) < CAST(0.1 AS DOUBLE)
+          AND round(bullet_frac, 6) <= CAST(0.9 AS DOUBLE)
+          AND round(ellipsis_frac, 6) <= CAST(0.3 AS DOUBLE)
+          AND round(dup_line_frac, 6) < CAST(0.3 AS DOUBLE)
+          AND round(alpha_word_frac, 6) > CAST(0.8 AS DOUBLE)
+          AND stopword_hits >= 1),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a JOIN kept b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.s30, b.s30) <= 5),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM kept
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.node),
+    canon AS (
+        SELECT node AS doc_id FROM reach
+        GROUP BY node HAVING node = min(r)),
+    scrub AS (
+        SELECT k.lang,
+            regexp_replace(
+                regexp_replace(
+                    regexp_replace(k.text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                    '\b((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b',
+                    '<IP>', 'g'),
+                '\+?[0-9]{1,3}[-. ]\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}',
+                '<PHONE>', 'g') AS clean
+        FROM kept k JOIN canon USING (doc_id))
+    SELECT lang,
+        count(*) AS n_docs,
+        CAST(sum(len(list_filter(string_split_regex(clean, '\s+'),
+             x -> x <> ''))) AS BIGINT) AS total_ws_tokens,
+        CAST(sum(len(regexp_extract_all(clean,
+             '''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')))
+             AS BIGINT) AS total_bpe_tokens
+    FROM scrub GROUP BY lang
+    """,
+)
+def q77_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.pipelines import corpus_pipeline
+
+    return corpus_pipeline(load_table(spark, sf_dir, "documents"))
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -100,3 +100,29 @@ def _with_system_cols(spark, df):
         .withColumn("last_synced_with_source", F.lit(None).cast("timestamp"))
         .withColumn("removed_from_source", F.lit(None).cast("boolean"))
     )
+
+
+def test_corpus_pipeline_keeps_one_canonical_per_neardup_cluster(spark):
+    from cccatalog_spark.pipelines import corpus_pipeline
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps running "
+        "through the field"
+    )
+    rows = [
+        # three near-identical docs (same 4-char block, tiny edits in
+        # the first 30 chars) → one cluster → one survivor
+        (1, "en", base),
+        (2, "en", base.replace("quick", "quicc")),
+        (3, "en", base.replace("brown", "brawn")),
+        # distinct doc, different block → its own cluster
+        (4, "en", "completely different text about the sea and the sky "
+                  "and a long horizon line"),
+        # fails the Gopher length rule → filtered before clustering
+        (5, "en", "tiny one"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in corpus_pipeline(docs).collect()}
+    assert out["en"]["n_docs"] == 2  # cluster survivor + the distinct doc
+    assert out["en"]["total_ws_tokens"] > 0
+    assert out["en"]["total_bpe_tokens"] >= out["en"]["total_ws_tokens"]
