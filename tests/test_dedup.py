@@ -106,3 +106,47 @@ def test_connected_components_label_flows_against_edge_direction(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert out == {10: 1, 20: 1, 1: 1}
+
+
+def test_connected_components_matches_union_find_random_graph(spark):
+    """Seeded random graph vs an independent union-find model."""
+    import random
+
+    rng = random.Random(20260813)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(140)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    # independent model: union-find with path compression
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expected = {}
+    comp_min = {}
+    for node in range(n):
+        comp_min.setdefault(find(node), []).append(node)
+    for root, members in comp_min.items():
+        m = min(members)
+        for node in members:
+            expected[node] = m
+
+    from cccatalog_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(nodes, e, max_iterations=60).collect()
+    }
+    assert got == expected

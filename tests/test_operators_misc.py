@@ -188,3 +188,41 @@ def test_merge_continue_batches_single_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 1
+
+
+def test_merge_continue_batches_matches_python_fold(spark):
+    """Seeded random slice streams vs the reference's dict.update +
+    list-concat fold, computed independently in Python."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    expected = {}
+    for page in range(30):
+        n_slices = rng.randint(1, 5)
+        acc = {"title": None, "byte_size": None, "usage": []}
+        for seq in range(n_slices):
+            title = f"t{page}_{seq}" if rng.random() < 0.6 else None
+            size = rng.randint(1, 9) * 100 if rng.random() < 0.5 else None
+            usage = [f"u{page}_{seq}_{i}" for i in range(rng.randint(0, 3))]
+            rows.append((page, seq, title, size, usage))
+            # reference fold: update only present fields, concat lists
+            if title is not None:
+                acc["title"] = title
+            if size is not None:
+                acc["byte_size"] = size
+            acc["usage"] = acc["usage"] + usage
+        expected[page] = (acc["title"], acc["byte_size"], acc["usage"])
+
+    from cccatalog_spark.operators.providers import merge_continue_batches
+
+    df = spark.createDataFrame(
+        rows,
+        "pageid long, seq int, title string, byte_size long, "
+        "globalusage array<string>",
+    ).repartition(16)  # scramble arrival order
+    got = {
+        r["pageid"]: (r["title"], r["byte_size"], r["globalusage"])
+        for r in merge_continue_batches(df, "pageid").collect()
+    }
+    assert got == expected
