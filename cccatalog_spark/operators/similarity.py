@@ -506,3 +506,37 @@ def lsh_cosine_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 vector quantization (the standard 4× compression
+    for an embedding corpus at rest — 100 TB of float32 becomes 25 TB
+    plus one scale per vector): per-vector scale = max|x|/127,
+    elements round(x/scale). Returns struct(scale double, q array<int>)
+    — pure column algebra, one narrow pass. Dequantize = q[i]*scale;
+    ANN pipelines re-rank the top candidates with the original
+    vectors, so the quantization error only affects candidate order.
+    """
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(dv, lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / 127.0
+    )
+    return F.struct(
+        scale.alias("scale"),
+        F.transform(dv, lambda x: F.round(x / scale).cast("int")).alias("q"),
+    )
+
+
+def dequant_error_l2(vec: Column, quant: Column) -> Column:
+    """L2 reconstruction error of a quantized vector vs the original."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    diffs = F.zip_with(
+        dv,
+        quant["q"],
+        lambda x, q: F.pow(x - q.cast("double") * quant["scale"], F.lit(2.0)),
+    )
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda a, v: a + v))

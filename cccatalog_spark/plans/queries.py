@@ -3621,6 +3621,52 @@ def q77_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_pipeline(load_table(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# q78 — int8 embedding quantization (similarity.quantize_int8): the 4×
+# at-rest compression for an embedding corpus, with per-vector scale
+# and L2 reconstruction error. Oracle recomputes scale/rounding/error
+# with DuckDB list lambdas in the same element order.
+# ---------------------------------------------------------------------------
+@query(
+    "q78_embedding_quantize",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   / 127.0 AS scale
+        FROM e),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CAST(round(x / scale) AS INT)) AS qv
+        FROM s)
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           qv AS quantized,
+           round(sqrt(list_sum(list_transform(v,
+               (x, i) -> pow(x - qv[i] * scale, 2)))), 6) AS l2_err
+    FROM q
+    """,
+)
+def q78_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.similarity import (
+        dequant_error_l2,
+        quantize_int8,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = e.withColumn("_qz", quantize_int8(F.col("embedding")))
+    return out.select(
+        "vec_id",
+        F.round(F.col("_qz.scale"), 6).alias("scale"),
+        F.col("_qz.q").alias("quantized"),
+        F.round(
+            dequant_error_l2(F.col("embedding"), F.col("_qz")), 6
+        ).alias("l2_err"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -193,3 +193,33 @@ def test_lsh_vectorized_signatures_match_expression_path(spark, sf_dir):
         (r["_id"], b): r[f"b{b}"] for r in expr_rows for b in range(bands)
     }
     assert vec == exp
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    from cccatalog_spark.operators.similarity import (
+        dequant_error_l2,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "id long, v array<double>",
+    )
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            quantize_int8(F.col("v")).alias("qz"),
+            dequant_error_l2(
+                F.col("v"), quantize_int8(F.col("v"))
+            ).alias("err"),
+        ).collect()
+    }
+    q1 = out[1]["qz"]["q"]
+    # max element maps to ±127, everything within int8 range
+    assert q1[0] == 127 and all(-127 <= x <= 127 for x in q1)
+    # reconstruction error bounded by dim * (scale/2)
+    assert out[1]["err"] <= 4 * out[1]["qz"]["scale"] / 2 + 1e-9
+    # zero vector: epsilon scale, all-zero codes, zero error
+    assert out[2]["qz"]["q"] == [0, 0, 0, 0]
+    assert out[2]["err"] == 0.0
