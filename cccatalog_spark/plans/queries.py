@@ -3667,6 +3667,152 @@ def q78_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q79 — quantized ANN: candidate scoring with INT8 dot products
+# (exact integer arithmetic — no float-order hazard, so the oracle is
+# bit-exact), then exact float re-rank of the shortlist. The compose
+# step a quantized corpus uses: cheap integer scan → precise top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "q79_quantized_ann",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   / 127.0 AS scale
+        FROM e),
+    q AS (
+        SELECT vec_id, v,
+               list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+        FROM s),
+    probe AS (SELECT qv AS pq, v AS pv FROM q WHERE vec_id = 7),
+    scored AS (
+        SELECT q.vec_id,
+               CAST(list_sum(list_transform(q.qv,
+                   (x, i) -> x * probe.pq[i])) AS BIGINT) AS int_score
+        FROM q, probe
+        WHERE q.vec_id <> 7),
+    short AS (
+        SELECT vec_id, int_score FROM scored
+        ORDER BY int_score DESC, vec_id ASC LIMIT 50)
+    SELECT short.vec_id, short.int_score,
+           round(list_cosine_similarity(q.v, probe.pv), 6) AS cosine_sim
+    FROM short JOIN q ON q.vec_id = short.vec_id, probe
+    ORDER BY cosine_sim DESC, short.vec_id ASC LIMIT 10
+    """,
+)
+def q79_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.similarity import cosine, quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qz = e.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        quantize_int8(F.col("embedding"))["q"].alias("qv"),
+    )
+    probe = qz.where(F.col("vec_id") == 7).select(
+        F.col("qv").alias("pq"), F.col("v").alias("pv")
+    )
+    # integer dot scan against the broadcast probe: exact arithmetic,
+    # cheap codes; shortlist 5k -> 50 via TakeOrderedAndProject
+    scored = (
+        qz.where(F.col("vec_id") != 7)
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "v",
+            "pv",
+            F.aggregate(
+                F.zip_with(
+                    "qv", "pq", lambda a, b: a.cast("long") * b.cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("int_score"),
+        )
+    )
+    short = scored.orderBy(
+        F.desc("int_score"), F.asc("vec_id")
+    ).limit(50)
+    return (
+        short.select(
+            "vec_id",
+            "int_score",
+            F.round(cosine(F.col("v"), F.col("pv")), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — train/test decontamination: flag training documents sharing any
+# word-8-gram with a benchmark set (the standard n-gram-overlap
+# contamination check an LLM corpus runs before training). Benchmark
+# shingles broadcast (bounded set); one semi-join — the training side
+# never self-joins.
+# ---------------------------------------------------------------------------
+@query(
+    "q80_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 7, 0) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+                   AS grams
+        FROM toks),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, grams FROM sh WHERE doc_id % 50 <> 0),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_hits
+        FROM (SELECT doc_id, unnest(grams) AS g FROM train) t
+        JOIN bench ON t.g = bench.g
+        GROUP BY t.doc_id)
+    SELECT train.doc_id,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           coalesce(hits.n_hits, 0) > 0 AS contaminated
+    FROM train LEFT JOIN hits ON train.doc_id = hits.doc_id
+    """,
+)
+def q80_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id", shingles(F.col("text"), 8).alias("grams")
+    )
+    bench = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 50 != 0)
+    ex = train.select("doc_id", F.explode("grams").alias("g"))
+    hits = (
+        ex.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
