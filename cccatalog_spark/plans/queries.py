@@ -1686,17 +1686,18 @@ def q44_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q45_stream_loader",
     oracle="""
-    WITH b1 AS (
+    WITH s AS (SELECT * FROM orders WHERE o_orderkey % 5 < 2),
+    b1 AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                o_totalprice + 1000.0 AS o_totalprice,
                o_orderpriority, o_orderdate
-        FROM orders WHERE o_orderkey % 2 = 0),
+        FROM s WHERE o_orderkey % 2 = 0),
     b2 AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                CASE WHEN o_orderkey % 4 = 0 THEN NULL
                     ELSE o_orderpriority END AS o_orderpriority,
                o_orderdate
-        FROM orders WHERE o_orderkey % 3 = 0)
+        FROM s WHERE o_orderkey % 3 = 0)
     SELECT coalesce(b2.o_orderkey, b1.o_orderkey)           AS o_orderkey,
            coalesce(b2.o_custkey, b1.o_custkey)             AS o_custkey,
            coalesce(b2.o_orderstatus, b1.o_orderstatus)     AS o_orderstatus,
@@ -1722,7 +1723,11 @@ def q45_stream_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
     watch = os.path.join(base, "in")
     os.makedirs(watch)
 
-    o = load_table(spark, sf_dir, "orders").select(
+    # 2-in-5 key slice: this query gates the stream/merge mechanism, not
+    # scan throughput (q01/q49 cover that), so bound the side-effect volume
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 5 < 2
+    ).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority", "o_orderdate",
     )
@@ -2681,17 +2686,18 @@ def q64_cc_tags_provider_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q65_bucketed_stream_loader",
     oracle="""
-    WITH b1 AS (
+    WITH s AS (SELECT * FROM orders WHERE o_orderkey % 5 < 2),
+    b1 AS (
         SELECT o_orderkey, o_custkey, o_orderstatus,
                o_totalprice + 1000.0 AS o_totalprice,
                o_orderpriority, o_orderdate
-        FROM orders WHERE o_orderkey % 2 = 0),
+        FROM s WHERE o_orderkey % 2 = 0),
     b2 AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                CASE WHEN o_orderkey % 4 = 0 THEN NULL
                     ELSE o_orderpriority END AS o_orderpriority,
                o_orderdate
-        FROM orders WHERE o_orderkey % 3 = 0)
+        FROM s WHERE o_orderkey % 3 = 0)
     SELECT coalesce(b2.o_orderkey, b1.o_orderkey)           AS o_orderkey,
            coalesce(b2.o_custkey, b1.o_custkey)             AS o_custkey,
            coalesce(b2.o_orderstatus, b1.o_orderstatus)     AS o_orderstatus,
@@ -2719,7 +2725,10 @@ def q65_bucketed_stream_loader(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = os.path.join(base, "staged")
     os.makedirs(watch)
 
-    o = load_table(spark, sf_dir, "orders").select(
+    # same 2-in-5 mechanism-gate slice as q45 (and the q69 JDBC roundtrip)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 5 < 2
+    ).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority", "o_orderdate",
     )
