@@ -3822,6 +3822,111 @@ def q80_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q81 — watermark late-data semantics as a checkable query (§2.9):
+# three event micro-batches through an append-mode 1-day windowed count
+# with a 2-hour watermark. Batch 0 carries slice A of the whole time
+# range; batch 1 is a single far-future sentinel row (2024-03-01,
+# beyond every SF's Jan-2024 data) that advances the watermark past
+# every real-data window; batch 2 replays slice B of the whole range.
+# Empirically pinned drop contract on this Spark version (see
+# tests/test_streaming_windows.py): a replayed row in batch N is
+# dropped iff its WINDOW end <= the watermark in force during batch
+# N-1 (the window's state was already evicted); rows for still-open
+# windows are absorbed, and raw event-time lateness alone never drops
+# a row. Here the batch-1 watermark is max(slice A) - 2h, so slice B's
+# rows for days 1..29 are dropped while its last-day rows (window end
+# past that watermark) are absorbed — the emitted counts visibly
+# differ from a naive union. The sentinel's own window never closes
+# and never reaches the sink. The oracle replays exactly that algebra.
+# Reference: minutely cadence is covered by q45/q65; this covers the
+# late-arrival contract (SURVEY §2.9 tumbling windows).
+# ---------------------------------------------------------------------------
+@query(
+    "q81_watermark_late_data",
+    oracle="""
+    WITH sl AS (SELECT event_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                       event_type
+                FROM events WHERE event_id % 4 = 0),
+    b0 AS (SELECT * FROM sl WHERE event_id % 8 = 0),
+    b1 AS (SELECT * FROM sl WHERE event_id % 8 = 4),
+    wm1 AS (SELECT max(sec) - 7200 AS w FROM b0),
+    kept AS (
+        SELECT sec, event_type FROM b0
+        UNION ALL
+        SELECT b1.sec, b1.event_type FROM b1, wm1
+        WHERE CAST(floor(b1.sec / 86400) AS BIGINT) * 86400 + 86400 > wm1.w)
+    SELECT CAST(floor(sec / 86400) AS BIGINT) * 86400 AS w_start,
+           event_type,
+           count(*) AS n
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def q81_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="ccc_wm_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 4 == 0
+    ).select(
+        "event_id",
+        # NTZ → epoch seconds under the UTC session TZ (floor, matching
+        # DuckDB floor(epoch(ts)))
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+        "event_type",
+    )
+    b0 = e.where(F.col("event_id") % 8 == 0).select("sec", "event_type")
+    sentinel = spark.range(1).select(
+        F.lit(1709251200).alias("sec"), F.lit("zz_sentinel").alias("event_type")
+    )
+    b1 = e.where(F.col("event_id") % 8 == 4).select("sec", "event_type")
+    now = time.time()
+    for i, b in enumerate([b0, sentinel, b1]):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"batch{i}.tsv")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (now - 120 + i * 60,) * 2)  # oldest-first drain
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("sec long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    agg = (
+        stream.select(F.timestamp_seconds("sec").alias("ts"), "event_type")
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    sink = f"q81_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT unix_timestamp(window.start) AS w_start, event_type, n "
+        f"FROM {sink}"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 
