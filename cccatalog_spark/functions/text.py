@@ -143,13 +143,19 @@ def lang_id(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct), the MinHash/Jaccard input."""
+    """Word k-gram shingle array (distinct), the MinHash/Jaccard input.
+
+    Guarded for documents shorter than k tokens: F.sequence(1, 0)
+    counts DOWN in Spark, which would feed slice an invalid start of 0
+    (greatest(...) alone does not prevent that)."""
     t = tokens(text)
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
-    )
+    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    return F.when(
+        F.size(t) >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(text: Column) -> Column:

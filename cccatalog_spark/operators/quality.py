@@ -1,0 +1,132 @@
+"""Repetition-based document quality profiling (Gopher A1.1 family).
+
+The Gopher repetition filters (Rae et al. 2021, appendix A1.1) reject
+documents dominated by repeated fragments: the fraction of characters
+covered by the single most frequent n-gram (n small), and the fraction
+of characters covered by *all* duplicated n-grams (n larger). The
+reference corpus here has no line structure (synthetic single-line
+documents), so the line-level rules are expressed at the word level;
+the n-gram rules are the published ones.
+
+Char accounting is occurrence-based (count x gram length, overlaps not
+deduplicated) — a documented simplification that keeps the measure a
+pure relational aggregate: explode n-grams -> count per (doc, gram) ->
+one per-doc aggregate. That plan is one shuffle on (doc_id, n, gram)
+with map-side partial aggregation, then one on doc_id — no UDFs, no
+per-doc quadratic scans, and the same shape at 100 TB where the
+(doc_id, gram) key space is huge but perfectly partitionable.
+
+Scale note: the explode fans each document out to ~3x its token count;
+at cluster scale the groupBy benefits from AQE coalescing and never
+collects. Skewed grams (stopword pairs) stay bounded because the key
+includes doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.functions.text import tokens
+
+# published Gopher thresholds: top 2-gram < 0.20, top 3-gram < 0.18,
+# duplicated 5-gram char fraction < 0.15
+TOP2_MAX = 0.20
+TOP3_MAX = 0.18
+DUP5_MAX = 0.15
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """All (overlapping, non-distinct) word n-grams, space-joined.
+    Repetitions are the signal here, so no array_distinct — unlike
+    functions.text.shingles. Guarded for len < n: F.sequence(1, 0)
+    counts DOWN in Spark, which would feed slice a start of 0."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals and the keep/reject verdict.
+
+    Output: id, top2_frac, top3_frac, dup5_frac, dup_word_frac, rep_keep.
+    Fractions are rounded to 6 decimals (oracle-stable float compare).
+    """
+    t = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        t.alias("toks"),
+        # total chars of the whitespace-normalized text: sum of token
+        # lengths + single joining spaces (identical in both engines)
+        (
+            F.aggregate(
+                t, F.lit(0), lambda acc, x: acc + F.length(x)
+            )
+            + F.greatest(F.size(t) - 1, F.lit(0))
+        ).alias("total_chars"),
+        F.size(t).alias("n_words"),
+        F.size(F.array_distinct(t)).alias("n_distinct_words"),
+    )
+
+    # single explode carrying every n we need, tagged by n: one shuffle.
+    # NB the tag must come from a closure factory — a `lambda g, n=n:`
+    # two-parameter lambda would be bound by F.transform as its
+    # (element, index) form, silently shadowing n with the array index.
+    def _tagged(n: int) -> Column:
+        return F.transform(
+            _ngrams(F.col("toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    grams = base.select(
+        id_col,
+        "total_chars",
+        F.explode(
+            F.flatten(F.array(*[_tagged(n) for n in (2, 3, 5)]))
+        ).alias("g"),
+    ).select(id_col, "total_chars", "g.n", "g.gram")
+
+    counts = grams.groupBy(id_col, "total_chars", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    per_n = counts.groupBy(id_col, "total_chars", "n").agg(
+        # most-frequent gram's char coverage; ties broken toward the
+        # larger coverage so the fraction is deterministic
+        F.expr(
+            "max_by(c * length(gram), struct(c, c * length(gram)))"
+        ).alias("top_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("gram")).otherwise(0)
+        ).alias("dup_chars"),
+    )
+    wide = per_n.groupBy(id_col, "total_chars").agg(
+        F.max(F.when(F.col("n") == 2, F.col("top_chars"))).alias("t2"),
+        F.max(F.when(F.col("n") == 3, F.col("top_chars"))).alias("t3"),
+        F.max(F.when(F.col("n") == 5, F.col("dup_chars"))).alias("d5"),
+    )
+    # total_chars rides with base (not wide) so a document too short to
+    # produce any n-gram still gets zero fractions, not nulls
+    out = base.select(
+        id_col, "total_chars", "n_words", "n_distinct_words"
+    ).join(wide.select(id_col, "t2", "t3", "d5"), id_col, "left")
+    frac = lambda c: F.round(  # noqa: E731
+        F.coalesce(c, F.lit(0)) / F.col("total_chars"), 6
+    )
+    return out.select(
+        id_col,
+        frac(F.col("t2")).alias("top2_frac"),
+        frac(F.col("t3")).alias("top3_frac"),
+        frac(F.col("d5")).alias("dup5_frac"),
+        F.round(
+            1.0 - F.col("n_distinct_words") / F.col("n_words"), 6
+        ).alias("dup_word_frac"),
+        (
+            (frac(F.col("t2")) < TOP2_MAX)
+            & (frac(F.col("t3")) < TOP3_MAX)
+            & (frac(F.col("d5")) < DUP5_MAX)
+        ).alias("rep_keep"),
+    )

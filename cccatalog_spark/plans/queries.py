@@ -3927,6 +3927,74 @@ def q81_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q82 — Gopher-style repetition filters (Rae et al. 2021 A1.1): char
+# fraction of the most frequent 2-/3-gram and of all duplicated
+# 5-grams, plus word-level duplication, with the published keep
+# thresholds. Occurrence-based char accounting (count x gram length) —
+# see operators/quality.py for the scale plan (tagged single explode,
+# one (doc,n,gram) shuffle with map-side combine).
+# ---------------------------------------------------------------------------
+@query(
+    "q82_repetition_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    base AS (
+        SELECT doc_id, t,
+               list_sum(list_transform(t, x -> length(x)))
+                   + greatest(len(t) - 1, 0) AS total_chars,
+               len(t) AS n_words,
+               len(list_distinct(t)) AS n_distinct_words
+        FROM toks),
+    grams AS (
+        SELECT doc_id, total_chars, n, unnest(gs) AS gram
+        FROM base, (VALUES (2), (3), (5)) AS ns(n),
+             LATERAL (SELECT list_transform(
+                 range(1, greatest(len(t) - (n - 1), 0) + 1),
+                 i -> array_to_string(list_slice(t, i, i + n - 1), ' '))
+                 AS gs) l
+        ),
+    counts AS (
+        SELECT doc_id, total_chars, n, gram, count(*) AS c
+        FROM grams GROUP BY ALL),
+    per_n AS (
+        SELECT doc_id, total_chars, n,
+               -- max by (c, c*len): encoded as one BIGINT (clen << 1e6
+               -- always holds here), same tie-break as Spark's max_by
+               max(c * 1000000 + c * length(gram)) % 1000000 AS top_chars,
+               sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END)
+                   AS dup_chars
+        FROM counts GROUP BY ALL),
+    wide AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+               max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+               max(CASE WHEN n = 5 THEN dup_chars END) AS d5
+        FROM per_n GROUP BY doc_id)
+    SELECT base.doc_id,
+           round(coalesce(t2, 0) * 1.0 / total_chars, 6) AS top2_frac,
+           round(coalesce(t3, 0) * 1.0 / total_chars, 6) AS top3_frac,
+           round(coalesce(d5, 0) * 1.0 / total_chars, 6) AS dup5_frac,
+           round(1.0 - n_distinct_words * 1.0 / n_words, 6)
+               AS dup_word_frac,
+           round(coalesce(t2, 0) * 1.0 / total_chars, 6) < 0.20
+           AND round(coalesce(t3, 0) * 1.0 / total_chars, 6) < 0.18
+           AND round(coalesce(d5, 0) * 1.0 / total_chars, 6) < 0.15
+               AS rep_keep
+    FROM base LEFT JOIN wide ON base.doc_id = wide.doc_id
+    """,
+)
+def q82_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quality import repetition_profile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_profile(d)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return dict(QUERIES)
 

@@ -367,3 +367,47 @@ def test_pii_redact_and_counts(spark):
     assert (row["c"]["n_email"], row["c"]["n_ip"], row["c"]["n_phone"]) == (
         1, 1, 1,
     )
+
+
+def test_repetition_profile_hand_computed(spark):
+    from cccatalog_spark.operators.quality import repetition_profile
+
+    # "a b a b a b": 6 tokens, total_chars = 6 + 5 = 11
+    # 2-grams: "a b" x3, "b a" x2 -> top2 = 3*3 = 9 -> 9/11
+    # 3-grams: "a b a" x2, "b a b" x2 -> top by (c, clen) ties at
+    #   clen = 2*5 = 10 -> 10/11
+    # 5-grams: "a b a b a" x1, "b a b a b" x1 -> no dup -> 0
+    # words: 6 total, 2 distinct -> dup_word_frac = 1 - 2/6
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    r = repetition_profile(df).collect()[0]
+    assert r["top2_frac"] == round(9 / 11, 6)
+    assert r["top3_frac"] == round(10 / 11, 6)
+    assert r["dup5_frac"] == 0.0
+    assert r["dup_word_frac"] == round(1 - 2 / 6, 6)
+    assert not r["rep_keep"]  # dominated by repetition
+
+
+def test_repetition_profile_ngram_tags_not_indices(spark):
+    """Regression: the per-n tag must not be captured via a
+    two-parameter lambda — F.transform binds those as (element, index)
+    and silently replaces the tag with the array position."""
+    from cccatalog_spark.operators.quality import repetition_profile
+
+    # distinct words: every n-gram unique; top fractions must reflect
+    # true 2-/3-grams ("cc dd" = 5, "bb cc dd" = 8, of 10 chars), not
+    # mislabeled sizes
+    df = spark.createDataFrame([(1, "a bb cc dd")], "doc_id long, text string")
+    r = repetition_profile(df).collect()[0]
+    assert r["top2_frac"] == round(5 / 10, 6)
+    assert r["top3_frac"] == round(8 / 10, 6)
+    # a 4-token doc is all top-gram by construction — thresholds reject
+    assert not r["rep_keep"]
+
+
+def test_repetition_profile_short_doc_no_ngrams(spark):
+    from cccatalog_spark.operators.quality import repetition_profile
+
+    df = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    r = repetition_profile(df).collect()[0]
+    assert (r["top2_frac"], r["top3_frac"], r["dup5_frac"]) == (0.0, 0.0, 0.0)
+    assert r["rep_keep"]
