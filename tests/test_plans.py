@@ -154,3 +154,16 @@ def test_grouping_sets_is_one_scan_one_shuffle(spark, sf_dir):
     # one shuffle for the aggregate (partial agg above the Expand,
     # final below a single Exchange)
     assert tree.count("Exchange") == 1
+
+
+def test_array_containment_join_is_equi_not_nested_loop(spark, sf_dir):
+    """q33's scale claim: array membership runs as explode → hash
+    equi-join (BroadcastHashJoin here; SMJ/SHJ for a large dim), never
+    a BroadcastNestedLoopJoin re-evaluating array_contains per dim
+    row."""
+    from cccatalog_spark.plans.queries import q33_array_contains_join
+
+    plan = _plan(q33_array_contains_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
