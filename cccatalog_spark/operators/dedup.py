@@ -28,6 +28,26 @@ from cccatalog_spark.functions.text import shingles, tokens
 from cccatalog_spark.sources.tables import fan_out
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its logical plan to a leaf.
+
+    Iterative algorithms MUST truncate lineage each round: ``persist``
+    caches execution but the *analyzed plan* still nests the previous
+    round's plan (several times per round here), so plan size — and
+    Catalyst analysis time — grows exponentially with the round count.
+    Uses reliable ``checkpoint()`` when the session has a checkpoint
+    dir (the cluster path: survives executor loss under dynamic
+    allocation), else eager ``localCheckpoint()``."""
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:
+        has_dir = False
+    if has_dir:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_exact(
     df: DataFrame, content_col: str, id_col: str
 ) -> DataFrame:
@@ -368,33 +388,34 @@ def connected_components(
     takes ``min(own label, neighbours' labels)`` — one shuffle join +
     one aggregation per round, converging in O(component diameter)
     rounds. Convergence is detected by the (strictly decreasing) sum
-    of labels — a single scalar aggregate per round, no driver-side
-    diff of the label table. Iterates persisted-to-persisted so each
-    round recomputes from the previous cache, not the lineage root.
+    of labels — ONE scalar-aggregate job per round (the round's sum is
+    reused as the next round's ``prev``; no job before the loop).
+    Each round checkpoints (lineage truncation) so the logical plan —
+    and Catalyst analysis time — stays constant per round instead of
+    nesting every previous round's plan.
 
     At 100 TB: near-dup components are overwhelmingly tiny (pairs →
     triangles → short chains), so diameter — and the round count —
-    stays single-digit; for adversarially long chains the
-    large-star/small-star algorithm (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") halves diameter per round
-    and drops in behind the same signature.
+    stays single-digit; for adversarially long chains use
+    :func:`connected_components_star` (same signature, O(log d)
+    rounds).
     """
     und = edges.select(
         F.col(src_col).alias("n"), F.col(dst_col).alias("nbr")
     ).unionAll(
         edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("nbr"))
     )
-    labels = nodes.select(
-        F.col(node_col).alias("n"), F.col(node_col).alias("lbl")
-    ).persist()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    labels = _truncate_lineage(
+        nodes.select(F.col(node_col).alias("n"), F.col(node_col).alias("lbl"))
+    )
+    prev_sum = None  # sum of the identity labels is never re-collected
     for _ in range(max_iterations):
         nbr_min = (
             und.join(labels, und["nbr"] == labels["n"])
             .groupBy(und["n"].alias("n"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             labels.join(nbr_min, "n", "left")
             .select(
                 "n",
@@ -402,10 +423,8 @@ def connected_components(
                     F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
         )
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels only decrease ⇒ fixpoint
             break
@@ -413,3 +432,96 @@ def connected_components(
     return labels.select(
         F.col("n").alias(node_col), F.col("lbl").alias("cluster_id")
     )
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same signature and output as
+    :func:`connected_components`, but converges in O(log diameter)
+    rounds instead of O(diameter), the scale path for adversarially
+    long chains (reply threads, crawl redirect chains).
+
+    large-star: every node links its LARGER neighbours to the minimum
+    of its neighbourhood (incl. itself); small-star does the same for
+    its not-larger neighbours on the (big→small)-oriented graph. Both
+    are one groupBy + one join per round over the edge frame; the edge
+    frame only shrinks toward the final star graph (child → component
+    min). Convergence = one scalar (count, hash-sum) aggregate per
+    round; every round checkpoints to keep the plan size constant (the
+    edge frame feeds the next round ~8 times — without lineage
+    truncation, Catalyst analysis time grows exponentially with the
+    round count).
+    """
+    e = _truncate_lineage(
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_stats = None  # (edge count, order-insensitive hash sum)
+    for _ in range(max_iterations):
+        # large-star over the symmetric neighbourhood: link every
+        # larger neighbour to min(N(u) ∪ {u})
+        sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("nm"))
+            .select("u", F.least("u", "nm").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the (big → small)-oriented result: link every
+        # not-larger neighbour (and self) to the neighbourhood min
+        onto = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = (
+            onto.groupBy("u")
+            .agg(F.min("v").alias("nm"))
+            .select("u", F.least("u", "nm").alias("m"))
+        )
+        withm = onto.join(smin, "u")
+        new_e = (
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(withm.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = _truncate_lineage(new_e)
+        # fixpoint when the edge set is unchanged: ONE scalar job over
+        # the new frame (count + order-insensitive hash sum), previous
+        # round's stats carried driver-side
+        row = new_e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: immune to ANSI long-overflow at any
+            # realistic edge count
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        stats = (row["n"], row["h"])
+        e = new_e
+        if stats == prev_stats:
+            break
+        prev_stats = stats
+    lbl = e.groupBy(F.col("u").alias("n")).agg(F.min("v").alias("lbl"))
+    out = (
+        nodes.select(F.col(node_col).alias("n"))
+        .join(lbl, "n", "left")
+        .select(
+            F.col("n").alias(node_col),
+            F.coalesce("lbl", F.col("n")).alias("cluster_id"),
+        )
+    )
+    return out

@@ -150,3 +150,48 @@ def test_connected_components_matches_union_find_random_graph(spark):
         for r in connected_components(nodes, e, max_iterations=60).collect()
     }
     assert got == expected
+
+    # the O(log d) large-star/small-star variant agrees exactly
+    from cccatalog_spark.operators.dedup import connected_components_star
+
+    got_star = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(
+            nodes, e, max_iterations=60
+        ).collect()
+    }
+    assert got_star == expected
+
+
+def test_connected_components_star_long_chain_few_rounds(spark):
+    """A 40-node chain has diameter 39; the alternating star algorithm
+    must resolve it within O(log d) rounds (10 here), where min-label
+    propagation would need 39."""
+    from cccatalog_spark.operators.dedup import connected_components_star
+
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(
+            nodes, edges, max_iterations=10
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_connected_components_star_chain_and_singleton(spark):
+    from cccatalog_spark.operators.dedup import connected_components_star
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    out = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
