@@ -24,12 +24,63 @@ no-Delta MERGE materialization strategy from SURVEY §4.3.1.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
+import uuid
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+class StaleWriterError(RuntimeError):
+    """Raised when a writer that lost the table lease attempts to
+    commit — the single-writer assumption was violated and the commit
+    is refused, leaving the table as the new lease holder wrote it."""
+
+
+class WriterLease:
+    """Last-acquirer-wins writer fencing for directory-swap tables.
+
+    The reference's Postgres upsert was transactional; a plain-parquet
+    directory swap is single-writer by assumption. This makes the
+    assumption *enforced*: each writer acquires the lease (atomically
+    replacing ``<path>.lease`` with its id), and re-checks it
+    immediately before every swap commit — a writer superseded by a
+    newer acquirer raises :class:`StaleWriterError` instead of
+    clobbering the newer writer's snapshots.
+
+    Scope: fencing between cooperating sequential writers (the
+    reference's own model — one minutely loader DAG per table). It is
+    NOT a mutual-exclusion lock: two writers racing the check→rename
+    window can still interleave; true concurrent MERGE needs an
+    optimistic-commit table format (Delta/Iceberg), which remains the
+    documented drop-in upgrade.
+    """
+
+    def __init__(self, table_path: str) -> None:
+        self.lease_path = table_path.rstrip("/") + ".lease"
+        self.writer_id = uuid.uuid4().hex
+
+    def acquire(self) -> None:
+        tmp = f"{self.lease_path}.tmp-{self.writer_id}"
+        with open(tmp, "w") as f:
+            json.dump({"writer_id": self.writer_id, "ts": time.time()}, f)
+        os.replace(tmp, self.lease_path)
+
+    def check(self) -> None:
+        try:
+            with open(self.lease_path) as f:
+                holder = json.load(f).get("writer_id")
+        except (OSError, ValueError):
+            holder = None
+        if holder != self.writer_id:
+            raise StaleWriterError(
+                f"writer {self.writer_id} lost the lease on "
+                f"{self.lease_path} to {holder}; refusing to commit"
+            )
 
 
 class ParquetUpsertTable:
@@ -53,6 +104,8 @@ class ParquetUpsertTable:
         self.path = path
         self.key = list(key)
         self.schema = schema
+        self.lease = WriterLease(path)
+        self.lease.acquire()
 
     def read(self) -> DataFrame:
         if os.path.isdir(self.path):
@@ -66,6 +119,7 @@ class ParquetUpsertTable:
         merged = merge_upsert(target, batch, self.key)
         staging = f"{self.path}.staging-{epoch_id}"
         merged.write.mode("overwrite").parquet(staging)
+        self.lease.check()  # fence: a superseded writer must not swap
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.replace(staging, self.path)
@@ -104,6 +158,8 @@ class BucketedUpsertTable:
         self.key = list(key)
         self.schema = schema
         self.num_buckets = num_buckets
+        self.lease = WriterLease(path)
+        self.lease.acquire()
 
     def _bucket_of(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
@@ -167,6 +223,7 @@ class BucketedUpsertTable:
             .partitionBy(self.BUCKET_COL)
             .parquet(staging)
         )
+        self.lease.check()  # fence: a superseded writer must not swap
         os.makedirs(self.path, exist_ok=True)
         for b in affected:
             src = os.path.join(staging, f"{self.BUCKET_COL}={b}")

@@ -286,3 +286,52 @@ def test_staged_files_flow_through_stream(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert {r["k"] for r in table.read().collect()} == {1, 2}
+
+
+def test_stale_writer_loses_the_lease(spark, tmp_path):
+    """Single-writer fencing: after a newer writer acquires the same
+    table, the older writer's commit raises StaleWriterError and the
+    newer writer's data survives untouched."""
+    import pytest
+
+    from cccatalog_spark.streaming.loader import StaleWriterError
+
+    path = str(tmp_path / "tbl")
+    old = ParquetUpsertTable(spark, path, ["k"], SCHEMA)
+    old.merge_batch(
+        spark.createDataFrame([(1, "old", 1.0)], SCHEMA), epoch_id=0
+    )
+
+    new = ParquetUpsertTable(spark, path, ["k"], SCHEMA)  # supersedes old
+    new.merge_batch(
+        spark.createDataFrame([(1, "new", 2.0)], SCHEMA), epoch_id=0
+    )
+
+    with pytest.raises(StaleWriterError):
+        old.merge_batch(
+            spark.createDataFrame([(1, "stale", 3.0)], SCHEMA), epoch_id=1
+        )
+    out = {r["k"]: r for r in new.read().collect()}
+    assert out[1]["val"] == "new"  # stale writer changed nothing
+
+
+def test_stale_writer_loses_bucketed(spark, tmp_path):
+    import pytest
+
+    from cccatalog_spark.streaming.loader import (
+        BucketedUpsertTable,
+        StaleWriterError,
+    )
+
+    path = str(tmp_path / "btbl")
+    old = BucketedUpsertTable(spark, path, ["k"], SCHEMA, num_buckets=4)
+    old.merge_batch(
+        spark.createDataFrame([(1, "old", 1.0)], SCHEMA), epoch_id=0
+    )
+    new = BucketedUpsertTable(spark, path, ["k"], SCHEMA, num_buckets=4)
+    with pytest.raises(StaleWriterError):
+        old.merge_batch(
+            spark.createDataFrame([(2, "stale", 2.0)], SCHEMA), epoch_id=1
+        )
+    out = {r["k"]: r for r in new.read().collect()}
+    assert set(out) == {1} and out[1]["val"] == "old"
