@@ -121,23 +121,145 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, width int, height int, byte_len long"
+)
+
+
+def pil_resize_codec(width: int, height: int):
+    """Real image resize codec backed by PIL, if installed: decode ->
+    RGB -> LANCZOS resize -> PNG re-encode. Returns None when PIL is
+    not importable (caller falls back or fails loudly)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def codec(payload: bytes):
+        with Image.open(io.BytesIO(payload)) as im:
+            out = im.convert("RGB").resize((width, height), Image.LANCZOS)
+            buf = io.BytesIO()
+            out.save(buf, format="PNG")
+            return buf.getvalue(), out.width, out.height
+
+    return codec
+
+
+def fake_resize_codec(width: int, height: int):
+    """Deterministic stand-in codec exercising the exact plumbing
+    (schema, Arrow batch shape, per-row bytes->bytes contract) without
+    an image library: payload is truncated/cycled to width*height
+    bytes."""
+
+    def codec(payload: bytes):
+        n = width * height
+        if not payload:
+            return bytes(n), width, height
+        reps = (n + len(payload) - 1) // len(payload)
+        return (payload * reps)[:n], width, height
+
+    return codec
+
+
 def resize_images(
-    df: DataFrame, id_col: str, payload_col: str, width: int, height: int
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    width: int,
+    height: int,
+    *,
+    codec=None,
 ) -> DataFrame:
-    """Image resize stage — plumbing only. The codec is not available
-    in this container; wire a PIL-backed mapInPandas here in
-    production."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "provide a decoder-backed mapInPandas (see extract_features)"
-    )
+    """Image resize over ``mapInPandas`` (S5 downstream: one Arrow
+    batch at a time, constant memory per task, schema pinned).
+
+    ``codec`` is ``bytes -> (resized_bytes, w, h)``. When omitted, a
+    PIL-backed codec is used if PIL is importable in the executors'
+    environment; otherwise this raises NotImplementedError loudly —
+    never silently emitting junk. Tests run the same plumbing through
+    :func:`fake_resize_codec` and, where PIL exists, the real one.
+    """
+    if codec is None:
+        codec = pil_resize_codec(width, height)
+    if codec is None:
+        raise NotImplementedError(
+            "image codec not available in this environment (PIL not "
+            "importable); pass codec= (see fake_resize_codec) or install "
+            "Pillow"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # null payloads degrade like empties (extract_features
+            # contract) — the codec decides what an empty input means
+            resized = [codec(b if b is not None else b"") for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "payload": [r[0] for r in resized],
+                    "width": [r[1] for r in resized],
+                    "height": [r[2] for r in resized],
+                    "byte_len": [len(r[0]) for r in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_ms int, frame binary"
+
+
+def fake_frame_codec(every_ms: int, duration_ms: int = 200):
+    """Deterministic stand-in for a video demuxer: one 'frame' (a
+    byte-slice of the payload) per ``every_ms`` tick of a fixed fake
+    duration."""
+
+    def codec(payload: bytes):
+        if not payload:
+            return []
+        ticks = range(0, duration_ms, every_ms)
+        step = max(1, len(payload) // max(len(ticks), 1))
+        return [
+            (t, payload[(i * step) % len(payload):][:step] or payload[:step])
+            for i, t in enumerate(ticks)
+        ]
+
+    return codec
 
 
 def sample_frames(
-    df: DataFrame, id_col: str, payload_col: str, every_ms: int
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    every_ms: int,
+    *,
+    codec=None,
 ) -> DataFrame:
-    """Video frame sampling stage — plumbing only (see resize_images)."""
-    raise NotImplementedError(
-        "video codec not available in this environment; "
-        "provide a decoder-backed mapInPandas (see extract_features)"
-    )
+    """Video frame sampling over ``mapInPandas`` — same contract as
+    :func:`resize_images`: ``codec`` is ``bytes -> [(frame_ms,
+    frame_bytes), ...]`` (a PyAV/ffmpeg demuxer in production; no video
+    library ships in this container, so omitting ``codec`` raises
+    loudly and tests drive the plumbing via fake_frame_codec)."""
+    if codec is None:
+        raise NotImplementedError(
+            "video codec not available in this environment; pass codec= "
+            "(see fake_frame_codec) backed by PyAV/ffmpeg in production"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = []
+            ms = []
+            frames = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for frame_ms, frame in codec(payload or b""):
+                    ids.append(int(mid))
+                    ms.append(frame_ms)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_ms": ms, "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -47,9 +47,67 @@ def test_extract_features_matches_local_decode(spark):
     assert feats[4]["feature"] == fake_decode(bytes(range(16)), 4)
 
 
-def test_codec_stubs_raise(spark):
+def test_codec_boundary_raises_without_library(spark):
+    """Omitting codec= fails loudly when the real library is absent
+    (never silent junk); with PIL installed resize picks it up
+    automatically instead."""
+    from cccatalog_spark.operators.multimodal import pil_resize_codec
+
     df = _media(spark)
-    with pytest.raises(NotImplementedError):
-        resize_images(df, "media_id", "payload", 64, 64)
+    if pil_resize_codec(4, 4) is None:
+        with pytest.raises(NotImplementedError):
+            resize_images(df, "media_id", "payload", 64, 64).collect()
     with pytest.raises(NotImplementedError):
         sample_frames(df, "media_id", "payload", 1000)
+
+
+def test_resize_plumbing_with_fake_codec(spark):
+    from cccatalog_spark.operators.multimodal import fake_resize_codec
+
+    df = _media(spark)
+    out = {
+        r["media_id"]: r
+        for r in resize_images(
+            df, "media_id", "payload", 4, 3, codec=fake_resize_codec(4, 3)
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for r in out.values():
+        assert r["width"] == 4 and r["height"] == 3
+        assert r["byte_len"] == 12 and len(r["payload"]) == 12
+    # deterministic: payload cycled to width*height bytes
+    assert bytes(out[1]["payload"]) == (b"abcdefgh" * 2)[:12]
+
+
+def test_resize_with_real_pil_when_available(spark):
+    """Runs the SAME pipeline through the real PIL codec — skipped
+    cleanly in environments without Pillow, exercised wherever it is
+    installed."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from cccatalog_spark.operators.multimodal import pil_resize_codec
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 6), (200, 10, 10)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    (row,) = resize_images(df, "media_id", "payload", 4, 3).collect()
+    assert (row["width"], row["height"]) == (4, 3)
+    with Image.open(io.BytesIO(bytes(row["payload"]))) as im:
+        assert im.size == (4, 3)
+
+
+def test_frame_sampling_plumbing_with_fake_codec(spark):
+    from cccatalog_spark.operators.multimodal import fake_frame_codec
+
+    df = _media(spark).where("media_id = 1")  # payload b'abcdefgh'
+    rows = sample_frames(
+        df, "media_id", "payload", 50, codec=fake_frame_codec(50, 200)
+    ).collect()
+    assert [r["frame_ms"] for r in sorted(rows, key=lambda r: r["frame_ms"])] \
+        == [0, 50, 100, 150]
+    assert all(r["media_id"] == 1 and len(r["frame"]) > 0 for r in rows)
