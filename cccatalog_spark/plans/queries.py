@@ -4044,6 +4044,46 @@ def _driver_order(d: dict) -> dict:
     return ordered
 
 
+# ---------------------------------------------------------------------------
+# q83 — q71's dedup clustering through the O(log diameter)
+# large-star/small-star algorithm (operators/dedup.
+# connected_components_star, Kiveris et al. SoCC'14): identical labels,
+# identical oracle — pins the scale path for high-diameter graphs to an
+# exact-value check, not just unit tests.
+# ---------------------------------------------------------------------------
+@query(
+    "q83_dedup_clusters_star",
+    oracle=ORACLE["q71_dedup_clusters"],
+)
+def q83_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dedup import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("s30"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.s30"), F.col("b.s30")) <= 5)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    clusters = connected_components_star(
+        s.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return clusters.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
