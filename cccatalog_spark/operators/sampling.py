@@ -1,0 +1,111 @@
+"""Deterministic sampling / split assignment for training-data
+pipelines: content-hash-based train/val/test splits and per-stratum
+sampling that are (a) reproducible run-to-run with no RNG state, (b)
+stable under repartitioning (the assignment is a pure function of the
+row, never of partition layout — ``F.rand()`` is neither), and (c)
+exactly reproducible by an ANSI-SQL oracle.
+
+Mechanism: the first 4 hex chars of ``md5(salt ‖ id)`` are uniform
+over 16^4 = 65536 lexicographically ordered values; a fraction ``f``
+maps to the literal hex threshold ``%04x % int(f * 65536)`` and
+membership is a plain string comparison — identical bytes in Spark and
+DuckDB, no hex→int conversion needed in either engine. Resolution is
+1/65536 (±0.002%); thresholds are computed driver-side once, so both
+engines compare against the same literal.
+
+At 100 TB this is pure column algebra in the scan stage — no shuffle,
+no UDF, no state; the per-stratum variant is one broadcast hash join
+against a ≤|strata| threshold dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 16**4  # 4 hex chars
+
+
+def threshold_hex(fraction: float) -> str:
+    """Literal hex threshold for a keep-fraction (driver-side, shared
+    verbatim with the SQL oracle)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {fraction}")
+    return format(min(int(fraction * BUCKETS), BUCKETS), "04x") \
+        if fraction < 1.0 else "zzzz"  # > every hex digest prefix
+
+
+def bucket_hex(id_col: Column, salt: str) -> Column:
+    """First 4 md5 hex chars of salt‖id — the row's uniform bucket."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 4
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, float]],
+    *,
+    salt: str = "split:",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (e.g. train/val/
+    test) by cumulative hash-threshold. ``splits`` is an ordered list
+    of (name, weight); weights must sum to 1 (±1/65536). Deterministic,
+    RNG-free, repartition-stable, and disjoint-and-total by
+    construction."""
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1.0 / BUCKETS:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    b = bucket_hex(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    for name, w in splits[:-1]:
+        cum += w
+        cond = b < F.lit(threshold_hex(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(splits[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def split_case_sql(
+    id_expr: str, splits: list[tuple[str, float]], *, salt: str = "split:"
+) -> str:
+    """The DuckDB-runnable CASE expression computing the identical
+    assignment (same literal thresholds) — for oracle SQL."""
+    b = f"substring(md5('{salt}' || CAST({id_expr} AS VARCHAR)), 1, 4)"
+    cum = 0.0
+    arms = []
+    for name, w in splits[:-1]:
+        cum += w
+        arms.append(f"WHEN {b} < '{threshold_hex(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    *,
+    salt: str = "sample:",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (corpus
+    mixing: resample sources toward a target distribution). Strata
+    absent from ``fractions`` keep ``default_fraction``. One broadcast
+    join against the threshold dim + one string compare per row."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, threshold_hex(v)) for k, v in sorted(fractions.items())],
+        f"{strata_col} string, _thr string",
+    )
+    joined = df.join(F.broadcast(dim), strata_col, "left")
+    thr = F.coalesce(F.col("_thr"), F.lit(threshold_hex(default_fraction)))
+    return (
+        joined.where(bucket_hex(F.col(id_col), salt) < thr).drop("_thr")
+    )

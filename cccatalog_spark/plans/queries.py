@@ -4084,6 +4084,92 @@ def q83_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q84 — deterministic train/val/test split (training-data layer):
+# hash-threshold assignment that is RNG-free, repartition-stable, and
+# disjoint-and-total by construction (operators/sampling.hash_split).
+# Both engines compare the same 4-hex-char md5 prefix against the same
+# driver-computed literal thresholds — no hex→int conversion anywhere.
+# ---------------------------------------------------------------------------
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def _q84_oracle() -> str:
+    from cccatalog_spark.operators.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLITS)
+    return f"""
+    SELECT {case} AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY 1
+    """
+
+
+@query("q84_hash_split", oracle=None)
+def q84_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id", _SPLITS)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+ORACLE["q84_hash_split"] = _q84_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q85 — per-source stratified sampling (corpus mixing): resample
+# sources toward a target distribution with deterministic per-stratum
+# keep-fractions (operators/sampling.stratified_sample — one broadcast
+# threshold dim + one string compare per row; no shuffle, no RNG).
+# ---------------------------------------------------------------------------
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+
+
+def _q85_oracle() -> str:
+    from cccatalog_spark.operators.sampling import threshold_hex
+
+    rows = ", ".join(
+        f"('{k}', '{threshold_hex(v)}')" for k, v in sorted(_MIX.items())
+    )
+    return f"""
+    WITH dim(source, thr) AS (VALUES {rows}),
+    kept AS (
+        SELECT d.source, d.n_chars
+        FROM documents d JOIN dim ON d.source = dim.source
+        WHERE substring(md5('sample:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+              < dim.thr
+    )
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM kept GROUP BY source
+    """
+
+
+@query("q85_stratified_sample", oracle=None)
+def q85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(d, "source", _MIX, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+ORACLE["q85_stratified_sample"] = _q85_oracle()
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

@@ -1,0 +1,70 @@
+"""Deterministic sampling/split operators: disjoint-and-total
+assignment, repartition stability, per-stratum fractions, RNG-freedom
+(same rows kept on every run)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cccatalog_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+    threshold_hex,
+)
+
+SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def test_split_is_disjoint_total_and_roughly_weighted(spark):
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    counts = {
+        r["split"]: r["n"]
+        for r in hash_split(df, "doc_id", SPLITS)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == 20000  # total
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.02
+
+
+def test_split_stable_under_repartition_and_rerun(spark):
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["split"])
+         for r in hash_split(df, "doc_id", SPLITS).collect()}
+    b = {(r["doc_id"], r["split"])
+         for r in hash_split(df.repartition(17), "doc_id", SPLITS).collect()}
+    assert a == b  # pure function of the row, not of partition layout
+
+
+def test_split_weights_must_sum_to_one(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", [("a", 0.5), ("b", 0.4)])
+
+
+def test_stratified_fractions_and_default(spark):
+    df = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"),
+    )
+    kept = stratified_sample(
+        df, "src", {"s0": 1.0, "s1": 0.5, "s2": 0.0}, "doc_id"
+    )
+    counts = {
+        r["src"]: r["n"]
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("s0") == 2000          # fraction 1.0 keeps all
+    assert abs(counts["s1"] / 2000 - 0.5) < 0.05
+    assert "s2" not in counts                # fraction 0 drops all
+    assert "s3" not in counts                # absent stratum -> default 0.0
+
+
+def test_threshold_hex_edges():
+    assert threshold_hex(0.0) == "0000"
+    assert threshold_hex(1.0) == "zzzz"      # > every hex prefix
+    assert threshold_hex(0.5) == "8000"
+    with pytest.raises(ValueError):
+        threshold_hex(1.5)
