@@ -4170,6 +4170,40 @@ def q85_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q85_stratified_sample"] = _q85_oracle()
 
 
+# ---------------------------------------------------------------------------
+# q86 — sequence packing (training-data layer): concat-then-chop
+# assignment of documents to fixed 512-token context windows per
+# language shard (operators/packing.pack_sequences) — one shuffle
+# (window partition) + column algebra, oracle-exact via the identical
+# ROWS UNBOUNDED PRECEDING prefix sum.
+# ---------------------------------------------------------------------------
+@query(
+    "q86_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, doc_id, len({_TOKS}) AS n_tok FROM documents),
+    c AS (
+        SELECT lang, doc_id, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tok AS prefix
+        FROM t)
+    SELECT lang, CAST(floor(prefix / 512.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY lang, pack_id
+    """,
+)
+def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.packing import pack_stats
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tok")
+    )
+    return pack_stats(d, "lang", "doc_id", "n_tok", 512)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
