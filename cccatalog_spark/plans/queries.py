@@ -4204,6 +4204,44 @@ def q86_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_stats(d, "lang", "doc_id", "n_tok", 512)
 
 
+# ---------------------------------------------------------------------------
+# q87 — per-source document cap (anti-domination: keep at most K docs
+# per source, deterministic preference order = longest first, doc_id
+# tiebreak). One window shuffle; the standard "no domain may dominate
+# the corpus" curation step.
+# ---------------------------------------------------------------------------
+@query(
+    "q87_source_cap",
+    oracle="""
+    WITH r AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(n_chars) AS min_chars
+    FROM r WHERE rn <= 10
+    GROUP BY source
+    """,
+)
+def q87_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
