@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+# wall budget: once exceeded, remaining queries run once instead of
+# RUNS times (noise defense degrades gracefully instead of the whole
+# bench overrunning the driver's patience)
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 
 
 def main() -> int:
@@ -46,9 +50,11 @@ def main() -> int:
     ).count()
 
     timings: dict[str, float] = {}
+    t_start = time.perf_counter()
     for name, fn in sorted(queries.items()):
         best = float("inf")
-        for _ in range(RUNS):
+        runs = RUNS if (time.perf_counter() - t_start) < BUDGET_S else 1
+        for _ in range(runs):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
