@@ -4242,6 +4242,35 @@ def q87_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q88 — q87's per-source cap through the skew-safe two-phase top-k
+# (operators/topk.grouped_topk with a salt): identical rows by
+# algebra (top-k of a union == top-k of the per-salt top-ks), same
+# oracle — pins the hot-key scale path to an exact-value check.
+# ---------------------------------------------------------------------------
+@query(
+    "q88_source_cap_salted",
+    oracle=ORACLE["q87_source_cap"],
+)
+def q88_source_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = grouped_topk(
+        d,
+        ["source"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        10,
+        salt_col=F.col("doc_id"),
+        salt_buckets=8,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
