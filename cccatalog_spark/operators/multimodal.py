@@ -11,12 +11,13 @@ bytes. Design:
   stages: Arrow batches in, Arrow batches out, schema pinned up front —
   the executor-side pattern that scales to 100 TB (no driver
   involvement, batch-granular memory);
-- the actual codec calls (PIL/ffmpeg/...) are NOT available in this
-  environment, so the codec boundary is explicit: ``decode_image``
-  raises NotImplementedError unless handed a decoder, and the default
-  test decoder is a deterministic fake (byte-stats "features") so the
-  plumbing — schema, partitioning, UDF signature, batch shape — is
-  real and tested end-to-end.
+- codec boundary: WAV audio decodes FOR REAL (stdlib wave/audioop —
+  :func:`wav_decode`); image resize auto-detects PIL at runtime and
+  uses it when importable; video demux has no in-container library, so
+  omitting ``codec=`` raises NotImplementedError loudly. Every stage
+  also accepts an injected codec, and deterministic fakes exercise the
+  full plumbing — schema, partitioning, UDF signature, batch shape —
+  in environments without the real libraries.
 """
 
 from __future__ import annotations
@@ -263,3 +264,60 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, n_frames long, "
+    "duration_ms long, rms int, valid boolean"
+)
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """REAL audio decode, stdlib-only (wave + audioop): WAV header +
+    PCM RMS. Returns (channels, rate, frames, duration_ms, rms) or
+    None for undecodable bytes — the one modality whose decode step
+    needs no external library, so it ships un-stubbed."""
+    import audioop
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            ch = w.getnchannels()
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            pcm = w.readframes(n)
+        rms = audioop.rms(pcm, width) if pcm else 0
+        dur = int(n * 1000 / rate) if rate else 0
+        return ch, rate, n, dur, rms
+    except Exception:  # noqa: BLE001 — malformed media is data, not a crash
+        return None
+
+
+def audio_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """WAV audio feature extraction over mapInPandas (same Arrow-batch
+    contract as extract_features); undecodable payloads yield
+    valid=false rows rather than failing the stage — malformed media
+    is expected data at corpus scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "n_channels", "sample_rate", "n_frames",
+                "duration_ms", "rms", "valid")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                dec = wav_decode(payload or b"")
+                out["media_id"].append(int(mid))
+                out["valid"].append(dec is not None)
+                ch, rate, n, dur, rms = dec or (0, 0, 0, 0, 0)
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(n)
+                out["duration_ms"].append(dur)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)

@@ -111,3 +111,45 @@ def test_frame_sampling_plumbing_with_fake_codec(spark):
     assert [r["frame_ms"] for r in sorted(rows, key=lambda r: r["frame_ms"])] \
         == [0, 50, 100, 150]
     assert all(r["media_id"] == 1 and len(r["frame"]) > 0 for r in rows)
+
+
+def _wav_bytes(freq_hz=440, ms=100, rate=8000, amp=8000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = rate * ms // 1000
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * freq_hz *
+                                                 i / rate)))
+            for i in range(n)
+        ))
+    return buf.getvalue()
+
+
+def test_audio_features_real_wav_decode(spark):
+    """The audio modality decodes for real (stdlib wave/audioop): WAV
+    header fields and PCM RMS come back exact; junk bytes degrade to
+    valid=false rows instead of failing the stage."""
+    from cccatalog_spark.operators.multimodal import audio_features
+
+    wav = _wav_bytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, b"not a wav"), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           audio_features(df, "media_id", "payload").collect()}
+    ok = out[1]
+    assert ok["valid"] and ok["n_channels"] == 1
+    assert ok["sample_rate"] == 8000 and ok["n_frames"] == 800
+    assert ok["duration_ms"] == 100
+    # RMS of a full-scale-8000 sine ~ 8000/sqrt(2) ± rounding
+    assert abs(ok["rms"] - 5657) < 60
+    assert not out[2]["valid"] and not out[3]["valid"]
