@@ -4271,6 +4271,48 @@ def q88_source_cap_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q89 — exact duplicated-substring (k-token-gram span) profiling: the
+# Lee et al. (ACL 2022) suffix-array training-data dedup re-expressed
+# as one gram-frequency window + one per-doc interval-union window
+# (operators/substring.py — see module docstring for the equivalence
+# argument and the 100 TB shape). Output: per-document removal budget
+# for spans whose 5-gram occurs more than once in the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "q89_substring_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id, len(toks) AS n_tok,
+            list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                           i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS grams
+          FROM t),
+    e AS (SELECT doc_id, n_tok, len(grams) AS n_grams,
+                 unnest(grams) AS gram,
+                 unnest(range(0, len(grams))) AS pos
+          FROM g),
+    c AS (SELECT *, count(*) OVER (PARTITION BY gram) AS cnt FROM e),
+    d AS (SELECT doc_id, n_tok, n_grams, pos,
+            lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM c WHERE cnt > 1)
+    SELECT doc_id, any_value(n_tok) AS n_tok, any_value(n_grams) AS n_grams,
+           count(*) AS n_dup_grams,
+           CAST(sum(CASE WHEN prev IS NULL THEN 5
+                         ELSE least(5, pos - prev) END) AS BIGINT)
+               AS covered_tokens,
+           round(CAST(sum(CASE WHEN prev IS NULL THEN 5
+                              ELSE least(5, pos - prev) END) AS DOUBLE)
+                 / any_value(n_tok), 6) AS dup_frac
+    FROM d GROUP BY doc_id
+    """,
+)
+def q89_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.substring import duplicated_span_profile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_profile(d, "text", "doc_id", k=5)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
