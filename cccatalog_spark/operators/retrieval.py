@@ -1,0 +1,133 @@
+"""Ranked text retrieval over the documents table: inverted-index
+postings and exact BM25 (Robertson/Sparck Jones Okapi form) top-k
+scoring — the "find training docs about X" / curation-search primitive
+a corpus engine needs next to its dedup and quality layers.
+
+Scale shape:
+
+- the postings/tf frame filters the token ARRAY to the query terms
+  *before* exploding, so the exploded stream is O(matched tokens) not
+  O(all tokens) — at 100 TB the scan stays narrow and the only wide
+  stage is the (doc, term) partial-count aggregation;
+- corpus statistics (N, avgdl) are a 1-row aggregate and per-term
+  document frequencies are |terms| rows: both re-attach by broadcast,
+  the fact side never reshuffles;
+- the final top-k is a rounded-score global TakeOrderedAndProject
+  (per-partition heaps), never a full sort;
+- a full inverted INDEX build (``inverted_index``) groups postings by
+  term — one shuffle keyed by term, list-bounded per posting via
+  ``slice`` so a degenerate term cannot blow an executor.
+
+The reference has no search operator (its API queries Elasticsearch,
+out of engine scope per SURVEY §4.3.4); BM25 here is the engine-side
+equivalent of that retrieval surface, exact and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.functions import text as TX
+
+K1 = 1.2
+B = 0.75
+
+
+def _term_freqs(
+    docs: DataFrame, text_col: str, id_col: str, terms: list[str]
+) -> DataFrame:
+    """(id, dl, term, tf) for the given query terms only — the token
+    array is filtered before the explode so the row blow-up is bounded
+    by matched-token count."""
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    d = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("hits"),
+    )
+    return (
+        d.select(id_col, "dl", F.explode("hits").alias("term"))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Exact BM25 top-k: ``(id, n_terms, score)`` ordered by rounded
+    score desc then id (total order — oracle-deterministic).
+
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)); score = Σ_t idf(t) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    """
+    toks = TX.tokens(F.col(text_col))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    tf = _term_freqs(docs, text_col, id_col, terms)
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("dfc")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
+        / (F.col("dfc") + F.lit(0.5))
+    )
+    # constants folded Python-side so Spark and the SQL oracle evaluate
+    # the bit-identical double literal (k1+1, 1-b)
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_postings: int = 10_000,
+) -> DataFrame:
+    """Full inverted index: ``(term, df, postings)`` where postings is
+    the sorted (id, tf) struct list truncated to ``max_postings`` (the
+    bound that keeps a degenerate stopword term from blowing a single
+    executor; ``df`` stays exact either way)."""
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    tf = (
+        docs.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "tf"))
+            ),
+            1,
+            max_postings,
+        ).alias("postings"),
+    )

@@ -4313,6 +4313,49 @@ def q89_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_profile(d, "text", "doc_id", k=5)
 
 
+# ---------------------------------------------------------------------------
+# q90 — exact BM25 top-k ranked retrieval (operators/retrieval.py):
+# the curation-search primitive (the reference's Elasticsearch-backed
+# API surface, engine-side). Token array filtered to the query terms
+# BEFORE the explode; corpus stats and per-term document frequencies
+# re-attach by broadcast; top-k is a rounded-score
+# TakeOrderedAndProject with doc_id tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "q90_bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+    e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+           WHERE term IN ('dup', 'stream', 'merge') GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfc
+            FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id, count(*) AS n_terms,
+             round(sum(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (s.n_docs - dfq.dfc + CAST(0.5 AS DOUBLE))
+                    / (dfq.dfc + CAST(0.5 AS DOUBLE)))
+               * (tf.tf * CAST(2.2 AS DOUBLE)
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * tf.dl / s.avgdl)))), 6)
+               AS score
+           FROM tf JOIN dfq ON tf.term = dfq.term, s
+           GROUP BY 1)
+    SELECT doc_id, n_terms, score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q90_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, "text", "doc_id", ["dup", "stream", "merge"], k=20)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

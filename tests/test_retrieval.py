@@ -1,0 +1,92 @@
+"""BM25 ranked retrieval + inverted index (operators/retrieval.py)
+against hand-computed scores and a brute-force Python model."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from cccatalog_spark.operators.retrieval import bm25_topk, inverted_index
+
+K1, B = 1.2, 0.75
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _bm25_model(texts, terms, k):
+    toks = [[w.lower() for w in t.split() if w] for t in texts]
+    n = float(len(toks))
+    avgdl = sum(len(x) for x in toks) / n
+    dfc = {
+        q: float(sum(1 for d in toks if q in d)) for q in terms
+    }
+    scored = []
+    for i, d in enumerate(toks):
+        cnt = Counter(d)
+        hit = [q for q in terms if cnt[q] > 0]
+        if not hit:
+            continue
+        s = 0.0
+        for q in hit:
+            idf = math.log(1.0 + (n - dfc[q] + 0.5) / (dfc[q] + 0.5))
+            tf = cnt[q]
+            s += idf * (tf * (K1 + 1.0)) / (
+                tf + K1 * ((1.0 - B) + B * len(d) / avgdl)
+            )
+        scored.append((i, len(hit), round(s, 6)))
+    scored.sort(key=lambda r: (-r[2], r[0]))
+    return scored[:k]
+
+
+def test_bm25_matches_model(spark):
+    texts = [
+        "spark merge window scan merge merge",
+        "window window window scan",
+        "nothing relevant here at all",
+        "merge scan",
+        "a much longer document with merge somewhere in the middle of it",
+    ]
+    got = [
+        (r["doc_id"], r["n_terms"], r["score"])
+        for r in bm25_topk(
+            _docs(spark, texts), "text", "doc_id", ["merge", "window"], k=3
+        ).collect()
+    ]
+    assert got == _bm25_model(texts, ["merge", "window"], 3)
+
+
+def test_bm25_rarer_term_scores_higher(spark):
+    # same tf/dl; 'rare' appears in 1 doc, 'common' in 4 -> idf ranks
+    texts = ["rare pad", "common pad", "common pad", "common pad", "common x"]
+    got = bm25_topk(
+        _docs(spark, texts), "text", "doc_id", ["rare", "common"], k=5
+    ).collect()
+    assert got[0]["doc_id"] == 0
+
+
+def test_inverted_index_postings(spark):
+    texts = ["a b a", "b c", "c c c"]
+    idx = {
+        r["term"]: r
+        for r in inverted_index(_docs(spark, texts), "text", "doc_id").collect()
+    }
+    assert idx["a"]["df"] == 1
+    assert [(p["id"], p["tf"]) for p in idx["a"]["postings"]] == [(0, 2)]
+    assert idx["b"]["df"] == 2
+    assert [(p["id"], p["tf"]) for p in idx["b"]["postings"]] == [(0, 1), (1, 1)]
+    assert idx["c"]["df"] == 2
+    assert [(p["id"], p["tf"]) for p in idx["c"]["postings"]] == [(1, 1), (2, 3)]
+
+
+def test_inverted_index_postings_cap_keeps_exact_df(spark):
+    texts = ["z"] * 7
+    idx = inverted_index(
+        _docs(spark, texts), "text", "doc_id", max_postings=3
+    ).collect()
+    assert len(idx) == 1
+    assert idx[0]["df"] == 7  # df exact even when postings truncated
+    assert [p["id"] for p in idx[0]["postings"]] == [0, 1, 2]
