@@ -4356,6 +4356,37 @@ def q90_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, "text", "doc_id", ["dup", "stream", "merge"], k=20)
 
 
+# ---------------------------------------------------------------------------
+# q92 — exact heavy hitters over the corpus token stream
+# (operators/frequent.py): per-partition Misra-Gries candidate
+# summaries (mergeable-sketch compression, O(capacity) state per task)
+# -> broadcast semi-join rescan -> exact counts. The sketch bounds the
+# rescan set; the OUTPUT is exact, hence the plain GROUP BY oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q92_heavy_hitters",
+    oracle=f"""
+    WITH e AS (SELECT unnest(list_transform({_TOKS}, x -> lower(x))) AS item
+               FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e)
+    SELECT item, count(*) AS cnt,
+           round(CAST(count(*) AS DOUBLE) / any_value(n.total), 6) AS share
+    FROM e, n
+    GROUP BY item
+    HAVING count(*) >= ceil(CAST(0.02 AS DOUBLE) * any_value(n.total))
+    """,
+)
+def q92_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.frequent import heavy_hitters
+
+    toks = F.transform(TX.tokens(F.col("text")), lambda t: F.lower(t))
+    items = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(toks).alias("item"))
+    )
+    return heavy_hitters(items, "item", min_share=0.02, capacity=256)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
