@@ -4387,6 +4387,68 @@ def q92_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(items, "item", min_share=0.02, capacity=256)
 
 
+# ---------------------------------------------------------------------------
+# q91 — q80's decontamination through the Bloom-filter scale path
+# (operators/bloom.py): when the benchmark shingle set is too large to
+# broadcast as rows, it broadcasts as BITS (xxhash64 positions folded
+# by a bit_or aggregate) and prunes the training stream before the
+# exact verify join — no false negatives, false positives removed by
+# the verify stage, so the result stays value-exact against the same
+# join oracle (contaminated docs only).
+# ---------------------------------------------------------------------------
+@query(
+    "q91_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 7, 0) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+                   AS grams
+        FROM toks),
+    bench AS (
+        SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT doc_id, unnest(grams) AS g FROM sh
+              WHERE doc_id % 50 <> 0)
+    SELECT train.doc_id, count(*) AS n_hits
+    FROM train JOIN bench ON train.g = bench.g
+    GROUP BY train.doc_id
+    """,
+)
+def q91_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import shingles
+    from cccatalog_spark.operators.bloom import (
+        bloom_build,
+        bloom_filter_candidates,
+    )
+
+    num_bits, num_hashes = 1 << 18, 3
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select("doc_id", shingles(F.col("text"), 8).alias("grams"))
+    bench = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    words = spark.sparkContext.broadcast(
+        bloom_build(bench, "g", num_bits, num_hashes)
+    )
+    train = sh.where(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    cand = bloom_filter_candidates(train, "g", words, num_bits, num_hashes)
+    return (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
