@@ -4449,6 +4449,74 @@ def q91_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q93 — custom stateful streaming operator under an exact oracle
+# (streaming/stateful.running_counts, applyInPandasWithState): three
+# event micro-batches drain through per-key state; each trigger emits
+# the key's updated running total, so the last (= max, counts are
+# monotone) update per key must equal the plain batch count — which is
+# exactly what the oracle asserts. State is one long per key; the
+# escape hatch the built-in streaming aggs can't express (SURVEY §2.9).
+# ---------------------------------------------------------------------------
+@query(
+    "q93_stateful_running_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE event_id % 4 = 1
+    GROUP BY event_type
+    """,
+)
+def q93_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import running_counts
+
+    base = tempfile.mkdtemp(prefix="ccc_state_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 4 == 1)
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        (
+            e.where(F.col("event_id") % 3 == i)
+            .select("event_type")
+            .coalesce(1)
+            .write.option("sep", "\t")
+            .mode("overwrite")
+            .csv(stage)
+        )
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            os.rename(
+                os.path.join(stage, parts[0]),
+                os.path.join(src, f"batch{i}.tsv"),
+            )
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    counts = running_counts(stream, "event_type")
+    sink = f"q93_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_type, max(n) AS n FROM {sink} GROUP BY event_type"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
