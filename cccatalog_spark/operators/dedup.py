@@ -525,3 +525,125 @@ def connected_components_star(
         )
     )
     return out
+
+
+def _banded_sig(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+):
+    """(persisted signature frame, banded frame) for one side of an
+    LSH join — the shared building block of the self-join
+    (`dedup_minhash_lsh`) and incremental forms."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        fan_out(df)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+        .where(F.size("sh") > 0)
+        .select(
+            F.col(id_col),
+            "sh",
+            minhash_signature(F.col("sh"), num_hashes).alias("sig"),
+        )
+        .persist()
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.array_join(
+                            F.slice("sig", i * rows_per_band + 1, rows_per_band),
+                            "|",
+                        ).alias("bsig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bsig")
+    return sig, banded
+
+
+def dedup_minhash_lsh_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingestion near-dup check: new BATCH documents
+    against an existing CORPUS index, without the corpus ever
+    self-joining — the minutely-loader shape (a micro-batch dedups
+    against the standing table, not against itself).
+
+    Returns ``(batch_id, corpus_id, est_jaccard, jaccard)`` for
+    verified pairs at ``jaccard >= threshold``.
+
+    Scale shape: the corpus side of the band join is the PERSISTED
+    signature index (built once per table life, stored partitioned by
+    (band, bsig) so a micro-batch's probes become partition pruning);
+    per-trigger cost is O(|batch| × bands + matching buckets) — the
+    full-corpus Σ bucket² term of the self-join form never appears.
+    Self-matches (same id on both sides) are excluded, not ordered
+    away, since the two sides are distinct frames.
+    """
+    sig_b, banded_b = _banded_sig(batch, text_col, id_col, k, num_hashes, bands)
+    sig_c, banded_c = _banded_sig(corpus, text_col, id_col, k, num_hashes, bands)
+    cand = (
+        banded_b.alias("a")
+        .join(
+            banded_c.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("batch_id"),
+            F.col(f"b.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+    out = (
+        cand.join(
+            sig_b.select(
+                F.col(id_col).alias("batch_id"), "sh", "sig"
+            ),
+            "batch_id",
+        )
+        .join(
+            sig_c.select(
+                F.col(id_col).alias("corpus_id"),
+                F.col("sh").alias("sh_b"),
+                F.col("sig").alias("sig_b"),
+            ),
+            "corpus_id",
+        )
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig", "sig_b", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            )
+            / F.lit(float(num_hashes)),
+        )
+        .withColumn("common", F.size(F.array_intersect("sh", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh") + F.size("sh_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "est_jaccard", "jaccard")
+    )
+    return out

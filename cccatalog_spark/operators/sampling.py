@@ -109,3 +109,50 @@ def stratified_sample(
     return (
         joined.where(bucket_hex(F.col(id_col), salt) < thr).drop("_thr")
     )
+
+
+# 16^12 = 2^48: the md5-prefix resolution for the weighted-sample
+# uniform draw; (v + 1) / 2^48 lies in (0, 1] exactly in a double
+U_DENOM = float(16**12)
+
+
+def weighted_sample_key(
+    id_col: Column, weight_col: Column, *, salt: str = "ws:"
+) -> Column:
+    """Efraimidis–Spirakis weighted-sampling-without-replacement sort
+    key, derandomized: the uniform draw u is the first 12 hex chars of
+    ``md5(salt ‖ id)`` (a pure function of the row — reproducible and
+    repartition-stable, like everything in this module), and the key
+    is ``ln(u) / w`` — the monotone log form of u^(1/w), so top-k by
+    this key IS a weighted sample without replacement where row i wins
+    with probability proportional to w_i. Pure column algebra; the
+    identical expression runs in the SQL oracle (DuckDB parses the
+    prefix via ('0x' ‖ hex)::BIGINT, Spark via conv(hex, 16, 10))."""
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("double")
+    w = F.greatest(weight_col.cast("double"), F.lit(1.0))
+    return F.log((v + F.lit(1.0)) / F.lit(U_DENOM)) / w
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "ws:",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement of size k
+    (quality-weighted corpus selection: w = quality score, length,
+    dedup cluster size…). One TakeOrderedAndProject over the key — no
+    shuffle beyond the global top-k heap merge, no RNG state."""
+    key = weighted_sample_key(F.col(id_col), F.col(weight_col), salt=salt)
+    return (
+        df.withColumn("_wkey", key)
+        .orderBy(F.desc("_wkey"), F.asc(id_col))
+        .limit(k)
+        .drop("_wkey")
+    )

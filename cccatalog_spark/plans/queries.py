@@ -4517,6 +4517,106 @@ def q93_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q94 — deterministic weighted sampling without replacement
+# (operators/sampling.weighted_sample): Efraimidis–Spirakis top-k by
+# ln(u)/w with the uniform draw derandomized from an md5 prefix —
+# quality-weighted corpus selection that is reproducible, partition-
+# stable, and exactly replayed by the oracle. One global top-k heap,
+# no shuffle, no RNG state.
+# ---------------------------------------------------------------------------
+@query(
+    "q94_weighted_sample",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, source, n_chars,
+               greatest(CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)) AS wt,
+               CAST(('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)),
+                                       1, 12)) AS BIGINT) AS v
+        FROM documents)
+    SELECT doc_id, source, n_chars AS weight
+    FROM w
+    ORDER BY ln((CAST(v AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                / CAST(281474976710656.0 AS DOUBLE)) / wt DESC,
+             doc_id
+    LIMIT 25
+    """,
+)
+def q94_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("weight")
+    )
+    return weighted_sample(d, "doc_id", "weight", 25)
+
+
+# ---------------------------------------------------------------------------
+# q95 — incremental near-dup: a new micro-batch (doc_id % 7 = 3)
+# against the standing corpus index, batch side never self-joining
+# (operators/dedup.dedup_minhash_lsh_incremental) — the minutely-loader
+# dedup shape. Same md5 MinHash banding as q25, asymmetric join.
+# ---------------------------------------------------------------------------
+@query(
+    "q95_incremental_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id, s,
+               [list_min(list_transform(s, x -> md5('0:' || x))),
+                list_min(list_transform(s, x -> md5('1:' || x))),
+                list_min(list_transform(s, x -> md5('2:' || x))),
+                list_min(list_transform(s, x -> md5('3:' || x))),
+                list_min(list_transform(s, x -> md5('4:' || x))),
+                list_min(list_transform(s, x -> md5('5:' || x))),
+                list_min(list_transform(s, x -> md5('6:' || x))),
+                list_min(list_transform(s, x -> md5('7:' || x)))] AS sg
+        FROM shn
+    ),
+    banded AS (
+        SELECT doc_id, u.band,
+               sg[2 * u.band + 1] || '|' || sg[2 * u.band + 2] AS bsig
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) u
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bsig = b.bsig
+         AND a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3
+    ),
+    verified AS (
+        SELECT c.batch_id, c.corpus_id,
+               CAST(len(list_filter(range(1, 9),
+                    i -> sa.sg[i] = sb.sg[i])) AS DOUBLE) / 8.0 AS est_jaccard,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                   (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                   AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.batch_id
+        JOIN sig sb ON sb.doc_id = c.corpus_id
+    )
+    SELECT batch_id, corpus_id, round(est_jaccard, 6) AS est_jaccard,
+           round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.4
+    """,
+)
+def q95_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 7 == 3)
+    corpus = d.where(F.col("doc_id") % 7 != 3)
+    pairs = D.dedup_minhash_lsh_incremental(
+        batch, corpus, "text", "doc_id", k=3, threshold=0.4
+    )
+    return pairs.select(
+        "batch_id",
+        "corpus_id",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

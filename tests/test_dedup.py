@@ -195,3 +195,35 @@ def test_connected_components_star_chain_and_singleton(spark):
         for r in connected_components_star(nodes, edges).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_incremental_lsh_finds_batch_vs_corpus_only(spark):
+    from cccatalog_spark.operators.dedup import dedup_minhash_lsh_incremental
+
+    # corpus: 0=BASE, 1=BASE (corpus-internal dup), 2=OTHER
+    # batch:  10=BASE (dup of corpus), 11=unique
+    corpus = _docs(spark, [BASE, BASE, OTHER])
+    batch = spark.createDataFrame(
+        [(10, BASE), (11, "totally novel text with many unseen words")],
+        "doc_id long, text string",
+    )
+    rows = dedup_minhash_lsh_incremental(
+        batch, corpus, "text", "doc_id", k=3, threshold=0.9
+    ).collect()
+    pairs = {(r["batch_id"], r["corpus_id"]) for r in rows}
+    # batch doc 10 hits BOTH corpus copies of BASE; the corpus-internal
+    # (0,1) dup and any batch-batch pair are NOT reported
+    assert pairs == {(10, 0), (10, 1)}
+    for r in rows:
+        assert abs(r["jaccard"] - 1.0) < 1e-12
+
+
+def test_incremental_lsh_near_duplicate_recall(spark):
+    from cccatalog_spark.operators.dedup import dedup_minhash_lsh_incremental
+
+    corpus = _docs(spark, [BASE, OTHER])
+    batch = spark.createDataFrame([(20, NEAR)], "doc_id long, text string")
+    rows = dedup_minhash_lsh_incremental(
+        batch, corpus, "text", "doc_id", k=3, threshold=0.5
+    ).collect()
+    assert {(r["batch_id"], r["corpus_id"]) for r in rows} == {(20, 0)}

@@ -68,3 +68,57 @@ def test_threshold_hex_edges():
     assert threshold_hex(0.5) == "8000"
     with pytest.raises(ValueError):
         threshold_hex(1.5)
+
+
+# --- weighted sampling (Efraimidis–Spirakis, derandomized) ----------------
+
+def _ws_model(rows, k, salt="ws:"):
+    """Independent Python model of weighted_sample (hashlib md5)."""
+    import hashlib
+    import math
+
+    keyed = []
+    for i, w in rows:
+        v = int(hashlib.md5(f"{salt}{i}".encode()).hexdigest()[:12], 16)
+        u = (v + 1) / float(16**12)
+        keyed.append((math.log(u) / max(float(w), 1.0), -i))
+    keyed.sort(reverse=True)
+    return [-i for _, i in keyed[:k]]
+
+
+def test_weighted_sample_matches_python_model(spark):
+    from cccatalog_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", "w", 20).collect()
+    ]
+    assert sorted(got) == sorted(_ws_model(rows, 20))
+
+
+def test_weighted_sample_repartition_stable(spark):
+    from cccatalog_spark.operators.sampling import weighted_sample
+
+    rows = [(i, i % 90 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 15).collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(
+            df.repartition(7), "doc_id", "w", 15
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from cccatalog_spark.operators.sampling import weighted_sample
+
+    # 10 rows with weight 10_000 vs 190 rows with weight 1: the heavy
+    # rows should dominate any sample of 10
+    rows = [(i, 10_000 if i < 10 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+    assert len(got & set(range(10))) >= 8
