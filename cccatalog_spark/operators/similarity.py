@@ -540,3 +540,67 @@ def dequant_error_l2(vec: Column, quant: Column) -> Column:
         lambda x, q: F.pow(x - q.cast("double") * quant["scale"], F.lit(2.0)),
     )
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda a, v: a + v))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    """sqrt(Σ(x−y)²) in sequential double order — bit-identical to
+    DuckDB's ``list_distance`` on DOUBLE[], so assignment argmins are
+    oracle-exact (same contract as ``cosine`` above)."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_seeds: int = 8,
+) -> DataFrame:
+    """One exact k-means assignment step (E-step) against
+    deterministic seed centroids (the ``n_seeds`` lowest-id vectors —
+    k-means|| seeding would slot in here; determinism keeps it
+    oracle-checkable): every vector goes to its nearest seed by L2,
+    ties to the smaller seed id. Returns per-cluster profile
+    ``(seed_id, n_assigned, avg_dist, max_dist)``.
+
+    Scale shape: the seed frame is k rows — broadcast; the fact side
+    computes k distances per row map-side (never reshuffled) and the
+    argmin is a per-vector struct-min aggregation, so the only wide
+    stage is the final per-cluster rollup. This is the inner loop of
+    IVF list training (`ivf_*` above) made checkable.
+    """
+    seeds = (
+        df.where(F.col(id_col) < n_seeds)
+        .select(
+            F.col(id_col).alias("seed_id"),
+            F.col(vec_col).alias("seed_vec"),
+        )
+    )
+    dist = l2_distance(F.col(vec_col), F.col("seed_vec"))
+    best = (
+        df.crossJoin(F.broadcast(seeds))
+        .select(
+            F.col(id_col),
+            F.struct(dist.alias("dist"), F.col("seed_id").alias("seed_id")).alias(
+                "cand"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.min("cand").alias("best"))
+        .select(F.col("best.seed_id").alias("seed_id"), F.col("best.dist").alias("dist"))
+    )
+    return best.groupBy("seed_id").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+    )

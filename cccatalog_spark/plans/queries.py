@@ -4617,6 +4617,38 @@ def q95_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q96 — exact k-means assignment step over the embeddings
+# (operators/similarity.kmeans_assign): deterministic seed centroids
+# (8 lowest vec_ids), nearest-by-L2 assignment with struct-min
+# tiebreak, per-cluster profile. Distances fold in sequential double
+# order — bit-identical to DuckDB list_distance — so the argmin
+# assignment itself is oracle-exact; the IVF training inner loop made
+# checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "q96_kmeans_assign",
+    oracle="""
+    WITH s AS (SELECT vec_id AS seed_id, embedding FROM embeddings
+               WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, s.seed_id,
+            list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[])
+                AS dist
+          FROM embeddings e, s),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, seed_id) AS rn
+          FROM d)
+    SELECT seed_id, count(*) AS n_assigned,
+           round(avg(dist), 6) AS avg_dist,
+           round(max(dist), 6) AS max_dist
+    FROM r WHERE rn = 1 GROUP BY seed_id
+    """,
+)
+def q96_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_assign(e, "embedding", "vec_id", n_seeds=8)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

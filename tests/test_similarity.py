@@ -223,3 +223,50 @@ def test_quantize_int8_bounds_and_roundtrip(spark):
     # zero vector: epsilon scale, all-zero codes, zero error
     assert out[2]["qz"]["q"] == [0, 0, 0, 0]
     assert out[2]["err"] == 0.0
+
+
+def test_kmeans_assign_exact_vs_numpy(spark):
+    import numpy as np
+
+    from cccatalog_spark.operators.similarity import kmeans_assign
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 5).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["seed_id"]: (r["n_assigned"], r["avg_dist"], r["max_dist"])
+        for r in kmeans_assign(df, "embedding", "vec_id", n_seeds=4).collect()
+    }
+    v = vecs.astype("float64")
+    d = np.sqrt(((v[:, None, :] - v[None, :4, :]) ** 2).sum(axis=2))
+    assign = d.argmin(axis=1)
+    want = {}
+    for s in range(4):
+        m = assign == s
+        if m.any():
+            want[s] = (
+                int(m.sum()),
+                round(float(d[m, s].mean()), 6),
+                round(float(d[m, s].max()), 6),
+            )
+    assert set(got) == set(want)
+    for s in want:
+        assert got[s][0] == want[s][0]
+        assert abs(got[s][1] - want[s][1]) < 1e-5
+        assert abs(got[s][2] - want[s][2]) < 1e-5
+
+
+def test_kmeans_assign_tie_goes_to_lower_seed(spark):
+    from cccatalog_spark.operators.similarity import kmeans_assign
+
+    # seeds 0 and 1 identical -> every vector ties; all go to seed 0
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [5.0, 5.0]), (3, [-3.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["seed_id"]: r["n_assigned"] for r in
+           kmeans_assign(df, "embedding", "vec_id", n_seeds=2).collect()}
+    assert got == {0: 4}
