@@ -1,0 +1,81 @@
+"""Iterative link analysis: PageRank over an edge frame — the
+web-graph curation primitive (rank domains/hosts by link authority
+before sampling a crawl corpus; the Common Crawl companion step to the
+link extraction in operators/cc_links.py).
+
+Simplified PageRank (no dangling-mass redistribution — sinks leak
+mass, the common formulation for ranking *relative* authority):
+
+    r_{t+1}(v) = (1-d)/N + d * Σ_{u→v} r_t(u) / outdeg(u)
+
+Scale shape per iteration: ONE shuffle keyed by dst for the
+contribution aggregation (map-side combine) plus the rank-frame join
+keyed by src; ranks and edges are persisted frame-to-frame with
+lineage truncated per round (same discipline as
+operators/dedup.connected_components). The iteration count is fixed
+(power iteration converges geometrically at rate d), so plans stay
+bounded — no driver-side graph state, no per-node loops. At 100 TB
+the edge frame would be bucketed by src so the per-iteration join
+reuses the bucket distribution.
+
+The driver-side scalars are the node count N (one bounded count) and
+nothing else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Rank every node of the (deduplicated) edge frame; returns
+    ``(node, rank)`` at full precision — callers round for output.
+    Deterministic: fixed iterations, no RNG, rational init 1/N."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # bounded catalog scalar (like CC convergence sums)
+    base = (1.0 - damping) / n
+    outdeg = e.groupBy("src").agg(
+        F.count("*").cast("double").alias("deg")
+    )
+    contrib_src = e.join(outdeg, "src")
+
+    ranks = nodes.withColumn("r", F.lit(1.0 / n)).persist()
+    for _ in range(iterations):
+        msgs = (
+            contrib_src.join(ranks, F.col("src") == F.col("node"))
+            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        new_ranks = (
+            nodes.join(msgs, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .persist()
+        )
+        # truncate lineage: materialize before dropping the old frame
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks

@@ -4649,6 +4649,71 @@ def q96_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_assign(e, "embedding", "vec_id", n_seeds=8)
 
 
+# ---------------------------------------------------------------------------
+# q97 — PageRank (operators/graph.py) over the supplier→customer
+# fulfilment graph (edges from lineitem⋈orders), 5 fixed power
+# iterations, d=0.85, simplified dangling handling. The oracle unrolls
+# the identical recurrence as chained CTEs — iterative distributed
+# graph analytics under an exact-value check, like q71/q83 for
+# connected components. Top-20 by rounded rank.
+# ---------------------------------------------------------------------------
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    ctes = [
+        """edges AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'C' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes)",
+        """outdeg AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src)""",
+        """r0 AS (
+        SELECT node, (SELECT CAST(1.0 AS DOUBLE) / nn FROM n) AS r
+        FROM nodes)""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""r{t} AS (
+        SELECT nodes.node,
+               (SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn
+                FROM n)
+               + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r / o.deg) AS m
+            FROM edges e
+            JOIN r{t - 1} p ON e.src = p.node
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst) s USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, round(r, 8) AS rank
+    FROM r{iterations}
+    ORDER BY round(r, 8) DESC, node LIMIT 20"""
+    )
+
+
+@query("q97_pagerank", oracle=_pagerank_oracle_sql(5))
+def q97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    r = pagerank(edges, iterations=5, damping=0.85)
+    return (
+        r.select("node", F.round("r", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
