@@ -167,3 +167,82 @@ def test_array_containment_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_substring_dedup_has_no_join_or_cartesian(spark, sf_dir):
+    """q89: duplicated-span profiling must be windows over the gram
+    stream — never a pairwise join or cartesian product."""
+    from cccatalog_spark.operators.substring import duplicated_span_profile
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(duplicated_span_profile(d, "text", "doc_id", k=5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bm25_stats_attach_by_broadcast(spark, sf_dir):
+    """q90: corpus stats + per-term dfs must re-attach by broadcast —
+    the fact side never sort-merge-joins."""
+    from cccatalog_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(bm25_topk(d, "text", "doc_id", ["merge", "scan"], k=10))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # global top-k is a heap merge, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_heavy_hitters_rescan_is_broadcast_semi(spark, sf_dir):
+    from cccatalog_spark.operators.frequent import heavy_hitters
+    from cccatalog_spark.functions import text as TX
+
+    items = load_table(spark, sf_dir, "documents").select(
+        F.explode(TX.tokens(F.col("text"))).alias("item")
+    )
+    plan = _plan(heavy_hitters(items, "item", 0.02, capacity=64))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_incremental_lsh_never_self_joins_the_corpus(spark, sf_dir):
+    """q95: the corpus side appears once per join — candidate
+    generation touches batch×corpus bands only. Proxy assertion: the
+    plan has exactly the 3 expected joins (band join + 2 verify
+    attaches) and no cartesian."""
+    from cccatalog_spark.operators.dedup import dedup_minhash_lsh_incremental
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.where(F.col("doc_id") % 7 == 3)
+    corpus = d.where(F.col("doc_id") % 7 != 3)
+    plan = _plan(
+        dedup_minhash_lsh_incremental(batch, corpus, "text", "doc_id")
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted plans print each join twice (tree + detail); the
+    # per-node "Join condition:" detail line appears exactly once
+    assert plan.count("Join condition:") == 3, plan
+
+
+def test_kmeans_assign_broadcasts_seeds(spark, sf_dir):
+    """q96: the k-seed frame is the broadcast side of the distance
+    cross join; the vector side never reshuffles before the argmin."""
+    from cccatalog_spark.operators.similarity import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(kmeans_assign(e, "embedding", "vec_id", n_seeds=8))
+    assert "BroadcastNestedLoopJoin" in plan  # bounded: k seed rows
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_is_heap_topk_no_shuffle(spark, sf_dir):
+    from cccatalog_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    plan = _plan(weighted_sample(d, "doc_id", "w", 20))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
