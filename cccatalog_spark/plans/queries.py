@@ -4714,6 +4714,90 @@ def q97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q98 — streaming first-seen dedup by key (streaming/stateful.
+# dedup_first_seen): three micro-batches, per-key seen-flag state,
+# append mode — the exactly-once ingest primitive (replayed rows never
+# re-enter). Deterministic: batches drain oldest-first and within a
+# trigger the key's head row is picked by (sec, event_id); the oracle
+# replays the identical (batch, sec, event_id) ranking.
+# ---------------------------------------------------------------------------
+@query(
+    "q98_stream_dedup_first_seen",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                      event_id, event_id % 3 AS b
+               FROM events WHERE event_id % 4 = 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY b, sec, event_id) AS rn
+          FROM e)
+    SELECT user_id, event_type, sec FROM r WHERE rn = 1
+    """,
+)
+def q98_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import dedup_first_seen
+
+    base = tempfile.mkdtemp(prefix="ccc_fsd_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 4 == 2
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    now = time.time()
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        (
+            e.where(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.option("sep", "\t")
+            .mode("overwrite")
+            .csv(stage)
+        )
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)  # oldest-first drain
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_id long, user_id long, event_type string, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    first = dedup_first_seen(
+        stream,
+        "user_id",
+        "user_id long, event_type string, sec long",
+        ["sec", "event_id"],
+    )
+    sink = f"q98_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        first.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT user_id, event_type, sec FROM {sink}")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

@@ -48,3 +48,62 @@ def running_counts(stream: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_first_seen(
+    stream: DataFrame,
+    key_col: str,
+    payload_schema: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Streaming dedup-by-key: emit each key's FIRST row only, across
+    all micro-batches — the exactly-once ingest primitive (a replayed
+    or duplicated upstream row can never re-enter the corpus).
+
+    State per key: one seen-flag (a long). Within a trigger the key's
+    rows are ordered by ``order_cols`` (total order — callers include
+    a unique id as the last column) and the head row is emitted iff
+    the key was never seen before; later triggers emit nothing for it.
+    Emission is deterministic given the trigger order (the loader's
+    oldest-first file gate, streaming/loader.py).
+
+    ``payload_schema`` is the full output schema DDL, e.g.
+    ``"user_id long, event_type string, sec long"`` — the key column
+    plus the payload columns, all present in the input stream.
+    """
+
+    # resolve output column names DRIVER-side: DDL parsing needs the
+    # JVM session, which doesn't exist inside the state function
+    out_cols = [f.name for f in _ddl_fields(payload_schema)]
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            head = pdf.sort_values(order_cols).head(1)
+            both = head if best is None else pd.concat([best, head])
+            best = both.sort_values(order_cols).head(1)
+        if state.exists or best is None:
+            yield pd.DataFrame({c: [] for c in out_cols})
+        else:
+            state.update((1,))
+            yield best[out_cols]
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=payload_schema,
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _ddl_fields(ddl: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(ddl).fields

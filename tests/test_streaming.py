@@ -335,3 +335,44 @@ def test_stale_writer_loses_bucketed(spark, tmp_path):
         )
     out = {r["k"]: r for r in new.read().collect()}
     assert set(out) == {1} and out[1]["val"] == "old"
+
+
+def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
+    """dedup_first_seen: a key replayed in a later micro-batch emits
+    nothing; within a trigger the head row follows the order columns."""
+    import time
+
+    from cccatalog_spark.streaming.stateful import dedup_first_seen
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    now = time.time()
+    # batch1: k=a twice (sec 5 wins over 9), k=b once
+    _write_tsv(str(watch / "b1.tsv"), ["1\ta\t9", "2\ta\t5", "3\tb\t7"],
+               now - 120)
+    # batch2: k=a replayed (suppressed), k=c new
+    _write_tsv(str(watch / "b2.tsv"), ["4\ta\t1", "5\tc\t2"], now - 60)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .option("maxFilesPerTrigger", "1")
+        .schema("event_id long, k string, sec long")
+        .csv(str(watch))
+    )
+    out = dedup_first_seen(
+        stream, "k", "k string, sec long", ["sec", "event_id"]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["k"]: r["sec"]
+        for r in spark.sql("SELECT * FROM first_seen_test").collect()
+    }
+    # exactly one emission per key; a's batch-2 replay suppressed
+    assert rows == {"a": 5, "b": 7, "c": 2}
