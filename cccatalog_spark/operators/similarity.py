@@ -604,3 +604,80 @@ def kmeans_assign(
         F.round(F.avg("dist"), 6).alias("avg_dist"),
         F.round(F.max("dist"), 6).alias("max_dist"),
     )
+
+
+def _assign_step(v: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """(id, cid, dist): nearest centroid per vector, ties to the
+    smaller cid (struct-min). Centroid frame broadcast — k rows."""
+    dist = l2_distance(F.col("emb"), F.col("cvec"))
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.struct(dist.alias("dist"), F.col("cid").alias("cid")).alias("c"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("c").alias("best"))
+        .select(
+            id_col,
+            F.col("best.cid").alias("cid"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_seeds: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Full distributed Lloyd's k-means: ``iterations`` rounds of
+    (assign → recompute centroids), then a final assignment profile
+    ``(cid, n_assigned, avg_dist, max_dist)`` against the trained
+    centroids. Deterministic end to end (lowest-id seeding, struct-min
+    tiebreak) and oracle-exact: recomputed centroid coordinates are
+    rounded to 9 places in BOTH engines, which pins the next round's
+    distances bit-identical despite cross-engine partial-sum order.
+
+    Scale shape per round: assignment is the broadcast map-side
+    pattern of `kmeans_assign`; the M-step is ONE shuffle keyed by
+    (cid, dim) with map-side partial avg — dimensions are bounded, so
+    the centroid frame stays k×d rows and re-broadcasts each round.
+    Empty clusters drop out (no member rows → no centroid row), same
+    as the SQL formulation.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("emb"),
+    ).persist()
+    cents = v.where(F.col(id_col) < n_seeds).select(
+        F.col(id_col).alias("cid"), F.col("emb").alias("cvec")
+    )
+    dims = v.select(
+        F.col(id_col), F.posexplode("emb").alias("dim", "val")
+    )
+    for _ in range(iterations):
+        assign = _assign_step(v, cents, id_col).select(id_col, "cid")
+        cents = (
+            dims.join(assign, id_col)
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("val"), 9).alias("cv"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim").alias("d"),
+                                                F.col("cv").alias("v")))
+                    ),
+                    lambda s: s.getField("v"),
+                ).alias("cvec")
+            )
+        )
+    final = _assign_step(v, cents, id_col)
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+        F.round(F.max("dist"), 6).alias("max_dist"),
+    )

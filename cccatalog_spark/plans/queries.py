@@ -4798,6 +4798,67 @@ def q98_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT user_id, event_type, sec FROM {sink}")
 
 
+# ---------------------------------------------------------------------------
+# q99 — full distributed Lloyd's k-means training
+# (operators/similarity.kmeans_lloyd): 2 unrolled rounds of
+# assign→recompute over the embeddings, then the trained-centroid
+# profile. Centroid coordinates round to 9 places in BOTH engines
+# after each M-step, pinning the next round's distances bit-identical
+# — the whole training loop sits under an exact-value oracle.
+# ---------------------------------------------------------------------------
+def _kmeans_oracle_sql(iterations: int = 2, n_seeds: int = 8) -> str:
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""c0 AS (SELECT vec_id AS cid, emb AS cvec FROM v
+        WHERE vec_id < {n_seeds})""",
+        """e AS (SELECT vec_id, unnest(emb) AS val,
+                        unnest(range(1, len(emb) + 1)) AS dim FROM v)""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""a{t} AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_distance(v.emb, c.cvec), c.cid) AS rn
+            FROM v, c{t - 1} c) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""m{t} AS (
+        SELECT a{t}.cid, e.dim, round(avg(e.val), 9) AS cv
+        FROM e JOIN a{t} USING (vec_id) GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            f"c{t} AS (SELECT cid, list(cv ORDER BY dim) AS cvec "
+            f"FROM m{t} GROUP BY cid)"
+        )
+    ctes.append(
+        f"""fin AS (
+        SELECT vec_id, cid, dist FROM (
+            SELECT v.vec_id, c.cid, list_distance(v.emb, c.cvec) AS dist,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_distance(v.emb, c.cvec), c.cid) AS rn
+            FROM v, c{iterations} c) WHERE rn = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT cid, count(*) AS n_assigned,
+           round(avg(dist), 6) AS avg_dist,
+           round(max(dist), 6) AS max_dist
+    FROM fin GROUP BY cid"""
+    )
+
+
+@query("q99_kmeans_train", oracle=_kmeans_oracle_sql(2, 8))
+def q99_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.kmeans_lloyd(e, "embedding", "vec_id", n_seeds=8, iterations=2)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

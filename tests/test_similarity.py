@@ -270,3 +270,49 @@ def test_kmeans_assign_tie_goes_to_lower_seed(spark):
     got = {r["seed_id"]: r["n_assigned"] for r in
            kmeans_assign(df, "embedding", "vec_id", n_seeds=2).collect()}
     assert got == {0: 4}
+
+
+def test_kmeans_lloyd_matches_numpy_model(spark):
+    import numpy as np
+
+    from cccatalog_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 6).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["cid"]: (r["n_assigned"], r["avg_dist"], r["max_dist"])
+        for r in kmeans_lloyd(
+            df, "embedding", "vec_id", n_seeds=3, iterations=2
+        ).collect()
+    }
+
+    v = vecs.astype("float64")
+    cents = v[:3].copy()
+    for _ in range(2):
+        d = np.sqrt(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+        assign = d.argmin(axis=1)
+        new = []
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                new.append(np.round(v[m].mean(axis=0), 9))
+        cents = np.array(new)
+    d = np.sqrt(((v[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2))
+    assign = d.argmin(axis=1)
+    want = {}
+    for c in range(len(cents)):
+        m = assign == c
+        if m.any():
+            want[c] = (
+                int(m.sum()),
+                round(float(d[m, c].mean()), 6),
+                round(float(d[m, c].max()), 6),
+            )
+    assert {k: g[0] for k, g in got.items()} == {k: w[0] for k, w in want.items()}
+    for c in want:
+        assert abs(got[c][1] - want[c][1]) < 1e-5
+        assert abs(got[c][2] - want[c][2]) < 1e-5
