@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cccatalog_spark.functions import text as TX
 
@@ -131,3 +132,45 @@ def inverted_index(
             max_postings,
         ).alias("postings"),
     )
+
+
+def with_rank(scored: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    """1-based dense ranking ``(id, rnk)`` of an already-truncated
+    top-k frame by (score desc, id asc).
+
+    Scale shape: call this AFTER the top-k limit, never before — the
+    upstream ``orderBy().limit(k)`` plans as TakeOrderedAndProject
+    (per-partition heaps), so the unpartitioned ranking window here
+    only ever sees ≤k rows, not the corpus."""
+    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    return scored.select(F.col(id_col), F.row_number().over(w).alias("rnk"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k_const: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    lists: ``score(d) = Σ_lists 1 / (k_const + rank_list(d))``.
+
+    Each input frame must carry ``(id_col, rnk)`` with 1-based ranks.
+    The hybrid-retrieval primitive: fuse a sparse (BM25) and a dense
+    (embedding cosine) ranking without score calibration.
+
+    Scale shape: union + one groupBy on the id (never an N-way outer
+    join — a missing id in one list is simply an absent row, which is
+    exactly RRF's semantics), and the inputs are already top-k-bounded
+    so the shuffle is O(N·k), independent of corpus size. Output has a
+    total order (rounded score desc, id asc)."""
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, rankings)
+    fused = u.groupBy(id_col).agg(
+        F.count("*").alias("n_lists"),
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k_const)) + F.col("rnk"))), 6
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)

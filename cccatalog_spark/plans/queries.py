@@ -4859,6 +4859,82 @@ def q99_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd(e, "embedding", "vec_id", n_seeds=8, iterations=2)
 
 
+# ---------------------------------------------------------------------------
+# q100 — hybrid retrieval via reciprocal-rank fusion
+# (operators/retrieval.rrf_fuse): BM25 sparse top-50 (q90's scorer)
+# fused with exact dense cosine top-50 (q26's scorer) by
+# score(d) = Σ 1/(60 + rank). The curation-search shape a corpus
+# engine needs once it has both a term index and an embedding column;
+# no score calibration, rank-only, so the fusion itself is exact and
+# oracle-checkable end to end.
+# ---------------------------------------------------------------------------
+@query(
+    "q100_hybrid_rrf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+    e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+           WHERE term IN ('dup', 'stream', 'merge') GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfc
+            FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+             round(sum(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (s.n_docs - dfq.dfc + CAST(0.5 AS DOUBLE))
+                    / (dfq.dfc + CAST(0.5 AS DOUBLE)))
+               * (tf.tf * CAST(2.2 AS DOUBLE)
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * tf.dl / s.avgdl)))), 6)
+               AS score
+           FROM tf JOIN dfq ON tf.term = dfq.term, s
+           GROUP BY 1),
+    sp AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+           FROM sc QUALIFY rnk <= 50),
+    de AS (SELECT emb.vec_id AS doc_id,
+                  round(list_cosine_similarity(emb.embedding::DOUBLE[],
+                                               q.embedding::DOUBLE[]), 6)
+                      AS cs
+           FROM embeddings emb,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+    dr AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY cs DESC, doc_id) AS rnk
+           FROM de QUALIFY rnk <= 50),
+    u AS (SELECT doc_id, rnk FROM sp UNION ALL SELECT doc_id, rnk FROM dr)
+    SELECT doc_id, count(*) AS n_lists,
+           round(sum(CAST(1.0 AS DOUBLE) / (60 + rnk)), 6) AS rrf_score
+    FROM u GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def q100_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import bm25_topk, rrf_fuse, with_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sparse = with_rank(
+        bm25_topk(d, "text", "doc_id", ["dup", "stream", "merge"], k=50),
+        "score",
+        "doc_id",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    dense_scored = (
+        emb.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(SIM.cosine(F.col("embedding"), F.col("_qv")), 6).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), F.asc("doc_id"))
+        .limit(50)
+    )
+    dense = with_rank(dense_scored, "cs", "doc_id")
+    return rrf_fuse([sparse, dense], "doc_id", k_const=60, k=20)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

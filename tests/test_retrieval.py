@@ -90,3 +90,29 @@ def test_inverted_index_postings_cap_keeps_exact_df(spark):
     assert len(idx) == 1
     assert idx[0]["df"] == 7  # df exact even when postings truncated
     assert [p["id"] for p in idx[0]["postings"]] == [0, 1, 2]
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from cccatalog_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rnk int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "id long, rnk int")
+    got = {r["id"]: r for r in rrf_fuse([a, b], "id", k_const=60, k=10).collect()}
+    assert got[2]["n_lists"] == 2
+    assert got[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert got[1]["n_lists"] == 1
+    assert got[1]["rrf_score"] == round(1 / 61, 6)
+    assert got[4]["rrf_score"] == round(1 / 62, 6)
+    # fused order: doc 2 (both lists) first, then 1, then 4, then 3
+    order = [r["id"] for r in rrf_fuse([a, b], "id", 60, 10).collect()]
+    assert order == [2, 1, 4, 3]
+
+
+def test_with_rank_total_order(spark):
+    from cccatalog_spark.operators.retrieval import with_rank
+
+    scored = spark.createDataFrame(
+        [(5, 0.9), (1, 0.9), (7, 0.5)], "id long, s double"
+    )
+    got = [(r["id"], r["rnk"]) for r in with_rank(scored, "s", "id").collect()]
+    assert sorted(got) == [(1, 1), (5, 2), (7, 3)]
