@@ -4935,6 +4935,56 @@ def q100_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([sparse, dense], "doc_id", k_const=60, k=20)
 
 
+# ---------------------------------------------------------------------------
+# q101 — HyperLogLog distinct estimate (functions/sketches.
+# hll_distinct): md5-deterministic registers, so the oracle recomputes
+# the IDENTICAL estimate — an HLL with a hard value gate next to q70's
+# KMV (mergeable 256-register state, one (group, register) exchange
+# with map-side partial max; the rollup-friendly sketch shape at
+# 100 TB). Raw-estimate branch at this cardinality; the linear-
+# counting branch is pinned by unit tests against a Python model.
+# ---------------------------------------------------------------------------
+from cccatalog_spark.functions.sketches import _HLL_ALPHA_M2 as _HLLC
+
+
+@query(
+    "q101_hll_distinct",
+    oracle=f"""
+    WITH d AS (SELECT l_returnflag,
+                      md5(CAST(l_partkey AS VARCHAR)) AS hx
+               FROM lineitem),
+    hh AS (SELECT l_returnflag, {_KMV_FOLD} AS h FROM d),
+    b AS (SELECT l_returnflag, h % 256 AS j, h // 256 AS w FROM hh),
+    r AS (SELECT l_returnflag, j,
+                 CASE WHEN w = 0 THEN 53
+                      ELSE CAST(round(log2(w & (-w))) AS INTEGER) + 1
+                 END AS rho
+          FROM b),
+    m AS (SELECT l_returnflag, j, max(rho) AS mr FROM r GROUP BY 1, 2),
+    a AS (SELECT l_returnflag, CAST(count(*) AS INTEGER) AS n_used,
+                 sum(power(CAST(2.0 AS DOUBLE), -mr)) AS zu
+          FROM m GROUP BY 1)
+    SELECT l_returnflag, n_used,
+           round(CASE WHEN CAST({_HLLC!r} AS DOUBLE)
+                           / (CAST(256 - n_used AS DOUBLE) + zu)
+                        <= CAST(640.0 AS DOUBLE)
+                      AND n_used < 256
+                 THEN CAST(256.0 AS DOUBLE)
+                      * ln(CAST(256.0 AS DOUBLE)
+                           / CAST(256 - n_used AS DOUBLE))
+                 ELSE CAST({_HLLC!r} AS DOUBLE)
+                      / (CAST(256 - n_used AS DOUBLE) + zu)
+                 END, 4) AS hll_distinct
+    FROM a
+    """,
+)
+def q101_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.sketches import hll_distinct
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    return hll_distinct(li, ["l_returnflag"], "l_partkey")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

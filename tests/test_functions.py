@@ -411,3 +411,70 @@ def test_repetition_profile_short_doc_no_ngrams(spark):
     r = repetition_profile(df).collect()[0]
     assert (r["top2_frac"], r["top3_frac"], r["dup5_frac"]) == (0.0, 0.0, 0.0)
     assert r["rep_keep"]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (functions/sketches.py)
+# ---------------------------------------------------------------------------
+
+def _hll_model(values):
+    """Python replica of hll_distinct for one group."""
+    import hashlib
+    import math
+
+    regs = {}
+    for v in set(values):
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+        j, w = h % 256, h // 256
+        if w == 0:
+            rho = 53
+        else:
+            rho = (w & -w).bit_length()  # trailing zeros + 1
+        regs[j] = max(regs.get(j, 0), rho)
+    n_used = len(regs)
+    z = (256 - n_used) + sum(2.0 ** -m for m in regs.values())
+    alpha_m2 = 0.7213 / (1.0 + 1.079 / 256) * 65536.0
+    e = alpha_m2 / z
+    if e <= 640.0 and n_used < 256:
+        e = 256.0 * math.log(256.0 / (256 - n_used))
+    return n_used, round(e, 4)
+
+
+def test_hll_linear_counting_branch_matches_model(spark):
+    from cccatalog_spark.functions.sketches import hll_distinct
+
+    # 30 distinct values -> sparse registers -> linear counting
+    df = spark.range(90).select(
+        F.lit("g").alias("g"), (F.col("id") % 30).alias("v")
+    )
+    row = hll_distinct(df, ["g"], "v").collect()[0]
+    n_used, est = _hll_model(range(30))
+    assert row["n_used"] == n_used
+    assert row["hll_distinct"] == est
+    assert abs(est - 30) / 30 < 0.25
+
+
+def test_hll_raw_branch_matches_model_and_bound(spark):
+    from cccatalog_spark.functions.sketches import hll_distinct
+
+    n = 20000
+    df = spark.range(n).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    row = hll_distinct(df, ["g"], "v").collect()[0]
+    n_used, est = _hll_model(range(n))
+    assert (row["n_used"], row["hll_distinct"]) == (n_used, est)
+    # HLL std error ~ 1.04/sqrt(256) ≈ 6.5%; allow 4 sigma
+    assert abs(est - n) / n < 0.26
+
+
+def test_hll_register_state_is_mergeable(spark):
+    from cccatalog_spark.functions.sketches import hll_distinct
+
+    a = list(range(0, 3000))
+    b = list(range(1500, 5000))
+    df = spark.createDataFrame(
+        [("u", v) for v in a + b], "g string, v long"
+    )
+    row = hll_distinct(df, ["g"], "v").collect()[0]
+    # union through one sketch == model over the distinct union
+    n_used, est = _hll_model(set(a) | set(b))
+    assert (row["n_used"], row["hll_distinct"]) == (n_used, est)
