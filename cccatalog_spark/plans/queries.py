@@ -4985,6 +4985,37 @@ def q101_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(li, ["l_returnflag"], "l_partkey")
 
 
+# ---------------------------------------------------------------------------
+# q102 — context-window chunking (operators/chunking.py): overlapping
+# token windows (size 64, stride 48) per document — the doc→context-
+# window prep step feeding q86's sequence packing. Narrow plan (no
+# shuffle, no UDF); output is one row per window with the exact
+# reconstructed chunk text, so the oracle checks the slicing
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "q102_doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+          WHERE len(toks) > 0),
+    s AS (SELECT doc_id, toks, n_tokens,
+                 unnest(range(0, n_tokens, 48)) AS start
+          FROM n)
+    SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_id, start,
+           least(64, n_tokens - start) AS chunk_tokens,
+           array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def q102_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, "text", "doc_id", chunk_size=64, stride=48)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
