@@ -1,0 +1,107 @@
+"""Statistical language-model scoring (LLM-pipeline op beyond the
+reference): train an add-one-smoothed bigram model over the corpus and
+score every document by its mean negative log-likelihood — the
+KenLM-style "perplexity filter" used to keep fluent text and drop
+gibberish in large-scale training-data pipelines (cf. CCNet/RefinedWeb
+methodology; model here is the exact relational bigram MLE, so the
+whole filter sits under a SQL oracle instead of an opaque binary).
+
+Model: P(w2|w1) = (C(w1,w2) + 1) / (C_head(w1) + V) where C_head
+counts w1's occurrences as a bigram head and V is the corpus
+vocabulary size. Document score = −mean ln P over its bigram
+instances; documents with fewer than two tokens emit no row.
+
+Scale shape — everything is counts + equi-joins, no UDF, no driver
+state:
+
+- bigram instances come from ``arrays_zip(slice, slice)`` + one
+  explode (narrow, no self-join on position);
+- the model tables are two groupBy counts (map-side partial agg) keyed
+  by (w1, w2) and (w1); the fact side joins back on those keys —
+  plain shuffle hash joins that AQE can skew-split, and the (w1) join
+  is exactly the hot-stopword-key case operators/skew.py salting
+  targets if a corpus needs it;
+- V is a 1-row aggregate attached by broadcast;
+- the per-doc reduce is a single groupBy(doc) avg.
+
+Train/score separation: ``bigram_model`` returns the count frames so a
+model trained on a reference corpus (e.g. Wikipedia) can score a
+different target corpus — the standard CCNet setup — while
+``bigram_lm_score`` is the self-scoring convenience.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.functions import text as TX
+
+
+def _bigram_instances(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per bigram instance: ``(id, w1, w2)`` in document
+    order (order itself not materialized — counts don't need it)."""
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    base = docs.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("_t"), 1, F.col("_n") - 1),
+        F.slice(F.col("_t"), 2, F.col("_n") - 1),
+    )
+    return (
+        base.where(F.col("_n") >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("_bg"))
+        .select(
+            id_col,
+            F.col("_bg")["0"].alias("w1"),
+            F.col("_bg")["1"].alias("w2"),
+        )
+    )
+
+
+def bigram_model(
+    train: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(pair_counts(w1, w2, cp), head_counts(w1, ch), vocab(vs)) —
+    the mergeable model state, reusable across scoring runs."""
+    big = _bigram_instances(train, text_col, id_col)
+    pairs = big.groupBy("w1", "w2").agg(F.count("*").alias("cp"))
+    heads = big.groupBy("w1").agg(F.count("*").alias("ch"))
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    vocab = (
+        train.select(F.explode(toks).alias("_w"))
+        .agg(F.countDistinct("_w").cast("double").alias("vs"))
+    )
+    return pairs, heads, vocab
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """``(id, n_bigrams, nll)`` — mean negative log-likelihood per
+    document under the (given or self-trained) add-one bigram model.
+    Lower = more fluent under the model; filter on a quantile of this
+    column. ``nll`` rounded to 6 (re-ordered float sum)."""
+    pairs, heads, vocab = model or bigram_model(docs, text_col, id_col)
+    big = _bigram_instances(docs, text_col, id_col)
+    # left joins so a bigram/head unseen in the model (cross-corpus
+    # scoring) falls back to the smoothed floor (0+1)/(0+V), not a
+    # dropped row; with a self-trained model they match inner joins
+    lp = F.log(
+        (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("ch"), F.lit(0)) + F.col("vs"))
+    )
+    scored = (
+        big.join(pairs, ["w1", "w2"], "left")
+        .join(heads, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(lp), 6).alias("nll"),
+        )
+    )

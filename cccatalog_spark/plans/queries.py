@@ -5016,6 +5016,44 @@ def q102_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, "text", "doc_id", chunk_size=64, stride=48)
 
 
+# ---------------------------------------------------------------------------
+# q103 — bigram-LM perplexity scoring (operators/lm.py): add-one-
+# smoothed bigram model trained on the corpus, every document scored
+# by mean negative log-likelihood — the KenLM/CCNet-style fluency
+# filter as exact relational algebra (counts + equi-joins), so the
+# whole quality signal sits under a value-exact oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q103_bigram_lm_nll",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS w,
+                 generate_subscripts(toks, 1) AS pos
+          FROM t),
+    big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM e a JOIN e b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    pairs AS (SELECT w1, w2, count(*) AS cp FROM big GROUP BY 1, 2),
+    heads AS (SELECT w1, count(*) AS ch FROM big GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM e),
+    sc AS (SELECT big.doc_id,
+                  ln((pairs.cp + CAST(1.0 AS DOUBLE)) / (heads.ch + v.vs))
+                      AS lp
+           FROM big
+           JOIN pairs ON big.w1 = pairs.w1 AND big.w2 = pairs.w2
+           JOIN heads ON big.w1 = heads.w1, v)
+    SELECT doc_id, count(*) AS n_bigrams, round(-avg(lp), 6) AS nll
+    FROM sc GROUP BY doc_id
+    """,
+)
+def q103_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lm import bigram_lm_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_score(d, "text", "doc_id")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
