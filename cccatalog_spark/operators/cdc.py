@@ -1,0 +1,115 @@
+"""Snapshot change-data-capture and SCD2 history build (warehouse ops
+beyond the reference's single-table upsert — the reference's loader
+only ever merges "newest wins" (util/loader/sql.py upsert); a catalog
+consumer also needs to KNOW what changed between two crawls and to
+keep the history).
+
+``snapshot_diff`` derives row-level CDC between two snapshots of the
+same keyed table: insert / delete / update / unchanged, with the old
+and new compare values side by side. ``scd2_from_snapshots`` turns the
+same comparison into slowly-changing-dimension type-2 version rows
+(valid_from / valid_to as batch ordinals — deterministic, no wall
+clock).
+
+Scale shape: ONE full-outer sort-merge join keyed on the business key
+— both sides shuffle once on the key (co-partition or bucket the
+snapshots by key and even that exchange disappears; see
+sources/bucketed.py), comparisons are null-safe column expressions in
+codegen, and SCD2 versioning is a union of narrow projections over the
+joined frame (no second join, no window). Nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _differs(cols: list[str]) -> Column:
+    """Null-safe 'any compare column changed' predicate."""
+    terms = [
+        ~F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}")) for c in cols
+    ]
+    return reduce(Column.__or__, terms)
+
+
+def _prefixed(df: DataFrame, keys: list[str], cols: list[str], tag: str) -> DataFrame:
+    sel = [F.col(k) for k in keys]
+    sel += [F.col(c).alias(f"_{tag}_{c}") for c in cols]
+    sel.append(F.lit(True).alias(f"_in_{tag}"))
+    return df.select(*sel)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """``(keys..., change_type, old_<c>..., new_<c>...)`` with
+    change_type ∈ insert|delete|update|unchanged. One full-outer join
+    on the key; null-safe value comparison."""
+    o = _prefixed(old, keys, compare_cols, "old")
+    n = _prefixed(new, keys, compare_cols, "new")
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(_differs(compare_cols), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = [F.col(k) for k in keys] + [change.alias("change_type")]
+    out += [
+        F.col(f"_old_{c}").alias(f"old_{c}") for c in compare_cols
+    ] + [F.col(f"_new_{c}").alias(f"new_{c}") for c in compare_cols]
+    return j.select(*out)
+
+
+def scd2_from_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    from_batch: int = 0,
+    to_batch: int = 1,
+) -> DataFrame:
+    """SCD2 version rows across two snapshots:
+    ``(keys..., <compare_cols>..., valid_from, valid_to)``.
+
+    - unchanged → one open row (from_batch, NULL)
+    - update    → closed old row (from_batch, to_batch) + open new row
+    - delete    → closed old row only
+    - insert    → open new row only
+
+    Built as narrow projections over ``snapshot_diff``'s single join —
+    the joined frame is reused for both the closed and the open half
+    (persist it upstream if the optimizer doesn't collapse the reuse).
+    """
+    diff = snapshot_diff(old, new, keys, compare_cols)
+    vfrom = F.lit(from_batch).cast("int")
+    vto = F.lit(to_batch).cast("int")
+    closed = diff.where(
+        F.col("change_type").isin("update", "delete")
+    ).select(
+        *keys,
+        *[F.col(f"old_{c}").alias(c) for c in compare_cols],
+        vfrom.alias("valid_from"),
+        vto.alias("valid_to"),
+    )
+    open_old = diff.where(F.col("change_type") == "unchanged").select(
+        *keys,
+        *[F.col(f"old_{c}").alias(c) for c in compare_cols],
+        vfrom.alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    open_new = diff.where(
+        F.col("change_type").isin("update", "insert")
+    ).select(
+        *keys,
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+        vto.alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+    )
+    return closed.unionByName(open_old).unionByName(open_new)

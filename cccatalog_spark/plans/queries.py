@@ -5054,6 +5054,92 @@ def q103_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(d, "text", "doc_id")
 
 
+# ---------------------------------------------------------------------------
+# q104/q105 — snapshot CDC + SCD2 history (operators/cdc.py): diff two
+# deterministic snapshots of orders (drop-out keys simulate deletes,
+# drop-in keys inserts, a 10%-repriced slice updates), then build the
+# type-2 version history with batch-ordinal validity. One full-outer
+# key join; everything else narrow.
+# ---------------------------------------------------------------------------
+_CDC_SNAPS = """
+    o AS (SELECT o_orderkey, o_totalprice AS price FROM orders
+          WHERE o_orderkey % 4 <> 0),
+    n AS (SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 5 = 0
+                      THEN o_totalprice + CAST(10.0 AS DOUBLE)
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 4 <> 1)
+"""
+
+_CDC_DIFF = """
+    d AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                      WHEN n.o_orderkey IS NULL THEN 'delete'
+                      WHEN o.price IS DISTINCT FROM n.price THEN 'update'
+                      ELSE 'unchanged' END AS change_type,
+                 o.price AS old_price, n.price AS new_price
+          FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+"""
+
+
+def _cdc_snapshots(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    new = o.where(F.col("o_orderkey") % 4 != 1).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.col("o_totalprice") + F.lit(10.0),  # exact float add: no
+            # cross-engine round-halfway hazard (a *1.1 reprice lands on
+            # .xx5 boundaries where Spark's BigDecimal HALF_UP and
+            # DuckDB's binary round disagree)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return old, new
+
+
+@query(
+    "q104_snapshot_cdc",
+    oracle=f"""
+    WITH {_CDC_SNAPS}, {_CDC_DIFF}
+    SELECT o_orderkey, change_type, old_price, new_price FROM d
+    """,
+)
+def q104_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.cdc import snapshot_diff
+
+    old, new = _cdc_snapshots(spark, sf_dir)
+    return snapshot_diff(old, new, ["o_orderkey"], ["price"])
+
+
+@query(
+    "q105_scd2_history",
+    oracle=f"""
+    WITH {_CDC_SNAPS}, {_CDC_DIFF}
+    SELECT o_orderkey, old_price AS price,
+           CAST(0 AS INTEGER) AS valid_from, CAST(1 AS INTEGER) AS valid_to
+    FROM d WHERE change_type IN ('update', 'delete')
+    UNION ALL
+    SELECT o_orderkey, old_price, CAST(0 AS INTEGER),
+           CAST(NULL AS INTEGER)
+    FROM d WHERE change_type = 'unchanged'
+    UNION ALL
+    SELECT o_orderkey, new_price, CAST(1 AS INTEGER),
+           CAST(NULL AS INTEGER)
+    FROM d WHERE change_type IN ('update', 'insert')
+    """,
+)
+def q105_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.cdc import scd2_from_snapshots
+
+    old, new = _cdc_snapshots(spark, sf_dir)
+    return scd2_from_snapshots(old, new, ["o_orderkey"], ["price"])
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
