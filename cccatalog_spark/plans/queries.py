@@ -5140,6 +5140,114 @@ def q105_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_from_snapshots(old, new, ["o_orderkey"], ["price"])
 
 
+# ---------------------------------------------------------------------------
+# q106 — stream-stream event-time interval join (streaming/joins.py):
+# click→purchase attribution per user within 30 minutes, both sides
+# replayed as 2 time-ordered micro-batches each. Inner joins emit
+# eagerly and the replay watermark exceeds the span, so the streaming
+# result equals the batch interval join — the oracle is that plain
+# SQL join. Cross-batch matches exercise the symmetric keyed state.
+# ---------------------------------------------------------------------------
+@query(
+    "q106_stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    c AS (SELECT event_id AS click_id, user_id, sec AS click_sec
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, sec AS purchase_sec
+          FROM e WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id, c.user_id,
+           c.click_sec, p.purchase_sec
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_sec >= c.click_sec
+     AND p.purchase_sec <= c.click_sec + 1800
+    """,
+)
+def q106_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.joins import interval_join_streams
+
+    base = tempfile.mkdtemp(prefix="ccc_ssj_")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    cutoff = 1705363200  # 2024-01-16: splits the 30-day span mid-way
+    now = time.time()
+    srcs = {}
+    for side, etype in (("click", "click"), ("purchase", "purchase")):
+        src = os.path.join(base, side)
+        os.makedirs(src)
+        srcs[side] = src
+        side_df = e.where(F.col("event_type") == etype).select(
+            "event_id", "user_id", "sec"
+        )
+        for i, pred in enumerate(
+            (F.col("sec") < cutoff, F.col("sec") >= cutoff)
+        ):
+            stage = os.path.join(base, f"stage_{side}{i}")
+            side_df.where(pred).coalesce(1).write.option("sep", "\t").mode(
+                "overwrite"
+            ).csv(stage)
+            parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+            if parts:
+                dst = os.path.join(src, f"batch{i}.tsv")
+                os.rename(os.path.join(stage, parts[0]), dst)
+                os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    def read_side(src: str, id_alias: str, ts_alias: str) -> DataFrame:
+        return (
+            spark.readStream.option("sep", "\t")
+            .schema("event_id long, user_id long, sec long")
+            .option("maxFilesPerTrigger", "1")
+            .csv(src)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.timestamp_seconds(F.col("sec")).alias(ts_alias),
+            )
+        )
+
+    joined = interval_join_streams(
+        read_side(srcs["click"], "click_id", "click_ts"),
+        read_side(srcs["purchase"], "purchase_id", "purchase_ts"),
+        "user_id",
+        "click_ts",
+        "purchase_ts",
+        max_gap="30 minutes",
+        watermark="60 days",  # > replay span: nothing expires mid-drain
+    )
+    out = joined.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_seconds(F.col("click_ts")).alias("click_sec"),
+        F.unix_seconds(F.col("purchase_ts")).alias("purchase_sec"),
+    )
+    sink = f"q106_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {sink}")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
