@@ -103,6 +103,18 @@ def hll_distinct(
     sorted hashes, and no window sort. This is the mergeable-sketch
     shape you'd feed a rollup at 100 TB.
     """
+    reg = hll_registers(df, group_cols, value_col)
+    return hll_estimate(reg, group_cols, out_col=out_col)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """The mergeable HLL state: ``(group_cols..., _j, _m)`` — max rho
+    per register. Registers merge by a further groupBy-max (max is
+    associative/idempotent), which is what lets daily partials roll up
+    to coarser grains without touching raw rows (operators/
+    rollup_state.py)."""
     m = _HLL_M
     h = df.select(*group_cols, _hash60(F.col(value_col)).alias("_h"))
     b = h.select(
@@ -113,11 +125,19 @@ def hll_distinct(
     rho = F.when(F.col("_w") == 0, F.lit(_HLL_W + 1)).otherwise(
         F.round(F.log2(F.expr("_w & -_w"))).cast("int") + 1
     )
-    reg = (
+    return (
         b.withColumn("_rho", rho)
         .groupBy(*group_cols, "_j")
         .agg(F.max("_rho").alias("_m"))
     )
+
+
+def hll_estimate(
+    reg: DataFrame, group_cols: list[str], *, out_col: str = "hll_distinct"
+) -> DataFrame:
+    """Fold a register frame (``hll_registers`` output, possibly
+    re-merged to a coarser grain) into the HLL estimate."""
+    m = _HLL_M
     agg = reg.groupBy(*group_cols).agg(
         F.count("*").cast("int").alias("n_used"),
         F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_zu"),

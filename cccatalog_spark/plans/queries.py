@@ -5248,6 +5248,85 @@ def q106_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {sink}")
 
 
+# ---------------------------------------------------------------------------
+# q107 — mergeable partial-aggregate rollup (operators/rollup_state.
+# py): daily partials (count/sum/min/max + HLL registers) re-merged to
+# weekly grain WITHOUT touching raw rows. HLL registers merge by max
+# (associative + idempotent), so the merged estimate is bit-identical
+# to computing it straight from raw — the oracle does exactly that,
+# proving partial-state rollup loses nothing.
+# ---------------------------------------------------------------------------
+@query(
+    "q107_partial_rollup_merge",
+    oracle=f"""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7
+                   AS week,
+                  value, user_id
+               FROM events),
+    hx AS (SELECT week, md5(CAST(user_id AS VARCHAR)) AS hx FROM e),
+    hh AS (SELECT week, {_KMV_FOLD} AS h FROM hx),
+    b AS (SELECT week, h % 256 AS j, h // 256 AS w FROM hh),
+    r AS (SELECT week, j,
+                 CASE WHEN w = 0 THEN 53
+                      ELSE CAST(round(log2(w & (-w))) AS INTEGER) + 1
+                 END AS rho
+          FROM b),
+    m AS (SELECT week, j, max(rho) AS mr FROM r GROUP BY 1, 2),
+    a AS (SELECT week, CAST(count(*) AS INTEGER) AS n_used,
+                 sum(power(CAST(2.0 AS DOUBLE), -mr)) AS zu
+          FROM m GROUP BY 1),
+    hll AS (SELECT week,
+           CASE WHEN CAST({_HLLC!r} AS DOUBLE)
+                     / (CAST(256 - n_used AS DOUBLE) + zu)
+                  <= CAST(640.0 AS DOUBLE)
+                AND n_used < 256
+           THEN CAST(256.0 AS DOUBLE)
+                * ln(CAST(256.0 AS DOUBLE) / CAST(256 - n_used AS DOUBLE))
+           ELSE CAST({_HLLC!r} AS DOUBLE)
+                / (CAST(256 - n_used AS DOUBLE) + zu)
+           END AS est
+           FROM a),
+    sc AS (SELECT week, count(*) AS n_rows,
+                  round(sum(value), 2) AS sum_v,
+                  round(sum(value) / count(*), 4) AS avg_v,
+                  min(value) AS min_v, max(value) AS max_v
+           FROM e GROUP BY 1)
+    SELECT sc.week, n_rows, sum_v, avg_v, min_v, max_v,
+           round(hll.est, 4) AS approx_distinct
+    FROM sc JOIN hll ON sc.week = hll.week
+    """,
+)
+def q107_partial_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.rollup_state import (
+        build_partials,
+        merge_partials,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+        "value",
+        "user_id",
+    )
+    daily = e.select(
+        F.expr("sec div 86400").alias("day"), "value", "user_id"
+    )
+    scalars, regs = build_partials(daily, "day", "value", "user_id")
+    merged = merge_partials(
+        scalars, regs, "day", F.expr("day div 7"), round_to=2
+    )
+    return merged.select(
+        F.col("_g").alias("week"),
+        "n_rows",
+        "sum_v",
+        "avg_v",
+        "min_v",
+        "max_v",
+        "approx_distinct",
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
