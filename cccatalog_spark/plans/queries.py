@@ -5327,6 +5327,47 @@ def q107_partial_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q108 — Z-order layout cells (operators/zorder.py): Morton-interleave
+# (l_partkey, l_suppkey) and assign fixed-grid cells (z div 2^14) —
+# the multi-column data-skipping layout; per-cell stats show each cell
+# covering a tight rectangle in both dimensions. The range-layout half
+# (repartitionByRange + in-partition sort) is pinned by
+# tests/test_zorder.py's file-stats tightness test.
+# ---------------------------------------------------------------------------
+def _q108_oracle() -> str:
+    from cccatalog_spark.operators.zorder import z_value_sql
+
+    zv = z_value_sql("l_partkey", "l_suppkey", 16)
+    return f"""
+    WITH z AS (SELECT l_partkey, l_suppkey, ({zv}) AS zval FROM lineitem)
+    SELECT zval // 16384 AS cell,
+           count(*) AS n_rows,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+           min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+    FROM z GROUP BY 1
+    """
+
+
+@query("q108_zorder_cells", oracle=_q108_oracle())
+def q108_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.zorder import z_value
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z = z_value(F.col("l_partkey"), F.col("l_suppkey"), 16)
+    return (
+        li.withColumn("cell", F.shiftright(z, 14))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
