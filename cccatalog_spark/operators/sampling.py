@@ -20,7 +20,7 @@ against a ≤|strata| threshold dim.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 16**4  # 4 hex chars
@@ -156,3 +156,38 @@ def weighted_sample(
         .limit(k)
         .drop("_wkey")
     )
+
+
+def token_budget_take(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    order_cols: list[str],
+    *,
+    cum_col: str = "cum_weight",
+) -> DataFrame:
+    """Per-group prefix under a weight budget: walk each group in
+    ``order_cols`` order and keep rows while the running sum of
+    ``weight_col`` stays ≤ ``budget`` — the "take N tokens per source"
+    curriculum/mixing primitive (count-capped q87 and fraction-capped
+    q85 are its siblings; this one caps the actual token spend).
+
+    A row that would cross the budget is dropped, as are all rows
+    after it in that group's order (prefix semantics — downstream
+    packing relies on the kept set being order-contiguous).
+
+    Scale shape: one exchange keyed by group + an in-partition ordered
+    running sum (window with ROWS UNBOUNDED PRECEDING — Spark computes
+    it streaming over the sorted partition, no buffering of the whole
+    group). Skewed giant groups are bounded by the budget itself at
+    output, and the sort is spillable. Deterministic for a total
+    ``order_cols`` order.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn(cum_col, F.sum(weight_col).over(w))
+    return out.where(F.col(cum_col) <= budget)

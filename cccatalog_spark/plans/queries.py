@@ -5368,6 +5368,40 @@ def q108_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q109 — token-budget corpus mixing (operators/sampling.
+# token_budget_take): per source, keep documents in doc_id order while
+# the running token count stays within a 500-token budget — the
+# "spend N tokens per source" mixing primitive next to q85's
+# fraction cap and q87's count cap. One exchange keyed by source + a
+# streaming running-sum window.
+# ---------------------------------------------------------------------------
+@query(
+    "q109_token_budget_mix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, len({_TOKS}) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t)
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 500
+    """,
+)
+def q109_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import token_budget_take
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return token_budget_take(
+        d, "source", "n_tokens", 500, ["doc_id"], cum_col="cum_tokens"
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

@@ -122,3 +122,45 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
     assert len(got & set(range(10))) >= 8
+
+
+# ---------------------------------------------------------------------------
+# token_budget_take (per-group prefix under a weight budget)
+# ---------------------------------------------------------------------------
+
+def test_token_budget_prefix_semantics(spark):
+    from cccatalog_spark.operators.sampling import token_budget_take
+
+    rows = [
+        # (id, grp, w): grp a cum = 3,8,9 -> budget 8 keeps id 1,2
+        (1, "a", 3), (2, "a", 5), (3, "a", 1),
+        # grp b: first row alone overflows -> nothing kept
+        (10, "b", 99),
+        # grp c: exact-boundary row kept
+        (20, "c", 4), (21, "c", 4), (22, "c", 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    got = sorted(
+        (r["id"], r["cum_weight"])
+        for r in token_budget_take(df, "g", "w", 8, ["id"]).collect()
+    )
+    # NB grp a id 3 would fit (9 > 8 though) -- prefix stops at overflow
+    assert got == [(1, 3), (2, 8), (20, 4), (21, 8)]
+
+
+def test_token_budget_deterministic_under_repartition(spark):
+    from cccatalog_spark.operators.sampling import token_budget_take
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    a = sorted(r["id"] for r in token_budget_take(df, "g", "w", 50, ["id"]).collect())
+    b = sorted(
+        r["id"]
+        for r in token_budget_take(
+            df.repartition(13), "g", "w", 50, ["id"]
+        ).collect()
+    )
+    assert a == b and a
