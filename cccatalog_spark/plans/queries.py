@@ -5402,6 +5402,34 @@ def q109_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q110 — feature hashing (operators/features.py): vocabulary-free
+# signed hashed bag-of-words, 64 buckets — md5-deterministic buckets
+# and signs so the oracle rebuilds identical sparse vectors. One
+# explode + one (doc, bucket) groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q110_feature_hashing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(list_transform({_TOKS}, x -> lower(x))) AS tok
+               FROM documents),
+    hx AS (SELECT doc_id, md5(tok) AS hx FROM t),
+    hh AS (SELECT doc_id, {_KMV_FOLD} AS h FROM hx),
+    s AS (SELECT doc_id, h % 64 AS bucket,
+                 CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sg
+          FROM hh)
+    SELECT doc_id, bucket, sum(sg) AS weight
+    FROM s GROUP BY 1, 2 HAVING sum(sg) <> 0
+    """,
+)
+def q110_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import hashed_bow
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_bow(d, "text", "doc_id", dim=64)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
