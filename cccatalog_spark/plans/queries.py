@@ -5430,6 +5430,94 @@ def q110_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_bow(d, "text", "doc_id", dim=64)
 
 
+# ---------------------------------------------------------------------------
+# q111 — streaming session windows (streaming/windows.session_counts):
+# per-user merging-session state over a 2-batch replay, 30-minute gap.
+# Complete-mode drain of a bounded replay equals batch sessionization,
+# so the oracle is q31's lag/cumsum form with window bounds
+# (end = last event + gap). Events staged as integer seconds so both
+# engines session the identical time domain.
+# ---------------------------------------------------------------------------
+@query(
+    "q111_stream_sessions",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    x AS (SELECT user_id, event_id, sec,
+                 CASE WHEN sec - lag(sec) OVER (
+                          PARTITION BY user_id ORDER BY sec, event_id)
+                          > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM e),
+    g AS (SELECT user_id, sec,
+                 sum(brk) OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id, min(sec) AS start_sec, max(sec) + 1800 AS end_sec,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q111_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.windows import session_counts
+
+    base = tempfile.mkdtemp(prefix="ccc_sess_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    cutoff = 1705363200  # 2024-01-16: time-ordered 2-batch replay
+    now = time.time()
+    for i, pred in enumerate((F.col("sec") < cutoff, F.col("sec") >= cutoff)):
+        stage = os.path.join(base, f"stage{i}")
+        e.where(pred).coalesce(1).write.option("sep", "\t").mode(
+            "overwrite"
+        ).csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_id long, user_id long, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+        .select("user_id", F.timestamp_seconds(F.col("sec")).alias("ts"))
+    )
+    sess = session_counts(stream, "ts", "user_id", gap="30 minutes")
+    sink = f"q111_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT user_id,
+                   unix_seconds(session_start) AS start_sec,
+                   unix_seconds(session_end) AS end_sec,
+                   n_events
+            FROM {sink}"""
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

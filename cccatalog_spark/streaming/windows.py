@@ -41,3 +41,40 @@ def tumbling_counts(
             "n",
         )
     )
+
+
+def session_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Event-time session windows per key (Structured Streaming's
+    merging-session state): a session absorbs every event whose time
+    is within ``gap`` of the session's current end (boundary-equal
+    events merge), and the window end is last-event-time + gap.
+
+    Emits ``(key, session_start, session_end, n_events)``. Complete/
+    update output modes see sessions as they grow; append emits a
+    session only once the watermark passes its end (set one upstream
+    with ``withWatermark`` for bounded state on a perpetual stream —
+    a bounded replay can run complete-mode without one, which is how
+    the oracle checks it against the batch lag/cumsum sessionization
+    (q31's relational form)).
+
+    Scale: state is per (key, open session) and merges are local to
+    the key's partition — the same shuffle key as any keyed agg.
+    """
+    return (
+        stream.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_w"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+        )
+    )
