@@ -4015,16 +4015,16 @@ def q82_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-paired query can use the slot.
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: list[str] = [
-    "q01_pricing_summary", "q02_top_customers", "q04_merge_upsert",
+    "q01_pricing_summary", "q100_hybrid_rrf", "q04_merge_upsert",
     "q05_merge_overwrite", "q06_replay_collapse", "q07_latest_orders",
-    "q08_percentile_disc", "q09_popularity_constants",
+    "q08_percentile_disc", "q106_stream_stream_join",
     "q10_standardized_popularity", "q12_dedup_exact", "q16_license_extract",
     "q17_sanitize", "q23_lang_id", "q24_ngram_jaccard", "q25_minhash_lsh",
-    "q26_ann_topk", "q27_knn_join", "q28_embedding_neardup",
-    "q29_simhash_neardup", "q33_array_contains_join", "q34_computed_key_join",
+    "q107_partial_rollup_merge", "q27_knn_join", "q28_embedding_neardup",
+    "q29_simhash_neardup", "q33_array_contains_join", "q111_stream_sessions",
     "q35_date_explode", "q38_cc_link_extract", "q39_sub_provider_update",
     "q40_image_normalize", "q41_expiration_mark", "q42_hex_prefix_scan",
-    "q43_rolling_window", "q45_stream_loader", "q46_multimodal_features",
+    "q43_rolling_window", "q104_snapshot_cdc", "q46_multimodal_features",
     "q48_cc_tags_merge", "q57_bpe_tokens", "q58_smithsonian_ingest",
     "q63_europeana_ingest", "q64_cc_tags_provider_keys",
     "q65_bucketed_stream_loader", "q66_url_validate",
