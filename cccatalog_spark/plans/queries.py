@@ -5518,6 +5518,71 @@ def q111_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q112 — small-file compaction planning (operators/maintenance.
+# plan_compaction): treat each document as a file (size = n_chars) in
+# its source directory, bin-pack in doc_id order toward 4 KiB bins by
+# running-sum division, and report the rewrite plan per bin. The
+# OPTIMIZE planner as one window expression.
+# ---------------------------------------------------------------------------
+@query(
+    "q112_compaction_plan",
+    oracle="""
+    WITH f AS (SELECT source, doc_id, n_chars FROM documents),
+    b AS (SELECT source, doc_id, n_chars,
+                 CAST(floor((sum(n_chars) OVER (PARTITION BY source
+                                                ORDER BY doc_id
+                                                ROWS UNBOUNDED PRECEDING)
+                             - n_chars) / 4096) AS BIGINT) AS bin
+          FROM f)
+    SELECT source, bin, count(*) AS n_files, sum(n_chars) AS bin_bytes
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q112_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.maintenance import (
+        compaction_summary,
+        plan_compaction,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    plan = plan_compaction(d, "source", "n_chars", ["doc_id"], 4096)
+    return compaction_summary(plan, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q113 — order-independent table checksum (operators/maintenance.
+# table_checksum): per-bucket md5-fold XOR + row count over the
+# canonical row form of orders — the "do two replicas hold the same
+# rows" audit that never moves the data. XOR is commutative, so the
+# oracle (any row order) recomputes identical bucket checksums.
+# ---------------------------------------------------------------------------
+@query(
+    "q113_table_checksum",
+    oracle=f"""
+    WITH c AS (SELECT
+        concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                  CAST(o_custkey AS VARCHAR), o_orderstatus) AS canon
+        FROM orders),
+    hx AS (SELECT md5(canon) AS hx FROM c),
+    hh AS (SELECT {_KMV_FOLD} AS h FROM hx)
+    SELECT h % 256 AS bucket, count(*) AS n_rows, bit_xor(h) AS checksum
+    FROM hh GROUP BY 1
+    """,
+)
+def q113_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.maintenance import table_checksum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    return table_checksum(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus"], n_buckets=256
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
