@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cccatalog_spark.operators.dedup import _truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -54,7 +56,7 @@ def pagerank(
     )
     contrib_src = e.join(outdeg, "src")
 
-    ranks = nodes.withColumn("r", F.lit(1.0 / n)).persist()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iterations):
         msgs = (
             contrib_src.join(ranks, F.col("src") == F.col("node"))
@@ -62,9 +64,8 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
-        new_ranks = (
-            nodes.join(msgs, F.col("node") == F.col("dst"), "left")
-            .select(
+        new_ranks = _truncate_lineage(
+            nodes.join(msgs, F.col("node") == F.col("dst"), "left").select(
                 "node",
                 (
                     F.lit(base)
@@ -72,10 +73,10 @@ def pagerank(
                     * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("r"),
             )
-            .persist()
         )
-        # truncate lineage: materialize before dropping the old frame
-        new_ranks.count()
+        # checkpoint, not persist: persist caches execution but the
+        # analyzed plan still nests every prior round (plan size and
+        # Catalyst time grow exponentially with iterations)
         ranks.unpersist()
         ranks = new_ranks
     return ranks

@@ -39,6 +39,14 @@ SANCTIONED_BNLJ = {
     "q26_ann_topk": "single probe vector broadcast (brute-force top-k)",
     "q27_knn_join": "k probe vectors broadcast (kNN scan, linear in corpus)",
     "q79_quantized_ann": "1 probe vector broadcast (int8 scan + re-rank)",
+    "q90_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast",
+    "q92_heavy_hitters": "1-row stream-total scalar broadcast",
+    "q96_kmeans_assign": "≤k-row centroid catalog broadcast (assignment "
+    "must compare every vector to every centroid)",
+    "q99_kmeans_train": "≤k-row centroid catalog broadcast per round",
+    "q100_hybrid_rrf": "1-row corpus-stats broadcast (BM25 half of the "
+    "fusion)",
+    "q103_bigram_lm_nll": "1-row vocabulary-size scalar broadcast",
 }
 
 
