@@ -3,6 +3,8 @@ null-safe compares, and plan shape (single join, no driver state)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cccatalog_spark.operators.cdc import scd2_from_snapshots, snapshot_diff
 
 
@@ -65,3 +67,42 @@ def test_diff_single_join_in_plan(spark):
         .toString()
     )
     assert plan.count("Join") <= 1
+
+
+# ---------------------------------------------------------------------------
+# property: SCD2 open rows reconstruct the new snapshot exactly, and
+# closed+open rows partition the diff
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_snapshot = st.dictionaries(
+    st.integers(min_value=0, max_value=20),
+    st.one_of(st.none(), st.text(alphabet="abc", max_size=2)),
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(old=_snapshot, new=_snapshot)
+def test_scd2_open_rows_equal_new_snapshot(spark, old, new):
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()] or [(None, None)], "k long, v string"
+    ).where(F.col("k").isNotNull())
+    hist = scd2_from_snapshots(mk(old), mk(new), ["k"], ["v"]).collect()
+
+    open_rows = {r["k"]: r["v"] for r in hist if r["valid_to"] is None}
+    assert open_rows == new
+    closed = {r["k"]: r["v"] for r in hist if r["valid_to"] is not None}
+    # closed rows are exactly the old values of updated/deleted keys
+    want_closed = {
+        k: v
+        for k, v in old.items()
+        if k not in new or new[k] != v
+    }
+    assert closed == want_closed
