@@ -24,7 +24,7 @@ includes doc_id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from cccatalog_spark.functions.text import tokens
@@ -130,3 +130,30 @@ def repetition_profile(
             & (frac(F.col("d5")) < DUP5_MAX)
         ).alias("rep_keep"),
     )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    tiebreak_cols: list[str],
+    *,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Percentile-rank calibration of a raw score within each group:
+    adds ``out_col`` = percent_rank over (score, tiebreaks) inside the
+    group — the cross-source score-calibration step before a GLOBAL
+    quality threshold (raw heuristic scores are not comparable across
+    sources; their per-source ranks are).
+
+    The tiebreak columns must make the ordering total, so the rank —
+    and therefore the output — is deterministic and oracle-checkable.
+
+    Scale: one exchange keyed by group + an in-partition sort
+    (spillable); percent_rank needs only the group's row count, not a
+    second pass.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    return df.withColumn(out_col, F.percent_rank().over(w))

@@ -5583,6 +5583,42 @@ def q113_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q114 — cross-source score calibration (operators/quality.
+# percentile_normalize): raw length scores become per-source
+# percentile ranks, then one GLOBAL threshold keeps the top half of
+# every source — the mixing-prep step that stops a verbose source
+# from crowding out a terse one under a single raw-score cutoff.
+# ---------------------------------------------------------------------------
+@query(
+    "q114_score_calibration",
+    oracle="""
+    WITH r AS (SELECT doc_id, source, n_chars,
+                      percent_rank() OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id)
+                          AS pr
+               FROM documents)
+    SELECT doc_id, source, n_chars, round(pr, 6) AS pct_rank,
+           pr >= CAST(0.5 AS DOUBLE) AS keep
+    FROM r
+    """,
+)
+def q114_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quality import percentile_normalize
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked = percentile_normalize(d, "source", "n_chars", ["doc_id"])
+    return ranked.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("pct_rank", 6).alias("pct_rank"),
+        (F.col("pct_rank") >= 0.5).alias("keep"),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

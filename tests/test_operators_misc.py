@@ -271,3 +271,38 @@ def test_merge_continue_batches_matches_python_fold(spark):
         for r in merge_continue_batches(df, "pageid").collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# percentile_normalize (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+def test_percentile_normalize_calibrates_across_scales(spark):
+    from cccatalog_spark.operators.quality import percentile_normalize
+
+    # source a scores in [1,4], source b in [1000, 4000]: raw
+    # thresholds can't compare them; percentile ranks can
+    rows = [("a", i, float(i)) for i in range(1, 5)] + [
+        ("b", i, float(i * 1000)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "src string, id long, score double")
+    got = {
+        (r["src"], r["id"]): r["pct_rank"]
+        for r in percentile_normalize(df, "src", "score", ["id"]).collect()
+    }
+    for src in ("a", "b"):
+        assert [got[(src, i)] for i in range(1, 5)] == [0.0, 1 / 3, 2 / 3, 1.0]
+
+
+def test_percentile_normalize_ties_broken_deterministically(spark):
+    from cccatalog_spark.operators.quality import percentile_normalize
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0)],
+        "src string, id long, score double",
+    )
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percentile_normalize(df, "src", "score", ["id"]).collect()
+    }
+    assert got == {1: 0.0, 2: 0.5, 3: 1.0}
