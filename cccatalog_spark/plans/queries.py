@@ -5619,6 +5619,55 @@ def q114_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q115 — corpus drift report (operators/corpus_stats.js_divergence):
+# Jensen–Shannon divergence + vocabulary overlap between two document
+# slices (even vs odd sources as the two "crawls"). |vocab|-sized
+# full-outer join + one global sum; the scalar the mixing decision
+# reads before admitting a new slice.
+# ---------------------------------------------------------------------------
+@query(
+    "q115_corpus_drift",
+    oracle=f"""
+    WITH ta AS (SELECT unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+                FROM documents WHERE doc_id % 2 = 0),
+    tb AS (SELECT unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+           FROM documents WHERE doc_id % 2 = 1),
+    ca AS (SELECT term, count(*) AS ca FROM ta GROUP BY 1),
+    cb AS (SELECT term, count(*) AS cb FROM tb GROUP BY 1),
+    j AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+    tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                   CAST(sum(cb) AS DOUBLE) AS nb FROM j)
+    SELECT sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS vocab_a,
+           sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vocab_b,
+           sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+               AS vocab_shared,
+           round(sum(
+             CASE WHEN ca > 0
+                  THEN CAST(0.5 AS DOUBLE) * (ca / na)
+                       * ln((ca / na)
+                            / (((ca / na) + (cb / nb))
+                               / CAST(2.0 AS DOUBLE)))
+                  ELSE CAST(0.0 AS DOUBLE) END
+             + CASE WHEN cb > 0
+                    THEN CAST(0.5 AS DOUBLE) * (cb / nb)
+                         * ln((cb / nb)
+                              / (((ca / na) + (cb / nb))
+                                 / CAST(2.0 AS DOUBLE)))
+                    ELSE CAST(0.0 AS DOUBLE) END), 6) AS jsd
+    FROM j, tot
+    """,
+)
+def q115_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import js_divergence
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    return js_divergence(a, b, "text")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

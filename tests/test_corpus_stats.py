@@ -1,0 +1,54 @@
+"""Corpus drift (operators/corpus_stats.py): JSD against a Python
+model, identity/disjoint bounds, vocabulary accounting."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from cccatalog_spark.operators.corpus_stats import js_divergence
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _jsd_model(texts_a, texts_b):
+    ca = Counter(w for t in texts_a for w in t.lower().split())
+    cb = Counter(w for t in texts_b for w in t.lower().split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for term in set(ca) | set(cb):
+        p, q = ca.get(term, 0) / na, cb.get(term, 0) / nb
+        m = (p + q) / 2.0
+        if p > 0:
+            jsd += 0.5 * p * math.log(p / m)
+        if q > 0:
+            jsd += 0.5 * q * math.log(q / m)
+    return round(jsd, 6)
+
+
+def test_jsd_matches_model(spark):
+    a = ["the cat sat", "dogs bark loud"]
+    b = ["the cat ran", "birds sing"]
+    row = js_divergence(_docs(spark, a), _docs(spark, b), "text").collect()[0]
+    assert row["jsd"] == _jsd_model(a, b)
+    assert row["vocab_a"] == 6 and row["vocab_b"] == 5
+    assert row["vocab_shared"] == 2  # the, cat
+
+
+def test_jsd_identity_is_zero(spark):
+    a = ["alpha beta gamma", "beta beta delta"]
+    row = js_divergence(_docs(spark, a), _docs(spark, a), "text").collect()[0]
+    assert row["jsd"] == 0.0
+    assert row["vocab_shared"] == row["vocab_a"] == row["vocab_b"]
+
+
+def test_jsd_disjoint_is_ln2(spark):
+    a = ["aa bb cc"]
+    b = ["xx yy zz"]
+    row = js_divergence(_docs(spark, a), _docs(spark, b), "text").collect()[0]
+    assert row["jsd"] == round(math.log(2.0), 6)
+    assert row["vocab_shared"] == 0
