@@ -5691,6 +5691,46 @@ def q116_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.mean_pool(e, "embedding", "label")
 
 
+# ---------------------------------------------------------------------------
+# q117 — vocabulary-coverage truncation (operators/cumsum.
+# global_running_sum): smallest vocabulary covering 95% of token mass
+# — frequency-ordered GLOBAL prefix sum via the two-phase distributed
+# cumsum (no Exchange SinglePartition; plan-pinned in
+# tests/test_cumsum.py), then one integer-exact threshold filter.
+# ---------------------------------------------------------------------------
+@query(
+    "q117_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+               FROM documents),
+    c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM c),
+    r AS (SELECT term, cnt,
+                 sum(cnt) OVER (ORDER BY cnt DESC, term
+                                ROWS UNBOUNDED PRECEDING) AS running
+          FROM c)
+    SELECT term, cnt, running
+    FROM r, tot
+    WHERE (running - cnt) * 100 < total * 95
+    """,
+)
+def q117_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import unigram_counts
+    from cccatalog_spark.operators.cumsum import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    counts = unigram_counts(d, "text")
+    ranked = global_running_sum(
+        counts, [F.desc("cnt"), F.asc("term")], "cnt", out_col="running"
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .where((F.col("running") - F.col("cnt")) * 100 < F.col("total") * 95)
+        .select("term", "cnt", "running")
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
