@@ -191,3 +191,73 @@ def token_budget_take(
     )
     out = df.withColumn(cum_col, F.sum(weight_col).over(w))
     return out.where(F.col(cum_col) <= budget)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    *,
+    salt: str = "neg:",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive pairs:
+    for every anchor row, draw ``k`` corpus rows (``(anchor, i,
+    negative)``, i in 0..k-1) by hashing (anchor, i) into a dense row
+    index — reproducible, RNG-free, repartition-stable like every
+    sampler in this module. A draw that lands on the anchor itself
+    shifts to the next index (deterministic, keeps draws ≠ anchor).
+
+    Near-dup-aware training should additionally anti-join the output
+    against its dedup-cluster pairs (q71/q83 labels) — orthogonal and
+    composable.
+
+    Scale shape: the dense index comes from the two-phase distributed
+    prefix sum (operators/cumsum.global_running_sum — no
+    single-partition exchange), the corpus size is a 1-row broadcast,
+    and the draw→row resolution is ONE equi-join on the dense index.
+    Output is k·N rows; nothing quadratic, nothing driver-side.
+    """
+    from cccatalog_spark.operators.cumsum import global_running_sum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    indexed = global_running_sum(
+        df.select(id_col).withColumn("_one", F.lit(1)),
+        [F.asc(id_col)],
+        "_one",
+        out_col="_rk",
+    ).select(F.col(id_col), (F.col("_rk") - 1).alias("_idx"))
+    n_total = indexed.agg(F.count("*").alias("_n"))
+    anchors = (
+        indexed.crossJoin(F.broadcast(n_total))
+        .select(
+            F.col(id_col).alias("anchor"),
+            F.col("_idx").alias("_aidx"),
+            "_n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("draw"),
+        )
+    )
+    raw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("anchor").cast("string"),
+                    F.lit(":"),
+                    F.col("draw").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long") % F.col("_n")
+    drawn = anchors.withColumn(
+        "_nidx",
+        F.when(raw == F.col("_aidx"), (raw + 1) % F.col("_n")).otherwise(raw),
+    )
+    neg = indexed.select(
+        F.col("_idx").alias("_nidx"), F.col(id_col).alias("negative")
+    )
+    return drawn.join(neg, "_nidx").select("anchor", "draw", "negative")

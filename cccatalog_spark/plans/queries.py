@@ -5731,6 +5731,45 @@ def q117_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q118 — contrastive negative sampling (operators/sampling.
+# negative_samples): 4 deterministic uniform negatives per anchor via
+# md5 draws into a dense row index (self-draws shift to the next
+# index). The dense index comes from the two-phase distributed prefix
+# sum — no single-partition exchange — and resolution is one
+# equi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q118_negative_samples",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY doc_id) - 1 AS idx
+               FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+    a AS (SELECT doc_id AS anchor, idx AS aidx,
+                 unnest(range(0, 4)) AS draw
+          FROM d),
+    h AS (SELECT anchor, aidx, draw, nn,
+                 md5('neg:' || CAST(anchor AS VARCHAR) || ':'
+                     || CAST(draw AS VARCHAR)) AS hx
+          FROM a, n),
+    r AS (SELECT anchor, aidx, draw, nn, ({_KMV_FOLD}) % nn AS raw
+          FROM h),
+    w AS (SELECT anchor, draw,
+                 CASE WHEN raw = aidx THEN (raw + 1) % nn
+                      ELSE raw END AS nidx
+          FROM r)
+    SELECT w.anchor, w.draw, d2.doc_id AS negative
+    FROM w JOIN d d2 ON w.nidx = d2.idx
+    """,
+)
+def q118_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import negative_samples
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(d, "doc_id", k=4)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

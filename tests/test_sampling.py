@@ -164,3 +164,48 @@ def test_token_budget_deterministic_under_repartition(spark):
         ).collect()
     )
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# negative_samples (contrastive pair generation)
+# ---------------------------------------------------------------------------
+
+def test_negative_samples_shape_and_no_self(spark):
+    from cccatalog_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame([(i * 10,) for i in range(20)], "id long")
+    rows = negative_samples(df, "id", k=3).collect()
+    assert len(rows) == 60
+    ids = {r[0] for r in df.collect()}
+    for r in rows:
+        assert r["negative"] in ids
+        assert r["negative"] != r["anchor"]
+    # every anchor gets exactly draws 0..2
+    per = {}
+    for r in rows:
+        per.setdefault(r["anchor"], set()).add(r["draw"])
+    assert all(v == {0, 1, 2} for v in per.values())
+
+
+def test_negative_samples_deterministic_and_spread(spark):
+    from cccatalog_spark.operators.sampling import negative_samples
+
+    df = spark.range(100).select(F.col("id"))
+    a = sorted(map(tuple, negative_samples(df, "id", k=2).collect()))
+    b = sorted(map(tuple, negative_samples(df.repartition(7), "id", k=2).collect()))
+    assert a == b
+    # uniform-ish: no single negative dominates (cap at 10% of draws)
+    from collections import Counter
+
+    c = Counter(neg for _, _, neg in a)
+    assert max(c.values()) <= 20
+
+
+def test_negative_samples_validates_k(spark):
+    import pytest as _pytest
+
+    from cccatalog_spark.operators.sampling import negative_samples
+
+    df = spark.range(5)
+    with _pytest.raises(ValueError):
+        negative_samples(df, "id", k=0)
