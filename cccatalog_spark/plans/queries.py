@@ -5770,6 +5770,56 @@ def q118_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(d, "doc_id", k=4)
 
 
+# ---------------------------------------------------------------------------
+# q119 — multi-probe LSH ANN (operators/similarity.
+# lsh_cosine_topk_multiprobe): probe the query's sign-bucket and all
+# Hamming-1 neighbors, exact re-rank inside — recall dominates q47's
+# single probe at ~(bits+1)/2^bits of the corpus scanned. UNLIKE
+# q47/q50 this one is oracle-EXACT: the hyperplanes are deterministic
+# literals, so the SQL recomputes buckets and the Hamming-1 filter
+# (xor & (xor-1) = 0) bit-for-bit.
+# ---------------------------------------------------------------------------
+def _q119_oracle() -> str:
+    from cccatalog_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=42)
+    def lit(plane):
+        return "[" + ", ".join(repr(x) for x in plane) + "]::DOUBLE[]"
+
+    def bucket_expr(col):
+        arms = [
+            f"(CASE WHEN list_inner_product({col}, {lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return " + ".join(arms)
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+    b AS (SELECT vec_id, emb, {bucket_expr('emb')} AS bucket FROM v),
+    qb AS (SELECT {bucket_expr('qv')} AS qbucket FROM q),
+    f AS (SELECT vec_id, emb FROM b, qb
+          WHERE xor(bucket, qbucket) & (xor(bucket, qbucket) - 1) = 0)
+    SELECT f.vec_id,
+           round(list_cosine_similarity(f.emb, q.qv), 6) AS cosine_sim
+    FROM f, q
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+
+@query("q119_ann_lsh_multiprobe", oracle=_q119_oracle())
+def q119_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return SIM.lsh_cosine_topk_multiprobe(
+        emb, "embedding", "vec_id", probe, k=10, bits=4
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

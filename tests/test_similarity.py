@@ -354,3 +354,50 @@ def test_mean_pool_matches_kmeans_mstep(spark):
     ).collect()[0]["pooled"]
     want = np.mean([[float(i % 4), float(i % 7)] for i in range(40)], axis=0)
     assert pooled == [round(float(x), 9) for x in want]
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    from cccatalog_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+        lsh_cosine_topk_multiprobe,
+    )
+
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    qv = rows[0][1]
+    exact = [r["vec_id"] for r in cosine_topk(df, "v", "vec_id", qv, k=10).collect()]
+    single = {
+        r["vec_id"]
+        for r in lsh_cosine_topk(df, "v", "vec_id", qv, k=10, bits=4).collect()
+    }
+    multi = {
+        r["vec_id"]
+        for r in lsh_cosine_topk_multiprobe(
+            df, "v", "vec_id", qv, k=10, bits=4
+        ).collect()
+    }
+    r_single = len(single & set(exact)) / 10
+    r_multi = len(multi & set(exact)) / 10
+    assert r_multi >= r_single
+    assert r_multi >= 0.6  # hamming-1 probes recover boundary misses
+
+
+def test_multiprobe_probe_budget_respected(spark):
+    from cccatalog_spark.operators.similarity import lsh_cosine_topk_multiprobe
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5 - 2), float(i % 3 - 1)]) for i in range(50)],
+        "vec_id long, v array<double>",
+    )
+    # n_probes=1 == single-probe bucket only
+    got = lsh_cosine_topk_multiprobe(
+        df, "v", "vec_id", [1.0, 0.5], k=5, bits=3, n_probes=1
+    )
+    assert got.count() <= 5
