@@ -43,7 +43,6 @@ def hashed_bow(
     toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
     e = docs.select(F.col(id_col), F.explode(toks).alias("_t"))
     h = _hash60(F.col("_t"))
-    bucket = (h % dim).alias("bucket")
     sign = (
         F.when((F.expr(f"_h div {dim}") % 2) == 0, F.lit(1)).otherwise(
             F.lit(-1)
