@@ -5382,8 +5382,10 @@ def q108_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, source, len({_TOKS}) AS n_tokens
                FROM documents),
     c AS (SELECT doc_id, source, n_tokens,
-                 sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                                          ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_tokens
           FROM t)
     SELECT doc_id, source, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= 500
@@ -5419,7 +5421,7 @@ def q109_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT doc_id, h % 64 AS bucket,
                  CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS sg
           FROM hh)
-    SELECT doc_id, bucket, sum(sg) AS weight
+    SELECT doc_id, bucket, CAST(sum(sg) AS BIGINT) AS weight
     FROM s GROUP BY 1, 2 HAVING sum(sg) <> 0
     """,
 )
@@ -5535,7 +5537,8 @@ def q111_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                 ROWS UNBOUNDED PRECEDING)
                              - n_chars) / 4096) AS BIGINT) AS bin
           FROM f)
-    SELECT source, bin, count(*) AS n_files, sum(n_chars) AS bin_bytes
+    SELECT source, bin, count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bin_bytes
     FROM b GROUP BY 1, 2
     """,
 )
@@ -5639,10 +5642,12 @@ def q114_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
     tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
                    CAST(sum(cb) AS DOUBLE) AS nb FROM j)
-    SELECT sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS vocab_a,
-           sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vocab_b,
-           sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
-               AS vocab_shared,
+    SELECT CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_a,
+           CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_b,
+           CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab_shared,
            round(sum(
              CASE WHEN ca > 0
                   THEN CAST(0.5 AS DOUBLE) * (ca / na)
@@ -5706,8 +5711,9 @@ def q116_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1),
     tot AS (SELECT sum(cnt) AS total FROM c),
     r AS (SELECT term, cnt,
-                 sum(cnt) OVER (ORDER BY cnt DESC, term
-                                ROWS UNBOUNDED PRECEDING) AS running
+                 CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+                                     ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS running
           FROM c)
     SELECT term, cnt, running
     FROM r, tot
