@@ -5826,6 +5826,76 @@ def q119_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q120 — engine-native replay dedup (streaming/stateful.
+# dedup_within_watermark → dropDuplicatesWithinWatermark): batch 1 is
+# fully re-delivered inside batch 2 plus new rows (at-least-once
+# replay); every event_id emits exactly once. Oracle: plain DISTINCT
+# over the subset — the replay horizon is inside the watermark, so
+# the streaming result equals batch dedup.
+# ---------------------------------------------------------------------------
+@query(
+    "q120_stream_replay_dedup",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def q120_stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import dedup_within_watermark
+
+    base = tempfile.mkdtemp(prefix="ccc_rdd_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "error"
+    ).select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    now = time.time()
+    first = e.where(F.col("event_id") % 2 == 0)
+    batches = [first, e]  # batch 2 re-delivers ALL of batch 1
+    for i, b in enumerate(batches):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_id long, user_id long, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    )
+    deduped = dedup_within_watermark(stream, ["event_id"], "ts", "60 days")
+    sink = f"q120_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.select("event_id", "user_id", "sec")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT event_id, user_id, sec FROM {sink}")
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

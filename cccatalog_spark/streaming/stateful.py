@@ -107,3 +107,25 @@ def _ddl_fields(ddl: str):
     from pyspark.sql.types import StructType
 
     return StructType.fromDDL(ddl).fields
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    delay: str,
+) -> DataFrame:
+    """Engine-native replay dedup: keep the first arrival per key,
+    dropping re-deliveries that arrive within ``delay`` of the
+    watermark (`dropDuplicatesWithinWatermark`) — the built-in
+    alternative to ``dedup_first_seen``'s custom keyed state when
+    at-least-once delivery has a bounded replay horizon.
+
+    The trade: state for a key expires ``delay`` past the watermark
+    (bounded state — the point), so a duplicate arriving later than
+    that re-emits; the custom-state form above never forgets but must
+    manage its own state size. Pick by replay horizon.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )

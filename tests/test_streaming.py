@@ -376,3 +376,48 @@ def test_stateful_first_seen_dedup_across_batches(spark, tmp_path):
     }
     # exactly one emission per key; a's batch-2 replay suppressed
     assert rows == {"a": 5, "b": 7, "c": 2}
+
+
+def test_dedup_within_watermark_drops_replays(spark, tmp_path):
+    import os
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import dedup_within_watermark
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    batches = [
+        [(1, 10, 100), (2, 20, 200)],
+        [(1, 10, 100), (3, 30, 300)],  # row 1 replayed verbatim
+    ]
+    for i, rows in enumerate(batches):
+        p = os.path.join(src, f"b{i}.tsv")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write("\t".join(map(str, r)) + "\n")
+        os.utime(p, (now - 300 + i * 60,) * 2)
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_id long, user_id long, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    )
+    sink = f"rdd_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+        .select("event_id", "user_id", "sec")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    )
+    assert got == [(1, 10, 100), (2, 20, 200), (3, 30, 300)]
