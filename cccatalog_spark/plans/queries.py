@@ -5896,6 +5896,55 @@ def q120_stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT event_id, user_id, sec FROM {sink}")
 
 
+# ---------------------------------------------------------------------------
+# q121 — per-source data card (the corpus composition report a
+# training run records next to the data: volume, token mass, language
+# spread, exact-dup rate, short-doc rate). One scan + one groupBy —
+# the cheap always-on report, vs q115's drift comparison between
+# slices.
+# ---------------------------------------------------------------------------
+@query(
+    "q121_corpus_report",
+    oracle=f"""
+    WITH t AS (SELECT source, lang, text, n_chars,
+                      len({_TOKS}) AS n_tokens
+               FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS dup_docs,
+           round(CAST(sum(CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS short_frac
+    FROM t GROUP BY source
+    """,
+)
+def q121_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(TX.tokens(F.col("text")))
+    return (
+        d.select("source", "lang", "text", "n_chars", n_tokens.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("total_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias(
+                "avg_chars"
+            ),
+            F.countDistinct("lang").alias("n_langs"),
+            (F.count("*") - F.countDistinct("text")).alias("dup_docs"),
+            F.round(
+                F.sum(F.when(F.col("_nt") < 10, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("short_frac"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

@@ -47,6 +47,9 @@ SANCTIONED_BNLJ = {
     "q100_hybrid_rrf": "1-row corpus-stats broadcast (BM25 half of the "
     "fusion)",
     "q103_bigram_lm_nll": "1-row vocabulary-size scalar broadcast",
+    "q115_corpus_drift": "1-row token-total scalar broadcast",
+    "q117_vocab_coverage": "1-row token-total scalar broadcast",
+    "q118_negative_samples": "1-row corpus-size scalar broadcast",
 }
 
 
