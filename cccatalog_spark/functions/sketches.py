@@ -152,3 +152,63 @@ def hll_estimate(
     return agg.select(
         *group_cols, "n_used", F.round(est, 4).alias(out_col)
     )
+
+
+def kmv_sketch(df: DataFrame, value_col) -> DataFrame:
+    """One-column frame of the DISTINCT 60-bit hashes of
+    ``value_col`` — feed ``kmv_topk`` to bound it to a sketch."""
+    return df.select(_hash60(F.col(value_col)).alias("h")).distinct()
+
+
+def kmv_topk(hashes: DataFrame, k: int) -> DataFrame:
+    """k smallest hashes — a TakeOrderedAndProject (per-partition
+    heaps), never a single-partition window."""
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_set_overlap(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-sketch-style set comparison from two KMV sketches alone —
+    the raw key sets are never joined (compare crawl URL sets across
+    snapshots/replicas by shipping 256 hashes each, not the sets):
+
+    - union sketch = k smallest of (A ∪ B) sketch hashes;
+      theta = its k-th value; union distinct ≈ (k−1)·2⁶⁰/theta
+      (exact when < k hashes exist);
+    - jaccard ≈ |A-sketch ∩ B-sketch ∩ union-sketch| / |union sketch|;
+    - intersection ≈ jaccard · union.
+
+    One row: (n_union_sketch, union_distinct, jaccard, intersection).
+    Deterministic (md5 hashing), so the SQL oracle reproduces the
+    identical estimates. Error ~1/sqrt(k) on jaccard.
+    """
+    u = kmv_topk(sketch_a.union(sketch_b).distinct(), k)
+    stats = u.agg(
+        F.count("*").alias("n_u"), F.max("h").alias("theta")
+    )
+    shared = sketch_a.join(sketch_b, "h").join(
+        F.broadcast(stats), F.col("h") <= F.col("theta")
+    )
+    m = shared.groupBy("n_u", "theta").agg(F.count("*").alias("n_shared"))
+    # a disjoint pair yields no shared rows — re-attach stats so the
+    # report still emits one row with jaccard 0
+    base = stats.join(
+        m.select("n_u", "n_shared"), "n_u", "left"
+    ).select(
+        "n_u",
+        "theta",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+    )
+    union_est = F.when(
+        F.col("n_u") < k, F.col("n_u").cast("double")
+    ).otherwise(F.round(F.lit((k - 1) * _HASH_SPACE) / F.col("theta"), 2))
+    jacc = F.round(
+        F.col("n_shared").cast("double") / F.col("n_u"), 6
+    )
+    return base.select(
+        F.col("n_u").alias("n_union_sketch"),
+        union_est.alias("union_distinct"),
+        jacc.alias("jaccard"),
+        F.round(jacc * union_est, 2).alias("intersection"),
+    )

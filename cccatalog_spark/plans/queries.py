@@ -5945,6 +5945,136 @@ def q121_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q122 — stream-static enrichment (streaming/joins.enrich_stream):
+# a 2-batch replay of view events joined per-trigger against a batch
+# user-profile dim (total event counts). Stateless broadcast join per
+# micro-batch; equals the batch join, which is the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q122_stream_enrich",
+    oracle="""
+    WITH d AS (SELECT user_id, count(*) AS user_total
+               FROM events GROUP BY 1),
+    v AS (SELECT event_id, user_id,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events WHERE event_type = 'view')
+    SELECT v.event_id, v.user_id, v.sec, d.user_total
+    FROM v JOIN d ON v.user_id = d.user_id
+    """,
+)
+def q122_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.joins import enrich_stream
+
+    base = tempfile.mkdtemp(prefix="ccc_enr_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count("*").alias("user_total"))
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    now = time.time()
+    for i, pred in enumerate(
+        (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
+    ):
+        stage = os.path.join(base, f"stage{i}")
+        views.where(pred).coalesce(1).write.option("sep", "\t").mode(
+            "overwrite"
+        ).csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_id long, user_id long, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    out = enrich_stream(stream, dim, ["user_id"], how="inner")
+    sink = f"q122_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.select("event_id", "user_id", "sec", "user_total")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {sink}")
+
+
+# ---------------------------------------------------------------------------
+# q123 — sketch set algebra (functions/sketches.kmv_set_overlap):
+# union size / Jaccard / intersection of the early-vs-late part-key
+# sets estimated from two 256-hash KMV sketches — the raw sets never
+# join (ship 256 hashes per side, not the keys). md5-deterministic,
+# so the estimates themselves are oracle-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q123_kmv_set_overlap",
+    oracle=f"""
+    WITH a0 AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS hx
+                FROM lineitem
+                WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00'),
+    a1 AS (SELECT DISTINCT {_KMV_FOLD} AS h FROM a0),
+    sa AS (SELECT h FROM a1 ORDER BY h LIMIT 256),
+    b0 AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS hx
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'),
+    b1 AS (SELECT DISTINCT {_KMV_FOLD} AS h FROM b0),
+    sb AS (SELECT h FROM b1 ORDER BY h LIMIT 256),
+    u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT 256),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(h) AS theta FROM u),
+    sh AS (SELECT CAST(count(*) AS BIGINT) AS n_shared
+           FROM sa JOIN sb USING (h), st WHERE sa.h <= st.theta)
+    SELECT st.n_u AS n_union_sketch,
+           CASE WHEN st.n_u < 256 THEN CAST(st.n_u AS DOUBLE)
+                ELSE round(CAST(255 AS DOUBLE)
+                           * CAST(1152921504606846976 AS DOUBLE)
+                           / st.theta, 2)
+           END AS union_distinct,
+           round(CAST(sh.n_shared AS DOUBLE) / st.n_u, 6) AS jaccard,
+           round(round(CAST(sh.n_shared AS DOUBLE) / st.n_u, 6)
+                 * CASE WHEN st.n_u < 256 THEN CAST(st.n_u AS DOUBLE)
+                        ELSE round(CAST(255 AS DOUBLE)
+                                   * CAST(1152921504606846976 AS DOUBLE)
+                                   / st.theta, 2)
+                   END, 2) AS intersection
+    FROM st, sh
+    """,
+)
+def q123_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.sketches import (
+        kmv_set_overlap,
+        kmv_sketch,
+        kmv_topk,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate")
+    cut = F.lit("1995-06-01 00:00:00").cast("timestamp")
+    sa = kmv_topk(kmv_sketch(li.where(F.col("l_shipdate") < cut), "l_partkey"), 256)
+    sb = kmv_topk(
+        kmv_sketch(li.where(F.col("l_shipdate") >= cut), "l_partkey"), 256
+    )
+    return kmv_set_overlap(sa, sb, k=256)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

@@ -57,3 +57,24 @@ def interval_join_streams(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_gap}"))
     )
     return l.join(r, cond, "inner").drop("_rkey")
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach a batch dimension table
+    to a stream (provider specs onto an ingest stream, user attributes
+    onto events). Stateless — unlike the stream-stream join above,
+    nothing is buffered: each micro-batch joins against the CURRENT
+    dim snapshot, so a dim update applies from the next trigger on
+    (the semantics to document, not a bug).
+
+    Scale: the dim side broadcasts when small (the usual case) —
+    per-batch map-side hash join, no shuffle of the stream; a huge dim
+    falls back to a shuffled join per micro-batch, at which point
+    pre-bucketing the dim by the key is the fix."""
+    return stream.join(F.broadcast(dim), keys, how)

@@ -478,3 +478,60 @@ def test_hll_register_state_is_mergeable(spark):
     # union through one sketch == model over the distinct union
     n_used, est = _hll_model(set(a) | set(b))
     assert (row["n_used"], row["hll_distinct"]) == (n_used, est)
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra (kmv_set_overlap)
+# ---------------------------------------------------------------------------
+
+def test_kmv_overlap_exact_below_k(spark):
+    from cccatalog_spark.functions.sketches import (
+        kmv_set_overlap,
+        kmv_sketch,
+        kmv_topk,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(60)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(40, 100)], "v long")
+    sa = kmv_topk(kmv_sketch(a, "v"), 256)
+    sb = kmv_topk(kmv_sketch(b, "v"), 256)
+    row = kmv_set_overlap(sa, sb, k=256).collect()[0]
+    # < k distinct in union -> everything exact
+    assert row["n_union_sketch"] == 100
+    assert row["union_distinct"] == 100.0
+    assert row["jaccard"] == 0.2  # 20 shared / 100 union
+    assert row["intersection"] == 20.0
+
+
+def test_kmv_overlap_estimates_within_bound(spark):
+    from cccatalog_spark.functions.sketches import (
+        kmv_set_overlap,
+        kmv_sketch,
+        kmv_topk,
+    )
+
+    n = 5000
+    a = spark.range(n).select(F.col("id").alias("v"))
+    b = spark.range(n // 2, n + n // 2).select(F.col("id").alias("v"))
+    sa = kmv_topk(kmv_sketch(a, "v"), 256)
+    sb = kmv_topk(kmv_sketch(b, "v"), 256)
+    row = kmv_set_overlap(sa, sb, k=256).collect()[0]
+    true_union, true_j = 1.5 * n, (n / 2) / (1.5 * n)
+    assert abs(row["union_distinct"] - true_union) / true_union < 0.3
+    assert abs(row["jaccard"] - true_j) < 0.15
+
+
+def test_kmv_overlap_disjoint_sets(spark):
+    from cccatalog_spark.functions.sketches import (
+        kmv_set_overlap,
+        kmv_sketch,
+        kmv_topk,
+    )
+
+    a = spark.range(100).select(F.col("id").alias("v"))
+    b = spark.range(1_000_000, 1_000_100).select(F.col("id").alias("v"))
+    sa = kmv_topk(kmv_sketch(a, "v"), 256)
+    sb = kmv_topk(kmv_sketch(b, "v"), 256)
+    row = kmv_set_overlap(sa, sb, k=256).collect()[0]
+    assert row["jaccard"] == 0.0
+    assert row["intersection"] == 0.0

@@ -95,3 +95,47 @@ def test_interval_join_requires_distinct_ts_names(spark):
     df = spark.readStream.format("rate").load()
     with pytest.raises(ValueError):
         interval_join_streams(df, df, "value", "timestamp", "timestamp")
+
+
+def test_enrich_stream_joins_current_dim_snapshot(spark, tmp_path):
+    import os
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.joins import enrich_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    now = time.time()
+    for i, rows in enumerate([[(1, 7, 100)], [(2, 8, 200), (3, 9, 300)]]):
+        p = os.path.join(src, f"b{i}.tsv")
+        with open(p, "w") as f:
+            for r in rows:
+                f.write("\t".join(map(str, r)) + "\n")
+        os.utime(p, (now - 300 + i * 60,) * 2)
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "silver")], "user_id long, tier string"
+    )
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_id long, user_id long, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    sink = f"enr_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_stream(stream, dim, ["user_id"], how="left")
+        .select("event_id", "user_id", "tier")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    )
+    # left join: unmatched user 9 keeps the row with null tier
+    assert got == [(1, 7, "gold"), (2, 8, "silver"), (3, 9, None)]
