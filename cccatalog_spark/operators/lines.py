@@ -1,0 +1,155 @@
+"""Corpus-frequency segment (boilerplate) removal — the CCNet-style
+line-dedup pass (Wenzek et al. 2020, *CCNet: Extracting High Quality
+Monolingual Datasets from Web Crawl Data*), re-expressed as DataFrame
+algebra.
+
+CCNet hashes every *line* of every crawled page, counts each hash's
+document frequency across the corpus, and strips lines that recur in
+many pages (navigation bars, cookie banners, footers) before any
+document-level dedup or quality scoring runs. The synthetic corpus
+here has no newline structure (single-line token streams), so a
+"line" is modeled as a fixed-width non-overlapping k-token segment —
+the same discretization :mod:`cccatalog_spark.operators.chunking`
+uses — and the pass removes segments whose exact content appears in
+more than ``max_df`` distinct documents.
+
+Scale shape (the design at 100 TB):
+
+- segmentation is narrow per-row column algebra (``transform`` over a
+  ``sequence``), no explode until the frequency stage;
+- document frequency is ONE shuffle on the segment key with map-side
+  partial aggregation (``countDistinct(doc_id)`` per segment); the
+  boilerplate set is the high-DF tail, which is tiny relative to the
+  corpus, so the re-join broadcasts when ``max_df`` is high enough to
+  make it sparse — and otherwise hash-joins on the same key the
+  frequency stage already shuffled on;
+- reassembly is one groupBy(doc_id) of (seg_idx, seg) structs with
+  ``sort_array`` — per-document state only, never global order.
+
+``key="text"`` groups on the segment string (exact, oracle-checkable).
+``key="hash"`` groups on ``xxhash64(segment)`` — half the shuffle
+width at cluster scale, with a 2^-64 per-pair collision risk that
+CCNet itself accepts (it dedups on SHA1 prefixes).
+
+Reference anchor: the reference has no corpus-level boilerplate pass
+(SURVEY §2 extension layer); its nearest concern is per-record tag
+blacklisting in ImageStore (image.py:200-233), a value filter, not a
+corpus-frequency one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.functions.text import tokens
+
+
+def segment(toks: Column, k: int) -> Column:
+    """Non-overlapping k-token segments of ``toks``, space-joined, in
+    position order; the last segment keeps the remainder (< k tokens).
+    Empty array for an empty document."""
+    n = F.size(toks)
+    n_seg = F.ceil(n / F.lit(k)).cast("int")
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_seg),
+            lambda i: F.array_join(
+                F.slice(toks, (i - F.lit(1)) * F.lit(k) + F.lit(1), k), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def segment_doc_freq(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """(seg, df) — distinct-document frequency of every k-token
+    segment across the corpus. One explode + one shuffle."""
+    segs = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(segment(tokens(F.col(text_col)), k)).alias("seg"),
+    )
+    return segs.groupBy("seg").agg(
+        F.countDistinct("__doc").alias("df")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    max_df: int = 3,
+    key: str = "text",
+) -> DataFrame:
+    """Remove segments occurring in more than ``max_df`` distinct
+    documents; returns one row per document:
+
+    (id, n_segments, kept_segments, boilerplate_fraction, cleaned_text)
+
+    ``cleaned_text`` preserves the original segment order of the
+    retained segments. Documents made entirely of boilerplate survive
+    with an empty ``cleaned_text`` (downstream length filters decide
+    their fate, as in CCNet)."""
+    if key not in ("text", "hash"):
+        raise ValueError(f"key must be 'text' or 'hash', got {key!r}")
+    seg_key = F.col("seg") if key == "text" else F.xxhash64("seg")
+
+    positioned = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(segment(tokens(F.col(text_col)), k)).alias(
+            "seg_idx", "seg"
+        ),
+    )
+    freq = (
+        positioned.groupBy(seg_key.alias("__key"))
+        .agg(F.countDistinct("__doc").alias("df"))
+    )
+    flagged = positioned.withColumn("__key", seg_key).join(
+        freq, "__key", "inner"
+    )
+    return (
+        flagged.groupBy("__doc")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("df") <= max_df, 1).otherwise(0)).alias(
+                "kept_segments"
+            ),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("df") <= max_df,
+                                    F.struct("seg_idx", "seg"),
+                                ).otherwise(
+                                    F.struct(
+                                        F.col("seg_idx"),
+                                        F.lit(None).cast("string").alias(
+                                            "seg"
+                                        ),
+                                    )
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"].isNotNull(),
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_segments",
+            "kept_segments",
+            (
+                1.0
+                - F.col("kept_segments") / F.col("n_segments")
+            ).alias("boilerplate_fraction"),
+            "cleaned_text",
+        )
+    )

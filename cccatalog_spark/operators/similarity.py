@@ -728,6 +728,93 @@ def mean_pool(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_seeds: int = 8,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, *SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication*): cluster the
+    embedding space, then near-dedup only WITHIN each cluster — the
+    cluster partition turns an O(n²) cosine self-join into
+    Σ|cluster|², which is the entire reason the method scales.
+
+    Stage 1 (assignment): nearest of the ``n_seeds`` lowest-id vectors
+    by L2, ties to the smaller seed id — the same deterministic
+    seeding contract as :func:`kmeans_assign` (production swaps in
+    trained ``kmeans_lloyd`` centroids; determinism keeps this
+    oracle-checkable). Centroids broadcast; distances computed
+    map-side; argmin is a per-vector struct-min — no shuffle of the
+    vectors themselves.
+
+    Stage 2 (within-cluster dedup): vector *i* is a duplicate iff some
+    lower-id vector *j* in the SAME cluster has cos(i, j) >=
+    ``threshold`` (the q28 EXISTS-dominance rule, not greedy-chain —
+    relational, recursion-free). The self-join keys on ``cid`` alone,
+    so both sides shuffle ONCE on the cluster id and every candidate
+    pair is cluster-local. At 100 TB, k is chosen ~√n so clusters stay
+    ~√n and the pair volume stays ~n; a degenerate hot cluster is the
+    workload telling you to re-train k upward (or salt via
+    operators/skew) — the engine never falls back to all-pairs.
+
+    Returns ``(id, cid, is_dup)`` for every input vector.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    cents = v.where(F.col(id_col) < n_seeds).select(
+        F.col(id_col).alias("cid"), F.col("__v").alias("__cv")
+    )
+    dist = l2_distance(F.col("__v"), F.col("__cv"))
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.struct(
+                dist.alias("dist"), F.col("cid").alias("cid"), F.col("__v").alias("v")
+            ).alias("c"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("c").alias("best"))
+        .select(
+            F.col(id_col),
+            F.col("best.cid").alias("cid"),
+            F.col("best.v").alias("__v"),
+        )
+    )
+    left = assigned.select(
+        F.col(id_col), F.col("cid"), F.col("__v").alias("__vi")
+    )
+    right = assigned.select(
+        F.col(id_col).alias("__j"),
+        F.col("cid").alias("__jcid"),
+        F.col("__v").alias("__vj"),
+    )
+    joined = left.join(
+        right,
+        (left["cid"] == right["__jcid"]) & (right["__j"] < left[id_col]),
+        "left",
+    )
+    return (
+        joined.groupBy(id_col, "cid")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__j").isNotNull()
+                    & (cosine(F.col("__vi"), F.col("__vj")) >= F.lit(threshold)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("is_dup")
+        )
+    )
+
+
 def lsh_cosine_topk_multiprobe(
     df: DataFrame,
     vec_col: str,

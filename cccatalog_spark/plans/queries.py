@@ -6075,6 +6075,105 @@ def q123_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_set_overlap(sa, sb, k=256)
 
 
+# ---------------------------------------------------------------------------
+# q124 — CCNet-style boilerplate removal (operators/lines.strip_boilerplate):
+# corpus-frequency segment dedup. Every 5-token non-overlapping segment
+# is doc-frequency counted across the corpus; segments recurring in
+# more than 3 distinct documents are stripped (nav-bar/footer analog).
+# One DF shuffle + one per-doc reassembly groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q124_boilerplate_strip",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[(i-1)*5+1:i*5], ' ') AS seg
+      FROM toks,
+           LATERAL unnest(generate_series(
+             1, CAST(ceil(len(t) / 5.0) AS BIGINT))) AS g(i)
+      WHERE len(t) > 0
+    ),
+    freq AS (SELECT seg, count(DISTINCT doc_id) AS df
+             FROM segs GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN f.df <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_segments,
+           round(1.0 - CAST(sum(CASE WHEN f.df <= 3 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*), 6)
+             AS boilerplate_fraction,
+           coalesce(string_agg(CASE WHEN f.df <= 3 THEN s.seg END,
+                               ' ' ORDER BY s.seg_idx), '')
+             AS cleaned_text
+    FROM segs s JOIN freq f USING (seg)
+    GROUP BY 1
+    """,
+)
+def q124_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lines import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = strip_boilerplate(docs, "text", "doc_id", k=5, max_df=3)
+    return out.select(
+        "doc_id",
+        "n_segments",
+        "kept_segments",
+        F.round("boilerplate_fraction", 6).alias("boilerplate_fraction"),
+        "cleaned_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q125 — SemDeDup semantic dedup (operators/similarity.semantic_dedup):
+# deterministic-seed cluster assignment (argmin L2, the q96 contract)
+# then within-cluster cosine dominance dedup at 0.99 over the
+# perturbed-copy corpus (true near-dups at cos≈.9998). The cluster
+# partition is what keeps the pair volume Σ|cluster|², never n².
+# ---------------------------------------------------------------------------
+@query(
+    "q125_semantic_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id,
+               list_transform(embedding::DOUBLE[],
+                   (x, i) -> x * (1 + ((vec_id*31 + (i-1)*17) % 7 - 3)/100.0))
+                   AS embedding
+        FROM embeddings),
+    cent AS (SELECT vec_id AS cid, embedding AS cvec
+             FROM corpus WHERE vec_id < 8),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT v.vec_id, v.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.embedding, c.cvec), c.cid) AS rn
+        FROM corpus v CROSS JOIN cent c)
+      WHERE rn = 1)
+    SELECT i.vec_id, i.cid,
+           CAST(max(CASE WHEN j.vec_id IS NOT NULL
+                     AND list_cosine_similarity(i.embedding, j.embedding)
+                         >= CAST(0.99 AS DOUBLE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS is_dup
+    FROM asg i LEFT JOIN asg j
+      ON i.cid = j.cid AND j.vec_id < i.vec_id
+    GROUP BY 1, 2
+    """,
+)
+def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        neardup_corpus(emb), "embedding", "vec_id",
+        n_seeds=8, threshold=0.99,
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

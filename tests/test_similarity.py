@@ -401,3 +401,94 @@ def test_multiprobe_probe_budget_respected(spark):
         df, "v", "vec_id", [1.0, 0.5], k=5, bits=3, n_probes=1
     )
     assert got.count() <= 5
+
+
+def test_semantic_dedup_within_cluster_only(spark):
+    from cccatalog_spark.operators.similarity import semantic_dedup
+
+    # two seeds (0: x-axis, 1: y-axis); 10/11 near-dup x-cluster pair;
+    # 20 identical to 0 (dup of a SEED); 30 y-cluster singleton near
+    # x-cluster vectors in id-space but not in embedding space
+    df = _vecs(spark, [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (10, [0.95, 0.05]),
+        (11, [0.949, 0.051]),
+        (20, [1.0, 0.0]),
+        (30, [0.05, 0.95]),
+    ])
+    got = {
+        r["vec_id"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", n_seeds=2, threshold=0.999
+        ).collect()
+    }
+    assert got[0] == (0, 0)        # seed, lowest id in cluster
+    assert got[1] == (1, 0)
+    assert got[10][0] == 0 and got[10][1] == 0   # first of the near pair
+    assert got[11] == (0, 1)       # dominated by 10 (cos > .999)
+    assert got[20] == (0, 1)       # exact copy of seed 0
+    assert got[30] == (1, 0)       # y-cluster: no lower-id near vector
+
+
+def test_semantic_dedup_cross_cluster_pair_not_compared(spark):
+    from cccatalog_spark.operators.similarity import semantic_dedup
+
+    # 10 and 11 are near-identical (cos ≈ .956 > threshold) but land in
+    # DIFFERENT clusters (each nearest a different seed) -> never
+    # compared -> neither dup; each is < .95 to its own seed.
+    df = _vecs(spark, [
+        (0, [1.0, 0.2]),
+        (1, [0.2, 1.0]),
+        (10, [0.8, 0.59]),
+        (11, [0.59, 0.8]),
+    ])
+    got = {
+        r["vec_id"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup(
+            df, "embedding", "vec_id", n_seeds=2, threshold=0.95
+        ).collect()
+    }
+    assert got[10][0] != got[11][0]
+    assert got[10][1] == 0 and got[11][1] == 0
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    import itertools
+    import math
+
+    from cccatalog_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (i, [math.cos(0.37 * i) + 0.1 * (i % 5), math.sin(0.37 * i), 0.2 * (i % 3)])
+        for i in range(40)
+    ]
+    n_seeds, thr = 4, 0.98
+    seeds = {i: v for i, v in rows if i < n_seeds}
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return d / (na * nb)
+
+    asg = {i: min(seeds, key=lambda s: (l2(v, seeds[s]), s)) for i, v in rows}
+    vecs = dict(rows)
+    want = {}
+    for i, v in rows:
+        want[i] = int(any(
+            asg[j] == asg[i] and cos(vecs[j], v) >= thr
+            for j in vecs if j < i
+        ))
+    got = {
+        r["vec_id"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup(
+            _vecs(spark, rows), "embedding", "vec_id",
+            n_seeds=n_seeds, threshold=thr,
+        ).collect()
+    }
+    assert {i: g[0] for i, g in got.items()} == asg
+    assert {i: g[1] for i, g in got.items()} == want
