@@ -74,3 +74,79 @@ def js_divergence(
         ).alias("vocab_shared"),
         F.round(F.sum(term), round_to).alias("jsd"),
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Document-level pointwise mutual information for token pairs —
+    the collocation / topic-coherence statistic (Church & Hanks 1990):
+
+        pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ),  a < b lexicographically,
+
+    with p(·) = document frequency / N (presence-based, multiplicity
+    ignored — the standard document-PMI used for NPMI topic coherence).
+    Returns the top ``k`` pairs with co-document count >= ``min_count``,
+    ranked by the ROUNDED (6-dp) pmi then the pair text, so the cut is
+    deterministic across engines.
+
+    Scale shape: per-document DISTINCT token explode (vocabulary-bounded
+    per doc), a doc-local self-join on the doc id producing the a<b
+    pairs — the blow-up is Σ v_doc² where v_doc is per-document distinct
+    vocabulary, never corpus-global — then ONE (a,b) count shuffle and a
+    dictionary-sized unigram join (broadcast). At 100 TB the per-doc
+    vocabulary is first capped to the modeled term list (top-V by DF),
+    which bounds v_doc and makes the pair stage linear in corpus size;
+    the rollups are map-side combined either way.
+    """
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    present = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    n_docs = docs.select(F.count("*").cast("double").alias("n_docs"))
+    uni = present.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    a = present.select("__doc", F.col("term").alias("term_a"))
+    b = present.select("__doc", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "__doc")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").cast("long").alias("co_docs"))
+        .where(F.col("co_docs") >= min_count)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("term").alias("term_a"),
+                                   F.col("df").alias("df_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("term_b"),
+                                   F.col("df").alias("df_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "co_docs",
+            F.round(
+                F.log(
+                    (F.col("co_docs") / F.col("n_docs"))
+                    / ((F.col("df_a") / F.col("n_docs"))
+                       * (F.col("df_b") / F.col("n_docs")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(k)
+    )

@@ -20,7 +20,7 @@ would be Spark-only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cccatalog_spark.functions import text as TX
@@ -57,3 +57,56 @@ def hashed_bow(
         .agg(F.sum("_s").alias("weight"))
     )
     return w.where(F.col("weight") != 0)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 8,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of a dense embedding to
+    ``out_dim`` dimensions with a *derandomized* sparse sign matrix
+    (Achlioptas 2003: entries in {-1, 0, +1}):
+
+        r(i, j) = ((i*31 + j*17) mod 7) - 3  clamped to sign  →
+                  {-1, 0, +1} via sign(((i*31 + j*17) mod 7) - 3)
+
+    The matrix is a pure integer formula — generated inline per
+    expression, never materialized, broadcast, or seeded from an RNG —
+    so every executor (and the SQL oracle) reproduces it bit-exactly,
+    the same derandomization contract as the LSH hyperplanes in
+    operators/similarity.
+
+    Returns long-form ``(id, dim, value)`` with values rounded to 6 dp
+    (and −0.0 normalized) so cross-engine summation order cannot leak
+    into the comparison.
+
+    Scale shape: entirely map-side — one ``transform`` over the output
+    dims with a sequential-order ``aggregate`` dot product inside;
+    zero shuffles, zero UDFs, |out| = n·out_dim rows. This is the
+    cheap 8–32× width reduction that fronts ANN index build / k-means
+    when the raw embedding width dominates shuffle volume.
+    """
+    def r(i: Column, j: int) -> Column:
+        # i: 0-based input dim (Column), j: 0-based output dim (int)
+        raw = (i * 31 + F.lit(j) * 17) % 7 - 3
+        return F.signum(raw.cast("double"))
+
+    def out_j(j: int) -> Column:
+        pairs = F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda x, i: x.cast("double") * r(i, j),
+        )
+        s = F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
+        return F.round(s, 6) + F.lit(0.0)
+
+    projected = df.select(
+        F.col(id_col),
+        F.array(*[out_j(j) for j in range(out_dim)]).alias("__p"),
+    )
+    return projected.select(
+        F.col(id_col),
+        F.posexplode("__p").alias("dim", "value"),
+    )

@@ -174,3 +174,66 @@ def rrf_fuse(
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Smooth TF-IDF keyword extraction: the ``k`` most
+    characteristic terms per document under
+    ``tfidf = tf · (ln((1+N)/(1+df)) + 1)`` (the smooth-idf
+    formulation sklearn's TfidfVectorizer defaults to — never
+    divides by zero, floor weight 1 for corpus-universal terms).
+
+    Returns ``(id, term, tf, tfidf, rank)``; ranking is by the
+    ROUNDED (6-dp) score then term text, so the cut is deterministic
+    and engine-independent even among near-tied scores.
+
+    Scale shape: explode → ONE (doc, term) count shuffle with map-side
+    combine; document frequency is a second shuffle over the already
+    term-grouped frame (vocabulary-sized output); idf re-attaches by a
+    term join — a dictionary, broadcast-sized next to the corpus; the
+    per-document top-k is a doc-partitioned ``row_number`` window —
+    local sorts only, no global ordering anywhere. 100 TB changes the
+    constants, not the plan.
+    """
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = df.select(F.count("*").cast("double").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("dfc")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("dfc"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

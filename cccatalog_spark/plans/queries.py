@@ -6174,6 +6174,103 @@ def q125_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q126 — TF-IDF keyword extraction (operators/retrieval.tfidf_top_terms):
+# smooth-idf (sklearn formulation) top-3 terms per document, ranked by
+# the rounded score so the cut is engine-independent. One (doc,term)
+# shuffle + dictionary-sized idf join + doc-local window.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
+    e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM e GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfc FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                  round(tf.tf * (ln((CAST(1 AS DOUBLE) + n.n_docs)
+                                    / (CAST(1 AS DOUBLE) + dfq.dfc))
+                                 + CAST(1 AS DOUBLE)), 6) AS tfidf
+           FROM tf JOIN dfq USING (term), n),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+          FROM sc)
+    SELECT doc_id, term, tf, tfidf, rank FROM r WHERE rank <= 3
+    """,
+)
+def q126_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_top_terms(d, "text", "doc_id", k=3)
+
+
+# ---------------------------------------------------------------------------
+# q127 — document-PMI collocations (operators/corpus_stats.pmi_pairs):
+# presence-based pointwise mutual information over token pairs, top-20
+# by rounded score. Per-doc distinct explode → doc-local pair join →
+# one (a,b) shuffle + dictionary joins; TakeOrderedAndProject cut.
+# ---------------------------------------------------------------------------
+@query(
+    "q127_pmi_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
+    p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+    uni AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM p GROUP BY 1),
+    pr AS (SELECT a.term AS term_a, b.term AS term_b,
+                  CAST(count(*) AS BIGINT) AS co_docs
+           FROM p a JOIN p b
+             ON a.doc_id = b.doc_id AND a.term < b.term
+           GROUP BY 1, 2
+           HAVING count(*) >= 5)
+    SELECT pr.term_a, pr.term_b, pr.co_docs,
+           round(ln((pr.co_docs / n.n_docs)
+                    / ((ua.df / n.n_docs) * (ub.df / n.n_docs))), 6) AS pmi
+    FROM pr
+    JOIN uni ua ON pr.term_a = ua.term
+    JOIN uni ub ON pr.term_b = ub.term, n
+    ORDER BY pmi DESC, term_a, term_b LIMIT 20
+    """,
+)
+def q127_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import pmi_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pmi_pairs(d, "text", "doc_id", min_count=5, k=20)
+
+
+# ---------------------------------------------------------------------------
+# q128 — JL random projection (operators/features.random_projection):
+# 64-d embeddings → 8-d via a derandomized Achlioptas sign matrix
+# (pure integer formula, reproduced exactly by the oracle). Zero
+# shuffles — entirely map-side column algebra.
+# ---------------------------------------------------------------------------
+@query(
+    "q128_random_projection",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT vec_id, j AS dim,
+           round(sum(e[i+1]
+                     * sign(CAST(((i*31 + j*17) % 7) - 3 AS DOUBLE))), 6)
+             + CAST(0 AS DOUBLE) AS value
+    FROM v,
+         LATERAL unnest(generate_series(0, len(e) - 1)) AS gi(i),
+         LATERAL unnest(generate_series(0, 7)) AS gj(j)
+    GROUP BY 1, 2
+    """,
+)
+def q128_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, "embedding", "vec_id", out_dim=8)
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 
