@@ -6271,6 +6271,51 @@ def q128_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(emb, "embedding", "vec_id", out_dim=8)
 
 
+# ---------------------------------------------------------------------------
+# q129 — date-partitioned table round trip (sources/partitioned.py):
+# lineitem written Hive-layout by ship month, read back with a
+# partition filter (directory pruning — PartitionFilters, pinned by
+# tests/test_partitioned.py) and aggregated. Oracle computes the same
+# month slice straight from the unpartitioned source.
+# ---------------------------------------------------------------------------
+@query(
+    "q129_partitioned_scan",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE strftime(l_shipdate, '%Y-%m') = '1995-03'
+    GROUP BY 1
+    """,
+)
+def q129_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from cccatalog_spark.sources.partitioned import PartitionedTable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    table = PartitionedTable(
+        tempfile.mkdtemp(prefix="ccc_part_") + "/lineitem_by_month",
+        "ship_month",
+        F.date_format("l_shipdate", "yyyy-MM"),
+    )
+    table.write(li)
+    return (
+        table.read(spark)
+        .where(F.col("ship_month") == "1995-03")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
     return _driver_order(QUERIES)
 

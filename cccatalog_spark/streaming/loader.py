@@ -123,6 +123,11 @@ class ParquetUpsertTable:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)
         os.replace(staging, self.path)
+        # additive schema evolution: a batch-only column flows through
+        # merge_upsert (NULL for pre-existing rows) and must survive
+        # subsequent read()s — the pinned schema exists to type EMPTY
+        # tables, not to freeze the width (tests/test_schema_evolution.py)
+        self.schema = merged.schema
 
 
 class BucketedUpsertTable:
