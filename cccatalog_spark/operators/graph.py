@@ -80,3 +80,36 @@ def pagerank(
         ranks.unpersist()
         ranks = new_ranks
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-node triangle participation counts over a canonical
+    undirected edge list (``src < dst``, distinct pairs).
+
+    Plan: the wedge join — e(a,b) ⋈ e(b,c) gives the open wedges
+    a<b<c, and a semi-check against e(a,c) closes them; each triangle
+    is found exactly once thanks to the canonical ordering. Two
+    equi-joins, both on edge keys, then one explode + groupBy for the
+    per-node rollup.
+
+    Scale: wedge volume is Σ deg(v)² on the JOIN key's side — the
+    classic skew point. The canonical a<b<c form already charges each
+    wedge to its *middle* vertex; production hardening for power-law
+    graphs re-orders vertices by degree first (node-iterator++ /
+    Schank 2007: orient every edge low-degree → high-degree, making
+    wedge volume Σ min-degree² ≈ m^1.5 worst case) — same joins,
+    degree-ranked ids. AQE skew-split covers moderate hubs either way.
+    """
+    e1 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e2 = edges.select(F.col(src).alias("b"), F.col(dst).alias("c"))
+    e3 = edges.select(F.col(src).alias("a"), F.col(dst).alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )

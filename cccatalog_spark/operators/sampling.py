@@ -261,3 +261,64 @@ def negative_samples(
         F.col("_idx").alias("_nidx"), F.col(id_col).alias("negative")
     )
     return drawn.join(neg, "_nidx").select("anchor", "draw", "negative")
+
+
+def interleave_shuffle(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    *,
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic epoch shuffle + round-robin source interleave —
+    the "global shuffle" a training-data loader needs before sequence
+    packing, WITHOUT a global sort:
+
+    - within each source, rows get a pseudo-random but reproducible
+      rank (``row_number`` over ``md5(seed || id)`` — same hash, same
+      order, every engine, every rerun; re-seeding re-shuffles);
+    - across sources, row *r* of source *s* lands at closed-form slot
+      ``(r-1)·n_sources + rank(s)`` — perfect round-robin when sources
+      are balanced, and with unbalanced sources the exhausted sources
+      simply leave gaps in the slot sequence (slots are an ORDERING
+      KEY, not a dense index; the downstream writer range-partitions
+      by slot, where gaps cost nothing).
+
+    Scale shape: one per-source window (partitioned — never a single
+    global window), a distinct-sources dictionary (tiny; its global
+    rank window is dictionary-sized by construction) broadcast back,
+    and pure column arithmetic for the slot. The final ordered write
+    is ``repartitionByRange(slot)`` + in-partition sort — the same
+    two-phase global-order contract as operators/cumsum.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+        id_col,
+    )
+    ranked = df.select(
+        F.col(id_col), F.col(group_col), F.row_number().over(w).alias("round")
+    )
+    dict_w = Window.orderBy(group_col)
+    groups = (
+        df.select(group_col)
+        .distinct()
+        .select(
+            F.col(group_col),
+            F.row_number().over(dict_w).alias("__srank"),
+        )
+    )
+    n = df.select(
+        F.countDistinct(group_col).cast("long").alias("__ns")
+    )
+    return (
+        ranked.join(F.broadcast(groups), group_col)
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            group_col,
+            "round",
+            (
+                (F.col("round") - 1) * F.col("__ns") + F.col("__srank")
+            ).cast("long").alias("slot"),
+        )
+    )

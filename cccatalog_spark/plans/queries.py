@@ -4022,8 +4022,8 @@ DRIVER_WINDOW: list[str] = [
     "q17_sanitize", "q23_lang_id", "q24_ngram_jaccard", "q25_minhash_lsh",
     "q107_partial_rollup_merge", "q27_knn_join", "q28_embedding_neardup",
     "q29_simhash_neardup", "q33_array_contains_join", "q111_stream_sessions",
-    "q35_date_explode", "q38_cc_link_extract", "q39_sub_provider_update",
-    "q40_image_normalize", "q41_expiration_mark", "q42_hex_prefix_scan",
+    "q124_boilerplate_strip", "q38_cc_link_extract", "q39_sub_provider_update",
+    "q40_image_normalize", "q41_expiration_mark", "q125_semantic_dedup",
     "q43_rolling_window", "q104_snapshot_cdc", "q46_multimodal_features",
     "q48_cc_tags_merge", "q57_bpe_tokens", "q58_smithsonian_ingest",
     "q63_europeana_ingest", "q64_cc_tags_provider_keys",
@@ -6314,6 +6314,90 @@ def q129_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — deterministic corpus interleave (operators/sampling.
+# interleave_shuffle): md5-seeded within-source shuffle + closed-form
+# round-robin slot across the 20 sources — the training-loader global
+# shuffle with NO global sort anywhere in the plan.
+# ---------------------------------------------------------------------------
+@query(
+    "q130_interleave_shuffle",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    dict AS (SELECT source,
+                    row_number() OVER (ORDER BY source) AS srank
+             FROM (SELECT DISTINCT source FROM d)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM dict),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('42' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS round
+          FROM d)
+    SELECT r.doc_id, r.source, r.round,
+           CAST((r.round - 1) * n.ns + dict.srank AS BIGINT) AS slot
+    FROM r JOIN dict USING (source), n
+    """,
+)
+def q130_interleave_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import interleave_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return interleave_shuffle(d, "doc_id", "source", seed="42")
+
+
+# ---------------------------------------------------------------------------
+# q131 — triangle counting (operators/graph.triangle_count) over the
+# token co-occurrence graph: edges = token pairs present together in
+# >= 25% of documents (scale-invariant threshold), canonical a<b.
+# Wedge join + closing-edge join + per-node rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q131_triangle_count",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
+    p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+    e AS (SELECT a.term AS src, b.term AS dst
+          FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term, n
+          GROUP BY 1, 2, n.n_docs
+          HAVING count(*) >= 0.25 * n.n_docs),
+    tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM e e1
+            JOIN e e2 ON e1.dst = e2.src
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY 1
+    """,
+)
+def q131_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import triangle_count
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.transform(TX.tokens(F.col("text")), lambda t: F.lower(t))
+    present = d.select(
+        F.col("doc_id").alias("__doc"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    n_docs = d.select(F.count("*").cast("double").alias("n_docs"))
+    a = present.select("__doc", F.col("term").alias("src"))
+    b = present.select("__doc", F.col("term").alias("dst"))
+    edges = (
+        a.join(b, "__doc")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("co"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("co") >= 0.25 * F.col("n_docs"))
+        .select("src", "dst")
+    )
+    return triangle_count(edges)
 
 
 def all_queries() -> dict[str, QueryFn]:
