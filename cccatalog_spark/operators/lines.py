@@ -31,6 +31,13 @@ Scale shape (the design at 100 TB):
 width at cluster scale, with a 2^-64 per-pair collision risk that
 CCNet itself accepts (it dedups on SHA1 prefixes).
 
+:func:`dedup_segments` is the RefinedWeb-style sibling (Penedo et al.
+2023): instead of stripping segments by corpus frequency, it keeps
+exactly the FIRST occurrence of every distinct segment corpus-wide
+(first in (doc, position) order) and strips every later repetition —
+the relational projection of exact-substring dedup at segment
+granularity.
+
 Reference anchor: the reference has no corpus-level boilerplate pass
 (SURVEY §2 extension layer); its nearest concern is per-record tag
 blacklisting in ImageStore (image.py:200-233), a value filter, not a
@@ -150,6 +157,81 @@ def strip_boilerplate(
                 1.0
                 - F.col("kept_segments") / F.col("n_segments")
             ).alias("boilerplate_fraction"),
+            "cleaned_text",
+        )
+    )
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document exact segment dedup with first-occurrence
+    retention (RefinedWeb's exact-substring pass at k-token segment
+    granularity): every distinct segment survives exactly once
+    corpus-wide — at its first (id, position) occurrence — and every
+    later repetition is removed before reassembly. Returns one row per
+    document:
+
+    (id, n_segments, kept_segments, cleaned_text)
+
+    The "first occurrence" is a total order (id asc, seg_idx asc), so
+    the output is deterministic and repartition-stable — no RNG, no
+    partition-layout dependence.
+
+    Scale shape at 100 TB: segmentation is narrow column algebra; the
+    first-occurrence table is ONE shuffle on the segment key
+    (``min(struct(id, seg_idx))`` — a mergeable partial aggregate, so
+    map-side combine applies); the keep/strip decision re-joins on the
+    same key the aggregate already shuffled on (co-partitioned, AQE
+    reuses the exchange); reassembly is per-document state only.
+    Like CCNet, a production run can group on ``xxhash64(seg)``
+    instead of the string to halve shuffle width.
+    """
+    positioned = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(segment(tokens(F.col(text_col)), k)).alias(
+            "seg_idx", "seg"
+        ),
+    )
+    first = positioned.groupBy("seg").agg(
+        F.min(F.struct("__doc", "seg_idx")).alias("__first")
+    )
+    flagged = positioned.join(first, "seg").withColumn(
+        "__keep",
+        F.struct("__doc", "seg_idx") == F.col("__first"),
+    )
+    return (
+        flagged.groupBy("__doc")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("__keep").cast("long")).alias("kept_segments"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    "seg_idx",
+                                    F.when(
+                                        F.col("__keep"), F.col("seg")
+                                    ).alias("seg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["seg"].isNotNull(),
+                    ),
+                    lambda s: s["seg"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_segments",
+            "kept_segments",
             "cleaned_text",
         )
     )

@@ -322,3 +322,153 @@ def interleave_shuffle(
             ).cast("long").alias("slot"),
         )
     )
+
+
+def hashed_bucket(col: Column, n_buckets: int, *, salt: str = "dsir:") -> Column:
+    """Feature-hash a token into one of ``n_buckets`` buckets via the
+    first 4 md5 hex chars — the same derandomized-uniform primitive as
+    :func:`bucket_hex`, reduced mod the bucket count. Identical bytes
+    in Spark (``conv``) and DuckDB (``('0x' ‖ hex)::BIGINT``)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    toks_col: Column,
+    *,
+    n_buckets: int = 64,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023,
+    *Data Selection for Language Models via Importance Resampling*):
+    estimate ``log p_target(x) − log p_raw(x)`` under a hashed
+    bag-of-words model. ``toks_col`` is an array<string> expression
+    evaluated against both frames.
+
+    Mechanism: every token feature-hashes into ``n_buckets`` buckets;
+    each corpus induces an add-1-smoothed categorical distribution
+    over buckets; a document's log-weight is
+    ``Σ_b count_doc[b] · (ln p_tgt[b] − ln p_raw[b])``.
+
+    Scale shape at 100 TB: the two bucket distributions are
+    ``n_buckets``-row aggregates (one shuffle each, map-side combined,
+    then a broadcast); per-doc bucket counts are one shuffle on
+    (doc, bucket); the weight is a per-doc sum. Nothing is ever
+    joined row×row across corpora, and the model state is O(buckets),
+    not O(vocab) — no vocabulary to build, broadcast, or version.
+
+    Returns (id, log_weight) for every raw row; floats are left
+    unrounded (callers round at their comparison boundary).
+    """
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__doc"), F.explode(toks_col).alias("__tok")
+        ).select(
+            "__doc",
+            hashed_bucket(F.col("__tok"), n_buckets, salt=salt).alias("bucket"),
+        )
+
+    def bucket_counts(df: DataFrame) -> DataFrame:
+        return (
+            bucketed(df)
+            .groupBy("__doc", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def dist(df: DataFrame, p_name: str) -> DataFrame:
+        per_bucket = (
+            bucketed(df)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+        total = per_bucket.agg(F.sum("n").alias("total"))
+        return (
+            per_bucket.crossJoin(F.broadcast(total))
+            .select(
+                "bucket",
+                F.log(
+                    (F.col("n") + F.lit(1.0))
+                    / (F.col("total") + F.lit(float(n_buckets)))
+                ).alias(p_name),
+            )
+        )
+
+    raw_counts = bucket_counts(raw_df)
+    # add-1 smoothing means absent buckets still carry probability
+    # mass; docs only ever reference buckets their own tokens hash to,
+    # and raw_df's own tokens define p_raw, so every referenced bucket
+    # exists in p_raw. p_tgt may miss buckets -> smoothed floor.
+    p_raw = dist(raw_df, "lp_raw")
+    p_tgt = dist(target_df, "lp_tgt")
+    tgt_floor = bucketed(target_df).agg(
+        F.log(
+            F.lit(1.0) / (F.count("*") + F.lit(float(n_buckets)))
+        ).alias("lp_floor")
+    )
+    return (
+        raw_counts.join(F.broadcast(p_raw), "bucket")
+        .join(F.broadcast(p_tgt), "bucket", "left")
+        .crossJoin(F.broadcast(tgt_floor))
+        .withColumn("lp_tgt", F.coalesce("lp_tgt", "lp_floor"))
+        .groupBy("__doc")
+        .agg(
+            F.sum(
+                F.col("cnt") * (F.col("lp_tgt") - F.col("lp_raw"))
+            ).alias("log_weight")
+        )
+        .select(F.col("__doc").alias(id_col), "log_weight")
+    )
+
+
+def dsir_resample(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str,
+    toks_col: Column,
+    k: int,
+    *,
+    n_buckets: int = 64,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance log-weights —
+    a sample-without-replacement where a raw document wins with
+    probability ∝ its importance weight. The Gumbel draw is
+    derandomized the way everything in this module is: the uniform u
+    is 12 md5 hex chars of ``salt ‖ 'g:' ‖ id``, and the key is
+    ``log_weight − ln(−ln u)`` — a pure function of the row.
+
+    The selection is one TakeOrderedAndProject over the key (rounded
+    before comparison so the two engines' float-sum orderings agree;
+    id tiebreak makes the order total). Returns (id, log_weight,
+    gumbel_key) for the k winners.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "g:"), F.col(id_col).cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(U_DENOM)
+    lw = dsir_log_weights(
+        raw_df, target_df, id_col, toks_col, n_buckets=n_buckets, salt=salt
+    )
+    keyed = lw.select(
+        id_col,
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias("gumbel_key"),
+    )
+    return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)

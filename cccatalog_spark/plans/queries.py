@@ -6406,3 +6406,106 @@ def all_queries() -> dict[str, QueryFn]:
 
 def all_oracles() -> dict[str, str]:
     return _driver_order(ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# q132 — cross-document first-occurrence segment dedup
+# (operators/lines.dedup_segments): the RefinedWeb exact-substring
+# pass at 5-token segment granularity — every distinct segment
+# survives once corpus-wide, at its first (doc, position) occurrence.
+# One min-struct shuffle on the segment key + per-doc reassembly.
+# ---------------------------------------------------------------------------
+@query(
+    "q132_segment_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[(i-1)*5+1:i*5], ' ') AS seg
+      FROM toks,
+           LATERAL unnest(generate_series(
+             1, CAST(ceil(len(t) / 5.0) AS BIGINT))) AS g(i)
+      WHERE len(t) > 0
+    ),
+    flagged AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (
+               PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_segments,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END,
+                               ' ' ORDER BY seg_idx), '')
+             AS cleaned_text
+    FROM flagged
+    GROUP BY 1
+    """,
+)
+def q132_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lines import dedup_segments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_segments(docs, "text", "doc_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# q133 — DSIR importance resampling (operators/sampling.dsir_resample;
+# Xie et al. 2023): hashed bag-of-words importance weights
+# log p_tgt − log p_raw against a target slice (source = 'src1'),
+# then derandomized Gumbel-top-k selection of the 50 raw documents
+# most target-like. Model state is O(64 buckets); selection is one
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "q133_dsir_resample",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    tok AS (SELECT doc_id, source, unnest(t) AS tok FROM toks),
+    b AS (SELECT doc_id, source,
+                 ('0x' || substring(md5('dsir:' || tok), 1, 4))::BIGINT % 64
+                   AS bucket
+          FROM tok),
+    raw_doc AS (SELECT doc_id, bucket, count(*) AS cnt
+                FROM b GROUP BY 1, 2),
+    raw_dist AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+    raw_tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM b),
+    tgtb AS (SELECT bucket FROM b WHERE source = 'src1'),
+    tgt_dist AS (SELECT bucket, count(*) AS n FROM tgtb GROUP BY 1),
+    tgt_tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tgtb),
+    lw AS (
+      SELECT rd.doc_id,
+             sum(rd.cnt * (
+               ln((coalesce(td.n, 0) + 1.0) / (tt.total + 64.0))
+               - ln((r.n + 1.0) / (rt.total + 64.0)))) AS log_weight
+      FROM raw_doc rd
+      JOIN raw_dist r USING (bucket)
+      LEFT JOIN tgt_dist td USING (bucket), raw_tot rt, tgt_tot tt
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           round(log_weight, 6) AS log_weight,
+           round(log_weight - ln(-ln(
+             (('0x' || substring(md5('dsir:g:' || CAST(doc_id AS VARCHAR)),
+                                 1, 12))::BIGINT + 1.0)
+             / 281474976710656.0)), 6) AS gumbel_key
+    FROM lw
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def q133_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "text")
+    target = docs.where(F.col("source") == "src1").select("doc_id", "text")
+    return dsir_resample(
+        raw, target, "doc_id", TX.tokens(F.col("text")), 50, n_buckets=64
+    )

@@ -115,3 +115,66 @@ def test_all_boilerplate_doc_survives_empty(spark):
         assert r["kept_segments"] == 0
         assert r["cleaned_text"] == ""
         assert r["boilerplate_fraction"] == 1.0
+
+
+def _brute_first_occurrence(texts, k):
+    segs = {}
+    for i, t in enumerate(texts):
+        w = [x for x in t.split() if x]
+        segs[i] = [" ".join(w[p : p + k]) for p in range(0, len(w), k)]
+    seen = set()
+    out = {}
+    for i in sorted(segs):
+        ss = segs[i]
+        if not ss:
+            continue
+        kept = []
+        for s in ss:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[i] = {
+            "n_segments": len(ss),
+            "kept_segments": len(kept),
+            "cleaned_text": " ".join(kept),
+        }
+    return out
+
+
+def test_dedup_segments_matches_first_occurrence_model(spark):
+    from cccatalog_spark.operators.lines import dedup_segments
+
+    texts = [
+        "a b c d e a b c d e x y",   # self-repeat: 2nd "a b c d e" dies
+        "a b c d e q r s t u",       # cross-doc repeat of doc0's segment
+        "q r s t u v w",             # repeats doc1's 2nd segment
+        "unique only tokens here now",
+        "",
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in dedup_segments(_docs(spark, texts), "text", "doc_id", k=5)
+        .collect()
+    }
+    want = _brute_first_occurrence(texts, 5)
+    assert set(got) == set(want)
+    for i, w in want.items():
+        assert got[i]["n_segments"] == w["n_segments"], i
+        assert got[i]["kept_segments"] == w["kept_segments"], i
+        assert got[i]["cleaned_text"] == w["cleaned_text"], i
+
+
+def test_dedup_segments_repartition_stable(spark):
+    from cccatalog_spark.operators.lines import dedup_segments
+
+    texts = ["a b c a b c", "a b c d", "d e f a b c"]
+    base = _docs(spark, texts)
+    r1 = sorted(
+        dedup_segments(base, "text", "doc_id", k=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    r2 = sorted(
+        dedup_segments(base.repartition(7), "text", "doc_id", k=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]

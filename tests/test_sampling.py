@@ -209,3 +209,94 @@ def test_negative_samples_validates_k(spark):
     df = spark.range(5)
     with _pytest.raises(ValueError):
         negative_samples(df, "id", k=0)
+
+
+def _dsir_model(raw, target, n_buckets, salt="dsir:"):
+    """Python model of hashed-BoW DSIR log-weights."""
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5((salt + tok).encode()).hexdigest()[:4], 16) % n_buckets
+
+    def dist(docs):
+        counts = {}
+        total = 0
+        for _, text in docs:
+            for t in text.split():
+                if t:
+                    counts[bucket(t)] = counts.get(bucket(t), 0) + 1
+                    total += 1
+        return counts, total
+
+    rc, rt = dist(raw)
+    tc, tt = dist(target)
+    out = {}
+    for i, text in raw:
+        lw = 0.0
+        doc_counts = {}
+        for t in text.split():
+            if t:
+                doc_counts[bucket(t)] = doc_counts.get(bucket(t), 0) + 1
+        if not doc_counts:
+            continue
+        for b, c in doc_counts.items():
+            lp_t = math.log((tc.get(b, 0) + 1.0) / (tt + n_buckets))
+            lp_r = math.log((rc[b] + 1.0) / (rt + n_buckets))
+            lw += c * (lp_t - lp_r)
+        out[i] = lw
+    return out
+
+
+def test_dsir_log_weights_match_python_model(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.functions.text import tokens
+    from cccatalog_spark.operators.sampling import dsir_log_weights
+
+    raw = [
+        (0, "cat dog cat fish"),
+        (1, "dog dog dog"),
+        (2, "fish fish cat"),
+        (3, "rocket science cat"),
+    ]
+    target = [(100, "cat cat cat fish"), (101, "cat fish")]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            raw_df, tgt_df, "doc_id", tokens(F.col("text")), n_buckets=16
+        ).collect()
+    }
+    want = _dsir_model(raw, target, 16)
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, i
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.functions.text import tokens
+    from cccatalog_spark.operators.sampling import dsir_resample
+
+    # 10 docs about "cat fish", 10 about "rocket engine"; target is
+    # cat/fish -> the top-5 selection should be dominated by cat docs.
+    raw = [(i, " ".join(["cat fish swim"] * 12)) for i in range(10)] + [
+        (i, " ".join(["rocket engine thrust nozzle burn"] * 8))
+        for i in range(10, 20)
+    ]
+    target = [(100, "cat fish whiskers"), (101, "fish cat tail")]
+    raw_df = spark.createDataFrame(raw, "doc_id long, text string")
+    tgt_df = spark.createDataFrame(target, "doc_id long, text string")
+    top = dsir_resample(
+        raw_df, tgt_df, "doc_id", tokens(F.col("text")), 5, n_buckets=32
+    ).collect()
+    assert len(top) == 5
+    assert all(r["doc_id"] < 10 for r in top)
+    # deterministic: rerun gives identical rows in identical order
+    again = dsir_resample(
+        raw_df, tgt_df, "doc_id", tokens(F.col("text")), 5, n_buckets=32
+    ).collect()
+    assert [tuple(r) for r in top] == [tuple(r) for r in again]
