@@ -1,0 +1,207 @@
+"""Exact distributed quantiles by iterative histogram refinement.
+
+:func:`cccatalog_spark.functions.popularity.percentile_disc` computes
+PostgreSQL ``percentile_disc`` parity by collecting the group's values
+— exact, but documented as unusable for billion-row groups (its
+docstring defers those to ``percentile_approx``). This module closes
+that divergence: the same exact ``sorted_values[ceil(p*n)-1]`` datum,
+computed with bounded driver state at any scale.
+
+Algorithm (the classic iterative-refinement / BigQuery-style exact
+quantile): maintain, per requested fraction, a candidate row set that
+provably contains the answer and the answer's rank within it. Each
+round runs ONE aggregate job that histograms every active fraction's
+candidate set into ``bins`` buckets (a ≤ fractions×bins row result),
+walks the cumulative counts driver-side, and descends into the bucket
+containing the target rank — shrinking the candidate set ~``bins``×
+per round. When a candidate set fits a bounded tail threshold, the
+exact k-th smallest inside it is one ``TakeOrdered(k)`` job.
+
+Robustness detail: candidate-set membership is re-expressed as the
+CHAIN of bucket predicates that selected it (the same floor expression
+used for counting), never re-derived from arithmetic bounds — so
+floating-point boundary drift between "which bucket did the count see"
+and "which rows does the next round scan" is impossible by
+construction.
+
+Scale shape at 100 TB: driver state is O(fractions × bins) counts per
+round; the data is never sorted globally, never collected, and every
+round is a single map-side-combinable aggregate over one cached scan.
+Rounds are logarithmic (width ÷ bins each round). Contrast with
+``sort + row_number`` (a full global sort) or single-partition
+``WITHIN GROUP`` execution — both of which put the whole column
+through one machine.
+
+Reference anchor: the reference's popularity refresh runs Postgres
+``percentile_disc`` server-side (util/popularity/sql.py:146-167);
+this is the engine-side equivalent that survives when the metric
+table outgrows one node.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _kth_smallest(pool: DataFrame, k: int):
+    """Exact k-th smallest value of pool.v via TakeOrdered(k)."""
+    row = pool.orderBy("v").limit(k).agg(F.max("v").alias("v")).collect()[0]
+    return row["v"]
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    fractions: list[float],
+    *,
+    bins: int = 128,
+    tail_threshold: int = 65536,
+    max_rounds: int = 64,
+) -> list[tuple[float, float]]:
+    """Exact ``percentile_disc`` for every fraction in one pass
+    structure: returns ``[(fraction, value), ...]`` in input order.
+
+    ``value`` is the smallest datum whose rank is ≥ ``ceil(f·n)`` —
+    identical to PostgreSQL/DuckDB ``percentile_disc(f) WITHIN GROUP
+    (ORDER BY v)`` over the non-null values.
+    """
+    for f in fractions:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction out of [0,1]: {f}")
+    base = (
+        df.select(F.col(value_col).cast("double").alias("v"))
+        .where(F.col("v").isNotNull())
+        .persist()
+    )
+    try:
+        stats = base.agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ).collect()[0]
+        n = stats["n"]
+        if n == 0:
+            return [(f, None) for f in fractions]
+
+        # per-fraction state: (lo, hi, k, pred, count) — the answer is
+        # the k-th smallest v among rows matching pred; lo/hi are
+        # (approximate) bounds used only to parametrize the next
+        # bucketing; count is the candidate-set size.
+        results: dict[float, float] = {}
+        states: dict[float, tuple] = {}
+        for f in fractions:
+            if f in states or f in results:
+                continue
+            k = max(1, math.ceil(f * n))
+            states[f] = (
+                float(stats["mn"]),
+                float(stats["mx"]),
+                k,
+                F.lit(True),
+                n,
+            )
+
+        for _ in range(max_rounds):
+            # resolve finished / degenerate states
+            for f, (lo, hi, k, pred, cnt) in list(states.items()):
+                width = (hi - lo) / bins
+                if cnt <= tail_threshold:
+                    results[f] = _kth_smallest(base.where(pred), k)
+                    del states[f]
+                elif width <= 0 or not math.isfinite(width) or (
+                    # bucketing below float resolution can no longer
+                    # split the set; every remaining value is within
+                    # one representable step — take the exact minimum.
+                    width <= max(abs(lo), abs(hi)) * 1e-15
+                ):
+                    results[f] = base.where(pred).agg(
+                        F.min("v").alias("v")
+                    ).collect()[0]["v"]
+                    del states[f]
+            if not states:
+                break
+
+            # one histogram job over all active fractions
+            ordered = list(states.items())
+            structs = []
+            for i, (f, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+                width = (hi - lo) / bins
+                b = F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
+                b = F.least(
+                    F.greatest(b, F.lit(0)), F.lit(bins - 1)
+                ).cast("int")
+                structs.append(
+                    F.when(
+                        pred, F.struct(F.lit(i).alias("q"), b.alias("b"))
+                    )
+                )
+            hist = (
+                base.select(
+                    F.explode(
+                        F.filter(
+                            F.array(*structs), lambda s: s.isNotNull()
+                        )
+                    ).alias("s")
+                )
+                .groupBy("s.q", "s.b")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            )
+            counts: dict[int, dict[int, int]] = {}
+            for r in hist:
+                counts.setdefault(r["q"], {})[r["b"]] = r["c"]
+
+            for i, (f, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+                width = (hi - lo) / bins
+                b_counts = counts.get(i, {})
+                cum = 0
+                for b in range(bins):
+                    c = b_counts.get(b, 0)
+                    if cum + c >= k:
+                        bucket_b = F.least(
+                            F.greatest(
+                                F.floor(
+                                    (F.col("v") - F.lit(lo)) / F.lit(width)
+                                ),
+                                F.lit(0),
+                            ),
+                            F.lit(bins - 1),
+                        ).cast("int")
+                        states[f] = (
+                            lo + b * width,
+                            lo + (b + 1) * width if b < bins - 1 else hi,
+                            k - cum,
+                            pred & (bucket_b == b),
+                            c,
+                        )
+                        break
+                    cum += c
+        else:
+            # max_rounds exhausted (pathological distribution): the
+            # candidate sets are still bounded-shrinking; finish exact.
+            for f, (lo, hi, k, pred, cnt) in states.items():
+                results[f] = _kth_smallest(base.where(pred), k)
+            states = {}
+
+        for f, (lo, hi, k, pred, cnt) in states.items():
+            results[f] = _kth_smallest(base.where(pred), k)
+        return [(f, results[f]) for f in fractions]
+    finally:
+        base.unpersist()
+
+
+def exact_quantiles_df(
+    spark,
+    df: DataFrame,
+    value_col: str,
+    fractions: list[float],
+    **kwargs,
+) -> DataFrame:
+    """DataFrame wrapper: (fraction double, value double) — the
+    result set is |fractions| rows, built from the driver-side exact
+    computation."""
+    rows = exact_quantiles(df, value_col, fractions, **kwargs)
+    return spark.createDataFrame(rows, "fraction double, value double")

@@ -6509,3 +6509,49 @@ def q133_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_resample(
         raw, target, "doc_id", TX.tokens(F.col("text")), 50, n_buckets=64
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — exact distributed quantiles by iterative histogram refinement
+# (operators/quantiles.exact_quantiles): percentile_disc parity with
+# O(fractions × bins) driver state and NO global sort — the
+# billion-row-group answer to functions/popularity.percentile_disc's
+# documented collect_list bound. tail_threshold=2000 forces multiple
+# refine rounds even at sf0.01.
+# ---------------------------------------------------------------------------
+@query(
+    "q134_exact_quantiles",
+    oracle="""
+    SELECT CAST(0.01 AS DOUBLE) AS fraction,
+           percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS value FROM lineitem
+    UNION ALL
+    SELECT CAST(0.25 AS DOUBLE),
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+      FROM lineitem
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE),
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+      FROM lineitem
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE),
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+      FROM lineitem
+    UNION ALL
+    SELECT CAST(0.999 AS DOUBLE),
+           percentile_disc(0.999) WITHIN GROUP (ORDER BY l_extendedprice)
+      FROM lineitem
+    """,
+)
+def q134_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quantiles import exact_quantiles_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return exact_quantiles_df(
+        spark,
+        li,
+        "l_extendedprice",
+        [0.01, 0.25, 0.5, 0.9, 0.999],
+        bins=32,
+        tail_threshold=2000,
+    )

@@ -1,0 +1,59 @@
+"""Exact distributed quantiles (operators/quantiles.py) against
+Python's exact sorted-list model, forcing multiple histogram-refine
+rounds with tiny bins/thresholds."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from cccatalog_spark.operators.quantiles import (
+    exact_quantiles,
+    exact_quantiles_df,
+)
+
+
+def _disc(values, f):
+    s = sorted(values)
+    k = max(1, math.ceil(f * len(s)))
+    return s[k - 1]
+
+
+def test_matches_percentile_disc_model(spark):
+    rng = random.Random(7)
+    vals = [rng.gauss(100.0, 25.0) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    fr = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    got = exact_quantiles(
+        df, "x", fr, bins=8, tail_threshold=40, max_rounds=64
+    )
+    for f, v in got:
+        assert v == _disc(vals, f), f
+
+
+def test_heavy_duplicates_and_skew(spark):
+    # 90% identical values, a few outliers: degenerate bins must not
+    # stall or mis-rank.
+    vals = [42.0] * 900 + [i * 1e6 for i in range(1, 101)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    fr = [0.05, 0.5, 0.905, 0.95]
+    got = exact_quantiles(df, "x", fr, bins=4, tail_threshold=10)
+    for f, v in got:
+        assert v == _disc(vals, f), f
+
+
+def test_nulls_ignored_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,), (2.0,)], "x double"
+    )
+    got = dict(exact_quantiles(df, "x", [0.5], tail_threshold=1))
+    assert got[0.5] == 2.0
+    empty = df.where("x > 100")
+    assert exact_quantiles(empty, "x", [0.5]) == [(0.5, None)]
+
+
+def test_df_wrapper_schema(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    out = exact_quantiles_df(spark, df, "x", [0.25, 0.75], tail_threshold=5)
+    rows = {r["fraction"]: r["value"] for r in out.collect()}
+    assert rows == {0.25: 24.0, 0.75: 74.0}
