@@ -6555,3 +6555,57 @@ def q134_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         bins=32,
         tail_threshold=2000,
     )
+
+
+# ---------------------------------------------------------------------------
+# q135 — distributed BPE merge learning (operators/bpe.learn_merges):
+# 6 rounds of adjacent-pair counting over the word-TYPE table (vocab
+# rows, corpus scanned once) + deterministic argmax + codegen'd fold
+# merge. Oracle: the same 6 rounds unrolled as CTE stages over a
+# unit-separator symbol encoding (replace() is greedy left-to-right
+# non-overlapping, exactly the BPE apply step).
+# ---------------------------------------------------------------------------
+def _q135_oracle(n_merges: int = 6) -> str:
+    us = "chr(31)"
+    parts = [
+        f"""
+    WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    wf AS (SELECT w AS word, count(*) AS freq
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    w0 AS (SELECT {us} || array_to_string(string_split(word, ''), {us})
+                    || {us} AS s, freq
+           FROM wf)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT l[i] AS a, l[i + 1] AS b, sum(freq) AS cnt
+      FROM (SELECT string_split(trim(s, {us}), {us}) AS l, freq
+            FROM w{i}),
+           LATERAL unnest(generate_series(1, len(l) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    t{i} AS (SELECT a, b, cnt FROM p{i}
+             ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+    w{i + 1} AS (
+      SELECT replace(w.s, {us} || t.a || {us} || t.b || {us},
+                     {us} || t.a || t.b || {us}) AS s, w.freq
+      FROM w{i} w, t{i} t
+    )"""
+        )
+    selects = [
+        f"""SELECT {i + 1} AS step, a AS "left", b AS "right",
+               a || b AS merged, CAST(cnt AS BIGINT) AS pair_count
+        FROM t{i}"""
+        for i in range(n_merges)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@query("q135_bpe_learn", oracle=_q135_oracle(6))
+def q135_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.bpe import learn_merges_df
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return learn_merges_df(spark, docs, TX.tokens(F.col("text")), 6)
