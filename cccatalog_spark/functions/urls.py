@@ -268,3 +268,59 @@ def rewrite_redirects(df, url_col: str, redirects, out_col: str = "final_url"):
         .withColumn(out_col, F.coalesce(F.col("_dst"), F.col(url_col)))
         .drop("_src", "_dst")
     )
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a hostname, most-specific first:
+    ``a.b.co`` → [``a.b.co``, ``b.co``, ``co``]. Pure column algebra
+    (no explode here — callers explode when they join)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def blocklist_mark(
+    df, url_col: str, blocked_domains: list[str], out_col: str = "is_blocked"
+):
+    """UT1-style domain blocklist with subdomain inheritance: a URL is
+    blocked when its host IS a blocked domain or any dot-suffix of the
+    host is (``ads.evil.org`` inherits a block on ``evil.org``).
+
+    Mechanism: explode the host's dot-suffixes and equi-join the
+    blocklist — turning the "endswith any of N patterns" scan (an
+    O(rows × N) non-equi predicate, a BroadcastNestedLoopJoin in plan
+    terms — the q33/J4 lesson) into one broadcast HASH join on the
+    suffix, O(rows × labels). The blocklist side is deduplicated and
+    broadcast; real UT1 lists (~millions of domains) still hash-join
+    fine, just not broadcast — same plan shape, one shuffle.
+
+    Returns the input frame + a boolean ``out_col``. Row identity is
+    preserved via the frame's own columns (groupBy on all of them is
+    avoided — the mark is computed on distinct hosts, then re-joined
+    on the host, so the wide text columns never pass through the
+    explode).
+    """
+    spark = df.sparkSession
+    bl = spark.createDataFrame(
+        [(b,) for b in sorted(set(blocked_domains))], "__suffix string"
+    )
+    host = url_host(F.col(url_col))
+    hosts = df.select(host.alias("__host")).distinct()
+    marked = (
+        hosts.select(
+            "__host", F.explode(host_suffixes(F.col("__host"))).alias("__suffix")
+        )
+        .join(F.broadcast(bl), "__suffix", "inner")
+        .select("__host")
+        .distinct()
+        .withColumn("__blocked", F.lit(True))
+    )
+    return (
+        df.withColumn("__host", host)
+        .join(F.broadcast(marked), "__host", "left")
+        .withColumn(out_col, F.coalesce("__blocked", F.lit(False)))
+        .drop("__host", "__blocked")
+    )

@@ -472,3 +472,64 @@ def dsir_resample(
         F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias("gumbel_key"),
     )
     return keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k)
+
+
+def epoch_repeat(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    epochs: dict[str, float],
+    *,
+    default: float = 1.0,
+    salt: str = "epoch:",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Fractional-epoch corpus upsampling (the mixture-weights table of
+    a training run: "2.4 epochs of wikipedia, 0.3 of commoncrawl, 1.0
+    of everything else"): every row is emitted ``floor(e)`` times,
+    plus one extra copy with probability ``frac(e)`` — decided by the
+    module's derandomized md5-threshold draw, so the realized token
+    counts are reproducible run-to-run and repartition-stable.
+
+    Output = input columns + ``copy_col`` (1-based copy index); rows
+    whose source draws 0 copies are dropped.
+
+    Scale shape at 100 TB: the epochs table is a broadcast dim keyed
+    by source (thresholds precomputed driver-side as hex literals, so
+    the probabilistic branch is one string compare); the repeat is
+    ``explode(sequence(1, n))`` — a narrow generator whose output
+    volume is exactly the token budget the mixture asked for, with no
+    shuffle anywhere. Downstream training-order shuffle is
+    :func:`interleave_shuffle`'s job, not this operator's.
+    """
+    for s, e in epochs.items():
+        if e < 0:
+            raise ValueError(f"negative epochs for {s!r}: {e}")
+    if default < 0:
+        raise ValueError(f"negative default epochs: {default}")
+
+    def row(src: str | None, e: float):
+        return (src, int(e), threshold_hex(e - int(e)))
+
+    dim = df.sparkSession.createDataFrame(
+        [row(s, e) for s, e in sorted(epochs.items())],
+        f"{source_col} string, __base long, __thr string",
+    )
+    d_base, d_thr = int(default), threshold_hex(default - int(default))
+    n_copies = (
+        F.coalesce("__base", F.lit(d_base))
+        + F.when(
+            bucket_hex(F.col(id_col), salt)
+            < F.coalesce("__thr", F.lit(d_thr)),
+            1,
+        ).otherwise(0)
+    ).cast("long")
+    return (
+        df.join(F.broadcast(dim), source_col, "left")
+        .withColumn("__n", n_copies)
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty —
+        # zero-copy rows must be dropped before the generator
+        .where(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__base", "__thr", "__n")
+    )

@@ -6609,3 +6609,99 @@ def q135_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("text")
     return learn_merges_df(spark, docs, TX.tokens(F.col("text")), 6)
+
+
+# ---------------------------------------------------------------------------
+# q136 — fractional-epoch corpus upsampling (operators/sampling.
+# epoch_repeat): the training mixture table ("2.4 epochs of src1, 0.25
+# of src2, 3.0 of src3, 0.5 of src4, 1.0 elsewhere") realized as
+# floor(e) copies + one md5-threshold fractional copy. Broadcast dim +
+# explode(sequence) — zero shuffle.
+# ---------------------------------------------------------------------------
+_EPOCHS = {"src1": 2.4, "src2": 0.25, "src3": 3.0, "src4": 0.5}
+
+
+def _q136_oracle() -> str:
+    from cccatalog_spark.operators.sampling import threshold_hex
+
+    vals = ", ".join(
+        f"('{s}', {int(e)}, '{threshold_hex(e - int(e))}')"
+        for s, e in sorted(_EPOCHS.items())
+    )
+    return f"""
+    WITH eps(source, base, thr) AS (VALUES {vals}),
+    r AS (
+      SELECT d.doc_id, d.source,
+             coalesce(e.base, 1)
+             + CASE WHEN substring(md5('epoch:' ||
+                                       CAST(d.doc_id AS VARCHAR)), 1, 4)
+                         < coalesce(e.thr, '0000')
+                    THEN 1 ELSE 0 END AS n
+      FROM documents d LEFT JOIN eps e USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+    FROM r WHERE n > 0
+    """
+
+
+@query("q136_epoch_upsample", oracle=_q136_oracle())
+def q136_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import epoch_repeat
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return epoch_repeat(d, "doc_id", "source", _EPOCHS, default=1.0)
+
+
+# ---------------------------------------------------------------------------
+# q137 — UT1-style domain blocklist with subdomain inheritance
+# (functions/urls.blocklist_mark): host suffix-explode → broadcast
+# HASH equi-join on the suffix — the q33/J4 lesson applied to
+# "endswith any of N domains" (which would otherwise plan as a
+# BroadcastNestedLoopJoin). nottracker.net probes the dot-boundary:
+# a naive endswith match would wrongly block it.
+# ---------------------------------------------------------------------------
+_BLOCKED = ["ads.example.com", "tracker.net"]
+
+
+@query(
+    "q137_domain_blocklist",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 'ads.example.com'
+               WHEN 1 THEN 'sub.ads.example.com'
+               WHEN 2 THEN 'example.com'
+               WHEN 3 THEN 'tracker.net'
+               WHEN 4 THEN 'safe.org'
+               ELSE 'nottracker.net'
+             END AS host
+      FROM documents
+    )
+    SELECT doc_id, 'https://' || host || '/p/' || CAST(doc_id AS VARCHAR)
+             AS url,
+           (host = 'ads.example.com' OR host LIKE '%.ads.example.com'
+            OR host = 'tracker.net' OR host LIKE '%.tracker.net')
+             AS is_blocked
+    FROM u
+    """,
+)
+def q137_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.urls import blocklist_mark
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("ads.example.com"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("sub.ads.example.com"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("example.com"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("tracker.net"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("safe.org"))
+        .otherwise(F.lit("nottracker.net"))
+    )
+    urls = d.withColumn(
+        "url",
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")),
+    )
+    return blocklist_mark(urls, "url", _BLOCKED)

@@ -535,3 +535,33 @@ def test_kmv_overlap_disjoint_sets(spark):
     row = kmv_set_overlap(sa, sb, k=256).collect()[0]
     assert row["jaccard"] == 0.0
     assert row["intersection"] == 0.0
+
+
+def test_host_suffixes_and_blocklist_mark(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.functions.urls import blocklist_mark, host_suffixes
+
+    sfx = (
+        spark.range(1)
+        .select(host_suffixes(F.lit("a.b.co.uk")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert sfx == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+
+    rows = [
+        (0, "https://ads.example.com/x"),        # exact block
+        (1, "http://deep.sub.ads.example.com/y"),  # inherited block
+        (2, "https://example.com/ok"),           # parent NOT blocked
+        (3, "https://nottracker.net/z"),         # dot boundary holds
+        (4, "https://tracker.net:8080/q"),       # port stripped
+        (5, "https://TRACKER.net/q"),            # case-folded
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {
+        r["id"]: r["is_blocked"]
+        for r in blocklist_mark(
+            df, "url", ["ads.example.com", "tracker.net"]
+        ).collect()
+    }
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True, 5: True}

@@ -300,3 +300,48 @@ def test_dsir_resample_prefers_target_like_docs(spark):
         raw_df, tgt_df, "doc_id", tokens(F.col("text")), 5, n_buckets=32
     ).collect()
     assert [tuple(r) for r in top] == [tuple(r) for r in again]
+
+
+def test_epoch_repeat_counts_and_determinism(spark):
+    import hashlib
+
+    from cccatalog_spark.operators.sampling import epoch_repeat, threshold_hex
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    eps = {"a": 2.5, "b": 0.0, "c": 0.25}
+    out = epoch_repeat(df, "doc_id", "source", eps, default=1.0).collect()
+
+    def model_n(i, src):
+        e = eps.get(src, 1.0)
+        thr = threshold_hex(e - int(e))
+        b = hashlib.md5(f"epoch:{i}".encode()).hexdigest()[:4]
+        return int(e) + (1 if b < thr else 0)
+
+    want = {}
+    for i, s in rows:
+        n = model_n(i, s)
+        for c in range(1, n + 1):
+            want[(i, c)] = s
+    got = {(r["doc_id"], r["copy"]): r["source"] for r in out}
+    assert got == want
+    # source 'b' at 0.0 epochs: fully dropped
+    assert not any(s == "b" for s in got.values())
+    # repartition-stable
+    again = {
+        (r["doc_id"], r["copy"]): r["source"]
+        for r in epoch_repeat(
+            df.repartition(13), "doc_id", "source", eps, default=1.0
+        ).collect()
+    }
+    assert again == got
+
+
+def test_epoch_repeat_validates(spark):
+    import pytest
+
+    from cccatalog_spark.operators.sampling import epoch_repeat
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        epoch_repeat(df, "doc_id", "source", {"a": -1.0})
