@@ -60,3 +60,72 @@ def chunk_documents(
         ),
         F.concat_ws(" ", window).alias("chunk_text"),
     )
+
+
+def pack_windows(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    window_size: int,
+    *,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """GPT-style sample packing: lay the corpus out as one virtual
+    token stream in a deterministic total order, then slice it into
+    fixed ``window_size`` training windows. Documents straddling a
+    boundary are split across the adjacent windows (the standard
+    concatenate-then-slice packing with cross-document attention
+    masking — no padding, no token ever dropped or duplicated).
+
+    Output: one row per (document × window it touches) —
+
+    (id, window_id, start_in_window, off_start, off_end)
+
+    ``off_start``/``off_end`` are the doc-local token half-open range
+    landing in that window; ``start_in_window`` is where it lands.
+    Invariants (tested): per-doc spans tile [0, len) in order; per-
+    window spans tile [0, window_size) exactly (except the final
+    partial window); everything is a pure function of the order, so
+    the layout is reproducible and repartition-stable.
+
+    Scale shape at 100 TB: the only wide operation is the two-phase
+    distributed prefix sum (operators/cumsum.global_running_sum — a
+    range exchange + ≤P-row broadcast of partition offsets; never an
+    Exchange SinglePartition); the window fan-out is a narrow
+    generator bounded by ceil(len/window_size)+1 rows per doc. This is
+    the layout step a training-data loader runs after mixing
+    (epoch_repeat) and ordering (interleave_shuffle).
+    """
+    if window_size <= 0:
+        raise ValueError(f"window_size must be positive: {window_size}")
+    from cccatalog_spark.operators.cumsum import global_running_sum
+
+    order = order_cols or [F.col(id_col)]
+    base = df.where(F.col(len_col) > 0)
+    cum = global_running_sum(base, order, len_col, out_col="__cum")
+    W = F.lit(window_size).cast("long")
+    start = (F.col("__cum") - F.col(len_col)).cast("long")
+    end = F.col("__cum").cast("long")
+    spans = (
+        cum.withColumn("__start", start)
+        .withColumn("__end", end)
+        .withColumn(
+            "window_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__start") / W),
+                    F.floor((F.col("__end") - 1) / W),
+                )
+            ),
+        )
+    )
+    w_lo = F.col("window_id") * W
+    tok_start = F.greatest(F.col("__start"), w_lo)
+    tok_end = F.least(F.col("__end"), w_lo + W)
+    return spans.select(
+        F.col(id_col),
+        F.col("window_id"),
+        (tok_start - w_lo).alias("start_in_window"),
+        (tok_start - F.col("__start")).alias("off_start"),
+        (tok_end - F.col("__start")).alias("off_end"),
+    )

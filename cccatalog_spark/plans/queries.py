@@ -6705,3 +6705,40 @@ def q137_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_id").cast("string")),
     )
     return blocklist_mark(urls, "url", _BLOCKED)
+
+
+# ---------------------------------------------------------------------------
+# q138 — GPT-style sample packing (operators/chunking.pack_windows):
+# the corpus as one virtual token stream sliced into 512-token training
+# windows, docs split across boundaries, no padding, no token dropped.
+# Wide work = the two-phase distributed prefix sum (q117's primitive);
+# the rest is a narrow bounded generator.
+# ---------------------------------------------------------------------------
+@query(
+    "q138_pack_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+          FROM t WHERE n > 0),
+    s AS (SELECT doc_id, cum - n AS st, cum AS en FROM c),
+    w AS (SELECT doc_id, st, en,
+                 unnest(generate_series(st // 512, (en - 1) // 512))
+                   AS window_id
+          FROM s)
+    SELECT doc_id,
+           CAST(window_id AS BIGINT) AS window_id,
+           CAST(greatest(st, window_id * 512) - window_id * 512 AS BIGINT)
+             AS start_in_window,
+           CAST(greatest(st, window_id * 512) - st AS BIGINT) AS off_start,
+           CAST(least(en, (window_id + 1) * 512) - st AS BIGINT) AS off_end
+    FROM w
+    """,
+)
+def q138_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.chunking import pack_windows
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n")
+    )
+    return pack_windows(d, "doc_id", "n", 512)

@@ -66,3 +66,76 @@ def test_chunking_plan_is_narrow(spark):
     plan = chunk_documents(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pack_windows (GPT-style concatenate-then-slice sample packing)
+# ---------------------------------------------------------------------------
+
+def _pack_model(lens, W):
+    """Python model: concatenate docs in id order, slice into windows."""
+    out = []
+    pos = 0
+    for i, n in lens:
+        start, end = pos, pos + n
+        w = start // W
+        while w * W < end:
+            ts, te = max(start, w * W), min(end, (w + 1) * W)
+            out.append((i, w, ts - w * W, ts - start, te - start))
+            w += 1
+        pos = end
+    return sorted(out)
+
+
+def test_pack_windows_matches_model(spark):
+    from cccatalog_spark.operators.chunking import pack_windows
+
+    lens = [(0, 3), (1, 10), (2, 1), (3, 7), (4, 2), (5, 16), (6, 1)]
+    df = spark.createDataFrame(lens, "doc_id long, n long")
+    got = sorted(
+        tuple(r) for r in pack_windows(df, "doc_id", "n", 8).collect()
+    )
+    assert got == _pack_model(lens, 8)
+
+
+def test_pack_windows_tiling_invariants(spark):
+    from collections import defaultdict
+
+    from cccatalog_spark.operators.chunking import pack_windows
+
+    lens = [(i, (i * 13) % 30 + 1) for i in range(200)]
+    W = 64
+    rows = pack_windows(
+        spark.createDataFrame(lens, "doc_id long, n long"), "doc_id", "n", W
+    ).collect()
+    total = sum(n for _, n in lens)
+    # per-doc spans tile [0, len)
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append((r["off_start"], r["off_end"]))
+    for i, n in lens:
+        spans = sorted(per_doc[i])
+        assert spans[0][0] == 0 and spans[-1][1] == n
+        for (a, b), (c, d) in zip(spans, spans[1:]):
+            assert b == c
+    # per-window occupancy tiles [0, W) except the last window
+    per_win = defaultdict(int)
+    for r in rows:
+        per_win[r["window_id"]] += r["off_end"] - r["off_start"]
+    last = max(per_win)
+    for w, occ in per_win.items():
+        assert occ == (W if w < last else total - last * W)
+
+
+def test_pack_windows_zero_len_dropped_and_repartition_stable(spark):
+    from cccatalog_spark.operators.chunking import pack_windows
+
+    lens = [(0, 5), (1, 0), (2, 5)]
+    df = spark.createDataFrame(lens, "doc_id long, n long")
+    a = sorted(tuple(r) for r in pack_windows(df, "doc_id", "n", 4).collect())
+    assert not any(r[0] == 1 for r in a)
+    b = sorted(
+        tuple(r)
+        for r in pack_windows(df.repartition(5), "doc_id", "n", 4).collect()
+    )
+    assert a == b
