@@ -6742,3 +6742,71 @@ def q138_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n")
     )
     return pack_windows(d, "doc_id", "n", 512)
+
+
+# ---------------------------------------------------------------------------
+# q139 — contamination coverage matrix: for every benchmark (eval) doc
+# and every TRAIN SOURCE, the fraction of the eval doc's distinct
+# 8-gram shingles present anywhere in that source — the audit report
+# behind q80's boolean decontamination (which train slices leak into
+# which benchmarks, and how badly). Gram-key equi-joins only; the
+# eval side is the bounded one and broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q139_contamination_matrix",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents),
+    sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(len(t) - 7, 0) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+                   AS grams
+        FROM toks),
+    ev AS (SELECT doc_id AS eval_id, len(grams) AS n_grams,
+                  unnest(grams) AS g
+           FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT DISTINCT source, unnest(grams) AS g
+           FROM sh WHERE doc_id % 50 <> 0)
+    SELECT ev.eval_id, tr.source,
+           CAST(count(*) AS BIGINT) AS covered,
+           round(count(*) / CAST(ev.n_grams AS DOUBLE), 6) AS coverage
+    FROM ev JOIN tr USING (g)
+    GROUP BY ev.eval_id, tr.source, ev.n_grams
+    """,
+)
+def q139_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    sh = d.select(
+        "doc_id", "source", shingles(F.col("text"), 8).alias("grams")
+    )
+    ev = sh.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    )
+    tr = (
+        sh.where(F.col("doc_id") % 50 != 0)
+        .select("source", F.explode("grams").alias("g"))
+        .distinct()
+    )
+    return (
+        F.broadcast(ev)
+        .join(tr, "g")
+        .groupBy("eval_id", "source", "n_grams")
+        .agg(F.count("*").alias("covered"))
+        .select(
+            "eval_id",
+            "source",
+            "covered",
+            F.round(F.col("covered") / F.col("n_grams"), 6).alias("coverage"),
+        )
+    )
