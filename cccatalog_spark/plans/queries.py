@@ -4017,22 +4017,23 @@ def q82_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary", "q100_hybrid_rrf", "q04_merge_upsert",
     "q05_merge_overwrite", "q06_replay_collapse", "q07_latest_orders",
-    "q08_percentile_disc", "q106_stream_stream_join",
-    "q10_standardized_popularity", "q12_dedup_exact", "q16_license_extract",
-    "q17_sanitize", "q23_lang_id", "q24_ngram_jaccard", "q25_minhash_lsh",
-    "q107_partial_rollup_merge", "q27_knn_join", "q28_embedding_neardup",
-    "q29_simhash_neardup", "q33_array_contains_join", "q111_stream_sessions",
-    "q124_boilerplate_strip", "q38_cc_link_extract", "q39_sub_provider_update",
-    "q40_image_normalize", "q41_expiration_mark", "q125_semantic_dedup",
-    "q43_rolling_window", "q104_snapshot_cdc", "q46_multimodal_features",
-    "q48_cc_tags_merge", "q57_bpe_tokens", "q58_smithsonian_ingest",
+    "q106_stream_stream_join", "q10_standardized_popularity",
+    "q12_dedup_exact", "q16_license_extract", "q23_lang_id",
+    "q24_ngram_jaccard", "q25_minhash_lsh", "q107_partial_rollup_merge",
+    "q28_embedding_neardup", "q29_simhash_neardup", "q33_array_contains_join",
+    "q111_stream_sessions", "q124_boilerplate_strip", "q38_cc_link_extract",
+    "q39_sub_provider_update", "q40_image_normalize", "q41_expiration_mark",
+    "q125_semantic_dedup", "q43_rolling_window", "q104_snapshot_cdc",
+    "q46_multimodal_features", "q57_bpe_tokens", "q58_smithsonian_ingest",
     "q63_europeana_ingest", "q64_cc_tags_provider_keys",
     "q65_bucketed_stream_loader", "q66_url_validate",
     "q67_wikimedia_continue_merge", "q68_rest_ingest",
     "q69_jdbc_upsert_roundtrip", "q71_dedup_clusters",
-    "q72_tls_redirect_policy", "q74_wat_pipeline", "q75_gopher_quality",
-    "q76_pii_redact", "q77_corpus_pipeline", "q79_quantized_ann",
-    "q80_decontaminate", "q81_watermark_late_data", "q82_repetition_quality",
+    "q72_tls_redirect_policy", "q74_wat_pipeline", "q76_pii_redact",
+    "q77_corpus_pipeline", "q79_quantized_ann", "q80_decontaminate",
+    "q81_watermark_late_data", "q82_repetition_quality", "q132_segment_dedup",
+    "q133_dsir_resample", "q134_exact_quantiles", "q135_bpe_learn",
+    "q138_pack_windows",
 ]
 
 
