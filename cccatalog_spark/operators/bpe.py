@@ -133,3 +133,74 @@ def learn_merges_df(
         [(s, l, r, l + r, c) for s, l, r, c in merges],
         "step int, left string, right string, merged string, pair_count bigint",
     )
+
+
+def apply_merges(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a learned merge table to a symbol-array column, in merge
+    order — the BPE encode step. Each merge is one codegen'd fold;
+    the whole chain is a single narrow projection (no shuffle, no
+    UDF). ``merges`` is [(left, right), ...] as learned by
+    :func:`learn_merges`."""
+    out = syms
+    for left, right in merges:
+        out = _merge_pair(out, left, right)
+    return out
+
+
+def encode_report(
+    df: DataFrame,
+    toks_col: Column,
+    group_col: str,
+    n_merges: int,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus, apply them, and
+    report per-``group_col`` token economics:
+
+    (group, symbols_before, symbols_after, compression)
+
+    ``symbols_before`` is the char-symbol count (pre-merge),
+    ``symbols_after`` the post-merge symbol count; ``compression`` =
+    after/before, rounded.
+
+    Scale shape: both learning AND application run on the word-TYPE
+    table (vocab rows); the corpus contributes one (group, word) count
+    aggregation, and the final report re-joins vocab-level encode
+    lengths to those counts — the corpus text is scanned exactly once
+    and never re-tokenized per merge.
+    """
+    wsrc = (
+        df.select(F.col(group_col), F.explode(toks_col).alias("word"))
+        .groupBy(group_col, "word")
+        .agg(F.count("*").alias("cnt"))
+        .persist()
+    )
+    try:
+        wf = wsrc.groupBy("word").agg(F.sum("cnt").alias("freq"))
+        merges = [(l, r) for _, l, r, _ in learn_merges(wf, n_merges)]
+        encoded = wsrc.select(group_col, "word", "cnt").join(
+            wf.select(
+                "word",
+                F.length("word").alias("__before"),
+                F.size(
+                    apply_merges(F.split(F.col("word"), ""), merges)
+                ).alias("__after"),
+            ),
+            "word",
+        )
+        return (
+            encoded.groupBy(group_col)
+            .agg(
+                F.sum(F.col("cnt") * F.col("__before")).alias("symbols_before"),
+                F.sum(F.col("cnt") * F.col("__after")).alias("symbols_after"),
+            )
+            .select(
+                group_col,
+                "symbols_before",
+                "symbols_after",
+                F.round(
+                    F.col("symbols_after") / F.col("symbols_before"), 6
+                ).alias("compression"),
+            )
+        )
+    finally:
+        wsrc.unpersist()

@@ -80,3 +80,60 @@ def test_df_wrapper_from_corpus(spark):
     want = _brute_bpe(wf, 3)
     assert [(r["step"], r["left"], r["right"], r["pair_count"]) for r in out] == want
     assert all(r["merged"] == r["left"] + r["right"] for r in out)
+
+
+def _brute_apply(word, merges):
+    syms = list(word)
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_apply_merges_matches_brute(spark):
+    from cccatalog_spark.operators.bpe import apply_merges
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    words = ["low", "lowest", "newest", "wallow", "xyz", "l"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["syms"]
+        for r in df.select(
+            "word",
+            apply_merges(F.split(F.col("word"), ""), merges).alias("syms"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _brute_apply(w, merges), w
+
+
+def test_encode_report_totals(spark):
+    from cccatalog_spark.operators.bpe import encode_report, learn_merges, word_frequencies
+
+    docs = spark.createDataFrame(
+        [("a", "low low low lowest"), ("b", "newest newest widest")],
+        "source string, text string",
+    )
+    toks = F.split(F.col("text"), " ")
+    rep = {
+        r["source"]: r
+        for r in encode_report(docs, toks, "source", 4).collect()
+    }
+    merges = [
+        (l, r)
+        for _, l, r, _ in learn_merges(word_frequencies(docs, toks), 4)
+    ]
+    wf = {"a": {"low": 3, "lowest": 1}, "b": {"newest": 2, "widest": 1}}
+    for src, words in wf.items():
+        before = sum(c * len(w) for w, c in words.items())
+        after = sum(c * len(_brute_apply(w, merges)) for w, c in words.items())
+        assert rep[src]["symbols_before"] == before
+        assert rep[src]["symbols_after"] == after
+        assert abs(rep[src]["compression"] - round(after / before, 6)) < 1e-9
