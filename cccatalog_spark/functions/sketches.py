@@ -212,3 +212,95 @@ def kmv_set_overlap(
         jacc.alias("jaccard"),
         F.round(jacc * union_est, 2).alias("intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): mergeable frequency
+# counters. Same derandomization contract as KMV/HLL above — buckets
+# come from md5, so estimates are a pure function of the data and sit
+# under an exact SQL oracle.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # counters per row
+
+
+def _cms_bucket(value, row: int) -> "F.Column":
+    """Row-``row`` bucket of a value: 4 md5 hex chars mod W."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), value.cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def cms_counters(
+    df: DataFrame, value_col: str, *, weight_col: str | None = None
+) -> DataFrame:
+    """The mergeable CMS state: ``(_r, _c, _n)`` — total weight per
+    (row, bucket). d×W rows (4×256 = 1024) regardless of input size;
+    counters from different slices merge by a further groupBy-sum
+    (sum is associative), the same partial-rollup contract as
+    :func:`hll_registers`. ONE shuffle of d rows per input row, all
+    map-side combined."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("_r"),
+                        _cms_bucket(F.col(value_col), r).alias("_c"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+        w.alias("_w"),
+    )
+    return (
+        rows.select("s._r", "s._c", "_w")
+        .groupBy("_r", "_c")
+        .agg(F.sum("_w").alias("_n"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    out_col: str = "cms_est",
+) -> DataFrame:
+    """Point-frequency estimates for a probe frame: min over the d
+    row counters at the value's buckets — the classic CMS
+    upper-bound estimate (never under-counts; over-counts by bounded
+    collision mass). The counter table is 1024 rows and broadcasts;
+    the probe side stays distributed — estimating N keys is one
+    narrow explode + broadcast equi-join + min-groupBy."""
+    probed = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("_r"),
+                        _cms_bucket(F.col(value_col), r).alias("_c"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("_p"),
+    ).select("*", "_p._r", "_p._c").drop("_p")
+    return (
+        probed.join(F.broadcast(counters), ["_r", "_c"], "left")
+        .groupBy(*probes.columns)
+        .agg(F.min(F.coalesce("_n", F.lit(0))).alias(out_col))
+    )

@@ -6867,3 +6867,48 @@ def q140_bpe_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return encode_report(docs, TX.tokens(F.col("text")), "source", 6)
+
+
+# ---------------------------------------------------------------------------
+# q141 — count-min sketch frequency estimation (functions/sketches.
+# cms_counters / cms_estimate): 4×256 mergeable counters over the
+# corpus token stream, probed for the exact top-20 words — estimate
+# is min over rows, never under-counts, and is md5-derandomized so
+# the oracle computes the identical sketch.
+# ---------------------------------------------------------------------------
+@query(
+    "q141_count_min_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    exact AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM tok GROUP BY 1
+              ORDER BY exact_cnt DESC, word ASC LIMIT 20),
+    rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    cnt AS (SELECT r,
+                   ('0x' || substring(md5('cms' || CAST(r AS VARCHAR)
+                                          || ':' || w), 1, 4))::BIGINT % 256
+                     AS c,
+                   count(*) AS n
+            FROM tok, rs GROUP BY 1, 2)
+    SELECT e.word, e.exact_cnt, CAST(min(cnt.n) AS BIGINT) AS cms_est
+    FROM exact e
+    JOIN rs ON true
+    JOIN cnt ON cnt.r = rs.r
+            AND cnt.c = ('0x' || substring(md5('cms' || CAST(rs.r AS VARCHAR)
+                                               || ':' || e.word), 1, 4))::BIGINT
+                        % 256
+    GROUP BY 1, 2
+    """,
+)
+def q141_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.sketches import cms_counters, cms_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("word"))
+    exact = (
+        tok.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("word"))
+        .limit(20)
+    )
+    return cms_estimate(cms_counters(tok, "word"), exact, "word")

@@ -565,3 +565,47 @@ def test_host_suffixes_and_blocklist_mark(spark):
         ).collect()
     }
     assert out == {0: True, 1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.functions.sketches import cms_counters, cms_estimate
+
+    rows = [(f"k{i % 37}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "v string")
+    exact = {
+        r["v"]: r["n"]
+        for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()
+    }
+    probes = df.select("v").distinct()
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(cms_counters(df, "v"), probes, "v").collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, k                     # CMS upper bound
+    assert est["hot"] == exact["hot"] or est["hot"] < exact["hot"] * 1.5
+
+    # mergeability: counters of two halves, summed, == whole-corpus
+    h1 = cms_counters(df.where(F.length("v") <= 2), "v")
+    h2 = cms_counters(df.where(F.length("v") > 2), "v")
+    merged = (
+        h1.unionByName(h2).groupBy("_r", "_c").agg(F.sum("_n").alias("_n"))
+    )
+    est_m = {
+        r["v"]: r["cms_est"]
+        for r in cms_estimate(merged, probes, "v").collect()
+    }
+    assert est_m == est
+
+
+def test_cms_absent_key_zero_floor(spark):
+    from cccatalog_spark.functions.sketches import cms_counters, cms_estimate
+
+    df = spark.createDataFrame([("a",), ("b",)], "v string")
+    probes = spark.createDataFrame([("zzz-absent",)], "v string")
+    est = cms_estimate(cms_counters(df, "v"), probes, "v").collect()
+    # absent key may collide into occupied buckets but never below 0
+    assert est[0]["cms_est"] >= 0
