@@ -6912,3 +6912,41 @@ def q141_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(cms_counters(tok, "word"), exact, "word")
+
+
+# ---------------------------------------------------------------------------
+# q142 — robust per-source outlier gate (operators/quality.
+# robust_outliers): median/MAD flagging of length outliers, medians by
+# window-rank arithmetic (no collect_list — billion-row groups hold).
+# ---------------------------------------------------------------------------
+@query(
+    "q142_robust_outliers",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    m AS (SELECT source,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)
+                   AS median
+          FROM d GROUP BY 1),
+    dev AS (SELECT d.doc_id, d.source, d.n_chars, m.median,
+                   abs(d.n_chars - m.median) AS deviation
+            FROM d JOIN m USING (source)),
+    md AS (SELECT source,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY deviation)
+                    AS mad
+           FROM dev GROUP BY 1)
+    SELECT dev.doc_id, dev.source, dev.n_chars, dev.median, dev.deviation,
+           md.mad,
+           dev.deviation > CAST(3.0 AS DOUBLE) * md.mad AS is_outlier
+    FROM dev JOIN md USING (source)
+    """,
+)
+def q142_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quality import robust_outliers
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return robust_outliers(d, "source", "n_chars", "doc_id", z=3.0).select(
+        "doc_id", "source", "n_chars", "median", "deviation", "mad",
+        "is_outlier",
+    )

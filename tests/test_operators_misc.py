@@ -306,3 +306,41 @@ def test_percentile_normalize_ties_broken_deterministically(spark):
         for r in percentile_normalize(df, "src", "score", ["id"]).collect()
     }
     assert got == {1: 0.0, 2: 0.5, 3: 1.0}
+
+
+def test_robust_outliers_median_mad_model(spark):
+    import statistics
+
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.operators.quality import robust_outliers
+
+    # group a: tight cluster + one wild point; group b: even count
+    rows = (
+        [(i, "a", 100 + (i % 5)) for i in range(20)]
+        + [(99, "a", 10_000)]
+        + [(200 + i, "b", v) for i, v in enumerate([1, 2, 3, 4])]
+    )
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = {
+        r["id"]: r
+        for r in robust_outliers(df, "g", "v", "id", z=3.0).collect()
+    }
+
+    def disc_median(vals):
+        s = sorted(vals)
+        import math
+        return s[math.ceil(len(s) / 2) - 1]
+
+    for g in ("a", "b"):
+        vals = [v for _, gg, v in rows if gg == g]
+        med = disc_median(vals)
+        mad = disc_median([abs(v - med) for v in vals])
+        for i, gg, v in rows:
+            if gg != g:
+                continue
+            assert out[i]["median"] == med
+            assert out[i]["mad"] == mad
+            assert out[i]["is_outlier"] == (abs(v - med) > 3.0 * mad)
+    assert out[99]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) >= 1
