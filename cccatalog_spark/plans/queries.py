@@ -6950,3 +6950,81 @@ def q142_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars", "median", "deviation", "mad",
         "is_outlier",
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — cross-batch EWMA drift tracker on Spark 4's
+# transformWithState API (streaming/stateful.ewma_tracker): per-user
+# exponentially-weighted mean of click values folded across two
+# micro-batches in event_id order; ValueState carries (s, n). The
+# latest emission per key equals the closed form Σ α(1−α)^{n−i}x_i —
+# which is exactly what the oracle computes.
+# ---------------------------------------------------------------------------
+@query(
+    "q143_stream_ewma",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, value,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS rn,
+                      count(*) OVER (PARTITION BY user_id) AS n
+               FROM events WHERE event_type = 'click')
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+           round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1) * value
+                          ELSE 0.3 * power(0.7, n - rn) * value END), 6)
+             AS ewma
+    FROM e GROUP BY user_id
+    """,
+)
+def q143_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import ewma_tracker
+
+    base = tempfile.mkdtemp(prefix="ccc_ewma_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id", "value")
+    mid = e.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    now = time.time()
+    batches = [
+        e.where(F.col("event_id") < mid),
+        e.where(F.col("event_id") >= mid),
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    tracked = ewma_tracker(stream, "user_id", "value", "event_id", 0.3)
+    sink = f"q143_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max_by("ewma", "n"), 6).alias("ewma"),
+        )
+    )

@@ -129,3 +129,56 @@ def dedup_within_watermark(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def ewma_tracker(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average carried across
+    micro-batches — the quality/latency drift tracker of a streaming
+    ingest pipeline.
+
+    Semantics: rows of a key are folded in ``order_col`` order within
+    each batch (callers make that a total order and deliver batches in
+    non-decreasing order ranges, the loader's oldest-first contract);
+    ``s := x`` on the first row, ``s := alpha*x + (1-alpha)*s`` after.
+    Each trigger emits the key's updated ``(n, ewma)`` — the latest
+    emission (max ``n``) is the current value, and under a bounded
+    replay the fold equals the batch closed form
+    ``sum alpha*(1-alpha)^(n-i)*x_i`` (+ the seed term), which is what
+    the exact oracle computes.
+
+    State: one (double, long) per key — O(distinct keys), RocksDB-
+    backed at scale; add a GroupStateTimeout when keys churn. Spark
+    4's ``transformWithStateInPandas`` (StatefulProcessor +
+    ValueState) is the successor API for this operator; its driver
+    worker needs the ``google.protobuf`` package, absent from this
+    environment, so the operator rides the stable
+    ``applyInPandasWithState`` surface with identical state semantics.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        s, n = state.get if state.exists else (0.0, 0)
+        batch = pd.concat(list(pdfs))
+        for _, row in batch.sort_values(order_col).iterrows():
+            x = float(row[value_col])
+            s = x if n == 0 else alpha * x + (1.0 - alpha) * s
+            n += 1
+        state.update((float(s), int(n)))
+        yield pd.DataFrame({key_col: [key[0]], "n": [n], "ewma": [s]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{key_col} long, n long, ewma double",
+        stateStructType="s double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

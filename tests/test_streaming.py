@@ -421,3 +421,62 @@ def test_dedup_within_watermark_drops_replays(spark, tmp_path):
         tuple(r) for r in spark.sql(f"SELECT * FROM {sink}").collect()
     )
     assert got == [(1, 10, 100), (2, 20, 200), (3, 30, 300)]
+
+
+def test_ewma_tracker_two_batch_fold(spark, tmp_path):
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.streaming.stateful import ewma_tracker
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # key 1: values 10, 20, 30, 40 split 2/2 across batches;
+    # key 2: single value in batch 2 only
+    batches = [
+        [(1, 1, 10.0), (1, 2, 20.0)],
+        [(1, 3, 30.0), (1, 4, 40.0), (2, 5, 7.0)],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.tsv"
+        f.write_text("\n".join(f"{k}\t{o}\t{v}" for k, o, v in rows))
+        os.utime(f, (now - 60 + i * 30,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(src))
+    )
+    q = (
+        ewma_tracker(stream, "user_id", "value", "event_id", 0.5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ewma_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = (
+        spark.table("ewma_test")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"), F.max_by("ewma", "n").alias("ewma"))
+        .collect()
+    )
+    got = {r["user_id"]: (r["n"], r["ewma"]) for r in out}
+
+    def fold(vals, a=0.5):
+        s = None
+        for x in vals:
+            s = x if s is None else a * x + (1 - a) * s
+        return s
+
+    assert got[1][0] == 4
+    assert abs(got[1][1] - fold([10.0, 20.0, 30.0, 40.0])) < 1e-12
+    assert got[2] == (1, 7.0)
+    # intermediate emission after batch 1 also present (n=2)
+    ns = {r["n"] for r in spark.table("ewma_test").where("user_id = 1").collect()}
+    assert 2 in ns and 4 in ns
