@@ -237,3 +237,67 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """IR evaluation over a ranking run — the retrieval-quality gate a
+    corpus pipeline runs after building an index (BM25 q90, dense
+    q26/q27, hybrid q100): per-query recall@k, MRR@k and nDCG@k
+    (binary relevance).
+
+    ``run``: (query, doc, rank) with rank 1-based and unique per
+    query. ``qrels``: (query, doc) relevant pairs. Queries with no
+    relevant docs are dropped (metrics undefined), queries whose top-k
+    has no relevant hit score 0.
+
+    Output: (query, n_rel, hits_at_k, recall_at_k, mrr_at_k,
+    ndcg_at_k), floats rounded to 6.
+
+    Scale shape: one equi-join of the rank-truncated run against
+    qrels on (query, doc) — broadcast when qrels is an eval set, hash
+    join on the same key otherwise — then a per-query groupBy. The
+    ideal-DCG denominator is a closed-form fold over
+    ``sequence(1, min(n_rel, k))`` — no second scan, no UDF.
+    """
+    q, d, r = F.col(query_col), F.col(doc_col), F.col(rank_col)
+    n_rel = qrels.groupBy(query_col).agg(F.count("*").alias("n_rel"))
+    hits = (
+        run.where(r <= k)
+        .join(qrels.withColumn("__rel", F.lit(1)), [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(
+            F.count("*").alias("hits_at_k"),
+            F.min(rank_col).alias("__first"),
+            F.sum(1.0 / F.log2(r + 1)).alias("__dcg"),
+        )
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1),
+    )
+    return (
+        n_rel.join(hits, query_col, "left")
+        .select(
+            query_col,
+            "n_rel",
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            F.round(
+                F.coalesce("hits_at_k", F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("__first"), F.lit(0.0)), 6
+            ).alias("mrr_at_k"),
+            F.round(
+                F.coalesce("__dcg", F.lit(0.0)) / idcg, 6
+            ).alias("ndcg_at_k"),
+        )
+    )

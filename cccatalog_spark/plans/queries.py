@@ -7028,3 +7028,78 @@ def q143_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("ewma", "n"), 6).alias("ewma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — IR evaluation metrics (operators/retrieval.ranking_metrics):
+# recall@10 / MRR@10 / nDCG@10 of the exact dense top-10 run (q27's
+# machinery, 20 probes) against label-based qrels (relevant = same
+# label). One (query, doc) equi-join + per-query groupBy; ideal DCG is
+# a closed-form fold.
+# ---------------------------------------------------------------------------
+@query(
+    "q144_ranking_metrics",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv, label
+                    FROM embeddings WHERE vec_id % 25 = 0),
+    scored AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            p.pv::DOUBLE[]), 6) AS cs
+        FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id
+    ),
+    run AS (
+        SELECT probe_id, neighbor_id, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id
+                       ORDER BY cs DESC, neighbor_id ASC) AS rank
+            FROM scored)
+        WHERE rank <= 10
+    ),
+    qrels AS (
+        SELECT p.probe_id, e.vec_id AS neighbor_id
+        FROM embeddings e JOIN probes p
+          ON e.label = p.label AND e.vec_id <> p.probe_id
+    ),
+    nrel AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_rel
+             FROM qrels GROUP BY 1),
+    hit AS (
+        SELECT r.probe_id, count(*) AS h, min(r.rank) AS fr,
+               sum(1.0 / log2(r.rank + 1)) AS dcg
+        FROM run r JOIN qrels USING (probe_id, neighbor_id)
+        GROUP BY 1
+    )
+    SELECT n.probe_id, n.n_rel,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS hits_at_k,
+           round(coalesce(h.h, 0) / CAST(n.n_rel AS DOUBLE), 6)
+             AS recall_at_k,
+           round(coalesce(1.0 / h.fr, 0.0), 6) AS mrr_at_k,
+           round(coalesce(h.dcg, 0.0)
+                 / list_sum(list_transform(
+                     range(1, least(n.n_rel, 10) + 1),
+                     i -> 1.0 / log2(i + 1))), 6)
+             AS ndcg_at_k
+    FROM nrel n LEFT JOIN hit h USING (probe_id)
+    """,
+)
+def q144_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import ranking_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 25 == 0)
+    run = SIM.knn_join_topk(emb, probes, "embedding", "vec_id", k=10).select(
+        F.col("probe_id"), F.col("neighbor_id"), F.col("rank")
+    )
+    qrels = (
+        emb.select("vec_id", "label")
+        .join(
+            probes.select(
+                F.col("vec_id").alias("probe_id"), F.col("label").alias("pl")
+            ),
+            F.col("label") == F.col("pl"),
+        )
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return ranking_metrics(
+        run, qrels, 10, query_col="probe_id", doc_col="neighbor_id"
+    )

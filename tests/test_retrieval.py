@@ -116,3 +116,54 @@ def test_with_rank_total_order(spark):
     )
     got = [(r["id"], r["rnk"]) for r in with_rank(scored, "s", "id").collect()]
     assert sorted(got) == [(1, 1), (5, 2), (7, 3)]
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from cccatalog_spark.operators.retrieval import ranking_metrics
+
+    # q1: rel docs {a, b, c}; run top-3 = [x, a, c] -> hits at ranks 2, 3
+    # q2: rel docs {d};      run top-3 = [e, f, g] -> zero hits
+    # q3: no rel docs        -> dropped
+    run = spark.createDataFrame(
+        [
+            ("q1", "x", 1), ("q1", "a", 2), ("q1", "c", 3),
+            ("q2", "e", 1), ("q2", "f", 2), ("q2", "g", 3),
+            ("q3", "a", 1),
+        ],
+        "query_id string, doc_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"), ("q2", "d")],
+        "query_id string, doc_id string",
+    )
+    out = {r["query_id"]: r for r in ranking_metrics(run, qrels, 3).collect()}
+    assert set(out) == {"q1", "q2"}
+
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    r1 = out["q1"]
+    assert (r1["n_rel"], r1["hits_at_k"]) == (3, 2)
+    assert abs(r1["recall_at_k"] - round(2 / 3, 6)) < 1e-9
+    assert abs(r1["mrr_at_k"] - 0.5) < 1e-9
+    assert abs(r1["ndcg_at_k"] - round(dcg / idcg, 6)) < 1e-9
+
+    r2 = out["q2"]
+    assert (r2["hits_at_k"], r2["recall_at_k"], r2["mrr_at_k"],
+            r2["ndcg_at_k"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_ranking_metrics_perfect_run(spark):
+    from cccatalog_spark.operators.retrieval import ranking_metrics
+
+    run = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2)], "query_id string, doc_id string, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("q", "a"), ("q", "b")], "query_id string, doc_id string"
+    )
+    r = ranking_metrics(run, qrels, 10).collect()[0]
+    assert r["recall_at_k"] == 1.0
+    assert r["mrr_at_k"] == 1.0
+    assert r["ndcg_at_k"] == 1.0
