@@ -7103,3 +7103,73 @@ def q144_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(
         run, qrels, 10, query_col="probe_id", doc_col="neighbor_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — leakage-safe train/val/test split: assignment is hashed on
+# the near-dup CLUSTER id (q71's connected components), never the doc
+# id, so no dedup cluster ever straddles splits — the eval-leakage
+# guard every LLM corpus split needs. Composite of
+# operators/dedup.connected_components + operators/sampling.hash_split.
+# ---------------------------------------------------------------------------
+def _q145_oracle() -> str:
+    from cccatalog_spark.operators.sampling import split_case_sql
+
+    case = split_case_sql("cluster_id", _SPLITS, salt="csplit:")
+    return f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, substring(text, 1, 30) AS s30,
+               substring(text, 1, 4) AS blk
+        FROM documents),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.s30, b.s30) <= 5),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM s
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN e ON e.src = reach.node),
+    c AS (SELECT node AS doc_id, min(r) AS cluster_id
+          FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id, {case} AS split
+    FROM c
+    """
+
+
+@query("q145_cluster_safe_split", oracle=_q145_oracle())
+def q145_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("s30"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.s30"), F.col("b.s30")) <= 5)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    clusters = D.connected_components(
+        s.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return hash_split(
+        clusters.select("doc_id", "cluster_id"),
+        "cluster_id",
+        _SPLITS,
+        salt="csplit:",
+    )

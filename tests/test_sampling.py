@@ -345,3 +345,21 @@ def test_epoch_repeat_validates(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError):
         epoch_repeat(df, "doc_id", "source", {"a": -1.0})
+
+
+def test_cluster_safe_split_no_straddle(spark):
+    """q145 property: every dedup cluster lands wholly in one split."""
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.plans.queries import QUERIES
+
+    out = QUERIES["q145_cluster_safe_split"](
+        spark, "/root/testdata/sf0.001"
+    )
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+    )
+    assert per_cluster.where("n_splits > 1").count() == 0
+    # and at least one multi-doc cluster exists, or the guard is vacuous
+    assert per_cluster.where("n_docs > 1").count() > 0
