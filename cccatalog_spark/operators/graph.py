@@ -113,3 +113,81 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over a directed edge
+    frame — PageRank's companion for link curation: authorities are
+    the pages worth crawling, hubs the link pages that find them.
+
+    Power iteration with L1 normalization (sum-to-1 — chosen over the
+    textbook L2 because it keeps every step closed under exact
+    relational algebra; the ranking order is identical):
+
+        a_{t+1}(v) = Σ_{u→v} h_t(u) / ‖·‖₁
+        h_{t+1}(u) = Σ_{u→v} a_{t+1}(v) / ‖·‖₁
+
+    Returns (node, hub, authority) at full precision. Fixed iteration
+    count; nodes without in-edges hold authority 0, without out-edges
+    hub 0. Fully collect-free: the normalization scalar is a 1-row
+    frame cross-broadcast into the update, and lineage is truncated
+    per round (the PageRank discipline above). Per iteration: one
+    shuffle keyed by dst, one keyed by src.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def normalized(frame: DataFrame, col: str) -> DataFrame:
+        total = frame.agg(F.sum(col).alias("__t"))
+        return frame.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("__t")).alias(col)
+        )
+
+    hubs = nodes.withColumn("h", F.lit(1.0))
+    auths = nodes.withColumn("a", F.lit(1.0))
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs, F.col("src") == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auths = _truncate_lineage(
+            normalized(
+                nodes.join(a_raw, F.col("node") == F.col("dst"), "left")
+                .select("node", F.coalesce("a", F.lit(0.0)).alias("a")),
+                "a",
+            )
+        )
+        h_raw = (
+            e.join(auths, F.col("dst") == F.col("node"))
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hubs = _truncate_lineage(
+            normalized(
+                nodes.join(h_raw, F.col("node") == F.col("src"), "left")
+                .select("node", F.coalesce("h", F.lit(0.0)).alias("h")),
+                "h",
+            )
+        )
+    return (
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0.0)).alias("hub"),
+            F.coalesce("a", F.lit(0.0)).alias("authority"),
+        )
+    )

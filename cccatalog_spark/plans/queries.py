@@ -7173,3 +7173,74 @@ def q145_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SPLITS,
         salt="csplit:",
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — HITS hubs/authorities (operators/graph.hits) over the q131
+# token co-occurrence graph (directed a<b), 3 L1-normalized power
+# iterations, collect-free (normalization scalar cross-broadcast).
+# Oracle: the same 3 iterations unrolled as CTE stages.
+# ---------------------------------------------------------------------------
+def _q146_oracle(iterations: int = 3) -> str:
+    head = f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
+    p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+    e AS (SELECT a.term AS src, b.term AS dst
+          FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term, n
+          GROUP BY 1, 2, n.n_docs
+          HAVING count(*) >= 0.25 * n.n_docs),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, 1.0 AS h FROM nodes)"""
+    body = ""
+    for i in range(1, iterations + 1):
+        body += f""",
+    a{i}r AS (SELECT e.dst AS node, sum(h{i - 1}.h) AS a
+              FROM e JOIN h{i - 1} ON h{i - 1}.node = e.src GROUP BY 1),
+    a{i} AS (SELECT n.node,
+                    coalesce(a{i}r.a, 0.0) / (SELECT sum(a) FROM a{i}r)
+                      AS a
+             FROM nodes n LEFT JOIN a{i}r USING (node)),
+    h{i}r AS (SELECT e.src AS node, sum(a{i}.a) AS h
+              FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1),
+    h{i} AS (SELECT n.node,
+                    coalesce(h{i}r.h, 0.0) / (SELECT sum(h) FROM h{i}r)
+                      AS h
+             FROM nodes n LEFT JOIN h{i}r USING (node))"""
+    tail = f"""
+    SELECT n.node, round(h{iterations}.h, 6) AS hub,
+           round(a{iterations}.a, 6) AS authority
+    FROM nodes n
+    JOIN h{iterations} ON h{iterations}.node = n.node
+    JOIN a{iterations} ON a{iterations}.node = n.node"""
+    return head + body + tail
+
+
+@query("q146_hits", oracle=_q146_oracle(3))
+def q146_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import hits
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.transform(TX.tokens(F.col("text")), lambda t: F.lower(t))
+    present = d.select(
+        F.col("doc_id").alias("__doc"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    n_docs = d.select(F.count("*").cast("double").alias("n_docs"))
+    a, b = present.select("__doc", F.col("term").alias("src")), present.select(
+        "__doc", F.col("term").alias("dst")
+    )
+    edges = (
+        a.join(b, "__doc")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("co"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("co") >= 0.25 * F.col("n_docs"))
+        .select("src", "dst")
+    )
+    return hits(edges, iterations=3).select(
+        "node", F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )

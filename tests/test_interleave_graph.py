@@ -99,3 +99,30 @@ def test_triangle_count_matches_brute_force(spark):
     got = {r["node"]: r["n_triangles"]
            for r in triangle_count(_edges(spark, pairs)).collect()}
     assert got == want
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from cccatalog_spark.operators.graph import hits
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "c"), ("c", "e")]
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.ones(len(nodes))
+    for _ in range(3):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iterations=3).collect()}
+    for n in nodes:
+        assert abs(got[n][0] - h[idx[n]]) < 1e-9, n
+        assert abs(got[n][1] - a[idx[n]]) < 1e-9, n
+    # sanity: c is the dominant authority, a the dominant hub
+    assert max(nodes, key=lambda n: got[n][1]) == "c"
+    assert max(nodes, key=lambda n: got[n][0]) == "a"
