@@ -118,3 +118,69 @@ def _duration_seconds(spec: str) -> int:
         "day": 86400, "days": 86400,
     }[unit.lower()]
     return int(amount) * mult
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    day_col,
+    value_col,
+    *,
+    agg: str = "avg",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key daily resample with forward fill — the hypertable
+    gap-fill/LOCF rollup (TimescaleDB's ``time_bucket_gapfill`` +
+    ``locf``, relationally): aggregate observations to one value per
+    (key, day), generate each key's dense daily grid from its first to
+    last observed day, and carry the last observation forward across
+    the gaps.
+
+    Returns (key, day, value, is_gap). ``is_gap`` marks grid days with
+    no observation (their value is the fill). Observed values are
+    rounded BEFORE filling so filled copies are bit-identical to their
+    source row — which is also what lets an exact oracle reproduce the
+    fill.
+
+    Scale shape at 100 TB: one (key, day) aggregation shuffle, one
+    narrow grid generator (``sequence`` of dates — bounded by each
+    key's own span, never the global min/max product), one
+    co-partitioned left join, and the fill is a per-key ordered window
+    (``last(ignorenulls)`` — streaming over the sorted partition).
+    Nothing is ever materialized at (all keys × all days) unless the
+    data genuinely spans it.
+    """
+    aggfn = getattr(F, agg)
+    obs = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            day_col.alias("__d"),
+            value_col.alias("__v"),
+        )
+        .groupBy("__k", "__d")
+        .agg(F.round(aggfn("__v"), round_digits).alias("__v"))
+    )
+    grid = (
+        obs.groupBy("__k")
+        .agg(F.min("__d").alias("__lo"), F.max("__d").alias("__hi"))
+        .select(
+            "__k",
+            F.explode(
+                F.sequence("__lo", "__hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("__d"),
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["__k", "__d"], "left")
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__d").alias("day"),
+            F.last("__v", ignorenulls=True).over(w).alias("value"),
+            F.col("__v").isNull().alias("is_gap"),
+        )
+    )

@@ -7244,3 +7244,44 @@ def q146_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — daily gap-fill + forward fill (operators/temporal.
+# resample_ffill): per-user purchase-value daily rollup on each user's
+# own [first, last] day span, gaps carried forward (TimescaleDB
+# time_bucket_gapfill + locf, relationally). Values rounded before
+# filling so fills are bit-identical to their source.
+# ---------------------------------------------------------------------------
+@query(
+    "q147_gapfill_locf",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(avg(value), 6) AS v
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+    span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+             FROM obs GROUP BY 1),
+    grid AS (
+        SELECT user_id, CAST(unnest(generate_series(lo, hi,
+                                                    INTERVAL 1 DAY)) AS DATE)
+                 AS day
+        FROM span)
+    SELECT g.user_id, g.day,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o.v IS NULL AS is_gap
+    FROM grid g LEFT JOIN obs o USING (user_id, day)
+    """,
+)
+def q147_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import resample_ffill
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    return resample_ffill(
+        e, "user_id", F.to_date("ts"), F.col("value")
+    )

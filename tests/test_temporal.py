@@ -89,3 +89,32 @@ def test_interval_join_overlapping_windows_yield_pairs(spark):
         events, intervals, on="k", ts="ts", start="start_ts", end="end_ts"
     )
     assert out.count() == 2  # one pair per containing window
+
+
+def test_resample_ffill_model(spark):
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.operators.temporal import resample_ffill
+
+    d = dt.date
+    rows = [
+        # key a: obs on day 1 and 4 -> days 2,3 filled with day-1 value
+        ("a", d(2024, 1, 1), 10.0),
+        ("a", d(2024, 1, 1), 20.0),   # same-day second obs -> mean 15
+        ("a", d(2024, 1, 4), 40.0),
+        # key b: single day -> single grid row, no gaps
+        ("b", d(2024, 2, 10), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    out = {
+        (r["k"], str(r["day"])): (r["value"], r["is_gap"])
+        for r in resample_ffill(df, "k", F.col("day"), F.col("v")).collect()
+    }
+    assert out[("a", "2024-01-01")] == (15.0, False)
+    assert out[("a", "2024-01-02")] == (15.0, True)
+    assert out[("a", "2024-01-03")] == (15.0, True)
+    assert out[("a", "2024-01-04")] == (40.0, False)
+    assert out[("b", "2024-02-10")] == (5.0, False)
+    assert len(out) == 5
