@@ -7285,3 +7285,38 @@ def q147_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(
         e, "user_id", F.to_date("ts"), F.col("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — distributed covariance matrix (operators/features.
+# covariance_matrix): the PCA/whitening second-moment aggregation over
+# the 64-dim embeddings — upper triangle as (i, j, cov) rows, one
+# map-side-combined shuffle of ~d²/2 keys. Eigendecomposition of the
+# 2080-row result is driver-side numpy by design.
+# ---------------------------------------------------------------------------
+@query(
+    "q148_covariance_matrix",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    x AS (SELECT vec_id, i, e[i] AS xi
+          FROM v, LATERAL unnest(generate_series(1, 64)) g(i)),
+    m AS (SELECT i, sum(xi) AS s FROM x GROUP BY 1)
+    SELECT a.i, b.i AS j,
+           round(sum(a.xi * b.xi) / max(n.n)
+                 - (max(ma.s) / max(n.n)) * (max(mb.s) / max(n.n)), 6)
+             + 0.0 AS cov
+    FROM x a
+    JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i, n
+    JOIN m ma ON ma.i = a.i
+    JOIN m mb ON mb.i = b.i
+    GROUP BY a.i, b.i
+    """,
+)
+def q148_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import covariance_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", 64).select(
+        "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
+    )

@@ -52,3 +52,36 @@ def test_hashed_bow_dim_bound_and_validation(spark):
     assert len(rows) <= 16  # output bounded by dim, not vocabulary
     with pytest.raises(ValueError):
         hashed_bow(_docs(spark, texts), "text", "doc_id", dim=1)
+
+
+def test_covariance_matrix_matches_numpy_and_np_path(spark):
+    import numpy as np
+
+    from cccatalog_spark.operators.features import (
+        covariance_matrix,
+        covariance_matrix_np,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(200, 6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "id long, v array<double>",
+    )
+    want = np.cov(X, rowvar=False, bias=True)  # population covariance
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, "v", 6).collect()
+    }
+    assert len(got) == 21  # upper triangle of 6x6
+    for (i, j), c in got.items():
+        assert i <= j
+        assert abs(c - want[i - 1, j - 1]) < 1e-9, (i, j)
+
+    got_np = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix_np(df.repartition(7), "v", 6).collect()
+    }
+    assert set(got_np) == set(got)
+    for k in got:
+        assert abs(got_np[k] - got[k]) < 1e-9, k
