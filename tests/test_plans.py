@@ -246,3 +246,17 @@ def test_weighted_sample_is_heap_topk_no_shuffle(spark, sf_dir):
     plan = _plan(weighted_sample(d, "doc_id", "w", 20))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_q149_six_table_join_shape(spark, sf_dir):
+    """TPC-H Q5 shape: every dim side broadcasts, the orders⋈lineitem
+    spine is the only shuffled join, and nothing degenerates to a
+    nested-loop/cartesian product."""
+    from cccatalog_spark.plans.queries import QUERIES
+
+    plan = _plan(QUERIES["q149_local_supplier_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # order-date filter reaches the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
