@@ -533,3 +533,45 @@ def epoch_repeat(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
         .drop("__base", "__thr", "__n")
     )
+
+
+def shard_by_tokens(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    n_shards: int,
+    *,
+    order_cols: list | None = None,
+) -> DataFrame:
+    """Contiguous, token-balanced shard assignment for distributed
+    training (world_size = ``n_shards`` data-parallel ranks): lay the
+    corpus out in a deterministic total order and give each document
+    to shard ``floor(start_token · R / total_tokens)`` — shards are
+    contiguous spans of the token stream whose sizes differ by at most
+    one document (no splitting here; :func:`cccatalog_spark.operators.
+    chunking.pack_windows` is the splitting sibling).
+
+    Output: (id, shard, start, n_tokens). Wide work = one two-phase
+    distributed prefix sum + one 1-row total broadcast; assignment is
+    closed-form column algebra — no greedy bin state, no driver loop.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    from cccatalog_spark.operators.cumsum import global_running_sum
+
+    order = order_cols or [F.col(id_col)]
+    base = df.where(F.col(len_col) > 0)
+    cum = global_running_sum(base, order, len_col, out_col="__cum")
+    total = cum.agg(F.max("__cum").alias("__total"))
+    start = (F.col("__cum") - F.col(len_col)).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.floor(
+                start * F.lit(n_shards) / F.col("__total")
+            ).cast("int").alias("shard"),
+            start.alias("start"),
+            F.col(len_col).cast("long").alias("n_tokens"),
+        )
+    )

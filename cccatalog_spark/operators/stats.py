@@ -1,0 +1,69 @@
+"""ANALYZE-style column statistics — the stats-collection operator a
+cost-based optimizer (or a data-quality monitor) runs over a table:
+row/null counts, min/max, exact distinct counts, and exact quartile
+boundaries per column.
+
+Scale shape: one aggregate job computes count/nulls/min/max for ALL
+requested columns at once (map-side combined); exact NDV is one
+distinct-aggregate per column over the same scan (Spark plans
+multi-distinct via expand — still one shuffle stage); the quartiles
+ride :mod:`cccatalog_spark.operators.quantiles`' histogram-refinement
+(bounded driver state, no global sort) rather than any collect_list.
+For billion-distinct columns swap exact NDV for
+``functions/sketches.hll_distinct`` (documented trade, same output
+shape).
+
+Reference anchor: the reference delegates stats to Postgres ANALYZE /
+pg_stats (SURVEY §4 infra); this is the engine-side equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.operators.quantiles import exact_quantiles
+
+
+def column_stats(
+    spark,
+    df: DataFrame,
+    columns: list[str],
+    *,
+    fractions: tuple[float, float, float] = (0.25, 0.5, 0.75),
+    quantile_kwargs: dict | None = None,
+) -> DataFrame:
+    """Statistics rows ``(column, n_rows, n_nulls, min, max, ndv,
+    p25, p50, p75)`` for every requested (numeric) column."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    kw = quantile_kwargs or {}
+    for c in columns:
+        qs = dict(exact_quantiles(df, c, list(fractions), **kw))
+        out.append(
+            (
+                c,
+                row[f"{c}__n"],
+                row[f"{c}__nulls"],
+                float(row[f"{c}__min"]),
+                float(row[f"{c}__max"]),
+                row[f"{c}__ndv"],
+                qs[fractions[0]],
+                qs[fractions[1]],
+                qs[fractions[2]],
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column string, n_rows bigint, n_nulls bigint, min double, "
+        "max double, ndv bigint, p25 double, p50 double, p75 double",
+    )

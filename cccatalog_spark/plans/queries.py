@@ -7383,3 +7383,74 @@ def q149_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — ANALYZE-style column statistics (operators/stats.
+# column_stats): counts/nulls/min/max/exact-NDV in ONE multi-column
+# aggregate + exact quartiles via q134's histogram refinement — the
+# CBO stats-collection pass, engine-side.
+# ---------------------------------------------------------------------------
+_STAT_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _q150_oracle() -> str:
+    parts = []
+    for c in _STAT_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS "column",
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(min({c}) AS DOUBLE) AS min,
+           CAST(max({c}) AS DOUBLE) AS max,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY {c}) AS DOUBLE)
+             AS p25,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY {c}) AS DOUBLE)
+             AS p50,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY {c}) AS DOUBLE)
+             AS p75
+    FROM lineitem""")
+    return "\n    UNION ALL".join(parts)
+
+
+@query("q150_column_stats", oracle=_q150_oracle())
+def q150_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import column_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_stats(
+        spark, li, _STAT_COLS,
+        quantile_kwargs={"bins": 32, "tail_threshold": 2000},
+    )
+
+
+# ---------------------------------------------------------------------------
+# q151 — token-balanced contiguous shards for 8 data-parallel ranks
+# (operators/sampling.shard_by_tokens): closed-form assignment over
+# the distributed prefix sum — the world-size split a training loader
+# does before per-rank packing.
+# ---------------------------------------------------------------------------
+@query(
+    "q151_token_shards",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    c AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+          FROM t WHERE n > 0),
+    tot AS (SELECT CAST(max(cum) AS DOUBLE) AS total FROM c)
+    SELECT doc_id,
+           CAST(floor((cum - n) * 8 / total) AS INT) AS shard,
+           CAST(cum - n AS BIGINT) AS start,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM c, tot
+    """,
+)
+def q151_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import shard_by_tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n")
+    )
+    return shard_by_tokens(d, "doc_id", "n", 8)

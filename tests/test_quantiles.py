@@ -57,3 +57,23 @@ def test_df_wrapper_schema(spark):
     out = exact_quantiles_df(spark, df, "x", [0.25, 0.75], tail_threshold=5)
     rows = {r["fraction"]: r["value"] for r in out.collect()}
     assert rows == {0.25: 24.0, 0.75: 74.0}
+
+
+def test_column_stats_rows(spark):
+    from cccatalog_spark.operators.stats import column_stats
+
+    rows = [(float(i), float(i % 10)) for i in range(100)] + [(None, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = {
+        r["column"]: r
+        for r in column_stats(
+            spark, df, ["a", "b"], quantile_kwargs={"tail_threshold": 5}
+        ).collect()
+    }
+    a = out["a"]
+    assert (a["n_rows"], a["n_nulls"], a["min"], a["max"], a["ndv"]) == (
+        101, 1, 0.0, 99.0, 100,
+    )
+    assert (a["p25"], a["p50"], a["p75"]) == (24.0, 49.0, 74.0)
+    b = out["b"]
+    assert (b["n_nulls"], b["ndv"], b["min"], b["max"]) == (0, 10, 0.0, 9.0)

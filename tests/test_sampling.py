@@ -363,3 +363,28 @@ def test_cluster_safe_split_no_straddle(spark):
     assert per_cluster.where("n_splits > 1").count() == 0
     # and at least one multi-doc cluster exists, or the guard is vacuous
     assert per_cluster.where("n_docs > 1").count() > 0
+
+
+def test_shard_by_tokens_balance_and_contiguity(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.operators.sampling import shard_by_tokens
+
+    lens = [(i, (i * 7) % 40 + 1) for i in range(500)]
+    df = spark.createDataFrame(lens, "doc_id long, n long")
+    out = shard_by_tokens(df, "doc_id", "n", 8).collect()
+    assert len(out) == 500
+    total = sum(n for _, n in lens)
+    per = {}
+    spans = {}
+    for r in out:
+        per[r["shard"]] = per.get(r["shard"], 0) + r["n_tokens"]
+        spans.setdefault(r["shard"], []).append(r["doc_id"])
+    assert set(per) == set(range(8))
+    # near-equal: each shard within one max-doc-length of total/8
+    for s, tok in per.items():
+        assert abs(tok - total / 8) <= 40, (s, tok)
+    # contiguity in doc order: shard id is non-decreasing with start
+    ordered = sorted(out, key=lambda r: r["start"])
+    shard_seq = [r["shard"] for r in ordered]
+    assert shard_seq == sorted(shard_seq)
