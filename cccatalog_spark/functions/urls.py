@@ -324,3 +324,102 @@ def blocklist_mark(
         .withColumn(out_col, F.coalesce("__blocked", F.lit(False)))
         .drop("__host", "__blocked")
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Full crawl-frontier URL canonicalization (the dedup key a
+    frontier uses so `HTTP://Host:80/a/?b=2&utm_x=1&a=1#f` and
+    `http://host/a?a=1&b=2` collapse): lowercase scheme+host, strip
+    the scheme's default port, drop the fragment, strip trailing path
+    slashes (bare root stays "/"), drop tracking params (utm_*,
+    fbclid), and sort the surviving query params.
+
+    Pure column algebra (regex part-split + array sort/filter/join) —
+    runs in the scan stage, no UDF, no shuffle; sibling of the
+    merge-key normalizer (F19, ``cc_merge_key``) which serves tag
+    keys, not frontier identity."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    raw_path = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    trimmed = F.regexp_replace(raw_path, "/+$", "")
+    path = F.when(trimmed == "", F.lit("/")).otherwise(trimmed)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("fbclid"),
+        )
+    )
+    canon_q = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def robots_decisions(
+    df,
+    url_col: str,
+    rules,
+    *,
+    out_col: str = "allowed",
+):
+    """robots.txt directive evaluation, engine-side: ``rules`` is a
+    (host, rule_path, allow) frame — the PARSED robots state a crawler
+    caches per host (fetching/parsing robots.txt is ingestion-side,
+    like S5). A URL's verdict is the longest ``rule_path`` that
+    prefix-matches its path (most-specific wins; on a length tie the
+    allow rule wins, per Google's spec); no matching rule → allowed.
+
+    Plan shape: broadcast hash join on the HOST key with the prefix
+    test as a residual filter (never a nested-loop over rules × urls),
+    then one per-URL argmax. Rules tables are bounded (per-host
+    directives), so the broadcast holds even for million-host crawls;
+    a giant rule set hash-joins on the same host key instead.
+    """
+    host = url_host(F.col(url_col))
+    path_raw = F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)", 1
+    )
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    base = df.withColumn("__host", host).withColumn("__path", path)
+    matched = (
+        base.join(F.broadcast(rules), F.col("__host") == rules["host"], "left")
+        .withColumn(
+            "__hit",
+            F.col("rule_path").isNotNull()
+            & F.col("__path").startswith(F.col("rule_path")),
+        )
+        .groupBy(*df.columns)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__hit"),
+                    F.struct(
+                        F.length("rule_path").alias("l"),
+                        F.col("allow").cast("int").alias("a"),
+                    ),
+                )
+            ).alias("__best")
+        )
+    )
+    return matched.withColumn(
+        out_col,
+        F.when(F.col("__best").isNull(), F.lit(True)).otherwise(
+            F.col("__best.a") == 1
+        ),
+    ).drop("__best")

@@ -7454,3 +7454,152 @@ def q151_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n")
     )
     return shard_by_tokens(d, "doc_id", "n", 8)
+
+
+# ---------------------------------------------------------------------------
+# q152 — crawl-frontier URL canonicalization (functions/urls.
+# canonicalize_url): case/port/fragment/trailing-slash/tracking-param
+# normalization + query-param sort, all in the scan stage. The
+# canonical string IS the frontier dedup key (group to prove the
+# collapse).
+# ---------------------------------------------------------------------------
+@query(
+    "q152_url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Path/?b=2&utm_source=x&a=1#frag'
+               WHEN 1 THEN 'https://cdn.example.org:443/img/' || CAST(doc_id AS VARCHAR) || '/'
+               WHEN 2 THEN 'https://example.net/p?z=1&y=2&utm_campaign=c&fbclid=q'
+               WHEN 3 THEN 'http://example.com'
+               ELSE 'https://Example.COM/A/B?single=1'
+             END AS url
+      FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+               AS raw_path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u),
+    canon AS (
+      SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'
+                    THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https'
+                    THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+                  ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+             array_to_string(list_sort(list_filter(
+               string_split(query, '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_')
+                    AND NOT starts_with(p, 'fbclid'))), '&') AS q
+      FROM parts)
+    SELECT doc_id, url,
+           scheme || '://' || host || path
+             || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical
+    FROM canon
+    """,
+)
+def q152_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.urls import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.lit(
+            "HTTP://WWW.Example.COM:80/Path/?b=2&utm_source=x&a=1#frag"))
+        .when(m == 1, F.concat(
+            F.lit("https://cdn.example.org:443/img/"), sid, F.lit("/")))
+        .when(m == 2, F.lit(
+            "https://example.net/p?z=1&y=2&utm_campaign=c&fbclid=q"))
+        .when(m == 3, F.lit("http://example.com"))
+        .otherwise(F.lit("https://Example.COM/A/B?single=1"))
+    )
+    return d.withColumn("url", url).withColumn(
+        "canonical", canonicalize_url(F.col("url"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — robots.txt directive evaluation (functions/urls.
+# robots_decisions): longest prefix-matching rule wins, allow wins
+# length ties, no rule → allowed. Broadcast host join + residual
+# prefix filter + per-URL argmax — never rules × urls nested-loop.
+# ---------------------------------------------------------------------------
+_ROBOTS_RULES = [
+    ("example.com", "/", True),
+    ("example.com", "/private", False),
+    ("example.com", "/private/pub", True),
+    ("cdn.example.org", "/", False),
+    ("cdn.example.org", "/img", True),
+]
+
+
+def _q153_oracle() -> str:
+    vals = ", ".join(
+        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _ROBOTS_RULES
+    )
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'https://example.com/private/pub/x'
+               WHEN 1 THEN 'https://example.com/private/secret'
+               WHEN 2 THEN 'https://example.com/open/page'
+               WHEN 3 THEN 'https://cdn.example.org/img/' || CAST(doc_id AS VARCHAR)
+               ELSE 'https://unknown.host/x'
+             END AS url
+      FROM documents),
+    rules(host, rule_path, allow) AS (VALUES {vals}),
+    p AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS h,
+             CASE WHEN regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+             END AS path
+      FROM u),
+    best AS (
+      SELECT p.doc_id, p.url,
+             max(CASE WHEN r.rule_path IS NOT NULL
+                       AND starts_with(p.path, r.rule_path)
+                      THEN struct_pack(l := length(r.rule_path),
+                                       a := CAST(r.allow AS INT)) END)
+               AS b
+      FROM p LEFT JOIN rules r ON p.h = r.host
+      GROUP BY 1, 2)
+    SELECT doc_id, url,
+           CASE WHEN b IS NULL THEN TRUE ELSE b.a = 1 END AS allowed
+    FROM best
+    """
+
+
+@query("q153_robots_policy", oracle=_q153_oracle())
+def q153_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.urls import robots_decisions
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    url = (
+        F.when(m == 0, F.lit("https://example.com/private/pub/x"))
+        .when(m == 1, F.lit("https://example.com/private/secret"))
+        .when(m == 2, F.lit("https://example.com/open/page"))
+        .when(m == 3, F.concat(F.lit("https://cdn.example.org/img/"), sid))
+        .otherwise(F.lit("https://unknown.host/x"))
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, rule_path string, allow boolean"
+    )
+    return robots_decisions(d.withColumn("url", url), "url", rules)

@@ -609,3 +609,52 @@ def test_cms_absent_key_zero_floor(spark):
     est = cms_estimate(cms_counters(df, "v"), probes, "v").collect()
     # absent key may collide into occupied buckets but never below 0
     assert est[0]["cms_est"] >= 0
+
+
+def test_canonicalize_url_cases(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/A/?b=2&utm_x=1&a=1#f", "http://www.ex.com/A?a=1&b=2"),
+        ("https://h.io:443/p/", "https://h.io/p"),
+        ("https://h.io:8443/p", "https://h.io:8443/p"),  # non-default port kept
+        ("http://h.io", "http://h.io/"),
+        ("https://h.io/?fbclid=x&utm_source=y", "https://h.io/"),
+        ("https://h.io/a?z=1&y=2", "https://h.io/a?y=2&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [w for _, w in cases]
+
+
+def test_robots_longest_match_and_tiebreak(spark):
+    from cccatalog_spark.functions.urls import robots_decisions
+
+    rules = spark.createDataFrame(
+        [
+            ("h.io", "/", True),
+            ("h.io", "/a", False),
+            ("h.io", "/a/b", True),
+            ("h.io", "/ti", False),
+            ("h.io", "/ti", True),     # length tie -> allow wins
+        ],
+        "host string, rule_path string, allow boolean",
+    )
+    urls = [
+        (0, "https://h.io/a/b/c"),   # /a/b allow beats /a disallow
+        (1, "https://h.io/a/x"),     # /a disallow
+        (2, "https://h.io/zzz"),     # only "/" allow
+        (3, "https://h.io/ti/x"),    # tie at length 3 -> allow
+        (4, "https://other.io/q"),   # no rules -> allowed
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {
+        r["id"]: r["allowed"]
+        for r in robots_decisions(df, "url", rules).collect()
+    }
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: True}
