@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -205,3 +205,41 @@ def exact_quantiles_df(
     computation."""
     rows = exact_quantiles(df, value_col, fractions, **kwargs)
     return spark.createDataFrame(rows, "fraction double, value double")
+
+
+def weighted_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Per-group weighted (lower) median: the smallest value whose
+    cumulative weight reaches half the group's total — e.g. the
+    token-weighted median quality score, where long documents should
+    pull the statistic proportionally.
+
+    One exchange keyed by group + two streaming windows (ordered
+    cumulative weight, then the threshold pick) — no collect_list,
+    spillable sorts, billion-row groups hold (same discipline as
+    :func:`exact_quantiles` and quality.robust_outliers).
+    Returns (group, wmedian, total_weight).
+    """
+    wo = Window.partitionBy(group_col).orderBy(
+        F.col(value_col), F.col(weight_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wg = Window.partitionBy(group_col)
+    cum = (
+        df.withColumn("__cw", F.sum(weight_col).over(wo))
+        .withColumn("__tw", F.sum(weight_col).over(wg))
+    )
+    pick = F.when(
+        F.col("__cw") * 2 >= F.col("__tw"), F.col(value_col)
+    )
+    return (
+        cum.withColumn("__pick", pick)
+        .groupBy(group_col)
+        .agg(
+            F.min("__pick").alias("wmedian"),
+            F.max("__tw").alias("total_weight"),
+        )
+    )

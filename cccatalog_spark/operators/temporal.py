@@ -184,3 +184,41 @@ def resample_ffill(
             F.col("__v").isNull().alias("is_gap"),
         )
     )
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    id_col: str,
+    host_col: str,
+    priority_col: str,
+    delays: DataFrame,
+    *,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier schedule: within each host,
+    URLs fetch in priority order (desc, id tiebreak) spaced by the
+    host's crawl-delay; ``fetch_at`` is the offset in seconds from
+    the schedule epoch. The completing step of the frontier chain
+    (canonicalize → blocklist → robots → THIS).
+
+    ``delays`` is a (host, delay_s) dim — robots crawl-delay values —
+    broadcast; absent hosts get ``default_delay``.
+
+    Plan: one exchange keyed by host + an in-partition rank window +
+    a broadcast join. Closed-form, stateless, deterministic — the
+    scheduler can be recomputed idempotently after any frontier
+    mutation, which is what makes it restartable at 100 TB.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.asc(id_col)
+    )
+    return (
+        frontier.join(F.broadcast(delays), host_col, "left")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "fetch_at",
+            (F.col("rank") - 1)
+            * F.coalesce(F.col("delay_s"), F.lit(default_delay)),
+        )
+        .drop("delay_s")
+    )

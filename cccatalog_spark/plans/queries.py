@@ -7603,3 +7603,102 @@ def q153_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ROBOTS_RULES, "host string, rule_path string, allow boolean"
     )
     return robots_decisions(d.withColumn("url", url), "url", rules)
+
+
+# ---------------------------------------------------------------------------
+# q154 — politeness crawl schedule (operators/temporal.crawl_schedule):
+# per-host priority ranking spaced by the host's crawl-delay —
+# the closing step of the frontier chain (q152 canonicalize →
+# q137 blocklist → q153 robots → schedule). One host exchange +
+# rank window + broadcast delay dim.
+# ---------------------------------------------------------------------------
+_CRAWL_DELAYS = [("a.com", 2.0), ("b.net", 0.5)]
+
+
+def _q154_oracle() -> str:
+    vals = ", ".join(
+        f"('{h}', CAST({d} AS DOUBLE))" for h, d in _CRAWL_DELAYS
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'a.com' WHEN 1 THEN 'b.net'
+               WHEN 2 THEN 'c.org' ELSE 'a.com' END AS host,
+             n_chars AS priority
+      FROM documents),
+    d(host, delay_s) AS (VALUES {vals}),
+    r AS (
+      SELECT f.doc_id, f.host, f.priority,
+             row_number() OVER (PARTITION BY f.host
+                                ORDER BY f.priority DESC, f.doc_id ASC)
+               AS rank,
+             CAST(coalesce(d.delay_s, 1.0) AS DOUBLE) AS delay
+      FROM f LEFT JOIN d USING (host))
+    SELECT doc_id, host, priority, CAST(rank AS BIGINT) AS rank,
+           round((rank - 1) * delay, 6) AS fetch_at
+    FROM r
+    """
+
+
+@query("q154_crawl_schedule", oracle=_q154_oracle())
+def q154_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import crawl_schedule
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = F.col("doc_id") % 4
+    host = (
+        F.when(m == 0, F.lit("a.com"))
+        .when(m == 1, F.lit("b.net"))
+        .when(m == 2, F.lit("c.org"))
+        .otherwise(F.lit("a.com"))
+    )
+    frontier = d.select(
+        "doc_id", host.alias("host"), F.col("n_chars").alias("priority")
+    )
+    delays = spark.createDataFrame(
+        _CRAWL_DELAYS, "host string, delay_s double"
+    )
+    out = crawl_schedule(frontier, "doc_id", "host", "priority", delays)
+    return out.select(
+        "doc_id", "host", "priority",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("fetch_at", 6).alias("fetch_at"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — per-source token-weighted median document length
+# (operators/quantiles.weighted_median): cumulative-weight crossing
+# inside ordered windows — no collect_list, billion-row groups hold.
+# ---------------------------------------------------------------------------
+@query(
+    "q155_weighted_median",
+    oracle=f"""
+    WITH t AS (SELECT source, n_chars AS v, len({_TOKS}) AS w
+               FROM documents),
+    c AS (SELECT source, v, w,
+                 sum(w) OVER (PARTITION BY source ORDER BY v, w
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cw,
+                 sum(w) OVER (PARTITION BY source) AS tw
+          FROM t)
+    SELECT source,
+           min(CASE WHEN cw * 2 >= tw THEN v END) AS wmedian,
+           CAST(max(tw) AS BIGINT) AS total_weight
+    FROM c GROUP BY 1
+    """,
+)
+def q155_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quantiles import weighted_median
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("v"),
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("w"),
+    )
+    return weighted_median(d, "source", "v", "w").select(
+        "source",
+        F.col("wmedian"),
+        F.col("total_weight").cast("long").alias("total_weight"),
+    )

@@ -77,3 +77,22 @@ def test_column_stats_rows(spark):
     assert (a["p25"], a["p50"], a["p75"]) == (24.0, 49.0, 74.0)
     b = out["b"]
     assert (b["n_nulls"], b["ndv"], b["min"], b["max"]) == (0, 10, 0.0, 9.0)
+
+
+def test_weighted_median_model(spark):
+    from cccatalog_spark.operators.quantiles import weighted_median
+
+    rows = [
+        # group g: values 1(w5), 10(w1): half of 6 is 3 -> crossing at 1
+        ("g", 1, 5), ("g", 10, 1),
+        # group h: 1(w1), 2(w1), 3(w2): half of 4 -> crossing at 2
+        ("h", 1, 1), ("h", 2, 1), ("h", 3, 2),
+        # group i: single row
+        ("i", 42, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {
+        r["g"]: (r["wmedian"], r["total_weight"])
+        for r in weighted_median(df, "g", "v", "w").collect()
+    }
+    assert got == {"g": (1, 6), "h": (2, 4), "i": (42, 7)}

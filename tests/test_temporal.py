@@ -118,3 +118,27 @@ def test_resample_ffill_model(spark):
     assert out[("a", "2024-01-04")] == (40.0, False)
     assert out[("b", "2024-02-10")] == (5.0, False)
     assert len(out) == 5
+
+
+def test_crawl_schedule_spacing_and_default_delay(spark):
+    from cccatalog_spark.operators.temporal import crawl_schedule
+
+    frontier = spark.createDataFrame(
+        [
+            (1, "a.com", 50), (2, "a.com", 90), (3, "a.com", 90),
+            (4, "x.io", 10),
+        ],
+        "id long, host string, priority long",
+    )
+    delays = spark.createDataFrame([("a.com", 2.0)], "host string, delay_s double")
+    got = {
+        r["id"]: (r["rank"], r["fetch_at"])
+        for r in crawl_schedule(frontier, "id", "host", "priority", delays)
+        .collect()
+    }
+    # a.com: priority 90 (id 2), 90 (id 3 tiebreak), 50 -> delay 2.0
+    assert got[2] == (1, 0.0)
+    assert got[3] == (2, 2.0)
+    assert got[1] == (3, 4.0)
+    # x.io absent from dim -> default 1.0
+    assert got[4] == (1, 0.0)
