@@ -7702,3 +7702,71 @@ def q155_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wmedian"),
         F.col("total_weight").cast("long").alias("total_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — streaming per-key admission quota (streaming/stateful.
+# quota_admit): first 20 click events per user across two replayed
+# micro-batches, cross-batch admitted-count state. Oracle: the batch
+# row_number form of the same cap.
+# ---------------------------------------------------------------------------
+@query(
+    "q156_stream_quota",
+    oracle="""
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events WHERE event_type = 'click')
+    WHERE rn <= 20
+    """,
+)
+def q156_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import quota_admit
+
+    base = tempfile.mkdtemp(prefix="ccc_quota_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select("user_id", "event_id", "value")
+    mid = e.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    now = time.time()
+    batches = [
+        e.where(F.col("event_id") < mid),
+        e.where(F.col("event_id") >= mid),
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    admitted = quota_admit(
+        stream, "user_id", ["event_id"], 20,
+        "user_id long, event_id long, value double",
+    )
+    sink = f"q156_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink)

@@ -182,3 +182,48 @@ def ewma_tracker(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quota_admit(
+    stream: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    quota: int,
+    payload_schema: str,
+) -> DataFrame:
+    """Streaming per-key admission quota: admit each key's first
+    ``quota`` rows (in ``order_cols`` order, across all micro-batches)
+    and drop the rest — the ingest cap that stops one hot source/
+    domain from flooding a corpus between rebalances
+    (:func:`cccatalog_spark.operators.sampling.token_budget_take` is
+    the batch sibling; this is its incremental form).
+
+    State per key: one admitted-count long. Deterministic under the
+    loader's ordered-batch replay contract, which is what puts it
+    under an exact row_number-based oracle. ``payload_schema`` is the
+    output DDL (key + payload columns present in the stream).
+    """
+
+    out_cols = [f.name for f in _ddl_fields(payload_schema)]
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        admitted = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs))
+        take = max(0, quota - admitted)
+        head = batch.sort_values(order_cols).head(take)
+        state.update((int(admitted + len(head)),))
+        yield head[out_cols] if len(head) else pd.DataFrame(
+            {c: [] for c in out_cols}
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=payload_schema,
+        stateStructType="admitted long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

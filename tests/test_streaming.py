@@ -480,3 +480,41 @@ def test_ewma_tracker_two_batch_fold(spark, tmp_path):
     # intermediate emission after batch 1 also present (n=2)
     ns = {r["n"] for r in spark.table("ewma_test").where("user_id = 1").collect()}
     assert 2 in ns and 4 in ns
+
+
+def test_quota_admit_cross_batch_cap(spark, tmp_path):
+    import os
+    import time
+
+    from cccatalog_spark.streaming.stateful import quota_admit
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # key 1: 3 rows in batch 0 + 3 in batch 1, quota 4 -> admit 3 + 1
+    # key 2: quota not reached
+    batches = [
+        [(1, 1), (1, 2), (1, 3), (2, 10)],
+        [(1, 4), (1, 5), (1, 6), (2, 11)],
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        f = src / f"b{i}.tsv"
+        f.write_text("\n".join(f"{k}\t{o}" for k, o in rows))
+        os.utime(f, (now - 60 + i * 30,) * 2)
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("k long, o long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(src))
+    )
+    q = (
+        quota_admit(stream, "k", ["o"], 4, "k long, o long")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("quota_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted((r["k"], r["o"]) for r in spark.table("quota_test").collect())
+    assert got == [(1, 1), (1, 2), (1, 3), (1, 4), (2, 10), (2, 11)]
