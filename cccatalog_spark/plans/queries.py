@@ -7770,3 +7770,72 @@ def q156_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# q157 — time travel + change data feed on the versioned MERGE table
+# (streaming/loader.VersionedUpsertTable): three commits archive
+# superseded snapshots as .v0/.v1; the CDF between archive v1 and the
+# head is operators/cdc.snapshot_diff — version retention and CDC are
+# one mechanism. Oracle recomputes the same three states relationally.
+# ---------------------------------------------------------------------------
+@query(
+    "q157_time_travel_cdf",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice AS p FROM orders),
+    s2 AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN p + 100 ELSE p END AS p
+           FROM base),
+    ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, p + 500 AS p
+            FROM base WHERE o_orderkey % 13 = 0)
+    SELECT o_orderkey, 'update' AS change_type,
+           round(p, 2) AS old_price, round(p + 200, 2) AS new_price
+    FROM s2 WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, 'insert', NULL, round(p, 2) FROM ins
+    """,
+)
+def q157_time_travel_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from cccatalog_spark.streaming.loader import VersionedUpsertTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("p", T.DoubleType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="ccc_tt_") + "/orders_table"
+    t = VersionedUpsertTable(
+        spark, path, ["o_orderkey"], schema, keep_versions=3
+    )
+    t.merge_batch(orders, 0)
+    batch_a = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "p", F.col("p") + 100
+    )
+    t.merge_batch(batch_a, 1)
+    batch_b = (
+        t.read()
+        .where(F.col("o_orderkey") % 11 == 0)
+        .withColumn("p", F.col("p") + 200)
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                (F.col("p") + 500).alias("p"),
+            )
+        )
+    )
+    t.merge_batch(batch_b, 2)
+    cdf = t.changes_since(1, ["p"])
+    return cdf.where(F.col("change_type") != "unchanged").select(
+        "o_orderkey",
+        "change_type",
+        F.round("old_p", 2).alias("old_price"),
+        F.round("new_p", 2).alias("new_price"),
+    )

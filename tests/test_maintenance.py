@@ -76,3 +76,53 @@ def test_checksum_localizes_single_row_change(spark):
     tamp = {r["bucket"]: r["checksum"] for r in table_checksum(tampered, ["a", "b"]).collect()}
     diff = [b for b in set(base) | set(tamp) if base.get(b) != tamp.get(b)]
     assert 1 <= len(diff) <= 2  # old row's bucket and/or new row's bucket
+
+
+def test_versioned_table_time_travel_and_vacuum(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from cccatalog_spark.streaming.loader import VersionedUpsertTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    t = VersionedUpsertTable(
+        spark, str(tmp_path / "t"), ["k"], schema, keep_versions=2
+    )
+    for i in range(4):
+        batch = spark.createDataFrame([(j, i) for j in range(5)], schema)
+        t.merge_batch(batch, i)
+    # 4 commits: first archives nothing; then v0, v1, v2; keep 2 -> v1, v2
+    assert t.versions() == [1, 2]
+    assert {r["v"] for r in t.read().collect()} == {3}
+    assert {r["v"] for r in t.read_version(2).collect()} == {2}
+    # CDF between v2 and head: all 5 keys updated 2 -> 3
+    cdf = t.changes_since(2, ["v"]).collect()
+    assert all(r["change_type"] == "update" for r in cdf)
+    assert len(cdf) == 5
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.read_version(0)
+
+
+def test_versioned_table_stale_writer_cannot_commit(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from cccatalog_spark.streaming.loader import (
+        StaleWriterError,
+        VersionedUpsertTable,
+    )
+
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    path = str(tmp_path / "t2")
+    w1 = VersionedUpsertTable(spark, path, ["k"], schema)
+    w2 = VersionedUpsertTable(spark, path, ["k"], schema)  # supersedes w1
+    batch = spark.createDataFrame([(1,)], schema)
+    import pytest
+
+    with pytest.raises(StaleWriterError):
+        w1.merge_batch(batch, 0)
+    w2.merge_batch(batch, 0)
+    assert w2.read().count() == 1
