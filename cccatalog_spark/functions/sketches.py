@@ -304,3 +304,27 @@ def cms_estimate(
         .groupBy(*probes.columns)
         .agg(F.min(F.coalesce("_n", F.lit(0))).alias(out_col))
     )
+
+
+def cms_join_size(
+    counters_a: DataFrame, counters_b: DataFrame, *, out_col: str = "est"
+) -> DataFrame:
+    """Equi-join output-size estimation from two CMS counter tables
+    (the AMS/CMS inner-product estimator): for each hash row r,
+    ``Σ_c A[r,c]·B[r,c]`` upper-bounds ``Σ_v f_A(v)·f_B(v)`` = the
+    exact join cardinality; the estimate is the MIN over rows. The
+    cost-based input a join planner wants (q150's stats sibling) —
+    computed from two 1024-row sketches, never from the joined data.
+
+    Both sketches must come from :func:`cms_counters` (same d×W and
+    salt — enforced by construction since those are module constants).
+    One tiny (d×W)-row join + a d-row aggregate; a 1-row result.
+    """
+    a = counters_a.select("_r", "_c", F.col("_n").alias("_na"))
+    b = counters_b.select("_r", "_c", F.col("_n").alias("_nb"))
+    per_row = (
+        a.join(b, ["_r", "_c"])
+        .groupBy("_r")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).alias("_dot"))
+    )
+    return per_row.agg(F.min("_dot").cast("long").alias(out_col))

@@ -7839,3 +7839,54 @@ def q157_time_travel_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("old_p", 2).alias("old_price"),
         F.round("new_p", 2).alias("new_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — CMS join-size estimation (functions/sketches.cms_join_size):
+# |orders ⋈ lineitem on orderkey| estimated from two 4×256 sketches —
+# inner product per hash row, min over rows; compared against the
+# exact count in the same result row. Sketch bytes moved: O(d×W),
+# never the join.
+# ---------------------------------------------------------------------------
+@query(
+    "q158_cms_join_size",
+    oracle="""
+    WITH rs AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    ca AS (SELECT r,
+                  ('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':'
+                                         || CAST(o_orderkey AS VARCHAR)),
+                                     1, 4))::BIGINT % 256 AS c,
+                  count(*) AS n
+           FROM orders, rs GROUP BY 1, 2),
+    cb AS (SELECT r,
+                  ('0x' || substring(md5('cms' || CAST(r AS VARCHAR) || ':'
+                                         || CAST(l_orderkey AS VARCHAR)),
+                                     1, 4))::BIGINT % 256 AS c,
+                  count(*) AS n
+           FROM lineitem, rs GROUP BY 1, 2),
+    dots AS (SELECT ca.r, sum(ca.n * cb.n) AS dot
+             FROM ca JOIN cb USING (r, c) GROUP BY 1),
+    exact AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+    SELECT CAST(min(dot) AS BIGINT) AS est, max(exact.exact_rows)
+             AS exact_rows
+    FROM dots, exact
+    """,
+)
+def q158_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.sketches import cms_counters, cms_join_size
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    est = cms_join_size(
+        cms_counters(orders, "k"), cms_counters(lineitem, "k")
+    )
+    exact = (
+        orders.join(lineitem, "k")
+        .agg(F.count("*").alias("exact_rows"))
+    )
+    return est.crossJoin(exact)

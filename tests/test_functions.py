@@ -658,3 +658,18 @@ def test_robots_longest_match_and_tiebreak(spark):
         for r in robots_decisions(df, "url", rules).collect()
     }
     assert got == {0: True, 1: False, 2: True, 3: True, 4: True}
+
+
+def test_cms_join_size_upper_bounds_exact(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.functions.sketches import cms_counters, cms_join_size
+
+    a = spark.createDataFrame([(i % 50,) for i in range(1000)], "k long")
+    b = spark.createDataFrame([(i % 80,) for i in range(800)], "k long")
+    est = cms_join_size(
+        cms_counters(a, "k"), cms_counters(b, "k")
+    ).collect()[0]["est"]
+    exact = a.join(b, "k").count()
+    assert est >= exact                     # inner product never undershoots
+    assert est <= exact * 2                 # and stays in the right ballpark
