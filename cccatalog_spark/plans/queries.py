@@ -7890,3 +7890,65 @@ def q158_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("exact_rows"))
     )
     return est.crossJoin(exact)
+
+
+# ---------------------------------------------------------------------------
+# q159 — sitemap XML ingestion (sources/xml.read_sitemap, Spark 4's
+# native XML source): parse a generated sitemap (one <url> per doc,
+# one deliberately malformed entry quarantined), then run the
+# frontier canonicalizer over the locs. Oracle re-derives the same
+# rows from doc_id — the sitemap content is a pure function of it.
+# ---------------------------------------------------------------------------
+@query(
+    "q159_sitemap_ingest",
+    oracle="""
+    SELECT doc_id,
+           'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS loc,
+           strftime(TIMESTAMP '2024-01-01' + INTERVAL (doc_id % 28) DAY,
+                    '%Y-%m-%d') AS lastmod,
+           round(0.1 + CAST(doc_id % 9 AS DOUBLE) / 10, 1) AS priority
+    FROM documents
+    WHERE doc_id % 100 <> 99
+    """,
+)
+def q159_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from cccatalog_spark.sources.xml import read_sitemap
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="ccc_sitemap_")
+    path = os.path.join(base, "sitemap.xml")
+    with open(path, "w") as f:
+        f.write('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n')
+        for i in sorted(ids):
+            if i % 100 == 99:  # schema-invalid entry -> quarantine
+                # well-formed XML (an unclosed tag would desync the
+                # parser for the rest of the split) but priority fails
+                # the double type -> per-row corrupt record
+                f.write(
+                    f"<url><loc>https://ex.com/p/{i}</loc>"
+                    f"<priority>high</priority></url>\n"
+                )
+                continue
+            day = 1 + i % 28
+            pri = round(0.1 + (i % 9) / 10, 1)
+            f.write(
+                f"<url><loc>https://ex.com/p/{i}</loc>"
+                f"<lastmod>2024-01-{day:02d}</lastmod>"
+                f"<priority>{pri}</priority></url>\n"
+            )
+        f.write("</urlset>\n")
+    clean, _quarantined = read_sitemap(spark, path)
+    return clean.select(
+        F.regexp_extract("loc", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        "loc",
+        "lastmod",
+        F.round("priority", 1).alias("priority"),
+    )

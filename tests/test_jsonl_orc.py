@@ -73,3 +73,24 @@ def test_orc_predicate_pushdown_in_plan(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "k" in plan.split("PushedFilters")[1][:60]
+
+
+def test_sitemap_xml_clean_and_quarantine(spark, tmp_path):
+    from cccatalog_spark.sources.xml import read_sitemap
+
+    p = tmp_path / "sitemap.xml"
+    p.write_text(
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://a/1</loc><lastmod>2024-01-01</lastmod>"
+        "<priority>0.5</priority></url>\n"
+        "<url><loc>https://a/2</loc><priority>high</priority></url>\n"
+        "<url><loc>https://a/3</loc></url>\n"
+        "</urlset>\n"
+    )
+    clean, quarantined = read_sitemap(spark, str(p))
+    rows = {r["loc"]: r for r in clean.collect()}
+    assert set(rows) == {"https://a/1", "https://a/3"}
+    assert rows["https://a/1"]["priority"] == 0.5
+    assert rows["https://a/3"]["lastmod"] is None
+    q = quarantined.collect()
+    assert len(q) == 1 and "high" in q[0]["raw"]
