@@ -137,3 +137,53 @@ def corpus_pipeline(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             "total_bpe_tokens"
         ),
     )
+
+
+def frontier_pipeline(
+    urls: DataFrame,
+    url_col: str,
+    blocked_domains: list[str],
+    robots_rules: DataFrame,
+    delays: DataFrame,
+    *,
+    id_col: str = "url_id",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """End-to-end crawl-frontier preparation — the chain a crawler
+    runs between "here are candidate URLs" and "fetch in this order":
+
+        canonicalize (q152) → dedup on the canonical key →
+        blocklist (q137) → robots (q153) → politeness schedule (q154)
+
+    Dedup keeps the smallest ``id_col`` per canonical form (first
+    occurrence in id order — deterministic). Blocked and disallowed
+    URLs are dropped; survivors get (host, rank, fetch_at).
+
+    Every stage is the scan-stage/broadcast-join algebra of its
+    standalone operator; the only exchanges are the canonical-key
+    dedup and the per-host rank window.
+    """
+    from cccatalog_spark.functions.urls import (
+        blocklist_mark,
+        canonicalize_url,
+        robots_decisions,
+        url_host,
+    )
+    from cccatalog_spark.operators.temporal import crawl_schedule
+
+    canon = urls.withColumn("canonical", canonicalize_url(F.col(url_col)))
+    first = canon.groupBy("canonical").agg(F.min(id_col).alias(id_col))
+    deduped = canon.join(first, ["canonical", id_col])
+    unblocked = blocklist_mark(
+        deduped, "canonical", blocked_domains
+    ).where(~F.col("is_blocked")).drop("is_blocked")
+    allowed = robots_decisions(
+        unblocked, "canonical", robots_rules
+    ).where(F.col("allowed")).drop("allowed")
+    frontier = allowed.withColumn(
+        "host", url_host(F.col("canonical"))
+    ).withColumn("priority", F.length("canonical"))
+    return crawl_schedule(
+        frontier, id_col, "host", "priority", delays,
+        default_delay=default_delay,
+    )

@@ -7952,3 +7952,150 @@ def q159_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lastmod",
         F.round("priority", 1).alias("priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — end-to-end crawl-frontier pipeline (pipelines.
+# frontier_pipeline): canonicalize → canonical-key dedup → blocklist →
+# robots → politeness schedule, one composite with a single-SQL
+# oracle replaying the whole chain.
+# ---------------------------------------------------------------------------
+_Q160_RULES = [
+    ("good.com", "/", True),
+    ("good.com", "/private", False),
+    ("good.com", "/private/pub", True),
+]
+_Q160_DELAYS = [("good.com", 2.0), ("other.org", 0.5)]
+
+
+def _q160_oracle() -> str:
+    rules = ", ".join(
+        f"('{h}', '{p}', {str(a).upper()})" for h, p, a in _Q160_RULES
+    )
+    delays = ", ".join(
+        f"('{h}', CAST({d} AS DOUBLE))" for h, d in _Q160_DELAYS
+    )
+    return f"""
+    WITH u AS (
+      SELECT doc_id AS url_id,
+             CASE CAST(doc_id % 8 AS INT)
+               WHEN 0 THEN 'https://good.com/a?b=2&a=1'
+               WHEN 1 THEN 'HTTPS://Good.COM:443/a?utm_s=9&a=1&b=2'
+               WHEN 2 THEN 'https://ads.bad.net/x'
+               WHEN 3 THEN 'https://good.com/private/x'
+               WHEN 4 THEN 'https://good.com/private/pub/' || CAST(doc_id AS VARCHAR)
+               WHEN 5 THEN 'https://other.org/p/' || CAST(doc_id AS VARCHAR) || '/'
+               WHEN 6 THEN 'http://good.com:80/a?b=2&a=1'
+               ELSE 'https://good.com/open/' || CAST(doc_id AS VARCHAR) || '#frag'
+             END AS url
+      FROM documents),
+    parts AS (
+      SELECT url_id, url,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+               AS raw_path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query
+      FROM u),
+    canon AS (
+      SELECT url_id, scheme || '://'
+             || CASE WHEN scheme = 'http'
+                       THEN regexp_replace(hostport, ':80$', '')
+                     WHEN scheme = 'https'
+                       THEN regexp_replace(hostport, ':443$', '')
+                     ELSE hostport END
+             || CASE WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+                     ELSE regexp_replace(raw_path, '/+$', '') END
+             || CASE WHEN array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_')
+                               AND NOT starts_with(p, 'fbclid'))), '&') <> ''
+                     THEN '?' || array_to_string(list_sort(list_filter(
+                          string_split(query, '&'),
+                          p -> p <> '' AND NOT starts_with(p, 'utm_')
+                               AND NOT starts_with(p, 'fbclid'))), '&')
+                     ELSE '' END AS canonical
+      FROM parts),
+    first AS (SELECT canonical, min(url_id) AS url_id
+              FROM canon GROUP BY 1),
+    deduped AS (
+      SELECT f.url_id, f.canonical,
+             lower(regexp_extract(f.canonical,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+             CASE WHEN regexp_extract(f.canonical,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(f.canonical,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+             END AS path
+      FROM first f),
+    unblocked AS (
+      SELECT * FROM deduped
+      WHERE NOT (host = 'bad.net' OR host LIKE '%.bad.net')),
+    rules(rhost, rule_path, allow) AS (VALUES {rules}),
+    verdict AS (
+      SELECT u.url_id, u.canonical, u.host,
+             max(CASE WHEN r.rule_path IS NOT NULL
+                       AND starts_with(u.path, r.rule_path)
+                      THEN struct_pack(l := length(r.rule_path),
+                                       a := CAST(r.allow AS INT)) END) AS b
+      FROM unblocked u LEFT JOIN rules r ON u.host = r.rhost
+      GROUP BY 1, 2, 3),
+    allowed AS (
+      SELECT url_id, canonical, host, length(canonical) AS priority
+      FROM verdict
+      WHERE b IS NULL OR b.a = 1),
+    delays(dhost, delay_s) AS (VALUES {delays}),
+    sched AS (
+      SELECT a.url_id, a.canonical, a.host, a.priority,
+             row_number() OVER (PARTITION BY a.host
+                                ORDER BY a.priority DESC, a.url_id ASC)
+               AS rank,
+             CAST(coalesce(d.delay_s, 1.0) AS DOUBLE) AS delay
+      FROM allowed a LEFT JOIN delays d ON a.host = d.dhost)
+    SELECT url_id, canonical, host, CAST(priority AS BIGINT) AS priority,
+           CAST(rank AS BIGINT) AS rank,
+           round((rank - 1) * delay, 6) AS fetch_at
+    FROM sched
+    """
+
+
+@query("q160_frontier_pipeline", oracle=_q160_oracle())
+def q160_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.pipelines import frontier_pipeline
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("url_id")
+    )
+    sid = F.col("url_id").cast("string")
+    m = F.col("url_id") % 8
+    url = (
+        F.when(m == 0, F.lit("https://good.com/a?b=2&a=1"))
+        .when(m == 1, F.lit("HTTPS://Good.COM:443/a?utm_s=9&a=1&b=2"))
+        .when(m == 2, F.lit("https://ads.bad.net/x"))
+        .when(m == 3, F.lit("https://good.com/private/x"))
+        .when(m == 4, F.concat(F.lit("https://good.com/private/pub/"), sid))
+        .when(m == 5, F.concat(F.lit("https://other.org/p/"), sid, F.lit("/")))
+        .when(m == 6, F.lit("http://good.com:80/a?b=2&a=1"))
+        .otherwise(
+            F.concat(F.lit("https://good.com/open/"), sid, F.lit("#frag"))
+        )
+    )
+    rules = spark.createDataFrame(
+        _Q160_RULES, "host string, rule_path string, allow boolean"
+    )
+    delays = spark.createDataFrame(
+        _Q160_DELAYS, "host string, delay_s double"
+    )
+    out = frontier_pipeline(
+        d.withColumn("u", url), "u", ["bad.net"], rules, delays
+    )
+    return out.select(
+        "url_id", "canonical", "host",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rank").cast("long").alias("rank"),
+        F.round("fetch_at", 6).alias("fetch_at"),
+    )

@@ -126,3 +126,32 @@ def test_corpus_pipeline_keeps_one_canonical_per_neardup_cluster(spark):
     assert out["en"]["n_docs"] == 2  # cluster survivor + the distinct doc
     assert out["en"]["total_ws_tokens"] > 0
     assert out["en"]["total_bpe_tokens"] >= out["en"]["total_ws_tokens"]
+
+
+def test_frontier_pipeline_chain_properties(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.pipelines import frontier_pipeline
+
+    urls = [
+        (0, "https://h.io/a?b=2&a=1"),
+        (1, "HTTPS://H.IO:443/a?a=1&b=2&utm_x=1"),  # dup of 0 after canon
+        (2, "https://spam.net/x"),                   # blocked
+        (3, "https://h.io/private/x"),               # robots-disallowed
+        (4, "https://h.io/okpath"),
+    ]
+    df = spark.createDataFrame(urls, "url_id long, u string")
+    rules = spark.createDataFrame(
+        [("h.io", "/", True), ("h.io", "/private", False)],
+        "host string, rule_path string, allow boolean",
+    )
+    delays = spark.createDataFrame([("h.io", 3.0)], "host string, delay_s double")
+    out = frontier_pipeline(df, "u", ["spam.net"], rules, delays).collect()
+    ids = {r["url_id"] for r in out}
+    assert ids == {0, 4}           # 1 deduped into 0; 2 blocked; 3 disallowed
+    by_id = {r["url_id"]: r for r in out}
+    assert by_id[0]["canonical"] == "https://h.io/a?a=1&b=2"
+    # both on h.io: priority = canonical length, spaced by 3s
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert ranked[0]["fetch_at"] == 0.0
+    assert ranked[1]["fetch_at"] == 3.0
