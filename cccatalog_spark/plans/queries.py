@@ -4020,8 +4020,8 @@ DRIVER_WINDOW: list[str] = [
     "q106_stream_stream_join", "q10_standardized_popularity",
     "q12_dedup_exact", "q16_license_extract", "q23_lang_id",
     "q24_ngram_jaccard", "q25_minhash_lsh", "q107_partial_rollup_merge",
-    "q28_embedding_neardup", "q29_simhash_neardup", "q33_array_contains_join",
-    "q111_stream_sessions", "q124_boilerplate_strip", "q38_cc_link_extract",
+    "q28_embedding_neardup", "q157_time_travel_cdf", "q33_array_contains_join",
+    "q111_stream_sessions", "q124_boilerplate_strip", "q160_frontier_pipeline",
     "q39_sub_provider_update", "q40_image_normalize", "q41_expiration_mark",
     "q125_semantic_dedup", "q43_rolling_window", "q104_snapshot_cdc",
     "q46_multimodal_features", "q57_bpe_tokens", "q58_smithsonian_ingest",
