@@ -8099,3 +8099,71 @@ def q160_frontier_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.round("fetch_at", 6).alias("fetch_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — embedding-space drift between corpus slices: per-label
+# centroids (operators/similarity.mean_pool) of the even vs odd
+# vec_id slices, drift = 1 − cosine(centroid_a, centroid_b) — the
+# embedding-modality sibling of q115's token-distribution JSD. Both
+# slices reduce to (groups × dims)-row state; the raw vectors never
+# join.
+# ---------------------------------------------------------------------------
+@query(
+    "q161_embedding_drift",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, vec_id % 2 AS slice,
+                      embedding::DOUBLE[] AS e
+               FROM embeddings),
+    dims AS (SELECT label, slice, i, round(avg(e[i]), 9) AS cv
+             FROM v, LATERAL unnest(generate_series(1, 64)) g(i)
+             GROUP BY 1, 2, 3),
+    cent AS (SELECT label, slice, list(cv ORDER BY i) AS c,
+                    CAST(count(*) AS BIGINT) AS d
+             FROM dims GROUP BY 1, 2),
+    n AS (SELECT label, slice, CAST(count(*) AS BIGINT) AS n_vectors
+          FROM v GROUP BY 1, 2)
+    SELECT a.label,
+           na.n_vectors AS n_even, nb.n_vectors AS n_odd,
+           round(1.0 - list_cosine_similarity(a.c, b.c), 6) AS drift
+    FROM cent a
+    JOIN cent b ON a.label = b.label AND a.slice = 0 AND b.slice = 1
+    JOIN n na ON na.label = a.label AND na.slice = 0
+    JOIN n nb ON nb.label = a.label AND nb.slice = 1
+    """,
+)
+def q161_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2).alias("slice"),
+        F.col("embedding"),
+    )
+    pooled = SIM.mean_pool(
+        emb.withColumn(
+            "g", F.concat_ws("|", F.col("label"), F.col("slice"))
+        ),
+        "embedding",
+        "g",
+    ).select(
+        F.split(F.col("g"), r"\|")[0].cast("int").alias("label"),
+        F.split(F.col("g"), r"\|")[1].cast("int").alias("slice"),
+        "n_vectors",
+        "pooled",
+    )
+    a = pooled.where(F.col("slice") == 0).select(
+        "label",
+        F.col("n_vectors").alias("n_even"),
+        F.col("pooled").alias("ca"),
+    )
+    b = pooled.where(F.col("slice") == 1).select(
+        "label",
+        F.col("n_vectors").alias("n_odd"),
+        F.col("pooled").alias("cb"),
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_even",
+        "n_odd",
+        F.round(1.0 - SIM.cosine(F.col("ca"), F.col("cb")), 6).alias("drift"),
+    )
