@@ -129,3 +129,51 @@ def pack_windows(
         (tok_start - F.col("__start")).alias("off_start"),
         (tok_end - F.col("__start")).alias("off_end"),
     )
+
+
+def span_corruption_plan(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    span_len: int = 3,
+    stride: int = 20,
+    salt: str = "span:",
+) -> DataFrame:
+    """T5-style span-corruption mask plan: for every document, a set
+    of non-overlapping ``span_len``-token spans to mask, one per
+    ``stride`` tokens, at a per-document deterministic phase offset
+    (md5-derandomized, like every sampling decision in this codebase).
+    Corruption rate ≈ span_len/stride (15% at 3/20).
+
+    Spans start at ``offset + k·stride`` for k = 0,1,…; the stride
+    guarantees non-overlap by construction — no greedy left-to-right
+    state, so the plan stays pure column algebra (sequence + explode)
+    with an exact SQL oracle, where greedy Poisson-start selection
+    (the literal T5 sampler) would need a per-doc fold.
+
+    Output: (id, span_id, start, length) with 0-based token starts;
+    the final span truncates at the document end (length ≥ 1).
+    """
+    from cccatalog_spark.operators.sampling import hashed_bucket
+
+    n = F.col(len_col).cast("long")
+    offset = hashed_bucket(F.col(id_col), stride, salt=salt)
+    n_spans = F.floor((n - offset - 1) / F.lit(stride)) + 1
+    spans = df.where(n > offset).select(
+        F.col(id_col),
+        offset.alias("__off"),
+        n.alias("__n"),
+        F.posexplode(
+            F.sequence(F.lit(0), (n_spans - 1).cast("int"))
+        ).alias("span_id", "__k"),
+    )
+    start = F.col("__off") + F.col("__k") * F.lit(stride)
+    return spans.select(
+        id_col,
+        "span_id",
+        start.alias("start"),
+        F.least(F.lit(span_len).cast("long"), F.col("__n") - start).alias(
+            "length"
+        ),
+    )

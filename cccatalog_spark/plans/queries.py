@@ -8167,3 +8167,36 @@ def q161_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_odd",
         F.round(1.0 - SIM.cosine(F.col("ca"), F.col("cb")), 6).alias("drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — span-corruption mask plan (operators/chunking.
+# span_corruption_plan): T5-style non-overlapping masked spans, one
+# per 20-token stride at an md5-derandomized per-doc phase — pure
+# sequence+explode column algebra, ~15% corruption at 3/20.
+# ---------------------------------------------------------------------------
+@query(
+    "q162_span_corruption",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    o AS (SELECT doc_id, n,
+                 ('0x' || substring(md5('span:' || CAST(doc_id AS VARCHAR)),
+                                    1, 4))::BIGINT % 20 AS off
+          FROM t),
+    s AS (SELECT doc_id, n, off,
+                 unnest(generate_series(0,
+                     CAST(floor((n - off - 1) / 20.0) AS BIGINT))) AS k
+          FROM o WHERE n > off)
+    SELECT doc_id, CAST(k AS INT) AS span_id,
+           CAST(off + k * 20 AS BIGINT) AS start,
+           CAST(least(3, n - (off + k * 20)) AS BIGINT) AS length
+    FROM s
+    """,
+)
+def q162_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.chunking import span_corruption_plan
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n")
+    )
+    return span_corruption_plan(d, "doc_id", "n", span_len=3, stride=20)

@@ -139,3 +139,28 @@ def test_pack_windows_zero_len_dropped_and_repartition_stable(spark):
         for r in pack_windows(df.repartition(5), "doc_id", "n", 4).collect()
     )
     assert a == b
+
+
+def test_span_corruption_non_overlap_and_rate(spark):
+    from collections import defaultdict
+
+    from cccatalog_spark.operators.chunking import span_corruption_plan
+
+    lens = [(i, 100 + i % 37) for i in range(200)]
+    df = spark.createDataFrame(lens, "doc_id long, n long")
+    rows = span_corruption_plan(df, "doc_id", "n", span_len=3, stride=20).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append((r["start"], r["length"]))
+    n_map = dict(lens)
+    masked_total = 0
+    for i, spans in by_doc.items():
+        spans.sort()
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 <= s2          # non-overlapping
+        for s, ln in spans:
+            assert 1 <= ln <= 3
+            assert s + ln <= n_map[i]     # in bounds
+            masked_total += ln
+    total = sum(n for _, n in lens)
+    assert 0.10 < masked_total / total < 0.20   # ~15% corruption
