@@ -1,0 +1,140 @@
+"""Model-evaluation metrics over scored frames — the gates a
+quality-classifier / filter-model pipeline runs before trusting a
+model's scores at corpus scale (the retrieval siblings live in
+operators/retrieval.ranking_metrics).
+
+All three are exact relational algebra — rank windows and grouped
+sums, no sampling, no collect — so billion-row eval sets hold and
+every metric sits under an exact SQL oracle:
+
+- :func:`auc`: ROC AUC via the Mann-Whitney rank-sum identity with
+  average ranks for ties (exactly what sklearn computes), one global
+  rank window + one aggregate.
+- :func:`ece`: expected calibration error over equal-width
+  probability bins — one groupBy.
+- :func:`classification_report`: per-class precision/recall/F1 from
+  one (label, prediction) contingency aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Binary ROC AUC: ``(U - n_pos(n_pos+1)/2) / (n_pos · n_neg)``
+    where U is the positive class's average-rank sum (ties share the
+    mean of their rank range). Returns 1 row (n_pos, n_neg, auc).
+
+    The rank window is a global sort — at 100 TB replace with the
+    two-phase prefix-sum ranking (operators/cumsum) exactly like
+    q117/q138; semantics identical."""
+    w = Window.orderBy(F.col(score_col))
+    ranked = df.select(
+        F.col(label_col).cast("int").alias("y"),
+        (
+            F.rank().over(w)
+            + (F.count("*").over(
+                Window.partitionBy(score_col)
+            ) - 1) / 2.0
+        ).alias("r"),
+    )
+    agg = ranked.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rank_sum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+def ece(
+    df: DataFrame, prob_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Expected calibration error over equal-width bins of the
+    predicted probability. Returns 1 row (n, ece); per-bin detail is
+    the intermediate frame for reliability plots."""
+    b = F.least(
+        F.floor(F.col(prob_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("int")
+    bins = (
+        df.select(
+            b.alias("bin"),
+            F.col(prob_col).alias("p"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("p").alias("conf"),
+            F.avg("y").alias("acc"),
+        )
+    )
+    total = bins.agg(F.sum("n").alias("total"))
+    return (
+        bins.crossJoin(F.broadcast(total))
+        .agg(
+            F.max("total").cast("long").alias("n"),
+            F.sum(
+                F.col("n") / F.col("total")
+                * F.abs(F.col("acc") - F.col("conf"))
+            ).alias("ece"),
+        )
+    )
+
+
+def classification_report(
+    df: DataFrame, pred_col: str, label_col: str
+) -> DataFrame:
+    """Per-class (class, tp, fp, fn, precision, recall, f1) from one
+    contingency aggregation — multi-class, zero-division guarded to
+    0.0 (sklearn's default)."""
+    base = df.select(
+        F.col(label_col).alias("y"), F.col(pred_col).alias("yhat")
+    )
+    per_label = base.groupBy("y").agg(
+        F.count("*").alias("support"),
+        F.sum((F.col("yhat") == F.col("y")).cast("long")).alias("tp"),
+    )
+    per_pred = base.groupBy("yhat").agg(F.count("*").alias("n_pred"))
+    joined = (
+        per_label.join(
+            per_pred, per_label["y"] == per_pred["yhat"], "full_outer"
+        )
+        .select(
+            F.coalesce("y", "yhat").alias("class"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (
+                F.coalesce("n_pred", F.lit(0)) - F.coalesce("tp", F.lit(0))
+            ).alias("fp"),
+            (
+                F.coalesce("support", F.lit(0)) - F.coalesce("tp", F.lit(0))
+            ).alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            prec + rec > 0, 2 * prec * rec / (prec + rec)
+        ).otherwise(F.lit(0.0)).alias("f1"),
+    )

@@ -8200,3 +8200,143 @@ def q162_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(TX.tokens(F.col("text"))).alias("n")
     )
     return span_corruption_plan(d, "doc_id", "n", span_len=3, stride=20)
+
+
+# ---------------------------------------------------------------------------
+# q163-q165 — model-evaluation metrics (operators/ml_metrics): ROC AUC
+# by the Mann-Whitney average-rank identity, expected calibration
+# error over 10 bins, and a multi-class precision/recall/F1 report —
+# all exact relational algebra over a derandomized scored frame
+# (score = md5-uniform blended with the binary label, so the metrics
+# are non-trivial AND reproducible in SQL).
+# ---------------------------------------------------------------------------
+_SCORE_SQL = """
+    (( ('0x' || substring(md5('p:' || CAST(vec_id AS VARCHAR)), 1,
+                          12))::BIGINT + 1.0) / 281474976710656.0
+     + CAST(label % 2 AS DOUBLE)) / 2.0
+"""
+
+
+def _score_col():
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("p:"), F.col("vec_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(281474976710656.0)
+    return (u + (F.col("label") % 2).cast("double")) / 2.0
+
+
+@query(
+    "q163_auc",
+    oracle=f"""
+    WITH s AS (SELECT vec_id, label % 2 AS y, {_SCORE_SQL} AS p
+               FROM embeddings),
+    r AS (SELECT y,
+                 rank() OVER (ORDER BY p)
+                 + (count(*) OVER (PARTITION BY p) - 1) / 2.0 AS r
+          FROM s)
+    SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(1 - y) AS BIGINT) AS n_neg,
+           round((sum(CASE WHEN y = 1 THEN r END)
+                  - sum(y) * (sum(y) + 1) / 2.0)
+                 / (sum(y) * sum(1 - y)), 6) AS auc
+    FROM r
+    """,
+)
+def q163_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import auc
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        (F.col("label") % 2).alias("y"),
+        _score_col().alias("p"),
+    )
+    return auc(emb, "p", "y").select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc")
+    )
+
+
+@query(
+    "q164_calibration_ece",
+    oracle=f"""
+    WITH s AS (SELECT label % 2 AS y, {_SCORE_SQL} AS p FROM embeddings),
+    b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                 count(*) AS n, avg(p) AS conf, avg(CAST(y AS DOUBLE)) AS acc
+          FROM s GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM b)
+    SELECT CAST(max(t.total) AS BIGINT) AS n,
+           round(sum(b.n / t.total * abs(b.acc - b.conf)), 6) AS ece
+    FROM b, t
+    """,
+)
+def q164_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import ece
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).alias("y"), _score_col().alias("p")
+    )
+    return ece(emb, "p", "y", n_bins=10).select(
+        "n", F.round("ece", 6).alias("ece")
+    )
+
+
+@query(
+    "q165_classification_report",
+    oracle="""
+    WITH s AS (SELECT label AS y,
+                      CASE WHEN vec_id % 3 = 0 THEN (label + 1) % 8
+                           ELSE label END AS yhat
+               FROM embeddings),
+    pl AS (SELECT y, count(*) AS support,
+                  sum(CASE WHEN yhat = y THEN 1 ELSE 0 END) AS tp
+           FROM s GROUP BY 1),
+    pp AS (SELECT yhat, count(*) AS n_pred FROM s GROUP BY 1),
+    j AS (SELECT coalesce(pl.y, pp.yhat) AS class,
+                 coalesce(pl.tp, 0) AS tp,
+                 coalesce(pp.n_pred, 0) - coalesce(pl.tp, 0) AS fp,
+                 coalesce(pl.support, 0) - coalesce(pl.tp, 0) AS fn
+          FROM pl FULL OUTER JOIN pp ON pl.y = pp.yhat)
+    SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(CASE WHEN tp + fp > 0
+                      THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END, 6)
+             AS precision,
+           round(CASE WHEN tp + fn > 0
+                      THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0 END, 6)
+             AS recall,
+           round(CASE WHEN (CASE WHEN tp + fp > 0
+                                 THEN tp / CAST(tp + fp AS DOUBLE)
+                                 ELSE 0 END)
+                         + (CASE WHEN tp + fn > 0
+                                 THEN tp / CAST(tp + fn AS DOUBLE)
+                                 ELSE 0 END) > 0
+                      THEN 2 * (tp / CAST(tp + fp AS DOUBLE))
+                             * (tp / CAST(tp + fn AS DOUBLE))
+                           / ((tp / CAST(tp + fp AS DOUBLE))
+                              + (tp / CAST(tp + fn AS DOUBLE)))
+                      ELSE 0 END, 6) AS f1
+    FROM j
+    """,
+)
+def q165_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import classification_report
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").alias("y"),
+        F.when(
+            F.col("vec_id") % 3 == 0, (F.col("label") + 1) % 8
+        ).otherwise(F.col("label")).alias("yhat"),
+    )
+    return classification_report(emb, "yhat", "y").select(
+        "class", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )

@@ -1,0 +1,68 @@
+"""ML evaluation metrics vs hand/Python models (sklearn-free)."""
+
+from __future__ import annotations
+
+from cccatalog_spark.operators.ml_metrics import (
+    auc,
+    classification_report,
+    ece,
+)
+
+
+def _auc_model(pairs):
+    """Exact AUC by pair counting (ties = 0.5)."""
+    pos = [p for p, y in pairs if y == 1]
+    neg = [p for p, y in pairs if y == 0]
+    wins = 0.0
+    for pp in pos:
+        for pn in neg:
+            wins += 1.0 if pp > pn else (0.5 if pp == pn else 0.0)
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_matches_pair_counting_with_ties(spark):
+    pairs = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 0), (0.6, 1),
+        (0.5, 0), (0.5, 1), (0.5, 0), (0.2, 0), (0.1, 1),
+    ]
+    df = spark.createDataFrame(pairs, "p double, y int")
+    row = auc(df, "p", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (5, 5)
+    assert abs(row["auc"] - _auc_model(pairs)) < 1e-12
+
+
+def test_auc_perfect_and_inverted(spark):
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    df = spark.createDataFrame(perfect, "p double, y int")
+    assert auc(df, "p", "y").collect()[0]["auc"] == 1.0
+    inv = [(p, 1 - y) for p, y in perfect]
+    df2 = spark.createDataFrame(inv, "p double, y int")
+    assert auc(df2, "p", "y").collect()[0]["auc"] == 0.0
+
+
+def test_ece_hand_computed(spark):
+    # bin 0.0-0.1: two rows conf .05, acc 0 -> |0-.05| * 2/4
+    # bin 0.9-1.0: two rows conf .95, acc 1 -> |1-.95| * 2/4
+    rows = [(0.05, 0), (0.05, 0), (0.95, 1), (0.95, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = ece(df, "p", "y", n_bins=10).collect()[0]
+    assert out["n"] == 4
+    assert abs(out["ece"] - 0.05) < 1e-12
+
+
+def test_classification_report_model(spark):
+    rows = [  # (y, yhat)
+        (0, 0), (0, 0), (0, 1),
+        (1, 1), (1, 0),
+        (2, 2),
+        (3, 2),          # class 3 never predicted -> precision 0 guard
+    ]
+    df = spark.createDataFrame(rows, "y int, yhat int")
+    rep = {r["class"]: r for r in classification_report(df, "yhat", "y").collect()}
+    assert rep[0]["tp"] == 2 and rep[0]["fp"] == 1 and rep[0]["fn"] == 1
+    assert abs(rep[0]["precision"] - 2 / 3) < 1e-12
+    assert abs(rep[0]["recall"] - 2 / 3) < 1e-12
+    assert rep[1]["tp"] == 1 and rep[1]["fp"] == 1 and rep[1]["fn"] == 1
+    assert rep[2]["tp"] == 1 and rep[2]["fp"] == 1 and rep[2]["fn"] == 0
+    assert rep[3]["tp"] == 0 and rep[3]["precision"] == 0.0
+    assert rep[3]["f1"] == 0.0
