@@ -113,3 +113,39 @@ def scd2_from_snapshots(
         F.lit(None).cast("int").alias("valid_to"),
     )
     return closed.unionByName(open_old).unionByName(open_new)
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Apply a change feed to a snapshot — the inverse of
+    :func:`snapshot_diff`: ``changes`` rows carry (keys...,
+    change_type ∈ insert|update|delete, new_<c>...) and fold into the
+    target so that ``apply_changes(old, snapshot_diff(old, new)) ==
+    new`` exactly (roundtrip property, tested). ``unchanged`` rows in
+    the feed are ignored, so a raw snapshot_diff output applies
+    as-is.
+
+    Plan: one left anti/semi-style full pass — target LEFT JOIN feed
+    on the key (deletes and updates resolve in the join projection),
+    UNION the inserts. One shuffle on the key both sides; at 100 TB
+    both frames bucket by the same key and the exchange disappears
+    (the MERGE co-location story, applied to CDC replay)."""
+    ch = changes.where(F.col("change_type") != "unchanged")
+    upserts = ch.where(F.col("change_type").isin("insert", "update"))
+    feed = ch.select(
+        *[F.col(k) for k in keys],
+        F.col("change_type").alias("__ct"),
+    )
+    joined = target.join(feed, keys, "left")
+    kept = joined.where(
+        F.col("__ct").isNull() | (F.col("__ct") == "unchanged")
+    ).select(target.columns)
+    new_rows = upserts.select(
+        *[F.col(k) for k in keys],
+        *[F.col(f"new_{c}").alias(c) for c in value_cols],
+    )
+    return kept.unionByName(new_rows)

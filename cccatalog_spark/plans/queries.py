@@ -8340,3 +8340,65 @@ def q165_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — CDC apply (operators/cdc.apply_changes): replay a change feed
+# onto a snapshot; the exact inverse of q104's snapshot_diff
+# (roundtrip property pinned in tests). Feed = the q157 scenario's
+# churn; result must equal recomputing the new state relationally.
+# ---------------------------------------------------------------------------
+@query(
+    "q166_cdc_apply",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_totalprice AS p FROM orders),
+    upd AS (SELECT o_orderkey, p + 100 AS p FROM base
+            WHERE o_orderkey % 7 = 0),
+    ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, p + 500 AS p
+            FROM base WHERE o_orderkey % 13 = 0),
+    after AS (
+      SELECT b.o_orderkey,
+             coalesce(u.p, b.p) AS p
+      FROM base b LEFT JOIN upd u USING (o_orderkey)
+      WHERE b.o_orderkey % 17 <> 0        -- deletes
+      UNION ALL
+      SELECT * FROM ins)
+    SELECT o_orderkey, round(p, 2) AS p FROM after
+    """,
+)
+def q166_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.cdc import apply_changes
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("p")
+    )
+    upd = base.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("update").alias("change_type"),
+        (F.col("p") + 100).alias("new_p"),
+    )
+    ins = base.where(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit("insert").alias("change_type"),
+        (F.col("p") + 500).alias("new_p"),
+    )
+    dels = base.where(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderkey",
+        F.lit("delete").alias("change_type"),
+        F.lit(None).cast("double").alias("new_p"),
+    )
+    feed = upd.unionByName(ins).unionByName(dels)
+    # deletes win over updates for the same key in this synthetic feed
+    feed = feed.withColumn(
+        "__pri", F.when(F.col("change_type") == "delete", 0).otherwise(1)
+    )
+    from pyspark.sql import Window as W
+
+    first = W.partitionBy("o_orderkey").orderBy("__pri")
+    feed = (
+        feed.withColumn("__rn", F.row_number().over(first))
+        .where(F.col("__rn") == 1)
+        .drop("__pri", "__rn")
+    )
+    out = apply_changes(base, feed, ["o_orderkey"], ["p"])
+    return out.select("o_orderkey", F.round("p", 2).alias("p"))

@@ -106,3 +106,35 @@ def test_scd2_open_rows_equal_new_snapshot(spark, old, new):
         if k not in new or new[k] != v
     }
     assert closed == want_closed
+
+
+def test_apply_changes_roundtrips_snapshot_diff(spark):
+    from cccatalog_spark.operators.cdc import apply_changes, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),            # unchanged
+         (2, "B", 20),            # update (string col)
+         (3, "c", 99),            # update (numeric col)
+         (5, "e", 50)],           # insert; key 4 deleted
+        "k long, s string, v long",
+    )
+    diff = snapshot_diff(old, new, ["k"], ["s", "v"])
+    rebuilt = apply_changes(old, diff, ["k"], ["s", "v"])
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_apply_changes_ignores_unchanged_rows(spark):
+    from cccatalog_spark.operators.cdc import apply_changes
+
+    old = spark.createDataFrame([(1, 10)], "k long, v long")
+    feed = spark.createDataFrame(
+        [(1, "unchanged", 999)], "k long, change_type string, new_v long"
+    )
+    out = apply_changes(old, feed, ["k"], ["v"]).collect()
+    assert [tuple(r) for r in out] == [(1, 10)]
