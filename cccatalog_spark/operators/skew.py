@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,3 +39,41 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return b.join(s, [*on, "_salt"], how).drop("_salt")
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    workers: list[str],
+    *,
+    salt: str = "hrw:",
+    out_col: str = "owner",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: assign every key
+    to the worker with the largest ``md5(salt ‖ worker ‖ ':' ‖ key)``
+    — the shard-ownership scheme whose defining property is minimal
+    movement under churn: adding/removing one worker reassigns only
+    ~1/n of the keys (pinned by test), unlike mod-N hashing which
+    reshuffles almost everything.
+
+    Pure column algebra: the per-worker digests form one ``greatest``
+    chain over |workers| expressions — no dim join, no shuffle, no
+    state; ownership is a pure function of (key, worker set), so any
+    executor computes it identically (how a 1000-node ingest tier
+    agrees on ownership without coordination)."""
+    if not workers:
+        raise ValueError("workers must be non-empty")
+    k = F.col(key_col).cast("string")
+
+    def digest(w: str) -> Column:
+        return F.md5(F.concat(F.lit(salt + w + ":"), k))
+
+    best = F.greatest(*[digest(w) for w in workers]) if len(workers) > 1 \
+        else digest(workers[0])
+    expr = None
+    for w in workers:
+        cond = digest(w) == best
+        expr = F.when(cond, F.lit(w)) if expr is None else expr.when(
+            cond, F.lit(w)
+        )
+    return df.withColumn(out_col, expr)

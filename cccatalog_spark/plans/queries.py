@@ -8402,3 +8402,92 @@ def q166_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = apply_changes(base, feed, ["o_orderkey"], ["p"])
     return out.select("o_orderkey", F.round("p", 2).alias("p"))
+
+
+# ---------------------------------------------------------------------------
+# q167 — rendezvous-hash shard ownership (operators/skew.
+# rendezvous_assign): HRW assignment of document keys to 5 workers —
+# coordination-free, minimal-movement-under-churn (pinned by test).
+# Pure scan-stage column algebra.
+# ---------------------------------------------------------------------------
+_HRW_WORKERS = ["w1", "w2", "w3", "w4", "w5"]
+
+
+def _q167_oracle() -> str:
+    digests = {
+        w: f"md5('hrw:{w}:' || CAST(doc_id AS VARCHAR))" for w in _HRW_WORKERS
+    }
+    greatest = "greatest(" + ", ".join(digests.values()) + ")"
+    case = " ".join(
+        f"WHEN {d} = {greatest} THEN '{w}'" for w, d in digests.items()
+    )
+    return f"""
+    SELECT doc_id, CASE {case} END AS owner FROM documents
+    """
+
+
+@query("q167_rendezvous_shards", oracle=_q167_oracle())
+def q167_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.skew import rendezvous_assign
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_assign(d, "doc_id", _HRW_WORKERS)
+
+
+# ---------------------------------------------------------------------------
+# q168 — equi-depth range-partition plan (operators/quantiles.
+# exact_quantiles as the boundary source): 8 balanced ranges over
+# l_extendedprice; assignment = count of boundaries strictly below
+# the value — the explicit form of repartitionByRange's sampling,
+# made exact and auditable (layout sibling of q108 z-order and q112
+# compaction).
+# ---------------------------------------------------------------------------
+@query(
+    "q168_range_partition_plan",
+    oracle="""
+    WITH b AS (
+      SELECT unnest([
+        percentile_disc(0.125) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_disc(0.25)  WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_disc(0.375) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_disc(0.5)   WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_disc(0.625) WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_disc(0.75)  WITHIN GROUP (ORDER BY l_extendedprice),
+        percentile_disc(0.875) WITHIN GROUP (ORDER BY l_extendedprice)
+      ]) AS bound
+      FROM lineitem)
+    SELECT p.bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(p.v), 2) AS lo, round(max(p.v), 2) AS hi
+    FROM (
+      SELECT l.l_extendedprice AS v,
+             (SELECT count(*) FROM b WHERE b.bound < l.l_extendedprice)
+               AS bucket
+      FROM lineitem l) p
+    GROUP BY 1
+    """,
+)
+def q168_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quantiles import exact_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fr = [i / 8 for i in range(1, 8)]
+    bounds = [
+        v for _, v in exact_quantiles(
+            li, "l_extendedprice", fr, bins=32, tail_threshold=2000
+        )
+    ]
+    v = F.col("l_extendedprice")
+    bucket = sum(
+        (v > F.lit(b)).cast("int") for b in bounds
+    )
+    # strictly-below count: percentile_disc boundaries are actual data
+    # values, so "bound < v" in the oracle == "v > bound" here
+    return (
+        li.select(v.alias("v"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+    )

@@ -344,3 +344,37 @@ def test_robust_outliers_median_mad_model(spark):
             assert out[i]["is_outlier"] == (abs(v - med) > 3.0 * mad)
     assert out[99]["is_outlier"] is True
     assert sum(1 for r in out.values() if r["is_outlier"]) >= 1
+
+
+def test_rendezvous_minimal_movement_and_balance(spark):
+    from cccatalog_spark.operators.skew import rendezvous_assign
+
+    df = spark.range(3000).select(F.col("id").alias("k"))
+    w4 = ["w1", "w2", "w3", "w4"]
+    a4 = {
+        r["k"]: r["owner"]
+        for r in rendezvous_assign(df, "k", w4).collect()
+    }
+    a5 = {
+        r["k"]: r["owner"]
+        for r in rendezvous_assign(df, "k", w4 + ["w5"]).collect()
+    }
+    moved = sum(1 for k in a4 if a4[k] != a5[k])
+    # adding a 5th worker moves ~1/5 of keys, never keys between old
+    # workers
+    assert abs(moved / 3000 - 0.2) < 0.04
+    for k in a4:
+        if a4[k] != a5[k]:
+            assert a5[k] == "w5"
+    # balance: each worker owns roughly 1/4 before, 1/5 after
+    from collections import Counter
+
+    c4, c5 = Counter(a4.values()), Counter(a5.values())
+    assert all(abs(v / 3000 - 0.25) < 0.05 for v in c4.values())
+    assert all(abs(v / 3000 - 0.2) < 0.05 for v in c5.values())
+    # deterministic under repartition
+    again = {
+        r["k"]: r["owner"]
+        for r in rendezvous_assign(df.repartition(11), "k", w4).collect()
+    }
+    assert again == a4
