@@ -260,3 +260,45 @@ def test_q149_six_table_join_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # order-date filter reaches the orders scan
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_segment_dedup_single_aggregate_shuffle(spark, sf_dir):
+    """q132: the first-occurrence table is ONE mergeable min-struct
+    aggregate (partial_min visible), and the seg-key join never
+    degenerates to a nested loop."""
+    from cccatalog_spark.operators.lines import dedup_segments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(dedup_segments(docs, "text", "doc_id", k=5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # map-side combine on the seg key
+
+
+def test_blocklist_is_hash_join_not_bnlj(spark, sf_dir):
+    """q137: 'endswith any of N domains' must plan as a broadcast
+    HASH join on the exploded suffix, never a nested loop."""
+    from cccatalog_spark.functions.urls import blocklist_mark
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = d.withColumn(
+        "url",
+        F.concat(F.lit("https://h"), F.col("doc_id").cast("string"),
+                 F.lit(".example.com/x")),
+    )
+    plan = _plan(blocklist_mark(urls, "url", ["a.com", "b.net"]))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_epoch_repeat_no_shuffle(spark, sf_dir):
+    """q136: mixture realization is broadcast dim + generator — zero
+    Exchange in the plan."""
+    from cccatalog_spark.operators.sampling import epoch_repeat
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    plan = _plan(epoch_repeat(d, "doc_id", "source", {"src1": 2.5}))
+    # the only exchange allowed is the broadcast of the dim
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Generate" in plan  # the sequence-explode generator
