@@ -8491,3 +8491,130 @@ def q168_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 2).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — per-source linear regression (grouped OLS from sufficient
+# statistics): slope/intercept/r² of n_chars against token count —
+# one aggregate of five sums per group; the grouped form of
+# regr_slope/regr_intercept/corr, exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q169_grouped_regression",
+    oracle=f"""
+    WITH t AS (SELECT source, CAST(len({_TOKS}) AS DOUBLE) AS x,
+                      CAST(n_chars AS DOUBLE) AS y
+               FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(corr(y, x) * corr(y, x), 6) AS r2
+    FROM t GROUP BY 1
+    """,
+)
+def q169_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.corr("y", "x").alias("r"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return agg.select(
+        "source",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.col("r") * F.col("r"), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q170 — strictly-ordered funnel (view → click → purchase per user):
+# each stage's timestamp is the first occurrence AFTER the previous
+# stage — three conditional-min aggregates chained by key joins, the
+# standard sequenced-funnel shape (no window scan over raw events per
+# stage pair).
+# ---------------------------------------------------------------------------
+@query(
+    "q170_event_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    s1 AS (SELECT user_id, min(sec) AS t_view FROM e
+           WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.sec) AS t_click
+           FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.sec > s1.t_view
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.sec) AS t_purchase
+           FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.sec > s2.t_click
+           GROUP BY 1)
+    SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           s1.user_id IS NOT NULL AS reached_view,
+           s2.user_id IS NOT NULL AS reached_click,
+           s3.user_id IS NOT NULL AS reached_purchase
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def q170_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    s1 = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_view"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("sec") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_click"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase")
+            & (F.col("sec") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("sec").alias("t_purchase"))
+    )
+    users = e.select("user_id").distinct()
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_view").isNotNull().alias("reached_view"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+    )
