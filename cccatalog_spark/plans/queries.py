@@ -8618,3 +8618,52 @@ def q170_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — URL path-hierarchy rollup: per (host, path-prefix, depth)
+# page counts — the crawl-budget facet tree ("how deep does each
+# section go"). Prefix explode is bounded by path depth; one groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q171_path_rollup",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'sec' || CAST(doc_id % 3 AS VARCHAR) || '/sub'
+               || CAST(doc_id % 5 AS VARCHAR) || '/page'
+               || CAST(doc_id AS VARCHAR) AS path
+      FROM documents),
+    segs AS (SELECT doc_id, string_split(path, '/') AS parts FROM u),
+    pre AS (
+      SELECT doc_id, d AS depth,
+             array_to_string(parts[1:d], '/') AS prefix
+      FROM segs, LATERAL unnest(generate_series(1, len(parts))) g(d))
+    SELECT prefix, CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_pages
+    FROM pre GROUP BY 1, 2
+    """,
+)
+def q171_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    path = F.concat(
+        F.lit("sec"), (F.col("doc_id") % 3).cast("string"),
+        F.lit("/sub"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("/page"), sid,
+    )
+    parts = F.split(path, "/")
+    n = F.size(parts)
+    prefixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.cast("int").alias("depth"),
+            F.array_join(F.slice(parts, 1, i), "/").alias("prefix"),
+        ),
+    )
+    return (
+        d.select(F.explode(prefixes).alias("p"))
+        .groupBy(F.col("p.prefix").alias("prefix"),
+                 F.col("p.depth").alias("depth"))
+        .agg(F.count("*").alias("n_pages"))
+    )
