@@ -74,6 +74,9 @@ def exact_quantiles(
     base = (
         df.select(F.col(value_col).cast("double").alias("v"))
         .where(F.col("v").isNotNull())
+        # spread across the cluster: inheriting a handful of file
+        # partitions would make every refinement job a straggler
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
         .persist()
     )
     try:
@@ -243,3 +246,159 @@ def weighted_median(
             F.max("__tw").alias("total_weight"),
         )
     )
+
+
+def exact_quantiles_multi(
+    df: DataFrame,
+    value_cols: list[str],
+    fractions: list[float],
+    *,
+    bins: int = 64,
+    tail_threshold: int = 65536,
+    max_rounds: int = 64,
+) -> dict[str, list[tuple[float, float]]]:
+    """Exact ``percentile_disc`` for SEVERAL columns in one shared
+    pass structure: the table is melted to (column-id, value) ONCE,
+    cached once, and every refinement round histograms ALL still-active
+    (column, fraction) candidate sets in a single aggregate job — the
+    ANALYZE-grade form of :func:`exact_quantiles` (which this
+    generalizes; n columns no longer means n cached scans).
+
+    Returns {column: [(fraction, value), ...]}.
+    """
+    for f in fractions:
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction out of [0,1]: {f}")
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("c"),
+                        F.col(col).cast("double").alias("v"),
+                    )
+                    for ci, col in enumerate(value_cols)
+                ]
+            )
+        ).alias("s")
+    ).select("s.c", "s.v").where(F.col("v").isNotNull())
+    # spread the melt across the cluster: the parent's file-partition
+    # count (often a handful of parquet files) would otherwise make
+    # every refinement job a straggler over 3 fat cached partitions
+    melted = melted.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).persist()
+    try:
+        base_stats = {
+            r["c"]: r
+            for r in melted.groupBy("c")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .collect()
+        }
+        results: dict[tuple[int, float], float] = {}
+        states: dict[tuple[int, float], tuple] = {}
+        for ci in range(len(value_cols)):
+            st = base_stats.get(ci)
+            for f in fractions:
+                if st is None or st["n"] == 0:
+                    results[(ci, f)] = None
+                    continue
+                k = max(1, math.ceil(f * st["n"]))
+                states[(ci, f)] = (
+                    float(st["mn"]),
+                    float(st["mx"]),
+                    k,
+                    F.col("c") == ci,
+                    st["n"],
+                )
+
+        def kth(pred, k):
+            row = (
+                melted.where(pred)
+                .orderBy("v")
+                .limit(k)
+                .agg(F.max("v").alias("v"))
+                .collect()[0]
+            )
+            return row["v"]
+
+        for _ in range(max_rounds):
+            for key, (lo, hi, k, pred, cnt) in list(states.items()):
+                width = (hi - lo) / bins
+                if cnt <= tail_threshold:
+                    results[key] = kth(pred, k)
+                    del states[key]
+                elif width <= 0 or not math.isfinite(width) or (
+                    width <= max(abs(lo), abs(hi)) * 1e-15
+                ):
+                    results[key] = melted.where(pred).agg(
+                        F.min("v").alias("v")
+                    ).collect()[0]["v"]
+                    del states[key]
+            if not states:
+                break
+            ordered = list(states.items())
+            structs = []
+            for i, (key, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+                width = (hi - lo) / bins
+                b = F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
+                b = F.least(
+                    F.greatest(b, F.lit(0)), F.lit(bins - 1)
+                ).cast("int")
+                structs.append(
+                    F.when(
+                        pred, F.struct(F.lit(i).alias("q"), b.alias("b"))
+                    )
+                )
+            hist = (
+                melted.select(
+                    F.explode(
+                        F.filter(
+                            F.array(*structs), lambda s: s.isNotNull()
+                        )
+                    ).alias("s")
+                )
+                .groupBy("s.q", "s.b")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            )
+            counts: dict[int, dict[int, int]] = {}
+            for r in hist:
+                counts.setdefault(r["q"], {})[r["b"]] = r["cnt"]
+            for i, (key, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+                width = (hi - lo) / bins
+                b_counts = counts.get(i, {})
+                cum = 0
+                for b in range(bins):
+                    c = b_counts.get(b, 0)
+                    if cum + c >= k:
+                        bucket_b = F.least(
+                            F.greatest(
+                                F.floor(
+                                    (F.col("v") - F.lit(lo)) / F.lit(width)
+                                ),
+                                F.lit(0),
+                            ),
+                            F.lit(bins - 1),
+                        ).cast("int")
+                        states[key] = (
+                            lo + b * width,
+                            lo + (b + 1) * width if b < bins - 1 else hi,
+                            k - cum,
+                            pred & (bucket_b == b),
+                            c,
+                        )
+                        break
+                    cum += c
+        for key, (lo, hi, k, pred, cnt) in states.items():
+            results[key] = kth(pred, k)
+        return {
+            col: [(f, results[(ci, f)]) for f in fractions]
+            for ci, col in enumerate(value_cols)
+        }
+    finally:
+        melted.unpersist()

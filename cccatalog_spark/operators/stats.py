@@ -7,8 +7,11 @@ Scale shape: one aggregate job computes count/nulls/min/max for ALL
 requested columns at once (map-side combined); exact NDV is one
 distinct-aggregate per column over the same scan (Spark plans
 multi-distinct via expand — still one shuffle stage); the quartiles
-ride :mod:`cccatalog_spark.operators.quantiles`' histogram-refinement
-(bounded driver state, no global sort) rather than any collect_list.
+ride the MULTI-COLUMN histogram refinement
+(:func:`cccatalog_spark.operators.quantiles.exact_quantiles_multi` —
+the table melts to (column, value) once, caches once, and every round
+histograms all still-active (column, fraction) sets in one job;
+bounded driver state, no global sort, no collect_list).
 For billion-distinct columns swap exact NDV for
 ``functions/sketches.hll_distinct`` (documented trade, same output
 shape).
@@ -22,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cccatalog_spark.operators.quantiles import exact_quantiles
+from cccatalog_spark.operators.quantiles import exact_quantiles_multi
 
 
 def column_stats(
@@ -45,10 +48,11 @@ def column_stats(
             F.countDistinct(c).alias(f"{c}__ndv"),
         ]
     row = df.agg(*aggs).collect()[0]
-    out = []
     kw = quantile_kwargs or {}
+    all_qs = exact_quantiles_multi(df, columns, list(fractions), **kw)
+    out = []
     for c in columns:
-        qs = dict(exact_quantiles(df, c, list(fractions), **kw))
+        qs = dict(all_qs[c])
         out.append(
             (
                 c,

@@ -7422,7 +7422,7 @@ def q150_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return column_stats(
         spark, li, _STAT_COLS,
-        quantile_kwargs={"bins": 32, "tail_threshold": 2000},
+        quantile_kwargs={"bins": 64, "tail_threshold": 65536},
     )
 
 
