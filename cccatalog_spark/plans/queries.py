@@ -8667,3 +8667,111 @@ def q171_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("p.depth").alias("depth"))
         .agg(F.count("*").alias("n_pages"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — S3 sync plan (operators/sync.sync_plan; S12's engine half):
+# copy/replace/delete/keep from a full-outer listing diff. Idempotence
+# (apply → re-plan → all keep) pinned in tests.
+# ---------------------------------------------------------------------------
+@query(
+    "q172_sync_plan",
+    oracle="""
+    WITH src AS (
+      SELECT 'part-' || CAST(doc_id AS VARCHAR) AS key,
+             md5('v' || CAST(doc_id % 4 AS VARCHAR)) AS etag,
+             CAST(n_chars AS BIGINT) AS size
+      FROM documents WHERE doc_id % 5 <> 4),
+    dst AS (
+      SELECT 'part-' || CAST(doc_id AS VARCHAR) AS key,
+             CASE WHEN doc_id % 5 = 2 THEN md5('stale')
+                  ELSE md5('v' || CAST(doc_id % 4 AS VARCHAR)) END AS etag,
+             CAST(n_chars AS BIGINT) AS size
+      FROM documents WHERE doc_id % 5 <> 0)
+    SELECT coalesce(s.key, d.key) AS key,
+           CASE WHEN d.key IS NULL THEN 'copy'
+                WHEN s.key IS NULL THEN 'delete'
+                WHEN s.etag <> d.etag OR s.size <> d.size THEN 'replace'
+                ELSE 'keep' END AS action,
+           s.etag AS src_etag, s.size AS src_size,
+           d.etag AS dst_etag, d.size AS dst_size
+    FROM src s FULL OUTER JOIN dst d ON s.key = d.key
+    """,
+)
+def q172_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sync import sync_plan
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    key = F.concat(F.lit("part-"), F.col("doc_id").cast("string"))
+    etag = F.md5(F.concat(F.lit("v"), (F.col("doc_id") % 4).cast("string")))
+    src = d.where(F.col("doc_id") % 5 != 4).select(
+        key.alias("key"), etag.alias("etag"),
+        F.col("n_chars").cast("long").alias("size"),
+    )
+    dst = d.where(F.col("doc_id") % 5 != 0).select(
+        key.alias("key"),
+        F.when(F.col("doc_id") % 5 == 2, F.md5(F.lit("stale")))
+        .otherwise(etag).alias("etag"),
+        F.col("n_chars").cast("long").alias("size"),
+    )
+    return sync_plan(src, dst)
+
+
+# ---------------------------------------------------------------------------
+# q173 — WAT manifest load + slice fan-out (sources/cc_manifest.
+# load_wat_manifest; S1's engine half) and latest-index discovery
+# (S13): parse a generated wat.paths manifest, assign md5 fetch
+# slices, count per slice, and carry the latest index name.
+# ---------------------------------------------------------------------------
+@query(
+    "q173_wat_manifest",
+    oracle="""
+    WITH m AS (
+      SELECT 'crawl-data/CC-MAIN-2024-' ||
+             lpad(CAST(10 + doc_id % 40 AS VARCHAR), 2, '0') ||
+             '/segments/' || CAST(doc_id AS VARCHAR) || '/wat/f.wat.gz'
+               AS wat_path
+      FROM documents),
+    s AS (SELECT wat_path,
+                 CAST(('0x' || substring(md5(wat_path), 1, 4))::BIGINT % 64
+                      AS INT) AS slice_id
+          FROM m),
+    latest AS (SELECT max(substring(wat_path, 12, 15)) AS latest FROM m)
+    SELECT s.slice_id, CAST(count(*) AS BIGINT) AS n_paths,
+           max(latest.latest) AS latest_index
+    FROM s, latest
+    GROUP BY 1
+    """,
+)
+def q173_wat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from cccatalog_spark.sources.cc_manifest import (
+        latest_index,
+        load_wat_manifest,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="ccc_manifest_")
+    path = os.path.join(base, "wat.paths")
+    with open(path, "w") as f:
+        for i in sorted(ids):
+            f.write(
+                f"crawl-data/CC-MAIN-2024-{10 + i % 40:02d}/segments/"
+                f"{i}/wat/f.wat.gz\n"
+            )
+    m = load_wat_manifest(spark, path, n_slices=64)
+    latest = latest_index(
+        m.select(F.substring("wat_path", 12, 15).alias("key")), "key"
+    )
+    return (
+        m.groupBy("slice_id")
+        .agg(F.count("*").alias("n_paths"))
+        .crossJoin(F.broadcast(latest.withColumnRenamed("latest", "latest_index")))
+    )

@@ -378,3 +378,42 @@ def test_rendezvous_minimal_movement_and_balance(spark):
         for r in rendezvous_assign(df.repartition(11), "k", w4).collect()
     }
     assert again == a4
+
+
+def test_sync_plan_actions_and_idempotence(spark):
+    from cccatalog_spark.operators.sync import sync_plan
+
+    src = spark.createDataFrame(
+        [("a", "e1", 10), ("b", "e2", 20), ("c", "e3", 30)],
+        "key string, etag string, size long",
+    )
+    dst = spark.createDataFrame(
+        [("b", "e2", 20), ("c", "eX", 30), ("d", "e4", 40)],
+        "key string, etag string, size long",
+    )
+    plan = {r["key"]: r["action"] for r in sync_plan(src, dst).collect()}
+    assert plan == {"a": "copy", "b": "keep", "c": "replace", "d": "delete"}
+    # idempotence: applying the plan makes dst == src; re-plan = all keep
+    replanned = {
+        r["key"]: r["action"] for r in sync_plan(src, src).collect()
+    }
+    assert set(replanned.values()) == {"keep"}
+
+
+def test_wat_manifest_slices_stable(spark, tmp_path):
+    from cccatalog_spark.sources.cc_manifest import load_wat_manifest
+
+    p = tmp_path / "wat.paths"
+    paths = [f"crawl/seg{i}/f{i}.wat.gz" for i in range(100)]
+    p.write_text("\n".join(paths) + "\n\n")   # trailing blank dropped
+    m = load_wat_manifest(spark, str(p), n_slices=8)
+    rows = m.collect()
+    assert len(rows) == 100
+    assert all(0 <= r["slice_id"] < 8 for r in rows)
+    # stable across re-reads and manifest shuffling
+    p2 = tmp_path / "wat2.paths"
+    p2.write_text("\n".join(reversed(paths)))
+    m2 = {r["wat_path"]: r["slice_id"]
+          for r in load_wat_manifest(spark, str(p2), n_slices=8).collect()}
+    m1 = {r["wat_path"]: r["slice_id"] for r in rows}
+    assert m1 == m2
