@@ -138,3 +138,58 @@ def classification_report(
             prec + rec > 0, 2 * prec * rec / (prec + rec)
         ).otherwise(F.lit(0.0)).alias("f1"),
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision/recall/F1 at each decision threshold — the sweep
+    that picks a filter model's operating point. ONE aggregate job:
+    every threshold contributes three conditional sums to the same
+    pass (no per-threshold scan, no row×threshold explode); the
+    result row then unpivots to (threshold, tp, fp, fn, precision,
+    recall, f1) rows via a 1-row generator."""
+    p, y = F.col(prob_col), F.col(label_col).cast("int")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = (p >= F.lit(t)).cast("int")
+        aggs += [
+            F.sum(pred * y).cast("long").alias(f"tp_{i}"),
+            F.sum(pred * (1 - y)).cast("long").alias(f"fp_{i}"),
+            F.sum((1 - pred) * y).cast("long").alias(f"fn_{i}"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("threshold"),
+                F.col(f"tp_{i}").alias("tp"),
+                F.col(f"fp_{i}").alias("fp"),
+                F.col(f"fn_{i}").alias("fn"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    base = row.select(F.explode(structs).alias("s")).select("s.*")
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0))
+        .alias("f1"),
+    )

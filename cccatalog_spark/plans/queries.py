@@ -8775,3 +8775,63 @@ def q173_wat_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_paths"))
         .crossJoin(F.broadcast(latest.withColumnRenamed("latest", "latest_index")))
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — precision/recall threshold sweep (operators/ml_metrics.
+# pr_curve): 9 operating points from ONE aggregate pass (3 conditional
+# sums per threshold, no row×threshold explode), over the q163 scored
+# frame.
+# ---------------------------------------------------------------------------
+_PR_THRESH = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _q174_oracle() -> str:
+    parts = []
+    for t in _PR_THRESH:
+        parts.append(f"""
+    SELECT CAST({t} AS DOUBLE) AS threshold,
+           CAST(sum(CASE WHEN p >= {t} AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN p >= {t} AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN p < {t} AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn
+    FROM s""")
+    u = "\n    UNION ALL".join(parts)
+    return f"""
+    WITH s AS (SELECT label % 2 AS y, {_SCORE_SQL} AS p FROM embeddings),
+    m AS ({u})
+    SELECT threshold, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE)
+                      ELSE 0 END, 6) AS precision,
+           round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE)
+                      ELSE 0 END, 6) AS recall,
+           round(CASE WHEN (CASE WHEN tp + fp > 0
+                                 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END)
+                        + (CASE WHEN tp + fn > 0
+                                THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0 END)
+                        > 0
+                      THEN 2 * (tp / CAST(tp + fp AS DOUBLE))
+                             * (tp / CAST(tp + fn AS DOUBLE))
+                           / ((tp / CAST(tp + fp AS DOUBLE))
+                              + (tp / CAST(tp + fn AS DOUBLE)))
+                      ELSE 0 END, 6) AS f1
+    FROM m
+    """
+
+
+@query("q174_pr_curve", oracle=_q174_oracle())
+def q174_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import pr_curve
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).alias("y"), _score_col().alias("p")
+    )
+    out = pr_curve(emb, "p", "y", _PR_THRESH)
+    return out.select(
+        "threshold", "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from cccatalog_spark.operators.ml_metrics import (
+    pr_curve,
     auc,
     classification_report,
     ece,
@@ -66,3 +67,17 @@ def test_classification_report_model(spark):
     assert rep[2]["tp"] == 1 and rep[2]["fp"] == 1 and rep[2]["fn"] == 0
     assert rep[3]["tp"] == 0 and rep[3]["precision"] == 0.0
     assert rep[3]["f1"] == 0.0
+
+
+def test_pr_curve_hand_computed(spark):
+    rows = [(0.9, 1), (0.7, 1), (0.6, 0), (0.3, 1), (0.1, 0)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r["threshold"]: r for r in pr_curve(df, "p", "y", [0.5, 0.8]).collect()}
+    # t=0.5: preds {0.9, 0.7, 0.6} -> tp=2 fp=1 fn=1
+    assert (out[0.5]["tp"], out[0.5]["fp"], out[0.5]["fn"]) == (2, 1, 1)
+    assert abs(out[0.5]["precision"] - 2 / 3) < 1e-12
+    assert abs(out[0.5]["recall"] - 2 / 3) < 1e-12
+    # t=0.8: preds {0.9} -> tp=1 fp=0 fn=2
+    assert (out[0.8]["tp"], out[0.8]["fp"], out[0.8]["fn"]) == (1, 0, 2)
+    assert out[0.8]["precision"] == 1.0
+    assert abs(out[0.8]["recall"] - 1 / 3) < 1e-12
