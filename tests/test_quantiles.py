@@ -96,3 +96,74 @@ def test_weighted_median_model(spark):
         for r in weighted_median(df, "g", "v", "w").collect()
     }
     assert got == {"g": (1, 6), "h": (2, 4), "i": (42, 7)}
+
+
+# ---------------------------------------------------------------------------
+# property tests: histogram refinement vs sorted-list truth under
+# adversarial value distributions
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_vals = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e12, max_value=1e12,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.sampled_from([0.0, -0.0, 1e-300, -1e-300, 42.0]),
+        st.integers(min_value=-5, max_value=5).map(float),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(vals=_vals, f=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+def test_exact_quantiles_property(spark, vals, f):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = dict(
+        exact_quantiles(df, "x", [f], bins=4, tail_threshold=3)
+    )[f]
+    assert got == _disc(vals, f)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-100, max_value=100),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_property(spark, rows):
+    from cccatalog_spark.operators.quantiles import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in rows], "g string, v long, w long"
+    )
+    got = weighted_median(df, "g", "v", "w").collect()[0]
+    # model: smallest v whose cumulative weight reaches half the total
+    total = sum(w for _, w in rows)
+    cum = 0
+    want = None
+    for v, w in sorted(rows):
+        cum += w
+        if cum * 2 >= total:
+            want = v
+            break
+    assert got["wmedian"] == want
+    assert got["total_weight"] == total
