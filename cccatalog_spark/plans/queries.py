@@ -8835,3 +8835,63 @@ def q174_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("recall", 6).alias("recall"),
         F.round("f1", 6).alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — chi-square independence audit (source × lang): the
+# data-audit gate for "is language balanced across sources" —
+# contingency counts + expected frequencies + the chi² statistic and
+# Cramér's V, all from two grouped aggregates and a broadcast margin
+# join.
+# ---------------------------------------------------------------------------
+@query(
+    "q175_chi_square",
+    oracle="""
+    WITH c AS (SELECT source, lang, count(*) AS o
+               FROM documents GROUP BY 1, 2),
+    rm AS (SELECT source, sum(o) AS rs FROM c GROUP BY 1),
+    cm AS (SELECT lang, sum(o) AS cs FROM c GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM c),
+    x AS (SELECT sum(pow(c.o - rm.rs * cm.cs / n.n, 2)
+                     / (rm.rs * cm.cs / n.n)) AS chi2,
+                 max(n.n) AS n,
+                 count(DISTINCT c.source) AS r,
+                 count(DISTINCT c.lang) AS k
+          FROM c JOIN rm USING (source) JOIN cm USING (lang), n)
+    SELECT round(chi2, 6) AS chi2,
+           CAST(n AS BIGINT) AS n,
+           CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+           round(sqrt(chi2 / (n * least(r - 1, k - 1))), 6) AS cramers_v
+    FROM x
+    """,
+)
+def q175_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("o"))
+    rm = c.groupBy("source").agg(F.sum("o").alias("rs"))
+    cm = c.groupBy("lang").agg(F.sum("o").alias("cs"))
+    n = c.agg(F.sum("o").cast("double").alias("n"))
+    e = F.col("rs") * F.col("cs") / F.col("n")
+    x = (
+        c.join(F.broadcast(rm), "source")
+        .join(F.broadcast(cm), "lang")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2"),
+            F.max("n").alias("n"),
+            F.countDistinct("source").alias("r"),
+            F.countDistinct("lang").alias("k"),
+        )
+    )
+    return x.select(
+        F.round("chi2", 6).alias("chi2"),
+        F.col("n").cast("long").alias("n"),
+        ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("r") - 1, F.col("k") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
