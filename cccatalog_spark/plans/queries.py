@@ -8895,3 +8895,66 @@ def q175_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — training-order shuffle audit: lag-1 same-source adjacency
+# rate of the q130 interleaved order vs the doc_id order — a
+# well-mixed order's rate ≈ Σ p_s² (here 1/20); the raw order's is
+# ~1. One window lag over each order + one aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q176_shuffle_audit",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    dict AS (SELECT source, row_number() OVER (ORDER BY source) AS srank
+             FROM (SELECT DISTINCT source FROM d)),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM dict),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('42' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS round
+          FROM d),
+    slotted AS (SELECT r.doc_id, r.source,
+                       (r.round - 1) * n.ns + dict.srank AS slot
+                FROM r JOIN dict USING (source), n),
+    lag_i AS (SELECT source,
+                     lag(source) OVER (ORDER BY slot) AS prev
+              FROM slotted),
+    lag_r AS (SELECT source,
+                     lag(source) OVER (ORDER BY doc_id) AS prev
+              FROM d)
+    SELECT 'interleaved' AS "order",
+           round(avg(CASE WHEN source = prev THEN 1.0 ELSE 0.0 END), 6)
+             AS same_source_rate
+    FROM lag_i WHERE prev IS NOT NULL
+    UNION ALL
+    SELECT 'raw',
+           round(avg(CASE WHEN source = prev THEN 1.0 ELSE 0.0 END), 6)
+    FROM lag_r WHERE prev IS NOT NULL
+    """,
+)
+def q176_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from cccatalog_spark.operators.sampling import interleave_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    slotted = interleave_shuffle(d, "doc_id", "source", seed="42")
+
+    def rate(df: DataFrame, order_col: str, label: str) -> DataFrame:
+        w = W.orderBy(order_col)
+        lagged = df.select(
+            "source", F.lag("source").over(w).alias("prev")
+        ).where(F.col("prev").isNotNull())
+        return lagged.agg(
+            F.lit(label).alias("order"),
+            F.round(
+                F.avg((F.col("source") == F.col("prev")).cast("double")), 6
+            ).alias("same_source_rate"),
+        )
+
+    return rate(slotted, "slot", "interleaved").unionByName(
+        rate(d, "doc_id", "raw")
+    )
