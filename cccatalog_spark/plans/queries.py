@@ -8958,3 +8958,162 @@ def q176_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate(slotted, "slot", "interleaved").unionByName(
         rate(d, "doc_id", "raw")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — window-function suite: ntile, percent_rank, cume_dist, and
+# frame-bounded nth/first/last values in one pass over orders — the
+# W-family completeness probe (q07 row_number and q43 RANGE frames are
+# the composites; this pins the rest of the zoo).
+# ---------------------------------------------------------------------------
+@query(
+    "q177_window_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q177_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 100 == 0
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(wf).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — bag (multiset) set operations: INTERSECT ALL / EXCEPT ALL
+# keep multiplicities (min / difference of per-row counts) — the
+# U-family's ALL variants, which dedup-aware pipelines need when a
+# row's copy COUNT is the signal.
+# ---------------------------------------------------------------------------
+@query(
+    "q178_bag_set_ops",
+    oracle="""
+    WITH a AS (SELECT l_returnflag AS f, l_linestatus AS s
+               FROM lineitem WHERE l_orderkey % 3 = 0),
+    b AS (SELECT l_returnflag, l_linestatus
+          FROM lineitem WHERE l_orderkey % 2 = 0)
+    SELECT 'intersect_all' AS op, f, s, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'except_all', f, s, CAST(count(*) AS BIGINT)
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    GROUP BY 2, 3
+    """,
+)
+def q178_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_orderkey") % 3 == 0).select(
+        F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
+    )
+    b = li.where(F.col("l_orderkey") % 2 == 0).select(
+        F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("f", "s")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "f", "s", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("f", "s")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "f", "s", "n")
+    )
+    return ia.unionByName(ea)
+
+
+# ---------------------------------------------------------------------------
+# q179 — pivot / unpivot round trip: source × lang counts widened to
+# one column per language (groupBy().pivot() — Spark plans it as one
+# aggregate with a conditional-sum per pivot value) then melted back
+# with stack; the round trip must reproduce the long form exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q179_pivot_unpivot",
+    oracle="""
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q179_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    langs = sorted(
+        r["lang"] for r in d.select("lang").distinct().collect()
+    )
+    wide = d.groupBy("source").pivot("lang", langs).count()
+    stack_expr = ", ".join(f"'{l}', `{l}`" for l in langs)
+    long = wide.select(
+        "source",
+        F.expr(f"stack({len(langs)}, {stack_expr}) AS (lang, n)"),
+    ).select("source", "lang", "n")
+    return long.where(F.col("n").isNotNull()).select(
+        "source", "lang", F.col("n").cast("long").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 — ROLLUP with grouping_id: the hierarchical subtotal lattice
+# (region → nation → total) the A-family's cube sibling (q54) doesn't
+# pin; grouping_id disambiguates NULL-as-subtotal from NULL data.
+# ---------------------------------------------------------------------------
+@query(
+    "q180_rollup_grouping",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q180_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            "r_name", "n_name", F.col("gid").cast("long").alias("gid"),
+            "n_customers", "total_acctbal",
+        )
+    )
