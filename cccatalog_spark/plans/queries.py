@@ -9117,3 +9117,42 @@ def q180_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers", "total_acctbal",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — native recursive CTE (Spark 4's WITH RECURSIVE): root + depth
+# for every node of a synthetic forest (parent(n) = n div 7, roots
+# n < 7) — the hierarchy-walk capability (category trees, org charts,
+# BOM rollups) exercised through the SQL surface itself; the manual
+# iterate-and-checkpoint loops (q71/q83/q97/q146) remain the
+# bounded-round form for cyclic graphs.
+# ---------------------------------------------------------------------------
+@query(
+    "q181_recursive_cte",
+    oracle="""
+    WITH RECURSIVE anc(node, cur, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT node, cur // 7, depth + 1 FROM anc WHERE cur >= 7
+    )
+    SELECT node AS doc_id, cur AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM anc WHERE cur < 7
+    """,
+)
+def q181_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "q181_docs"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, cur, depth) AS (
+          SELECT doc_id, doc_id, 0 FROM q181_docs
+          UNION ALL
+          SELECT node, cur DIV 7, depth + 1 FROM anc WHERE cur >= 7
+        )
+        SELECT node AS doc_id, cur AS root,
+               CAST(depth AS BIGINT) AS depth
+        FROM anc WHERE cur < 7
+        """
+    )
