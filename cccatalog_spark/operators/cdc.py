@@ -149,3 +149,70 @@ def apply_changes(
         *[F.col(f"new_{c}").alias(c) for c in value_cols],
     )
     return kept.unionByName(new_rows)
+
+
+def maintain_grouped_sums(
+    agg: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Incremental view maintenance for a ``GROUP BY g → (count, sum)``
+    materialization: fold a :func:`snapshot_diff` change feed into the
+    existing aggregate WITHOUT rescanning the base table.
+
+    Delta algebra per change row (the textbook IVM counting method):
+    insert → (+1, +new); delete → (−1, −old); update → (−1, −old) at
+    the OLD group and (+1, +new) at the NEW group (group migrations
+    handled, not just in-place value changes). Groups whose count
+    reaches zero disappear, so ``maintain(agg(a), diff(a, b)) ==
+    agg(b)`` exactly — the roundtrip is pinned in tests.
+
+    Cost is O(|changes|): one explode to ±contributions, one groupBy
+    merge against the (tiny relative to base) aggregate — the reason
+    100 TB dashboards consume feeds, not snapshots. ``changes`` needs
+    (change_type, old_<g>, new_<g>, old_<v>, new_<v>) — i.e.
+    snapshot_diff called WITH the group column in compare_cols.
+    """
+    og, ng = f"old_{group_col}", f"new_{group_col}"
+    ov, nv = f"old_{value_col}", f"new_{value_col}"
+    ch = changes.where(F.col("change_type") != "unchanged")
+    contrib = ch.select(
+        F.explode(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("change_type").isin("delete", "update"),
+                        F.struct(
+                            F.col(og).alias("g"),
+                            F.lit(-1).cast("long").alias("dc"),
+                            (-F.col(ov)).alias("dv"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("change_type").isin("insert", "update"),
+                        F.struct(
+                            F.col(ng).alias("g"),
+                            F.lit(1).cast("long").alias("dc"),
+                            F.col(nv).alias("dv"),
+                        ),
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            )
+        ).alias("d")
+    ).select("d.g", "d.dc", "d.dv")
+    merged = (
+        agg.select(
+            F.col(group_col).alias("g"),
+            F.col("cnt").cast("long").alias("dc"),
+            F.col("total").alias("dv"),
+        )
+        .unionByName(contrib)
+        .groupBy("g")
+        .agg(F.sum("dc").alias("cnt"), F.sum("dv").alias("total"))
+        .where(F.col("cnt") > 0)
+    )
+    return merged.select(
+        F.col("g").alias(group_col), "cnt", "total"
+    )

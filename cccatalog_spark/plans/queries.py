@@ -9156,3 +9156,72 @@ def q181_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc WHERE cur < 7
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — incremental view maintenance (operators/cdc.
+# maintain_grouped_sums): per-priority order counts/totals maintained
+# from the q157-style churn feed (updates migrate groups, deletes
+# retire rows) — O(|changes|) work, never a base rescan; result must
+# equal the full recompute, which is what the oracle does.
+# ---------------------------------------------------------------------------
+@query(
+    "q182_incremental_view",
+    oracle="""
+    WITH base AS (SELECT o_orderkey, o_orderpriority AS g,
+                         o_totalprice AS v
+                  FROM orders),
+    after AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN '9-MIGRATED' ELSE g END
+               AS g,
+             CASE WHEN o_orderkey % 11 = 0 THEN v + 200 ELSE v END AS v
+      FROM base
+      WHERE o_orderkey % 17 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, '9-MIGRATED', v + 500
+      FROM base WHERE o_orderkey % 13 = 0)
+    SELECT g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(v), 2) AS total
+    FROM after GROUP BY 1
+    """,
+)
+def q182_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.cdc import (
+        maintain_grouped_sums,
+        snapshot_diff,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_totalprice").alias("v"),
+    )
+    after = (
+        base.where(F.col("o_orderkey") % 17 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 11 == 0, F.lit("9-MIGRATED"))
+            .otherwise(F.col("g")).alias("g"),
+            F.when(F.col("o_orderkey") % 11 == 0, F.col("v") + 200)
+            .otherwise(F.col("v")).alias("v"),
+        )
+        .unionByName(
+            base.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                F.lit("9-MIGRATED").alias("g"),
+                (F.col("v") + 500).alias("v"),
+            )
+        )
+    )
+    agg_old = base.groupBy("g").agg(
+        F.count("*").alias("cnt"), F.sum("v").alias("total")
+    )
+    feed = snapshot_diff(base, after, ["o_orderkey"], ["g", "v"])
+    maintained = maintain_grouped_sums(agg_old, feed, "g", "v")
+    return maintained.select(
+        F.col("g").alias("o_orderpriority"),
+        "cnt",
+        F.round("total", 2).alias("total"),
+    )

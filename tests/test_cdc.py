@@ -138,3 +138,43 @@ def test_apply_changes_ignores_unchanged_rows(spark):
     )
     out = apply_changes(old, feed, ["k"], ["v"]).collect()
     assert [tuple(r) for r in out] == [(1, 10)]
+
+
+def test_maintain_grouped_sums_roundtrip(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.operators.cdc import (
+        maintain_grouped_sums,
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),    # unchanged
+            (2, "b", 25.0),    # group migration a -> b + value change
+            (3, "b", 30.0),    # unchanged
+            (5, "d", 50.0),    # insert into brand-new group
+        ],                      # 4 deleted -> group c disappears
+        "k long, g string, v double",
+    )
+    agg_old = old.groupBy("g").agg(
+        F.count("*").alias("cnt"), F.sum("v").alias("total")
+    )
+    feed = snapshot_diff(old, new, ["k"], ["g", "v"])
+    got = sorted(
+        map(tuple, maintain_grouped_sums(agg_old, feed, "g", "v").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            new.groupBy("g")
+            .agg(F.count("*").alias("cnt"), F.sum("v").alias("total"))
+            .collect(),
+        )
+    )
+    assert got == want
+    assert not any(r[0] == "c" for r in got)   # zero-count group retired

@@ -50,6 +50,35 @@ SANCTIONED_BNLJ = {
     "q115_corpus_drift": "1-row token-total scalar broadcast",
     "q117_vocab_coverage": "1-row token-total scalar broadcast",
     "q118_negative_samples": "1-row corpus-size scalar broadcast",
+    "q123_kmv_set_overlap": "two 1-row sketch frames cross-combined "
+    "(the whole point: sketches move, sets never join)",
+    "q125_semantic_dedup": "≤k-row centroid catalog broadcast "
+    "(cluster assignment, the q96 contract)",
+    "q126_tfidf_top_terms": "1-row corpus-size scalar broadcast (idf)",
+    "q127_pmi_pairs": "1-row doc-count scalar broadcast (PMI "
+    "normalizer)",
+    "q130_interleave_shuffle": "1-row source-count scalar broadcast "
+    "(closed-form slot arithmetic)",
+    "q131_triangle_count": "1-row doc-count scalar broadcast (the "
+    "co-occurrence edge threshold)",
+    "q133_dsir_resample": "1-row target-floor scalar + ≤buckets-row "
+    "distribution broadcasts (DSIR model state)",
+    "q144_ranking_metrics": "1-row n-probes scalar broadcast inside "
+    "the kNN run (q27's sanctioned shape)",
+    "q146_hits": "1-row L1-norm scalar broadcast per power-iteration "
+    "round (collect-free normalization)",
+    "q151_token_shards": "1-row total-tokens scalar broadcast "
+    "(closed-form shard arithmetic over the prefix sum)",
+    "q158_cms_join_size": "two 1-row estimate/exact frames "
+    "cross-combined into the single result row",
+    "q164_calibration_ece": "1-row bin-total scalar broadcast (ECE "
+    "weights)",
+    "q173_wat_manifest": "1-row latest-index scalar broadcast "
+    "attached to the slice counts",
+    "q175_chi_square": "1-row grand-total scalar broadcast (expected "
+    "frequencies)",
+    "q176_shuffle_audit": "1-row source-count scalar broadcast inside "
+    "the interleave (q130's sanctioned shape)",
 }
 
 
