@@ -222,3 +222,31 @@ def crawl_schedule(
         )
         .drop("delay_s")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Batch gap-based sessionization: a new session starts when the
+    gap to the key's previous event exceeds ``gap_seconds``. Adds
+    ``session_id`` (1-based per key, in time order) — the batch form
+    of streaming/windows' merging session windows (q111), and the
+    standard lag-flag-cumsum window composition:
+
+        flag = (ts − lag(ts) > gap);  session_id = 1 + Σ flag
+
+    One exchange keyed by ``key_col`` + two streaming windows over
+    the same sort — no state beyond the window frame, spillable,
+    billion-event keys hold."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    flag = (
+        F.col(ts_col) - F.lag(ts_col).over(w) > gap_seconds
+    ).cast("long")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(
+        "session_id",
+        F.lit(1) + F.sum(F.coalesce(flag, F.lit(0))).over(wc),
+    )

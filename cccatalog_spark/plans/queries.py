@@ -9225,3 +9225,115 @@ def q182_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round("total", 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q183 — batch sessionization (operators/temporal.sessionize): 1-hour
+# gap sessions per user over the event stream, rolled up to per-
+# session stats — the batch twin of q111's streaming session windows
+# (lag-flag-cumsum, one exchange, two streaming windows).
+# ---------------------------------------------------------------------------
+@query(
+    "q183_batch_sessions",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    l AS (SELECT user_id, sec,
+                 CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id
+                                                ORDER BY sec) > 3600
+                      THEN 1 ELSE 0 END AS flag
+          FROM e),
+    s AS (SELECT user_id, sec,
+                 1 + sum(flag) OVER (PARTITION BY user_id ORDER BY sec
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS session_id
+          FROM l)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(sec) AS t_start, max(sec) AS t_end,
+           max(sec) - min(sec) AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q183_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import sessionize
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    s = sessionize(e, "user_id", "sec", 3600)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("sec").alias("t_start"),
+        F.max("sec").alias("t_end"),
+        (F.max("sec") - F.min("sec")).alias("duration_s"),
+    ).select(
+        "user_id", F.col("session_id").cast("long").alias("session_id"),
+        "n_events", "t_start", "t_end", "duration_s",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — weekly cohort retention: users grouped by first-activity
+# week; per (cohort, weeks-since) distinct active users and the
+# retention rate — the standard triangle matrix, two groupBys and one
+# broadcast cohort-size join.
+# ---------------------------------------------------------------------------
+@query(
+    "q184_cohort_retention",
+    oracle="""
+    WITH e AS (SELECT user_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+               FROM events),
+    cohort AS (SELECT user_id, min(wk) AS c0 FROM e GROUP BY 1),
+    sizes AS (SELECT c0, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM cohort GROUP BY 1),
+    act AS (SELECT DISTINCT e.user_id, c.c0, e.wk - c.c0 AS weeks_since
+            FROM e JOIN cohort c USING (user_id))
+    SELECT a.c0 AS cohort_week,
+           CAST(a.weeks_since AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS active_users,
+           s.cohort_size,
+           round(count(*) / CAST(s.cohort_size AS DOUBLE), 6)
+             AS retention
+    FROM act a JOIN sizes s ON a.c0 = s.c0
+    GROUP BY 1, 2, s.cohort_size
+    """,
+)
+def q184_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            .cast("long")
+            / F.lit(604800)
+        ).cast("long").alias("wk"),
+    )
+    cohort = e.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    sizes = cohort.groupBy("c0").agg(F.count("*").alias("cohort_size"))
+    act = (
+        e.join(cohort, "user_id")
+        .select("user_id", "c0", (F.col("wk") - F.col("c0")).alias("weeks_since"))
+        .distinct()
+    )
+    return (
+        act.join(F.broadcast(sizes), "c0")
+        .groupBy(
+            F.col("c0").alias("cohort_week"),
+            F.col("weeks_since"),
+            F.col("cohort_size"),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

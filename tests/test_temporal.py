@@ -142,3 +142,25 @@ def test_crawl_schedule_spacing_and_default_delay(spark):
     assert got[1] == (3, 4.0)
     # x.io absent from dim -> default 1.0
     assert got[4] == (1, 0.0)
+
+
+def test_sessionize_gap_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from cccatalog_spark.operators.temporal import sessionize
+
+    rows = [
+        ("u", 0), ("u", 100), ("u", 200),     # session 1
+        ("u", 4000),                           # gap > 3600 -> session 2
+        ("u", 4100), ("u", 8000),              # gap 3900 -> session 3
+        ("v", 50),                             # separate key
+    ]
+    df = spark.createDataFrame(rows, "k string, sec long")
+    out = {
+        (r["k"], r["sec"]): r["session_id"]
+        for r in sessionize(df, "k", "sec", 3600).collect()
+    }
+    assert out[("u", 0)] == out[("u", 100)] == out[("u", 200)] == 1
+    assert out[("u", 4000)] == out[("u", 4100)] == 2
+    assert out[("u", 8000)] == 3
+    assert out[("v", 50)] == 1
