@@ -647,3 +647,165 @@ def dedup_minhash_lsh_incremental(
         .select("batch_id", "corpus_id", "est_jaccard", "jaccard")
     )
     return out
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """PPJoin-style prefix-filtering set-similarity self-join: exact
+    Jaccard >= threshold pairs WITHOUT indexing every shingle.
+
+    The full inverted-index plan (``dedup_ngram_jaccard``) posts every
+    shingle, so candidate volume is Σ df² over the whole vocabulary —
+    dominated by the hot head of the Zipf curve. Prefix filtering
+    (Chaudhuri et al. SSJoin / Xiao et al. PPJoin) posts only each
+    document's (n − ⌈t·n⌉ + 1) globally *rarest* shingles: under any
+    common total order of the vocabulary, two sets with Jaccard ≥ t
+    must share at least one token inside both prefixes, so recall is
+    exactly 1 while the frequent shingles — the skew risk — are never
+    indexed at all. A length filter (t·n_a ≤ n_b ≤ n_a/t) prunes
+    size-mismatched candidates before the verify join.
+
+    Shape at scale: one groupBy for document frequencies (map-side
+    combined), one co-partitioned join to attach them, one per-doc
+    window for prefix selection (partitioned by doc — never global),
+    the candidate equi-join on Σ prefix-df² buckets, and one verify
+    join on doc id. Every exchange is on a data-proportional key.
+    """
+    from pyspark.sql.window import Window
+
+    shingled = (
+        fan_out(df)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+        .withColumn("sh", F.transform("sh", lambda x: F.xxhash64(x)))
+        .withColumn("n_sh", F.size("sh"))
+        .where(F.col("n_sh") > 0)
+        .persist()
+    )
+    ex = shingled.select(id_col, "n_sh", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # prefix length: n - ceil(t*n) + 1 rarest tokens (df asc, s asc is
+    # a total order shared by every document)
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("s"))
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            F.col("_rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select(id_col, "n_sh", "s")
+        .persist()
+    )
+    a = prefix.alias("a")
+    b = prefix.hint("merge").alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: |y| must lie in [t|x|, |x|/t] for J >= t
+            & (F.col("b.n_sh") >= F.ceil(F.lit(threshold) * F.col("a.n_sh")))
+            & (F.col("a.n_sh") >= F.ceil(F.lit(threshold) * F.col("b.n_sh"))),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sets_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+def dedup_sorted_neighborhood(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 5,
+    k: int = 3,
+    threshold: float = 0.5,
+    key_len: int = 12,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo): sort the
+    corpus by a cheap blocking key, compare each record only with the
+    ``window − 1`` records that follow it, verify with exact Jaccard.
+
+    Candidate volume is exactly (window − 1)·n — LINEAR in the corpus,
+    the cheapest of the blocking family — at the cost of recall being
+    limited to near-dups whose keys sort close (the standard multi-pass
+    answer is to union several passes with different keys).
+
+    The global rank comes from the two-phase prefix-sum
+    (``operators.cumsum.global_running_sum`` with weight 1), NOT a
+    single-partition window; neighbors are then an equi-join on
+    rank + offset after a small explode — no self-range-join, no
+    single task holding the sort.
+    """
+    from cccatalog_spark.operators.cumsum import global_running_sum
+
+    base = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.substring(F.lower(F.col(text_col)), 1, key_len).alias("_key"),
+            shingles(F.col(text_col), k).alias("sh"),
+        )
+        .withColumn("sh", F.transform("sh", lambda x: F.xxhash64(x)))
+        .withColumn("n_sh", F.size("sh"))
+        .where(F.col("n_sh") > 0)
+    )
+    ranked = global_running_sum(
+        base.withColumn("_one", F.lit(1)),
+        [F.asc("_key"), F.asc(id_col)],
+        "_one",
+        out_col="rn",
+    ).drop("_one", "_key").persist()
+    left = ranked.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+        F.explode(
+            F.sequence(F.col("rn") + 1, F.col("rn") + (window - 1))
+        ).alias("rn"),
+    )
+    right = ranked.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"), "rn",
+    )
+    return (
+        left.join(right, "rn")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "common",
+            "jaccard",
+        )
+    )

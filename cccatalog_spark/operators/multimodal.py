@@ -321,3 +321,93 @@ def audio_features(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+def ahash_from_features(feature_col, dim: int) -> "F.Column":
+    """Average-hash (aHash) bit signature from a decoded feature
+    vector: bit j set iff feature[j] exceeds the vector's own mean —
+    the classic perceptual-hash recipe (decode → downsample to ``dim``
+    cells → threshold on the mean) expressed as pure column algebra, so
+    only the decode step ever touches Python. ``dim`` must be ≤ 62 so
+    the signature fits a BIGINT without touching the sign bit."""
+    if dim > 62:
+        raise ValueError("dim must be <= 62 to fit a signed 64-bit hash")
+    f = F.col(feature_col) if isinstance(feature_col, str) else feature_col
+    mean = F.aggregate(f, F.lit(0.0), lambda a, x: a + x) / F.lit(float(dim))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.element_at(f, j + 1) > mean,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def phash_neardup_pairs(
+    feats: DataFrame,
+    id_col: str,
+    feature_col: str,
+    *,
+    dim: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate image pairs: aHash signatures,
+    banded Hamming candidate join, exact bit_count verify.
+
+    The pigeonhole guarantee needs ``max_hamming < n_bands`` (a pair
+    within the radius must agree exactly on ≥ 1 band), making recall
+    exactly 1 — the SimHash chunk-banding argument applied to media
+    signatures. Candidate volume is Σ band-bucket², never n²; the
+    verify is one integer xor + bit_count per candidate.
+
+    Input is the ``extract_features`` output (decode stays behind the
+    Arrow mapInPandas boundary); everything here is JVM-side.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("need max_hamming < n_bands for exact recall")
+    band_bits = (dim + n_bands - 1) // n_bands
+    sig = feats.select(
+        F.col(id_col).alias("media_id"),
+        ahash_from_features(feature_col, dim).alias("h"),
+    ).persist()
+    bands = sig.select(
+        "media_id",
+        "h",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("band"),
+                    F.shiftrightunsigned(
+                        F.col("h"), j * band_bits
+                    ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("val"),
+                )
+                for j in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select("media_id", "h", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

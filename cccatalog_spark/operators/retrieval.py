@@ -301,3 +301,65 @@ def ranking_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrase: str,
+    *,
+    out_col: str = "n_occurrences",
+) -> DataFrame:
+    """Exact phrase search via a positional postings join: per-doc
+    count of occurrences of ``phrase`` as ADJACENT tokens (the
+    positional-inverted-index primitive BM25 lacks — "exact quote"
+    retrieval and n-gram decontamination both reduce to it).
+
+    Plan: one posexplode produces (doc, position, term) postings
+    FILTERED to the phrase's terms before the explode (the stream is
+    O(matched tokens), not O(all tokens)); occurrence detection is then
+    a chain of equi-joins — term i's postings join term 0's anchor on
+    (doc, anchor_pos = pos − i) — i.e. k−1 co-partitioned hash joins on
+    the same (doc, pos) key, no window, no UDF. Overlapping
+    occurrences count separately ("x x x" contains "x x" twice).
+
+    At scale the postings frame is the persisted inverted index
+    (``inverted_index`` with positions); here it is built inline from
+    the scan.
+    """
+    words = phrase.split()
+    if not words:
+        raise ValueError("empty phrase")
+    toks = TX.tokens(F.col(text_col))
+    # F.sequence counts DOWN when start > stop (same guard as
+    # functions.text.shingles), so gate the zip on a non-empty array
+    zipped = F.when(
+        F.size(toks) > 0,
+        F.arrays_zip(
+            toks.alias("t"),
+            F.sequence(F.lit(0), F.size(toks) - 1).alias("p"),
+        ),
+    ).otherwise(F.array().cast("array<struct<t:string,p:int>>"))
+    post = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.filter(zipped, lambda s: s["t"].isin(words))
+            ).alias("_", "entry"),
+        )
+        .select(
+            id_col,
+            F.col("entry.t").alias("term"),
+            F.col("entry.p").alias("pos"),
+        )
+    )
+    if len(set(words)) > 1:
+        post = post.persist()
+    anchors = post.where(F.col("term") == words[0]).select(id_col, "pos")
+    for i, w in enumerate(words[1:], start=1):
+        nxt = post.where(F.col("term") == w).select(
+            id_col, (F.col("pos") - i).alias("pos")
+        )
+        anchors = anchors.join(nxt, [id_col, "pos"])
+    return anchors.groupBy(id_col).agg(F.count("*").alias(out_col))

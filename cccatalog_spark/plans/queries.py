@@ -9337,3 +9337,158 @@ def q184_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — prefix-filtering set-similarity self-join (PPJoin-lite,
+# operators/dedup.jaccard_prefix_pairs): exact Jaccard >= 0.5 pairs
+# indexing only each doc's globally-rarest (n - ceil(t n) + 1)
+# shingles. Same answer as the full inverted-index plan — the oracle
+# is the exact all-pairs definition — with candidate volume that
+# skips the Zipf head entirely.
+# ---------------------------------------------------------------------------
+@query(
+    "q185_jaccard_prefix_join",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM shn),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS n_a, b.n AS n_b, count(*) AS common
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
+    """,
+)
+def q185_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_prefix_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.col("common").cast("long").alias("common"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q186 — sorted-neighborhood dedup (Hernández–Stolfo SNM,
+# operators/dedup.dedup_sorted_neighborhood): sort by a 12-char text
+# prefix key, compare each doc with the 4 that follow, verify exact
+# Jaccard >= 0.2. Candidates are (w-1)·n — linear — and the global
+# rank is the two-phase prefix-sum, never a single-partition window.
+# ---------------------------------------------------------------------------
+@query(
+    "q186_sorted_neighborhood",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, substring(lower(text), 1, 12) AS key,
+                  {_SHINGLES3} AS s
+           FROM t),
+    shn AS (SELECT doc_id, key, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    r AS (SELECT doc_id, key, s, n,
+                 row_number() OVER (ORDER BY key, doc_id) AS rn
+          FROM shn),
+    pairs AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               len(list_filter(a.s, x -> list_contains(b.s, x))) AS common,
+               a.n AS na, b.n AS nb
+        FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4
+    )
+    SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           CAST(common AS BIGINT) AS common,
+           round(CAST(common AS DOUBLE) / (na + nb - common), 6) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    """,
+)
+def q186_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_sorted_neighborhood(
+        d, "text", "doc_id", window=5, k=3, threshold=0.2, key_len=12
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("common").cast("long").alias("common"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — positional phrase search (operators/retrieval.
+# phrase_occurrences): per-doc count of the exact adjacent-token
+# phrase "table table" via positional postings + (doc, pos) equi-join
+# chain; overlapping occurrences count (the oracle's sliding CASE
+# does too).
+# ---------------------------------------------------------------------------
+@query(
+    "q187_phrase_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(1, len(toks)), i ->
+                     CASE WHEN toks[i] = 'table' AND toks[i+1] = 'table'
+                          THEN 1 ELSE 0 END)) AS BIGINT) AS n_occurrences
+          FROM t WHERE len(toks) >= 2)
+    SELECT doc_id, n_occurrences FROM c WHERE n_occurrences >= 1
+    """,
+)
+def q187_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import phrase_occurrences
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_occurrences(d, "text", "doc_id", "table table")
+
+
+# ---------------------------------------------------------------------------
+# q188 — perceptual-hash media near-dup (operators/multimodal.
+# phash_neardup_pairs): decode payloads behind the Arrow mapInPandas
+# codec boundary (deterministic fake decoder: per-byte-bucket means,
+# dim=32), aHash threshold-on-mean signature in column algebra, banded
+# Hamming candidate join (4×8-bit bands, exact for radius <= 3), integer
+# xor/bit_count verify. The oracle recomputes the decode arithmetic
+# from the text bytes (ASCII: unicode(char) == byte) and the same
+# banding — recall is exactly 1 by pigeonhole, so the banded answer IS
+# the exact answer.
+# ---------------------------------------------------------------------------
+@query(
+    "q188_phash_neardup",
+    oracle="""
+    WITH ch AS (SELECT doc_id, (i - 1) % 32 AS bucket,
+                       unicode(substr(text, CAST(i AS INTEGER), 1)) AS v
+                FROM documents, unnest(range(1, len(text) + 1)) u(i)),
+    m AS (SELECT doc_id, bucket, round(avg(v), 6) AS mean
+          FROM ch GROUP BY 1, 2),
+    dm AS (SELECT doc_id, sum(mean) / 32.0 AS doc_mean FROM m GROUP BY 1),
+    h AS (SELECT m.doc_id,
+                 CAST(sum(CASE WHEN mean > doc_mean
+                          THEN CAST(power(2, bucket) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS h
+          FROM m JOIN dm USING (doc_id) GROUP BY 1),
+    bands AS (SELECT doc_id, h, j,
+                     (h // CAST(power(2, j * 8) AS BIGINT)) % 256 AS val
+              FROM h, unnest([0, 1, 2, 3]) t(j)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.h AS ha, b.h AS hb
+             FROM bands a JOIN bands b
+               ON a.j = b.j AND a.val = b.val AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+)
+def q188_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    feats = MM.extract_features(media, "doc_id", "payload", dim=32)
+    pairs = MM.phash_neardup_pairs(
+        feats, "media_id", "feature", dim=32, n_bands=4, max_hamming=3
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )

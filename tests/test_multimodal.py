@@ -153,3 +153,84 @@ def test_audio_features_real_wav_decode(spark):
     # RMS of a full-scale-8000 sine ~ 8000/sqrt(2) ± rounding
     assert abs(ok["rms"] - 5657) < 60
     assert not out[2]["valid"] and not out[3]["valid"]
+
+
+def test_ahash_bits_match_python_model(spark):
+    """Column-algebra aHash equals the per-row Python recipe."""
+    from pyspark.sql import functions as F
+    from cccatalog_spark.operators.multimodal import (
+        ahash_from_features,
+        fake_decode,
+    )
+
+    payloads = [b"hello world payload bytes", b"abcdefgh" * 5, b"x" * 33]
+    rows = [(i, fake_decode(p, 32)) for i, p in enumerate(payloads)]
+
+    def model(feat):
+        m = sum(feat) / 32.0
+        return sum(1 << j for j, v in enumerate(feat) if v > m)
+
+    df = spark.createDataFrame(rows, ["media_id", "feature"])
+    got = {
+        r.media_id: r.h
+        for r in df.select(
+            "media_id", ahash_from_features("feature", 32).alias("h")
+        ).collect()
+    }
+    assert got == {i: model(f) for i, f in rows}
+
+
+def test_phash_neardup_exact_recall(spark):
+    """Banded candidates find every pair within the radius (pigeonhole)
+    and nothing outside it survives the verify."""
+    import itertools
+    from cccatalog_spark.operators.multimodal import (
+        extract_features,
+        fake_decode,
+        phash_neardup_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different text with other characters",
+        "the quick brown fox jumps over the lazy dot",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    feats = extract_features(
+        df.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "doc_id", "payload", dim=32,
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_neardup_pairs(
+            feats, "media_id", "feature", dim=32, n_bands=4, max_hamming=3
+        ).collect()
+    }
+
+    def model_hash(t):
+        f = fake_decode(t.encode(), 32)
+        m = sum(f) / 32.0
+        return sum(1 << j for j, v in enumerate(f) if v > m)
+
+    hs = {i: model_hash(t) for i, t in enumerate(texts)}
+    want = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a, b in itertools.combinations(range(len(texts)), 2)
+        if bin(hs[a] ^ hs[b]).count("1") <= 3
+    }
+    assert got == want
+
+
+def test_phash_guards():
+    import pytest
+    from cccatalog_spark.operators.multimodal import (
+        ahash_from_features,
+        phash_neardup_pairs,
+    )
+
+    with pytest.raises(ValueError):
+        ahash_from_features("f", 63)
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(None, "id", "f", n_bands=4, max_hamming=4)

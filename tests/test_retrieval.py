@@ -167,3 +167,41 @@ def test_ranking_metrics_perfect_run(spark):
     assert r["recall_at_k"] == 1.0
     assert r["mrr_at_k"] == 1.0
     assert r["ndcg_at_k"] == 1.0
+
+
+def test_phrase_occurrences_counts_and_overlap(spark):
+    from cccatalog_spark.operators.retrieval import phrase_occurrences
+
+    rows = [
+        (1, "spark spark spark runs fast"),       # "spark spark" x2 (overlap)
+        (2, "spark runs and spark runs again"),   # "spark runs" x2
+        (3, "no match here"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_occurrences(df, "text", "doc_id", "spark spark").collect()
+    }
+    assert out == {1: 2}
+    out2 = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_occurrences(df, "text", "doc_id", "spark runs").collect()
+    }
+    assert out2 == {1: 1, 2: 2}
+
+
+def test_phrase_three_terms_chain(spark):
+    from cccatalog_spark.operators.retrieval import phrase_occurrences
+
+    rows = [
+        (1, "one two three four"),
+        (2, "one two four three"),
+        (3, "zero one two three two three"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.n_occurrences
+        for r in phrase_occurrences(df, "text", "doc_id", "one two three").collect()
+    }
+    assert out == {1: 1, 3: 1}
