@@ -27,29 +27,35 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     where U is the positive class's average-rank sum (ties share the
     mean of their rank range). Returns 1 row (n_pos, n_neg, auc).
 
-    The rank window is a global sort — at 100 TB replace with the
-    two-phase prefix-sum ranking (operators/cumsum) exactly like
-    q117/q138; semantics identical."""
-    w = Window.orderBy(F.col(score_col))
-    ranked = df.select(
-        F.col(label_col).cast("int").alias("y"),
-        (
-            F.rank().over(w)
-            + (F.count("*").over(
-                Window.partitionBy(score_col)
-            ) - 1) / 2.0
-        ).alias("r"),
+    No global rank window anywhere: ranks only matter per DISTINCT
+    score (ties share one average rank), so the shape is one groupBy
+    on the score, the two-phase prefix-sum (operators/cumsum) over the
+    grouped frame for each tie-group's starting rank, and one final
+    aggregate. The widest exchange is keyed by score value; the
+    single-partition window a naive rank() plans is gone entirely.
+    Arithmetic keeps 2·rank_sum as an exact integer (avg ranks are
+    k/2 multiples), so the result is bit-identical to the windowed
+    definition."""
+    from cccatalog_spark.operators.cumsum import global_running_sum
+
+    g = df.groupBy(F.col(score_col).alias("_p")).agg(
+        F.count("*").cast("long").alias("_c"),
+        F.sum(F.col(label_col).cast("long")).alias("_pos"),
     )
-    agg = ranked.agg(
-        F.sum("y").cast("long").alias("n_pos"),
-        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rank_sum"),
+    r = global_running_sum(g, [F.asc("_p")], "_c", out_col="_run")
+    # tie group spanning ranks [run-c+1, run]: 2·avg_rank = 2·run − c + 1
+    agg = r.agg(
+        F.sum("_pos").cast("long").alias("n_pos"),
+        (F.sum("_c") - F.sum("_pos")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("_pos") * (2 * F.col("_run") - F.col("_c") + 1)
+        ).cast("long").alias("_u2"),
     )
     return agg.select(
         "n_pos",
         "n_neg",
         (
-            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            (F.col("_u2") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
             / (F.col("n_pos") * F.col("n_neg"))
         ).alias("auc"),
     )
