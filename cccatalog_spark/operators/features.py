@@ -227,3 +227,86 @@ def covariance_matrix_np(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+def symmetrize_cov(cov_ut: DataFrame) -> DataFrame:
+    """Mirror an upper-triangle ``(i, j, cov)`` frame (i ≤ j) into the
+    full symmetric matrix — the matvec input for power iteration."""
+    lower = cov_ut.where(F.col("i") != F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+    )
+    return cov_ut.select("i", "j", "cov").unionByName(lower)
+
+
+def pca_power_component(
+    df: DataFrame, vec_col: str, dim: int, *, n_iter: int = 3
+) -> DataFrame:
+    """Top principal component by power iteration, collect-free:
+    ``(i, loading, eigenvalue)`` — loadings L2-normalized, eigenvalue
+    the Rayleigh quotient vᵀCv after ``n_iter`` steps.
+
+    Scale split (same as IVF/k-means): the covariance aggregation is
+    the distributed half (one d²/2-key shuffle over the corpus,
+    ``covariance_matrix``); every frame after that is a BOUNDED d- or
+    d²-row catalog, so the iteration is joins over catalogs — the
+    L2 norm re-attaches via a 1-row cross-broadcast (the HITS
+    normalization pattern), never a driver collect. Deterministic
+    start v₀ = 1/√d keeps both engines on the same trajectory; no
+    sign flip is applied (identical arithmetic ⇒ identical sign).
+    """
+    spark = df.sparkSession
+    covf = symmetrize_cov(covariance_matrix(df, vec_col, dim)).persist()
+    v = spark.range(1, dim + 1).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(1.0 / float(dim) ** 0.5).alias("val"),
+    )
+
+    def matvec(vec: DataFrame) -> DataFrame:
+        return (
+            covf.join(
+                vec.select(F.col("i").alias("j"), F.col("val").alias("vj")),
+                "j",
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("vj")).alias("w"))
+        )
+
+    for _ in range(n_iter):
+        w = matvec(v)
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("w") / F.col("nrm")).alias("val")
+        )
+        # truncate lineage each round: the iterate is a d-row catalog,
+        # but its ANALYZED plan nests the previous round's plan several
+        # times — without the cut, Catalyst analysis time grows
+        # exponentially in n_iter (same rule as connected_components)
+        v = v.localCheckpoint(eager=True)
+    w_last = matvec(v)
+    lam = (
+        w_last.join(v, "i")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("eigenvalue"))
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        "i", F.col("val").alias("loading"), "eigenvalue"
+    )
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, id_col: str, loadings: DataFrame,
+    *, out_col: str = "pc1",
+) -> DataFrame:
+    """Project each vector onto a loadings frame ``(i, loading)``
+    (1-based): one posexplode + broadcast join + per-id sum — the
+    corpus side never reshuffles by anything except its own id."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    ).select(
+        id_col, (F.col("pos") + 1).alias("i"),
+        F.col("x").cast("double").alias("x"),
+    )
+    return (
+        ex.join(F.broadcast(loadings.select("i", "loading")), "i")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("x") * F.col("loading")).alias(out_col))
+    )

@@ -9492,3 +9492,79 @@ def q188_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189/q190 — PCA by power iteration (operators/features.
+# pca_power_component / pca_project): the distributed half is the one
+# d²/2-key covariance shuffle (q148); every later frame is a bounded
+# d- or d²-row catalog, normalized via 1-row cross-broadcast (HITS
+# pattern), no collect, no sign flip (identical arithmetic both
+# engines). The oracle unrolls the 3 deterministic iterations from
+# v0 = 1/√64 and the same Rayleigh-quotient eigenvalue.
+# ---------------------------------------------------------------------------
+_PCA_CHAIN = """
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    x AS (SELECT vec_id, i, e[i] AS xi
+          FROM v, LATERAL unnest(generate_series(1, 64)) g(i)),
+    c AS (SELECT a.i AS i, b.i AS j,
+                 sum(a.xi * b.xi) / max(n.n)
+                 - (sum(a.xi) / max(n.n)) * (sum(b.xi) / max(n.n)) AS cov
+          FROM x a JOIN x b USING (vec_id), n GROUP BY 1, 2),
+    v0 AS (SELECT unnest(generate_series(1, 64)) AS i, 0.125 AS val),
+    w1 AS (SELECT c.i, sum(c.cov * v.val) AS w
+           FROM c JOIN v0 v ON c.j = v.i GROUP BY 1),
+    v1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w1) AS val FROM w1),
+    w2 AS (SELECT c.i, sum(c.cov * v.val) AS w
+           FROM c JOIN v1 v ON c.j = v.i GROUP BY 1),
+    v2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w2) AS val FROM w2),
+    w3 AS (SELECT c.i, sum(c.cov * v.val) AS w
+           FROM c JOIN v2 v ON c.j = v.i GROUP BY 1),
+    v3 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w3) AS val FROM w3),
+    w4 AS (SELECT c.i, sum(c.cov * v.val) AS w
+           FROM c JOIN v3 v ON c.j = v.i GROUP BY 1),
+    lam AS (SELECT sum(v3.val * w4.w) AS ev
+            FROM v3 JOIN w4 ON v3.i = w4.i)
+"""
+
+
+@query(
+    "q189_pca_power",
+    oracle=f"""
+    WITH {_PCA_CHAIN}
+    SELECT v3.i AS i, round(v3.val, 6) AS loading,
+           round(lam.ev, 6) AS eigenvalue
+    FROM v3, lam
+    """,
+)
+def q189_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import pca_power_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = pca_power_component(emb, "embedding", 64, n_iter=3)
+    return comp.select(
+        "i", F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
+@query(
+    "q190_pca_project",
+    oracle=f"""
+    WITH {_PCA_CHAIN}
+    SELECT x.vec_id, round(sum(x.xi * v3.val), 6) AS pc1
+    FROM x JOIN v3 ON x.i = v3.i
+    GROUP BY 1
+    """,
+)
+def q190_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import (
+        pca_power_component,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = pca_power_component(emb, "embedding", 64, n_iter=3)
+    proj = pca_project(emb, "embedding", "vec_id", comp)
+    return proj.select("vec_id", F.round("pc1", 6).alias("pc1"))

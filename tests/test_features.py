@@ -85,3 +85,43 @@ def test_covariance_matrix_matches_numpy_and_np_path(spark):
     assert set(got_np) == set(got)
     for k in got:
         assert abs(got_np[k] - got[k]) < 1e-9, k
+
+
+def test_pca_power_matches_numpy_eigendecomposition(spark):
+    """3 power iterations from 1/sqrt(d) already land within 1e-3 of
+    numpy's top eigenvector (up to sign) on a well-separated spectrum,
+    and the Rayleigh quotient is within 1e-3 relative of lambda_1."""
+    import numpy as np
+    from cccatalog_spark.operators.features import (
+        pca_power_component,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 8
+    # strong first component: x = z * u + small noise
+    u = rng.normal(size=d)
+    u /= np.linalg.norm(u)
+    z = rng.normal(size=400) * 5.0
+    data = np.outer(z, u) + rng.normal(size=(400, d)) * 0.3
+    rows = [(int(i), [float(v) for v in row]) for i, row in enumerate(data)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    comp = pca_power_component(df, "embedding", d, n_iter=8)
+    got = comp.orderBy("i").collect()
+    v_hat = np.array([r.loading for r in got])
+    lam_hat = got[0].eigenvalue
+
+    cov = np.cov(data.T, bias=True)
+    w, vecs = np.linalg.eigh(cov)
+    v_np = vecs[:, -1]
+    lam_np = w[-1]
+    assert abs(abs(float(v_hat @ v_np)) - 1.0) < 1e-3
+    assert abs(lam_hat - lam_np) / lam_np < 1e-3
+    assert abs(np.linalg.norm(v_hat) - 1.0) < 1e-9
+
+    proj = pca_project(df, "embedding", "vec_id", comp).collect()
+    want = data @ v_hat
+    got_p = {r.vec_id: r.pc1 for r in proj}
+    for i in range(400):
+        assert abs(got_p[i] - want[i]) < 1e-6
