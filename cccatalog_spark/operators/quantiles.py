@@ -402,3 +402,91 @@ def exact_quantiles_multi(
         }
     finally:
         melted.unpersist()
+
+
+def histogram_partials(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-boundary histogram partial state ``(group..., bin, n)`` —
+    the MERGEABLE quantile sketch that complements ``exact_quantiles``
+    (exact but iterative) for incremental/streaming rollups: partials
+    built at a fine grain merge to any coarser grain by plain
+    ``sum(n)`` (associative + commutative), and because the boundaries
+    are fixed constants the merged estimate is IDENTICAL to the
+    estimate computed directly from raw rows — the same exactly-
+    checkable-merge property as rollup_state's HLL registers.
+
+    Values outside [lo, hi) clamp to the edge bins. One exchange,
+    map-side combined; state per group is ≤ n_bins rows.
+    """
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def merge_histogram_partials(
+    parts: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Re-aggregate histogram partials to the grain of ``group_cols``
+    (a subset of the build grain): touches only partial rows."""
+    return parts.groupBy(*group_cols, "bin").agg(F.sum("n").alias("n"))
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    group_cols: list[str],
+    fractions: list[float],
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Per-group quantile estimates from histogram state: for each
+    fraction f, the UPPER EDGE of the first bin whose cumulative count
+    reaches ceil(f·total) — deterministic (no interpolation), error
+    bounded by one bin width. Windows are partitioned by group over
+    ≤ n_bins rows — bounded catalogs, never the corpus."""
+    width = (hi - lo) / n_bins
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bin",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    fr = F.explode(
+        F.array(*[F.lit(float(f)) for f in fractions])
+    ).alias("fraction")
+    hit = (
+        cum.select(*group_cols, "bin", "cum", "total", fr)
+        .where(F.col("cum") >= F.ceil(F.col("fraction") * F.col("total")))
+        .groupBy(*group_cols, "fraction", "total")
+        .agg(F.min("bin").alias("_bin"))
+    )
+    return hit.select(
+        *group_cols,
+        "fraction",
+        F.col("total").cast("long").alias("total"),
+        (F.lit(lo) + (F.col("_bin") + 1) * F.lit(width)).alias("q_est"),
+    )

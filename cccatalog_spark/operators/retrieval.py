@@ -363,3 +363,77 @@ def phrase_occurrences(
         )
         anchors = anchors.join(nxt, [id_col, "pos"])
     return anchors.groupBy(id_col).agg(F.count("*").alias(out_col))
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    round_to: int = 6,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Rarity-weighted near-duplicate pairs: cosine over smoothed-IDF-
+    weighted shingle sets — the "soft" sibling of Jaccard dedup, where
+    sharing a RARE shingle counts for more than sharing a common one.
+
+    Shingle sets are distinct, so tf ≡ 1 and the dot product reduces
+    to Σ_{s∈A∩B} idf(s)² with idf = ln((N+1)/(df+1)) + 1. Shape: one
+    df groupBy (map-side combined), the corpus count N as a 1-row
+    broadcast, postings self-join on the shingle (inverted index — the
+    same Σ df² candidate economics as dedup_ngram_jaccard, with
+    ``max_df`` as the hot-head guard; when set, the dropped ubiquitous
+    shingles leave both dot AND norms, keeping the metric internally
+    consistent), and per-doc norms re-attached by id equi-joins. The
+    threshold compares the ROUNDED cosine so both engines make
+    identical keep/drop decisions at the boundary.
+    """
+    ex = (
+        docs.select(
+            F.col(id_col), F.explode(TX.shingles(F.col(text_col), k)).alias("s")
+        )
+        .select(id_col, F.xxhash64("s").alias("s"))
+    )
+    dfq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfq = dfq.where(F.col("df") <= max_df)
+    n1 = docs.agg(F.count("*").cast("double").alias("_n"))
+    idf = dfq.crossJoin(F.broadcast(n1)).select(
+        "s",
+        (
+            (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1)
+            * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1)
+        ).alias("w2"),
+    )
+    post = ex.join(idf, "s").persist()
+    norms = post.groupBy(id_col).agg(
+        F.sqrt(F.sum("w2")).alias("norm")
+    )
+    a = post.alias("a")
+    b = post.hint("merge").alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.sum("a.w2").alias("dot"))
+    )
+    out = (
+        dots.join(norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("n_a")), "id_a")
+        .join(norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.col("n_a") * F.col("n_b")), round_to
+            ).alias("cosine"),
+        )
+    )
+    return out.where(F.col("cosine") >= threshold)

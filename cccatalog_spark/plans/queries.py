@@ -9568,3 +9568,102 @@ def q190_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = pca_power_component(emb, "embedding", 64, n_iter=3)
     proj = pca_project(emb, "embedding", "vec_id", comp)
     return proj.select("vec_id", F.round("pc1", 6).alias("pc1"))
+
+
+# ---------------------------------------------------------------------------
+# q191 — mergeable histogram quantile state (operators/quantiles.
+# histogram_partials / merge_histogram_partials /
+# quantiles_from_histogram): partials built at (event_type, day)
+# grain merge to event_type by plain sum — fixed boundaries make the
+# merged estimate IDENTICAL to direct computation, which is what the
+# oracle checks (it computes per-type bins straight from raw rows).
+# p50/p90/p99 of events.value as upper-bin-edge estimates.
+# ---------------------------------------------------------------------------
+@query(
+    "q191_histogram_quantile_rollup",
+    oracle="""
+    WITH b AS (SELECT event_type,
+                      CAST(least(greatest(floor(value / 10.0), 0), 49)
+                           AS INT) AS bin,
+                      count(*) AS n
+               FROM events GROUP BY 1, 2),
+    c AS (SELECT event_type, bin, n,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                 sum(n) OVER (PARTITION BY event_type) AS total
+          FROM b),
+    f AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS fraction),
+    hit AS (SELECT c.event_type, f.fraction, c.total, min(c.bin) AS mb
+            FROM c, f WHERE c.cum >= ceil(f.fraction * c.total)
+            GROUP BY 1, 2, 3)
+    SELECT event_type, fraction, CAST(total AS BIGINT) AS total,
+           CAST((mb + 1) * 10.0 AS DOUBLE) AS q_est
+    FROM hit
+    """,
+)
+def q191_histogram_quantile_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.quantiles import (
+        histogram_partials,
+        merge_histogram_partials,
+        quantiles_from_histogram,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            .cast("long")
+            / F.lit(86400)
+        ).cast("long").alias("day"),
+    )
+    parts = histogram_partials(
+        e, ["event_type", "day"], "value", lo=0.0, hi=500.0, n_bins=50
+    )
+    merged = merge_histogram_partials(parts, ["event_type"])
+    return quantiles_from_histogram(
+        merged, ["event_type"], [0.5, 0.9, 0.99],
+        lo=0.0, hi=500.0, n_bins=50,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — IDF-weighted cosine near-dup pairs (operators/retrieval.
+# tfidf_cosine_pairs): the "soft" sibling of q24's Jaccard — distinct
+# shingle sets weighted by smooth-idf², so sharing a RARE shingle
+# counts for more. Threshold compares the rounded cosine in both
+# engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q192_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS shingle FROM shn),
+    n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    dfq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+    idf AS (SELECT shingle,
+                   (ln((n + 1) / (df + 1)) + 1) * (ln((n + 1) / (df + 1)) + 1)
+                     AS w2
+            FROM dfq, n1),
+    post AS (SELECT doc_id, ex.shingle, w2 FROM ex JOIN idf USING (shingle)),
+    norms AS (SELECT doc_id, sqrt(sum(w2)) AS nrm FROM post GROUP BY 1),
+    dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w2) AS dot
+             FROM post a JOIN post b
+               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON dots.id_a = na.doc_id
+    JOIN norms nb ON dots.id_b = nb.doc_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def q192_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import tfidf_cosine_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, "text", "doc_id", k=3, threshold=0.5)

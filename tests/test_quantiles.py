@@ -167,3 +167,50 @@ def test_weighted_median_property(spark, rows):
             break
     assert got["wmedian"] == want
     assert got["total_weight"] == total
+
+
+def test_histogram_partials_merge_equals_direct(spark):
+    """Merging fine-grain partials gives byte-identical state to
+    building at the coarse grain directly (fixed boundaries =>
+    exactly mergeable)."""
+    from cccatalog_spark.operators.quantiles import (
+        histogram_partials,
+        merge_histogram_partials,
+    )
+
+    rows = [(i % 3, i % 7, float(i % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "sub", "v"])
+    fine = histogram_partials(df, ["g", "sub"], "v", lo=0.0, hi=50.0, n_bins=10)
+    merged = {
+        (r.g, r.bin): r.n
+        for r in merge_histogram_partials(fine, ["g"]).collect()
+    }
+    direct = {
+        (r.g, r.bin): r.n
+        for r in histogram_partials(df, ["g"], "v", lo=0.0, hi=50.0, n_bins=10).collect()
+    }
+    assert merged == direct
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark):
+    """The upper-edge estimate is >= the exact quantile and within one
+    bin width of it; outliers clamp to edge bins."""
+    from cccatalog_spark.operators.quantiles import (
+        histogram_partials,
+        quantiles_from_histogram,
+    )
+    import numpy as np
+
+    vals = [float(v) for v in range(1, 1001)] + [-5.0, 1e9]  # outliers clamp
+    df = spark.createDataFrame([(0, v) for v in vals], ["g", "v"])
+    hist = histogram_partials(df, ["g"], "v", lo=0.0, hi=1000.0, n_bins=100)
+    out = {
+        r.fraction: r.q_est
+        for r in quantiles_from_histogram(
+            hist, ["g"], [0.5, 0.9], lo=0.0, hi=1000.0, n_bins=100
+        ).collect()
+    }
+    exact_p50 = float(np.quantile(vals, 0.5, method="inverted_cdf"))
+    assert exact_p50 <= out[0.5] <= exact_p50 + 10.0 + 1e-9
+    exact_p90 = float(np.quantile(vals, 0.9, method="inverted_cdf"))
+    assert exact_p90 <= out[0.9] <= exact_p90 + 10.0 + 1e-9

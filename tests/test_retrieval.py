@@ -205,3 +205,43 @@ def test_phrase_three_terms_chain(spark):
         for r in phrase_occurrences(df, "text", "doc_id", "one two three").collect()
     }
     assert out == {1: 1, 3: 1}
+
+
+def test_tfidf_cosine_rare_overlap_beats_common_overlap(spark):
+    """Two docs sharing a RARE shingle score higher than two docs
+    sharing an equally-sized COMMON shingle overlap."""
+    from cccatalog_spark.operators.retrieval import tfidf_cosine_pairs
+
+    # "c1 c2 c3" shingle appears in docs 1-4 (common); "r1 r2 r3" only
+    # in docs 5-6 (rare). Each doc has exactly 2 shingles (4 tokens).
+    rows = [
+        (1, "c1 c2 c3 x1"), (2, "c1 c2 c3 x2"),
+        (3, "c1 c2 c3 x3"), (4, "c1 c2 c3 x4"),
+        (5, "r1 r2 r3 y1"), (6, "r1 r2 r3 y2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            df, "text", "doc_id", k=3, threshold=0.0
+        ).collect()
+    }
+    assert out[(5, 6)] > out[(1, 2)]
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from cccatalog_spark.operators.retrieval import tfidf_cosine_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),
+        (3, "zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in tfidf_cosine_pairs(
+            df, "text", "doc_id", k=3, threshold=0.9
+        ).collect()
+    }
+    assert out == {(1, 2): 1.0}
