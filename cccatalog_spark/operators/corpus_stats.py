@@ -150,3 +150,63 @@ def pmi_pairs(
         scored.orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(k)
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    max_rank: int | None = None,
+) -> DataFrame:
+    """Per-group Zipf-law fit: OLS of ln(freq) on ln(rank) over the
+    group's term-frequency spectrum — slope ≈ −1 is the healthy-
+    natural-text signature, so a per-source |slope| drifting toward 0
+    (flat: template/boilerplate spam) or −2+ (repetition) is a cheap
+    corpus-health monitor next to the quality filters.
+
+    Returns ``(group, n_terms, slope, intercept, r2)``. Shape: one
+    (group, term) count shuffle with map-side combine; ranking is a
+    window PER GROUP over the group's vocabulary — dictionary-sized
+    next to the corpus (heaps' law: |V| ~ corpus^0.5±0.1), with
+    ``max_rank`` as the head-only bound when even that is too wide.
+    The fit itself is one aggregate of OLS sufficient statistics.
+    Ties rank deterministically (freq desc, term asc) in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    tf = (
+        docs.select(F.col(group_col).alias("g"), F.explode(toks).alias("t"))
+        .groupBy("g", "t")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("freq"), F.asc("t"))
+    ranked = tf.withColumn("rank", F.row_number().over(w))
+    if max_rank is not None:
+        ranked = ranked.where(F.col("rank") <= max_rank)
+    xy = ranked.select(
+        "g",
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = xy.groupBy("g").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n_terms"),
+        (cov / varx).alias("slope"),
+        ((F.col("sy") - cov / varx * F.col("sx")) / F.col("n")).alias(
+            "intercept"
+        ),
+        (cov * cov / (varx * vary)).alias("r2"),
+    )

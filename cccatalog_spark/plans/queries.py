@@ -9667,3 +9667,47 @@ def q192_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, "text", "doc_id", k=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q193 — per-source Zipf-law fit (operators/corpus_stats.zipf_fit):
+# OLS of ln(freq) on ln(rank) over each source's term spectrum —
+# slope near −1 is the natural-text signature; the corpus-health
+# sibling of the quality filters. One (source, term) shuffle, per-
+# source vocabulary window, one sufficient-stats aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q193_zipf_slope",
+    oracle="""
+    WITH tf AS (
+        SELECT source, t, count(*) AS freq
+        FROM (SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text),
+                            '\\s+'), x -> x <> '')) AS t
+              FROM documents)
+        GROUP BY 1, 2),
+    r AS (SELECT source, freq,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY freq DESC, t ASC) AS rank
+          FROM tf),
+    xy AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+                  ln(CAST(freq AS DOUBLE)) AS y
+           FROM r)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(y, x), 6) AS slope,
+           round(regr_intercept(y, x), 6) AS intercept,
+           round(power(corr(y, x), 2), 6) AS r2
+    FROM xy GROUP BY 1
+    """,
+)
+def q193_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    fit = zipf_fit(d, "text", "source")
+    return fit.select(
+        "source", "n_terms",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )

@@ -52,3 +52,24 @@ def test_jsd_disjoint_is_ln2(spark):
     row = js_divergence(_docs(spark, a), _docs(spark, b), "text").collect()[0]
     assert row["jsd"] == round(math.log(2.0), 6)
     assert row["vocab_shared"] == 0
+
+
+def test_zipf_fit_recovers_power_law_slope(spark):
+    """A corpus drawn exactly from freq(rank) = C * rank^-1.2 fits
+    slope -1.2 with r2 ~ 1; a flat (uniform) corpus fits slope ~ 0."""
+    words = [f"w{i}" for i in range(1, 41)]
+    zipf_text = " ".join(
+        " ".join([w] * max(1, int(round(200 * (i + 1) ** -1.2))))
+        for i, w in enumerate(words)
+    )
+    flat_text = " ".join(" ".join([w] * 5) for w in words)
+    df = spark.createDataFrame(
+        [("zipf", zipf_text), ("flat", flat_text)], ["source", "text"]
+    )
+    from cccatalog_spark.operators.corpus_stats import zipf_fit
+
+    out = {r.source: r for r in zipf_fit(df, "text", "source").collect()}
+    assert abs(out["zipf"].slope + 1.2) < 0.12
+    assert out["zipf"].r2 > 0.97
+    assert abs(out["flat"].slope) < 1e-9
+    assert out["flat"].n_terms == 40
