@@ -250,3 +250,98 @@ def sessionize(
         "session_id",
         F.lit(1) + F.sum(F.coalesce(flag, F.lit(0))).over(wc),
     )
+
+
+def match_event_sequence(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite greedy event-sequence detection per key —
+    the CEP primitive Spark SQL lacks (funnel q170 finds the FIRST
+    completion; this finds ALL non-overlapping completions).
+
+    Pinned semantics (engine-independent, oracle-reproducible):
+
+    - events are ordered by ``(time_col, tiebreak_col)``;
+    - a candidate anchors at the next ``steps[0]`` event after the
+      scan pointer; each later step matches the NEXT event of that
+      type (intervening events allowed — reluctant skip);
+    - a completed candidate spanning ≤ ``within`` seconds EMITS and
+      the pointer jumps past its last row (AFTER MATCH SKIP PAST LAST
+      ROW); one violating the window restarts at the anchor's
+      successor;
+    - a step with no successor ends the key's scan (later anchors can
+      only see a suffix of the events, so they cannot succeed either).
+
+    Returns ``(key, match_n, start_sec, end_sec)``, match_n 1-based in
+    time order.
+
+    Implementation: ``applyInPandas`` — the ONE shuffle is keyed by
+    the entity, per-key state is O(session length), and the scan is a
+    linear two-pointer pass inside the Arrow batch. The streaming twin
+    is applyInPandasWithState carrying (ptr, match_n) across batches.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    key_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[key_col]
+    schema = (
+        f"{key_col} {key_type}, match_n int, start_sec long, end_sec long"
+    )
+    order_cols = [time_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {key_col: [], "match_n": [], "start_sec": [], "end_sec": []}
+            )
+        o = pdf.sort_values(order_cols, kind="mergesort")
+        t = o[type_col].tolist()
+        s = o[time_col].tolist()
+        key = pdf[key_col].iloc[0]
+        n = len(t)
+        out_m, out_s, out_e = [], [], []
+        ptr = 0
+        while True:
+            i = ptr
+            while i < n and t[i] != steps[0]:
+                i += 1
+            if i >= n:
+                break
+            cur, idx0, ok = i, i, True
+            for st in steps[1:]:
+                j = cur + 1
+                while j < n and t[j] != st:
+                    j += 1
+                if j >= n:
+                    ok = False
+                    break
+                cur = j
+            if not ok:
+                break
+            if within is None or s[cur] - s[idx0] <= within:
+                out_m.append(len(out_m) + 1)
+                out_s.append(s[idx0])
+                out_e.append(s[cur])
+                ptr = cur + 1
+            else:
+                ptr = idx0 + 1
+        return pd.DataFrame(
+            {
+                key_col: [key] * len(out_m),
+                "match_n": out_m,
+                "start_sec": out_s,
+                "end_sec": out_e,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandas(run, schema)

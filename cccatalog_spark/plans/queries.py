@@ -9711,3 +9711,77 @@ def q193_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         F.round("r2", 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — MATCH_RECOGNIZE-lite event pattern matching (operators/
+# temporal.match_event_sequence): all non-overlapping greedy
+# view→click→purchase completions per user within 1 day, AFTER MATCH
+# SKIP PAST LAST ROW, window-violating candidates retry from the
+# anchor's successor. The oracle replays the identical automaton as a
+# DuckDB recursive CTE over per-user posting lists.
+# ---------------------------------------------------------------------------
+@query(
+    "q194_event_pattern",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                         event_id) AS rn
+      FROM events),
+    lists AS (
+      SELECT user_id,
+             list(rn ORDER BY rn) FILTER (event_type = 'view')     AS l1,
+             list(rn ORDER BY rn) FILTER (event_type = 'click')    AS l2,
+             list(rn ORDER BY rn) FILTER (event_type = 'purchase') AS l3,
+             list(sec ORDER BY rn) AS secs
+      FROM ev GROUP BY 1),
+    m AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS ptr,
+             CAST(NULL AS BIGINT) AS s_sec, CAST(NULL AS BIGINT) AS e_sec
+      FROM lists
+      UNION ALL
+      SELECT user_id, new_ptr, s_sec, e_sec FROM (
+        SELECT m.user_id,
+               list_min(list_filter(l.l1, r -> r > m.ptr)) AS a_rn,
+               list_min(list_filter(l.l2, r -> r > a_rn)) AS b_rn,
+               list_min(list_filter(l.l3, r -> r > b_rn)) AS c_rn,
+               CASE WHEN c_rn IS NULL THEN NULL
+                    WHEN l.secs[CAST(c_rn AS INT)]
+                         - l.secs[CAST(a_rn AS INT)] <= 86400
+                    THEN c_rn ELSE a_rn END AS new_ptr,
+               CASE WHEN c_rn IS NOT NULL
+                     AND l.secs[CAST(c_rn AS INT)]
+                         - l.secs[CAST(a_rn AS INT)] <= 86400
+                    THEN l.secs[CAST(a_rn AS INT)] END AS s_sec,
+               CASE WHEN c_rn IS NOT NULL
+                     AND l.secs[CAST(c_rn AS INT)]
+                         - l.secs[CAST(a_rn AS INT)] <= 86400
+                    THEN l.secs[CAST(c_rn AS INT)] END AS e_sec
+        FROM m JOIN lists l USING (user_id)
+      ) WHERE new_ptr IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY s_sec, e_sec) AS INT) AS match_n,
+           s_sec AS start_sec, e_sec AS end_sec
+    FROM m WHERE s_sec IS NOT NULL
+    """,
+)
+def q194_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import match_event_sequence
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    return match_event_sequence(
+        e, "user_id", "sec", "event_type",
+        ["view", "click", "purchase"],
+        within=86400, tiebreak_col="event_id",
+    )

@@ -164,3 +164,50 @@ def test_sessionize_gap_semantics(spark):
     assert out[("u", 4000)] == out[("u", 4100)] == 2
     assert out[("u", 8000)] == 3
     assert out[("v", 50)] == 1
+
+
+def test_match_event_sequence_greedy_semantics(spark):
+    """Pinned CEP semantics: skip-past-last-row, reluctant skip,
+    window-violation retries from anchor+1, exhaustion ends scan."""
+    from cccatalog_spark.operators.temporal import match_event_sequence
+
+    rows = [
+        # user 1: A x B A B -> one match (1st A with 1st B); the
+        # second A+B pair starts after the match end -> second match
+        (1, 1, "A", 10), (1, 2, "x", 11), (1, 3, "B", 12),
+        (1, 4, "A", 20), (1, 5, "B", 25),
+        # user 2: A .. B too far (window 5), retry finds A(t=8)->B(t=9)
+        (2, 1, "A", 0), (2, 2, "A", 8), (2, 3, "B", 9),
+        # user 3: A only -> no match
+        (3, 1, "A", 5),
+    ]
+    df = spark.createDataFrame(rows, ["u", "eid", "t", "sec"])
+    out = {
+        (r.u, r.match_n): (r.start_sec, r.end_sec)
+        for r in match_event_sequence(
+            df, "u", "sec", "t", ["A", "B"], within=5, tiebreak_col="eid"
+        ).collect()
+    }
+    assert out == {
+        (1, 1): (10, 12),
+        (1, 2): (20, 25),
+        (2, 1): (8, 9),
+    }
+
+
+def test_match_event_sequence_three_steps_and_no_window(spark):
+    from cccatalog_spark.operators.temporal import match_event_sequence
+
+    rows = [
+        (1, i, t, i)
+        for i, t in enumerate(["A", "B", "C", "A", "C", "B", "C"])
+    ]
+    df = spark.createDataFrame(rows, ["u", "eid", "t", "sec"])
+    out = [
+        (r.match_n, r.start_sec, r.end_sec)
+        for r in match_event_sequence(
+            df, "u", "sec", "t", ["A", "B", "C"], tiebreak_col="eid"
+        ).collect()
+    ]
+    # match 1: A(0) B(1) C(2); match 2: A(3) -> next B is 5 -> C(6)
+    assert sorted(out) == [(1, 0, 2), (2, 3, 6)]
