@@ -4018,13 +4018,13 @@ DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary", "q100_hybrid_rrf", "q04_merge_upsert",
     "q05_merge_overwrite", "q06_replay_collapse", "q07_latest_orders",
     "q106_stream_stream_join", "q10_standardized_popularity",
-    "q12_dedup_exact", "q16_license_extract", "q23_lang_id",
-    "q24_ngram_jaccard", "q25_minhash_lsh", "q107_partial_rollup_merge",
+    "q185_jaccard_prefix_join", "q16_license_extract", "q23_lang_id",
+    "q188_phash_neardup", "q25_minhash_lsh", "q107_partial_rollup_merge",
     "q28_embedding_neardup", "q157_time_travel_cdf", "q33_array_contains_join",
     "q111_stream_sessions", "q124_boilerplate_strip", "q160_frontier_pipeline",
     "q39_sub_provider_update", "q40_image_normalize", "q41_expiration_mark",
-    "q125_semantic_dedup", "q43_rolling_window", "q104_snapshot_cdc",
-    "q46_multimodal_features", "q57_bpe_tokens", "q58_smithsonian_ingest",
+    "q125_semantic_dedup", "q189_pca_power", "q192_tfidf_cosine_pairs",
+    "q194_event_pattern", "q191_histogram_quantile_rollup", "q58_smithsonian_ingest",
     "q63_europeana_ingest", "q64_cc_tags_provider_keys",
     "q65_bucketed_stream_loader", "q66_url_validate",
     "q67_wikimedia_continue_merge", "q68_rest_ingest",
