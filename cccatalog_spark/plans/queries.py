@@ -9785,3 +9785,117 @@ def q194_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["view", "click", "purchase"],
         within=86400, tiebreak_col="event_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — STREAMING CEP (streaming/stateful.match_sequence_stream):
+# the greedy view→click→purchase automaton of q194 carried across a
+# 2-batch time-ordered replay in keyed state — buffered step-type
+# events bounded by the match window (expired anchors retry
+# immediately). Drained output equals the batch operator exactly, so
+# the oracle is the SAME recursive-CTE automaton replay.
+# ---------------------------------------------------------------------------
+@query(
+    "q195_stream_event_pattern",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(floor(epoch(ts)) AS BIGINT),
+                                         event_id) AS rn
+      FROM events),
+    lists AS (
+      SELECT user_id,
+             list(rn ORDER BY rn) FILTER (event_type = 'view')     AS l1,
+             list(rn ORDER BY rn) FILTER (event_type = 'click')    AS l2,
+             list(rn ORDER BY rn) FILTER (event_type = 'purchase') AS l3,
+             list(sec ORDER BY rn) AS secs
+      FROM ev GROUP BY 1),
+    m AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS ptr,
+             CAST(NULL AS BIGINT) AS s_sec, CAST(NULL AS BIGINT) AS e_sec
+      FROM lists
+      UNION ALL
+      SELECT user_id, new_ptr, s_sec, e_sec FROM (
+        SELECT m.user_id,
+               list_min(list_filter(l.l1, r -> r > m.ptr)) AS a_rn,
+               list_min(list_filter(l.l2, r -> r > a_rn)) AS b_rn,
+               list_min(list_filter(l.l3, r -> r > b_rn)) AS c_rn,
+               CASE WHEN c_rn IS NULL THEN NULL
+                    WHEN l.secs[CAST(c_rn AS INT)]
+                         - l.secs[CAST(a_rn AS INT)] <= 86400
+                    THEN c_rn ELSE a_rn END AS new_ptr,
+               CASE WHEN c_rn IS NOT NULL
+                     AND l.secs[CAST(c_rn AS INT)]
+                         - l.secs[CAST(a_rn AS INT)] <= 86400
+                    THEN l.secs[CAST(a_rn AS INT)] END AS s_sec,
+               CASE WHEN c_rn IS NOT NULL
+                     AND l.secs[CAST(c_rn AS INT)]
+                         - l.secs[CAST(a_rn AS INT)] <= 86400
+                    THEN l.secs[CAST(c_rn AS INT)] END AS e_sec
+        FROM m JOIN lists l USING (user_id)
+      ) WHERE new_ptr IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY s_sec, e_sec) AS INT) AS match_n,
+           s_sec AS start_sec, e_sec AS end_sec
+    FROM m WHERE s_sec IS NOT NULL
+    """,
+)
+def q195_stream_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import match_sequence_stream
+
+    base = tempfile.mkdtemp(prefix="ccc_cep_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    cutoff = 1705363200  # 2024-01-16: time-ordered 2-batch replay
+    now = time.time()
+    for i, pred in enumerate((F.col("sec") < cutoff, F.col("sec") >= cutoff)):
+        stage = os.path.join(base, f"stage{i}")
+        e.where(pred).coalesce(1).write.option("sep", "\t").mode(
+            "overwrite"
+        ).csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_id long, user_id long, event_type string, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    matches = match_sequence_stream(
+        stream, "user_id", "sec", "event_type",
+        ["view", "click", "purchase"],
+        within=86400, tiebreak_col="event_id",
+    )
+    sink = f"q195_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        matches.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT user_id, match_n, start_sec, end_sec FROM {sink}"
+    )

@@ -227,3 +227,121 @@ def quota_admit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def match_sequence_stream(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    within: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.match_event_sequence``:
+    the greedy CEP automaton (all non-overlapping matches, skip-past-
+    last-row, window-violation retry) carried across micro-batches in
+    keyed state.
+
+    State is BOUNDED by construction: only events of the pattern's
+    types are buffered, and only from the current unresolved anchor
+    onward — an anchor older than ``max_seen − within`` can never
+    complete inside the window (later steps only get later), so it is
+    retried immediately and the buffer never spans more than
+    ``within`` seconds of step-type events. Under the loader's
+    ordered-replay contract the drained output equals the batch
+    operator exactly (pinned by test and by the recursive-CTE oracle).
+    """
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+    key_type = dict(
+        (f.name, f.dataType.simpleString()) for f in stream.schema.fields
+    )[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, match_n int, start_sec long, end_sec long"
+    )
+    state_schema = (
+        "secs array<long>, eids array<long>, kinds array<int>, done long"
+    )
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            secs, eids, kinds, done = state.get
+            buf = list(zip(secs, eids, kinds))
+        else:
+            buf, done = [], 0
+        new_rows = []
+        for pdf in pdfs:
+            for sec, eid, t in zip(
+                pdf[time_col], pdf[tiebreak_col], pdf[type_col]
+            ):
+                if t in step_idx:
+                    new_rows.append((int(sec), int(eid), step_idx[t]))
+        new_rows.sort()
+        buf.extend(new_rows)  # ordered replay: new batch >= buffered
+        out_m, out_s, out_e = [], [], []
+        ptr = 0
+        max_seen = buf[-1][0] if buf else None
+        while True:
+            i = ptr
+            while i < len(buf) and buf[i][2] != 0:
+                i += 1
+            if i >= len(buf):
+                ptr = len(buf)
+                break
+            cur, idx0, complete = i, i, True
+            for want in range(1, n_steps):
+                j = cur + 1
+                while j < len(buf) and buf[j][2] != want:
+                    j += 1
+                if j >= len(buf):
+                    complete = False
+                    break
+                cur = j
+            if not complete:
+                # candidate runs off the batch; if the anchor already
+                # expired it can never complete -> retry, else wait
+                if buf[idx0][0] < max_seen - within:
+                    ptr = idx0 + 1
+                    continue
+                ptr = idx0
+                break
+            if buf[cur][0] - buf[idx0][0] <= within:
+                done += 1
+                out_m.append(int(done))
+                out_s.append(buf[idx0][0])
+                out_e.append(buf[cur][0])
+                ptr = cur + 1
+            else:
+                ptr = idx0 + 1
+        buf = buf[ptr:]
+        state.update(
+            (
+                [b[0] for b in buf],
+                [b[1] for b in buf],
+                [b[2] for b in buf],
+                done,
+            )
+        )
+        if out_m:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_m),
+                    "match_n": out_m,
+                    "start_sec": out_s,
+                    "end_sec": out_e,
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

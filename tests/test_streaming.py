@@ -518,3 +518,22 @@ def test_quota_admit_cross_batch_cap(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted((r["k"], r["o"]) for r in spark.table("quota_test").collect())
     assert got == [(1, 1), (1, 2), (1, 3), (1, 4), (2, 10), (2, 11)]
+
+
+def test_stream_cep_equals_batch_cep(spark, sf_dir):
+    """The streaming automaton (cross-batch keyed state, 2-batch
+    ordered replay) emits exactly the batch operator's matches."""
+    from cccatalog_spark.plans.queries import (
+        q194_event_pattern,
+        q195_stream_event_pattern,
+    )
+
+    batch = {
+        (r.user_id, r.match_n, r.start_sec, r.end_sec)
+        for r in q194_event_pattern(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.user_id, r.match_n, r.start_sec, r.end_sec)
+        for r in q195_stream_event_pattern(spark, sf_dir).collect()
+    }
+    assert stream == batch
