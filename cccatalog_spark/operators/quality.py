@@ -202,3 +202,54 @@ def robust_outliers(
     return mad.withColumn(
         out_col, F.col("deviation") > F.lit(z) * F.col("mad")
     )
+
+
+def label_model_vote(
+    df: DataFrame,
+    id_col: str,
+    votes: list[tuple[str, Column, float]],
+) -> DataFrame:
+    """Weak-supervision label aggregation (Snorkel-style majority
+    vote): each labeling function is a (name, vote_column, weight)
+    triple whose column evaluates to +1 (keep), −1 (drop), or NULL
+    (abstain). The model emits the accuracy-weighted vote sum, the
+    participating-rule count, and the decision (sign of the sum;
+    NULL on an exact tie or all-abstain) — the cheap consensus layer
+    that turns a pile of noisy quality heuristics into one training
+    label without hand-labeling.
+
+    Shape: pure column algebra in the scan stage — no shuffle, no UDF,
+    no state; every labeling function is evaluated once per row in
+    whole-stage codegen. (Learning the weights is the offline,
+    bounded-size problem — here they arrive as constants, the same
+    split as IVF centroids.)
+    """
+    if not votes:
+        raise ValueError("need at least one labeling function")
+    terms = [
+        F.when(v.isNotNull(), v.cast("double") * F.lit(float(w)))
+        for _, v, w in votes
+    ]
+    participating = sum(
+        (F.when(v.isNotNull(), 1).otherwise(0) for _, v, _ in votes),
+        F.lit(0),
+    )
+    total = sum(
+        (F.coalesce(t, F.lit(0.0)) for t in terms), F.lit(0.0)
+    )
+    decision = (
+        F.when(total > 0, F.lit(1))
+        .when(total < 0, F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    out = df.select(
+        F.col(id_col),
+        *[
+            v.cast("int").alias(f"lf_{name}")
+            for name, v, _ in votes
+        ],
+        participating.alias("n_rules"),
+        F.round(total, 6).alias("vote_sum"),
+        decision.alias("label"),
+    )
+    return out

@@ -9899,3 +9899,134 @@ def q195_stream_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"SELECT user_id, match_n, start_sec, end_sec FROM {sink}"
     )
+
+
+# ---------------------------------------------------------------------------
+# q196 — weak-supervision label model (operators/quality.
+# label_model_vote): three noisy labeling functions (length band,
+# stopword band, duplicate-word band) vote +1/-1/abstain with
+# per-rule accuracy weights; the consensus label is the sign of the
+# weighted sum (NULL on tie/all-abstain). Scan-stage column algebra —
+# no shuffle, no UDF.
+# ---------------------------------------------------------------------------
+@query(
+    "q196_label_model",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+               AS toks
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1
+                  WHEN n_chars < 60 THEN -1 END AS lf_len,
+             CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a')))
+                       * 1.0 / len(toks) > 0.30 THEN -1
+                  WHEN len(list_filter(toks, x -> x IN ('the', 'a')))
+                       * 1.0 / len(toks) >= 0.02 THEN 1 END AS lf_stop,
+             CASE WHEN len(list_distinct(toks)) * 1.0 / len(toks) > 0.60
+                       THEN 1
+                  WHEN len(list_distinct(toks)) * 1.0 / len(toks) < 0.45
+                       THEN -1 END AS lf_dup
+      FROM t),
+    v AS (
+      SELECT doc_id, lf_len, lf_stop, lf_dup,
+             (CASE WHEN lf_len IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN lf_stop IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN lf_dup IS NULL THEN 0 ELSE 1 END) AS n_rules,
+             (coalesce(lf_len, 0) * CAST(1.0 AS DOUBLE)
+              + coalesce(lf_stop, 0) * CAST(0.7 AS DOUBLE)
+              + coalesce(lf_dup, 0) * CAST(1.2 AS DOUBLE)) AS total
+      FROM f)
+    SELECT doc_id, lf_len, lf_stop, lf_dup, n_rules,
+           round(total, 6) AS vote_sum,
+           CASE WHEN total > 0 THEN 1 WHEN total < 0 THEN -1 END AS label
+    FROM v
+    """,
+)
+def q196_label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quality import label_model_vote
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+        / F.size(toks)
+    )
+    dup_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    lf_len = (
+        F.when((F.col("n_chars") >= 100) & (F.col("n_chars") <= 400), 1)
+        .when(F.col("n_chars") < 60, -1)
+    )
+    lf_stop = (
+        F.when(stop_ratio > 0.30, -1).when(stop_ratio >= 0.02, 1)
+    )
+    lf_dup = F.when(dup_ratio > 0.60, 1).when(dup_ratio < 0.45, -1)
+    return label_model_vote(
+        d, "doc_id",
+        [("len", lf_len, 1.0), ("stop", lf_stop, 0.7), ("dup", lf_dup, 1.2)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — burst detection: per (event_type, day) counts scored against
+# a trailing 7-day baseline (RANGE window — gap-correct), z-score
+# flagged at 2. The corpus-monitoring twin of the quality filters:
+# ingest-rate anomalies surface as bursts.
+# ---------------------------------------------------------------------------
+@query(
+    "q197_burst_detection",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+               FROM events),
+    c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS cnt
+          FROM e GROUP BY 1, 2),
+    w AS (SELECT event_type, day, cnt,
+                 count(*) OVER tw AS n_prior,
+                 avg(cnt) OVER tw AS mean7,
+                 stddev_pop(cnt) OVER tw AS sd7
+          FROM c
+          WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                        RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, day, cnt,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           round(mean7, 6) AS mean7,
+           CASE WHEN sd7 > 0 THEN round((cnt - mean7) / sd7, 6) END AS z,
+           CASE WHEN sd7 > 0
+                THEN round((cnt - mean7) / sd7, 6) > CAST(2.0 AS DOUBLE)
+           END AS burst
+    FROM w WHERE n_prior >= 3
+    """,
+)
+def q197_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+            .cast("long")
+            / F.lit(86400)
+        ).cast("long").alias("day"),
+    )
+    c = e.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-7, -1)
+    )
+    w = c.select(
+        "event_type", "day", "cnt",
+        F.count("*").over(tw).alias("n_prior"),
+        F.avg("cnt").over(tw).alias("mean7"),
+        F.stddev_pop("cnt").over(tw).alias("sd7"),
+    )
+    z = F.when(F.col("sd7") > 0, F.round(
+        (F.col("cnt") - F.col("mean7")) / F.col("sd7"), 6
+    ))
+    return w.where(F.col("n_prior") >= 3).select(
+        "event_type", "day", "cnt", "n_prior",
+        F.round("mean7", 6).alias("mean7"),
+        z.alias("z"),
+        F.when(F.col("sd7") > 0, z > F.lit(2.0)).alias("burst"),
+    )

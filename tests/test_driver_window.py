@@ -34,6 +34,6 @@ def test_oracles_follow_query_order():
 def test_full_inventory_counts():
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 195
+    assert len(qs) == 197
     # only the recall-gated ANN paths (q47/q50) are rows-only by design
     assert sorted(set(qs) - set(oracles)) == ["q47_ann_lsh", "q50_ann_ivf"]

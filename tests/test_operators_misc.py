@@ -417,3 +417,36 @@ def test_wat_manifest_slices_stable(spark, tmp_path):
           for r in load_wat_manifest(spark, str(p2), n_slices=8).collect()}
     m1 = {r["wat_path"]: r["slice_id"] for r in rows}
     assert m1 == m2
+
+
+def test_label_model_vote_semantics(spark):
+    """Weighted vote: sign decision, NULL on tie/all-abstain, abstain
+    rules excluded from n_rules."""
+    from pyspark.sql import functions as F
+    from cccatalog_spark.operators.quality import label_model_vote
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, -1), (2, None, None, None), (3, 1, -1, None),
+         (4, None, -1, None)],
+        ["id", "a", "b", "c"],
+    )
+    out = {
+        r.id: (r.n_rules, r.vote_sum, r.label)
+        for r in label_model_vote(
+            df, "id",
+            [("a", F.col("a"), 1.0), ("b", F.col("b"), 1.0),
+             ("c", F.col("c"), 2.0)],
+        ).collect()
+    }
+    assert out[1] == (3, 0.0, None)        # 1 + 1 - 2 = tie -> NULL
+    assert out[2] == (0, 0.0, None)        # all abstain
+    assert out[3] == (2, 0.0, None)        # 1 - 1 tie
+    assert out[4] == (1, -1.0, -1)         # single voter decides
+
+
+def test_label_model_requires_rules():
+    import pytest
+    from cccatalog_spark.operators.quality import label_model_vote
+
+    with pytest.raises(ValueError):
+        label_model_vote(None, "id", [])
