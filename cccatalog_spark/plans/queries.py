@@ -1910,10 +1910,43 @@ def q48_cc_tags_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q47 — LSH-bucketed approximate nearest neighbor (the scale path for
-# q26's exact scan; rows-only — recall vs the exact baseline is
-# asserted in tests/test_similarity.py).
+# q26's exact scan). Now FULLY oracle-paired: the 4 LCG-derived unit
+# hyperplanes are generated at import (deterministic, engine-free
+# Python) and embedded into the oracle as literal DOUBLE arrays, so
+# DuckDB reproduces the identical bucket assignment, bucket filter,
+# and rounded-cosine top-k. Recall vs the exact baseline is still
+# asserted in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
-@query("q47_ann_lsh")
+def _q47_oracle() -> str:
+    planes = SIM._hyperplanes(64, 4, 42)
+    rows = ",\n           ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            i, 1 << i, ", ".join(repr(x) for x in p)
+        )
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH planes(i, pw, arr) AS (VALUES {rows}),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, p.arr) >= 0
+                           THEN p.pw ELSE 0 END) AS BIGINT) AS b
+           FROM q, planes p),
+    vb AS (SELECT e.vec_id, e.embedding,
+                  CAST(sum(CASE WHEN list_dot_product(
+                               e.embedding::DOUBLE[], p.arr) >= 0
+                           THEN p.pw ELSE 0 END) AS BIGINT) AS b
+           FROM embeddings e, planes p GROUP BY 1, 2)
+    SELECT vb.vec_id,
+           round(list_cosine_similarity(vb.embedding::DOUBLE[],
+                                        q.qv), 6) AS cosine_sim
+    FROM vb, qb, q
+    WHERE vb.b = qb.b
+    ORDER BY cosine_sim DESC, vb.vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("q47_ann_lsh", oracle=_q47_oracle())
 def q47_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [
@@ -1966,10 +1999,44 @@ def q49_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q50 — IVF approximate nearest neighbor (the partition-pruning scale
-# path; rows-only — recall vs the exact scan asserted in
-# tests/test_similarity.py).
+# path). Now FULLY oracle-paired: the deterministic coarse quantizer
+# (first n_lists vectors by id, norm folded into the centroid) and the
+# driver-side probe ranking (cosine desc, lid desc) are both
+# replayed in SQL — assignment argmax ties break identically
+# (sim desc, lid desc matches array_max's struct order). Recall vs
+# the exact scan is still asserted in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
-@query("q50_ann_ivf")
+@query(
+    "q50_ann_ivf",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+    cent AS (SELECT vec_id AS lid, embedding::DOUBLE[] AS cv
+             FROM embeddings ORDER BY vec_id LIMIT 16),
+    cn AS (SELECT lid, cv,
+                  list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+                    AS ncv
+           FROM cent),
+    probe AS (SELECT lid FROM cn, q
+              ORDER BY list_cosine_similarity(cn.cv, q.qv) DESC, lid DESC
+              LIMIT 4),
+    scores AS (SELECT e.vec_id, e.embedding, cn.lid,
+                      list_dot_product(e.embedding::DOUBLE[], cn.ncv) AS sim
+               FROM embeddings e, cn),
+    assign AS (SELECT vec_id, embedding, lid
+               FROM (SELECT *, row_number() OVER (
+                         PARTITION BY vec_id
+                         ORDER BY sim DESC, lid DESC) AS rn
+                     FROM scores)
+               WHERE rn = 1)
+    SELECT a.vec_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], q.qv), 6)
+             AS cosine_sim
+    FROM assign a JOIN probe p ON a.lid = p.lid, q
+    ORDER BY cosine_sim DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
 def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     probe = [

@@ -35,5 +35,6 @@ def test_full_inventory_counts():
     qs = all_queries()
     oracles = all_oracles()
     assert len(qs) == 197
-    # only the recall-gated ANN paths (q47/q50) are rows-only by design
-    assert sorted(set(qs) - set(oracles)) == ["q47_ann_lsh", "q50_ann_ivf"]
+    # every query is oracle-paired (q47/q50 gained literal-plane /
+    # deterministic-quantizer oracles in round 3)
+    assert sorted(set(qs) - set(oracles)) == []
