@@ -102,7 +102,7 @@ def _pair_jaccard(
     return pairs.withColumn(
         "jaccard",
         F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
-    ).select("id_a", "id_b", "common", "jaccard")
+    ).select("id_a", "id_b", "n_a", "n_b", "common", "jaccard")
 
 
 def dedup_ngram_jaccard(
@@ -118,7 +118,9 @@ def dedup_ngram_jaccard(
         F.col(id_col), shingles(F.col(text_col), k).alias("sh")
     ).withColumn("n_sh", F.size("sh")).where(F.col("n_sh") > 0)
     pairs = _pair_jaccard(shingled, id_col, max_doc_freq)
-    return pairs.where(F.col("jaccard") >= threshold)
+    return pairs.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "common", "jaccard"
+    )
 
 
 def minhash_signature(sh: Column, num_hashes: int = 8) -> Column:
@@ -748,6 +750,7 @@ def dedup_sorted_neighborhood(
     k: int = 3,
     threshold: float = 0.5,
     key_len: int = 12,
+    key_expr: Column | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández & Stolfo): sort the
     corpus by a cheap blocking key, compare each record only with the
@@ -770,7 +773,11 @@ def dedup_sorted_neighborhood(
         fan_out(df)
         .select(
             F.col(id_col),
-            F.substring(F.lower(F.col(text_col)), 1, key_len).alias("_key"),
+            (
+                key_expr
+                if key_expr is not None
+                else F.substring(F.lower(F.col(text_col)), 1, key_len)
+            ).alias("_key"),
             shingles(F.col(text_col), k).alias("sh"),
         )
         .withColumn("sh", F.transform("sh", lambda x: F.xxhash64(x)))
@@ -809,3 +816,69 @@ def dedup_sorted_neighborhood(
             "jaccard",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Directed containment near-dups: pairs where |A∩B| / |A| ≥ t —
+    the "document A is (mostly) quoted inside document B" case that
+    symmetric Jaccard MISSES when B is much larger (J ≈ |A|/|B| → 0
+    while containment stays 1). The standard retention policy keeps
+    the superset document.
+
+    Same inverted-index candidate economics as ``dedup_ngram_jaccard``
+    (one shingle self-join, map-side-combined common counts) — only
+    the normalization changes, and the pair survives if EITHER
+    direction's containment clears the threshold (both reported).
+    """
+    shingled = (
+        fan_out(df)
+        .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .where(F.col("n_sh") > 0)
+    )
+    pairs = _pair_jaccard(shingled, id_col)
+    return (
+        pairs.withColumn(
+            "containment_a", F.col("common") / F.col("n_a")
+        )
+        .withColumn("containment_b", F.col("common") / F.col("n_b"))
+        .where(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+        .select("id_a", "id_b", "common", "containment_a", "containment_b")
+    )
+
+
+def dedup_sorted_neighborhood_multipass(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    key_exprs: list[Column],
+    *,
+    window: int = 5,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood (the standard recall fix for
+    single-key SNM): one pass per blocking key, pair sets unioned
+    distinct. Recall grows with passes while candidates stay
+    (passes)·(window − 1)·n — still linear. Identical duplicate pairs
+    found by several passes collapse in the distinct (same metrics,
+    same row)."""
+    out = None
+    for e in key_exprs:
+        p = dedup_sorted_neighborhood(
+            df, text_col, id_col,
+            window=window, k=k, threshold=threshold, key_expr=e,
+        )
+        out = p if out is None else out.unionByName(p)
+    if out is None:
+        raise ValueError("need at least one blocking key")
+    return out.distinct()

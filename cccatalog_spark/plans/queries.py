@@ -10097,3 +10097,42 @@ def q197_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         F.when(F.col("sd7") > 0, z > F.lit(2.0)).alias("burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — directed containment near-dups (operators/dedup.
+# containment_pairs): |A∩B|/|A| catches "A quoted inside a larger B"
+# pairs that symmetric Jaccard misses (J → |A|/|B| while containment
+# stays 1). Same inverted-index plan as q24; only the normalization
+# differs. Threshold compares the exact rational in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q198_containment_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM shn),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS n_a, b.n AS n_b, count(*) AS common
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           round(CAST(common AS DOUBLE) / n_a, 6) AS containment_a,
+           round(CAST(common AS DOUBLE) / n_b, 6) AS containment_b
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / n_a >= 0.6
+       OR CAST(common AS DOUBLE) / n_b >= 0.6
+    """,
+)
+def q198_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.containment_pairs(d, "text", "doc_id", k=3, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.col("common").cast("long").alias("common"),
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )

@@ -306,3 +306,52 @@ def test_sorted_neighborhood_linear_candidates(spark):
         df, "text", "doc_id", window=3, threshold=0.0
     )
     assert out.count() <= 2 * 10
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment_a = 1.0
+    while Jaccard is small."""
+    from cccatalog_spark.operators.dedup import (
+        containment_pairs,
+        dedup_ngram_jaccard,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"pad{i} filler{i} extra{i}" for i in range(12))
+    rows = [(1, quote), (2, quote + " " + filler)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
+    assert len(cont) == 1 and cont[0].containment_a == 1.0
+    jac = dedup_ngram_jaccard(df, "text", "doc_id", threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the quotation
+
+
+def test_multipass_snm_recall_exceeds_single_pass(spark):
+    """A pair whose texts share a SUFFIX but not a prefix is invisible
+    to the prefix-key pass and found by the reversed-key pass."""
+    from pyspark.sql import functions as F
+    from cccatalog_spark.operators.dedup import (
+        dedup_sorted_neighborhood,
+        dedup_sorted_neighborhood_multipass,
+    )
+
+    shared = "identical shared tail words here now again and again more"
+    rows = [
+        (1, "aaaa " + shared),
+        (2, "zzzz " + shared),
+        (3, "mmmm unrelated middle text entirely different body here"),
+        (4, "qqqq other unrelated text another different body present"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    single = dedup_sorted_neighborhood(
+        df, "text", "doc_id", window=2, threshold=0.5
+    ).collect()
+    assert (1, 2) not in {(r.id_a, r.id_b) for r in single}
+    keys = [
+        F.substring(F.lower(F.col("text")), 1, 12),
+        F.substring(F.reverse(F.lower(F.col("text"))), 1, 12),
+    ]
+    multi = dedup_sorted_neighborhood_multipass(
+        df, "text", "doc_id", keys, window=2, threshold=0.5
+    ).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in multi}
