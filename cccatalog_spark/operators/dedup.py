@@ -882,3 +882,29 @@ def dedup_sorted_neighborhood_multipass(
     if out is None:
         raise ValueError("need at least one blocking key")
     return out.distinct()
+
+
+def dedup_exact_by(
+    df: DataFrame, content_col: str, id_col: str, score_col: str
+) -> DataFrame:
+    """Exact dedup with a QUALITY retention policy: one survivor per
+    content hash — the highest ``score_col`` row, ties to the smallest
+    id (fully deterministic, unlike the reference's arbitrary ctid
+    survivor). Same single-shuffle shape as ``dedup_exact``; the
+    argmax rides the same aggregate via ``max_by`` over a
+    (score, −id) struct, so retention policy costs nothing extra."""
+    h = F.md5(F.col(content_col))
+    pick = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("ni")
+    )
+    return (
+        fan_out(df)
+        .withColumn("_h", h)
+        .groupBy("_h")
+        .agg(
+            F.max_by(F.col(id_col), pick).alias(id_col),
+            F.max(score_col).alias(score_col),
+            F.count("*").alias("dup_count"),
+        )
+        .withColumnRenamed("_h", "content_hash")
+    )

@@ -355,3 +355,19 @@ def test_multipass_snm_recall_exceeds_single_pass(spark):
         df, "text", "doc_id", keys, window=2, threshold=0.5
     ).collect()
     assert (1, 2) in {(r.id_a, r.id_b) for r in multi}
+
+
+def test_dedup_exact_by_keeps_best_quality_tie_min_id(spark):
+    from cccatalog_spark.operators.dedup import dedup_exact_by
+
+    rows = [
+        (1, "same text", 0.2), (2, "same text", 0.9), (3, "same text", 0.9),
+        (4, "other text", 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "q"])
+    out = {
+        r.doc_id: (r.q, r.dup_count)
+        for r in dedup_exact_by(df, "text", "doc_id", "q").collect()
+    }
+    # survivor of the triplicate: highest q, tie -> min id (2 not 3)
+    assert out == {2: (0.9, 3), 4: (0.1, 1)}
