@@ -575,3 +575,55 @@ def shard_by_tokens(
             F.col(len_col).cast("long").alias("n_tokens"),
         )
     )
+
+
+def temperature_epochs(
+    source_tokens: dict[str, int],
+    alpha: float,
+    token_budget: int,
+    *,
+    max_epochs: float | None = None,
+) -> dict[str, float]:
+    """Driver-side mixture solver feeding :func:`epoch_repeat`:
+    temperature-weighted source epochs (UNIMAX-style water-filling
+    when ``max_epochs`` caps repetition).
+
+    Target share of source s is p_s^alpha / Σ p^alpha (alpha < 1
+    flattens toward uniform — the multilingual-sampling standard);
+    epochs_s converts the share into repeats of s's own token count.
+    Sources whose epochs exceed ``max_epochs`` are capped and their
+    leftover budget re-fills the uncapped pool (iterated to a fixed
+    point — ≤ |sources| rounds). Per-source token counts are a
+    bounded catalog (one groupBy upstream); everything here is
+    driver-side arithmetic on that catalog, the same split as IVF
+    centroids.
+
+    Invariant (asserted in tests): Σ epochs_s · tokens_s ==
+    token_budget unless every source is capped.
+    """
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if any(n <= 0 for n in source_tokens.values()):
+        raise ValueError("source token counts must be positive")
+    remaining = dict(source_tokens)
+    budget = float(token_budget)
+    out: dict[str, float] = {}
+    while remaining and budget > 0:
+        total = sum(remaining.values())
+        w = {s: (n / total) ** alpha for s, n in remaining.items()}
+        z = sum(w.values())
+        e = {s: budget * w[s] / z / remaining[s] for s in remaining}
+        if max_epochs is None:
+            out.update(e)
+            return out
+        over = [s for s in e if e[s] > max_epochs]
+        if not over:
+            out.update(e)
+            return out
+        for s in over:
+            out[s] = max_epochs
+            budget -= max_epochs * remaining[s]
+            del remaining[s]
+    for s in remaining:
+        out[s] = 0.0
+    return out

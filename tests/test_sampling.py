@@ -388,3 +388,37 @@ def test_shard_by_tokens_balance_and_contiguity(spark):
     ordered = sorted(out, key=lambda r: r["start"])
     shard_seq = [r["shard"] for r in ordered]
     assert shard_seq == sorted(shard_seq)
+
+
+def test_temperature_epochs_budget_and_flattening():
+    from cccatalog_spark.operators.sampling import temperature_epochs
+
+    sizes = {"web": 900, "wiki": 90, "code": 10}
+    e1 = temperature_epochs(sizes, 1.0, 1000)
+    # alpha=1: proportional sampling = exactly 1 epoch each
+    assert all(abs(v - 1.0) < 1e-12 for v in e1.values())
+    e5 = temperature_epochs(sizes, 0.5, 1000)
+    # flattened: small sources upsampled, big downsampled
+    assert e5["code"] > 1.0 > e5["web"]
+    assert abs(sum(e5[s] * sizes[s] for s in sizes) - 1000) < 1e-6
+
+
+def test_temperature_epochs_unimax_cap_waterfills():
+    from cccatalog_spark.operators.sampling import temperature_epochs
+
+    sizes = {"web": 900, "wiki": 90, "code": 10}
+    e = temperature_epochs(sizes, 0.3, 1000, max_epochs=4.0)
+    assert e["code"] == 4.0                     # capped
+    assert e["wiki"] <= 4.0 and e["web"] <= 4.0
+    # budget still fully spent across capped + refilled pool
+    assert abs(sum(e[s] * sizes[s] for s in sizes) - 1000) < 1e-6
+
+
+def test_temperature_epochs_guards():
+    import pytest
+    from cccatalog_spark.operators.sampling import temperature_epochs
+
+    with pytest.raises(ValueError):
+        temperature_epochs({"a": 10}, 0.0, 100)
+    with pytest.raises(ValueError):
+        temperature_epochs({"a": 0}, 1.0, 100)
