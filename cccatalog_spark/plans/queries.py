@@ -6856,14 +6856,18 @@ def q139_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", "source", shingles(F.col("text"), 8).alias("grams")
     )
+    # join on the 8-byte xxhash64 of the 8-gram, not the ~50-byte
+    # string: ~5x smaller distinct/shuffle payload, same answer modulo
+    # the documented n^2/2^64 collision trade (_pair_jaccard's rule)
     ev = sh.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("eval_id"),
         F.size("grams").alias("n_grams"),
         F.explode("grams").alias("g"),
-    )
+    ).withColumn("g", F.xxhash64("g"))
     tr = (
         sh.where(F.col("doc_id") % 50 != 0)
         .select("source", F.explode("grams").alias("g"))
+        .withColumn("g", F.xxhash64("g"))
         .distinct()
     )
     return (
