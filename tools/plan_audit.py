@@ -48,6 +48,13 @@ SANCTIONED_BNLJ = {
     "fusion)",
     "q103_bigram_lm_nll": "1-row vocabulary-size scalar broadcast",
     "q115_corpus_drift": "1-row token-total scalar broadcast",
+    "q189_pca_power": "1-row L2-norm / eigenvalue scalar broadcasts per "
+    "power-iteration round (HITS normalization pattern; frames are "
+    "bounded d-row catalogs)",
+    "q190_pca_project": "same 1-row norm/eigenvalue broadcasts as q189 "
+    "plus the broadcast loadings join (d-row catalog)",
+    "q192_tfidf_cosine_pairs": "1-row corpus-count broadcast feeding the "
+    "smooth-idf constant (BM25 stats pattern)",
     "q117_vocab_coverage": "1-row token-total scalar broadcast",
     "q118_negative_samples": "1-row corpus-size scalar broadcast",
     "q123_kmv_set_overlap": "two 1-row sketch frames cross-combined "
