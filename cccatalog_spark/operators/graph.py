@@ -191,3 +191,96 @@ def hits(
             F.coalesce("a", F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def triangle_counts(
+    edges: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Per-node triangle counts with degrees and local clustering
+    coefficients — the compact-forward / degree-ordered-orientation
+    algorithm (Latapy 2008), the standard distributed shape:
+
+    1. canonicalize undirected edges (u < v, distinct);
+    2. orient every edge from its (degree, id)-smaller endpoint — the
+       resulting DAG has out-degree O(√m), so
+    3. wedge generation (self-join of oriented edges on the source) is
+       Σ outdeg² ≤ m^1.5 instead of Σ deg² (which a hub node would
+       blow up), and
+    4. each triangle is found EXACTLY once as wedge (a→b, a→c) closed
+       by oriented edge b→c.
+
+    Exchanges: one distinct, one degree groupBy, two joins keyed by
+    node, the wedge self-join keyed by source, and the closing join
+    keyed by the (b, c) pair — every key is data-proportional, no
+    broadcast of anything unbounded. Returns (node, degree,
+    triangles, clustering) for every node of degree ≥ 1.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(u_col), F.col(v_col)).alias("u"),
+            F.greatest(F.col(u_col), F.col(v_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .persist()
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("degree").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("degree").alias("dv")), "v")
+    )
+    fwd = F.struct(
+        F.col("du").alias("d"), F.col("u").alias("n")
+    ) < F.struct(F.col("dv").alias("d"), F.col("v").alias("n"))
+    oriented = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    ).persist()
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            F.struct(F.col("o1.ddst").alias("d"), F.col("o1.dst").alias("n"))
+            < F.struct(F.col("o2.ddst").alias("d"), F.col("o2.dst").alias("n"))
+        ),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    closer = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closer, ["b", "c"])
+    per_node = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -10140,3 +10140,77 @@ def q198_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("containment_a", 6).alias("containment_a"),
         F.round("containment_b", 6).alias("containment_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — triangle counting / clustering coefficients (operators/graph.
+# triangle_counts) over the part co-purchase graph (parts sharing an
+# order). Compact-forward degree orientation bounds wedge generation
+# at Σ outdeg² ≤ m^1.5 — hub-proof — and finds each triangle exactly
+# once; the oracle replays the identical orientation and joins.
+# Top-20 nodes by (triangles, node).
+# ---------------------------------------------------------------------------
+@query(
+    "q199_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 8 = 0),
+    deg AS (SELECT node, count(*) AS degree FROM (
+              SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+            GROUP BY 1),
+    ed AS (SELECT e.u, e.v, du.degree AS du, dv.degree AS dv
+           FROM e JOIN deg du ON e.u = du.node
+                  JOIN deg dv ON e.v = dv.node),
+    o AS (SELECT CASE WHEN (du < dv) OR (du = dv AND u < v)
+                      THEN u ELSE v END AS src,
+                 CASE WHEN (du < dv) OR (du = dv AND u < v)
+                      THEN v ELSE u END AS dst,
+                 CASE WHEN (du < dv) OR (du = dv AND u < v)
+                      THEN dv ELSE du END AS ddst
+          FROM ed),
+    w AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+          FROM o o1 JOIN o o2 ON o1.src = o2.src
+           AND ((o1.ddst < o2.ddst)
+                OR (o1.ddst = o2.ddst AND o1.dst < o2.dst))),
+    t AS (SELECT a, b, c FROM w JOIN o ON w.b = o.src AND w.c = o.dst),
+    pn AS (SELECT node, count(*) AS triangles FROM (
+             SELECT a AS node FROM t UNION ALL
+             SELECT b AS node FROM t UNION ALL
+             SELECT c AS node FROM t)
+           GROUP BY 1)
+    SELECT deg.node, CAST(deg.degree AS BIGINT) AS degree,
+           CAST(coalesce(pn.triangles, 0) AS BIGINT) AS triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * coalesce(pn.triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS clustering
+    FROM deg LEFT JOIN pn USING (node)
+    ORDER BY triangles DESC, node ASC
+    LIMIT 20
+    """,
+)
+def q199_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import triangle_counts
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 8 == 0)  # deterministic 1/8 scope:
+        # keeps the co-purchase graph sparse enough that wedges stay
+        # data-proportional at every sf (the full graph is 91%-dense
+        # co-occurrence noise, not analysis signal)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    out = triangle_counts(edges, "u", "v")
+    return out.orderBy(F.desc("triangles"), F.asc("node")).limit(20)

@@ -55,3 +55,43 @@ def test_pagerank_duplicate_edges_collapse(spark):
     g1 = {r["node"]: r["r"] for r in pagerank(_edges_df(spark, e1)).collect()}
     g2 = {r["node"]: r["r"] for r in pagerank(_edges_df(spark, e2)).collect()}
     assert g1 == g2
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant: every K4 node sits in 3 triangles; the
+    pendant has none and clustering 0."""
+    from cccatalog_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], ["u", "v"])
+    out = {r.node: (r.degree, r.triangles, r.clustering)
+           for r in triangle_counts(edges).collect()}
+    for n in range(3):
+        assert out[n] == (3, 3, 1.0)
+    assert out[3] == (4, 3, 0.5)     # 3 of C(4,2)=6 wedges closed
+    assert out[9] == (1, 0, 0.0)
+
+
+def test_triangle_counts_matches_networkx_free_model(spark):
+    """Random graph vs a pure-Python triangle counter."""
+    import itertools
+    import random
+    from cccatalog_spark.operators.graph import triangle_counts
+
+    rng = random.Random(11)
+    nodes = list(range(30))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                want[x] += 1
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    for n in nodes:
+        if adj[n]:
+            assert got[n] == want[n], n
