@@ -10214,3 +10214,51 @@ def q199_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = triangle_counts(edges, "u", "v")
     return out.orderBy(F.desc("triangles"), F.asc("node")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q200 — per-user event-type Markov transitions: lag-1 bigram counts
+# over each user's time-ordered stream, row-normalized into transition
+# probabilities — the sequence-modeling statistic (what follows what)
+# next to q170's funnel and q194's CEP. One user-partitioned window +
+# one groupBy; the 5×5 output is the bounded catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q200_markov_transitions",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+               FROM events),
+    l AS (SELECT user_id, event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY sec, event_id) AS from_type
+          FROM e),
+    c AS (SELECT from_type, to_type, count(*) AS n
+          FROM l WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def q200_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    c = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+    )
