@@ -101,3 +101,26 @@ def test_dynamic_overwrite_leaves_other_partitions_byte_identical(spark):
     back = {r["id"]: r["payload"] for r in t.read(spark).collect()}
     # february fully replaced (id 3 gone, id 5 present); others intact
     assert back == {1: "a", 2: "b", 4: "d", 5: "c2"}
+
+
+def test_dynamic_partition_pruning_on_dim_join(spark):
+    """Star-schema DPP: joining the partitioned fact to a FILTERED dim
+    on the partition column injects a runtime dynamicpruning subquery
+    into the fact scan's PartitionFilters — the fact side reads only
+    the dim-selected partitions even though the selected months are
+    unknown at plan time. The optimizer feature a 100 TB star join
+    lives on; pinned here so a session-conf regression can't silently
+    turn it off."""
+    tmp = tempfile.mkdtemp(prefix="ccc_dpp_")
+    t = _table(tmp)
+    t.write(_rows(spark))
+    dim = spark.createDataFrame(
+        [("2024-01", "keep"), ("2024-02", "drop"), ("2024-03", "drop")],
+        "month string, tag string",
+    )
+    fact = t.read(spark)
+    joined = fact.join(dim.where(F.col("tag") == "keep"), "month")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "dynamicpruning" in pf.lower()
+    assert joined.count() == 2  # only month=2024-01 rows survive
