@@ -10262,3 +10262,40 @@ def q200_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("tot"), 6).alias("p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — sketch-planned join (operators/planner.adaptive_join): the
+# physical strategy (broadcast / salted / sort-merge) is chosen from
+# two 1024-row CMS sketches — dim row count, join-size estimate, and
+# a hot-bucket skew bound — never from scanning the joined data. At
+# this dim size the planner picks broadcast (asserted by plan tests);
+# the oracle checks the join RESULT, which is strategy-invariant.
+# ---------------------------------------------------------------------------
+@query(
+    "q201_adaptive_join",
+    oracle="""
+    SELECT s.s_nationkey AS nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+def q201_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.planner import adaptive_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("sk"),
+        "l_extendedprice", "l_discount",
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"), "s_nationkey"
+    )
+    joined, _decision = adaptive_join(li, su, "sk")
+    return joined.groupBy(F.col("s_nationkey").alias("nation")).agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -302,3 +302,56 @@ def test_epoch_repeat_no_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Generate" in plan  # the sequence-explode generator
+
+
+def test_adaptive_join_picks_broadcast_for_small_dim(spark):
+    from cccatalog_spark.operators.planner import adaptive_join
+
+    fact = spark.range(0, 20000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], ["k", "name"]
+    )
+    out, d = adaptive_join(fact, dim, "k", broadcast_threshold=1000)
+    assert d["strategy"] == "broadcast"
+    assert d["dim_rows"] == 50 and d["fact_rows"] == 20000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == 20000
+    # the sketch estimate upper-bounds (and here equals) the true size
+    assert d["est_join_rows"] >= 20000
+
+
+def test_adaptive_join_salts_skewed_fact(spark):
+    from cccatalog_spark.operators.planner import adaptive_join
+
+    # one hot key carries 90% of the fact side
+    fact = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(
+            (F.col("id") % 2000) + 1
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(2001)], ["k", "name"]
+    )
+    out, d = adaptive_join(
+        fact, dim, "k", broadcast_threshold=100, skew_ratio=8.0
+    )
+    assert d["strategy"] == "salted"
+    assert out.count() == 10000  # salted result identical to plain join
+
+
+def test_adaptive_join_merge_for_uniform_big_dim(spark):
+    from cccatalog_spark.operators.planner import adaptive_join
+
+    fact = spark.range(0, 20000).select(
+        (F.col("id") % 5000).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    out, d = adaptive_join(fact, dim, "k", broadcast_threshold=1000)
+    assert d["strategy"] == "merge"
+    assert out.count() == 20000
