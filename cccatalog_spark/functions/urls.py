@@ -423,3 +423,54 @@ def robots_decisions(
             F.col("__best.a") == 1
         ),
     ).drop("__best")
+
+
+def query_params(url: Column) -> Column:
+    """Ordered (pos, key, value) structs for a URL's query string —
+    duplicate keys preserved (``str_to_map`` would last-win them
+    away), fragment stripped. Pure column algebra: this is the HOT
+    path; :func:`make_query_params_udtf` is the same contract as a
+    Python UDTF for the API surface (SURVEY §2.10), pinned equal by
+    test and kept OUT of hot plans (row-at-a-time Python)."""
+    qs = F.when(
+        url.contains("?"),
+        F.split(F.split(url, r"\?", 2)[1], "#", 2)[0],
+    )
+    parts = F.filter(F.split(qs, "&"), lambda kv: kv != "")
+    idx = F.when(
+        F.size(parts) > 0, F.sequence(F.lit(0), F.size(parts) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.zip_with(
+        idx,
+        parts,
+        lambda i, kv: F.struct(
+            i.alias("pos"),
+            F.split(kv, "=", 2)[0].alias("key"),
+            F.coalesce(F.split(kv, "=", 2)[1], F.lit("")).alias("value"),
+        ),
+    )
+
+
+def make_query_params_udtf():
+    """Python UDTF form of :func:`query_params` (Spark 4 ``@udtf``):
+    one URL row → N (pos, key, value) rows, for SQL LATERAL use.
+    Registered on demand — the engine's UDTF API surface — but the
+    expression form above is what queries should use (stays in
+    whole-stage codegen)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, key string, value string")
+    class QueryParamsUDTF:
+        def eval(self, url: str):
+            if not url or "?" not in url:
+                return
+            qs = url.split("?", 1)[1].split("#", 1)[0]
+            pos = 0
+            for kv in qs.split("&"):
+                if kv == "":
+                    continue
+                k, _, v = kv.partition("=")
+                yield pos, k, v
+                pos += 1
+
+    return QueryParamsUDTF

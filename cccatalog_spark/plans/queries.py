@@ -10299,3 +10299,57 @@ def q201_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — URL query-parameter explosion (functions/urls.query_params,
+# the §2.10 UDTF surface's hot-path twin): duplicate keys and empty
+# values preserved in order, fragments stripped. The Python UDTF form
+# (make_query_params_udtf) is pinned equal by test and kept out of
+# this plan — the expression stays in whole-stage codegen.
+# ---------------------------------------------------------------------------
+@query(
+    "q202_query_params",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'http://' || source || '.example.org/d/'
+               || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+               || '&lang=' || lang
+               || CASE WHEN doc_id % 3 = 0 THEN '&v=1&v=2&note=' ELSE ''
+                  END || '#frag' AS url
+      FROM documents),
+    q AS (SELECT doc_id,
+                 string_split(string_split(string_split(url, '?')[2],
+                              '#')[1], '&') AS kvs
+          FROM u)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+           string_split(kvs[i], '=')[1] AS key,
+           coalesce(string_split(kvs[i], '=')[2], '') AS value
+    FROM q, unnest(generate_series(1, len(kvs))) g(i)
+    WHERE kvs[i] <> ''
+    """,
+)
+def q202_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.urls import query_params
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+        F.lit("&lang="), F.col("lang"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("&v=1&v=2&note="))
+        .otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    return (
+        d.select("doc_id", F.explode(query_params(url)).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.pos").alias("pos"),
+            F.col("p.key").alias("key"),
+            F.col("p.value").alias("value"),
+        )
+    )

@@ -673,3 +673,40 @@ def test_cms_join_size_upper_bounds_exact(spark):
     exact = a.join(b, "k").count()
     assert est >= exact                     # inner product never undershoots
     assert est <= exact * 2                 # and stays in the right ballpark
+
+
+def test_query_params_expression_and_udtf_agree(spark):
+    """The UDTF (API surface) and the column-expression hot path emit
+    identical (url, pos, key, value) rows — duplicates and empty
+    values preserved, fragments stripped, no-query URLs emit nothing."""
+    from pyspark.sql import functions as F
+    from cccatalog_spark.functions.urls import (
+        make_query_params_udtf,
+        query_params,
+    )
+
+    urls = [
+        "http://x.org/a?k=1&k=2&m=&z=9#frag",
+        "http://x.org/plain",
+        "http://x.org/q?&a=b",
+        None,
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    expr_rows = {
+        (r.url, r.p.pos, r.p.key, r.p.value)
+        for r in df.select(
+            "url", F.explode(query_params(F.col("url"))).alias("p")
+        ).collect()
+    }
+    spark.udtf.register("qparams", make_query_params_udtf())
+    df.createOrReplaceTempView("urls_v")
+    udtf_rows = {
+        (r.url, r.pos, r.key, r.value)
+        for r in spark.sql(
+            "SELECT u.url, t.pos, t.key, t.value "
+            "FROM urls_v u, LATERAL qparams(u.url) t"
+        ).collect()
+    }
+    assert expr_rows == udtf_rows
+    assert ("http://x.org/a?k=1&k=2&m=&z=9#frag", 1, "k", "2") in expr_rows
+    assert ("http://x.org/a?k=1&k=2&m=&z=9#frag", 2, "m", "") in expr_rows
