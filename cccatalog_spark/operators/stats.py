@@ -22,6 +22,9 @@ pg_stats (SURVEY §4 infra); this is the engine-side equivalent.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,3 +74,25 @@ def column_stats(
         "column string, n_rows bigint, n_nulls bigint, min double, "
         "max double, ndv bigint, p25 double, p50 double, p75 double",
     )
+
+
+def trimmed_mean_udaf(trim: float = 0.1):
+    """PySpark's UDAF surface (SURVEY §2.10): an Arrow GROUPED_AGG
+    pandas_udf — per-group trimmed mean (drop the ⌊n·trim⌋ lowest and
+    highest values, average the rest). The whole group's column
+    arrives as ONE Arrow batch per group; the fold is numpy, not
+    per-row Python. The expression-path equivalent needs a rank
+    window plus a re-aggregate (two shuffles); the UDAF keeps it to
+    the one groupBy exchange — the legitimate use of the surface.
+    Trimming by VALUE order makes the kept multiset well-defined
+    under ties, so the SQL oracle (row_number trim) is exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        a = np.sort(v.to_numpy(dtype="float64"))
+        k = int(len(a) * trim)
+        kept = a[k : len(a) - k] if len(a) - 2 * k > 0 else a
+        return float(kept.mean())
+
+    return trimmed_mean

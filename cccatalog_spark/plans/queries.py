@@ -10353,3 +10353,42 @@ def q202_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.value").alias("value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — grouped-aggregate pandas UDAF (operators/stats.
+# trimmed_mean_udaf, the §2.10 UDAF surface): per-type 10% trimmed
+# mean of events.value in ONE groupBy exchange (the expression path
+# needs rank window + re-aggregate = two). Value-order trimming makes
+# the kept multiset tie-independent, so the rank-trim oracle is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q203_trimmed_mean_udaf",
+    oracle="""
+    WITH r AS (SELECT event_type, value,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY value) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events)
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+           round(avg(value), 6) AS trimmed_mean
+    FROM r
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY 1
+    """,
+)
+def q203_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import trimmed_mean_udaf
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    tm = trimmed_mean_udaf(0.1)
+    # a GROUPED_AGG pandas UDF cannot share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT): counts come from a sibling
+    # aggregate over the same exchange and re-attach by broadcast
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    agg = e.groupBy("event_type").agg(tm(F.col("value")).alias("_tm"))
+    return agg.join(F.broadcast(counts), "event_type").select(
+        "event_type", "n_events",
+        F.round("_tm", 6).alias("trimmed_mean"),
+    )

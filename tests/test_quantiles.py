@@ -214,3 +214,22 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark):
     assert exact_p50 <= out[0.5] <= exact_p50 + 10.0 + 1e-9
     exact_p90 = float(np.quantile(vals, 0.9, method="inverted_cdf"))
     assert exact_p90 <= out[0.9] <= exact_p90 + 10.0 + 1e-9
+
+
+def test_trimmed_mean_udaf_matches_numpy(spark):
+    from cccatalog_spark.operators.stats import trimmed_mean_udaf
+    from pyspark.sql import functions as F
+    import numpy as np
+
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    df = spark.createDataFrame([(0, v) for v in vals], ["g", "v"])
+    tm = trimmed_mean_udaf(0.1)
+    got = df.groupBy("g").agg(tm(F.col("v")).alias("m")).first()["m"]
+    a = np.sort(np.array(vals))
+    want = a[1:-1].mean()  # 10% of 10 = 1 trimmed each side
+    assert abs(got - want) < 1e-12
+    # trim too aggressive for a tiny group -> falls back to plain mean
+    small = spark.createDataFrame([(0, 1.0), (0, 3.0)], ["g", "v"])
+    tm9 = trimmed_mean_udaf(0.9)
+    got2 = small.groupBy("g").agg(tm9(F.col("v")).alias("m")).first()["m"]
+    assert got2 == 2.0
