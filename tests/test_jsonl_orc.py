@@ -94,3 +94,28 @@ def test_sitemap_xml_clean_and_quarantine(spark, tmp_path):
     assert rows["https://a/3"]["lastmod"] is None
     q = quarantined.collect()
     assert len(q) == 1 and "high" in q[0]["raw"]
+
+
+def test_corrupt_parquet_file_skipped_with_flag(spark):
+    """Operational resilience: a truncated parquet part is skipped
+    under ignoreCorruptFiles (the lake-scale posture: quarantine and
+    continue, never fail the whole scan) and the intact rows all
+    survive; without the flag the scan raises."""
+    import os
+    import tempfile
+
+    import pytest
+
+    tmp = tempfile.mkdtemp(prefix="ccc_corrupt_")
+    spark.range(0, 100).coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    bad = os.path.join(tmp, "part-corrupt.parquet")
+    with open(os.path.join(tmp, part), "rb") as f:
+        blob = f.read()
+    with open(bad, "wb") as f:
+        f.write(blob[: len(blob) // 3])  # truncated footer -> corrupt
+
+    with pytest.raises(Exception):
+        spark.read.option("ignoreCorruptFiles", "false").parquet(tmp).count()
+    n = spark.read.option("ignoreCorruptFiles", "true").parquet(tmp).count()
+    assert n == 100
