@@ -44,12 +44,16 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
     r = global_running_sum(g, [F.asc("_p")], "_c", out_col="_run")
     # tie group spanning ranks [run-c+1, run]: 2·avg_rank = 2·run − c + 1
+    # _u2 accumulates in decimal(38,0): n_pos·n_rows products overflow
+    # int64 near 4.6e18 (non-ANSI wraps silently) at extreme row
+    # counts; decimal keeps the exact-integer contract to ~1e38.
     agg = r.agg(
         F.sum("_pos").cast("long").alias("n_pos"),
         (F.sum("_c") - F.sum("_pos")).cast("long").alias("n_neg"),
         F.sum(
-            F.col("_pos") * (2 * F.col("_run") - F.col("_c") + 1)
-        ).cast("long").alias("_u2"),
+            F.col("_pos").cast("decimal(38,0)")
+            * (2 * F.col("_run") - F.col("_c") + 1).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("_u2"),
     )
     return agg.select(
         "n_pos",

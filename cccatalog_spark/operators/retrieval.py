@@ -354,7 +354,9 @@ def phrase_occurrences(
             F.col("entry.p").alias("pos"),
         )
     )
-    if len(set(words)) > 1:
+    # persist by STEP count, not vocabulary size: 'table table' is one
+    # distinct term but still consumes post twice (anchor + offset join)
+    if len(words) > 1:
         post = post.persist()
     anchors = post.where(F.col("term") == words[0]).select(id_col, "pos")
     for i, w in enumerate(words[1:], start=1):

@@ -2965,7 +2965,8 @@ def q66_url_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(title, seq) FILTER (WHERE title IS NOT NULL) AS title,
            arg_max(byte_size, seq) FILTER (WHERE byte_size IS NOT NULL)
                AS byte_size,
-           flatten(list(globalusage ORDER BY seq)) AS globalusage,
+           array_to_string(flatten(list(globalusage ORDER BY seq)), '|')
+               AS globalusage,
            len(flatten(list(globalusage ORDER BY seq))) AS n_usage
     FROM partials GROUP BY pageid
     """,
@@ -3001,8 +3002,12 @@ def q67_wikimedia_continue_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array().cast("array<string>").alias("globalusage"),
     )
     merged = merge_continue_batches(s0.unionAll(s1).unionAll(s2), "pageid")
+    # array_join: the driver's canonicalizer pandas-sorts every output
+    # column, and list cells are unhashable there — emit the usage list
+    # as a '|'-joined string (oracle mirrors with array_to_string).
     return merged.select(
-        "pageid", "title", "byte_size", "globalusage",
+        "pageid", "title", "byte_size",
+        F.array_join("globalusage", "|").alias("globalusage"),
         F.size("globalusage").cast("long").alias("n_usage"),
     )
 
@@ -3728,7 +3733,7 @@ def q77_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s)
     SELECT vec_id,
            round(scale, 6) AS scale,
-           qv AS quantized,
+           array_to_string(qv, '|') AS quantized,
            round(sqrt(list_sum(list_transform(v,
                (x, i) -> pow(x - qv[i] * scale, 2)))), 6) AS l2_err
     FROM q
@@ -3742,10 +3747,14 @@ def q78_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out = e.withColumn("_qz", quantize_int8(F.col("embedding")))
+    # '|'-joined string, not array<int>: the driver's canonicalizer
+    # pandas-sorts output columns and list cells are unhashable there.
     return out.select(
         "vec_id",
         F.round(F.col("_qz.scale"), 6).alias("scale"),
-        F.col("_qz.q").alias("quantized"),
+        F.array_join(F.col("_qz.q").cast("array<string>"), "|").alias(
+            "quantized"
+        ),
         F.round(
             dequant_error_l2(F.col("embedding"), F.col("_qz")), 6
         ).alias("l2_err"),
@@ -5753,15 +5762,32 @@ def q115_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (SELECT label, embedding::DOUBLE[] AS emb FROM embeddings),
     e AS (SELECT label, unnest(emb) AS val,
                  unnest(range(1, len(emb) + 1)) AS dim FROM v),
-    m AS (SELECT label, dim, round(avg(val), 9) AS cv, count(*) AS n
+    m AS (SELECT label, dim,
+                 CAST(round(round(avg(val), 9) * 1e9) AS BIGINT) AS cv,
+                 count(*) AS n
           FROM e GROUP BY 1, 2)
-    SELECT label, max(n) AS n_vectors, list(cv ORDER BY dim) AS pooled
+    SELECT label, max(n) AS n_vectors,
+           array_to_string(list(cv ORDER BY dim), '|') AS pooled
     FROM m GROUP BY label
     """,
 )
 def q116_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
-    return SIM.mean_pool(e, "embedding", "label")
+    pooled = SIM.mean_pool(e, "embedding", "label")
+    # Coordinates ×1e9 as integers, '|'-joined: exact cross-engine
+    # string form (no float-format divergence), and a plain string
+    # column the driver's pandas canonicalizer can sort.
+    return pooled.select(
+        "label",
+        "n_vectors",
+        F.array_join(
+            F.transform(
+                "pooled",
+                lambda x: F.round(x * F.lit(1e9)).cast("long").cast("string"),
+            ),
+            "|",
+        ).alias("pooled"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -10318,17 +10344,19 @@ def q201_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                || '?id=' || CAST(doc_id AS VARCHAR)
                || '&lang=' || lang
                || CASE WHEN doc_id % 3 = 0 THEN '&v=1&v=2&note=' ELSE ''
-                  END || '#frag' AS url
+                  END
+               || CASE WHEN doc_id % 5 = 0 THEN '&&x=9' ELSE '' END
+               || '#frag' AS url
       FROM documents),
     q AS (SELECT doc_id,
-                 string_split(string_split(string_split(url, '?')[2],
-                              '#')[1], '&') AS kvs
+                 list_filter(string_split(string_split(
+                     string_split(url, '?')[2], '#')[1], '&'),
+                     x -> x <> '') AS kvs
           FROM u)
     SELECT doc_id, CAST(i - 1 AS INT) AS pos,
            string_split(kvs[i], '=')[1] AS key,
            coalesce(string_split(kvs[i], '=')[2], '') AS value
     FROM q, unnest(generate_series(1, len(kvs))) g(i)
-    WHERE kvs[i] <> ''
     """,
 )
 def q202_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10342,6 +10370,9 @@ def q202_query_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("&lang="), F.col("lang"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("&v=1&v=2&note="))
         .otherwise(F.lit("")),
+        # empty '&&' segment: positions must renumber AFTER the filter
+        # (oracle list_filters before enumerating to match)
+        F.when(F.col("doc_id") % 5 == 0, F.lit("&&x=9")).otherwise(F.lit("")),
         F.lit("#frag"),
     )
     return (

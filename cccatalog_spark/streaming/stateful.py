@@ -253,7 +253,11 @@ def match_sequence_stream(
     ordered-replay contract the drained output equals the batch
     operator exactly (pinned by test and by the recursive-CTE oracle).
     """
-    step_idx = {s: i for i, s in enumerate(steps)}
+    # kinds buffer distinct-TYPE ids (not step positions): a pattern
+    # with a repeated step type (['view','view','purchase']) matches an
+    # event against every step wanting its type, same as the batch twin.
+    type_ids = {t: i for i, t in enumerate(dict.fromkeys(steps))}
+    want_kind = [type_ids[s] for s in steps]
     n_steps = len(steps)
     key_type = dict(
         (f.name, f.dataType.simpleString()) for f in stream.schema.fields
@@ -280,8 +284,8 @@ def match_sequence_stream(
             for sec, eid, t in zip(
                 pdf[time_col], pdf[tiebreak_col], pdf[type_col]
             ):
-                if t in step_idx:
-                    new_rows.append((int(sec), int(eid), step_idx[t]))
+                if t in type_ids:
+                    new_rows.append((int(sec), int(eid), type_ids[t]))
         new_rows.sort()
         buf.extend(new_rows)  # ordered replay: new batch >= buffered
         out_m, out_s, out_e = [], [], []
@@ -289,7 +293,7 @@ def match_sequence_stream(
         max_seen = buf[-1][0] if buf else None
         while True:
             i = ptr
-            while i < len(buf) and buf[i][2] != 0:
+            while i < len(buf) and buf[i][2] != want_kind[0]:
                 i += 1
             if i >= len(buf):
                 ptr = len(buf)
@@ -297,7 +301,7 @@ def match_sequence_stream(
             cur, idx0, complete = i, i, True
             for want in range(1, n_steps):
                 j = cur + 1
-                while j < len(buf) and buf[j][2] != want:
+                while j < len(buf) and buf[j][2] != want_kind[want]:
                     j += 1
                 if j >= len(buf):
                     complete = False

@@ -29,7 +29,20 @@ def _canon(rows, cols):
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_oracle_parity(name, spark, duck, sf_dir):
+    from pyspark.sql import types as T
+
     sdf = QUERIES[name](spark, sf_dir)
+    # the driver's canonicalizer pandas-sorts every output column; list/
+    # dict cells are unhashable there — no top-level complex columns.
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: driver-unsortable output columns {complex_cols}; "
+        "stringify (array_join / to_json) before returning"
+    )
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 

@@ -537,3 +537,80 @@ def test_stream_cep_equals_batch_cep(spark, sf_dir):
         for r in q195_stream_event_pattern(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_cep_repeated_step_types_equals_batch(spark, tmp_path):
+    """A pattern with a REPEATED step type (view,view,purchase) must
+    match the batch operator: kinds are distinct-type ids compared
+    against each step's wanted type, not a last-wins type->step map."""
+    import time
+
+    from cccatalog_spark.operators.temporal import match_event_sequence
+    from cccatalog_spark.streaming.stateful import match_sequence_stream
+
+    rows = [
+        # (event_id, user_id, event_type, sec)
+        (1, 1, "view", 10),
+        (2, 1, "view", 20),
+        (3, 1, "purchase", 30),   # match 1: 10..30
+        (4, 1, "view", 40),
+        (5, 1, "view", 52),       # spans batches
+        (6, 1, "purchase", 60),   # match 2: 40..60
+        (7, 2, "view", 5),
+        (8, 2, "purchase", 9),    # no second view -> no match
+        (9, 3, "view", 0),
+        (10, 3, "view", 100),
+        (11, 3, "purchase", 200), # window 50 violated -> retry at 100
+        (12, 3, "view", 150),
+        (13, 3, "purchase", 190), # match: 150..190
+    ]
+    steps = ["view", "view", "purchase"]
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, sec long"
+    )
+    batch = {
+        (r.user_id, r.match_n, r.start_sec, r.end_sec)
+        for r in match_event_sequence(
+            batch_df, "user_id", "sec", "event_type", steps,
+            within=50, tiebreak_col="event_id",
+        ).collect()
+    }
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    now = time.time()
+    cut = 5  # first five events in batch 1, rest in batch 2
+    _write_tsv(
+        str(watch / "b1.tsv"),
+        ["\t".join(map(str, (e, u, t, s))) for e, u, t, s in rows[:cut]],
+        now - 120,
+    )
+    _write_tsv(
+        str(watch / "b2.tsv"),
+        ["\t".join(map(str, (e, u, t, s))) for e, u, t, s in rows[cut:]],
+        now - 60,
+    )
+    stream_df = (
+        spark.readStream.option("sep", "\t")
+        .option("maxFilesPerTrigger", "1")
+        .schema("event_id long, user_id long, event_type string, sec long")
+        .csv(str(watch))
+    )
+    out = match_sequence_stream(
+        stream_df, "user_id", "sec", "event_type", steps,
+        within=50, tiebreak_col="event_id",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cep_repeat_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream = {
+        (r.user_id, r.match_n, r.start_sec, r.end_sec)
+        for r in spark.sql("SELECT * FROM cep_repeat_test").collect()
+    }
+    assert batch, "batch operator found no matches — fixture broken"
+    assert stream == batch
