@@ -1,0 +1,1150 @@
+"""Per-site Common Crawl HTML scraper specs — the declarative twin of
+the reference's 15 BeautifulSoup mappers (providers/commoncrawl/*.py,
+~2,779 LoC).
+
+Each reference scraper is an imperative ``getMetaData(html, url)`` that
+soups the page, walks site-specific selectors, and yields
+IMAGE_TSV-shaped rows (Provider.py:119-152 ``formatOutput``).  Here a
+site is a ``CCScraperSpec``: a capture-rule list (one single-pass
+stdlib-parser evaluation per page, ``functions/html_select.py``) plus
+Column-algebra field mappings.  ``apply_cc_spec`` is the shared engine:
+
+    pages(url, html) ─capture UDF─> _caps ─[explode group]─>
+      per-column expressions ─required-field filter─> IMAGE_TSV_RAW
+
+Scale shape: the capture UDF is Arrow-batched and per-row independent
+(the only Python in the pipeline); field mapping, license resolution
+(functions/licenses.license_from_path — Provider.py:183-209), sanitize
+(functions/sanitize — Provider.py:222-236), and the drop-row guards
+(the scrapers' ``return None`` / ``continue`` paths) are all
+whole-stage-codegen Column expressions.  No shuffle anywhere — a
+100 TB crawl maps partition-parallel into TSV rows.
+
+Multi-image pages (Behance project modules, ScienceMuseum carousels,
+IHA sliders, CAPL/SVGSilh card lists, DigitaltMuseum/FloraOn/
+MuseumVictoria/EOL galleries) explode a capture GROUP — the engine
+form of the scrapers' ``for item in soup.find_all(...):
+extracted.extend(self.formatOutput)`` loops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.functions.html_select import Rule, capture_col
+from cccatalog_spark.functions.licenses import license_from_path
+from cccatalog_spark.functions.sanitize import sanitize_string
+from cccatalog_spark.schemas import IMAGE_TSV_RAW
+
+RAW_COLS = [f.name for f in IMAGE_TSV_RAW.fields]
+
+def _empty() -> Column:
+    # built lazily: module import must not require an active session
+    return F.array().cast("array<string>")
+
+
+class Caps:
+    """Column context handed to a spec's field lambdas: flat captures,
+    the exploded group instance (multi-image sites), and the page
+    url."""
+
+    def __init__(self, caps: Column, url: Column, item: Column | None):
+        self._caps = caps
+        self.url = url
+        self._item = item
+
+    def first(self, name: str) -> Column:
+        """First flat capture (``soup.find``)."""
+        return F.element_at(self._caps["f"][name], F.lit(1))
+
+    def all(self, name: str) -> Column:
+        """Every flat capture (``soup.find_all``)."""
+        return F.coalesce(self._caps["f"][name], _empty())
+
+    def gi(self, key: str) -> Column:
+        """Group-instance capture of the exploded item."""
+        return self._item[key]
+
+    def gi_all(self, key: str) -> Column:
+        """Multi child capture inside the group instance (joined with
+        \\x1f by the engine)."""
+        return F.coalesce(F.split(self._item[key], "\x1f"), _empty())
+
+
+@dataclass
+class CCScraperSpec:
+    provider: str
+    domain: str                      # '{domain}{path}' absolutization
+    rules: list[Rule]
+    columns: dict[str, Callable[[Caps], Column]]
+    group: str | None = None         # groups key to explode (multi-image)
+    group_fallback: str | None = None  # exploded when group is empty
+    require: tuple[str, ...] = ("license", "url")
+    row_filter: Callable[[Caps], Column] | None = None
+    watermarked: str = "f"
+    ref: str = ""
+
+
+def cc_license(href: Column) -> Column:
+    """CC URL → struct(license, license_version); non-CC hosts are
+    rejected before the path regex (Provider.py:183-186)."""
+    ok = href.isNotNull() & href.contains("creativecommons.org")
+    parsed = license_from_path(href)
+    null_pair = F.struct(
+        F.lit(None).cast("string").alias("license"),
+        F.lit(None).cast("string").alias("license_version"),
+    )
+    return F.when(ok, parsed).otherwise(null_pair)
+
+
+def tags_json(arr: Column) -> Column:
+    """Comma-split tag bags → top-20 distinct sorted JSON list
+    (Provider.py:107-116 getTags; sort added for determinism)."""
+    cleaned = F.transform(arr, lambda t: F.trim(t))
+    cleaned = F.filter(cleaned, lambda t: t != "")
+    return F.when(
+        F.size(cleaned) > 0,
+        F.to_json(F.slice(F.array_sort(F.array_distinct(cleaned)), 1, 20)),
+    )
+
+
+def meta_json(**pairs: Column) -> Column:
+    """metaData dict → JSON string, null-valued keys stripped, null
+    when empty (formatOutput emits \\N for an empty dict)."""
+    keys, vals = zip(*sorted(pairs.items()))
+    m = F.map_filter(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in keys]), F.array(*vals)
+        ),
+        lambda k, v: v.isNotNull() & (v != ""),
+    )
+    return F.when(F.size(F.map_keys(m)) > 0, F.to_json(m))
+
+
+def _absolutize(domain: str, path: Column) -> Column:
+    """'{domain}{path}' for site-relative srcs (Provider scrapers all
+    do ``'{}{}'.format(self.domain.strip('%'), url)``)."""
+    return F.when(
+        path.isNotNull() & ~path.startswith("http"),
+        F.concat(F.lit(domain), path),
+    ).otherwise(path)
+
+
+def _foreign_id_from_url(url: Column) -> Column:
+    """Trailing-number id: ``.*?/(\\d+)/?$`` (Provider.py:172-179)."""
+    fid = F.regexp_extract(url, r".*?/(\d+)/?$", 1)
+    return F.when(fid != "", fid)
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(c.isNotNull() & (F.trim(c) != ""), c)
+
+
+def apply_cc_spec(
+    pages: DataFrame,
+    spec: CCScraperSpec,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, html) pages → IMAGE_TSV_RAW string rows for one site.
+
+    One capture-UDF pass per page; optional group explode (generate,
+    no shuffle); per-column Column expressions; required-field filter
+    implementing the scrapers' drop paths.
+    """
+    df = pages.withColumn(
+        "_caps", capture_col(F.col(html_col), spec.rules)
+    ).where(F.col("_caps").isNotNull())
+    item = None
+    if spec.group is not None:
+        arr = F.col("_caps")["g"][spec.group]
+        if spec.group_fallback is not None:
+            fb = F.col("_caps")["g"][spec.group_fallback]
+            arr = F.when(
+                F.coalesce(F.size(arr), F.lit(0)) > 0, arr
+            ).otherwise(fb)
+        df = df.withColumn("_g", F.explode(arr))
+        item = F.col("_g")
+    c = Caps(F.col("_caps"), F.col(url_col), item)
+    out = []
+    for name in RAW_COLS:
+        if name == "provider":
+            expr = F.lit(spec.provider)
+        elif name == "source":
+            expr = F.lit("commoncrawl")
+        elif name == "watermarked":
+            expr = F.lit(spec.watermarked)
+        elif name in spec.columns:
+            expr = spec.columns[name](c)
+        else:
+            expr = F.lit(None)
+        out.append(expr.cast("string").alias(name))
+    res = df.select(*out, *(
+        [spec.row_filter(c).alias("_keep")] if spec.row_filter else []
+    ))
+    if spec.row_filter is not None:
+        res = res.where(F.col("_keep")).drop("_keep")
+    for name in spec.require:
+        res = res.where(
+            F.col(name).isNotNull() & (F.trim(F.col(name)) != "")
+        )
+    return res
+
+
+# ---------------------------------------------------------------------------
+# deviantart — DeviantArt.py:48-117: rel=license anchor gates the row;
+# og:image (placeholder-logo pages dropped), og: dims/title/url;
+# creator = a.username* inside small.author; description div
+# 'text block'; foreign id = gmi-deviationid attr (required).
+# ---------------------------------------------------------------------------
+def deviantart_spec(domain: str = "https://www.deviantart.com") -> CCScraperSpec:
+    rules = [
+        Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
+        Rule("og_image", "meta", {"property": "og:image"}, get="content"),
+        Rule("og_w", "meta", {"property": "og:image:width"}, get="content"),
+        Rule("og_h", "meta", {"property": "og:image:height"}, get="content"),
+        Rule("og_title", "meta", {"property": "og:title"}, get="content"),
+        Rule("og_url", "meta", {"property": "og:url"}, get="content"),
+        Rule("author", "small", {"class": "author"}, get=None),
+        Rule("creator", "a", {"class": "re:username$", "href": True},
+             within="author", get="text"),
+        Rule("creator_url", "a", {"class": "re:username$", "href": True},
+             within="author", get="href"),
+        Rule("desc", "div", {"class": "text block"}, get="text"),
+        Rule("fid", "div", {"class": "dev-page-view view-mode-normal"},
+             get="gmi-deviationid"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    return CCScraperSpec(
+        provider="deviantart",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: c.first("og_image"),
+            "width": lambda c: c.first("og_w"),
+            "height": lambda c: c.first("og_h"),
+            "title": lambda c: sanitize_string(c.first("og_title")),
+            "creator": lambda c: sanitize_string(c.first("creator")),
+            "creator_url": lambda c: c.first("creator_url"),
+            "foreign_landing_url": lambda c: F.coalesce(
+                c.first("og_url"), c.url
+            ),
+            "foreign_identifier": lambda c: _nonempty(c.first("fid")),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(c.first("desc"))
+            ),
+        },
+        require=("license", "url", "foreign_identifier"),
+        # DeviantArt.py:64-66: the site logo placeholder means no image
+        row_filter=lambda c: ~F.coalesce(
+            c.first("og_image").contains("main/logo/card_black_large.png"),
+            F.lit(False),
+        ),
+        ref="providers/commoncrawl/DeviantArt.py:48-117",
+    )
+
+
+# ---------------------------------------------------------------------------
+# animaldiversityweb — AnimalDiversityWeb.py:61-186: img.resource src
+# (domain-absolutized) + data-width/height/alt; og:title/og:url;
+# section.metadata h3/p label:value pairs; ul.keywords li '::'-split
+# tags; conditions_of_use key dropped.
+# ---------------------------------------------------------------------------
+def animaldiversityweb_spec(
+    domain: str = "https://animaldiversity.org",
+) -> CCScraperSpec:
+    rules = [
+        Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
+        Rule("img_src", "img", {"class": "resource", "src": True},
+             get="src"),
+        Rule("img_w", "img", {"class": "resource", "src": True},
+             get="data-width"),
+        Rule("img_h", "img", {"class": "resource", "src": True},
+             get="data-height"),
+        Rule("img_alt", "img", {"class": "resource", "src": True},
+             get="alt"),
+        Rule("og_title", "meta", {"property": "og:title"}, get="content"),
+        Rule("og_url", "meta", {"property": "og:url"}, get="content"),
+        Rule("md", "section", {"class": "metadata"}, get=None),
+        Rule("md_keys", "h3", within="md", get="text", multi=True),
+        Rule("md_vals", "p", within="md", get="text", multi=True),
+        Rule("kw_ul", "ul", {"class": "re:keywords( last)?"}, get=None),
+        Rule("kw", "li", {"class": None}, within="kw_ul", get="text",
+             multi=True),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+
+    def _meta(c: Caps) -> Column:
+        # h3/p alternating pairs → map (conditions_of_use dropped,
+        # AnimalDiversityWeb.py:106-108)
+        keys = F.transform(
+            c.all("md_keys"),
+            lambda k: F.replace(F.lower(F.trim(k)), F.lit(" "), F.lit("_")),
+        )
+        pairs = F.filter(
+            F.arrays_zip(keys.alias("k"), c.all("md_vals").alias("v")),
+            lambda p: (p["k"] != "conditions_of_use") & p["k"].isNotNull()
+            & p["v"].isNotNull(),
+        )
+        m = F.map_from_entries(pairs)
+        base = F.create_map(
+            F.lit("image_alt_text"), sanitize_string(c.first("img_alt"))
+        )
+        merged = F.map_filter(
+            F.map_concat(base, m), lambda k, v: v.isNotNull() & (v != "")
+        )
+        return F.when(F.size(F.map_keys(merged)) > 0, F.to_json(merged))
+
+    return CCScraperSpec(
+        provider="animaldiversityweb",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: _absolutize(domain, c.first("img_src")),
+            "foreign_identifier": lambda c: _absolutize(
+                domain, c.first("img_src")
+            ),
+            "width": lambda c: c.first("img_w"),
+            "height": lambda c: c.first("img_h"),
+            "title": lambda c: c.first("og_title"),
+            "foreign_landing_url": lambda c: F.coalesce(
+                c.first("og_url"), c.url
+            ),
+            "meta_data": _meta,
+            # '::'-separated keyword chains → flat distinct tag list
+            "tags": lambda c: tags_json(
+                F.flatten(
+                    F.transform(c.all("kw"), lambda t: F.split(t, "::"))
+                )
+            ),
+        },
+        ref="providers/commoncrawl/AnimalDiversityWeb.py:61-186",
+    )
+
+
+# ---------------------------------------------------------------------------
+# behance — Behance.py:50-191: license anchor inside
+# #project-block-copyright (or the ProjectCopyright tooltip class);
+# og: title/url/owners/description; object-tag anchors; MULTI-image —
+# every img under #project-modules except the blank placeholder.
+# ---------------------------------------------------------------------------
+def behance_spec(domain: str = "https://www.behance.net") -> CCScraperSpec:
+    rules = [
+        Rule("lic_old", "div", {"id": "project-block-copyright"}, get=None),
+        Rule("lic_new", "div",
+             {"class": "ProjectCopyright-tooltipContent-LVf"}, get=None),
+        Rule("lic_a_old", "a", {"href": True}, within="lic_old", get="href"),
+        Rule("lic_a_new", "a", {"href": True}, within="lic_new", get="href"),
+        Rule("og_title", "meta", {"property": "og:title"}, get="content"),
+        Rule("og_url", "meta", {"property": "og:url"}, get="content"),
+        Rule("og_owners", "meta", {"property": "og:owners"}, get="content"),
+        Rule("og_desc", "meta", {"property": "og:description"},
+             get="content"),
+        Rule("tags", "a",
+             {"class": "re:(object-tag)|(ProjectTags-tagLink-Hh_)"},
+             get="text", multi=True),
+        Rule("modules", "div", {"id": "project-modules"}, get=None),
+        Rule("img", "img", {"src": True}, within="modules", get=["src"]),
+    ]
+    lic = lambda c: cc_license(  # noqa: E731
+        F.coalesce(c.first("lic_a_old"), c.first("lic_a_new"))
+    )
+    return CCScraperSpec(
+        provider="behance",
+        domain=domain,
+        rules=rules,
+        group="img",
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: c.gi("img.src"),
+            "foreign_identifier": lambda c: c.gi("img.src"),
+            "title": lambda c: sanitize_string(c.first("og_title")),
+            "foreign_landing_url": lambda c: F.coalesce(
+                c.first("og_url"), c.url
+            ),
+            "creator": lambda c: sanitize_string(c.first("og_owners")),
+            "tags": lambda c: tags_json(c.all("tags")),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(c.first("og_desc")),
+                set=F.coalesce(c.first("og_url"), c.url),
+            ),
+        },
+        # Behance.py:186: the blank placeholder is not an image
+        row_filter=lambda c: ~F.coalesce(
+            c.gi("img.src").contains("img/site/blank.png"), F.lit(False)
+        ),
+        ref="providers/commoncrawl/Behance.py:50-191",
+    )
+
+
+# ---------------------------------------------------------------------------
+# capl — CAPL.py:42-125 (single-image path): everything scoped under
+# div.singleimage; large-image href with /m/ /s/ → /l/; thumbnail /l/
+# → /m/; landing = page url with size=m|s → size=l; title = the
+# lang=en div.line span; fixed creator (CAPL.py:100).
+# ---------------------------------------------------------------------------
+def capl_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
+    rules = [
+        Rule("single", "div", {"class": "singleimage"}, get=None),
+        Rule("lic", "a", {"rel": "license", "href": True}, within="single",
+             get="href"),
+        Rule("alt_imgs", "span", {"class": "alternateImages"},
+             within="single", get=None),
+        Rule("direct", "span", {"class": "directLink"}, within="alt_imgs",
+             get=None),
+        Rule("img_href", "a", {"href": True}, within="direct", get="href"),
+        Rule("line", "div", {"class": "line"}, within="single", get=None,
+             multi=True),
+        Rule("line_lang", "span", within="line", get="lang"),
+        Rule("line_text", "span", within="line", get="text"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    url_ = lambda c: F.regexp_replace(  # noqa: E731
+        c.first("img_href"), r"(/m/)|(/s/)", "/l/"
+    )
+
+    def _title(c: Caps) -> Column:
+        en = F.filter(
+            F.coalesce(c._caps["g"]["line"], F.array().cast(
+                "array<map<string,string>>"
+            )),
+            lambda m: m["line_lang"] == "en",
+        )
+        return sanitize_string(F.element_at(en, F.lit(1))["line_text"])
+
+    return CCScraperSpec(
+        provider="capl",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": url_,
+            "thumbnail": lambda c: F.replace(
+                url_(c), F.lit("/l/"), F.lit("/m/")
+            ),
+            "foreign_identifier": url_,
+            "foreign_landing_url": lambda c: F.regexp_replace(
+                c.url, r"(size=m)|(size=s)", "size=l"
+            ),
+            "creator": lambda c: F.lit("Michael R. Shaughnessy"),
+            "title": _title,
+        },
+        require=("license", "url", "title"),
+        ref="providers/commoncrawl/CAPL.py:42-125",
+    )
+
+
+# ---------------------------------------------------------------------------
+# digitaltmuseum — DigitaltMuseum.py:50-166: MULTI-image over
+# li.media__item; per-item license anchor (two class generations),
+# per-item landing href + img src/alt, credit 'label: name' split;
+# page-level title (article__title h1) and leadtext description.
+# ---------------------------------------------------------------------------
+def digitaltmuseum_spec(
+    domain: str = "https://digitaltmuseum.org",
+) -> CCScraperSpec:
+    rules = [
+        Rule("item", "li", {"class": "media__item"}, get=None, multi=True),
+        Rule("item_lic", "a", {"class": "re:(media__license.*?)"},
+             within="item", get="href"),
+        Rule("item_lic2", "a", {"class": "c-media-slider__license-link"},
+             within="item", get="href"),
+        Rule("item_a", "a", {"class": "re:module__media\\s+media--image"},
+             within="item", get="href"),
+        Rule("item_img", "img", {"src": True}, within="item", get="src"),
+        Rule("item_alt", "img", {"src": True}, within="item", get="alt"),
+        Rule("credit", "i", {"class": "media__credit"}, within="item",
+             get="text"),
+        Rule("og_url", "meta", {"property": "og:url"}, get="content"),
+        Rule("lead", "div", {"class": "article__leadtext"}, get=None),
+        Rule("lead_p", "p", within="lead", get="text"),
+        Rule("title_div", "div", {"class": "article__title"}, get=None),
+        Rule("title_h1", "h1", within="title_div", get="text"),
+    ]
+    lic = lambda c: cc_license(  # noqa: E731
+        F.coalesce(c.gi("item_lic"), c.gi("item_lic2"))
+    )
+    return CCScraperSpec(
+        provider="digitaltmuseum",
+        domain=domain,
+        rules=rules,
+        group="item",
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: c.gi("item_img"),
+            "foreign_identifier": lambda c: c.gi("item_img"),
+            "foreign_landing_url": lambda c: _absolutize(
+                domain, c.gi("item_a")
+            ),
+            "title": lambda c: sanitize_string(c.first("title_h1")),
+            # 'Fotograf: Name' → Name (DigitaltMuseum.py:147-151)
+            "creator": lambda c: sanitize_string(
+                F.element_at(F.split(c.gi("credit"), ":"), 2)
+            ),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(
+                    F.replace(
+                        c.first("lead_p"), F.lit("Expand text"), F.lit("")
+                    )
+                ),
+                image_alt_text=sanitize_string(c.gi("item_alt")),
+                set=F.coalesce(c.first("og_url"), c.url),
+            ),
+        },
+        ref="providers/commoncrawl/DigitaltMuseum.py:50-166",
+    )
+
+
+# ---------------------------------------------------------------------------
+# eol — EOL.py:62-170 (data_objects path): og:title ' - '-prefix,
+# og:url is the landing page and carries the trailing-number foreign
+# id; image = div.media > a href; license = creativecommons anchor
+# inside div.'article source'; rights holder p[title='Rights holder'].
+# ---------------------------------------------------------------------------
+def eol_spec(domain: str = "https://eol.org") -> CCScraperSpec:
+    rules = [
+        Rule("og_title", "meta", {"property": "og:title"}, get="content"),
+        Rule("og_url", "meta", {"property": "og:url"}, get="content"),
+        Rule("kw", "meta", {"name": "keywords"}, get="content"),
+        Rule("media", "div", {"class": "media"}, get=None),
+        Rule("media_a", "a", {"href": True}, within="media", get="href"),
+        Rule("source_div", "div", {"class": "article source"}, get=None),
+        Rule("lic", "a", {"href": "re:creativecommons\\.org"},
+             within="source_div", get="href"),
+        Rule("rights", "p", {"title": "Rights holder"}, within="source_div",
+             get="text"),
+        Rule("overview", "div", {"class": "re:article( overview)?"},
+             get=None),
+        Rule("copy", "div", {"class": "copy"}, within="overview",
+             get="text"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    landing = lambda c: F.coalesce(c.first("og_url"), c.url)  # noqa: E731
+    return CCScraperSpec(
+        provider="eol",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: c.first("media_a"),
+            "foreign_landing_url": landing,
+            "foreign_identifier": lambda c: _foreign_id_from_url(
+                landing(c)
+            ),
+            # ' - '-suffixed site branding stripped (EOL.py:70)
+            "title": lambda c: F.trim(
+                F.element_at(F.split(c.first("og_title"), " - "), 1)
+            ),
+            "tags": lambda c: tags_json(F.split(c.first("kw"), ",")),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(
+                    F.element_at(F.split(c.first("copy"), r"\."), 1)
+                ),
+                rights_holder=sanitize_string(c.first("rights")),
+            ),
+        },
+        require=("license", "url", "foreign_identifier"),
+        ref="providers/commoncrawl/EOL.py:62-170",
+    )
+
+
+# ---------------------------------------------------------------------------
+# floraon — FloraOn.py:44-121: MULTI over div.thumbnail inside
+# #fotochooser; per-photo license/img/dims (hidden inputs wid/hei)
+# /creator (input aut); page-level species title; watermarked.
+# ---------------------------------------------------------------------------
+def floraon_spec(domain: str = "https://flora-on.pt") -> CCScraperSpec:
+    rules = [
+        Rule("chooser", "div", {"id": "fotochooser"}, get=None),
+        Rule("photo", "div", {"class": "thumbnail"}, within="chooser",
+             get=None, multi=True),
+        Rule("p_lic", "a", {"rel": "license"}, within="photo", get="href"),
+        Rule("p_img", "img", {"class": "image", "src": True},
+             within="photo", get="src"),
+        Rule("p_alt", "img", {"class": "image", "src": True},
+             within="photo", get="alt"),
+        Rule("p_w", "input", {"name": "wid"}, within="photo", get="value"),
+        Rule("p_h", "input", {"name": "hei"}, within="photo", get="value"),
+        Rule("p_aut", "input", {"name": "aut"}, within="photo",
+             get="value"),
+        Rule("especie", "span", {"class": "especie"}, get="text"),
+    ]
+    lic = lambda c: cc_license(c.gi("p_lic"))  # noqa: E731
+    return CCScraperSpec(
+        provider="floraon",
+        domain=domain,
+        rules=rules,
+        group="photo",
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            # FloraOn.py:69: '{domain}/{src}'
+            "url": lambda c: F.concat(
+                F.lit(domain + "/"), c.gi("p_img")
+            ),
+            "foreign_identifier": lambda c: F.concat(
+                F.lit(domain + "/"), c.gi("p_img")
+            ),
+            "width": lambda c: c.gi("p_w"),
+            "height": lambda c: c.gi("p_h"),
+            "creator": lambda c: c.gi("p_aut"),
+            "title": lambda c: F.lower(F.trim(c.first("especie"))),
+            "foreign_landing_url": lambda c: c.url,
+            "meta_data": lambda c: meta_json(
+                image_alt_text=sanitize_string(c.gi("p_alt"))
+            ),
+        },
+        watermarked="t",
+        ref="providers/commoncrawl/FloraOn.py:44-121",
+    )
+
+
+# ---------------------------------------------------------------------------
+# geographorguk — GeographOrgUK.py:50-140: #mainphoto img src/width/
+# height; dct:title strong; rel=author creator (domain-absolutized
+# href); span.tag tags; abbr lat/long titles; itemprop exifData/
+# description; canonical link is the landing url and carries the
+# trailing-number foreign id (required).
+# ---------------------------------------------------------------------------
+def geographorguk_spec(
+    domain: str = "https://www.geograph.org.uk",
+) -> CCScraperSpec:
+    rules = [
+        Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
+        Rule("main", "div", {"id": "mainphoto"}, get=None),
+        Rule("img_src", "img", within="main", get="src"),
+        Rule("img_w", "img", within="main", get="width"),
+        Rule("img_h", "img", within="main", get="height"),
+        Rule("title", "strong", {"property": "dct:title"}, get="text"),
+        Rule("author", "a", {"rel": "author", "href": True}, get="text"),
+        Rule("author_href", "a", {"rel": "author", "href": True},
+             get="href"),
+        Rule("tags", "span", {"class": "tag"}, get="text", multi=True),
+        Rule("lat", "abbr", {"class": "latitude"}, get="title"),
+        Rule("lon", "abbr", {"class": "longitude"}, get="title"),
+        Rule("exif", "span", {"itemprop": "exifData"}, get="text"),
+        Rule("desc", "div", {"itemprop": "description"}, get="text"),
+        Rule("canonical", "link", {"rel": "canonical", "href": True},
+             get="href"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    landing = lambda c: F.coalesce(c.first("canonical"), c.url)  # noqa: E731
+
+    def _meta(c: Caps) -> Column:
+        both = c.first("lat").isNotNull() & c.first("lon").isNotNull()
+        return meta_json(
+            latitude=F.when(both, c.first("lat")),
+            longitude=F.when(both, c.first("lon")),
+            date_taken=c.first("exif"),
+            description=sanitize_string(c.first("desc")),
+        )
+
+    return CCScraperSpec(
+        provider="geographorguk",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: c.first("img_src"),
+            "width": lambda c: c.first("img_w"),
+            "height": lambda c: c.first("img_h"),
+            "title": lambda c: sanitize_string(c.first("title")),
+            "creator": lambda c: sanitize_string(c.first("author")),
+            "creator_url": lambda c: _absolutize(
+                domain, c.first("author_href")
+            ),
+            "tags": lambda c: tags_json(c.all("tags")),
+            "foreign_landing_url": landing,
+            "foreign_identifier": lambda c: _foreign_id_from_url(
+                landing(c)
+            ),
+            "meta_data": _meta,
+        },
+        require=("license", "url", "foreign_identifier"),
+        ref="providers/commoncrawl/GeographOrgUK.py:50-140",
+    )
+
+
+# ---------------------------------------------------------------------------
+# iha — IHA.py:52-118: MULTI over span.swiper-slide in div.ph; the
+# slide's 'about' attr is BOTH image url and foreign id; per-slide
+# rel=license; child img gives thumbnail/dims/title/alt; page
+# keywords → tags; landing og:url; watermarked.
+# ---------------------------------------------------------------------------
+def iha_spec(domain: str = "https://www.iha.com") -> CCScraperSpec:
+    rules = [
+        Rule("ph", "div", {"class": "ph"}, get=None),
+        Rule("slide", "span", {"class": "swiper-slide"}, within="ph",
+             get=None, multi=True),
+        # rules evaluate in list order per element: the slide scope is
+        # already open when this rule sees the SAME span, so its
+        # 'about' attr lands inside the slide's own group instance
+        Rule("s_about", "span", {"class": "swiper-slide"}, within="slide",
+             get="about"),
+        Rule("s_lic", "a", {"rel": "license", "href": True},
+             within="slide", get="href"),
+        Rule("s_img", "img", {"src": True}, within="slide", get="src"),
+        Rule("s_alt", "img", {"src": True}, within="slide", get="alt"),
+        Rule("s_w", "img", {"src": True}, within="slide", get="width"),
+        Rule("s_h", "img", {"src": True}, within="slide", get="height"),
+        Rule("s_title", "img", {"src": True}, within="slide", get="title"),
+        Rule("og_url", "meta", {"property": "og:url"}, get="content"),
+        Rule("kw", "meta", {"name": "keywords"}, get="content"),
+    ]
+    lic = lambda c: cc_license(c.gi("s_lic"))  # noqa: E731
+    return CCScraperSpec(
+        provider="iha",
+        domain=domain,
+        rules=rules,
+        group="slide",
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: F.trim(c.gi("s_about")),
+            "foreign_identifier": lambda c: F.trim(c.gi("s_about")),
+            "thumbnail": lambda c: c.gi("s_img"),
+            "width": lambda c: c.gi("s_w"),
+            "height": lambda c: c.gi("s_h"),
+            "title": lambda c: sanitize_string(c.gi("s_title")),
+            "foreign_landing_url": lambda c: F.coalesce(
+                c.first("og_url"), c.url
+            ),
+            "meta_data": lambda c: meta_json(
+                image_alt_text=sanitize_string(c.gi("s_alt")),
+                tags=c.first("kw"),
+            ),
+        },
+        watermarked="t",
+        ref="providers/commoncrawl/IHA.py:52-118",
+    )
+
+
+# ---------------------------------------------------------------------------
+# mccordmuseum — McCordMuseum.py:62-163: div.image img (src domain-
+# absolutized, dims int-coerced with '0' fallback, ObjView→ListView
+# thumbnail); h1.vo 'ID | Title' split supplies BOTH title and the
+# required foreign id; artist anchor by tablename=artist href;
+# watermarked.
+# ---------------------------------------------------------------------------
+def mccordmuseum_spec(
+    domain: str = "http://www.mccord-museum.qc.ca",
+) -> CCScraperSpec:
+    rules = [
+        Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
+        Rule("imgdiv", "div", {"class": "image"}, get=None),
+        Rule("img_src", "img", within="imgdiv", get="src"),
+        Rule("img_w", "img", within="imgdiv", get="width"),
+        Rule("img_h", "img", within="imgdiv", get="height"),
+        Rule("img_alt", "img", within="imgdiv", get="alt"),
+        Rule("h1", "h1", {"class": "vo"}, get="text"),
+        Rule("tags", "a", {"title": "All tagged images"}, get="text",
+             multi=True),
+        Rule("etq", "div", {"id": "etiquette"}, get=None),
+        Rule("artist", "a", {"href": "re:.*?tablename=artist.*?"},
+             within="etq", get="text"),
+        Rule("desc", "div", {"id": "descriptions"}, get="text"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    url_ = lambda c: _absolutize(domain, c.first("img_src"))  # noqa: E731
+    dim = lambda v: F.coalesce(  # noqa: E731  ('0' bug-fix fallback)
+        F.floor(v.cast("double")).cast("int").cast("string"), F.lit("0")
+    )
+    return CCScraperSpec(
+        provider="mccordmuseum",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": url_,
+            "thumbnail": lambda c: F.replace(
+                url_(c), F.lit("/ObjView/"), F.lit("/ListView/")
+            ),
+            "width": lambda c: dim(c.first("img_w")),
+            "height": lambda c: dim(c.first("img_h")),
+            "foreign_landing_url": lambda c: c.url,
+            # 'ID | Title' (McCordMuseum.py:117-127)
+            "title": lambda c: sanitize_string(
+                F.element_at(F.split(c.first("h1"), r"\|"), 2)
+            ),
+            "foreign_identifier": lambda c: _nonempty(
+                F.trim(F.element_at(F.split(c.first("h1"), r"\|"), 1))
+            ),
+            "tags": lambda c: tags_json(c.all("tags")),
+            # 'Name (dates)' → Name (McCordMuseum.py:140-144)
+            "creator": lambda c: sanitize_string(
+                F.element_at(F.split(c.first("artist"), r" \("), 1)
+            ),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(c.first("desc")),
+                image_alt_text=sanitize_string(c.first("img_alt")),
+            ),
+        },
+        require=("license", "url", "foreign_identifier"),
+        watermarked="t",
+        ref="providers/commoncrawl/McCordMuseum.py:62-163",
+    )
+
+
+# ---------------------------------------------------------------------------
+# museumvictoria — MuseumVictoria.py:58-194: license anchor inside
+# span.licence; og: image/dims/title; -medium → -thumbnail thumbnail;
+# div.creators 'Photographer:/Artist:' prefix strip; trailing-number
+# foreign id from the page url (required); div.summary p description.
+# ---------------------------------------------------------------------------
+def museumvictoria_spec(
+    domain: str = "https://collections.museumvictoria.com.au",
+) -> CCScraperSpec:
+    rules = [
+        Rule("licspan", "span", {"class": "licence"}, get=None),
+        Rule("lic", "a", {"href": True}, within="licspan", get="href"),
+        Rule("og_image", "meta", {"property": "og:image"}, get="content"),
+        Rule("og_w", "meta", {"property": "og:image:width"}, get="content"),
+        Rule("og_h", "meta", {"property": "og:image:height"},
+             get="content"),
+        Rule("og_title", "meta", {"property": "og:title"}, get="content"),
+        Rule("creators", "div", {"class": "creators"}, get="text"),
+        Rule("summary", "div", {"class": "summary"}, get=None),
+        Rule("summary_p", "p", within="summary", get="text"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    return CCScraperSpec(
+        provider="museumvictoria",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: c.first("og_image"),
+            "thumbnail": lambda c: F.when(
+                c.first("og_image").contains("-medium."),
+                F.replace(
+                    c.first("og_image"), F.lit("-medium"),
+                    F.lit("-thumbnail"),
+                ),
+            ),
+            "width": lambda c: c.first("og_w"),
+            "height": lambda c: c.first("og_h"),
+            "title": lambda c: sanitize_string(c.first("og_title")),
+            # 'Photographer: X' / 'Artist: X' → X
+            "creator": lambda c: sanitize_string(
+                F.regexp_replace(
+                    c.first("creators"), r"^(Photographer|Artist):\s*", ""
+                )
+            ),
+            "foreign_landing_url": lambda c: c.url,
+            "foreign_identifier": lambda c: _foreign_id_from_url(c.url),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(c.first("summary_p"))
+            ),
+        },
+        require=("license", "url", "foreign_identifier"),
+        ref="providers/commoncrawl/MuseumVictoria.py:58-194",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sciencemuseum — ScienceMuseum.py:53-147: license DECODED FROM THE
+# BADGE IMAGE filename inside div.cite__method ('…/cc-by-nc-sa.svg' →
+# by-nc-sa, no version); og: url/title/description; dl.fact-maker
+# anchor creator ('unknown' dropped); MULTI-image over carousel (or
+# single_image) imgs, src falling back to data-flickity-lazyload.
+# ---------------------------------------------------------------------------
+def sciencemuseum_spec(
+    domain: str = "https://collection.sciencemuseum.org.uk",
+) -> CCScraperSpec:
+    rules = [
+        Rule("cite", "div", {"class": "cite__method"}, get=None),
+        Rule("lic_img", "img", {"src": True}, within="cite", get="src"),
+        Rule("og_url", "meta", {"property": "og:url"}, get="content"),
+        Rule("og_title", "meta", {"property": "og:title"}, get="content"),
+        Rule("og_desc", "meta", {"property": "og:description"},
+             get="content"),
+        Rule("maker", "dl", {"class": "record-top__dl fact-maker"},
+             get=None),
+        Rule("maker_a", "a", within="maker", get="text"),
+        Rule("maker_href", "a", within="maker", get="href"),
+        Rule("rec", "img", {"class": "carousel__image"},
+             get=["src", "data-flickity-lazyload"]),
+        Rule("rec1", "img", {"class": "single_image"},
+             get=["src", "data-flickity-lazyload"]),
+    ]
+
+    def _license(c: Caps) -> Column:
+        # last path segment of the badge src, extension dropped,
+        # 'cc-' prefix stripped (ScienceMuseum.py:55-60)
+        fname = F.element_at(F.split(c.first("lic_img"), "/"), -1)
+        stem = F.element_at(F.split(fname, r"\."), 1)
+        return F.lower(F.regexp_replace(stem, r"^cc-", ""))
+
+    img = lambda c: F.trim(  # noqa: E731
+        F.coalesce(
+            c.gi("rec.src"),
+            c.gi("rec.data-flickity-lazyload"),
+            c.gi("rec1.src"),
+            c.gi("rec1.data-flickity-lazyload"),
+        )
+    )
+    return CCScraperSpec(
+        provider="sciencemuseum",
+        domain=domain,
+        rules=rules,
+        group="rec",
+        group_fallback="rec1",
+        columns={
+            "license": _license,
+            "url": img,
+            "foreign_identifier": img,
+            "foreign_landing_url": lambda c: F.coalesce(
+                c.first("og_url"), c.url
+            ),
+            "title": lambda c: sanitize_string(c.first("og_title")),
+            "creator": lambda c: F.when(
+                F.lower(sanitize_string(c.first("maker_a"))) != "unknown",
+                sanitize_string(c.first("maker_a")),
+            ),
+            "creator_url": lambda c: F.when(
+                F.lower(sanitize_string(c.first("maker_a"))) != "unknown",
+                c.first("maker_href"),
+            ),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(c.first("og_desc"))
+            ),
+        },
+        ref="providers/commoncrawl/ScienceMuseum.py:53-147",
+    )
+
+
+# ---------------------------------------------------------------------------
+# svgsilh — SVGSilh.py:44-114: MULTI over the bootstrap card grid;
+# per-card cc0-ONLY license; asset domain recovered from og:image
+# ('…/png' prefix); card img src with svg→png; /image/<n>.html landing
+# anchor; dct:title anchor tags; title from og:description prefix.
+# ---------------------------------------------------------------------------
+def svgsilh_spec(domain: str = "https://svgsilh.com") -> CCScraperSpec:
+    rules = [
+        Rule("card", "div", {"class": "card mb-3 box-shadow h-100"},
+             get=None, multi=True),
+        Rule("c_lic", "a", {"rel": "license", "href": True},
+             within="card", get="href"),
+        Rule("c_img", "img", {"src": True}, within="card", get="src"),
+        Rule("c_landing", "a", {"href": "re:/image/\\d+\\.html"},
+             within="card", get="href"),
+        Rule("tagp", "p", {"property": "dct:title"}, within="card",
+             get=None),
+        Rule("c_tags", "a", within="tagp", get="text", multi=True),
+        Rule("og_image", "meta", {"property": "og:image"}, get="content"),
+        Rule("og_desc", "meta", {"property": "og:description"},
+             get="content"),
+    ]
+    lic = lambda c: cc_license(c.gi("c_lic"))  # noqa: E731
+    # asset domain = og:image up to '/png' (SVGSilh.py:74-76)
+    dom = lambda c: F.element_at(  # noqa: E731
+        F.split(c.first("og_image"), "/png"), 1
+    )
+    url_ = lambda c: F.concat(  # noqa: E731
+        dom(c), F.replace(c.gi("c_img"), F.lit("svg"), F.lit("png"))
+    )
+    return CCScraperSpec(
+        provider="svgsilh",
+        domain=domain,
+        rules=rules,
+        group="card",
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": url_,
+            "foreign_identifier": url_,
+            "foreign_landing_url": lambda c: F.concat(
+                dom(c), c.gi("c_landing")
+            ),
+            "tags": lambda c: tags_json(c.gi_all("c_tags")),
+            # 'Cat Silhouette - Free vector (...)' → 'Cat Silhouette'
+            "title": lambda c: sanitize_string(
+                F.element_at(
+                    F.split(
+                        F.element_at(F.split(c.first("og_desc"), " - "), 1),
+                        r"\(",
+                    ),
+                    1,
+                )
+            ),
+            "meta_data": lambda c: meta_json(
+                svg=F.concat(dom(c), c.gi("c_img"))
+            ),
+        },
+        # cc0 cards only (SVGSilh.py:63-65)
+        row_filter=lambda c: cc_license(c.gi("c_lic"))["license"] == "cc0",
+        ref="providers/commoncrawl/SVGSilh.py:44-114",
+    )
+
+
+# ---------------------------------------------------------------------------
+# thorvaldsensmuseum — ThorvaldsensMuseum.py:47-101: the rel=license
+# anchor's 'about' attr IS the image url; /large/→/small/ thumbnail;
+# dims+alt-title come from the matching img[src == about]; creator =
+# div.artists' own text with the a.standard child's href.
+# ---------------------------------------------------------------------------
+def thorvaldsensmuseum_spec(
+    domain: str = "https://thorvaldsensmuseum.dk",
+) -> CCScraperSpec:
+    rules = [
+        Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
+        Rule("lic_about", "a", {"rel": "license", "href": True},
+             get="about"),
+        Rule("imgs", "img", {"src": True},
+             get=["src", "width", "height", "alt"]),
+        Rule("artists", "div", {"class": "artists"}, get="text_direct"),
+        Rule("artist_a", "a", {"class": "standard", "href": True},
+             within="artists_scope", get="href"),
+        Rule("artists_scope", "div", {"class": "artists"}, get=None),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    url_ = lambda c: c.first("lic_about")  # noqa: E731
+
+    def _dim(attr: str):
+        def get(c: Caps) -> Column:
+            imgs = F.coalesce(
+                c._caps["g"]["imgs"],
+                F.array().cast("array<map<string,string>>"),
+            )
+            hit = F.filter(imgs, lambda m: m["imgs.src"] == url_(c))
+            return F.element_at(hit, F.lit(1))[f"imgs.{attr}"]
+
+        return get
+
+    return CCScraperSpec(
+        provider="thorvaldsensmuseum",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": url_,
+            "thumbnail": lambda c: F.replace(
+                url_(c), F.lit("/large/"), F.lit("/small/")
+            ),
+            "width": _dim("width"),
+            "height": _dim("height"),
+            "title": lambda c: sanitize_string(_dim("alt")(c)),
+            "foreign_landing_url": lambda c: c.url,
+            "foreign_identifier": url_,
+            "creator": lambda c: sanitize_string(c.first("artists")),
+            "creator_url": lambda c: c.first("artist_a"),
+        },
+        ref="providers/commoncrawl/ThorvaldsensMuseum.py:47-101",
+    )
+
+
+# ---------------------------------------------------------------------------
+# worms — WoRMS.py:46-160 (p=image pages): #photogallery_share
+# data-url is the landing page, its 'pic' query param the foreign id;
+# license = itemprop meta INSIDE #photogallery_resized_img; the same
+# div's img gives url/dims/title; resized→thumbs thumbnail; author
+# span's anchor (or nested text span) is the creator.
+# ---------------------------------------------------------------------------
+def worms_spec(
+    domain: str = "http://www.marinespecies.org",
+) -> CCScraperSpec:
+    rules = [
+        Rule("share", "div", {"id": "photogallery_share"}, get="data-url"),
+        Rule("resized", "div", {"id": "photogallery_resized_img"},
+             get=None),
+        Rule("lic", "meta", {"itemprop": "license"}, within="resized",
+             get="content"),
+        Rule("img_src", "img", within="resized", get="src"),
+        Rule("img_w", "img", within="resized", get="width"),
+        Rule("img_h", "img", within="resized", get="height"),
+        Rule("img_title", "img", within="resized", get="title"),
+        Rule("descspan", "span",
+             {"class": "photogallery_caption photogallery_descr"},
+             get=None),
+        Rule("desc", "span",
+             {"class": "photogallery_caption photogallery_text"},
+             within="descspan", get="text"),
+        Rule("authspan", "span",
+             {"class": "photogallery_caption photogallery_author"},
+             get=None),
+        Rule("auth_a", "a", within="authspan", get="text"),
+        Rule("auth_a_href", "a", within="authspan", get="href"),
+        Rule("auth_text", "span",
+             {"class": "photogallery_caption photogallery_text"},
+             within="authspan", get="text"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    dim = lambda v: F.coalesce(  # noqa: E731  ('0' bug-fix fallback)
+        F.floor(sanitize_string(v).cast("double")).cast("int").cast(
+            "string"
+        ),
+        F.lit("0"),
+    )
+    return CCScraperSpec(
+        provider="worms",
+        domain=domain,
+        rules=rules,
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": lambda c: c.first("img_src"),
+            "thumbnail": lambda c: F.replace(
+                c.first("img_src"), F.lit("resized"), F.lit("thumbs")
+            ),
+            "width": lambda c: dim(c.first("img_w")),
+            "height": lambda c: dim(c.first("img_h")),
+            "title": lambda c: sanitize_string(c.first("img_title")),
+            "foreign_landing_url": lambda c: F.coalesce(
+                c.first("share"), c.url
+            ),
+            # pic=<id> query param (WoRMS.py:48-53)
+            "foreign_identifier": lambda c: _nonempty(
+                F.parse_url(c.first("share"), F.lit("QUERY"), F.lit("pic"))
+            ),
+            "creator": lambda c: sanitize_string(
+                F.coalesce(c.first("auth_a"), c.first("auth_text"))
+            ),
+            "creator_url": lambda c: F.when(
+                c.first("auth_a").isNotNull(), c.first("auth_a_href")
+            ),
+            "meta_data": lambda c: meta_json(
+                description=sanitize_string(c.first("desc"))
+            ),
+        },
+        # WoRMS.py:66: only image-detail pages carry a verifiable license
+        row_filter=lambda c: c.url.contains("p=image"),
+        ref="providers/commoncrawl/WoRMS.py:46-160",
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry — one spec per reference scraper (15)
+# ---------------------------------------------------------------------------
+CC_SCRAPERS: dict[str, Callable[[], CCScraperSpec]] = {
+    "animaldiversityweb": animaldiversityweb_spec,
+    "behance": behance_spec,
+    "capl": capl_spec,
+    "deviantart": deviantart_spec,
+    "digitaltmuseum": digitaltmuseum_spec,
+    "eol": eol_spec,
+    "floraon": floraon_spec,
+    "geographorguk": geographorguk_spec,
+    "iha": iha_spec,
+    "mccordmuseum": mccordmuseum_spec,
+    "museumvictoria": museumvictoria_spec,
+    "sciencemuseum": sciencemuseum_spec,
+    "svgsilh": svgsilh_spec,
+    "thorvaldsensmuseum": thorvaldsensmuseum_spec,
+    "worms": worms_spec,
+}
