@@ -131,4 +131,8 @@ def extract_page_col(html_col: Column) -> Column:
         ]
         return pd.DataFrame(rows)
 
-    return _udf(html_col)
+    # plan pin (the parse IS deterministic): without this, Catalyst
+    # pushes downstream filters below the projection and duplicates
+    # the ArrowEvalPython node — the page parse would run twice per
+    # row, doubling the dominant cost of a 100 TB WAT scan.
+    return _udf.asNondeterministic()(html_col)

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import json
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -304,4 +304,10 @@ def capture_col(html_col: Column, rules: list[Rule]) -> Column:
             )
         return pd.Series(out, dtype="object")
 
-    return from_json(_udf(html_col), CAPS_SCHEMA)
+    # asNondeterministic is a plan pin, not a semantics statement: the
+    # parse IS deterministic, but Catalyst otherwise pushes the spec's
+    # required-field filters below the projection and DUPLICATES the
+    # ArrowEvalPython node — the page parse (the dominant cost at
+    # 100 TB) would run twice per row. Nondeterministic expressions are
+    # never duplicated or pushed, so the parse stays single-evaluation.
+    return from_json(_udf.asNondeterministic()(html_col), CAPS_SCHEMA)

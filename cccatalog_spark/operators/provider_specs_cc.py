@@ -29,7 +29,7 @@ extracted.extend(self.formatOutput)`` loops.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
