@@ -187,3 +187,53 @@ def frontier_pipeline(
         frontier, id_col, "host", "priority", delays,
         default_delay=default_delay,
     )
+
+
+def cc_scrape(
+    pages: DataFrame,
+    sites: list[str] | None = None,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Domain-routed multi-site Common Crawl scrape: one (url, html)
+    frame fans into the per-site scraper specs and back out as a
+    single IMAGE_TSV_RAW stream.
+
+    The reference runs ONE Spark job per provider over its own
+    CC-index slice (providers/commoncrawl/*.py each wrap a full job —
+    the WAT phase has already bucketed pages by domain). Spark-first
+    that is a single plan: each spec's branch filters pages by the
+    registrable host of its domain BEFORE the capture UDF, so a page
+    is parsed at most once, by exactly the spec whose selectors apply,
+    and no shuffle appears anywhere.
+
+    Scale contract: at 100 TB the page store is host-partitioned (the
+    WAT pipeline's natural output layout, mirroring the reference's
+    per-provider index slices), so each branch's host filter becomes
+    PARTITION PRUNING and the N branches together read each byte once.
+    On unpartitioned input the branches are N filtered scans — correct
+    but paying N× the I/O; partition the pages by host first.
+    """
+    from urllib.parse import urlparse
+
+    from cccatalog_spark.operators.provider_specs_cc import (
+        CC_SCRAPERS,
+        apply_cc_spec,
+    )
+
+    out = None
+    for site in sorted(sites or CC_SCRAPERS):
+        spec = CC_SCRAPERS[site]()
+        host = urlparse(spec.domain).netloc or spec.domain
+        suffix = host[4:] if host.startswith("www.") else host
+        routed = pages.where(
+            (F.parse_url(F.col(url_col), F.lit("HOST")) == suffix)
+            | F.parse_url(F.col(url_col), F.lit("HOST")).endswith(
+                "." + suffix
+            )
+        )
+        branch = apply_cc_spec(routed, spec, html_col=html_col,
+                               url_col=url_col)
+        out = branch if out is None else out.unionAll(branch)
+    assert out is not None
+    return out

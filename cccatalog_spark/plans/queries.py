@@ -10515,3 +10515,134 @@ def q204_cc_scraper_specs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "license_version", "creator", "creator_url", "title", "meta_data",
         "foreign_identifier", "watermarked", "provider", "source",
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — domain-routed multi-site scrape (pipelines.cc_scrape): one
+# mixed frame of DeviantArt + Museum Victoria + Geograph pages fans
+# into the per-site specs by registrable host and back out as one
+# IMAGE_TSV_RAW stream — the single-plan form of the reference's
+# one-job-per-provider crawl processing. Each branch filters by host
+# BEFORE its capture UDF (each page parses at most once); the oracle
+# recomputes all three sites' mappings arithmetically from doc_id.
+# ---------------------------------------------------------------------------
+@query(
+    "q205_cc_scrape_router",
+    oracle="""
+    WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid FROM documents)
+    SELECT 'deviantart' AS provider,
+           CAST(doc_id * 3 AS VARCHAR) AS foreign_identifier,
+           'https://www.deviantart.com/u' || CAST(doc_id % 50 AS VARCHAR)
+               || '/art/' || sid AS foreign_landing_url,
+           'https://images.da.net/i' || sid || '.jpg' AS url,
+           CAST(100 + doc_id % 500 AS VARCHAR) AS width,
+           CAST(80 + doc_id % 400 AS VARCHAR) AS height,
+           'by' AS license, '3.0' AS license_version,
+           'User' || CAST(doc_id % 50 AS VARCHAR) AS creator,
+           'https://u' || CAST(doc_id % 50 AS VARCHAR)
+               || '.deviantart.com' AS creator_url,
+           'Work ' || sid AS title
+    FROM d WHERE doc_id % 3 = 0 AND doc_id % 10 <> 9
+    UNION ALL
+    SELECT 'museumvictoria',
+           sid,
+           'https://collections.museumvictoria.com.au/items/' || sid,
+           'https://mv.imgs/items/' || sid || '-medium.jpg',
+           CAST(200 + doc_id % 300 AS VARCHAR),
+           CAST(150 + doc_id % 200 AS VARCHAR),
+           'by-nc', '3.0',
+           'P' || CAST(doc_id % 20 AS VARCHAR),
+           NULL,
+           'Item ' || sid
+    FROM d WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT 'geographorguk',
+           sid,
+           'https://www.geograph.org.uk/photo/' || sid,
+           'https://s0.geograph.org.uk/p/' || sid || '.jpg',
+           CAST(640 AS VARCHAR), CAST(480 AS VARCHAR),
+           'by-sa', '2.0',
+           'Auth' || CAST(doc_id % 9 AS VARCHAR),
+           'https://www.geograph.org.uk/profile/'
+               || CAST(doc_id % 9 AS VARCHAR),
+           'Photo ' || sid
+    FROM d WHERE doc_id % 3 = 2
+    """,
+)
+def q205_cc_scrape_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.pipelines import cc_scrape
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    uid = (F.col("doc_id") % 50).cast("string")
+
+    da_url = F.concat(
+        F.lit("https://www.deviantart.com/u"), uid, F.lit("/art/"), sid
+    )
+    da_html = F.concat(
+        F.lit('<meta property="og:image" content="https://images.da.net/i'),
+        sid, F.lit('.jpg">'),
+        F.lit('<meta property="og:image:width" content="'),
+        (F.col("doc_id") % 500 + 100).cast("string"),
+        F.lit('"><meta property="og:image:height" content="'),
+        (F.col("doc_id") % 400 + 80).cast("string"),
+        F.lit('"><meta property="og:title" content="Work '), sid,
+        F.lit('"><meta property="og:url" content="'), da_url, F.lit('">'),
+        F.when(F.col("doc_id") % 10 == 9, F.lit("")).otherwise(
+            F.lit(
+                '<a rel="license" '
+                'href="https://creativecommons.org/licenses/by/3.0/">c</a>'
+            )
+        ),
+        F.lit('<small class="author"><a class="username" href="https://u'),
+        uid, F.lit('.deviantart.com">User'), uid, F.lit("</a></small>"),
+        F.lit('<div class="dev-page-view view-mode-normal" '),
+        F.lit('gmi-deviationid="'), (F.col("doc_id") * 3).cast("string"),
+        F.lit('"></div>'),
+    )
+
+    mv_url = F.concat(
+        F.lit("https://collections.museumvictoria.com.au/items/"), sid
+    )
+    mv_html = F.concat(
+        F.lit('<span class="licence"><a href='),
+        F.lit('"https://creativecommons.org/licenses/by-nc/3.0/">c</a>'),
+        F.lit('</span><meta property="og:image" '),
+        F.lit('content="https://mv.imgs/items/'), sid, F.lit('-medium.jpg">'),
+        F.lit('<meta property="og:image:width" content="'),
+        (F.col("doc_id") % 300 + 200).cast("string"),
+        F.lit('"><meta property="og:image:height" content="'),
+        (F.col("doc_id") % 200 + 150).cast("string"),
+        F.lit('"><meta property="og:title" content="Item '), sid,
+        F.lit('"><div class="creators">Photographer: P'),
+        (F.col("doc_id") % 20).cast("string"), F.lit("</div>"),
+    )
+
+    geo_url = F.concat(F.lit("https://www.geograph.org.uk/photo/"), sid)
+    geo_html = F.concat(
+        F.lit('<a rel="license" '),
+        F.lit('href="https://creativecommons.org/licenses/by-sa/2.0/">c</a>'),
+        F.lit('<div id="mainphoto"><img src="https://s0.geograph.org.uk/p/'),
+        sid, F.lit('.jpg" width="640" height="480"></div>'),
+        F.lit('<strong property="dct:title">Photo '), sid, F.lit("</strong>"),
+        F.lit('<a rel="author" href="/profile/'),
+        (F.col("doc_id") % 9).cast("string"), F.lit('">Auth'),
+        (F.col("doc_id") % 9).cast("string"), F.lit("</a>"),
+        F.lit('<link rel="canonical" href="'), geo_url, F.lit('">'),
+    )
+
+    m = F.col("doc_id") % 3
+    pages = d.select(
+        F.when(m == 0, da_url).when(m == 1, mv_url).otherwise(geo_url)
+        .alias("url"),
+        F.when(m == 0, da_html).when(m == 1, mv_html).otherwise(geo_html)
+        .alias("html"),
+    )
+    out = cc_scrape(
+        pages, sites=["deviantart", "museumvictoria", "geographorguk"]
+    )
+    return out.select(
+        "provider", "foreign_identifier", "foreign_landing_url", "url",
+        "width", "height", "license", "license_version", "creator",
+        "creator_url", "title",
+    )

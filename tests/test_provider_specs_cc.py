@@ -509,3 +509,36 @@ def test_worms_image_page_and_gate(spark):
     # taxonomy pages carry no verifiable license (WoRMS.py:157-160)
     taxurl = "http://www.marinespecies.org/photogallery.php?p=taxdetails"
     assert _run(spark, CC_SCRAPERS["worms"](), taxurl, html) == []
+
+
+def test_cc_scrape_routes_by_registrable_host(spark):
+    """pipelines.cc_scrape: a page reaches exactly the spec whose
+    domain matches its registrable host; unknown domains drop."""
+    from cccatalog_spark.pipelines import cc_scrape
+
+    da = """
+    <a rel="license"
+       href="https://creativecommons.org/licenses/by/2.0/">c</a>
+    <meta property="og:image" content="https://x/i.png">
+    <div class="dev-page-view view-mode-normal" gmi-deviationid="7"></div>
+    """
+    geo = """
+    <a rel="license"
+       href="https://creativecommons.org/licenses/by-sa/2.0/">c</a>
+    <div id="mainphoto"><img src="https://s0.geo/p/3.jpg"></div>
+    <link rel="canonical" href="https://www.geograph.org.uk/photo/3">
+    """
+    pages = spark.createDataFrame(
+        [
+            ("https://www.deviantart.com/a/art/1", da),
+            ("https://sub.deviantart.com/b/art/2", da),  # subdomain routes
+            ("https://www.geograph.org.uk/photo/3", geo),
+            ("https://unknown.example.org/x", da),       # no spec -> drops
+        ],
+        "url string, html string",
+    )
+    rows = cc_scrape(pages).select("provider", "foreign_identifier").collect()
+    got = sorted((r.provider, r.foreign_identifier) for r in rows)
+    assert got == [
+        ("deviantart", "7"), ("deviantart", "7"), ("geographorguk", "3")
+    ]
