@@ -391,6 +391,9 @@ def behance_spec(domain: str = "https://www.behance.net") -> CCScraperSpec:
 # div.singleimage; large-image href with /m/ /s/ → /l/; thumbnail /l/
 # → /m/; landing = page url with size=m|s → size=l; title = the
 # lang=en div.line span; fixed creator (CAPL.py:100).
+# Documented simplification: the browse-grid path (CAPL.py:128-205,
+# div.'light item'/'dark item' cards) is not mapped — grid pages
+# re-list the same images the detail pages carry.
 # ---------------------------------------------------------------------------
 def capl_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
     rules = [
@@ -511,6 +514,10 @@ def digitaltmuseum_spec(
 # og:url is the landing page and carries the trailing-number foreign
 # id; image = div.media > a href; license = creativecommons anchor
 # inside div.'article source'; rights holder p[title='Rights holder'].
+# Documented simplification: the taxon-page gallery walk
+# (EOL.py:193-297) is not mapped — each gallery card links a
+# data_objects detail page, which this spec maps with full license
+# provenance (the gallery rows carry none).
 # ---------------------------------------------------------------------------
 def eol_spec(domain: str = "https://eol.org") -> CCScraperSpec:
     rules = [
@@ -804,6 +811,10 @@ def mccordmuseum_spec(
 # span.licence; og: image/dims/title; -medium → -thumbnail thumbnail;
 # div.creators 'Photographer:/Artist:' prefix strip; trailing-number
 # foreign id from the page url (required); div.summary p description.
+# Documented simplification: the additional-thumbnails explosion
+# (MuseumVictoria.py:156-183) and the detail li h3/p metadata walk
+# (:129-137) are not mapped — the og:image primary record carries the
+# licensing; thumbnails are derived urls of the same item.
 # ---------------------------------------------------------------------------
 def museumvictoria_spec(
     domain: str = "https://collections.museumvictoria.com.au",
