@@ -72,6 +72,12 @@ FAMILIES = {
         "q25_minhash_lsh",
         {"joins": 3, "exchanges": 5},
     ),
+    # domain-routed multi-site scrape: 3 narrow branches, one capture
+    # UDF each (pages parse at most once), unioned without a shuffle
+    "cc-scrape-router-narrow-union": (
+        "q205_cc_scrape_router",
+        {"joins": 0, "arrow_udf_nodes": 3, "exchanges": 3},
+    ),
 }
 
 
