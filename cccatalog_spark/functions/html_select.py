@@ -122,6 +122,12 @@ class _CompiledRule:
                 if v is None:
                     return False
                 if v != m:
+                    # token-subset matching applies only to the
+                    # MULTI-VALUED attributes BS4 treats as token
+                    # lists (class, rel); single-valued attrs
+                    # (title/id/property/...) require exact equality
+                    if k not in ("class", "rel"):
+                        return False
                     want = m.split()
                     have = v.split()
                     if not want or not all(t in have for t in want):

@@ -44,23 +44,28 @@ def auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
     r = global_running_sum(g, [F.asc("_p")], "_c", out_col="_run")
     # tie group spanning ranks [run-c+1, run]: 2·avg_rank = 2·run − c + 1
-    # _u2 accumulates in decimal(38,0): n_pos·n_rows products overflow
-    # int64 near 4.6e18 (non-ANSI wraps silently) at extreme row
-    # counts; decimal keeps the exact-integer contract to ~1e38.
+    # every product that can reach n_pos·n_rows runs in decimal(38,0):
+    # int64 wraps silently near 4.6e18 under non-ANSI mode, so BOTH
+    # the rank-sum accumulation AND the final n_pos(n_pos+1)/2 and
+    # n_pos·n_neg terms must leave long arithmetic before multiplying
+    # (2·run−c+1 itself stays within long: ≤ 2·n_rows+1).
+    dec = "decimal(38,0)"
     agg = r.agg(
         F.sum("_pos").cast("long").alias("n_pos"),
         (F.sum("_c") - F.sum("_pos")).cast("long").alias("n_neg"),
         F.sum(
-            F.col("_pos").cast("decimal(38,0)")
-            * (2 * F.col("_run") - F.col("_c") + 1).cast("decimal(38,0)")
-        ).cast("decimal(38,0)").alias("_u2"),
+            F.col("_pos").cast(dec)
+            * (2 * F.col("_run") - F.col("_c") + 1).cast(dec)
+        ).cast(dec).alias("_u2"),
     )
+    np_d = F.col("n_pos").cast(dec)
+    nn_d = F.col("n_neg").cast(dec)
     return agg.select(
         "n_pos",
         "n_neg",
         (
-            (F.col("_u2") / 2.0 - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-            / (F.col("n_pos") * F.col("n_neg"))
+            (F.col("_u2") - np_d * (np_d + 1)).cast("double")
+            / (F.lit(2.0) * (np_d * nn_d).cast("double"))
         ).alias("auc"),
     )
 

@@ -74,6 +74,15 @@ class Caps:
         \\x1f by the engine)."""
         return F.coalesce(F.split(self._item[key], "\x1f"), _empty())
 
+    def groups(self, name: str) -> Column:
+        """Null-safe group-instance array (``find_all`` results as
+        ``array<map<string,string>>``) — for specs that filter or
+        index group matches without exploding them."""
+        return F.coalesce(
+            self._caps["g"][name],
+            F.array().cast("array<map<string,string>>"),
+        )
+
 
 @dataclass
 class CCScraperSpec:
@@ -282,16 +291,24 @@ def animaldiversityweb_spec(
 
     def _meta(c: Caps) -> Column:
         # h3/p alternating pairs → map (conditions_of_use dropped,
-        # AnimalDiversityWeb.py:106-108)
+        # AnimalDiversityWeb.py:106-108). The zip is positional, so a
+        # section whose h3/p counts DIVERGE (an h3 without its value
+        # paragraph) would shift every later value onto the wrong key
+        # — emit no section metadata in that case rather than
+        # misattributed pairs.
         keys = F.transform(
             c.all("md_keys"),
             lambda k: F.replace(F.lower(F.trim(k)), F.lit(" "), F.lit("_")),
         )
+        vals = c.all("md_vals")
         pairs = F.filter(
-            F.arrays_zip(keys.alias("k"), c.all("md_vals").alias("v")),
+            F.arrays_zip(keys.alias("k"), vals.alias("v")),
             lambda p: (p["k"] != "conditions_of_use") & p["k"].isNotNull()
             & p["v"].isNotNull(),
         )
+        pairs = F.when(
+            F.size(keys) == F.size(vals), pairs
+        ).otherwise(F.array().cast("array<struct<k:string,v:string>>"))
         m = F.map_from_entries(pairs)
         base = F.create_map(
             F.lit("image_alt_text"), sanitize_string(c.first("img_alt"))
@@ -417,10 +434,7 @@ def capl_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
 
     def _title(c: Caps) -> Column:
         en = F.filter(
-            F.coalesce(c._caps["g"]["line"], F.array().cast(
-                "array<map<string,string>>"
-            )),
-            lambda m: m["line_lang"] == "en",
+            c.groups("line"), lambda m: m["line_lang"] == "en"
         )
         return sanitize_string(F.element_at(en, F.lit(1))["line_text"])
 
@@ -531,7 +545,9 @@ def eol_spec(domain: str = "https://eol.org") -> CCScraperSpec:
              within="source_div", get="href"),
         Rule("rights", "p", {"title": "Rights holder"}, within="source_div",
              get="text"),
-        Rule("overview", "div", {"class": "re:article( overview)?"},
+        # anchored: 'article source' / 'article-comments' must NOT
+        # open the overview scope (first-wins would steal description)
+        Rule("overview", "div", {"class": "re:^article( overview)?$"},
              get=None),
         Rule("copy", "div", {"class": "copy"}, within="overview",
              get="text"),
@@ -1028,11 +1044,9 @@ def thorvaldsensmuseum_spec(
 
     def _dim(attr: str):
         def get(c: Caps) -> Column:
-            imgs = F.coalesce(
-                c._caps["g"]["imgs"],
-                F.array().cast("array<map<string,string>>"),
+            hit = F.filter(
+                c.groups("imgs"), lambda m: m["imgs.src"] == url_(c)
             )
-            hit = F.filter(imgs, lambda m: m["imgs.src"] == url_(c))
             return F.element_at(hit, F.lit(1))[f"imgs.{attr}"]
 
         return get

@@ -221,16 +221,19 @@ def cc_scrape(
         apply_cc_spec,
     )
 
+    site_list = sorted(CC_SCRAPERS if sites is None else sites)
+    if not site_list:
+        raise ValueError("cc_scrape: empty sites list")
+    # hosts compare lowercased (URL authorities are case-insensitive;
+    # mixed-case hosts occur in real crawl data)
+    page_host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
     out = None
-    for site in sorted(sites or CC_SCRAPERS):
+    for site in site_list:
         spec = CC_SCRAPERS[site]()
-        host = urlparse(spec.domain).netloc or spec.domain
+        host = (urlparse(spec.domain).netloc or spec.domain).lower()
         suffix = host[4:] if host.startswith("www.") else host
         routed = pages.where(
-            (F.parse_url(F.col(url_col), F.lit("HOST")) == suffix)
-            | F.parse_url(F.col(url_col), F.lit("HOST")).endswith(
-                "." + suffix
-            )
+            (page_host == suffix) | page_host.endswith("." + suffix)
         )
         branch = apply_cc_spec(routed, spec, html_col=html_col,
                                url_col=url_col)

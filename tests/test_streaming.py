@@ -558,11 +558,10 @@ def test_stream_cep_repeated_step_types_equals_batch(spark, tmp_path):
         (6, 1, "purchase", 60),   # match 2: 40..60
         (7, 2, "view", 5),
         (8, 2, "purchase", 9),    # no second view -> no match
-        (9, 3, "view", 0),
-        (10, 3, "view", 100),
-        (11, 3, "purchase", 200), # window 50 violated -> retry at 100
-        (12, 3, "view", 150),
-        (13, 3, "purchase", 190), # match: 150..190
+        (9, 3, "view", 0),        # anchor 0: span 0..105 > 50 -> retry
+        (10, 3, "view", 60),
+        (11, 3, "view", 70),
+        (12, 3, "purchase", 105), # retried anchor 60: match 60..105
     ]
     steps = ["view", "view", "purchase"]
     batch_df = spark.createDataFrame(
