@@ -408,9 +408,9 @@ def behance_spec(domain: str = "https://www.behance.net") -> CCScraperSpec:
 # div.singleimage; large-image href with /m/ /s/ → /l/; thumbnail /l/
 # → /m/; landing = page url with size=m|s → size=l; title = the
 # lang=en div.line span; fixed creator (CAPL.py:100).
-# Documented simplification: the browse-grid path (CAPL.py:128-205,
-# div.'light item'/'dark item' cards) is not mapped — grid pages
-# re-list the same images the detail pages carry.
+# The browse-grid path (CAPL.py:128-205) is a different page shape
+# and maps through ``capl_grid_spec`` below — the reference branches
+# on div.singleimage the same way.
 # ---------------------------------------------------------------------------
 def capl_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
     rules = [
@@ -458,6 +458,82 @@ def capl_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
         },
         require=("license", "url", "title"),
         ref="providers/commoncrawl/CAPL.py:42-125",
+    )
+
+
+# ---------------------------------------------------------------------------
+# capl (browse-grid path) — CAPL.py:128-205: the multi-image card grid
+# (div.'light item'/'dark item'); per-card license + lightbox href
+# (/m/ /s/ → /l/, domain-prefixed), foreign landing = the span.imgTxt
+# anchor whose TEXT is 'l', per-card lang=en line title. A separate
+# spec because grid pages and detail pages are different shapes (the
+# reference branches on div.singleimage at CAPL.py:42); route grid
+# pages here, detail pages to capl_spec.
+# ---------------------------------------------------------------------------
+def capl_grid_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
+    rules = [
+        Rule("item", "div", {"class": "re:(light item)|(dark item)"},
+             get=None, multi=True),
+        Rule("details", "div", {"class": "image"}, within="item",
+             get=None),
+        Rule("i_lic", "a", {"rel": "license", "href": True},
+             within="details", get="href"),
+        Rule("i_img", "a", {"data-rel": "lightbox[results]", "href": True},
+             within="details", get="href"),
+        Rule("imgtxt", "span", {"class": "imgTxt"}, within="details",
+             get=None),
+        Rule("f_hrefs", "a", {"href": True}, within="imgtxt", get="href",
+             multi=True),
+        Rule("f_texts", "a", {"href": True}, within="imgtxt", get="text",
+             multi=True),
+        Rule("line", "div", {"class": "line"}, within="item", get=None),
+        Rule("t_langs", "span", within="line", get="lang", multi=True),
+        Rule("t_texts", "span", within="line", get="text", multi=True),
+    ]
+    lic = lambda c: cc_license(c.gi("i_lic"))  # noqa: E731
+    url_ = lambda c: F.concat(  # noqa: E731  (CAPL.py:160-162)
+        F.lit(domain + "/"),
+        F.regexp_replace(c.gi("i_img"), r"(/m/)|(/s/)", "/l/"),
+    )
+
+    def _landing(c: Caps) -> Column:
+        # the anchor whose text is 'l' links the large-size page
+        # (CAPL.py:186-191)
+        pairs = F.arrays_zip(
+            c.gi_all("f_texts").alias("t"), c.gi_all("f_hrefs").alias("h")
+        )
+        hit = F.filter(pairs, lambda p: F.lower(F.trim(p["t"])) == "l")
+        return F.when(
+            F.element_at(hit, F.lit(1))["h"].isNotNull(),
+            F.concat(F.lit(domain + "/"), F.element_at(hit, F.lit(1))["h"]),
+        )
+
+    def _title(c: Caps) -> Column:
+        pairs = F.arrays_zip(
+            c.gi_all("t_langs").alias("lg"), c.gi_all("t_texts").alias("tx")
+        )
+        en = F.filter(pairs, lambda p: p["lg"] == "en")
+        return sanitize_string(F.element_at(en, F.lit(1))["tx"])
+
+    return CCScraperSpec(
+        provider="capl",
+        domain=domain,
+        rules=rules,
+        group="item",
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "url": url_,
+            "thumbnail": lambda c: F.replace(
+                url_(c), F.lit("/l/"), F.lit("/m/")
+            ),
+            "foreign_identifier": url_,
+            "foreign_landing_url": _landing,
+            "creator": lambda c: F.lit("Michael R. Shaughnessy"),
+            "title": _title,
+        },
+        require=("license", "url", "title"),
+        ref="providers/commoncrawl/CAPL.py:128-205",
     )
 
 
@@ -827,10 +903,11 @@ def mccordmuseum_spec(
 # span.licence; og: image/dims/title; -medium → -thumbnail thumbnail;
 # div.creators 'Photographer:/Artist:' prefix strip; trailing-number
 # foreign id from the page url (required); div.summary p description.
-# Documented simplification: the additional-thumbnails explosion
-# (MuseumVictoria.py:156-183) and the detail li h3/p metadata walk
-# (:129-137) are not mapped — the og:image primary record carries the
-# licensing; thumbnails are derived urls of the same item.
+# The additional-thumbnails explosion (MuseumVictoria.py:156-183)
+# maps through ``museumvictoria_gallery_spec`` below (the reference
+# emits thumbnails INSTEAD of the primary when >1 exist). Documented
+# simplification: the detail li h3/p metadata walk (:129-137) is not
+# mapped — descriptive extras, no licensing or identity fields.
 # ---------------------------------------------------------------------------
 def museumvictoria_spec(
     domain: str = "https://collections.museumvictoria.com.au",
@@ -880,6 +957,51 @@ def museumvictoria_spec(
         },
         require=("license", "url", "foreign_identifier"),
         ref="providers/commoncrawl/MuseumVictoria.py:58-194",
+    )
+
+
+# ---------------------------------------------------------------------------
+# museumvictoria (gallery path) — MuseumVictoria.py:156-183: when an
+# item page lists >1 div.thumbnail, the reference emits one row per
+# thumbnail instead of the og:image primary: thumbnail = domain + img
+# src, url = thumbnail with -thumbnail → -medium, foreign id = that
+# url, alt text into metaData. License/title context come from the
+# page level exactly as in the primary spec.
+# ---------------------------------------------------------------------------
+def museumvictoria_gallery_spec(
+    domain: str = "https://collections.museumvictoria.com.au",
+) -> CCScraperSpec:
+    rules = [
+        Rule("licspan", "span", {"class": "licence"}, get=None),
+        Rule("lic", "a", {"href": True}, within="licspan", get="href"),
+        Rule("og_title", "meta", {"property": "og:title"}, get="content"),
+        Rule("thumb", "div", {"class": "thumbnail"}, get=None, multi=True),
+        Rule("t_src", "img", within="thumb", get="src"),
+        Rule("t_alt", "img", within="thumb", get="alt"),
+    ]
+    lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
+    thumb = lambda c: _absolutize(domain, c.gi("t_src"))  # noqa: E731
+    url_ = lambda c: F.replace(  # noqa: E731
+        thumb(c), F.lit("-thumbnail"), F.lit("-medium")
+    )
+    return CCScraperSpec(
+        provider="museumvictoria",
+        domain=domain,
+        rules=rules,
+        group="thumb",
+        columns={
+            "license": lambda c: lic(c)["license"],
+            "license_version": lambda c: lic(c)["license_version"],
+            "thumbnail": thumb,
+            "url": url_,
+            "foreign_identifier": url_,
+            "title": lambda c: sanitize_string(c.first("og_title")),
+            "foreign_landing_url": lambda c: c.url,
+            "meta_data": lambda c: meta_json(
+                image_alt_text=sanitize_string(c.gi("t_alt"))
+            ),
+        },
+        ref="providers/commoncrawl/MuseumVictoria.py:156-183",
     )
 
 

@@ -542,3 +542,77 @@ def test_cc_scrape_routes_by_registrable_host(spark):
     assert got == [
         ("deviantart", "7"), ("deviantart", "7"), ("geographorguk", "3")
     ]
+
+
+def test_capl_grid_path(spark):
+    """The browse-grid shape (CAPL.py:128-205): per-card license,
+    lightbox large-image href, 'l'-anchor landing, lang=en title."""
+    from cccatalog_spark.operators.provider_specs_cc import capl_grid_spec
+
+    html = """
+    <div class="light item">
+      <div class="image">
+        <a rel="license"
+           href="https://creativecommons.org/licenses/by-nc-sa/3.0/">c</a>
+        <a data-rel="lightbox[results]" href="images/m/pear.jpg">i</a>
+        <span class="imgTxt">
+          <a href="detail.php?img=8&size=s">s</a>
+          <a href="detail.php?img=8&size=l">l</a>
+        </span>
+      </div>
+      <div class="line"><span lang="de">die Birne</span></div>
+      <div class="line"><span lang="en">the pear</span></div>
+    </div>
+    <div class="dark item">
+      <div class="image">
+        <a data-rel="lightbox[results]" href="images/m/plum.jpg">i</a>
+      </div>
+      <div class="line"><span lang="en">the plum</span></div>
+    </div>"""
+    rows = _run(
+        spark, capl_grid_spec(),
+        "http://capl.washjeff.edu/browseresults.php?c=9", html,
+    )
+    assert len(rows) == 1  # licenseless card dropped (CAPL.py:148-150)
+    r = rows[0]
+    assert r["url"] == "http://capl.washjeff.edu/images/l/pear.jpg"
+    assert r["thumbnail"] == "http://capl.washjeff.edu/images/m/pear.jpg"
+    assert r["foreign_landing_url"] == (
+        "http://capl.washjeff.edu/detail.php?img=8&size=l"
+    )
+    assert r["title"] == "the pear"
+    assert r["creator"] == "Michael R. Shaughnessy"
+    assert r["license"] == "by-nc-sa" and r["license_version"] == "3.0"
+
+
+def test_museumvictoria_gallery_path(spark):
+    """The >1-thumbnail shape (MuseumVictoria.py:156-183): one row per
+    thumbnail, -thumbnail -> -medium url doubling as foreign id."""
+    from cccatalog_spark.operators.provider_specs_cc import (
+        museumvictoria_gallery_spec,
+    )
+
+    html = """
+    <span class="licence"><a
+      href="https://creativecommons.org/licenses/by/4.0/">CC</a></span>
+    <meta property="og:title" content="Engine Models">
+    <div class="thumbnail"><img src="/img/77-thumbnail.jpg" alt="side">
+    </div>
+    <div class="thumbnail"><img src="/img/78-thumbnail.jpg"></div>"""
+    rows = _run(
+        spark, museumvictoria_gallery_spec(),
+        "https://collections.museumvictoria.com.au/items/77", html,
+    )
+    assert [r["url"] for r in rows] == [
+        "https://collections.museumvictoria.com.au/img/77-medium.jpg",
+        "https://collections.museumvictoria.com.au/img/78-medium.jpg",
+    ]
+    r = rows[0]
+    assert r["thumbnail"] == (
+        "https://collections.museumvictoria.com.au/img/77-thumbnail.jpg"
+    )
+    assert r["foreign_identifier"] == r["url"]
+    assert r["title"] == "Engine Models"
+    assert r["license"] == "by" and r["license_version"] == "4.0"
+    assert json.loads(r["meta_data"]) == {"image_alt_text": "side"}
+    assert rows[1]["meta_data"] is None
