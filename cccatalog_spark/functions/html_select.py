@@ -151,12 +151,24 @@ def compile_rules(rules: list[Rule]) -> list[_CompiledRule]:
 
 
 class _Capture(HTMLParser):
-    """One pass over one page evaluating every compiled rule."""
+    """One pass over one page evaluating every compiled rule.
+
+    Capture SLOTS are reserved at element-OPEN time and text fills in
+    at element close, so both capture order (multi) and first-match
+    claims (non-multi) follow DOCUMENT order — the order a tree-walk
+    (``soup.find``) sees — even when matching elements nest. A
+    non-multi slot claimed by the first matching element stays claimed
+    even if that element's text turns out empty (``soup.find`` returns
+    the first ELEMENT; an empty one yields no value, not the next
+    element's value). Empty slots drop at finalize.
+    """
 
     def __init__(self, compiled: list[_CompiledRule]):
         super().__init__(convert_charrefs=True)
         self.rules = compiled
-        self.flat: dict[str, list[str]] = {}
+        # during the parse, values are mutable 1-slot lists; finalize()
+        # resolves them to plain strings and drops unfilled slots
+        self.flat: dict[str, list[list]] = {}
         self.groups: dict[str, list[dict]] = {}
         # open-element stack: (tag, text_collectors, scopes_opened)
         self.stack: list[tuple[str, list, list[str]]] = []
@@ -175,21 +187,25 @@ class _Capture(HTMLParser):
             return None
         return self.open_scopes[c.group_owner][-1][1]
 
-    def _store(self, c: _CompiledRule, value: str) -> None:
+    def _reserve(self, c: _CompiledRule) -> list | None:
+        """Claim a capture slot in document order; None when a
+        non-multi rule's slot is already claimed."""
         r = c.rule
         inst = self._target(c)
         if inst is None:
-            vals = self.flat.setdefault(r.name, [])
-            if r.multi or not vals:
-                vals.append(value)
+            slots = self.flat.setdefault(r.name, [])
         else:
-            if r.multi:
-                prev = inst.get(r.name)
-                inst[r.name] = (
-                    value if prev is None else prev + _MULTI_SEP + value
-                )
-            else:
-                inst.setdefault(r.name, value)
+            slots = inst.setdefault(r.name, [])
+        if not r.multi and slots:
+            return None
+        slot = [None]
+        slots.append(slot)
+        return slot
+
+    def _store(self, c: _CompiledRule, value: str) -> None:
+        slot = self._reserve(c)
+        if slot is not None:
+            slot[0] = value
 
     # -- parser hooks -------------------------------------------------------
     def _handle_tag(self, tag: str, attr_pairs, self_closing: bool) -> None:
@@ -231,7 +247,11 @@ class _Capture(HTMLParser):
                         self.groups.setdefault(r.name, []).append(d)
             elif r.get in ("text", "text_direct"):
                 if not void:
-                    collectors.append([c, [], len(self.stack) + 1])
+                    slot = self._reserve(c)
+                    if slot is not None:
+                        collectors.append(
+                            [c, [], len(self.stack) + 1, slot]
+                        )
             else:
                 v = attrs.get(r.get)
                 if v is not None:
@@ -249,17 +269,17 @@ class _Capture(HTMLParser):
         depth = len(self.stack)
         for _, collectors, _ in self.stack:
             for col in collectors:
-                c, chunks, own_depth = col
+                c, chunks, own_depth, _slot = col
                 if c.rule.get == "text_direct" and depth != own_depth:
                     continue
                 chunks.append(data)
 
     def _pop(self) -> None:
         _, collectors, scopes_opened = self.stack.pop()
-        for c, chunks, _ in collectors:
+        for _c, chunks, _d, slot in collectors:
             text = " ".join("".join(chunks).split())
             if text:
-                self._store(c, text)
+                slot[0] = text
         for name in scopes_opened:
             self.open_scopes[name].pop()
 
@@ -277,6 +297,28 @@ class _Capture(HTMLParser):
         while self.stack:
             self._pop()
 
+    def finalize(self) -> tuple[dict, dict]:
+        flat = {}
+        for name, slots in self.flat.items():
+            vals = [s[0] for s in slots if s[0] is not None]
+            if vals:
+                flat[name] = vals
+        groups = {}
+        for name, insts in self.groups.items():
+            out = []
+            for inst in insts:
+                d = {}
+                for k, v in inst.items():
+                    if isinstance(v, list):  # slot list (text/attr rule)
+                        vals = [s[0] for s in v if s[0] is not None]
+                        if vals:
+                            d[k] = _MULTI_SEP.join(vals)
+                    else:  # attr-dict capture: already a plain string
+                        d[k] = v
+                out.append(d)
+            groups[name] = out
+        return flat, groups
+
 
 def capture_page(html: str | None, compiled: list[_CompiledRule]):
     """One page → ``{"f": {...}, "g": {...}}`` (None on parse failure)."""
@@ -288,7 +330,8 @@ def capture_page(html: str | None, compiled: list[_CompiledRule]):
         p.close()
     except Exception:
         return None
-    return {"f": p.flat, "g": p.groups}
+    flat, groups = p.finalize()
+    return {"f": flat, "g": groups}
 
 
 def capture_col(html_col: Column, rules: list[Rule]) -> Column:
