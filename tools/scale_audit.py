@@ -28,6 +28,12 @@ def _metrics(df) -> dict:
         m[:160]
         for m in re.findall(r"ArrowEvalPython \[([^\]]*)", plan)
     ]
+    lines = plan.splitlines()
+    global_window = any(
+        "windowspecdefinition" in ln
+        and "Exchange SinglePartition" in "\n".join(lines[i : i + 4])
+        for i, ln in enumerate(lines)
+    )
     return {
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "joins": len(
@@ -37,7 +43,20 @@ def _metrics(df) -> dict:
         ),
         "arrow_udf_nodes": plan.count("ArrowEvalPython"),
         "duplicated_udf": len(udf_sigs) != len(set(udf_sigs)),
+        "global_window": global_window,
     }
+
+
+# queries whose single-partition WINDOW runs over a bounded catalog
+# (the two-phase cumsum's ≤ #partitions offsets frame — cumsum.py:63-70
+# — or an equally bounded partial-aggregate frame), never the data.
+# A NEW name appearing in the sweep means someone planned a global
+# window over the corpus — the classic scale cliff.
+SANCTIONED_GLOBAL_WINDOW = {
+    "q117_vocab_coverage", "q118_negative_samples",
+    "q130_interleave_shuffle", "q138_pack_windows", "q151_token_shards",
+    "q163_auc", "q176_shuffle_audit", "q186_sorted_neighborhood",
+}
 
 
 # family -> (query, budget): every budget key must hold as <= (ints)
@@ -150,7 +169,7 @@ def main() -> int:
     # queries build sinks on construction and are exercised by their
     # own e2e tests — plan introspection of the returned readback
     # frame is meaningless there)
-    dup = []
+    dup, gw = [], []
     for name, fn in sorted(qs.items()):
         try:
             m = _metrics(fn(spark, sf_dir))
@@ -158,13 +177,16 @@ def main() -> int:
             continue
         if m["duplicated_udf"]:
             dup.append(name)
+        if m["global_window"] and name not in SANCTIONED_GLOBAL_WINDOW:
+            gw.append(name)
         spark.catalog.clearCache()
-    failures += len(dup)
+    failures += len(dup) + len(gw)
 
     artifact = {
         "sf_dir": sf_dir,
         "families": results,
         "duplicated_udf_queries": dup,
+        "unsanctioned_global_window_queries": gw,
         "failures": failures,
     }
     with open("SCALE_AUDIT.json", "w") as f:
@@ -175,6 +197,7 @@ def main() -> int:
             f"({r['query']}): {r['measured']}"
         )
     print(f"duplicated-UDF queries: {dup or 'none'}")
+    print(f"unsanctioned global-window queries: {gw or 'none'}")
     print(f"FAILURES: {failures}")
     return 1 if failures else 0
 
