@@ -25,8 +25,10 @@ Rule semantics (modeled on the BeautifulSoup calls in the scrapers):
   element matched by that rule (``findChild``).  Chains compose.
 - ``get``: ``"text"`` (whitespace-normalized descendant text),
   ``"text_direct"`` (the element's own text nodes only —
-  ``.contents[0]``-style, ThorvaldsensMuseum.py:88), an attribute
-  name, or a LIST of attribute names (each match emits one
+  ``.contents[0]``-style, ThorvaldsensMuseum.py:88), ``"text_raw"``
+  (descendant text stripped but NOT collapsed — for scrapers that
+  split on internal whitespace runs, DigitaltMuseum.py:84-90), an
+  attribute name, or a LIST of attribute names (each match emits one
   {attr: value} dict into the group output — the ``find_all`` over
   void elements like ``img``, ScienceMuseum.py:118).
   ``get=None`` marks a pure SCOPE rule: it captures nothing itself
@@ -245,7 +247,7 @@ class _Capture(HTMLParser):
                             inst.setdefault(k, v)
                     else:
                         self.groups.setdefault(r.name, []).append(d)
-            elif r.get in ("text", "text_direct"):
+            elif r.get in ("text", "text_direct", "text_raw"):
                 if not void:
                     slot = self._reserve(c)
                     if slot is not None:
@@ -276,8 +278,11 @@ class _Capture(HTMLParser):
 
     def _pop(self) -> None:
         _, collectors, scopes_opened = self.stack.pop()
-        for _c, chunks, _d, slot in collectors:
-            text = " ".join("".join(chunks).split())
+        for c, chunks, _d, slot in collectors:
+            raw = "".join(chunks)
+            text = raw.strip() if c.rule.get == "text_raw" else (
+                " ".join(raw.split())
+            )
             if text:
                 slot[0] = text
         for name in scopes_opened:

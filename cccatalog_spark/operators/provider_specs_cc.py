@@ -59,7 +59,7 @@ class Caps:
 
     def first(self, name: str) -> Column:
         """First flat capture (``soup.find``)."""
-        return F.element_at(self._caps["f"][name], F.lit(1))
+        return F.try_element_at(self._caps["f"][name], F.lit(1))
 
     def all(self, name: str) -> Column:
         """Every flat capture (``soup.find_all``)."""
@@ -436,7 +436,7 @@ def capl_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
         en = F.filter(
             c.groups("line"), lambda m: m["line_lang"] == "en"
         )
-        return sanitize_string(F.element_at(en, F.lit(1))["line_text"])
+        return sanitize_string(F.try_element_at(en, F.lit(1))["line_text"])
 
     return CCScraperSpec(
         provider="capl",
@@ -504,8 +504,8 @@ def capl_grid_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
         )
         hit = F.filter(pairs, lambda p: F.lower(F.trim(p["t"])) == "l")
         return F.when(
-            F.element_at(hit, F.lit(1))["h"].isNotNull(),
-            F.concat(F.lit(domain + "/"), F.element_at(hit, F.lit(1))["h"]),
+            F.try_element_at(hit, F.lit(1))["h"].isNotNull(),
+            F.concat(F.lit(domain + "/"), F.try_element_at(hit, F.lit(1))["h"]),
         )
 
     def _title(c: Caps) -> Column:
@@ -513,7 +513,7 @@ def capl_grid_spec(domain: str = "http://capl.washjeff.edu") -> CCScraperSpec:
             c.gi_all("t_langs").alias("lg"), c.gi_all("t_texts").alias("tx")
         )
         en = F.filter(pairs, lambda p: p["lg"] == "en")
-        return sanitize_string(F.element_at(en, F.lit(1))["tx"])
+        return sanitize_string(F.try_element_at(en, F.lit(1))["tx"])
 
     return CCScraperSpec(
         provider="capl",
@@ -563,10 +563,70 @@ def digitaltmuseum_spec(
         Rule("lead_p", "p", within="lead", get="text"),
         Rule("title_div", "div", {"class": "article__title"}, get=None),
         Rule("title_h1", "h1", within="title_div", get="text"),
+        # the 'Metadata' section's li rows are 'Key   Value' pairs
+        # delimited by 2+-space runs — text_raw keeps the delimiter
+        # (DigitaltMuseum.py:78-91)
+        Rule("mdsec", "section", {"class": "article__metadata"},
+             get=None, multi=True),
+        Rule("mdsec_label", "h2", within="mdsec", get="text"),
+        Rule("mdsec_items", "li", within="mdsec", get="text_raw",
+             multi=True),
     ]
     lic = lambda c: cc_license(  # noqa: E731
         F.coalesce(c.gi("item_lic"), c.gi("item_lic2"))
     )
+
+    def _article_meta(c: Caps) -> Column:
+        secs = F.filter(
+            c.groups("mdsec"),
+            lambda m: F.lower(F.trim(m["mdsec_label"])) == "metadata",
+        )
+        items = F.flatten(
+            F.transform(
+                secs,
+                lambda m: F.coalesce(
+                    F.split(m["mdsec_items"], "\x1f"), _empty()
+                ),
+            )
+        )
+        kv = F.filter(
+            F.transform(
+                items,
+                lambda it: F.struct(
+                    F.replace(
+                        F.lower(
+                            F.trim(F.try_element_at(F.split(it, r"\s{2,}"), F.lit(1)))
+                        ),
+                        F.lit(" "),
+                        F.lit("_"),
+                    ).alias("k"),
+                    sanitize_string(
+                        F.try_element_at(F.split(it, r"\s{2,}"), F.lit(2))
+                    ).alias("v"),
+                ),
+            ),
+            lambda p: p["k"].isNotNull() & (p["k"] != "")
+            & p["v"].isNotNull() & (p["v"] != ""),
+        )
+        return F.map_from_entries(kv)
+
+    def _meta(c: Caps) -> Column:
+        base = F.create_map(
+            F.lit("description"),
+            sanitize_string(
+                F.replace(c.first("lead_p"), F.lit("Expand text"), F.lit(""))
+            ),
+            F.lit("image_alt_text"),
+            sanitize_string(c.gi("item_alt")),
+            F.lit("set"),
+            F.coalesce(c.first("og_url"), c.url),
+        )
+        merged = F.map_filter(
+            F.map_concat(_article_meta(c), base),
+            lambda k, v: v.isNotNull() & (v != ""),
+        )
+        return F.when(F.size(F.map_keys(merged)) > 0, F.to_json(merged))
+
     return CCScraperSpec(
         provider="digitaltmuseum",
         domain=domain,
@@ -583,17 +643,9 @@ def digitaltmuseum_spec(
             "title": lambda c: sanitize_string(c.first("title_h1")),
             # 'Fotograf: Name' → Name (DigitaltMuseum.py:147-151)
             "creator": lambda c: sanitize_string(
-                F.element_at(F.split(c.gi("credit"), ":"), 2)
+                F.try_element_at(F.split(c.gi("credit"), ":"), F.lit(2))
             ),
-            "meta_data": lambda c: meta_json(
-                description=sanitize_string(
-                    F.replace(
-                        c.first("lead_p"), F.lit("Expand text"), F.lit("")
-                    )
-                ),
-                image_alt_text=sanitize_string(c.gi("item_alt")),
-                set=F.coalesce(c.first("og_url"), c.url),
-            ),
+            "meta_data": _meta,
         },
         ref="providers/commoncrawl/DigitaltMuseum.py:50-166",
     )
@@ -644,12 +696,12 @@ def eol_spec(domain: str = "https://eol.org") -> CCScraperSpec:
             ),
             # ' - '-suffixed site branding stripped (EOL.py:70)
             "title": lambda c: F.trim(
-                F.element_at(F.split(c.first("og_title"), " - "), 1)
+                F.try_element_at(F.split(c.first("og_title"), " - "), F.lit(1))
             ),
             "tags": lambda c: tags_json(F.split(c.first("kw"), ",")),
             "meta_data": lambda c: meta_json(
                 description=sanitize_string(
-                    F.element_at(F.split(c.first("copy"), r"\."), 1)
+                    F.try_element_at(F.split(c.first("copy"), r"\."), F.lit(1))
                 ),
                 rights_holder=sanitize_string(c.first("rights")),
             ),
@@ -877,15 +929,15 @@ def mccordmuseum_spec(
             "foreign_landing_url": lambda c: c.url,
             # 'ID | Title' (McCordMuseum.py:117-127)
             "title": lambda c: sanitize_string(
-                F.element_at(F.split(c.first("h1"), r"\|"), 2)
+                F.try_element_at(F.split(c.first("h1"), r"\|"), F.lit(2))
             ),
             "foreign_identifier": lambda c: _nonempty(
-                F.trim(F.element_at(F.split(c.first("h1"), r"\|"), 1))
+                F.trim(F.try_element_at(F.split(c.first("h1"), r"\|"), F.lit(1)))
             ),
             "tags": lambda c: tags_json(c.all("tags")),
             # 'Name (dates)' → Name (McCordMuseum.py:140-144)
             "creator": lambda c: sanitize_string(
-                F.element_at(F.split(c.first("artist"), r" \("), 1)
+                F.try_element_at(F.split(c.first("artist"), r" \("), F.lit(1))
             ),
             "meta_data": lambda c: meta_json(
                 description=sanitize_string(c.first("desc")),
@@ -1030,13 +1082,22 @@ def sciencemuseum_spec(
              get=["src", "data-flickity-lazyload"]),
         Rule("rec1", "img", {"class": "single_image"},
              get=["src", "data-flickity-lazyload"]),
+        # 'Made: <date> in <place>' fact block (ScienceMuseum.py:100-106)
+        Rule("made", "dl", {"class": "record-top__dl fact-Made"},
+             get="text"),
+        # record-details dl walk: dt label / dd value pairs
+        # (ScienceMuseum.py:108-115)
+        Rule("det", "dl", {"class": "re:(record-details.*?)"}, get=None,
+             multi=True),
+        Rule("det_dt", "dt", within="det", get="text"),
+        Rule("det_dd", "dd", within="det", get="text"),
     ]
 
     def _license(c: Caps) -> Column:
         # last path segment of the badge src, extension dropped,
         # 'cc-' prefix stripped (ScienceMuseum.py:55-60)
-        fname = F.element_at(F.split(c.first("lic_img"), "/"), -1)
-        stem = F.element_at(F.split(fname, r"\."), 1)
+        fname = F.try_element_at(F.split(c.first("lic_img"), "/"), F.lit(-1))
+        stem = F.try_element_at(F.split(fname, r"\."), F.lit(1))
         return F.lower(F.regexp_replace(stem, r"^cc-", ""))
 
     img = lambda c: F.trim(  # noqa: E731
@@ -1047,6 +1108,50 @@ def sciencemuseum_spec(
             c.gi("rec1.data-flickity-lazyload"),
         )
     )
+
+    def _meta(c: Caps) -> Column:
+        # dt/dd pairs from every record-details dl (one pair per dl)
+        details = F.filter(
+            F.transform(
+                c.groups("det"),
+                lambda m: F.struct(
+                    F.regexp_replace(
+                        F.replace(
+                            F.lower(F.trim(m["det_dt"])),
+                            F.lit(" "),
+                            F.lit("_"),
+                        ),
+                        ":+$",
+                        "",
+                    ).alias("k"),
+                    sanitize_string(m["det_dd"]).alias("v"),
+                ),
+            ),
+            lambda p: p["k"].isNotNull() & (p["k"] != "")
+            & p["v"].isNotNull() & (p["v"] != ""),
+        )
+        # 'Made: 1832 in London' -> date/geography (the reference
+        # strips the labels then splits on the substring 'in')
+        made = F.regexp_replace(
+            F.coalesce(c.first("made"), F.lit("")),
+            r"(Made:|Maker:)\s*",
+            "",
+        )
+        parts = F.split(made, "in")
+        two = F.size(parts) > 1
+        base = F.create_map(
+            F.lit("description"), sanitize_string(c.first("og_desc")),
+            F.lit("date"),
+            F.when(two, F.trim(F.try_element_at(parts, F.lit(1)))),
+            F.lit("geography"),
+            F.when(two, F.trim(F.try_element_at(parts, F.lit(2)))),
+        )
+        merged = F.map_filter(
+            F.map_concat(F.map_from_entries(details), base),
+            lambda k, v: v.isNotNull() & (v != ""),
+        )
+        return F.when(F.size(F.map_keys(merged)) > 0, F.to_json(merged))
+
     return CCScraperSpec(
         provider="sciencemuseum",
         domain=domain,
@@ -1069,9 +1174,7 @@ def sciencemuseum_spec(
                 F.lower(sanitize_string(c.first("maker_a"))) != "unknown",
                 c.first("maker_href"),
             ),
-            "meta_data": lambda c: meta_json(
-                description=sanitize_string(c.first("og_desc"))
-            ),
+            "meta_data": _meta,
         },
         ref="providers/commoncrawl/ScienceMuseum.py:53-147",
     )
@@ -1101,8 +1204,8 @@ def svgsilh_spec(domain: str = "https://svgsilh.com") -> CCScraperSpec:
     ]
     lic = lambda c: cc_license(c.gi("c_lic"))  # noqa: E731
     # asset domain = og:image up to '/png' (SVGSilh.py:74-76)
-    dom = lambda c: F.element_at(  # noqa: E731
-        F.split(c.first("og_image"), "/png"), 1
+    dom = lambda c: F.try_element_at(  # noqa: E731
+        F.split(c.first("og_image"), "/png"), F.lit(1)
     )
     url_ = lambda c: F.concat(  # noqa: E731
         dom(c), F.replace(c.gi("c_img"), F.lit("svg"), F.lit("png"))
@@ -1123,12 +1226,12 @@ def svgsilh_spec(domain: str = "https://svgsilh.com") -> CCScraperSpec:
             "tags": lambda c: tags_json(c.gi_all("c_tags")),
             # 'Cat Silhouette - Free vector (...)' → 'Cat Silhouette'
             "title": lambda c: sanitize_string(
-                F.element_at(
+                F.try_element_at(
                     F.split(
-                        F.element_at(F.split(c.first("og_desc"), " - "), 1),
+                        F.try_element_at(F.split(c.first("og_desc"), " - "), F.lit(1)),
                         r"\(",
                     ),
-                    1,
+                    F.lit(1),
                 )
             ),
             "meta_data": lambda c: meta_json(
@@ -1169,7 +1272,7 @@ def thorvaldsensmuseum_spec(
             hit = F.filter(
                 c.groups("imgs"), lambda m: m["imgs.src"] == url_(c)
             )
-            return F.element_at(hit, F.lit(1))[f"imgs.{attr}"]
+            return F.try_element_at(hit, F.lit(1))[f"imgs.{attr}"]
 
         return get
 

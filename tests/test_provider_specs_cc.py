@@ -616,3 +616,50 @@ def test_museumvictoria_gallery_path(spark):
     assert r["license"] == "by" and r["license_version"] == "4.0"
     assert json.loads(r["meta_data"]) == {"image_alt_text": "side"}
     assert rows[1]["meta_data"] is None
+
+
+def test_digitaltmuseum_metadata_section_pairs(spark):
+    """The 'Metadata' section's li rows split on 2+-space runs into
+    key/value pairs (DigitaltMuseum.py:78-91); other sections are
+    ignored."""
+    html = """
+    <div class="article__title"><h1>Boat</h1></div>
+    <section class="article__metadata"><h2>Metadata</h2>
+      <ul><li>Produced   1905</li>
+          <li>Material   oak, iron</li>
+          <li>nodelimiter</li></ul></section>
+    <section class="article__metadata"><h2>Other</h2>
+      <ul><li>Skip   this</li></ul></section>
+    <ul><li class="media__item">
+      <a class="media__license"
+         href="https://creativecommons.org/licenses/by/4.0/">c</a>
+      <img src="https://dms.dimu.org/image/9">
+    </li></ul>"""
+    (row,) = _run(
+        spark, CC_SCRAPERS["digitaltmuseum"](), "https://x/p", html
+    )
+    meta = json.loads(row["meta_data"])
+    assert meta["produced"] == "1905"
+    assert meta["material"] == "oak, iron"
+    assert "skip" not in meta and "nodelimiter" not in meta
+
+
+def test_sciencemuseum_detail_and_timeline_meta(spark):
+    html = """
+    <div class="cite__method"><img src="https://sm.cdn/b/cc-by.svg"></div>
+    <meta property="og:description" content="A machine">
+    <dl class="record-top__dl fact-Made"><dt>Made:</dt>
+      <dd>1832 in London</dd></dl>
+    <dl class="record-details record-details--top"><dt>Object Number:</dt>
+      <dd>1862-89</dd></dl>
+    <dl class="record-details"><dt>Materials</dt><dd>brass, steel</dd></dl>
+    <img class="single_image" src="https://sm.cdn/s.jpg">"""
+    (row,) = _run(
+        spark, CC_SCRAPERS["sciencemuseum"](), "https://x/p", html
+    )
+    meta = json.loads(row["meta_data"])
+    assert meta["object_number"] == "1862-89"
+    assert meta["materials"] == "brass, steel"
+    assert meta["date"] == "1832"
+    assert meta["geography"] == "London"
+    assert meta["description"] == "A machine"
