@@ -831,22 +831,76 @@ def containment_pairs(
     while containment stays 1). The standard retention policy keeps
     the superset document.
 
-    Same inverted-index candidate economics as ``dedup_ngram_jaccard``
-    (one shingle self-join, map-side-combined common counts) — only
-    the normalization changes, and the pair survives if EITHER
-    direction's containment clears the threshold (both reported).
+    Candidate generation is PREFIX-FILTERED for containment (the
+    asymmetric variant of the SSJoin/PPJoin bound used by
+    ``jaccard_prefix_pairs``): if |A∩B|/|A| ≥ t then A can miss at
+    most n_a − ⌈t·n_a⌉ of its own shingles, so any n_a − ⌈t·n_a⌉ + 1
+    of them — chosen globally RAREST-first under a shared total order —
+    must overlap B. Hence joining each doc's rarest-prefix postings
+    against the other side's FULL postings finds every qualifying pair
+    in at least one direction (recall exactly 1); no symmetric length
+    filter applies because a tiny A may legitimately be contained in
+    an arbitrarily large B. Candidate volume is Σ_s df_prefix(s)·df(s)
+    instead of the unguarded Σ_s df(s)² of a full self-join — the hot
+    head of the shingle Zipf curve has df_prefix ≈ 0 (ubiquitous
+    shingles are never anyone's rarest), which is what makes this
+    survive corpus-scale skew. Verification recomputes the exact
+    common count vectorized via ``array_intersect`` on the (distinct)
+    shingle arrays, so reported values are identical to the full
+    quadratic join's.
     """
+    from pyspark.sql.window import Window
+
     shingled = (
         fan_out(df)
         .select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+        .withColumn("sh", F.transform("sh", lambda x: F.xxhash64(x)))
         .withColumn("n_sh", F.size("sh"))
         .where(F.col("n_sh") > 0)
+        .persist()
     )
-    pairs = _pair_jaccard(shingled, id_col)
-    return (
-        pairs.withColumn(
-            "containment_a", F.col("common") / F.col("n_a")
+    ex = shingled.select(id_col, "n_sh", F.explode("sh").alias("s"))
+    freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # prefix = the n − ⌈t·n⌉ + 1 rarest shingles (df asc, s asc is a
+    # total order shared by every document)
+    w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("s"))
+    prefix = (
+        ex.join(freq, "s")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(
+            F.col("_rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
+        .select(F.col(id_col).alias("_ida"), F.col("s").alias("s_p"))
+    )
+    full = ex.select(F.col(id_col).alias("_idb"), F.col("s").alias("s_f"))
+    cand = (
+        prefix.join(
+            full.hint("merge"),
+            (F.col("s_p") == F.col("s_f"))
+            & (F.col("_ida") != F.col("_idb")),
+        )
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sets_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn(
+            "common", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn("containment_a", F.col("common") / F.col("n_a"))
         .withColumn("containment_b", F.col("common") / F.col("n_b"))
         .where(
             (F.col("containment_a") >= threshold)

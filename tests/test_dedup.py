@@ -260,6 +260,51 @@ def test_prefix_join_equals_full_inverted_index(spark):
     assert (1, 2, 7) in pref or len(pref) > 0
 
 
+def test_containment_prefix_filter_equals_full_self_join(spark):
+    """Asymmetric prefix filtering is lossless: the prefix×full
+    candidate join + array_intersect verify reports exactly the pairs
+    (and common counts) of the unguarded full-postings self-join."""
+    from pyspark.sql import functions as F
+    from cccatalog_spark.functions.text import shingles
+    from cccatalog_spark.operators.dedup import (
+        _pair_jaccard,
+        containment_pairs,
+    )
+
+    t = 0.6
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon "
+            + " ".join(f"pad{i} fill{i} more{i}" for i in range(8))),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+        (4, "the quick brown fox jumps over the lazy dog tonight"),
+        (5, "spark catalyst tungsten codegen arrow pandas shuffle"),
+        (6, "nothing shared with anything else whatsoever here now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    shingled = (
+        df.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .where(F.col("n_sh") > 0)
+    )
+    full = {
+        (r.id_a, r.id_b, r.common)
+        for r in _pair_jaccard(shingled, "doc_id")
+        .where(
+            (F.col("common") / F.col("n_a") >= t)
+            | (F.col("common") / F.col("n_b") >= t)
+        )
+        .collect()
+    }
+    pref = {
+        (r.id_a, r.id_b, r.common)
+        for r in containment_pairs(
+            df, "text", "doc_id", k=3, threshold=t
+        ).collect()
+    }
+    assert pref == full and (1, 2, 3) in pref
+
+
 def test_prefix_join_indexes_fewer_postings(spark):
     """The prefix index must be strictly smaller than the full index
     (that is the point of the operator)."""

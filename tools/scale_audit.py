@@ -97,6 +97,13 @@ FAMILIES = {
         "q205_cc_scrape_router",
         {"joins": 0, "arrow_udf_nodes": 3, "exchanges": 3},
     ),
+    # asymmetric prefix-filtered containment: df-attach join + ONE
+    # rarest-prefix × full-postings candidate join + 2 verify joins —
+    # never the unguarded full-postings self-join (Σ df² candidates)
+    "containment-prefix-filtered": (
+        "q198_containment_pairs",
+        {"joins": 4, "exchanges": 10},
+    ),
 }
 
 
