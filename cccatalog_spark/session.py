@@ -42,6 +42,12 @@ def get_spark(app_name: str = "cccatalog_spark", cpus: int | None = None) -> Spa
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # see sources/tables.ensure_session_confs — stops the optimizer
+        # duplicating expensive generator children into inferred filters
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,6 +61,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # InferFiltersFromGenerate clones the generator's child expression
+    # into an inferred `size(e)>0 AND isnotnull(e)` filter, which then
+    # pushes below any repartition — for explode-of-expensive-expression
+    # (shingles, tokenizers) that evaluates the whole tree up to 3x, two
+    # of them at pre-fan-out parallelism (measured 0.8s -> 6s on the
+    # q91 shingle explode). The inferred filter only pays off when
+    # generator inputs are mostly empty, which none of our plans are.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
