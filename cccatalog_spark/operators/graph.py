@@ -54,7 +54,10 @@ def pagerank(
     outdeg = e.groupBy("src").agg(
         F.count("*").cast("double").alias("deg")
     )
-    contrib_src = e.join(outdeg, "src")
+    # materialize the degree-annotated edge list once: every iteration
+    # joins against it, and without the persist the e⋈outdeg join (and
+    # the deg aggregation under it) re-executes per round
+    contrib_src = e.join(outdeg, "src").persist()
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -79,6 +82,7 @@ def pagerank(
         # Catalyst time grow exponentially with iterations)
         ranks.unpersist()
         ranks = new_ranks
+    contrib_src.unpersist()
     return ranks
 
 
