@@ -10652,3 +10652,147 @@ def q205_cc_scrape_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "license", "license_version", "creator",
         "creator_url", "title",
     )
+
+
+# ---------------------------------------------------------------------------
+# q206 — multinomial Naive Bayes language classifier trained in-engine
+# (operators/classifier.nb_train / nb_score): the CCNet-style filter
+# trainer — train on the doc_id%5!=0 slice with lang labels, score
+# every held-out doc against every label (full score surface, argmax
+# left to the caller). One (token, label) shuffle to train; scoring
+# is explode → L-row label cross → LEFT hash join on token → one
+# (doc, label) re-agg. All smoothing terms are exact integer
+# rationals, so both engines ln() identical doubles; the per-doc sum
+# is the only order-dependent float op (round-6 rule, q189).
+# ---------------------------------------------------------------------------
+@query(
+    "q206_nb_classifier",
+    oracle=f"""
+    WITH tr AS (SELECT doc_id, lang, text FROM documents
+                WHERE doc_id % 5 <> 0),
+    te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    tt AS (SELECT lang AS label,
+                  unnest(list_transform({_TOKS}, x -> lower(x))) AS token
+           FROM tr),
+    cnt AS (SELECT token, label, count(*) AS c FROM tt GROUP BY 1, 2),
+    ltot AS (SELECT label, sum(c) AS n_tok FROM cnt GROUP BY 1),
+    voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+    den AS (SELECT label, CAST(n_tok AS DOUBLE) + 1.0 * v AS denom
+            FROM ltot CROSS JOIN voc),
+    mdl AS (SELECT token, label,
+                   ln((CAST(c AS DOUBLE) + 1.0) / denom) AS log_prob
+            FROM cnt JOIN den USING (label)),
+    dc AS (SELECT lang AS label, count(*) AS n_docs FROM tr GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS t FROM dc),
+    ls AS (SELECT dc.label,
+                  ln(CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE))
+                    AS log_prior,
+                  ln(1.0 / denom) AS log_fallback
+           FROM dc CROSS JOIN tot JOIN den ON den.label = dc.label),
+    tk AS (SELECT doc_id,
+                  unnest(list_transform({_TOKS}, x -> lower(x))) AS token
+           FROM te),
+    sc AS (SELECT tk.doc_id, ls.label,
+                  coalesce(mdl.log_prob, ls.log_fallback) AS lp
+           FROM tk CROSS JOIN ls
+           LEFT JOIN mdl ON mdl.token = tk.token AND mdl.label = ls.label),
+    agg AS (SELECT doc_id, label, sum(lp) AS token_ll
+            FROM sc GROUP BY 1, 2)
+    SELECT te.doc_id, ls.label,
+           round(ls.log_prior + coalesce(agg.token_ll, 0.0), 6) AS score
+    FROM te CROSS JOIN ls
+    LEFT JOIN agg ON agg.doc_id = te.doc_id AND agg.label = ls.label
+    """,
+)
+def q206_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.classifier import nb_score, nb_train
+
+    d = load_table(spark, sf_dir, "documents")
+    train = d.where(F.col("doc_id") % 5 != 0)
+    test = d.where(F.col("doc_id") % 5 == 0)
+    model = nb_train(train, "text", "lang")
+    return nb_score(test, model, "text", "doc_id").select(
+        "doc_id", "label", F.round("score", 6).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207 — logistic-regression quality filter trained by full-batch
+# gradient descent in-engine (operators/classifier.logreg_train):
+# y = [lang = 'en'] over signed hashed bag-of-words (q110's md5
+# hashing at dim 8) + bias, 3 iterations at lr 0.5 from w = 0, then
+# the corpus scored with the final weights. Two exchanges per
+# iteration (doc margins, bucket gradients); the 9-row weight frame
+# is broadcast, lineage truncated per round. The oracle unrolls the
+# 3 deterministic iterations (q189's PCA-chain discipline).
+# ---------------------------------------------------------------------------
+def _q207_oracle() -> str:
+    head = f"""
+    WITH t AS (SELECT doc_id,
+                      unnest(list_transform({_TOKS}, x -> lower(x))) AS tok
+               FROM documents),
+    hx AS (SELECT doc_id, md5(tok) AS hx FROM t),
+    hh AS (SELECT doc_id, {_KMV_FOLD} AS h FROM hx),
+    s AS (SELECT doc_id, h % 8 AS bucket,
+                 CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END AS sg
+          FROM hh),
+    fb AS (SELECT doc_id, CAST(bucket AS INT) AS bucket,
+                  CAST(sum(sg) AS DOUBLE) AS x
+           FROM s GROUP BY 1, 2 HAVING sum(sg) <> 0
+           UNION ALL
+           SELECT doc_id, CAST(-1 AS INT), 1.0 FROM documents),
+    lab AS (SELECT doc_id,
+                   CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+                        AS DOUBLE) AS y
+            FROM documents),
+    f AS (SELECT fb.doc_id, bucket, x, y FROM fb JOIN lab USING (doc_id)),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+    w0 AS (SELECT CAST(unnest(generate_series(-1, 7)) AS INT) AS j,
+                  0.0 AS w)"""
+    steps = []
+    for k in range(1, 4):
+        p = k - 1
+        steps.append(f""",
+    m{k} AS (SELECT doc_id, sum(x * w{p}.w) AS m, max(y) AS y
+             FROM f JOIN w{p} ON f.bucket = w{p}.j GROUP BY 1),
+    r{k} AS (SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r FROM m{k}),
+    g{k} AS (SELECT bucket, sum(x * r) / max(n.n) AS g
+             FROM f JOIN r{k} USING (doc_id) CROSS JOIN n GROUP BY 1),
+    w{k} AS (SELECT j, w - 0.5 * coalesce(g, 0.0) AS w
+             FROM w{p} LEFT JOIN g{k} ON g{k}.bucket = w{p}.j)""")
+    tail = """,
+    mf AS (SELECT doc_id, sum(x * w3.w) AS m
+           FROM f JOIN w3 ON f.bucket = w3.j GROUP BY 1)
+    SELECT lab.doc_id, lab.y,
+           round(1.0 / (1.0 + exp(-mf.m)), 6) AS prob
+    FROM lab JOIN mf USING (doc_id)
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q207_logreg_filter", oracle=_q207_oracle())
+def q207_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.classifier import (
+        logreg_predict,
+        logreg_train,
+        with_bias,
+    )
+    from cccatalog_spark.operators.features import hashed_bow
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = with_bias(
+        hashed_bow(d.select("doc_id", "text"), "text", "doc_id", dim=8),
+        d,
+        "doc_id",
+    )
+    labels = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = logreg_train(
+        feats, labels, 8, id_col="doc_id", iterations=3, lr=0.5
+    )
+    probs = logreg_predict(feats, w, id_col="doc_id")
+    return probs.join(labels, "doc_id").select(
+        "doc_id", "y", F.round("prob", 6).alias("prob")
+    )

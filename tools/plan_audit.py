@@ -64,6 +64,9 @@ SANCTIONED_BNLJ = {
     "q126_tfidf_top_terms": "1-row corpus-size scalar broadcast (idf)",
     "q127_pmi_pairs": "1-row doc-count scalar broadcast (PMI "
     "normalizer)",
+    "q206_nb_classifier": "L-row label catalog + 1-row vocab/doc-total "
+    "scalar cross-broadcasts (NB priors and fallbacks; every doc "
+    "scores every label by construction)",
     "q130_interleave_shuffle": "1-row source-count scalar broadcast "
     "(closed-form slot arithmetic)",
     "q131_triangle_count": "1-row doc-count scalar broadcast (the "

@@ -97,6 +97,14 @@ FAMILIES = {
         "q205_cc_scrape_router",
         {"joins": 0, "arrow_udf_nodes": 3, "exchanges": 3},
     ),
+    # logistic-GD trainer: per-round lineage truncation means the
+    # FINAL plan is iteration-count-independent — just the hashed-bow
+    # build, the broadcast weight join, and the label join; epochs can
+    # scale without plan growth (classifier.logreg_train)
+    "logreg-truncated-lineage": (
+        "q207_logreg_filter",
+        {"joins": 3, "exchanges": 6},
+    ),
     # asymmetric prefix-filtered containment: df-attach join + ONE
     # rarest-prefix × full-postings candidate join + 2 verify joins —
     # never the unguarded full-postings self-join (Σ df² candidates)
