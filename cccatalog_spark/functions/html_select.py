@@ -28,14 +28,24 @@ Rule semantics (modeled on the BeautifulSoup calls in the scrapers):
   ``.contents[0]``-style, ThorvaldsensMuseum.py:88), ``"text_raw"``
   (descendant text stripped but NOT collapsed — for scrapers that
   split on internal whitespace runs, DigitaltMuseum.py:84-90), an
-  attribute name, or a LIST of attribute names (each match emits one
-  {attr: value} dict into the group output — the ``find_all`` over
-  void elements like ``img``, ScienceMuseum.py:118).
+  attribute name, or a LIST of attribute names — the atomic
+  multi-attribute read: every attribute comes off the SAME element
+  as one {attr: value} dict in the group output. Non-multi list
+  rules claim the FIRST matching element (``soup.find`` + several
+  attr reads); ``multi=True`` emits one dict per element (the
+  ``find_all`` over void elements like ``img``,
+  ScienceMuseum.py:118).
   ``get=None`` marks a pure SCOPE rule: it captures nothing itself
   and only provides ``within`` context; with ``multi=True`` each
   scope match opens a fresh group instance (the scrapers' per-card
   ``for item in soup.find_all(...)`` loops).
-- ``multi``: capture every match (else first match wins).
+- ``multi``: capture every match (else first match wins). Multi
+  rules resolve empty/missing values to "" so sibling multi captures
+  over the same element set stay positionally aligned (specs zip
+  them); non-multi rules drop empty claims (``soup.find`` returned
+  the element, it just had no value).
+- A valueless attribute (``<a href>``) is PRESENT with value "" —
+  BS4 semantics for minimized/boolean attributes.
 
 Output per page (JSON, parsed by ``CAPS_SCHEMA``):
 ``{"f": {name: [values...]}, "g": {name: [{k: v}...]}}`` — ``f`` holds
@@ -138,13 +148,29 @@ class _CompiledRule:
 
 
 def compile_rules(rules: list[Rule]) -> list[_CompiledRule]:
-    by_name = {r.name: r for r in rules}
+    by_name: dict[str, Rule] = {}
+    for r in rules:
+        if r.name in by_name:
+            raise ValueError(f"duplicate rule name {r.name!r}")
+        by_name[r.name] = r
     compiled = [_CompiledRule(r) for r in rules]
     for c in compiled:
-        chain, cur = [], c.rule.within
+        # fail fast on authoring errors: an unknown `within` target or
+        # a within-cycle would otherwise surface as a KeyError (or an
+        # infinite loop) inside every executor's UDF batch
+        chain, cur, seen = [], c.rule.within, set()
         while cur is not None:
+            if cur in seen:
+                raise ValueError(
+                    f"rule {c.rule.name!r}: 'within' cycle via {cur!r}"
+                )
+            seen.add(cur)
+            parent = by_name.get(cur)
+            if parent is None:
+                raise ValueError(
+                    f"rule {c.rule.name!r}: unknown 'within' target {cur!r}"
+                )
             chain.append(cur)
-            parent = by_name[cur]
             if parent.get is None and parent.multi and c.group_owner is None:
                 c.group_owner = cur
             cur = parent.within
@@ -162,7 +188,10 @@ class _Capture(HTMLParser):
     non-multi slot claimed by the first matching element stays claimed
     even if that element's text turns out empty (``soup.find`` returns
     the first ELEMENT; an empty one yields no value, not the next
-    element's value). Empty slots drop at finalize.
+    element's value). Empty non-multi slots drop at finalize; empty
+    MULTI slots resolve to "" so sibling multi captures over the same
+    element set stay positionally aligned (``find_all`` yields every
+    element, empty or not).
     """
 
     def __init__(self, compiled: list[_CompiledRule]):
@@ -176,6 +205,10 @@ class _Capture(HTMLParser):
         self.stack: list[tuple[str, list, list[str]]] = []
         # scope name -> stack of (depth, instance dict | None)
         self.open_scopes: dict[str, list[tuple[int, dict | None]]] = {}
+        self._multi = {c.rule.name: c.rule.multi for c in compiled}
+        # (instance id | "", rule name) claims for atomic attr-list
+        # rules: the FIRST matching element provides the whole dict
+        self._claimed: set[tuple] = set()
 
     # -- capture plumbing ---------------------------------------------------
     def _scope_open(self, name: str) -> bool:
@@ -211,9 +244,12 @@ class _Capture(HTMLParser):
 
     # -- parser hooks -------------------------------------------------------
     def _handle_tag(self, tag: str, attr_pairs, self_closing: bool) -> None:
-        attrs: dict[str, str | None] = {}
+        attrs: dict[str, str] = {}
         for k, v in attr_pairs:
-            attrs.setdefault(k, v)
+            # a valueless attribute (<a href>) parses as value None but
+            # IS present — BS4 models it as "", and the {attr: True}
+            # presence / {attr: None} absence matchers must agree
+            attrs.setdefault(k, "" if v is None else v)
         void = self_closing or tag in _VOID
         collectors: list = []
         scopes_opened: list[str] = []
@@ -235,17 +271,33 @@ class _Capture(HTMLParser):
                 )
                 scopes_opened.append(r.name)
             elif c.attr_list is not None:
+                # whole dict from ONE element — the atomic multi-attr
+                # read a scraper's `img = soup.find(...); img['src'],
+                # img['width'], ...` does. Non-multi: the FIRST matching
+                # element claims (soup.find — even when it is missing
+                # some attrs; later elements never fill the gaps).
+                # Multi: every element emits (find_all).
                 d = {
                     f"{r.name}.{a}": attrs[a]
                     for a in c.attr_list
                     if attrs.get(a) is not None
                 }
-                if d:
-                    inst = self._target(c)
-                    if inst is not None:
+                inst = self._target(c)
+                if inst is not None:
+                    key = (id(inst), r.name)
+                    if r.multi:
                         for k, v in d.items():
                             inst.setdefault(k, v)
-                    else:
+                    elif key not in self._claimed:
+                        self._claimed.add(key)
+                        inst.update(d)
+                elif r.multi:
+                    if d:
+                        self.groups.setdefault(r.name, []).append(d)
+                else:
+                    key = ("", r.name)
+                    if key not in self._claimed:
+                        self._claimed.add(key)
                         self.groups.setdefault(r.name, []).append(d)
             elif r.get in ("text", "text_direct", "text_raw"):
                 if not void:
@@ -255,9 +307,17 @@ class _Capture(HTMLParser):
                             [c, [], len(self.stack) + 1, slot]
                         )
             else:
-                v = attrs.get(r.get)
-                if v is not None:
-                    self._store(c, v)
+                # single-attr capture: every matching element claims a
+                # slot in document order, even when the attribute is
+                # missing (soup.find returns the ELEMENT; a missing
+                # attr yields no value, not the next element's value).
+                # Multi rules take "" placeholders for missing attrs so
+                # sibling multi captures over the same elements stay
+                # positionally aligned (arrays_zip pairing in specs).
+                slot = self._reserve(c)
+                if slot is not None:
+                    v = attrs.get(r.get)
+                    slot[0] = ("" if v is None else v) if r.multi else v
         if not void:
             self.stack.append((tag, collectors, scopes_opened))
 
@@ -302,11 +362,20 @@ class _Capture(HTMLParser):
         while self.stack:
             self._pop()
 
+    def _resolve(self, name: str, slots: list[list]) -> list | None:
+        """Slot lists → value lists. Multi rules keep "" placeholders
+        for unfilled slots so parallel multi captures over the same
+        elements stay index-aligned; non-multi claims drop empties."""
+        if self._multi.get(name):
+            return ["" if s[0] is None else s[0] for s in slots] or None
+        vals = [s[0] for s in slots if s[0] is not None]
+        return vals or None
+
     def finalize(self) -> tuple[dict, dict]:
         flat = {}
         for name, slots in self.flat.items():
-            vals = [s[0] for s in slots if s[0] is not None]
-            if vals:
+            vals = self._resolve(name, slots)
+            if vals is not None:
                 flat[name] = vals
         groups = {}
         for name, insts in self.groups.items():
@@ -315,8 +384,8 @@ class _Capture(HTMLParser):
                 d = {}
                 for k, v in inst.items():
                     if isinstance(v, list):  # slot list (text/attr rule)
-                        vals = [s[0] for s in v if s[0] is not None]
-                        if vals:
+                        vals = self._resolve(k, v)
+                        if vals is not None:
                             d[k] = _MULTI_SEP.join(vals)
                     else:  # attr-dict capture: already a plain string
                         d[k] = v
@@ -346,6 +415,8 @@ def capture_col(html_col: Column, rules: list[Rule]) -> Column:
     compiled once per executor batch) — no per-row recompilation.
     """
     from pyspark.sql.functions import from_json, pandas_udf
+
+    compile_rules(rules)  # validate spec authoring driver-side
 
     @pandas_udf("string")
     def _udf(s: pd.Series) -> pd.Series:

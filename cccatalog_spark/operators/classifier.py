@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cccatalog_spark.functions import text as TX
+from cccatalog_spark.operators.dedup import _truncate_lineage
 
 
 class NBModel(NamedTuple):
@@ -167,12 +168,6 @@ def nb_score(
             F.col("log_prior") + F.coalesce(F.col("token_ll"), F.lit(0.0))
         ).alias("score"),
     )
-
-
-def _truncate_lineage(df: DataFrame) -> DataFrame:
-    """Cut the logical plan (k-row weight frames only — cheap), so
-    iteration count never shows up as plan depth."""
-    return df.localCheckpoint(eager=True)
 
 
 def logreg_train(

@@ -74,6 +74,15 @@ class Caps:
         \\x1f by the engine)."""
         return F.coalesce(F.split(self._item[key], "\x1f"), _empty())
 
+    def g1(self, name: str, attr: str) -> Column:
+        """One attribute off the FIRST attr-dict capture — the atomic
+        ``soup.find(...)`` + multi-attr read: every attribute comes
+        from the SAME element (separate per-attr rules could mix
+        elements when the first match lacks some attrs)."""
+        return F.try_element_at(self._caps["g"][name], F.lit(1))[
+            f"{name}.{attr}"
+        ]
+
     def groups(self, name: str) -> Column:
         """Null-safe group-instance array (``find_all`` results as
         ``array<map<string,string>>``) — for specs that filter or
@@ -270,14 +279,10 @@ def animaldiversityweb_spec(
 ) -> CCScraperSpec:
     rules = [
         Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
-        Rule("img_src", "img", {"class": "resource", "src": True},
-             get="src"),
-        Rule("img_w", "img", {"class": "resource", "src": True},
-             get="data-width"),
-        Rule("img_h", "img", {"class": "resource", "src": True},
-             get="data-height"),
-        Rule("img_alt", "img", {"class": "resource", "src": True},
-             get="alt"),
+        # one atomic rule: src/dims/alt all read off the SAME img
+        # (AnimalDiversityWeb.py:66-75 reads them from one find result)
+        Rule("img", "img", {"class": "resource", "src": True},
+             get=["src", "data-width", "data-height", "alt"]),
         Rule("og_title", "meta", {"property": "og:title"}, get="content"),
         Rule("og_url", "meta", {"property": "og:url"}, get="content"),
         Rule("md", "section", {"class": "metadata"}, get=None),
@@ -311,7 +316,7 @@ def animaldiversityweb_spec(
         ).otherwise(F.array().cast("array<struct<k:string,v:string>>"))
         m = F.map_from_entries(pairs)
         base = F.create_map(
-            F.lit("image_alt_text"), sanitize_string(c.first("img_alt"))
+            F.lit("image_alt_text"), sanitize_string(c.g1("img", "alt"))
         )
         merged = F.map_filter(
             F.map_concat(base, m), lambda k, v: v.isNotNull() & (v != "")
@@ -325,12 +330,12 @@ def animaldiversityweb_spec(
         columns={
             "license": lambda c: lic(c)["license"],
             "license_version": lambda c: lic(c)["license_version"],
-            "url": lambda c: _absolutize(domain, c.first("img_src")),
+            "url": lambda c: _absolutize(domain, c.g1("img", "src")),
             "foreign_identifier": lambda c: _absolutize(
-                domain, c.first("img_src")
+                domain, c.g1("img", "src")
             ),
-            "width": lambda c: c.first("img_w"),
-            "height": lambda c: c.first("img_h"),
+            "width": lambda c: c.g1("img", "data-width"),
+            "height": lambda c: c.g1("img", "data-height"),
             "title": lambda c: c.first("og_title"),
             "foreign_landing_url": lambda c: F.coalesce(
                 c.first("og_url"), c.url
@@ -369,7 +374,8 @@ def behance_spec(domain: str = "https://www.behance.net") -> CCScraperSpec:
              {"class": "re:(object-tag)|(ProjectTags-tagLink-Hh_)"},
              get="text", multi=True),
         Rule("modules", "div", {"id": "project-modules"}, get=None),
-        Rule("img", "img", {"src": True}, within="modules", get=["src"]),
+        Rule("img", "img", {"src": True}, within="modules", get=["src"],
+             multi=True),
     ]
     lic = lambda c: cc_license(  # noqa: E731
         F.coalesce(c.first("lic_a_old"), c.first("lic_a_new"))
@@ -554,8 +560,10 @@ def digitaltmuseum_spec(
              within="item", get="href"),
         Rule("item_a", "a", {"class": "re:module__media\\s+media--image"},
              within="item", get="href"),
-        Rule("item_img", "img", {"src": True}, within="item", get="src"),
-        Rule("item_alt", "img", {"src": True}, within="item", get="alt"),
+        # atomic: src + alt off the ONE item img (DigitaltMuseum.py:
+        # 104-118 reads both from a single findChild)
+        Rule("item_img", "img", {"src": True}, within="item",
+             get=["src", "alt"]),
         Rule("credit", "i", {"class": "media__credit"}, within="item",
              get="text"),
         Rule("og_url", "meta", {"property": "og:url"}, get="content"),
@@ -617,7 +625,7 @@ def digitaltmuseum_spec(
                 F.replace(c.first("lead_p"), F.lit("Expand text"), F.lit(""))
             ),
             F.lit("image_alt_text"),
-            sanitize_string(c.gi("item_alt")),
+            sanitize_string(c.gi("item_img.alt")),
             F.lit("set"),
             F.coalesce(c.first("og_url"), c.url),
         )
@@ -635,8 +643,8 @@ def digitaltmuseum_spec(
         columns={
             "license": lambda c: lic(c)["license"],
             "license_version": lambda c: lic(c)["license_version"],
-            "url": lambda c: c.gi("item_img"),
-            "foreign_identifier": lambda c: c.gi("item_img"),
+            "url": lambda c: c.gi("item_img.src"),
+            "foreign_identifier": lambda c: c.gi("item_img.src"),
             "foreign_landing_url": lambda c: _absolutize(
                 domain, c.gi("item_a")
             ),
@@ -722,10 +730,9 @@ def floraon_spec(domain: str = "https://flora-on.pt") -> CCScraperSpec:
         Rule("photo", "div", {"class": "thumbnail"}, within="chooser",
              get=None, multi=True),
         Rule("p_lic", "a", {"rel": "license"}, within="photo", get="href"),
+        # atomic: src + alt off the ONE photo img (FloraOn.py:62-78)
         Rule("p_img", "img", {"class": "image", "src": True},
-             within="photo", get="src"),
-        Rule("p_alt", "img", {"class": "image", "src": True},
-             within="photo", get="alt"),
+             within="photo", get=["src", "alt"]),
         Rule("p_w", "input", {"name": "wid"}, within="photo", get="value"),
         Rule("p_h", "input", {"name": "hei"}, within="photo", get="value"),
         Rule("p_aut", "input", {"name": "aut"}, within="photo",
@@ -743,10 +750,10 @@ def floraon_spec(domain: str = "https://flora-on.pt") -> CCScraperSpec:
             "license_version": lambda c: lic(c)["license_version"],
             # FloraOn.py:69: '{domain}/{src}'
             "url": lambda c: F.concat(
-                F.lit(domain + "/"), c.gi("p_img")
+                F.lit(domain + "/"), c.gi("p_img.src")
             ),
             "foreign_identifier": lambda c: F.concat(
-                F.lit(domain + "/"), c.gi("p_img")
+                F.lit(domain + "/"), c.gi("p_img.src")
             ),
             "width": lambda c: c.gi("p_w"),
             "height": lambda c: c.gi("p_h"),
@@ -754,7 +761,7 @@ def floraon_spec(domain: str = "https://flora-on.pt") -> CCScraperSpec:
             "title": lambda c: F.lower(F.trim(c.first("especie"))),
             "foreign_landing_url": lambda c: c.url,
             "meta_data": lambda c: meta_json(
-                image_alt_text=sanitize_string(c.gi("p_alt"))
+                image_alt_text=sanitize_string(c.gi("p_img.alt"))
             ),
         },
         watermarked="t",
@@ -775,9 +782,10 @@ def geographorguk_spec(
     rules = [
         Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
         Rule("main", "div", {"id": "mainphoto"}, get=None),
-        Rule("img_src", "img", within="main", get="src"),
-        Rule("img_w", "img", within="main", get="width"),
-        Rule("img_h", "img", within="main", get="height"),
+        # atomic: src + dims off the ONE #mainphoto img
+        # (GeographOrgUK.py:63-70 reads all three from a single find)
+        Rule("img", "img", within="main",
+             get=["src", "width", "height"]),
         Rule("title", "strong", {"property": "dct:title"}, get="text"),
         Rule("author", "a", {"rel": "author", "href": True}, get="text"),
         Rule("author_href", "a", {"rel": "author", "href": True},
@@ -809,9 +817,9 @@ def geographorguk_spec(
         columns={
             "license": lambda c: lic(c)["license"],
             "license_version": lambda c: lic(c)["license_version"],
-            "url": lambda c: c.first("img_src"),
-            "width": lambda c: c.first("img_w"),
-            "height": lambda c: c.first("img_h"),
+            "url": lambda c: c.g1("img", "src"),
+            "width": lambda c: c.g1("img", "width"),
+            "height": lambda c: c.g1("img", "height"),
             "title": lambda c: sanitize_string(c.first("title")),
             "creator": lambda c: sanitize_string(c.first("author")),
             "creator_url": lambda c: _absolutize(
@@ -847,11 +855,10 @@ def iha_spec(domain: str = "https://www.iha.com") -> CCScraperSpec:
              get="about"),
         Rule("s_lic", "a", {"rel": "license", "href": True},
              within="slide", get="href"),
-        Rule("s_img", "img", {"src": True}, within="slide", get="src"),
-        Rule("s_alt", "img", {"src": True}, within="slide", get="alt"),
-        Rule("s_w", "img", {"src": True}, within="slide", get="width"),
-        Rule("s_h", "img", {"src": True}, within="slide", get="height"),
-        Rule("s_title", "img", {"src": True}, within="slide", get="title"),
+        # atomic: every attr off the ONE slide img (IHA.py:78-99 reads
+        # them from a single findChild)
+        Rule("s_img", "img", {"src": True}, within="slide",
+             get=["src", "alt", "width", "height", "title"]),
         Rule("og_url", "meta", {"property": "og:url"}, get="content"),
         Rule("kw", "meta", {"name": "keywords"}, get="content"),
     ]
@@ -866,15 +873,15 @@ def iha_spec(domain: str = "https://www.iha.com") -> CCScraperSpec:
             "license_version": lambda c: lic(c)["license_version"],
             "url": lambda c: F.trim(c.gi("s_about")),
             "foreign_identifier": lambda c: F.trim(c.gi("s_about")),
-            "thumbnail": lambda c: c.gi("s_img"),
-            "width": lambda c: c.gi("s_w"),
-            "height": lambda c: c.gi("s_h"),
-            "title": lambda c: sanitize_string(c.gi("s_title")),
+            "thumbnail": lambda c: c.gi("s_img.src"),
+            "width": lambda c: c.gi("s_img.width"),
+            "height": lambda c: c.gi("s_img.height"),
+            "title": lambda c: sanitize_string(c.gi("s_img.title")),
             "foreign_landing_url": lambda c: F.coalesce(
                 c.first("og_url"), c.url
             ),
             "meta_data": lambda c: meta_json(
-                image_alt_text=sanitize_string(c.gi("s_alt")),
+                image_alt_text=sanitize_string(c.gi("s_img.alt")),
                 tags=c.first("kw"),
             ),
         },
@@ -896,10 +903,10 @@ def mccordmuseum_spec(
     rules = [
         Rule("lic", "a", {"rel": "license", "href": True}, get="href"),
         Rule("imgdiv", "div", {"class": "image"}, get=None),
-        Rule("img_src", "img", within="imgdiv", get="src"),
-        Rule("img_w", "img", within="imgdiv", get="width"),
-        Rule("img_h", "img", within="imgdiv", get="height"),
-        Rule("img_alt", "img", within="imgdiv", get="alt"),
+        # atomic: all four attrs off the ONE div.image img
+        # (McCordMuseum.py:70-88 reads them from a single find)
+        Rule("img", "img", within="imgdiv",
+             get=["src", "width", "height", "alt"]),
         Rule("h1", "h1", {"class": "vo"}, get="text"),
         Rule("tags", "a", {"title": "All tagged images"}, get="text",
              multi=True),
@@ -909,7 +916,7 @@ def mccordmuseum_spec(
         Rule("desc", "div", {"id": "descriptions"}, get="text"),
     ]
     lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
-    url_ = lambda c: _absolutize(domain, c.first("img_src"))  # noqa: E731
+    url_ = lambda c: _absolutize(domain, c.g1("img", "src"))  # noqa: E731
     dim = lambda v: F.coalesce(  # noqa: E731  ('0' bug-fix fallback)
         F.floor(v.cast("double")).cast("int").cast("string"), F.lit("0")
     )
@@ -924,8 +931,8 @@ def mccordmuseum_spec(
             "thumbnail": lambda c: F.replace(
                 url_(c), F.lit("/ObjView/"), F.lit("/ListView/")
             ),
-            "width": lambda c: dim(c.first("img_w")),
-            "height": lambda c: dim(c.first("img_h")),
+            "width": lambda c: dim(c.g1("img", "width")),
+            "height": lambda c: dim(c.g1("img", "height")),
             "foreign_landing_url": lambda c: c.url,
             # 'ID | Title' (McCordMuseum.py:117-127)
             "title": lambda c: sanitize_string(
@@ -941,7 +948,7 @@ def mccordmuseum_spec(
             ),
             "meta_data": lambda c: meta_json(
                 description=sanitize_string(c.first("desc")),
-                image_alt_text=sanitize_string(c.first("img_alt")),
+                image_alt_text=sanitize_string(c.g1("img", "alt")),
             ),
         },
         require=("license", "url", "foreign_identifier"),
@@ -1028,11 +1035,12 @@ def museumvictoria_gallery_spec(
         Rule("lic", "a", {"href": True}, within="licspan", get="href"),
         Rule("og_title", "meta", {"property": "og:title"}, get="content"),
         Rule("thumb", "div", {"class": "thumbnail"}, get=None, multi=True),
-        Rule("t_src", "img", within="thumb", get="src"),
-        Rule("t_alt", "img", within="thumb", get="alt"),
+        # atomic: src + alt off the ONE thumbnail img
+        # (MuseumVictoria.py:160-176)
+        Rule("t", "img", within="thumb", get=["src", "alt"]),
     ]
     lic = lambda c: cc_license(c.first("lic"))  # noqa: E731
-    thumb = lambda c: _absolutize(domain, c.gi("t_src"))  # noqa: E731
+    thumb = lambda c: _absolutize(domain, c.gi("t.src"))  # noqa: E731
     url_ = lambda c: F.replace(  # noqa: E731
         thumb(c), F.lit("-thumbnail"), F.lit("-medium")
     )
@@ -1050,7 +1058,7 @@ def museumvictoria_gallery_spec(
             "title": lambda c: sanitize_string(c.first("og_title")),
             "foreign_landing_url": lambda c: c.url,
             "meta_data": lambda c: meta_json(
-                image_alt_text=sanitize_string(c.gi("t_alt"))
+                image_alt_text=sanitize_string(c.gi("t.alt"))
             ),
         },
         ref="providers/commoncrawl/MuseumVictoria.py:156-183",
@@ -1079,9 +1087,9 @@ def sciencemuseum_spec(
         Rule("maker_a", "a", within="maker", get="text"),
         Rule("maker_href", "a", within="maker", get="href"),
         Rule("rec", "img", {"class": "carousel__image"},
-             get=["src", "data-flickity-lazyload"]),
+             get=["src", "data-flickity-lazyload"], multi=True),
         Rule("rec1", "img", {"class": "single_image"},
-             get=["src", "data-flickity-lazyload"]),
+             get=["src", "data-flickity-lazyload"], multi=True),
         # 'Made: <date> in <place>' fact block (ScienceMuseum.py:100-106)
         Rule("made", "dl", {"class": "record-top__dl fact-Made"},
              get="text"),
@@ -1258,7 +1266,7 @@ def thorvaldsensmuseum_spec(
         Rule("lic_about", "a", {"rel": "license", "href": True},
              get="about"),
         Rule("imgs", "img", {"src": True},
-             get=["src", "width", "height", "alt"]),
+             get=["src", "width", "height", "alt"], multi=True),
         Rule("artists", "div", {"class": "artists"}, get="text_direct"),
         Rule("artist_a", "a", {"class": "standard", "href": True},
              within="artists_scope", get="href"),
@@ -1315,10 +1323,10 @@ def worms_spec(
              get=None),
         Rule("lic", "meta", {"itemprop": "license"}, within="resized",
              get="content"),
-        Rule("img_src", "img", within="resized", get="src"),
-        Rule("img_w", "img", within="resized", get="width"),
-        Rule("img_h", "img", within="resized", get="height"),
-        Rule("img_title", "img", within="resized", get="title"),
+        # atomic: src/dims/title off the ONE resized-div img
+        # (WoRMS.py:90-108 reads them from a single find)
+        Rule("img", "img", within="resized",
+             get=["src", "width", "height", "title"]),
         Rule("descspan", "span",
              {"class": "photogallery_caption photogallery_descr"},
              get=None),
@@ -1348,13 +1356,13 @@ def worms_spec(
         columns={
             "license": lambda c: lic(c)["license"],
             "license_version": lambda c: lic(c)["license_version"],
-            "url": lambda c: c.first("img_src"),
+            "url": lambda c: c.g1("img", "src"),
             "thumbnail": lambda c: F.replace(
-                c.first("img_src"), F.lit("resized"), F.lit("thumbs")
+                c.g1("img", "src"), F.lit("resized"), F.lit("thumbs")
             ),
-            "width": lambda c: dim(c.first("img_w")),
-            "height": lambda c: dim(c.first("img_h")),
-            "title": lambda c: sanitize_string(c.first("img_title")),
+            "width": lambda c: dim(c.g1("img", "width")),
+            "height": lambda c: dim(c.g1("img", "height")),
+            "title": lambda c: sanitize_string(c.g1("img", "title")),
             "foreign_landing_url": lambda c: F.coalesce(
                 c.first("share"), c.url
             ),

@@ -83,11 +83,65 @@ def test_same_element_opens_scope_then_captures_attr():
 
 def test_attr_dict_groups_are_name_prefixed():
     html = '<img src="/a.png" width="5"><img src="/b.png">'
+    # non-multi = soup.find: the FIRST matching element provides the
+    # whole dict; multi = find_all: one dict per element
     out = cap(html, [Rule("im", "img", {"src": True},
                           get=["src", "width"])])
+    assert out["g"]["im"] == [{"im.src": "/a.png", "im.width": "5"}]
+    out = cap(html, [Rule("im", "img", {"src": True},
+                          get=["src", "width"], multi=True)])
     assert out["g"]["im"] == [
         {"im.src": "/a.png", "im.width": "5"}, {"im.src": "/b.png"}
     ]
+
+
+def test_attr_dict_first_claim_is_atomic():
+    # the spinner case: first img lacks title/width — its claim stays;
+    # the later element's attrs must NOT fill the gaps (the reference
+    # reads every attr off the single soup.find result)
+    html = ('<div class="ph"><img src="spinner.gif">'
+            '<img src="big.jpg" title="Real" width="9"></div>')
+    out = cap(html, [Rule("im", "img", {"src": True},
+                          get=["src", "title", "width"])])
+    assert out["g"]["im"] == [{"im.src": "spinner.gif"}]
+
+
+def test_multi_slots_keep_positional_alignment():
+    # anchors with empty text keep "" placeholders so parallel multi
+    # captures zip index-aligned (the capl_grid 'l'-anchor pairing)
+    html = ('<span class="x"><a href="/s"></a><a href="/l">l</a></span>')
+    out = cap(html, [
+        Rule("hrefs", "a", {"href": True}, get="href", multi=True),
+        Rule("texts", "a", {"href": True}, get="text", multi=True),
+    ])
+    assert out["f"]["hrefs"] == ["/s", "/l"]
+    assert out["f"]["texts"] == ["", "l"]
+
+
+def test_bare_attribute_is_present_with_empty_value():
+    # <a href> minimized attribute: present for {href: True}, absent
+    # matcher {title: None} must NOT match an element bearing title
+    html = '<a href>x</a><p title>y</p><p>z</p>'
+    out = cap(html, [
+        Rule("a", "a", {"href": True}, get="text"),
+        Rule("p", "p", {"title": None}, get="text"),
+    ])
+    assert out["f"]["a"] == ["x"]
+    assert out["f"]["p"] == ["z"]
+
+
+def test_within_cycle_and_unknown_target_fail_fast():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        compile_rules([
+            Rule("a", "div", within="b", get=None),
+            Rule("b", "div", within="a", get=None),
+        ])
+    with _pytest.raises(ValueError, match="unknown 'within'"):
+        compile_rules([Rule("a", "div", within="nope", get="text")])
+    with _pytest.raises(ValueError, match="duplicate"):
+        compile_rules([Rule("a", "div"), Rule("a", "span")])
 
 
 def test_malformed_html_unclosed_and_misnested_tags():

@@ -38,7 +38,8 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         d = {}
         for k, v in attrs:
-            d.setdefault(k, v)
+            # bare attribute = present with "" (BS4 semantics)
+            d.setdefault(k, "" if v is None else v)
         node = _Node(tag, d)
         self.stack[-1].children.append(node)
         self.stack.append(node)
@@ -121,20 +122,19 @@ def model_capture(html: str, rules: list[Rule]) -> dict:
     flat: dict[str, list[str]] = {}
     groups: dict[str, list[dict]] = {}
     def _rule_values(scope_node, r, stop=None):
-        """Engine slot semantics: a TEXT rule claims per matched
-        element (an empty-text first element yields nothing, not the
-        next element's text); an ATTR rule claims only where the
-        attribute is present."""
+        """Engine slot semantics: every matched element claims a slot
+        in document order (an empty first element yields nothing for a
+        non-multi rule — not the next element's value). Multi rules
+        keep "" placeholders for empty/missing values so sibling multi
+        captures stay positionally aligned."""
         hits = _find_all(scope_node, r, stop=stop)
         if r.get == "text":
             per_hit = [_text(h) or None for h in hits]
         else:
-            per_hit = [
-                h.attrs[r.get] for h in hits if h.attrs.get(r.get) is not None
-            ]
+            per_hit = [h.attrs.get(r.get) for h in hits]
         if not r.multi:
-            per_hit = per_hit[:1]
-        return [v for v in per_hit if v is not None]
+            return [v for v in per_hit[:1] if v is not None]
+        return ["" if v is None else v for v in per_hit]
 
     for r in rules:
         if r.get is None:
