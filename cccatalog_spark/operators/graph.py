@@ -288,3 +288,58 @@ def triangle_counts(
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """k-core of the undirected graph (Seidman 1983): iteratively peel
+    nodes with degree < k until a fixed point — the link-graph
+    curation filter that strips pendant chains and leaves the densely
+    cross-linked core (spam farms are low-core; reference hubs are
+    high-core), and the standard preprocessing cut before the heavier
+    PageRank/HITS/triangle passes above.
+
+    Returns ``(node, degree)`` with degree measured WITHIN the core.
+    Semantics note: peeling is monotone, so extra rounds past the
+    fixed point are no-ops — an unrolled fixed-round replay (the SQL
+    oracle) equals the converged loop whenever both reach the fixed
+    point.
+
+    Scale shape: per round one degree aggregate + two left-semi joins
+    keyed by endpoint (the same exchanges a join-pruning filter
+    costs), lineage truncated per round; convergence is a 1-row
+    scalar aggregate (nodes still below k), the same bounded driver
+    signal the connected-components loop uses (dedup.py:429). Rounds
+    = peeling depth — single digits on power-law graphs; the
+    ``max_rounds`` guard bounds pathological chains (the result is
+    then peel(max_rounds), documented, not an error).
+    """
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    )
+    e = _truncate_lineage(
+        e.union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy("u").agg(F.count("*").alias("degree"))
+        below = deg.agg(
+            F.sum((F.col("degree") < k).cast("long")).alias("n")
+        ).first()["n"]
+        if not below:
+            break
+        keep = deg.where(F.col("degree") >= k).select("u")
+        e = _truncate_lineage(
+            e.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            )
+        )
+    return e.groupBy("u").agg(F.count("*").alias("degree")).select(
+        F.col("u").alias("node"), "degree"
+    )

@@ -10796,3 +10796,58 @@ def q207_logreg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probs.join(labels, "doc_id").select(
         "doc_id", "y", F.round("prob", 6).alias("prob")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — k-core decomposition (operators/graph.k_core) over the q199
+# part co-purchase graph: peel degree<4 nodes to the fixed point, the
+# link-graph curation cut that strips pendant chains before the
+# heavier PageRank/triangle passes. The engine loops to convergence
+# (scalar below-k count); the oracle unrolls 8 peel rounds — peeling
+# is monotone, so once both reach the fixed point the extra rounds
+# are no-ops and the results are identical.
+# ---------------------------------------------------------------------------
+def _q208_oracle(k: int = 4, rounds: int = 8) -> str:
+    # MATERIALIZED: each round references its predecessor twice (via
+    # the degree filter and the edge prune); inlined CTEs would
+    # re-evaluate the chain exponentially
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_orderkey % 8 = 0)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f""",
+    d{i} AS (SELECT u, count(*) AS c FROM e{p} GROUP BY 1),
+    k{i} AS MATERIALIZED (SELECT u FROM d{i} WHERE c >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e
+             JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)""")
+    tail = f"""
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY 1
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q208_k_core", oracle=_q208_oracle())
+def q208_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import k_core
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 8 == 0)  # q199's sparse scope
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    return k_core(edges, 4)

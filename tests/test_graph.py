@@ -95,3 +95,35 @@ def test_triangle_counts_matches_networkx_free_model(spark):
     for n in nodes:
         if adj[n]:
             assert got[n] == want[n], n
+
+
+def test_k_core_keeps_clique_drops_pendants(spark):
+    from cccatalog_spark.operators.graph import k_core
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k4 + chain, "u long, v long")
+    rows = {r["node"]: r["degree"] for r in k_core(edges, 3).collect()}
+    assert rows == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_cascading_peel_empties_path(spark):
+    from cccatalog_spark.operators.graph import k_core
+
+    # path graph: peeling an endpoint exposes the next — the loop
+    # must cascade across rounds until nothing is left at k=2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "u long, v long"
+    )
+    assert k_core(edges, 2).count() == 0
+
+
+def test_k_core_cycle_is_its_own_2core(spark):
+    from cccatalog_spark.operators.graph import k_core
+
+    n = 5
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "u long, v long"
+    )
+    rows = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
+    assert rows == {i: 2 for i in range(n)}
