@@ -282,3 +282,49 @@ def pii_redact(text: Column) -> Column:
     step = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
     step = F.regexp_replace(step, PII_IP_RE, "<IP>")
     return F.regexp_replace(step, PII_PHONE_RE, "<PHONE>")
+
+
+# invisible / control characters a crawl corpus drags in: C0+C1
+# controls (minus \t \n \r, which are layout), zero-width
+# space/joiners, and the BOM. Written in \x{...} notation so the SAME
+# pattern text is a valid Java regex (Spark) and RE2 (DuckDB oracle).
+INVISIBLES_PATTERN = (
+    r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\x{200b}-\x{200d}\x{feff}]"
+)
+
+
+def strip_invisibles(text: Column) -> Column:
+    """Remove control and zero-width characters (pure column algebra,
+    whole-stage codegen) — the cheap half of crawl-text cleanup; run
+    AFTER ``unicode_normalize`` so NFC can't re-introduce composed
+    forms containing them."""
+    return F.regexp_replace(text, INVISIBLES_PATTERN, "")
+
+
+def unicode_normalize(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a string column —
+    the mojibake/decomposed-codepoint repair step every crawl corpus
+    needs before hashing, shingling, or tokenizing (the SAME text can
+    arrive composed and decomposed; exact dedup and n-gram fingerprints
+    silently split unless normalized first).
+
+    Spark has no built-in normalizer, so this is the documented
+    Python-surface exception: an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (stdlib, pure, no codec boundary).
+    asNondeterministic is the usual plan pin — single evaluation, no
+    filter/generator duplication — not a semantics statement; the
+    function is pure. Oracle parity: DuckDB's ``nfc_normalize`` for
+    the NFC form.
+    """
+    import pandas as pd  # noqa: F401 (signature typing)
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    return _norm.asNondeterministic()(text)

@@ -77,7 +77,17 @@ def _pair_jaccard(
         id_col, "n_sh", F.explode("sh").alias("_s")
     ).select(id_col, "n_sh", F.xxhash64("_s").alias("shingle"))
     if max_doc_freq is not None:
-        freq = ex.groupBy("shingle").count().where(F.col("count") <= max_doc_freq)
+        # when the caller's skew guard forces a df aggregate anyway,
+        # also drop df = 1 postings for free: a shingle seen in one
+        # document can never witness a pair (the self-join needs two
+        # distinct docs), so the ≥2 cut is lossless. Without the skew
+        # guard we deliberately skip it — the extra groupBy + pruning
+        # join costs two posting-sized exchanges, measured slower than
+        # the unmatched rows it saves (prefix-filtered variants below
+        # get the same cut genuinely free off their existing df join).
+        freq = ex.groupBy("shingle").count().where(
+            (F.col("count") >= 2) & (F.col("count") <= max_doc_freq)
+        )
         ex = ex.join(freq.select("shingle"), "shingle")
     # the inverted index feeds both sides of the self-join: persist it
     # so tokenize+shingle+explode runs once, not twice (at 100 TB this
@@ -700,6 +710,12 @@ def jaccard_prefix_pairs(
             F.col("_rn")
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
+        # df = 1 tokens appear in exactly one document, so they can
+        # never witness a pair — dropping them AFTER prefix selection
+        # (rank over the full set, so prefixes are unchanged) is
+        # lossless and prunes the Zipf tail, typically most of the
+        # posting volume, from both sides of the candidate join
+        .where(F.col("df") >= 2)
         .select(id_col, "n_sh", "s")
         .persist()
     )
@@ -861,19 +877,28 @@ def containment_pairs(
     )
     ex = shingled.select(id_col, "n_sh", F.explode("sh").alias("s"))
     freq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    # exf: postings annotated with document frequency, computed once
+    # for both join sides. df = 1 shingles live in exactly one
+    # document, so they can never witness a cross-document pair —
+    # filtering them (AFTER prefix ranks are assigned over the full
+    # set) is lossless and strips the Zipf tail, typically the bulk
+    # of the posting volume, from both sides of the candidate join.
+    exf = ex.join(freq, "s").persist()
     # prefix = the n − ⌈t·n⌉ + 1 rarest shingles (df asc, s asc is a
     # total order shared by every document)
     w = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("s"))
     prefix = (
-        ex.join(freq, "s")
-        .withColumn("_rn", F.row_number().over(w))
+        exf.withColumn("_rn", F.row_number().over(w))
         .where(
             F.col("_rn")
             <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
         )
+        .where(F.col("df") >= 2)
         .select(F.col(id_col).alias("_ida"), F.col("s").alias("s_p"))
     )
-    full = ex.select(F.col(id_col).alias("_idb"), F.col("s").alias("s_f"))
+    full = exf.where(F.col("df") >= 2).select(
+        F.col(id_col).alias("_idb"), F.col("s").alias("s_f")
+    )
     cand = (
         prefix.join(
             full.hint("merge"),

@@ -343,3 +343,216 @@ def k_core(
     return e.groupBy("u").agg(F.count("*").alias("degree")).select(
         F.col("u").alias("node"), "degree"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected graph: every node starts in its
+    own community, then each round adopts the most frequent label among
+    its neighbors, ties broken to the SMALLEST label — the corpus-
+    curation step that groups cross-linked page/domain clusters (and
+    near-dup clusters connected through weak bridges) into communities
+    for per-community sampling caps, where connected components
+    (dedup.connected_components) would over-merge everything reachable.
+
+    Fully deterministic: synchronous updates (all nodes read the
+    previous round's labels), a fixed round count, and the min-label
+    tie-break — so an unrolled fixed-round SQL replay is exact.
+    Synchronous LPA can 2-cycle on bipartite structure instead of
+    converging; the fixed ``rounds`` cut makes that a documented
+    property (result = state after ``rounds`` steps), not flakiness.
+
+    Returns ``(node, label)``.
+
+    Scale shape per round: one labels⋈edges join keyed by endpoint,
+    one (node, label) count aggregate (map-side combinable), one
+    per-node argmax — all exchanges data-proportional, labels frame is
+    |V| rows, lineage truncated per round like the PageRank loop
+    above. No driver-side state at all (not even a convergence
+    scalar).
+    """
+    e = edges.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
+    )
+    e = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        msgs = e.join(
+            labels, e["v"] == labels["node"]
+        ).select("u", "label")
+        counts = msgs.groupBy("u", "label").agg(F.count("*").alias("c"))
+        labels = _truncate_lineage(
+            counts.groupBy("u").agg(
+                # lexicographic struct max: highest count first, then
+                # highest -label == smallest label (min tie-break)
+                F.max_by(
+                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("label")
+            ).select(F.col("u").alias("node"), "label")
+        )
+    return labels
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-truss of the undirected graph (Cohen 2008): iteratively drop
+    edges supported by fewer than k-2 triangles until a fixed point —
+    the edge-level sharpening of ``k_core``'s node peel. A spam ring
+    of pairwise links without closing triangles survives a degree cut
+    but not a truss cut, so this is the stricter curation filter for
+    link-graph cohesion before sampling a crawl corpus.
+
+    Returns ``(u, v, support)`` over canonical u < v edges, support
+    measured WITHIN the truss. Peeling is monotone, so a fixed-round
+    unrolled replay (the SQL oracle) equals the converged loop once
+    both reach the fixed point.
+
+    Scale shape per round: triangle enumeration on the canonical
+    a < b < c orientation (two self-joins on endpoint keys — the same
+    exchanges ``triangle_counts`` pays once), a 3-way edge explode +
+    count for per-edge support (map-side combinable), and one inner
+    join to prune. The edge set only shrinks, so per-round cost is
+    monotonically decreasing; convergence is one bounded count scalar
+    per round (the k_core discipline); lineage truncated per round.
+    """
+    e = (
+        edges.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    n_prev = e.count()
+    empty = e.limit(0).withColumn("support", F.lit(0).cast("long"))
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            return empty
+        ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+        tri = (
+            ab.join(bc, F.col("ab.v") == F.col("bc.u"))
+            .join(
+                ac,
+                (F.col("ac.u") == F.col("ab.u"))
+                & (F.col("ac.v") == F.col("bc.v")),
+            )
+            .select(
+                F.col("ab.u").alias("a"),
+                F.col("ab.v").alias("b"),
+                F.col("bc.v").alias("c"),
+            )
+        )
+        supp = (
+            tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("support"))
+        )
+        # inner join: edges in zero triangles have no supp row and are
+        # dropped with the below-threshold ones
+        kept = e.join(supp, ["u", "v"]).where(
+            F.col("support") >= k - 2
+        )
+        nxt = _truncate_lineage(kept).persist()
+        n_next = nxt.count()
+        if n_next == n_prev:
+            # nothing removed: this round's support was computed on
+            # exactly the surviving edge set — it IS the truss support
+            return nxt
+        e, n_prev = nxt.select("u", "v").persist(), n_next
+    return e.join(
+        supp.withColumnRenamed("support", "s"), ["u", "v"], "left"
+    ).select("u", "v", F.coalesce("s", F.lit(0)).cast("long").alias("support"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized PageRank / random-walk-with-restart (the topic-
+    sensitive variant of ``pagerank``): the teleport mass returns only
+    to the SEED set instead of uniformly to all nodes, so ranks decay
+    with graph distance from the seeds — "find pages/domains related
+    to this trusted set", the link-graph analog of the corpus-level
+    similarity searches in operators/similarity.py (and the TrustRank
+    construction when seeds are a vetted whitelist).
+
+        r_{t+1}(v) = (1-d)·p(v) + d · Σ_{u→v} r_t(u) / outdeg(u)
+        p = uniform over seeds;  r_0 = p/(1-d) mass, i.e. 1/|S| on seeds
+
+    Same simplified dangling stance as ``pagerank`` (sinks leak mass —
+    relative ranking unaffected). Deterministic: fixed iterations, no
+    RNG. Returns ``(node, r)`` at full precision.
+
+    Scale shape: identical per-iteration exchanges to ``pagerank``
+    (one shuffle keyed by dst, one rank-frame join keyed by src) plus
+    a one-time seed flag join — the seed frame is tiny by construction
+    (a curated whitelist) and broadcasts; |S| is the only driver
+    scalar (bounded-catalog discipline). Lineage truncated per round.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+    n_seeds = sd.count()  # bounded catalog scalar
+    base = nodes.join(
+        F.broadcast(sd.withColumn("_s", F.lit(1))), "node", "left"
+    ).select(
+        "node",
+        F.when(
+            F.col("_s").isNotNull(),
+            F.lit((1.0 - damping) / n_seeds),
+        ).otherwise(F.lit(0.0)).alias("b"),
+    ).persist()
+    outdeg = e.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    contrib_src = e.join(outdeg, "src").persist()
+    ranks = base.select(
+        "node", (F.col("b") / F.lit(1.0 - damping)).alias("r")
+    )
+    for _ in range(iterations):
+        msgs = (
+            contrib_src.join(ranks, F.col("src") == F.col("node"))
+            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        new_ranks = _truncate_lineage(
+            base.join(msgs, F.col("node") == F.col("dst"), "left").select(
+                "node",
+                (
+                    F.col("b")
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+        ranks = new_ranks
+    contrib_src.unpersist()
+    return ranks

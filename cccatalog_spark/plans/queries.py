@@ -10851,3 +10851,273 @@ def q208_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
     )
     return k_core(edges, 4)
+
+
+# ---------------------------------------------------------------------------
+# q209 — label-propagation communities (operators/graph.
+# label_propagation) over the q199 part co-purchase graph: 4
+# synchronous rounds of adopt-the-most-frequent-neighbor-label with a
+# min-label tie-break — the per-community sampling-cap grouping that
+# splits weakly-bridged clusters where connected components (q71)
+# over-merges. Deterministic by construction (synchronous + fixed
+# rounds + min tie-break), so the oracle is an exact unrolled replay.
+# ---------------------------------------------------------------------------
+def _q209_oracle(rounds: int = 4) -> str:
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      WHERE a.l_orderkey % 8 = 0),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM e0)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f""",
+    m{i} AS (SELECT e.u, l.label, count(*) AS c
+             FROM e0 e JOIN l{p} l ON e.v = l.node GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (
+      SELECT u AS node, label FROM (
+        SELECT u, label,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM m{i}) WHERE rn = 1)""")
+    tail = f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{rounds}
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q209_label_propagation", oracle=_q209_oracle())
+def q209_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 8 == 0)  # q199's sparse scope
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    labels = label_propagation(edges, rounds=4)
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210 — k-truss (operators/graph.k_truss) over the q199 part
+# co-purchase graph: drop edges in fewer than k-2 = 3 triangles to the
+# fixed point — the edge-level sharpening of q208's node peel (pairwise
+# link rings without closing triangles survive a degree cut but not a
+# truss cut). Engine loops to convergence (per-round edge count
+# scalar); the oracle unrolls 6 peel rounds (measured fixed point: 4
+# at sf0.01, 3 at sf0.1) — peeling is monotone, so the extra rounds
+# are no-ops — then recomputes support within the final edge set,
+# exactly what the engine's converged round reports.
+# ---------------------------------------------------------------------------
+def _q210_oracle(k: int = 5, rounds: int = 6) -> str:
+    head = """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 8 = 0)"""
+    steps = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        steps.append(f""",
+    t{i} AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+             FROM e{p} ab JOIN e{p} bc ON ab.v = bc.u
+             JOIN e{p} ac ON ac.u = ab.u AND ac.v = bc.v),
+    s{i} AS (SELECT u, v, count(*) AS s FROM (
+               SELECT a AS u, b AS v FROM t{i}
+               UNION ALL SELECT b, c FROM t{i}
+               UNION ALL SELECT a, c FROM t{i}) GROUP BY 1, 2),
+    e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e
+             JOIN s{i} s ON e.u = s.u AND e.v = s.v
+             WHERE s.s >= {k - 2})""")
+    n = rounds
+    tail = f""",
+    tf AS (SELECT ab.u AS a, ab.v AS b, bc.v AS c
+           FROM e{n} ab JOIN e{n} bc ON ab.v = bc.u
+           JOIN e{n} ac ON ac.u = ab.u AND ac.v = bc.v),
+    sf AS (SELECT u, v, count(*) AS s FROM (
+             SELECT a AS u, b AS v FROM tf
+             UNION ALL SELECT b, c FROM tf
+             UNION ALL SELECT a, c FROM tf) GROUP BY 1, 2)
+    SELECT e.u, e.v, CAST(s.s AS BIGINT) AS support
+    FROM e{n} e JOIN sf s ON e.u = s.u AND e.v = s.v
+    """
+    return head + "".join(steps) + tail
+
+
+@query("q210_k_truss", oracle=_q210_oracle())
+def q210_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import k_truss
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 8 == 0)  # q199's sparse scope
+        .select("l_orderkey", "l_partkey")
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    truss = k_truss(edges, 5)
+    return truss.select(
+        "u", "v", F.col("support").cast("long").alias("support")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211 — personalized PageRank (operators/graph.personalized_pagerank)
+# over the q97 supplier→customer fulfilment graph, seeded on the
+# suppliers with l_suppkey % 25 = 0: teleport mass returns only to the
+# seed whitelist, so ranks decay with link distance from it — the
+# TrustRank-style "expand a trusted domain set" curation step. Same
+# unrolled-recurrence oracle discipline as q97.
+# ---------------------------------------------------------------------------
+def _q211_oracle(iterations: int = 5) -> str:
+    ctes = [
+        """edges AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'C' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        """seeds AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS node
+        FROM lineitem WHERE l_suppkey % 25 = 0)""",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds)",
+        """outdeg AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src)""",
+        """base AS (
+        SELECT n.node,
+               CASE WHEN sd.node IS NOT NULL THEN
+                 (SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / s
+                  FROM ns)
+               ELSE CAST(0 AS DOUBLE) END AS b
+        FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node)""",
+        """r0 AS (
+        SELECT node, b / (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) AS r
+        FROM base)""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""r{t} AS (
+        SELECT base.node,
+               base.b + CAST(0.85 AS DOUBLE)
+                        * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+        FROM base LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r / o.deg) AS m
+            FROM edges e
+            JOIN r{t - 1} p ON e.src = p.node
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst) s ON base.node = s.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, round(r, 8) AS rank
+    FROM r{iterations}
+    WHERE round(r, 8) > 0
+    ORDER BY round(r, 8) DESC, node LIMIT 20"""
+    )
+
+
+@query("q211_personalized_pagerank", oracle=_q211_oracle())
+def q211_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import personalized_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    seeds = (
+        li.where(F.col("l_suppkey") % 25 == 0)
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    r = personalized_pagerank(edges, seeds, iterations=5, damping=0.85)
+    return (
+        r.select("node", F.round("r", 8).alias("rank"))
+        .where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212 — Unicode NFC normalization + invisible-character strip
+# (functions/text.unicode_normalize / strip_invisibles): the mojibake
+# repair pass that must run before exact dedup or shingling (composed
+# vs decomposed codepoints split hashes silently). The corpus is
+# ASCII, so the query grafts a deterministic decomposed suffix
+# (combining acute/tilde + zero-width spaces + BOM) onto each doc and
+# checks the engine's normalize+strip against DuckDB's nfc_normalize +
+# the byte-identical RE2/Java regex class. Lengths before/after pin
+# both the composition (5→4 chars) and the strip.
+# ---------------------------------------------------------------------------
+@query(
+    "q212_unicode_normalize",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || ' cafe' || chr(769) || ' ' ||
+             chr(65279) || 'bom ' || chr(8203) || 'zw' || chr(8205) ||
+             ' n' || chr(771) || 'o' AS raw
+      FROM documents),
+    n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM d)
+    SELECT doc_id,
+           CAST(length(raw) AS INT) AS raw_len,
+           CAST(length(nfc) AS INT) AS nfc_len,
+           regexp_replace(
+             nfc,
+             '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f\x{200b}-\x{200d}\x{feff}]',
+             '', 'g') AS clean
+    FROM n
+    """,
+)
+def q212_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import (
+        strip_invisibles,
+        unicode_normalize,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" cafe\u0301 \ufeffbom \u200bzw\u200d n\u0303o"),
+    )
+    n = d.select(
+        "doc_id",
+        raw.alias("raw"),
+        unicode_normalize(raw, "NFC").alias("nfc"),
+    )
+    return n.select(
+        "doc_id",
+        F.length("raw").alias("raw_len"),
+        F.length("nfc").alias("nfc_len"),
+        strip_invisibles(F.col("nfc")).alias("clean"),
+    )

@@ -127,3 +127,106 @@ def test_k_core_cycle_is_its_own_2core(spark):
     )
     rows = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
     assert rows == {i: 2 for i in range(n)}
+
+
+def test_label_propagation_triangle_converges_to_min(spark):
+    from cccatalog_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0}
+
+
+def test_label_propagation_bridged_triangles_split(spark):
+    from cccatalog_spark.operators.graph import label_propagation
+
+    # two triangles joined by one bridge edge: LPA keeps them as two
+    # communities (hand-traced synchronous rounds with min tie-break),
+    # exactly where connected components would merge everything
+    tri_a = [(0, 1), (1, 2), (0, 2)]
+    tri_b = [(10, 11), (11, 12), (10, 12)]
+    edges = spark.createDataFrame(
+        tri_a + tri_b + [(2, 10)], "u long, v long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 10: 2, 11: 2, 12: 2}
+
+
+def test_k_truss_keeps_k4_drops_attached_triangle(spark):
+    from cccatalog_spark.operators.graph import k_truss
+
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    pendant_tri = [(3, 10), (10, 11), (3, 11)]
+    edges = spark.createDataFrame(k4 + pendant_tri, "u long, v long")
+    got = {(r["u"], r["v"]): r["support"] for r in k_truss(edges, 4).collect()}
+    # every K4 edge sits in exactly 2 triangles; the attached triangle's
+    # edges sit in 1 and are peeled in round one
+    assert got == {(u, v): 2 for (u, v) in k4}
+
+
+def test_k_truss_cascading_peel_empties_bowtie(spark):
+    from cccatalog_spark.operators.graph import k_truss
+
+    # two triangles sharing edge (1,2): that edge has support 2 but
+    # survives round one alone, then loses both triangles — the loop
+    # must cascade to empty at k=4
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "u long, v long"
+    )
+    assert k_truss(edges, 4).count() == 0
+
+
+def test_k_truss_3_is_triangle_membership(spark):
+    from cccatalog_spark.operators.graph import k_truss
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 10)], "u long, v long"
+    )
+    got = {(r["u"], r["v"]): r["support"] for r in k_truss(edges, 3).collect()}
+    assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1}
+
+
+def test_personalized_pagerank_mass_decays_from_seed(spark):
+    from cccatalog_spark.operators.graph import personalized_pagerank
+
+    # A→B plus a disconnected C→D; seed {A}. Hand-traced 2 iterations:
+    # r(A) = 0.15 every round (only teleport mass), r(B) = 0.85·r(A),
+    # and the C/D component never receives any mass
+    edges = spark.createDataFrame(
+        [("A", "B"), ("C", "D")], "src string, dst string"
+    )
+    seeds = spark.createDataFrame([("A",)], "node string")
+    got = {
+        r["node"]: r["r"]
+        for r in personalized_pagerank(edges, seeds, iterations=2).collect()
+    }
+    assert abs(got["A"] - 0.15) < 1e-12
+    assert abs(got["B"] - 0.85 * 0.15) < 1e-12
+    assert got["C"] == 0.0 and got["D"] == 0.0
+
+
+def test_personalized_pagerank_all_seeds_equals_pagerank(spark):
+    from cccatalog_spark.operators.graph import pagerank, personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"), ("A", "C")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("A",), ("B",), ("C",)], "node string"
+    )
+    pr = {r["node"]: r["r"] for r in pagerank(edges, iterations=4).collect()}
+    ppr = {
+        r["node"]: r["r"]
+        for r in personalized_pagerank(edges, seeds, iterations=4).collect()
+    }
+    for n in pr:
+        assert abs(pr[n] - ppr[n]) < 1e-12, n
