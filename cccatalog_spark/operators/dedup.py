@@ -987,3 +987,90 @@ def dedup_exact_by(
         )
         .withColumnRenamed("_h", "content_hash")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep_pattern: str = r"\.\s+",
+    join_sep: str = " | ",
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication (the RefinedWeb/CCNet
+    sub-document step): split every document into lines, keep each
+    distinct line's FIRST occurrence in (doc, position) order, drop
+    every later copy, and reassemble the cleaned documents — the
+    boilerplate-killer for nav bars, cookie banners, and license
+    footers that document-level dedup (``dedup_exact`` and the
+    near-dup family above) cannot touch because the surrounding
+    documents differ.
+
+    Returns ``(id, n_lines, n_dup_lines, dup_ratio, clean_text)``
+    where ``n_dup_lines`` counts this document's lines that occur
+    more than once corpus-wide (later copies are the ones removed)
+    and ``clean_text`` is the surviving lines joined with
+    ``join_sep`` in original order (original separators are not
+    preserved — the sub-document analog of whitespace-normalizing
+    sanitizers). Documents whose lines are all empty after trimming
+    drop out, like zero-shingle docs elsewhere in this module.
+
+    Deterministic: first occurrence is row_number over
+    (id, position) within each line-hash partition.
+
+    Scale shape: one narrow posexplode, ONE shuffle keyed by the
+    64-hex line hash for the occurrence window + frequency count
+    (both stream over the same sorted partition — Spark plans one
+    exchange), one per-doc aggregate. No joins, no candidate pairs;
+    state per key is the line's occurrence list, bounded by the
+    line's corpus frequency (the skew key is the ubiquitous
+    boilerplate line itself — exactly what the operator deletes).
+    """
+    from pyspark.sql.window import Window
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+                "idx", "_raw"
+            ),
+        )
+        .select("_id", "idx", F.trim("_raw").alias("line"))
+        .where(F.col("line") != "")
+        .withColumn("h", F.md5("line"))
+    )
+    w_first = Window.partitionBy("h").orderBy("_id", "idx")
+    w_freq = Window.partitionBy("h")
+    ranked = lines.select(
+        "_id", "idx", "line",
+        (F.row_number().over(w_first) == 1).alias("keep"),
+        (F.count("*").over(w_freq) > 1).alias("dup"),
+    )
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("dup").cast("long")).alias("n_dup_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"), F.struct("idx", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                join_sep,
+            ).alias("clean_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            "n_dup_lines",
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6).alias(
+                "dup_ratio"
+            ),
+            "clean_text",
+        )
+    )

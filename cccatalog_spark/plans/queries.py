@@ -11121,3 +11121,72 @@ def q212_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nfc").alias("nfc_len"),
         strip_invisibles(F.col("nfc")).alias("clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — corpus-wide exact line dedup (operators/dedup.line_dedup), the
+# RefinedWeb/CCNet sub-document step: keep each distinct line's first
+# (doc, position) occurrence, drop later copies, reassemble cleaned
+# docs. The synthetic corpus is one unique line per doc, so the query
+# grafts deterministic boilerplate footers (newsletter / rights /
+# cookie lines, doubled on every 7th doc to exercise within-doc
+# repeats) — exactly the shared-chrome shape the operator exists to
+# strip. Oracle replays the same split/first-occurrence/reassembly in
+# SQL; clean_text joins surviving lines with ' | '.
+# ---------------------------------------------------------------------------
+@query(
+    "q213_line_dedup",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN '. Subscribe to the newsletter. All rights reserved'
+                  ELSE '. All rights reserved' END ||
+             CASE WHEN doc_id % 5 = 0 THEN '. Cookie policy applies'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN '. All rights reserved'
+                  ELSE '' END AS raw
+      FROM documents),
+    l0 AS (
+      SELECT doc_id, i AS idx, trim(kvs[i]) AS line
+      FROM (SELECT doc_id, string_split_regex(raw, '\.\s+') AS kvs FROM d),
+           unnest(generate_series(1, len(kvs))) g(i)),
+    l AS (SELECT doc_id, idx, line, md5(line) AS h
+          FROM l0 WHERE line <> ''),
+    r AS (SELECT doc_id, idx, line,
+                 row_number() OVER (PARTITION BY h
+                                    ORDER BY doc_id, idx) AS rn,
+                 count(*) OVER (PARTITION BY h) AS n
+          FROM l)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_lines,
+           round(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_ratio,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' | '
+                               ORDER BY idx), '') AS clean_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def q213_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dedup import line_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit(". Subscribe to the newsletter. All rights reserved"),
+        ).otherwise(F.lit(". All rights reserved")),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(". Cookie policy applies")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(". All rights reserved")
+        ).otherwise(F.lit("")),
+    )
+    return line_dedup(
+        d.select("doc_id", raw.alias("raw")), "raw", "doc_id"
+    )

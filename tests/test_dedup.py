@@ -416,3 +416,43 @@ def test_dedup_exact_by_keeps_best_quality_tie_min_id(spark):
     }
     # survivor of the triplicate: highest q, tie -> min id (2 not 3)
     assert out == {2: (0.9, 3), 4: (0.1, 1)}
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from cccatalog_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha. shared footer"),
+            (2, "unique beta. shared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in line_dedup(df, "text", "doc_id").collect()
+    }
+    assert rows[1]["clean_text"] == "unique alpha | shared footer"
+    assert rows[2]["clean_text"] == "unique beta"
+    assert rows[1]["n_dup_lines"] == 1 and rows[2]["n_dup_lines"] == 1
+    assert abs(rows[1]["dup_ratio"] - 0.5) < 1e-9
+
+
+def test_line_dedup_within_doc_repeat_and_all_dup_doc(spark):
+    from cccatalog_spark.operators.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "same line. same line. other"),
+            (2, "same line"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in line_dedup(df, "text", "doc_id").collect()
+    }
+    # doc 1 keeps the first copy only; doc 2's sole line is a later
+    # corpus-wide copy, so its cleaned text is empty
+    assert rows[1]["clean_text"] == "same line | other"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_dup_lines"] == 2
+    assert rows[2]["clean_text"] == ""
+    assert rows[2]["dup_ratio"] == 1.0
