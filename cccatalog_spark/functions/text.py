@@ -328,3 +328,34 @@ def unicode_normalize(text: Column, form: str = "NFC") -> Column:
         )
 
     return _norm.asNondeterministic()(text)
+
+
+def readability_signals(text: Column) -> Column:
+    """Flesch reading-ease and Flesch–Kincaid grade as a struct
+    ``(n_words, n_sentences, n_syllables, flesch, fk_grade)`` — the
+    classic cheap readability quality signal (too-low reading ease
+    flags word-salad/keyword-stuffed pages; absurdly high flags
+    trivial/boilerplate text).
+
+    Syllables are approximated as vowel-group runs (``[aeiouy]+`` over
+    the lowercased text), sentences as terminal-punctuation runs
+    (``[.!?]+``, floored at 1) — both deterministic regex counts whose
+    pattern text is byte-identical Java regex (Spark) and RE2 (DuckDB),
+    so the oracle is exact. Pure column algebra, whole-stage codegen.
+    """
+    w = token_count(text).cast("double")
+    s = F.greatest(
+        F.regexp_count(text, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    syl = F.greatest(
+        F.regexp_count(F.lower(text), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("double")
+    wps = w / s
+    spw = syl / F.greatest(w, F.lit(1.0))
+    return F.struct(
+        w.cast("long").alias("n_words"),
+        s.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+    )

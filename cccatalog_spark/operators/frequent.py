@@ -88,3 +88,90 @@ def heavy_hitters(
             F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
         )
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    min_confidence: float = 0.0,
+) -> DataFrame:
+    """A-Priori association rules over (basket, item) rows — the
+    tag-co-occurrence curator: which tags/domains/labels imply which
+    others, with enough support to act on (build tag vocabularies,
+    collapse synonym tags, flag spam tag rings). Complements
+    corpus_stats.pmi_pairs: PMI measures pointwise association
+    strength; rules carry directional confidence and lift with an
+    explicit support floor.
+
+    Returns one row per ordered rule A=>B (both directions of each
+    frequent pair): ``(antecedent, consequent, pair_n, support,
+    confidence, lift)``, support floors applied to BOTH the pair and
+    (via A-Priori monotonicity) each item.
+
+    Scale shape: baskets are deduped (basket,item) first; item supports
+    are one groupBy; the frequent-item catalog (<= 1/min_support rows
+    by definition) broadcasts back as a semi-join BEFORE the pair
+    self-join, so the per-basket explosion is quadratic only in each
+    basket's FREQUENT items (the A-Priori prune). Pair counting is one
+    shuffle keyed by the pair; the two item-support joins at the end
+    are broadcasts of the same bounded catalog. No all-pairs join ever
+    touches infrequent items.
+    """
+    pairs_base = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = pairs_base.agg(
+        F.countDistinct("_b").alias("_n")
+    )
+    item_n = (
+        pairs_base.groupBy("_i")
+        .agg(F.count("*").alias("item_n"))
+        .crossJoin(F.broadcast(n_baskets))
+        .where(F.col("item_n") >= F.ceil(F.lit(min_support) * F.col("_n")))
+        .select("_i", "item_n", "_n")
+    )
+    # A-Priori prune: only frequent items can appear in a frequent pair
+    frequent = pairs_base.join(
+        F.broadcast(item_n.select("_i")), "_i", "left_semi"
+    )
+    a = frequent.select("_b", F.col("_i").alias("_ia"))
+    b = frequent.select("_b", F.col("_i").alias("_ib"))
+    pair_n = (
+        a.join(b, "_b")
+        .where(F.col("_ia") < F.col("_ib"))
+        .groupBy("_ia", "_ib")
+        .agg(F.count("*").alias("pair_n"))
+    )
+    both = pair_n.unionByName(
+        pair_n.select(
+            F.col("_ib").alias("_ia"), F.col("_ia").alias("_ib"), "pair_n"
+        )
+    )
+    ante = item_n.select(
+        F.col("_i").alias("_ia"), F.col("item_n").alias("ante_n"), "_n"
+    )
+    cons = item_n.select(
+        F.col("_i").alias("_ib"), F.col("item_n").alias("cons_n")
+    )
+    return (
+        both.join(F.broadcast(ante), "_ia")
+        .join(F.broadcast(cons), "_ib")
+        .where(F.col("pair_n") >= F.ceil(F.lit(min_support) * F.col("_n")))
+        .where(F.col("pair_n") / F.col("ante_n") >= min_confidence)
+        .select(
+            F.col("_ia").alias("antecedent"),
+            F.col("_ib").alias("consequent"),
+            "pair_n",
+            F.round(F.col("pair_n") / F.col("_n"), 6).alias("support"),
+            F.round(F.col("pair_n") / F.col("ante_n"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("pair_n") * F.col("_n"))
+                / (F.col("ante_n") * F.col("cons_n")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -208,3 +208,166 @@ def pr_curve(
         .otherwise(F.lit(0.0))
         .alias("f1"),
     )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two label columns — the annotator/model
+    agreement gate a labeling pipeline runs before trusting its quality
+    labels (raw agreement is inflated by class imbalance; kappa
+    subtracts chance agreement from the marginals).
+
+    Returns 1 row ``(n, po, pe, kappa)``: observed agreement, chance
+    agreement (sum over classes of the two marginal shares' product),
+    and ``(po-pe)/(1-pe)`` (1.0 when pe==1, the degenerate
+    single-class-perfect-agreement case).
+
+    Shape: one contingency aggregate plus two class-marginal groupBys
+    whose outputs are |classes|-row catalogs (broadcast inner join —
+    classes absent from either marginal contribute 0 to pe). Marginal
+    products run in double before multiplying: na*nb overflows int64
+    past ~3e9 rows per class.
+    """
+    base = df.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b"))
+    totals = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).alias("_agree"),
+    )
+    ma = base.groupBy("_a").agg(F.count("*").alias("_na"))
+    mb = base.groupBy("_b").agg(F.count("*").alias("_nb"))
+    pe_num = (
+        ma.join(F.broadcast(mb), ma["_a"] == mb["_b"])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("_na").cast("double")
+                    * F.col("_nb").cast("double")
+                ),
+                F.lit(0.0),
+            ).alias("_pe_num")
+        )
+    )
+    po = F.col("_agree") / F.col("n")
+    pe = F.col("_pe_num") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return (
+        totals.crossJoin(F.broadcast(pe_num))
+        .select(
+            "n",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round(
+                F.when(pe < 1.0, (po - pe) / (1.0 - pe)).otherwise(1.0), 6
+            ).alias("kappa"),
+        )
+    )
+
+
+def bleu_scores(
+    df: DataFrame,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-pair smoothed sentence BLEU (Lin–Och add-one smoothing on
+    every order) between a candidate and a reference text column — the
+    n-gram-overlap eval a distillation / translation / summarization
+    data pipeline scores at corpus scale, and a contamination signal
+    (near-verbatim candidates score ~1).
+
+    For each order n<=max_n: modified precision
+    ``p_n = (Σ min(count_cand, count_ref) + 1) / (Σ count_cand + 1)``
+    (orders the candidate is too short to produce get p_n = 1, the
+    smoothing fixed point); brevity penalty
+    ``exp(min(0, 1 - ref_len/cand_len))``; BLEU = BP · exp(mean ln p_n).
+    Empty candidates score 0. Returns ``(id, cand_len, ref_len,
+    bleu)``.
+
+    Shape: both sides explode to (id, n, gram) counts in one pass each
+    (slice-over-sequence gram construction, no UDF); the clip join and
+    the two groupBys share the (id, n, gram) key so AQE coalesces them
+    into one exchange family; the per-id reduce is one aggregate. No
+    driver state, no catalogs.
+    """
+    from cccatalog_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        tokens(F.col(cand_col)).alias("_ct"),
+        tokens(F.col(ref_col)).alias("_rt"),
+    )
+
+    def _gram_counts(tok_col: str, out: str) -> DataFrame:
+        g = base.select(
+            "_id",
+            F.col(tok_col).alias("_t"),
+            F.explode(F.sequence(F.lit(1), F.lit(max_n))).alias("n"),
+        )
+        grams = g.select(
+            "_id",
+            "n",
+            F.explode(
+                F.when(
+                    F.size("_t") >= F.col("n"),
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.size("_t") - F.col("n") + 1
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("_t", i, F.col("n")), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        return grams.groupBy("_id", "n", "gram").agg(
+            F.count("*").alias(out)
+        )
+
+    cand = _gram_counts("_ct", "_c")
+    ref = _gram_counts("_rt", "_r")
+    clipped = (
+        cand.join(ref, ["_id", "n", "gram"], "left")
+        .groupBy("_id", "n")
+        .agg(
+            F.sum(F.least("_c", F.coalesce("_r", F.lit(0)))).alias("_clip"),
+            F.sum("_c").alias("_tot"),
+        )
+    )
+    grid = base.select(
+        "_id",
+        F.size("_ct").alias("cand_len"),
+        F.size("_rt").alias("ref_len"),
+        F.explode(F.sequence(F.lit(1), F.lit(max_n))).alias("n"),
+    )
+    pn = grid.join(clipped, ["_id", "n"], "left").select(
+        "_id",
+        "cand_len",
+        "ref_len",
+        (
+            (F.coalesce("_clip", F.lit(0)) + 1.0)
+            / (F.coalesce("_tot", F.lit(0)) + 1.0)
+        ).alias("_p"),
+    )
+    bp = F.exp(
+        F.least(
+            F.lit(0.0),
+            1.0 - F.col("ref_len") / F.col("cand_len"),
+        )
+    )
+    return (
+        pn.groupBy("_id", "cand_len", "ref_len")
+        .agg(F.avg(F.log("_p")).alias("_lg"))
+        .select(
+            F.col("_id").alias(id_col),
+            "cand_len",
+            "ref_len",
+            F.round(
+                F.when(
+                    F.col("cand_len") > 0, bp * F.exp(F.col("_lg"))
+                ).otherwise(0.0),
+                6,
+            ).alias("bleu"),
+        )
+    )

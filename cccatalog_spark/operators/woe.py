@@ -1,0 +1,83 @@
+"""Weight-of-evidence / information-value feature scoring — the
+classic screen for "does this cheap signal actually separate good
+docs from bad?" before a quality-filter model trains on it (the same
+role sklearn's mutual_info plays, but binned, monotone-readable, and
+exactly SQL-replayable).
+
+Per equal-width bin b of a numeric feature, with binary labels:
+
+    woe_b = ln( (pos_b / pos_total) / (neg_b / neg_total) )
+    iv    = sum_b (pos_share_b - neg_share_b) * woe_b
+
+Add-one smoothing on the bin counts keeps empty cells finite (the
+standard practitioner fix). IV reads: < 0.02 useless, 0.1-0.3 medium,
+> 0.5 suspicious (leakage).
+
+Scale shape: bin bounds are one (min, max) aggregate broadcast as a
+1-row catalog; binning is column algebra; the per-bin contingency is
+ONE groupBy over ≤ n_bins keys; totals broadcast back. Everything is
+map-side combinable; no windows, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin WOE table with the feature's total IV on every row:
+    ``(bin, lo, hi, n, n_pos, n_neg, woe, iv)``. ``label_col`` must be
+    boolean-like; bins are equal-width over [min, max] with the max
+    value folded into the last bin."""
+    x = F.col(feature_col).cast("double")
+    bounds = df.agg(
+        F.min(x).alias("_lo"), F.max(x).alias("_hi")
+    )
+    b = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.when(
+                F.col("_hi") > F.col("_lo"),
+                F.floor(
+                    (x - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / n_bins)
+                ),
+            ).otherwise(F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("int")
+        .alias("bin"),
+        F.col(label_col).cast("boolean").alias("_y"),
+        "_lo",
+        "_hi",
+    )
+    per_bin = b.groupBy("bin", "_lo", "_hi").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("_y").cast("long")).alias("n_pos"),
+        F.sum((~F.col("_y")).cast("long")).alias("n_neg"),
+    )
+    totals = per_bin.groupBy().agg(
+        F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    ps = (F.col("n_pos") + 1.0) / (F.col("_tp") + n_bins)
+    ns = (F.col("n_neg") + 1.0) / (F.col("_tn") + n_bins)
+    scored = per_bin.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        F.round(F.col("_lo") + F.col("bin") * width, 6).alias("lo"),
+        F.round(F.col("_lo") + (F.col("bin") + 1) * width, 6).alias("hi"),
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(ps / ns), 6).alias("woe"),
+        ((ps - ns) * F.log(ps / ns)).alias("_ivt"),
+    )
+    iv = scored.agg(F.round(F.sum("_ivt"), 6).alias("iv"))
+    return scored.crossJoin(F.broadcast(iv)).select(
+        "bin", "lo", "hi", "n", "n_pos", "n_neg", "woe", "iv"
+    )

@@ -11190,3 +11190,422 @@ def q213_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(
         d.select("doc_id", raw.alias("raw")), "raw", "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — per-pair smoothed sentence BLEU (operators/ml_metrics.
+# bleu_scores): the n-gram-overlap eval for distillation/translation
+# pairs and a near-verbatim contamination signal. Candidate = each
+# doc's first 20 tokens; reference = first 20 tokens after dropping
+# every 6th (deterministic paraphrase-ish degradation), so scores
+# spread across (0,1) and clipping/brevity both exercise. Oracle
+# replays gram counting for n=1..4, Lin-Och add-one smoothing, and the
+# brevity penalty in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q214_bleu_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_slice(toks, 1, 20) AS ct,
+             list_slice(list_filter(toks, (x, i) -> i % 6 <> 0), 1, 20)
+               AS rt
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    grid AS (SELECT doc_id, len(ct) AS cand_len, len(rt) AS ref_len, n
+             FROM base, unnest([1, 2, 3, 4]) t(n)),
+    cg AS (SELECT doc_id, n,
+                  array_to_string(list_slice(ct, i, i + n - 1), ' ')
+                    AS gram,
+                  count(*) AS c
+           FROM base, unnest([1, 2, 3, 4]) t(n),
+                unnest(generate_series(1, len(ct) - n + 1)) s(i)
+           GROUP BY 1, 2, 3),
+    rg AS (SELECT doc_id, n,
+                  array_to_string(list_slice(rt, i, i + n - 1), ' ')
+                    AS gram,
+                  count(*) AS c
+           FROM base, unnest([1, 2, 3, 4]) t(n),
+                unnest(generate_series(1, len(rt) - n + 1)) s(i)
+           GROUP BY 1, 2, 3),
+    cl AS (SELECT cg.doc_id, cg.n,
+                  sum(least(cg.c, coalesce(rg.c, 0))) AS clip,
+                  sum(cg.c) AS tot
+           FROM cg LEFT JOIN rg
+             ON cg.doc_id = rg.doc_id AND cg.n = rg.n
+                AND cg.gram = rg.gram
+           GROUP BY 1, 2),
+    pn AS (SELECT grid.doc_id, grid.cand_len, grid.ref_len,
+                  (coalesce(clip, 0) + 1.0) / (coalesce(tot, 0) + 1.0)
+                    AS p
+           FROM grid LEFT JOIN cl
+             ON grid.doc_id = cl.doc_id AND grid.n = cl.n)
+    SELECT doc_id, CAST(cand_len AS INT) AS cand_len,
+           CAST(ref_len AS INT) AS ref_len,
+           round(CASE WHEN cand_len > 0
+                      THEN exp(least(0.0,
+                               1.0 - ref_len * 1.0 / cand_len))
+                           * exp(avg(ln(p)))
+                      ELSE 0.0 END, 6) AS bleu
+    FROM pn GROUP BY doc_id, cand_len, ref_len
+    """,
+)
+def q214_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import bleu_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    pairs = d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, 20), " ").alias("cand"),
+        F.array_join(
+            F.slice(
+                F.filter(toks, lambda x, i: (i + 1) % 6 != 0), 1, 20
+            ),
+            " ",
+        ).alias("ref"),
+    )
+    return bleu_scores(pairs, "doc_id", "cand", "ref")
+
+
+# ---------------------------------------------------------------------------
+# q215 — Cohen's kappa between the stored `lang` labels and the n-gram
+# lang_id prediction (operators/ml_metrics.cohens_kappa): the
+# chance-corrected agreement gate for the language classifier — raw
+# accuracy is inflated by the en-heavy marginal; kappa subtracts it.
+# Oracle replays q23's lang-id CASE and the marginal-product chance
+# term in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q215_lang_kappa",
+    oracle=f"""
+    WITH t AS (SELECT lang, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    s AS (
+        SELECT lang,
+            len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+            len(list_filter(toks, x -> list_contains(['the','and','of','is','was'], x)))  AS s_en,
+            len(list_filter(toks, x -> list_contains(['el','la','los','las','es'], x)))   AS s_es,
+            len(list_filter(toks, x -> list_contains(['le','la','les','est','et'], x)))   AS s_fr,
+            len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS s_zh
+        FROM t),
+    p AS (
+        SELECT lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS pred
+        FROM s),
+    tot AS (SELECT count(*) AS n,
+                   sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS ag
+            FROM p),
+    ma AS (SELECT lang AS c, count(*) AS na FROM p GROUP BY 1),
+    mb AS (SELECT pred AS c, count(*) AS nb FROM p GROUP BY 1),
+    pe AS (SELECT coalesce(sum(na * 1.0 * nb), 0.0) AS pn
+           FROM ma JOIN mb USING (c))
+    SELECT n, round(ag * 1.0 / n, 6) AS po,
+           round(pn / (n * 1.0 * n), 6) AS pe,
+           round(CASE WHEN pn / (n * 1.0 * n) < 1.0
+                      THEN (ag * 1.0 / n - pn / (n * 1.0 * n))
+                           / (1.0 - pn / (n * 1.0 * n))
+                      ELSE 1.0 END, 6) AS kappa
+    FROM tot, pe
+    """,
+)
+def q215_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import cohens_kappa
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("lang", TX.lang_id(F.col("text")).alias("pred"))
+    return cohens_kappa(scored, "lang", "pred")
+
+
+# ---------------------------------------------------------------------------
+# q216 — readability quality signals (functions/text.
+# readability_signals): Flesch reading ease + Flesch-Kincaid grade per
+# document over deterministically punctuated text (the synthetic docs
+# carry no terminal punctuation, so the query grafts sentence breaks
+# at ' join '/' scan ' and a closing '! The end.', exercising real
+# sentence counts as well as the floor). Regex counts are
+# byte-identical Java/RE2; oracle replays them with
+# regexp_extract_all.
+# ---------------------------------------------------------------------------
+@query(
+    "q216_readability",
+    oracle=r"""
+    WITH d AS (SELECT doc_id,
+                      regexp_replace(text, ' (join|scan) ', '. ', 'g')
+                        || '! The end.' AS raw
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(raw, '\s+'),
+                                      x -> x <> '')) AS DOUBLE) AS w,
+                 CAST(greatest(len(regexp_extract_all(raw, '[.!?]+')),
+                               1) AS DOUBLE) AS s,
+                 CAST(greatest(len(regexp_extract_all(lower(raw),
+                                                      '[aeiouy]+')),
+                               1) AS DOUBLE) AS syl
+          FROM d)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(syl AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (w / s)
+                 - 84.6 * (syl / greatest(w, 1.0)), 4) AS flesch,
+           round(0.39 * (w / s) + 11.8 * (syl / greatest(w, 1.0))
+                 - 15.59, 4) AS fk_grade
+    FROM m
+    """,
+)
+def q216_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.regexp_replace(F.col("text"), r" (join|scan) ", ". "),
+        F.lit("! The end."),
+    )
+    sig = TX.readability_signals(raw)
+    return d.select(
+        "doc_id",
+        sig["n_words"].alias("n_words"),
+        sig["n_sentences"].alias("n_sentences"),
+        sig["n_syllables"].alias("n_syllables"),
+        sig["flesch"].alias("flesch"),
+        sig["fk_grade"].alias("fk_grade"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — A-Priori association rules over order baskets (operators/
+# frequent.association_rules): market-basket curation on TPC-H —
+# basket = order, item = part brand (broadcast dim join), support
+# floor 2.5% of baskets, confidence floor 0.15. The frequent-item
+# catalog broadcasts back as a semi-join BEFORE the pair self-join
+# (the A-Priori prune), so the quadratic blowup is per-basket
+# frequent items only.
+# ---------------------------------------------------------------------------
+@query(
+    "q217_association_rules",
+    oracle="""
+    WITH bi AS (SELECT DISTINCT l_orderkey AS b, p_brand AS i
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+    it AS (SELECT i, count(*) AS c FROM bi GROUP BY i),
+    fi AS (SELECT i, c FROM it, n
+           WHERE c >= ceil(CAST(0.025 AS DOUBLE) * nb)),
+    fb AS (SELECT b, i FROM bi WHERE i IN (SELECT i FROM fi)),
+    p AS (SELECT a.i AS ia, x.i AS ib, count(*) AS pc
+          FROM fb a JOIN fb x ON a.b = x.b AND a.i < x.i
+          GROUP BY 1, 2),
+    r AS (SELECT ia, ib, pc FROM p
+          UNION ALL SELECT ib AS ia, ia AS ib, pc FROM p),
+    j AS (SELECT r.ia, r.ib, r.pc, fa.c AS ca, fc.c AS cc, nb
+          FROM r JOIN fi fa ON fa.i = r.ia
+                 JOIN fi fc ON fc.i = r.ib, n)
+    SELECT ia AS antecedent, ib AS consequent, pc AS pair_n,
+           round(pc * 1.0 / nb, 6) AS support,
+           round(pc * 1.0 / ca, 6) AS confidence,
+           round((pc * 1.0 * nb) / (ca * 1.0 * cc), 6) AS lift
+    FROM j
+    WHERE pc >= ceil(CAST(0.025 AS DOUBLE) * nb)
+      AND pc * 1.0 / ca >= CAST(0.15 AS DOUBLE)
+    """,
+)
+def q217_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.frequent import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(
+        F.broadcast(pt), li["l_partkey"] == pt["p_partkey"]
+    ).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return association_rules(
+        baskets, "basket", "item", min_support=0.025, min_confidence=0.15
+    )
+
+
+# ---------------------------------------------------------------------------
+# q218 — Fellegi–Sunter probabilistic record linkage (operators/
+# linkage.py): nation-blocked customer×supplier candidates, three
+# boolean field comparators, m/u rates Laplace-estimated from a
+# deterministic labeled subset, pairs kept at log-likelihood >= 2.0.
+# The m/u estimation is one aggregate producing a 1-row weights
+# catalog cross-broadcast into the (already blocked) candidates.
+# Oracle replays blocking, smoothing, and the weight CASE sum in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q218_record_linkage",
+    oracle="""
+    WITH cand AS (
+      SELECT c_custkey, s_suppkey,
+             abs(c_acctbal - s_acctbal) < 1000 AS f_bal,
+             c_custkey % 10 = s_suppkey % 10 AS f_dig,
+             c_custkey % 3 = s_suppkey % 3 AS f_mod3
+      FROM customer JOIN supplier ON c_nationkey = s_nationkey),
+    lab AS (
+      SELECT *, (c_custkey % 40) = (s_suppkey % 40) AS is_match
+      FROM cand WHERE c_custkey % 5 < 2),
+    w AS (
+      SELECT
+        sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS nm,
+        sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS nu,
+        sum(CASE WHEN is_match AND f_bal THEN 1 ELSE 0 END) AS bal_m,
+        sum(CASE WHEN NOT is_match AND f_bal THEN 1 ELSE 0 END) AS bal_u,
+        sum(CASE WHEN is_match AND f_dig THEN 1 ELSE 0 END) AS dig_m,
+        sum(CASE WHEN NOT is_match AND f_dig THEN 1 ELSE 0 END) AS dig_u,
+        sum(CASE WHEN is_match AND f_mod3 THEN 1 ELSE 0 END) AS m3_m,
+        sum(CASE WHEN NOT is_match AND f_mod3 THEN 1 ELSE 0 END) AS m3_u
+      FROM lab),
+    s AS (
+      SELECT c_custkey, s_suppkey,
+        round(
+          CASE WHEN f_bal
+               THEN ln(((bal_m+1.0)/(nm+2.0))/((bal_u+1.0)/(nu+2.0)))
+               ELSE ln((1.0-(bal_m+1.0)/(nm+2.0))
+                       /(1.0-(bal_u+1.0)/(nu+2.0))) END
+        + CASE WHEN f_dig
+               THEN ln(((dig_m+1.0)/(nm+2.0))/((dig_u+1.0)/(nu+2.0)))
+               ELSE ln((1.0-(dig_m+1.0)/(nm+2.0))
+                       /(1.0-(dig_u+1.0)/(nu+2.0))) END
+        + CASE WHEN f_mod3
+               THEN ln(((m3_m+1.0)/(nm+2.0))/((m3_u+1.0)/(nu+2.0)))
+               ELSE ln((1.0-(m3_m+1.0)/(nm+2.0))
+                       /(1.0-(m3_u+1.0)/(nu+2.0))) END, 6) AS score
+      FROM cand, w)
+    SELECT c_custkey, s_suppkey, score
+    FROM s WHERE score >= CAST(2.0 AS DOUBLE)
+    """,
+)
+def q218_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.linkage import fellegi_sunter_score
+
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    cand = cu.join(su, cu["c_nationkey"] == su["s_nationkey"]).select(
+        "c_custkey",
+        "s_suppkey",
+        (F.abs(F.col("c_acctbal") - F.col("s_acctbal")) < 1000).alias(
+            "f_bal"
+        ),
+        (F.col("c_custkey") % 10 == F.col("s_suppkey") % 10).alias(
+            "f_dig"
+        ),
+        (F.col("c_custkey") % 3 == F.col("s_suppkey") % 3).alias(
+            "f_mod3"
+        ),
+    )
+    labeled = cand.where(F.col("c_custkey") % 5 < 2).withColumn(
+        "is_match", F.col("c_custkey") % 40 == F.col("s_suppkey") % 40
+    )
+    scored = fellegi_sunter_score(
+        cand, labeled, ["f_bal", "f_dig", "f_mod3"], threshold=2.0
+    )
+    return scored.select("c_custkey", "s_suppkey", "score")
+
+
+# ---------------------------------------------------------------------------
+# q219 — geo-IP style CIDR range join (operators/iprange.range_join):
+# event "IPs" (deterministic LCG of event_id in [0, 2^32)) mapped onto
+# a 100-block interval catalog (4 power-of-two-sized blocks per
+# nation) via the bucket-explode equi-join — the plan a naive
+# BETWEEN join would turn into a BroadcastNestedLoopJoin. Per-block
+# rollup keeps the output compact. Oracle uses the naive BETWEEN join
+# (fine at oracle scale; never the engine plan).
+# ---------------------------------------------------------------------------
+@query(
+    "q219_ip_range_join",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             (event_id * 1103515245 + 12345) % 4294967296 AS ip,
+             value
+      FROM events),
+    blocks AS (
+      SELECT CAST(n_nationkey AS BIGINT) * 4 + j AS block_id,
+             (CAST(n_nationkey AS BIGINT) * 4 + j) * 33554432 AS lo,
+             (CAST(n_nationkey AS BIGINT) * 4 + j) * 33554432
+               + (131072 * power(2, j)::BIGINT) - 1 AS hi
+      FROM nation, unnest([0, 1, 2, 3]) t(j)),
+    m AS (
+      SELECT block_id, ip, value
+      FROM pts JOIN blocks ON ip >= lo AND ip <= hi)
+    SELECT block_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           min(ip) AS min_ip, max(ip) AS max_ip
+    FROM m GROUP BY block_id
+    """,
+)
+def q219_ip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.iprange import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") * 1103515245 + 12345) % F.lit(4294967296))
+        .cast("long")
+        .alias("ip"),
+        "value",
+    )
+    na = load_table(spark, sf_dir, "nation")
+    bid = (F.col("n_nationkey").cast("long") * 4 + F.col("j")).alias(
+        "block_id"
+    )
+    blocks = na.select(
+        "n_nationkey", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    ).select(
+        bid,
+        (bid * F.lit(33554432).cast("long")).alias("lo"),
+        (
+            bid * F.lit(33554432).cast("long")
+            + F.lit(131072) * F.pow(F.lit(2), F.col("j")).cast("long")
+            - 1
+        ).alias("hi"),
+    )
+    joined = range_join(ev, "ip", blocks, "lo", "hi", shift=16)
+    return joined.groupBy("block_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ip").alias("min_ip"),
+        F.max("ip").alias("max_ip"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — 2-D Pareto frontier / skyline data selection (operators/
+# pareto.pareto_frontier_2d): the documents no other document beats on
+# BOTH lexical diversity and length — the non-dominated keep-set when
+# two curation signals trade off. Engine = bucket-local sweep + global
+# sweep over the reduced survivors (windows, no joins); the quadratic
+# NOT EXISTS dominance form survives only as the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q220_pareto_frontier",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1), 6) AS x,
+             CAST(len(toks) AS BIGINT) AS y
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    pts AS (SELECT x, y, count(*) AS n_rows, min(doc_id) AS rep_id
+            FROM m GROUP BY x, y)
+    SELECT x, y, n_rows, rep_id FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+    """,
+)
+def q220_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.pareto import pareto_frontier_2d
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(TX.distinct_token_ratio(F.col("text")), 6).alias("div"),
+        TX.token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    return pareto_frontier_2d(scored, "div", "toks", "doc_id")

@@ -81,3 +81,85 @@ def test_pr_curve_hand_computed(spark):
     assert (out[0.8]["tp"], out[0.8]["fp"], out[0.8]["fn"]) == (1, 0, 2)
     assert out[0.8]["precision"] == 1.0
     assert abs(out[0.8]["recall"] - 1 / 3) < 1e-12
+
+
+def test_cohens_kappa_hand_computed(spark):
+    from cccatalog_spark.operators.ml_metrics import cohens_kappa
+
+    # classic 2x2 example: a=(20 yes, 30 no), b=(25 yes, 25 no),
+    # agreement on 15 yes + 20 no = 35/50
+    rows = (
+        [("y", "y")] * 15 + [("y", "n")] * 5
+        + [("n", "y")] * 10 + [("n", "n")] * 20
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 50
+    assert abs(r["po"] - 0.7) < 1e-9
+    pe = (20 / 50) * (25 / 50) + (30 / 50) * (25 / 50)
+    assert abs(r["pe"] - pe) < 1e-6
+    assert abs(r["kappa"] - (0.7 - pe) / (1 - pe)) < 1e-6
+
+
+def test_cohens_kappa_degenerate_single_class(spark):
+    from cccatalog_spark.operators.ml_metrics import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 1.0 and r["pe"] == 1.0 and r["kappa"] == 1.0
+
+
+def test_cohens_kappa_disjoint_label_sets(spark):
+    from cccatalog_spark.operators.ml_metrics import cohens_kappa
+
+    # no shared class between annotators: pe = 0, po = 0, kappa = 0
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "a string, b string"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 0.0 and r["pe"] == 0.0 and r["kappa"] == 0.0
+
+
+def _bleu_py(cand, ref, max_n=4):
+    from collections import Counter
+    import math
+
+    ct, rt = cand.split(), ref.split()
+    logs = []
+    for n in range(1, max_n + 1):
+        cg = Counter(
+            tuple(ct[i:i + n]) for i in range(len(ct) - n + 1)
+        )
+        rg = Counter(
+            tuple(rt[i:i + n]) for i in range(len(rt) - n + 1)
+        )
+        clip = sum(min(c, rg[g]) for g, c in cg.items())
+        logs.append(math.log((clip + 1) / (sum(cg.values()) + 1)))
+    if not ct:
+        return 0.0
+    bp = math.exp(min(0.0, 1.0 - len(rt) / len(ct)))
+    return bp * math.exp(sum(logs) / max_n)
+
+
+def test_bleu_matches_python_model(spark):
+    from cccatalog_spark.operators.ml_metrics import bleu_scores
+
+    pairs = [
+        (1, "the cat sat on the mat", "the cat sat on the mat"),
+        (2, "the cat the cat on mat", "the cat sat on the mat"),
+        (3, "completely different words here", "the cat sat on the mat"),
+        (4, "short", "the cat sat on the mat"),
+        (5, "", "the cat sat"),
+    ]
+    df = spark.createDataFrame(pairs, "pid long, cand string, ref string")
+    out = {
+        r["pid"]: r for r in bleu_scores(df, "pid", "cand", "ref").collect()
+    }
+    for pid, cand, ref in pairs:
+        assert abs(out[pid]["bleu"] - round(_bleu_py(cand, ref), 6)) < 2e-6, pid
+    assert out[1]["bleu"] == 1.0  # identical -> exactly 1
+    assert out[5]["bleu"] == 0.0  # empty candidate
+    assert out[2]["bleu"] < out[1]["bleu"]
+    # disjoint words score below the clipped-repeat candidate, which
+    # scores below the verbatim one (ordering sanity on the smoothing)
+    assert out[3]["bleu"] < out[2]["bleu"]

@@ -39,3 +39,33 @@ def test_strip_invisibles_removes_zero_width_keeps_layout(spark):
     )
     row = df.select(strip_invisibles(F.col("t")).alias("c")).first()
     assert row["c"] == "abcde\tf\ng"
+
+
+def test_readability_signals_hand_computed(spark):
+    from cccatalog_spark.functions.text import readability_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "no terminal punctuation here"),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["sig"]
+        for r in df.select(
+            "id", readability_signals(F.col("text")).alias("sig")
+        ).collect()
+    }
+    s1 = out[1]
+    # 6 words, 2 sentences; vowel groups: e,a,a,e,o,a = 6 syllables
+    assert s1["n_words"] == 6 and s1["n_sentences"] == 2
+    assert s1["n_syllables"] == 6
+    assert abs(
+        s1["flesch"] - round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 4)
+    ) < 1e-9
+    assert abs(
+        s1["fk_grade"] - round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 4)
+    ) < 1e-9
+    # sentence floor at 1 when no terminal punctuation
+    assert out[2]["n_sentences"] == 1

@@ -89,6 +89,11 @@ SANCTIONED_BNLJ = {
     "frequencies)",
     "q176_shuffle_audit": "1-row source-count scalar broadcast inside "
     "the interleave (q130's sanctioned shape)",
+    "q215_lang_kappa": "1-row contingency-totals x 1-row chance-term scalar cross-broadcast (kappa is one number)",
+    "q217_association_rules": "1-row basket-count scalar broadcast (support floor and lift denominator)",
+    "q218_record_linkage": "1-row Fellegi-Sunter weights catalog cross-broadcast into the blocked candidates",
+    "q221_cuped_experiment": "1-row theta/mean(X) catalog from one global aggregate, cross-broadcast into the per-unit frame",
+    "q222_woe_iv": "1-row min/max bounds, totals, and IV scalars cross-broadcast around a <=n_bins-row contingency",
 }
 
 

@@ -56,6 +56,10 @@ SANCTIONED_GLOBAL_WINDOW = {
     "q117_vocab_coverage", "q118_negative_samples",
     "q130_interleave_shuffle", "q138_pack_windows", "q151_token_shards",
     "q163_auc", "q176_shuffle_audit", "q186_sorted_neighborhood",
+    # skyline phase-2 sweep: the global window's input is the
+    # UNION OF BUCKET-LOCAL FRONTIERS (pareto.py phase 1), never
+    # the corpus; its size is the skyline's own output bound
+    "q220_pareto_frontier",
 }
 
 
