@@ -1,0 +1,59 @@
+"""Luhn-validated payment-card detection — the precision upgrade over
+the bare ``\\d{13,19}`` PII regex (functions/text.pii_counts): random
+digit runs (order ids, timestamps, phone numbers) fail the Luhn
+checksum 90% of the time, so validating candidates cuts false
+positives an order of magnitude before redaction ever edits a
+document.
+
+Pure column algebra end to end (regexp extraction, digit-array
+transforms, one aggregate fold) — whole-stage codegen, and the same
+arithmetic replays in DuckDB list functions for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 13-19 digits allowing single space/dash separators between digits.
+# Written to behave identically under Java regex and RE2.
+CARD_CANDIDATE_RE = r"(?:\d[ -]?){12,18}\d"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """True iff the digit string passes the Luhn checksum: from the
+    RIGHT, double every second digit, subtract 9 from doubles > 9,
+    total must divide by 10. Empty/non-digit input returns false."""
+    ds = F.reverse(F.split(digits, ""))
+    # after split, elements are single chars; filter any strays
+    ds = F.filter(ds, lambda c: (c >= "0") & (c <= "9"))
+    terms = F.transform(
+        ds,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            # doubled digit with 9-wrap: 2d - 9 if 2d > 9 else 2d
+            F.when(
+                c.cast("int") * 2 > 9, c.cast("int") * 2 - 9
+            ).otherwise(c.cast("int") * 2),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, t: acc + t)
+    return (F.size(ds) > 0) & (total % 10 == 0)
+
+
+def card_candidates(text: Column) -> Column:
+    """Array of normalized (digits-only) card-number candidates found
+    in the text; validate each with :func:`luhn_valid`."""
+    raw = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RE), F.lit(0))
+    return F.transform(raw, lambda s: F.regexp_replace(s, r"[ -]", ""))
+
+
+def card_counts(text: Column) -> Column:
+    """Struct ``(n_candidates, n_valid)``: digit runs that look like
+    cards vs runs that pass Luhn — the redaction decision input."""
+    cands = card_candidates(text)
+    valid = F.filter(cands, luhn_valid)
+    return F.struct(
+        F.size(cands).alias("n_candidates"),
+        F.size(valid).alias("n_valid"),
+    )

@@ -11609,3 +11609,175 @@ def q220_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(F.col("text")).cast("long").alias("toks"),
     )
     return pareto_frontier_2d(scored, "div", "toks", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q221 — CUPED variance-reduced A/B readout (operators/experiments.
+# cuped_readout, Deng et al. WSDM'13): users split by parity into
+# control/treatment, pre-period metric (first week of events) as the
+# covariate, experiment-period metric adjusted by the pooled
+# theta = cov(X,Y)/var(X). Oracle replays covar_pop/var_pop and the
+# adjustment in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q221_cuped_experiment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'control'
+                  ELSE 'treatment' END AS variant,
+             sum(CASE WHEN ts < TIMESTAMP '2024-01-08'
+                      THEN value ELSE 0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                      THEN value ELSE 0 END) AS y
+      FROM events GROUP BY 1),
+    s AS (SELECT CASE WHEN var_pop(x) > 0
+                      THEN covar_pop(x, y) / var_pop(x)
+                      ELSE 0.0 END AS th,
+                 avg(x) AS mx FROM u)
+    SELECT variant, count(*) AS n_units,
+           round(avg(y), 6) AS mean_raw,
+           round(avg(y - th * (x - mx)), 6) AS mean_cuped,
+           round(var_pop(y), 6) AS var_raw,
+           round(var_pop(y - th * (x - mx)), 6) AS var_cuped,
+           round(CASE WHEN var_pop(y) > 0
+                      THEN 1.0 - var_pop(y - th * (x - mx)) / var_pop(y)
+                      ELSE 0.0 END, 6) AS var_reduction
+    FROM u, s GROUP BY variant
+    """,
+)
+def q221_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import cuped_readout
+
+    e = load_table(spark, sf_dir, "events")
+    pre = F.col("ts").cast("timestamp") < F.lit(
+        "2024-01-08 00:00:00"
+    ).cast("timestamp")
+    units = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, F.col("value")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(~pre, F.col("value")).otherwise(0.0)).alias("y"),
+        )
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("control"))
+            .otherwise(F.lit("treatment"))
+            .alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    return cuped_readout(units, "variant", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# q222 — weight-of-evidence / information-value feature screen
+# (operators/woe.woe_iv): does raw document length separate English
+# from non-English? Equal-width bins over n_chars, add-one smoothed
+# per-bin WOE, total IV on every row. Oracle replays bounds, binning,
+# smoothing, and the IV sum in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q222_woe_iv",
+    oracle="""
+    WITH m AS (SELECT CAST(n_chars AS DOUBLE) AS x, lang = 'en' AS y
+               FROM documents),
+    b AS (SELECT min(x) AS lo, max(x) AS hi FROM m),
+    binned AS (
+      SELECT least(CAST(floor((x - lo) / ((hi - lo) / 8)) AS INT), 7)
+               AS bin,
+             y, lo, hi
+      FROM m, b),
+    pb AS (SELECT bin, lo, hi, count(*) AS n,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_pos,
+                  CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_neg
+           FROM binned GROUP BY 1, 2, 3),
+    t AS (SELECT sum(n_pos) AS tp, sum(n_neg) AS tn FROM pb),
+    sc AS (SELECT bin,
+                  round(lo + bin * ((hi - lo) / 8), 6) AS lo,
+                  round(lo + (bin + 1) * ((hi - lo) / 8), 6) AS hi,
+                  n, n_pos, n_neg,
+                  round(ln(((n_pos + 1.0) / (tp + 8))
+                           / ((n_neg + 1.0) / (tn + 8))), 6) AS woe,
+                  ((n_pos + 1.0) / (tp + 8) - (n_neg + 1.0) / (tn + 8))
+                    * ln(((n_pos + 1.0) / (tp + 8))
+                         / ((n_neg + 1.0) / (tn + 8))) AS ivt
+           FROM pb, t),
+    iv AS (SELECT round(sum(ivt), 6) AS iv FROM sc)
+    SELECT bin, lo, hi, n, n_pos, n_neg, woe, iv FROM sc, iv
+    """,
+)
+def q222_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.woe import woe_iv
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"), (F.col("lang") == "en").alias("y")
+    )
+    return woe_iv(d, "x", "y", n_bins=8)
+
+
+# ---------------------------------------------------------------------------
+# q223 — winnowing fingerprint pairs (operators/winnow.py, Schleimer
+# et al. SIGMOD'03): docs sharing >= 2 selected k-gram fingerprints,
+# with a shared quote grafted onto every 10th doc so local-similarity
+# detection has real positives. The rightmost-min-per-window selection
+# is pure array algebra, so the oracle replays it with
+# list_transform/list_slice/list_position on the reversed slice.
+# ---------------------------------------------------------------------------
+@query(
+    "q223_winnow_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+            CASE WHEN doc_id % 10 = 0
+                 THEN text || ' the quick brown fox jumps over the lazy dog'
+                 ELSE text END AS text FROM documents),
+    tok AS (SELECT doc_id, {{toks}} AS toks FROM t),
+    g AS (SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 4, 0) + 2),
+                          i -> md5(array_to_string(
+                                 list_slice(toks, i, i + 3), ' '))) AS gr
+          FROM tok),
+    pz AS (SELECT doc_id, gr, least(5, len(gr)) AS wl,
+                  greatest(len(gr) - 5 + 1, 1) AS nw
+           FROM g WHERE len(gr) > 0),
+    sel AS (SELECT doc_id, gr,
+             list_distinct(list_transform(range(1, nw + 1),
+               q -> q + wl - list_position(
+                      list_reverse(list_slice(gr, q, q + wl - 1)),
+                      list_min(list_slice(gr, q, q + wl - 1))))) AS pos
+            FROM pz),
+    fp AS (SELECT DISTINCT doc_id, gr[p] AS fp
+           FROM sel, unnest(pos) u(p)),
+    rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+    fr AS (SELECT doc_id, fp FROM fp WHERE fp IN (SELECT fp FROM rare))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS shared
+    FROM fr a JOIN fr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """.replace("{toks}", _TOKS),
+)
+def q223_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.winnow import (
+        shared_fingerprint_pairs,
+        winnow_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    grafted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" the quick brown fox jumps over the lazy dog"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    fps = winnow_fingerprints(grafted, "text", "doc_id", k=4, w=5)
+    return shared_fingerprint_pairs(
+        fps, "doc_id", min_shared=2, max_doc_freq=50
+    )
