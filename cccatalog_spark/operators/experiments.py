@@ -43,6 +43,9 @@ def cuped_readout(
     var(X) = 0)."""
     x = F.col(pre_col).cast("double")
     y = F.col(metric_col).cast("double")
+    # scanned twice (theta estimation, then adjustment): persist so
+    # whatever aggregation built the per-unit frame runs once
+    units = units.persist()
     stats = units.agg(
         F.covar_pop(x, y).alias("_cov"),
         F.var_pop(x).alias("_varx"),

@@ -119,9 +119,11 @@ def association_rules(
     are broadcasts of the same bounded catalog. No all-pairs join ever
     touches infrequent items.
     """
+    # consumed by the basket count, the item supports, and the
+    # candidate semi-join: persist or the distinct recomputes 3x
     pairs_base = df.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
+    ).distinct().persist()
     n_baskets = pairs_base.agg(
         F.countDistinct("_b").alias("_n")
     )
@@ -133,9 +135,11 @@ def association_rules(
         .select("_i", "item_n", "_n")
     )
     # A-Priori prune: only frequent items can appear in a frequent pair
+    # both pair-join sides scan this: persist to evaluate the
+    # semi-join once
     frequent = pairs_base.join(
         F.broadcast(item_n.select("_i")), "_i", "left_semi"
-    )
+    ).persist()
     a = frequent.select("_b", F.col("_i").alias("_ia"))
     b = frequent.select("_b", F.col("_i").alias("_ib"))
     pair_n = (

@@ -292,11 +292,13 @@ def bleu_scores(
     """
     from cccatalog_spark.functions.text import tokens
 
+    # three consumers (cand grams, ref grams, the (id, n) grid):
+    # persist so tokenization runs once
     base = df.select(
         F.col(id_col).alias("_id"),
         tokens(F.col(cand_col)).alias("_ct"),
         tokens(F.col(ref_col)).alias("_rt"),
-    )
+    ).persist()
 
     def _gram_counts(tok_col: str, out: str) -> DataFrame:
         g = base.select(

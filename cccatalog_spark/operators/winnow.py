@@ -108,7 +108,9 @@ def shared_fingerprint_pairs(
     in more than ``max_doc_freq`` documents are dropped first (the
     boilerplate guard every inverted-index joiner in this repo uses —
     a ubiquitous fingerprint pairs everything with everything)."""
-    post = fps.select(F.col(id_col).alias("_id"), "fp").distinct()
+    # consumed by the frequency count, and twice as join sides:
+    # persist or the winnowing selection recomputes per consumer
+    post = fps.select(F.col(id_col).alias("_id"), "fp").distinct().persist()
     rare = (
         post.groupBy("fp")
         .agg(F.count("*").alias("_df"))

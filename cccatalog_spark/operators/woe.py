@@ -56,11 +56,13 @@ def woe_iv(
         "_lo",
         "_hi",
     )
+    # <= n_bins rows but consumed twice (totals, scoring): persist
+    # so the corpus contingency scan runs once
     per_bin = b.groupBy("bin", "_lo", "_hi").agg(
         F.count("*").alias("n"),
         F.sum(F.col("_y").cast("long")).alias("n_pos"),
         F.sum((~F.col("_y")).cast("long")).alias("n_neg"),
-    )
+    ).persist()
     totals = per_bin.groupBy().agg(
         F.sum("n_pos").alias("_tp"), F.sum("n_neg").alias("_tn")
     )

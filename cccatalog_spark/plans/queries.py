@@ -11781,3 +11781,126 @@ def q223_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_fingerprint_pairs(
         fps, "doc_id", min_shared=2, max_doc_freq=50
     )
+
+
+# ---------------------------------------------------------------------------
+# q224 — grid-bucketed spatial radius join (operators/geo.radius_join):
+# customers to suppliers within 10 km over synthetic coordinates
+# derived from the keys — the geo-enrichment shape (points × interval
+# catalog in 2-D) that a naive haversine filter turns into a cross
+# join. 3x3 neighbor-cell explode + cell equi-join + exact refilter;
+# oracle is the naive cross join (fine at oracle scale, never the
+# engine plan).
+# ---------------------------------------------------------------------------
+@query(
+    "q224_geo_radius_join",
+    oracle="""
+    WITH c AS (SELECT c_custkey,
+                      45.0 + (c_custkey % 100) / 50.0 AS lat,
+                      8.0 + (c_custkey % 37) / 18.5 AS lon
+               FROM customer),
+    s AS (SELECT s_suppkey,
+                 45.0 + (s_suppkey % 100) / 50.0 + 0.003 AS slat,
+                 8.0 + (s_suppkey % 37) / 18.5 + 0.003 AS slon
+          FROM supplier)
+    SELECT c_custkey, s_suppkey,
+           round(2 * 6371.0 * asin(sqrt(
+             sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+             + cos(radians(lat)) * cos(radians(slat))
+               * sin(radians(slon - lon) / 2)
+               * sin(radians(slon - lon) / 2))), 6) AS dist_km
+    FROM c, s
+    WHERE round(2 * 6371.0 * asin(sqrt(
+             sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+             + cos(radians(lat)) * cos(radians(slat))
+               * sin(radians(slon - lon) / 2)
+               * sin(radians(slon - lon) / 2))), 6) <= 10.0
+    """,
+)
+def q224_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.geo import radius_join
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (45.0 + (F.col("c_custkey") % 100) / 50.0).alias("lat"),
+        (8.0 + (F.col("c_custkey") % 37) / 18.5).alias("lon"),
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (45.0 + (F.col("s_suppkey") % 100) / 50.0 + 0.003).alias("slat"),
+        (8.0 + (F.col("s_suppkey") % 37) / 18.5 + 0.003).alias("slon"),
+    )
+    out = radius_join(
+        cu, su, 10.0,
+        lat_cols=("lat", "slat"), lon_cols=("lon", "slon"),
+        max_abs_lat=48.0,
+    )
+    return out.select("c_custkey", "s_suppkey", "dist_km")
+
+
+# ---------------------------------------------------------------------------
+# q225 — Luhn-validated payment-card PII (functions/luhn.card_counts):
+# grafted valid/invalid/order-number digit runs per doc; candidates
+# counted vs checksum-passing — the precision layer over the bare
+# digit-run regex in pii_counts. Oracle replays the checksum with
+# list_transform over 1-based right-to-left positions.
+# ---------------------------------------------------------------------------
+@query(
+    "q225_luhn_pii",
+    oracle=r"""
+    WITH t AS (SELECT doc_id,
+        text || CASE WHEN doc_id % 4 = 0
+                     THEN ' card 4539 5787 6362 1486 on file'
+                     WHEN doc_id % 4 = 1
+                     THEN ' card 4539-5787-6362-1487 on file'
+                     WHEN doc_id % 4 = 2
+                     THEN ' order 1234567890123 shipped'
+                     ELSE '' END AS raw
+        FROM documents),
+    c AS (SELECT doc_id,
+                 list_transform(
+                   regexp_extract_all(raw, '(?:\d[ -]?){12,18}\d'),
+                   s -> regexp_replace(s, '[ -]', '', 'g')) AS cands
+          FROM t),
+    v AS (SELECT doc_id, cands,
+                 list_filter(cands, s ->
+                   len(s) > 0 AND
+                   list_sum(list_transform(range(1, len(s) + 1), i ->
+                     CASE WHEN i % 2 = 0 THEN
+                       CASE WHEN CAST(s[len(s) - i + 1] AS INT) * 2 > 9
+                            THEN CAST(s[len(s) - i + 1] AS INT) * 2 - 9
+                            ELSE CAST(s[len(s) - i + 1] AS INT) * 2 END
+                     ELSE CAST(s[len(s) - i + 1] AS INT) END)) % 10 = 0
+                 ) AS valid
+          FROM c)
+    SELECT doc_id, CAST(len(cands) AS INT) AS n_candidates,
+           CAST(len(valid) AS INT) AS n_valid
+    FROM v
+    """,
+)
+def q225_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.luhn import card_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(" card 4539 5787 6362 1486 on file"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit(" card 4539-5787-6362-1487 on file"),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit(" order 1234567890123 shipped"),
+        )
+        .otherwise(F.lit("")),
+    )
+    c = card_counts(raw)
+    return d.select(
+        "doc_id",
+        c["n_candidates"].alias("n_candidates"),
+        c["n_valid"].alias("n_valid"),
+    )
