@@ -42,18 +42,20 @@ def range_join(
     ``start <= point <= end`` (closed bounds) via bucket explode +
     equi-join + exact refilter. ``how='left'`` keeps unmatched points
     with null interval columns."""
-    b = F.lit(2**shift).cast("long")
+    # arithmetic right shift = exact floor division by 2^shift: no
+    # double-precision loss past 2^53, and correct (floor, not
+    # truncate-toward-zero) bucketing for negative domains
     iv = intervals.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                (F.col(start_col).cast("long") / b).cast("long"),
-                (F.col(end_col).cast("long") / b).cast("long"),
+                F.shiftright(F.col(start_col).cast("long"), shift),
+                F.shiftright(F.col(end_col).cast("long"), shift),
             )
         ),
     )
     pt = points.withColumn(
-        "_bkt", (F.col(point_col).cast("long") / b).cast("long")
+        "_bkt", F.shiftright(F.col(point_col).cast("long"), shift)
     )
     cond = (
         (pt["_bkt"] == iv["_bkt"])

@@ -11904,3 +11904,112 @@ def q225_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["n_candidates"].alias("n_candidates"),
         c["n_valid"].alias("n_valid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q226 — mutual information between metadata fields (operators/
+# dependence.mutual_information): are lang and source entangled?
+# (stratified sampling, leakage, and scraper-bug screen). One
+# contingency aggregate; marginals and entropies derive from the
+# |cells|-row frame. Oracle replays the ML plug-in estimator in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q226_mutual_information",
+    oracle="""
+    WITH c AS (SELECT lang AS x, source AS y, count(*) AS c
+               FROM documents GROUP BY 1, 2),
+    t AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM c),
+    mx AS (SELECT x, sum(c) AS cx FROM c GROUP BY 1),
+    my AS (SELECT y, sum(c) AS cy FROM c GROUP BY 1),
+    mi AS (SELECT round(sum((c.c / n) * ln((c.c / n)
+                        / ((cx / n) * (cy / n)))), 6) AS mi,
+                  sum((c.c / n) * ln((c.c / n)
+                        / ((cx / n) * (cy / n)))) AS mi_raw
+           FROM c JOIN mx USING (x) JOIN my USING (y), t),
+    hx AS (SELECT -sum((cx / n) * ln(cx / n)) AS hx FROM mx, t),
+    hy AS (SELECT -sum((cy / n) * ln(cy / n)) AS hy FROM my, t)
+    SELECT CAST(n AS BIGINT) AS n, mi,
+           round(hx, 6) AS hx, round(hy, 6) AS hy,
+           round(CASE WHEN sqrt(hx * hy) > 0
+                      THEN mi_raw / sqrt(hx * hy) ELSE 0.0 END, 6)
+             AS nmi
+    FROM t, mi, hx, hy
+    """,
+)
+def q226_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dependence import mutual_information
+
+    d = load_table(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# q227 — Benford's-law first-digit audit (operators/dependence.
+# benford_audit) over order totals: the no-labels-needed "do these
+# numbers look organic?" screen (TPC-H's uniform totals fail loudly —
+# exactly what the audit exists to flag). Leading digit comes from the
+# integer-cents string, immune to floor(log10) float boundaries and
+# to cross-engine float formatting.
+# ---------------------------------------------------------------------------
+@query(
+    "q227_benford_audit",
+    oracle="""
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+               FROM orders WHERE round(o_totalprice * 100) > 0),
+    d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+                 count(*) AS n
+          FROM v GROUP BY 1),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM d),
+    s AS (SELECT digit, n, n / tt AS share,
+                 log10(1.0 + 1.0 / digit) AS expected, tt
+          FROM d, t),
+    chi AS (SELECT sum((n - expected * tt) * (n - expected * tt)
+                       / (expected * tt)) AS chisq
+            FROM s)
+    SELECT digit, n, round(share, 6) AS share,
+           round(expected, 6) AS expected,
+           round(chisq, 6) AS chisq
+    FROM s, chi
+    """,
+)
+def q227_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dependence import benford_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice", scale=100)
+
+
+# ---------------------------------------------------------------------------
+# q228 — c-TF-IDF group labeling (operators/ctfidf.
+# class_tfidf_top_terms, BERTopic's class-based TF-IDF): the top-5
+# characteristic terms per source — the human-readable label printed
+# next to every cluster id. Oracle replays tf, df_classes, the
+# average-mass constant, and the per-class top-k window in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q228_class_tfidf",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source AS cls, t.term, count(*) AS tf
+      FROM (SELECT source, {_TOKS} AS toks FROM documents),
+           unnest(toks) AS t(term)
+      GROUP BY 1, 2),
+    dfc AS (SELECT term, count(*) AS df_classes FROM tf GROUP BY 1),
+    am AS (SELECT avg(m) AS a
+           FROM (SELECT cls, sum(tf) AS m FROM tf GROUP BY 1)),
+    sc AS (SELECT cls, tf.term, tf, df_classes,
+                  round(tf * ln(1.0 + a / df_classes), 6) AS score
+           FROM tf JOIN dfc ON tf.term = dfc.term, am),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY cls ORDER BY score DESC, term ASC) AS rank
+          FROM sc)
+    SELECT cls AS source, term, tf, df_classes, score,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def q228_class_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ctfidf import class_tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return class_tfidf_top_terms(d, "source", "text", k=5)

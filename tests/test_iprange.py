@@ -53,3 +53,18 @@ def test_range_join_left_keeps_unmatched(spark):
     by_pid = {r["pid"]: r["block"] for r in out.collect()}
     assert by_pid[1] == "a" and by_pid[4] is None
     assert len(by_pid) == 5
+
+
+def test_range_join_negative_domain(spark):
+    # floor (not truncate-toward-zero) bucketing: a point at -1 and an
+    # interval [-100, -1] must meet even though they straddle bucket 0
+    pts = spark.createDataFrame(
+        [(1, -1), (2, -70000), (3, 5)], "pid long, ip long"
+    )
+    iv = spark.createDataFrame(
+        [("neg", -100, -1), ("span", -70000, 10)],
+        "block string, lo long, hi long",
+    )
+    out = range_join(pts, "ip", iv, "lo", "hi", shift=16)
+    got = sorted((r["pid"], r["block"]) for r in out.collect())
+    assert got == [(1, "neg"), (1, "span"), (2, "span"), (3, "span")]

@@ -94,6 +94,9 @@ SANCTIONED_BNLJ = {
     "q218_record_linkage": "1-row Fellegi-Sunter weights catalog cross-broadcast into the blocked candidates",
     "q221_cuped_experiment": "1-row theta/mean(X) catalog from one global aggregate, cross-broadcast into the per-unit frame",
     "q222_woe_iv": "1-row min/max bounds, totals, and IV scalars cross-broadcast around a <=n_bins-row contingency",
+    "q226_mutual_information": "1-row total/entropy scalars cross-broadcast around the |cells|-row contingency",
+    "q227_benford_audit": "1-row total and chi-square scalars cross-broadcast around the 9-row digit frame",
+    "q228_class_tfidf": "1-row average-class-mass scalar broadcast into the (class, term) counts",
 }
 
 
