@@ -15,9 +15,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 13-19 digits allowing single space/dash separators between digits.
-# Written to behave identically under Java regex and RE2.
-CARD_CANDIDATE_RE = r"(?:\d[ -]?){12,18}\d"
+# 13+ digits allowing single space/dash separators between digits.
+# Deliberately UNBOUNDED above: greedy maximal-munch consumes an
+# entire digit run, so a 25-digit order id becomes ONE over-long
+# candidate (dropped by the 13-19 length gate in card_candidates)
+# instead of a 19-digit prefix that could pass Luhn by chance (~10%).
+# This is the lookaround-free digit-boundary guard — RE2 (DuckDB
+# oracle) has no lookbehind, but leftmost-greedy matching is
+# identical under Java regex and RE2.
+CARD_CANDIDATE_RE = r"(?:\d[ -]?){12,}\d"
 
 
 def luhn_valid(digits: Column) -> Column:
@@ -43,9 +49,15 @@ def luhn_valid(digits: Column) -> Column:
 
 def card_candidates(text: Column) -> Column:
     """Array of normalized (digits-only) card-number candidates found
-    in the text; validate each with :func:`luhn_valid`."""
+    in the text; validate each with :func:`luhn_valid`. A candidate
+    is a MAXIMAL separator-allowed digit run normalizing to 13-19
+    digits — longer runs (concatenated ids, timestamps) are rejected
+    whole rather than prefix-scored."""
     raw = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE_RE), F.lit(0))
-    return F.transform(raw, lambda s: F.regexp_replace(s, r"[ -]", ""))
+    norm = F.transform(raw, lambda s: F.regexp_replace(s, r"[ -]", ""))
+    return F.filter(
+        norm, lambda s: (F.length(s) >= 13) & (F.length(s) <= 19)
+    )
 
 
 def card_counts(text: Column) -> Column:

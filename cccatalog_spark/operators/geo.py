@@ -55,7 +55,9 @@ def radius_join(
     ``radius_km`` great-circle km, adding ``dist_km`` (rounded to 6).
     Input columns must not collide (alias before calling). Data must
     satisfy ``|lat| <= max_abs_lat`` (cells degenerate at the poles);
-    radius must stay under one latitude degree (~111 km).
+    radius must stay under one latitude degree (~111 km). Longitude
+    cell indices wrap modulo the cell count, so neighborhoods that
+    straddle the ±180° antimeridian join correctly.
     """
     if radius_km >= 110.0:
         raise ValueError("radius_join supports radius < 110 km")
@@ -64,13 +66,24 @@ def radius_join(
     lon_deg = radius_km / (
         111.0 * math.cos(math.radians(min(max_abs_lat, 89.0)))
     )
+    # Longitude cells tile the full circle and the index WRAPS, so
+    # pairs straddling the ±180° antimeridian land in adjacent cells
+    # mod n_lon instead of being silently dropped. floor (not ceil)
+    # keeps each cell >= lon_deg wide, preserving the same-or-adjacent
+    # guarantee; radius < 110 km and |lat| <= 89° bound lon_deg below
+    # ~57°, so n_lon >= 6 and the ±1 neighbor offsets stay distinct
+    # mod n_lon (no duplicate candidate cells).
+    n_lon = max(int(360.0 // lon_deg), 1)
+    lon_w = 360.0 / n_lon
     llat, rlat = lat_cols
     llon, rlon = lon_cols
 
     def cell(lat: Column, lon: Column) -> tuple[Column, Column]:
         return (
             F.floor(lat / F.lit(lat_deg)).cast("long"),
-            F.floor(lon / F.lit(lon_deg)).cast("long"),
+            F.pmod(
+                F.floor((lon + F.lit(180.0)) / F.lit(lon_w)), F.lit(n_lon)
+            ).cast("long"),
         )
 
     r_i, r_j = cell(F.col(rlat), F.col(rlon))
@@ -85,7 +98,7 @@ def radius_join(
         .select(
             *left.columns,
             (F.col("_i0") + F.col("_di")).alias("_ci"),
-            (F.col("_j0") + F.col("_dj")).alias("_cj"),
+            F.pmod(F.col("_j0") + F.col("_dj"), F.lit(n_lon)).alias("_cj"),
         )
     )
     d = haversine_km(

@@ -24,7 +24,7 @@ nothing else.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cccatalog_spark.operators.dedup import _truncate_lineage
@@ -392,14 +392,17 @@ def label_propagation(
             labels, e["v"] == labels["node"]
         ).select("u", "label")
         counts = msgs.groupBy("u", "label").agg(F.count("*").alias("c"))
+        # per-node argmax with min-label tie-break, type-agnostic:
+        # rank (desc count, asc label) and keep rank 1 — works for
+        # string node ids too (an arithmetic -label negation would
+        # throw CAST_INVALID_INPUT under ANSI mode on strings)
+        win = Window.partitionBy("u").orderBy(
+            F.desc("c"), F.asc("label")
+        )
         labels = _truncate_lineage(
-            counts.groupBy("u").agg(
-                # lexicographic struct max: highest count first, then
-                # highest -label == smallest label (min tie-break)
-                F.max_by(
-                    "label", F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("label")
-            ).select(F.col("u").alias("node"), "label")
+            counts.withColumn("_rn", F.row_number().over(win))
+            .where(F.col("_rn") == 1)
+            .select(F.col("u").alias("node"), "label")
         )
     return labels
 
@@ -440,12 +443,8 @@ def k_truss(
         .distinct()
         .persist()
     )
-    n_prev = e.count()
-    empty = e.limit(0).withColumn("support", F.lit(0).cast("long"))
-    for _ in range(max_rounds):
-        if n_prev == 0:
-            return empty
-        ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    def _support(es: DataFrame) -> DataFrame:
+        ab, bc, ac = es.alias("ab"), es.alias("bc"), es.alias("ac")
         tri = (
             ab.join(bc, F.col("ab.v") == F.col("bc.u"))
             .join(
@@ -459,13 +458,20 @@ def k_truss(
                 F.col("bc.v").alias("c"),
             )
         )
-        supp = (
+        return (
             tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
             .unionAll(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
             .unionAll(tri.select(F.col("a").alias("u"), F.col("c").alias("v")))
             .groupBy("u", "v")
             .agg(F.count("*").alias("support"))
         )
+
+    n_prev = e.count()
+    empty = e.limit(0).withColumn("support", F.lit(0).cast("long"))
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            return empty
+        supp = _support(e)
         # inner join: edges in zero triangles have no supp row and are
         # dropped with the below-threshold ones
         kept = e.join(supp, ["u", "v"]).where(
@@ -478,8 +484,14 @@ def k_truss(
             # exactly the surviving edge set — it IS the truss support
             return nxt
         e, n_prev = nxt.select("u", "v").persist(), n_next
+    # max_rounds exhausted without a fixed point: recompute support on
+    # the FINAL pruned edge set (one extra triangle enumeration) so
+    # the reported support honors the "measured within the truss"
+    # contract instead of overcounting triangles through edges removed
+    # in the last prune
+    final = _support(e)
     return e.join(
-        supp.withColumnRenamed("support", "s"), ["u", "v"], "left"
+        final.withColumnRenamed("support", "s"), ["u", "v"], "left"
     ).select("u", "v", F.coalesce("s", F.lit(0)).cast("long").alias("support"))
 
 

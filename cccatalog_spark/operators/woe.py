@@ -34,8 +34,12 @@ def woe_iv(
     """Per-bin WOE table with the feature's total IV on every row:
     ``(bin, lo, hi, n, n_pos, n_neg, woe, iv)``. ``label_col`` must be
     boolean-like; bins are equal-width over [min, max] with the max
-    value folded into the last bin."""
+    value folded into the last bin. Rows with a null feature are
+    excluded up front (they carry no bin information; without the
+    filter ``least`` would silently route them to the last bin,
+    inconsistently with the null-skipping min/max bounds)."""
     x = F.col(feature_col).cast("double")
+    df = df.where(x.isNotNull())
     bounds = df.agg(
         F.min(x).alias("_lo"), F.max(x).alias("_hi")
     )

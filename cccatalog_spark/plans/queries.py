@@ -11681,7 +11681,7 @@ def q221_cuped_experiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q222_woe_iv",
     oracle="""
     WITH m AS (SELECT CAST(n_chars AS DOUBLE) AS x, lang = 'en' AS y
-               FROM documents),
+               FROM documents WHERE n_chars IS NOT NULL),
     b AS (SELECT min(x) AS lo, max(x) AS hi FROM m),
     binned AS (
       SELECT least(CAST(floor((x - lo) / ((hi - lo) / 8)) AS INT), 7)
@@ -11858,9 +11858,10 @@ def q224_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE '' END AS raw
         FROM documents),
     c AS (SELECT doc_id,
-                 list_transform(
-                   regexp_extract_all(raw, '(?:\d[ -]?){12,18}\d'),
-                   s -> regexp_replace(s, '[ -]', '', 'g')) AS cands
+                 list_filter(list_transform(
+                   regexp_extract_all(raw, '(?:\d[ -]?){12,}\d'),
+                   s -> regexp_replace(s, '[ -]', '', 'g')),
+                   s -> len(s) BETWEEN 13 AND 19) AS cands
           FROM t),
     v AS (SELECT doc_id, cands,
                  list_filter(cands, s ->

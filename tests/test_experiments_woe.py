@@ -77,3 +77,19 @@ def test_woe_iv_uninformative_feature_near_zero(spark):
     df = spark.createDataFrame(rows, "x double, y boolean")
     ivs = {r["iv"] for r in woe_iv(df, "x", "y", n_bins=5).collect()}
     assert len(ivs) == 1 and abs(ivs.pop()) < 0.01
+
+
+def test_woe_iv_null_features_routed_out(spark):
+    # null feature rows are excluded up front — they must not land in
+    # the last bin (the old F.least(floor(null/width), n-1) resolved
+    # nulls to bin n-1)
+    rows = [(float(i), i % 2 == 0) for i in range(40)]
+    clean = spark.createDataFrame(rows, "x double, y boolean")
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(None, True)] * 7, "x double, y boolean"
+        )
+    )
+    a = sorted(map(tuple, woe_iv(clean, "x", "y", n_bins=4).collect()))
+    b = sorted(map(tuple, woe_iv(dirty, "x", "y", n_bins=4).collect()))
+    assert a == b

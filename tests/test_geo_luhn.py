@@ -89,3 +89,42 @@ def test_card_counts_candidates_vs_valid(spark):
     # three 13-19 digit runs found; only the first passes Luhn
     assert r["n_candidates"] == 3
     assert r["n_valid"] == 1
+
+
+def test_radius_join_antimeridian_candidates_meet(spark):
+    # candidate-generation check without the distance filter: the two
+    # seam-adjacent points must share a (lat, lon) cell neighborhood
+    from cccatalog_spark.operators.geo import radius_join as rj
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 179.999)], "lid long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [(2, 10.0, -179.999)], "rid long, rlat double, rlon double"
+    )
+    out = rj(
+        left, right, 50.0, lat_cols=("lat", "rlat"), lon_cols=("lon", "rlon")
+    )
+    # 0.002° of longitude at lat 10 is ~0.22 km — well inside 50 km;
+    # pre-fix the pair was silently dropped (cells -1800.. vs +1799..)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["dist_km"] < 1.0
+
+
+def test_card_counts_long_run_not_prefix_scored(spark):
+    # a 25-digit run whose 19-digit prefix happens to pass Luhn must
+    # NOT be counted: maximal-munch + the 13-19 length gate rejects
+    # the whole run instead of scoring a prefix
+    prefix19 = "4539578763621486016"  # Luhn-valid 19-digit number
+    long_run = prefix19 + "999999"    # 25 digits
+    df = spark.createDataFrame(
+        [(1, f"ref {long_run} end"), (2, f"pay {prefix19} now")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: r["c"]
+        for r in df.select("id", card_counts(F.col("text")).alias("c"))
+        .collect()
+    }
+    assert out[1]["n_candidates"] == 0 and out[1]["n_valid"] == 0
+    assert out[2]["n_candidates"] == 1 and out[2]["n_valid"] == 1

@@ -230,3 +230,37 @@ def test_personalized_pagerank_all_seeds_equals_pagerank(spark):
     }
     for n in pr:
         assert abs(pr[n] - ppr[n]) < 1e-12, n
+
+
+def test_label_propagation_string_ids_min_label_tiebreak(spark):
+    from cccatalog_spark.operators.graph import label_propagation
+
+    # string node ids exercise the type-agnostic tie-break (the old
+    # arithmetic -label negation threw CAST_INVALID_INPUT under ANSI)
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("b", "a")], "u string, v string"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_k_truss_exhausted_fallback_support_within_truss(spark):
+    from cccatalog_spark.operators.graph import k_truss
+
+    # K4 {1,2,3,4} + triangle (1,2,5) hanging off edge (1,2). k=4:
+    # round 1 prunes (1,5),(2,5). With max_rounds=1 the loop exits
+    # un-converged; the fallback must recompute support on the FINAL
+    # edge set — edge (1,2) has support 2 within K4, not the pre-prune
+    # 3 (which counted triangle 125 through removed edges).
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    edges = spark.createDataFrame(
+        k4 + [(1, 5), (2, 5)], "u long, v long"
+    )
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in k_truss(edges, 4, max_rounds=1).collect()
+    }
+    assert got == {(u, v): 2 for u, v in k4}
