@@ -359,3 +359,57 @@ def readability_signals(text: Column) -> Column:
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch"),
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
     )
+
+
+# Unicode scripts the mix screen distinguishes, in fixed priority
+# order (first wins dominant-script ties). Java regex (Spark) uses
+# \p{IsXxx} block/script names; RE2 (DuckDB oracle) uses \p{Xxx} —
+# the map keeps both spellings paired so engine and oracle stay
+# byte-equivalent in intent.
+SCRIPTS: list[tuple[str, str, str]] = [
+    ("latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+]
+
+
+def script_profile(text: Column) -> Column:
+    """Per-document Unicode script histogram + dominance — the
+    encoding/mojibake screen that catches double-encoded pages,
+    transliteration mixes, and wrong-charset scrapes that language-ID
+    (``lang_id`` above) misreads. Struct fields:
+
+    - ``n_<script>`` letter counts for each entry in :data:`SCRIPTS`;
+    - ``n_letters``: all Unicode letters (``\\p{L}``);
+    - ``dominant``: the max-count script (priority order on ties,
+      ``'none'`` when the text has no letters);
+    - ``mix_ratio``: 1 − dominant/letters, rounded to 6 — near 0 for
+      clean single-script text, high for mojibake or mixed scripts.
+
+    Pure regexp_count column algebra: one pass per script class,
+    whole-stage codegen, no UDF; replays in RE2 for the oracle.
+    """
+    counts = {
+        name: F.regexp_count(text, F.lit(java_pat)).cast("long")
+        for name, java_pat, _ in SCRIPTS
+    }
+    letters = F.regexp_count(text, F.lit(r"\p{L}")).cast("long")
+    mx = F.greatest(*counts.values())
+    dom = F.lit("none")
+    # reversed so the FIRST script in SCRIPTS wins ties (outermost when)
+    for name, _, _ in reversed(SCRIPTS):
+        dom = F.when(
+            (mx > 0) & (counts[name] == mx), F.lit(name)
+        ).otherwise(dom)
+    mix = F.when(
+        letters > 0,
+        F.round(1.0 - mx.cast("double") / letters.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        *[counts[n].alias(f"n_{n}") for n, _, _ in SCRIPTS],
+        letters.alias("n_letters"),
+        dom.alias("dominant"),
+        mix.alias("mix_ratio"),
+    )

@@ -235,3 +235,121 @@ def dedup_segments(
             "cleaned_text",
         )
     )
+
+
+def extract_content_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep_pattern: str = r"\.\s+",
+    good_stop_ratio: float = 0.18,
+    min_tokens: int = 4,
+    join_sep: str = " | ",
+) -> DataFrame:
+    """jusText-style context-sensitive content extraction (Pomikálek
+    2011), the DENSITY sibling of the corpus-frequency passes above:
+    classify each line by its own stopword density and length, then
+    let confident neighbors rescue borderline lines — headlines and
+    short connective sentences between two paragraphs are content,
+    while the same line stranded inside chrome is boilerplate.
+
+    Per line (split on ``sep_pattern``, trimmed, empties dropped):
+
+    - intrinsic BAD:  fewer than ``min_tokens`` tokens, or stopword
+      ratio under ``good_stop_ratio/2`` (link lists, copyright runs,
+      digit chrome score near zero here);
+    - intrinsic GOOD: stopword ratio >= ``good_stop_ratio``;
+    - intrinsic NEAR: everything between.
+
+    One synchronous context pass: NEAR lines with an intrinsically
+    GOOD predecessor or successor (document order) are promoted;
+    remaining NEAR lines are dropped with the BAD ones.
+
+    Returns ``(id, n_lines, n_content, content_ratio, content_text)``
+    with ``content_text`` the kept lines joined by ``join_sep`` in
+    original order (empty string if nothing survives). Documents with
+    zero non-empty lines drop out (same stance as ``line_dedup``).
+
+    Scale shape: one narrow posexplode, ONE shuffle keyed by the doc
+    id that serves both the lag/lead window and the final per-doc
+    aggregate (per-document state only — no corpus-global window, no
+    join, no UDF). The stopword set is a literal in the expression.
+    """
+    from pyspark.sql.window import Window
+
+    from cccatalog_spark.functions.text import STOPWORDS
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep_pattern)).alias(
+                "idx", "_raw"
+            ),
+        )
+        .select("_id", "idx", F.trim("_raw").alias("line"))
+        .where(F.col("line") != "")
+    )
+    toks = F.filter(F.split(F.col("line"), r"\s+"), lambda t: t != "")
+    n_tok = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    )
+    ratio = n_stop / n_tok
+    intr = (
+        F.when(
+            (n_tok < min_tokens) | (ratio < good_stop_ratio / 2), F.lit(0)
+        )
+        .when(ratio >= good_stop_ratio, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    w = Window.partitionBy("_id").orderBy("idx")
+    cls = lines.withColumn("_c", intr).withColumn(
+        "_keep",
+        (F.col("_c") == 2)
+        | (
+            (F.col("_c") == 1)
+            & (
+                (F.lag("_c").over(w) == 2)
+                | (F.lead("_c").over(w) == 2)
+            )
+        ),
+    )
+    return (
+        cls.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("_keep").cast("long")).alias("n_content"),
+            F.round(
+                F.sum(F.col("_keep").cast("double")) / F.count("*"), 6
+            ).alias("content_ratio"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(
+                                        "idx",
+                                        F.when(
+                                            F.col("_keep"), F.col("line")
+                                        ).alias("l"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["l"].isNotNull(),
+                        ),
+                        lambda s: s["l"],
+                    ),
+                    join_sep,
+                ),
+                F.lit(""),
+            ).alias("content_text"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lines",
+            "n_content",
+            "content_ratio",
+            "content_text",
+        )
+    )

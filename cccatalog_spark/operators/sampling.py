@@ -627,3 +627,35 @@ def temperature_epochs(
     for s in remaining:
         out[s] = 0.0
     return out
+
+
+def stratified_exact_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    *,
+    salt: str = "exactk:",
+) -> DataFrame:
+    """Exactly ``min(k, |stratum|)`` rows per stratum, chosen by the
+    md5-derandomized uniform order — the fixed-BUDGET sibling of
+    :func:`stratified_sample`'s fixed-RATE draw (eval-set carving,
+    per-source human-review batches, k-shot prompt pools all want "k
+    docs per source", not a fraction). Same derandomization contract
+    as the rest of this module: the draw is a pure function of
+    (salt, id), so reruns, retries, and cluster/local execution all
+    select identical rows, and adding documents to one stratum never
+    changes another stratum's pick.
+
+    One shuffle keyed by the stratum for the per-stratum rank window
+    (top-k heap per key at scale — no global sort); ties on the md5
+    order are broken by the id itself, so the result is total-order
+    deterministic even under hash collisions.
+    """
+    rk = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(rk.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -4082,33 +4082,65 @@ def q82_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver ordering.  The driver's correctness gate reads the first 50
-# ``queries()`` entries in insertion order.  Rounds 1–3 drove 86
-# distinct queries green; this round rotates in 45 of the 117 queries
-# that have never had a driver-side row (inventory order, q51–q116),
-# keeping 5 sentinels (core merge/dedup/stream/continue paths) to
-# detect regressions.  Every displaced query stays defined and
-# oracle-paired (checked by tools/check_oracle.py across all entries
-# and committed as CORRECTNESS_LOCAL_r{N}.json).
+# ``queries()`` entries in insertion order.  Rounds 1–4 drove 131
+# distinct queries green (r4: 50/50); this round rotates in 45 of the
+# 97 queries that have never had a driver-side row (inventory order,
+# q115–q169), keeping 5 sentinels (core merge/dedup/stream/continue
+# paths) to detect regressions.  Every displaced query stays defined
+# and oracle-paired (checked by tools/check_oracle.py across all
+# entries and committed as CORRECTNESS_LOCAL_r{N}.json).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: list[str] = [
-    "q01_pricing_summary", "q04_merge_upsert", "q25_minhash_lsh",
-    "q45_stream_loader", "q67_wikimedia_continue_merge",
-    "q51_provider_ingest", "q52_asof_join", "q53_interval_join",
-    "q54_cube", "q55_semi_anti_join", "q56_levenshtein_neardup",
-    "q57_bpe_tokens", "q59_pivot", "q60_sliding_window",
-    "q61_above_nation_avg", "q62_grouping_sets", "q70_kmv_approx_distinct",
-    "q73_html_extract", "q75_gopher_quality", "q78_embedding_quantize",
-    "q83_dedup_clusters_star", "q84_hash_split", "q85_stratified_sample",
-    "q86_sequence_pack", "q87_source_cap", "q88_source_cap_salted",
-    "q89_substring_dedup", "q90_bm25_topk", "q92_heavy_hitters",
-    "q91_bloom_decontaminate", "q93_stateful_running_counts",
-    "q94_weighted_sample", "q95_incremental_neardup", "q96_kmeans_assign",
-    "q97_pagerank", "q98_stream_dedup_first_seen", "q99_kmeans_train",
-    "q101_hll_distinct", "q102_doc_chunking", "q103_bigram_lm_nll",
-    "q104_snapshot_cdc", "q105_scd2_history", "q108_zorder_cells",
-    "q109_token_budget_mix", "q110_feature_hashing", "q112_compaction_plan",
-    "q113_table_checksum", "q114_score_calibration", "q116_embedding_pool",
-    "q204_cc_scraper_specs",
+    "q01_pricing_summary",
+    "q04_merge_upsert",
+    "q25_minhash_lsh",
+    "q45_stream_loader",
+    "q67_wikimedia_continue_merge",
+    "q115_corpus_drift",
+    "q117_vocab_coverage",
+    "q118_negative_samples",
+    "q119_ann_lsh_multiprobe",
+    "q120_stream_replay_dedup",
+    "q121_corpus_report",
+    "q122_stream_enrich",
+    "q123_kmv_set_overlap",
+    "q126_tfidf_top_terms",
+    "q127_pmi_pairs",
+    "q128_random_projection",
+    "q129_partitioned_scan",
+    "q130_interleave_shuffle",
+    "q131_triangle_count",
+    "q136_epoch_upsample",
+    "q137_domain_blocklist",
+    "q139_contamination_matrix",
+    "q140_bpe_encode_report",
+    "q141_count_min_sketch",
+    "q142_robust_outliers",
+    "q143_stream_ewma",
+    "q144_ranking_metrics",
+    "q145_cluster_safe_split",
+    "q146_hits",
+    "q147_gapfill_locf",
+    "q148_covariance_matrix",
+    "q149_local_supplier_revenue",
+    "q150_column_stats",
+    "q151_token_shards",
+    "q152_url_canonicalize",
+    "q153_robots_policy",
+    "q154_crawl_schedule",
+    "q155_weighted_median",
+    "q156_stream_quota",
+    "q158_cms_join_size",
+    "q159_sitemap_ingest",
+    "q161_embedding_drift",
+    "q162_span_corruption",
+    "q163_auc",
+    "q164_calibration_ece",
+    "q165_classification_report",
+    "q166_cdc_apply",
+    "q167_rendezvous_shards",
+    "q168_range_partition_plan",
+    "q169_grouped_regression",
 ]
 
 
@@ -12014,3 +12046,274 @@ def q228_class_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return class_tfidf_top_terms(d, "source", "text", k=5)
+
+
+# ---------------------------------------------------------------------------
+# q229 — interpolated Kneser–Ney bigram scoring (operators/lm.
+# kneser_ney_score): the smoothing KenLM actually ships — discounted
+# bigram mass re-spent through the continuation distribution — as
+# exact relational algebra over the same count frames as q103, so the
+# production perplexity filter sits under a value-exact oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q229_kn_lm_nll",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({{toks}}, x -> lower(x)) AS toks
+               FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS w,
+                 generate_subscripts(toks, 1) AS pos
+          FROM t),
+    big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM e a JOIN e b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    pairs AS (SELECT w1, w2, count(*) AS cp FROM big GROUP BY 1, 2),
+    heads AS (SELECT w1, count(*) AS ch,
+                     count(DISTINCT w2) AS n1f FROM big GROUP BY 1),
+    cont AS (SELECT w2, count(DISTINCT w1) AS n1b FROM big GROUP BY 1),
+    k AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM pairs),
+    v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM e),
+    sc AS (SELECT big.doc_id,
+                  greatest(pairs.cp - CAST(0.75 AS DOUBLE), 0)
+                      / heads.ch
+                  + CAST(0.75 AS DOUBLE) * heads.n1f / heads.ch
+                      * (cont.n1b / k.bt) AS pkn,
+                  v.vs, k.bt
+           FROM big
+           JOIN pairs ON big.w1 = pairs.w1 AND big.w2 = pairs.w2
+           JOIN heads ON big.w1 = heads.w1
+           JOIN cont ON big.w2 = cont.w2, k, v)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(-avg(ln(greatest(pkn, 1.0 / (vs + bt)))), 6) AS nll
+    FROM sc GROUP BY doc_id
+    """.replace("{toks}", _TOKS),
+)
+def q229_kn_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lm import kneser_ney_score
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return kneser_ney_score(d, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q230 — greedy k-center coreset selection (operators/coreset.
+# k_center_select, Gonzalez'85 / Sener & Savarese ICLR'18): six
+# maximally-spread embedding rows with per-round coverage radii. The
+# greedy trajectory is fully deterministic (min-id seed, smallest-id
+# argmax tie-break, sequential-order double distances), so the oracle
+# unrolls the six rounds as CTEs with DuckDB list_distance.
+# ---------------------------------------------------------------------------
+_KCENTER_K = 6
+
+
+def _q230_oracle(k: int = _KCENTER_K) -> str:
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e"
+        " FROM embeddings)",
+        "c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)",
+        "d0 AS (SELECT v.vec_id, v.e, list_distance(v.e, c0.e) AS dm"
+        " FROM v, c0)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"c{r} AS (SELECT vec_id, e, dm FROM d{r-1}"
+            " ORDER BY dm DESC, vec_id ASC LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, d.e,"
+                f" least(d.dm, list_distance(d.e, c.e)) AS dm"
+                f" FROM d{r-1} d, c{r} c)"
+            )
+    sel = ["SELECT CAST(0 AS INT) AS rnk, vec_id,"
+           " CAST(0.0 AS DOUBLE) AS radius FROM c0"]
+    for r in range(1, k):
+        sel.append(
+            f"SELECT CAST({r} AS INT), vec_id, round(dm, 6) FROM c{r}"
+        )
+    return ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@query("q230_kcenter_coreset", oracle=_q230_oracle())
+def q230_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.coreset import k_center_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return k_center_select(emb, "embedding", "vec_id", k=_KCENTER_K)
+
+
+# ---------------------------------------------------------------------------
+# q231 — jusText-style context-sensitive content extraction
+# (operators/lines.extract_content_lines): stopword-density line
+# classes with neighbor promotion, over docs grafted with a NEAR
+# connective line, a GOOD high-stopword sentence, and a BAD cookie
+# line — the density sibling of the q213 corpus-frequency pass.
+# Oracle replays tokenization, the 3-class CASE, lag/lead promotion,
+# and ordered reassembly in SQL.
+# ---------------------------------------------------------------------------
+_Q231_GRAFT_SQL = """
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN '. click more news about the crawl data today'
+                  ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '. is it a tale of the old world or a story of the new'
+                  ELSE '' END ||
+             '. Cookie policy terms conditions apply click here' AS raw
+      FROM documents
+"""
+
+
+@query(
+    "q231_content_extract",
+    oracle=r"""
+    WITH d AS (""" + _Q231_GRAFT_SQL + r"""),
+    l0 AS (SELECT doc_id, i AS idx, trim(kvs[i]) AS line
+           FROM (SELECT doc_id,
+                        string_split_regex(raw, '\.\s+') AS kvs FROM d),
+                unnest(generate_series(1, len(kvs))) g(i)),
+    l AS (SELECT doc_id, idx, line,
+                 list_filter(string_split_regex(line, '\s+'),
+                             x -> x <> '') AS toks
+          FROM l0 WHERE line <> ''),
+    f AS (SELECT doc_id, idx, line, len(toks) AS nt,
+                 len(list_filter(toks, t -> lower(t) IN
+                     ('the','a','an','and','or','of','to','in','is')))
+                   AS ns
+          FROM l),
+    c AS (SELECT doc_id, idx, line,
+                 CASE WHEN nt < 4 OR ns / nt < 0.09 THEN 0
+                      WHEN ns / nt >= 0.18 THEN 2
+                      ELSE 1 END AS cls
+          FROM f),
+    k AS (SELECT doc_id, idx, line, cls,
+                 (cls = 2 OR (cls = 1 AND
+                   (lag(cls) OVER w = 2 OR lead(cls) OVER w = 2)))
+                   AS keep
+          FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY idx))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_content,
+           round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS content_ratio,
+           coalesce(string_agg(CASE WHEN keep THEN line END, ' | '
+                               ORDER BY idx), '') AS content_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def q231_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lines import extract_content_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(". click more news about the crawl data today"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(
+                ". is it a tale of the old world or a story of the new"
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(". Cookie policy terms conditions apply click here"),
+    )
+    return extract_content_lines(
+        d.select("doc_id", raw.alias("raw")), "raw", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — Unicode script-mix screen (functions/text.script_profile):
+# per-doc script histogram, dominant script, and mix ratio over docs
+# grafted with Cyrillic/Han/Greek/Arabic runs — the mojibake and
+# wrong-charset detector language-ID alone misreads. Java \p{IsXxx}
+# and RE2 \p{Xxx} spell the same classes, so the oracle is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q232_script_mix",
+    oracle="""
+    WITH d AS (SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 5 = 1 THEN ' Привет мир русский текст'
+                  WHEN doc_id % 5 = 2 THEN ' 你好世界中文网页'
+                  WHEN doc_id % 5 = 3 THEN ' γειά σου κόσμος'
+                  WHEN doc_id % 5 = 4 THEN ' مرحبا بالعالم'
+                  ELSE '' END AS raw
+        FROM documents),
+    n AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(raw, '\\p{Latin}')) AS BIGINT)
+              AS n_latin,
+            CAST(len(regexp_extract_all(raw, '\\p{Cyrillic}')) AS BIGINT)
+              AS n_cyrillic,
+            CAST(len(regexp_extract_all(raw, '\\p{Greek}')) AS BIGINT)
+              AS n_greek,
+            CAST(len(regexp_extract_all(raw, '\\p{Han}')) AS BIGINT)
+              AS n_han,
+            CAST(len(regexp_extract_all(raw, '\\p{Arabic}')) AS BIGINT)
+              AS n_arabic,
+            CAST(len(regexp_extract_all(raw, '\\pL')) AS BIGINT)
+              AS n_letters
+          FROM d),
+    m AS (SELECT *,
+            greatest(n_latin, n_cyrillic, n_greek, n_han, n_arabic) AS mx
+          FROM n)
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,
+           n_letters,
+           CASE WHEN mx = 0 THEN 'none'
+                WHEN n_latin = mx THEN 'latin'
+                WHEN n_cyrillic = mx THEN 'cyrillic'
+                WHEN n_greek = mx THEN 'greek'
+                WHEN n_han = mx THEN 'han'
+                ELSE 'arabic' END AS dominant,
+           CASE WHEN n_letters > 0
+                THEN round(1.0 - CAST(mx AS DOUBLE) / n_letters, 6)
+                ELSE 0.0 END AS mix_ratio
+    FROM m
+    """,
+)
+def q232_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import script_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" Привет мир русский текст"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" 你好世界中文网页"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" γειά σου κόσμος"))
+        .when(F.col("doc_id") % 5 == 4, F.lit(" مرحبا بالعالم"))
+        .otherwise(F.lit("")),
+    )
+    p = script_profile(raw)
+    return d.select("doc_id", *[p[f].alias(f) for f in (
+        "n_latin", "n_cyrillic", "n_greek", "n_han", "n_arabic",
+        "n_letters", "dominant", "mix_ratio",
+    )])
+
+
+# ---------------------------------------------------------------------------
+# q233 — exact per-stratum k-sample (operators/sampling.
+# stratified_exact_k): exactly 20 docs per source in md5-derandomized
+# uniform order — the fixed-budget sibling of q85's fixed-rate draw.
+# Oracle replays the per-stratum rank window byte-for-byte (md5 is
+# md5 in both engines).
+# ---------------------------------------------------------------------------
+@query(
+    "q233_stratified_exact_k",
+    oracle="""
+    WITH r AS (SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('exactk:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS rn
+               FROM documents)
+    SELECT doc_id, source FROM r WHERE rn <= 20
+    """,
+)
+def q233_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import stratified_exact_k
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_exact_k(d, "source", 20, "doc_id")

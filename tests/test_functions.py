@@ -710,3 +710,28 @@ def test_query_params_expression_and_udtf_agree(spark):
     assert expr_rows == udtf_rows
     assert ("http://x.org/a?k=1&k=2&m=&z=9#frag", 1, "k", "2") in expr_rows
     assert ("http://x.org/a?k=1&k=2&m=&z=9#frag", 2, "m", "") in expr_rows
+
+
+def test_script_profile_known_strings(spark):
+    from pyspark.sql import functions as F
+
+    from cccatalog_spark.functions.text import script_profile
+
+    rows = [
+        (1, "hello world"),
+        (2, "Привет hello"),
+        (3, "你好"),
+        (4, "12345 !!!"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", script_profile(F.col("t")).alias("p")
+        ).collect()
+    }
+    assert out[1]["dominant"] == "latin" and out[1]["mix_ratio"] == 0.0
+    assert out[2]["n_cyrillic"] == 6 and out[2]["n_latin"] == 5
+    assert out[2]["dominant"] == "cyrillic" and out[2]["mix_ratio"] > 0
+    assert out[3]["dominant"] == "han" and out[3]["n_han"] == 2
+    assert out[4]["dominant"] == "none" and out[4]["n_letters"] == 0

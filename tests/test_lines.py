@@ -178,3 +178,38 @@ def test_dedup_segments_repartition_stable(spark):
         key=lambda r: r["doc_id"],
     )
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+
+
+def test_extract_content_lines_classes_and_promotion(spark):
+    from cccatalog_spark.operators.lines import extract_content_lines
+
+    # line 1: high stopword ratio -> GOOD
+    # line 2: nt>=4, ratio between 0.09 and 0.18 -> NEAR, adjacent to
+    #   GOOD -> promoted
+    # line 3: zero stopwords -> BAD
+    # line 4: NEAR but surrounded only by BAD -> dropped
+    doc = (
+        "the fox is one of the old tales. "
+        "click more news about the crawl data today. "
+        "Cookie policy terms conditions apply click here. "
+        "read more news about that crawl data story now"
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = extract_content_lines(df, "text", "doc_id").collect()[0]
+    assert r["n_lines"] == 4
+    assert r["n_content"] == 2
+    assert r["content_text"] == (
+        "the fox is one of the old tales | "
+        "click more news about the crawl data today"
+    )
+
+
+def test_extract_content_lines_empty_doc_drops(spark):
+    from cccatalog_spark.operators.lines import extract_content_lines
+
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "the story of a fox and a dog is old")],
+        "doc_id long, text string",
+    )
+    out = extract_content_lines(df, "text", "doc_id").collect()
+    assert [r["doc_id"] for r in out] == [2]

@@ -69,3 +69,53 @@ def test_cross_corpus_unseen_bigrams_get_smoothed_floor(spark):
     expect = round(-math.log(1.0 / v), 6)
     assert len(got) == 1
     assert got[0]["nll"] == expect
+
+
+def test_kneser_ney_hand_computed(spark):
+    from cccatalog_spark.operators.lm import kneser_ney_score
+
+    # corpus: doc1 "a b a b", doc2 "a c"
+    # bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    # pairs: ab=2, ba=1, ac=1; heads: a: ch=3 n1f=2; b: ch=1 n1f=1
+    # cont: b: n1b=1, a: n1b=1, c: n1b=1; bt=3, vs=3
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in kneser_ney_score(docs, "text", "doc_id").collect()
+    }
+    D = 0.75
+    p_ab = (2 - D) / 3 + D * 2 / 3 * (1 / 3)
+    p_ba = (1 - D) / 1 + D * 1 / 1 * (1 / 3)
+    p_ac = (1 - D) / 3 + D * 2 / 3 * (1 / 3)
+    import math
+
+    nll1 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    nll2 = -math.log(p_ac)
+    assert out[1][0] == 3 and abs(out[1][1] - nll1) < 1e-6
+    assert out[2][0] == 1 and abs(out[2][1] - nll2) < 1e-6
+
+
+def test_kneser_ney_cross_corpus_floors_unseen(spark):
+    from cccatalog_spark.operators.lm import (
+        kneser_ney_model,
+        kneser_ney_score,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    model = kneser_ney_model(train, "text", "doc_id")
+    target = spark.createDataFrame(
+        [(9, "z q")], "doc_id long, text string"
+    )
+    rows = kneser_ney_score(
+        target, "text", "doc_id", model=model
+    ).collect()
+    import math
+
+    # unseen head z -> pure continuation; unseen tail q -> floor
+    # 1/(vs+bt) = 1/6
+    assert rows[0]["n_bigrams"] == 1
+    assert abs(rows[0]["nll"] - (-math.log(1 / 6))) < 1e-6

@@ -422,3 +422,40 @@ def test_temperature_epochs_guards():
         temperature_epochs({"a": 10}, 0.0, 100)
     with pytest.raises(ValueError):
         temperature_epochs({"a": 0}, 1.0, 100)
+
+
+def test_stratified_exact_k_counts_and_determinism(spark):
+    from cccatalog_spark.operators.sampling import stratified_exact_k
+
+    rows = [(i, "s" + str(i % 3)) for i in range(50)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_exact_k(df, "source", 5, "doc_id")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in by_src.items()} == {
+        "s0": 5, "s1": 5, "s2": 5, "tiny": 1
+    }
+    # derandomized: identical under repartition
+    again = stratified_exact_k(df.repartition(7), "source", 5, "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_stratified_exact_k_isolated_strata(spark):
+    from cccatalog_spark.operators.sampling import stratified_exact_k
+
+    base = [(i, "a") for i in range(20)] + [(100 + i, "b") for i in range(20)]
+    df1 = spark.createDataFrame(base, "doc_id long, source string")
+    # growing stratum b must not change stratum a's picks
+    df2 = spark.createDataFrame(
+        base + [(200 + i, "b") for i in range(30)],
+        "doc_id long, source string",
+    )
+    pick = lambda df: sorted(
+        r["doc_id"]
+        for r in stratified_exact_k(df, "source", 4, "doc_id").collect()
+        if r["source"] == "a"
+    )
+    assert pick(df1) == pick(df2)
