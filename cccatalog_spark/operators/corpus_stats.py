@@ -210,3 +210,97 @@ def zipf_fit(
         ),
         (cov * cov / (varx * vary)).alias("r2"),
     )
+
+
+def population_stability_index(
+    reference: DataFrame,
+    current: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """PSI over a numeric score — the production drift monitor for
+    quality-classifier outputs between corpus snapshots (industry
+    reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain):
+
+        psi = Σ_b (cur_share_b − ref_share_b) · ln(cur_share_b / ref_share_b)
+
+    Equal-width bins over the REFERENCE min/max (the deployed-model
+    convention: the baseline defines the grid); current values are
+    clamped into the edge bins, null scores excluded on both sides.
+    Add-one smoothing keeps empty cells finite, mirroring
+    operators/woe.woe_iv. Returns the per-bin table with the total on
+    every row: ``(bin, lo, hi, n_ref, n_cur, ref_share, cur_share,
+    psi)`` — shares and psi rounded.
+
+    Scale shape: one (min, max) 1-row broadcast off the reference, one
+    n_bins-key groupBy per side (map-side combinable), totals
+    broadcast back — the woe_iv exchange budget twice. No windows, no
+    collect, no UDF.
+    """
+    x = F.col(score_col).cast("double")
+    ref = reference.where(x.isNotNull())
+    cur = current.where(x.isNotNull())
+    bounds = ref.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = df.crossJoin(F.broadcast(bounds)).select(
+            F.least(
+                F.greatest(
+                    F.when(
+                        F.col("_hi") > F.col("_lo"),
+                        F.floor(
+                            (x - F.col("_lo"))
+                            / ((F.col("_hi") - F.col("_lo")) / n_bins)
+                        ),
+                    ).otherwise(F.lit(0)),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        return b.groupBy("bin").agg(F.count("*").alias(out))
+
+    grid = (
+        binned(ref, "n_ref")
+        .join(binned(cur, "n_cur"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+        .persist()
+    )
+    tot = grid.agg(
+        F.sum("n_ref").cast("double").alias("_tr"),
+        F.sum("n_cur").cast("double").alias("_tc"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    rs = (F.col("n_ref") + 1.0) / (F.col("_tr") + n_bins)
+    cs = (F.col("n_cur") + 1.0) / (F.col("_tc") + n_bins)
+    scored = (
+        grid.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + F.col("bin") * width, round_to).alias(
+                "lo"
+            ),
+            F.round(
+                F.col("_lo") + (F.col("bin") + 1) * width, round_to
+            ).alias("hi"),
+            "n_ref",
+            "n_cur",
+            F.round(rs, round_to).alias("ref_share"),
+            F.round(cs, round_to).alias("cur_share"),
+            ((cs - rs) * F.log(cs / rs)).alias("_pt"),
+        )
+    )
+    psi = scored.agg(F.round(F.sum("_pt"), round_to).alias("psi"))
+    return scored.crossJoin(F.broadcast(psi)).select(
+        "bin", "lo", "hi", "n_ref", "n_cur", "ref_share", "cur_share",
+        "psi",
+    )

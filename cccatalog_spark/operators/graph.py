@@ -568,3 +568,99 @@ def personalized_pagerank(
         ranks = new_ranks
     contrib_src.unpersist()
     return ranks
+
+
+def random_walks(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_len: int = 4,
+    salt: str = "walk:",
+) -> DataFrame:
+    """DeepWalk/node2vec-style walk-corpus generation (Perozzi et al.
+    KDD'14): one fixed-length walk from every node, the training-data
+    step that turns a link graph into "sentences" for embedding
+    models. The next hop is chosen uniformly among out-neighbors —
+    md5-DERANDOMIZED like the sampling module: the choice at step t is
+    ``int(md5(salt‖start‖':'‖t‖':'‖cur)[:8], 16) % outdeg(cur)``
+    against the neighbor's rank in dst order, so reruns, retries, and
+    the SQL oracle reproduce the exact trajectory. Walks stop early at
+    sink nodes (no out-edges).
+
+    Returns ``(start, path, n_steps)`` with ``path`` the '->'-joined
+    node sequence (a string, not an array — keeps downstream
+    canonicalizers and sinks happy) and ``n_steps = |nodes on path|``.
+
+    Scale shape per step: one |V|-row broadcast-or-hash join against
+    the out-degree table to compute the choice, then ONE equi-join on
+    ``(cur, rank)`` against the ranked adjacency — never a join on
+    ``cur`` alone, so a hub's fan-out never explodes the walk frame
+    (the candidate row is unique by construction). The adjacency is
+    ranked once (one shuffle) and persisted; lineage truncated per
+    step like the other iterative operators.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct()
+    rk = Window.partitionBy("s").orderBy("d")
+    adj = e.select(
+        "s", "d", (F.row_number().over(rk) - 1).alias("_idx")
+    ).persist()
+    degs = adj.groupBy("s").agg(F.count("*").alias("_deg"))
+    nodes = (
+        e.select(F.col("s").alias("start"))
+        .union(e.select(F.col("d").alias("start")))
+        .distinct()
+    )
+    w = nodes.select(
+        "start",
+        F.col("start").alias("_cur"),
+        F.col("start").cast("string").alias("path"),
+    )
+    for t in range(1, walk_len):
+        key = F.concat(
+            F.lit(salt),
+            F.col("start").cast("string"),
+            F.lit(f":{t}:"),
+            F.col("_cur").cast("string"),
+        )
+        choice = (
+            F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+            % F.col("_deg")
+        )
+        stepped = (
+            w.join(degs, w["_cur"] == degs["s"], "left")
+            .drop("s")
+            .withColumn("_choice", choice)
+        )
+        nxt = (
+            stepped.join(
+                adj,
+                (stepped["_cur"] == adj["s"])
+                & (stepped["_choice"] == adj["_idx"]),
+                "left",
+            )
+            .select(
+                "start",
+                F.col("d").alias("_nxt"),
+                F.when(
+                    F.col("d").isNotNull(),
+                    F.concat(
+                        F.col("path"),
+                        F.lit("->"),
+                        F.col("d").cast("string"),
+                    ),
+                )
+                .otherwise(F.col("path"))
+                .alias("path"),
+            )
+            .withColumnRenamed("_nxt", "_cur")
+        )
+        w = _truncate_lineage(nxt)
+    out = w.select(
+        "start",
+        "path",
+        (F.size(F.split(F.col("path"), "->")) ).alias("n_steps"),
+    )
+    adj.unpersist()
+    return out

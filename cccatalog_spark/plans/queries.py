@@ -12317,3 +12317,115 @@ def q233_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     return stratified_exact_k(d, "source", 20, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q234 — DeepWalk walk-corpus generation (operators/graph.
+# random_walks, Perozzi KDD'14): one md5-derandomized 4-node walk per
+# node of a synthetic 200-node order graph — the training-data step
+# that turns a link graph into "sentences". The choice arithmetic
+# (md5-prefix mod outdeg vs dst-rank) replays byte-for-byte in
+# DuckDB, so the oracle unrolls the three steps as CTEs.
+# ---------------------------------------------------------------------------
+def _q234_oracle(walk_len: int = 4) -> str:
+    parts = [
+        "WITH e AS (SELECT DISTINCT o_custkey % 200 AS s,"
+        " o_orderkey % 200 AS d FROM orders)",
+        "adj AS (SELECT s, d, row_number() OVER"
+        " (PARTITION BY s ORDER BY d) - 1 AS idx FROM e)",
+        "degs AS (SELECT s, count(*) AS deg FROM e GROUP BY 1)",
+        "n AS (SELECT DISTINCT node FROM"
+        " (SELECT s AS node FROM e UNION SELECT d FROM e))",
+        "w0 AS (SELECT node AS start, node AS cur,"
+        " CAST(node AS VARCHAR) AS path FROM n)",
+    ]
+    for t in range(1, walk_len):
+        parts.append(
+            f"""w{t} AS (SELECT w.start, a.d AS cur,
+           CASE WHEN a.d IS NULL THEN w.path
+                ELSE w.path || '->' || CAST(a.d AS VARCHAR) END AS path
+       FROM w{t-1} w
+       LEFT JOIN degs g ON g.s = w.cur
+       LEFT JOIN adj a ON a.s = w.cur AND a.idx =
+         ('0x' || substring(md5('walk:' || CAST(w.start AS VARCHAR)
+            || ':{t}:' || CAST(w.cur AS VARCHAR)), 1, 8))::BIGINT
+           % g.deg)"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT start, path,"
+        f" CAST(len(string_split(path, '->')) AS INT) AS n_steps"
+        f" FROM w{walk_len-1}"
+    )
+
+
+@query("q234_random_walks", oracle=_q234_oracle())
+def q234_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import random_walks
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 200).alias("dst"),
+    )
+    return random_walks(edges, walk_len=4)
+
+
+# ---------------------------------------------------------------------------
+# q235 — population stability index (operators/corpus_stats.
+# population_stability_index): score-distribution drift between the
+# even-id reference half and the odd-id current half shifted by +40
+# chars — the production retrain-trigger monitor (PSI > 0.25). The
+# reference half defines the bin grid; oracle replays bounds,
+# clamped binning, add-one shares, and the PSI sum.
+# ---------------------------------------------------------------------------
+@query(
+    "q235_psi_drift",
+    oracle="""
+    WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+               WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+    c AS (SELECT CAST(n_chars AS DOUBLE) + 40.0 AS x FROM documents
+          WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL),
+    b AS (SELECT min(x) AS lo, max(x) AS hi FROM r),
+    rb AS (SELECT least(greatest(CASE WHEN hi > lo
+                    THEN CAST(floor((x - lo) / ((hi - lo) / 8)) AS INT)
+                    ELSE 0 END, 0), 7) AS bin, count(*) AS n_ref
+           FROM r, b GROUP BY 1),
+    cb AS (SELECT least(greatest(CASE WHEN hi > lo
+                    THEN CAST(floor((x - lo) / ((hi - lo) / 8)) AS INT)
+                    ELSE 0 END, 0), 7) AS bin, count(*) AS n_cur
+           FROM c, b GROUP BY 1),
+    g AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                 coalesce(n_ref, 0) AS n_ref,
+                 coalesce(n_cur, 0) AS n_cur
+          FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+    t AS (SELECT CAST(sum(n_ref) AS DOUBLE) AS tr,
+                 CAST(sum(n_cur) AS DOUBLE) AS tc FROM g),
+    s AS (SELECT bin,
+                 round(lo + bin * ((hi - lo) / 8), 6) AS lo,
+                 round(lo + (bin + 1) * ((hi - lo) / 8), 6) AS hi,
+                 n_ref, n_cur,
+                 round((n_ref + 1.0) / (tr + 8), 6) AS ref_share,
+                 round((n_cur + 1.0) / (tc + 8), 6) AS cur_share,
+                 ((n_cur + 1.0) / (tc + 8) - (n_ref + 1.0) / (tr + 8))
+                   * ln(((n_cur + 1.0) / (tc + 8))
+                        / ((n_ref + 1.0) / (tr + 8))) AS pt
+           FROM g, b, t),
+    p AS (SELECT round(sum(pt), 6) AS psi FROM s)
+    SELECT bin, lo, hi, n_ref, n_cur, ref_share, cur_share, psi
+    FROM s, p
+    """,
+)
+def q235_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import (
+        population_stability_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.where(F.col("doc_id") % 2 == 0).select(
+        F.col("n_chars").cast("double").alias("score")
+    )
+    cur = d.where(F.col("doc_id") % 2 == 1).select(
+        (F.col("n_chars").cast("double") + 40.0).alias("score")
+    )
+    return population_stability_index(ref, cur, "score", n_bins=8)

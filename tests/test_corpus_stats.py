@@ -73,3 +73,50 @@ def test_zipf_fit_recovers_power_law_slope(spark):
     assert out["zipf"].r2 > 0.97
     assert abs(out["flat"].slope) < 1e-9
     assert out["flat"].n_terms == 40
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from cccatalog_spark.operators.corpus_stats import (
+        population_stability_index,
+    )
+
+    rows = [(float(i % 50),) for i in range(500)]
+    ref = spark.createDataFrame(rows, "score double")
+    out = population_stability_index(ref, ref, "score", n_bins=10)
+    psi = out.collect()[0]["psi"]
+    assert abs(psi) < 1e-9
+
+
+def test_psi_shift_detected_and_clamped(spark):
+    from cccatalog_spark.operators.corpus_stats import (
+        population_stability_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i),) for i in range(100)], "score double"
+    )
+    # hard right shift: many current values beyond ref max land in the
+    # last bin via the clamp instead of vanishing
+    cur = spark.createDataFrame(
+        [(float(i) + 80.0,) for i in range(100)], "score double"
+    )
+    rows = {r["bin"]: r for r in
+            population_stability_index(ref, cur, "score", n_bins=5)
+            .collect()}
+    assert rows[0]["psi"] > 0.25
+    assert sum(r["n_cur"] for r in rows.values()) == 100
+    assert rows[4]["n_cur"] == 100  # bin 4 starts at 79.2; all of 80..179 clamp there
+
+
+def test_psi_nulls_excluded(spark):
+    from cccatalog_spark.operators.corpus_stats import (
+        population_stability_index,
+    )
+
+    base = [(float(i),) for i in range(50)]
+    ref = spark.createDataFrame(base, "score double")
+    cur = spark.createDataFrame(
+        base + [(None,)] * 9, "score double"
+    )
+    out = population_stability_index(ref, cur, "score", n_bins=5)
+    assert sum(r["n_cur"] for r in out.collect()) == 50

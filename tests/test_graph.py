@@ -264,3 +264,59 @@ def test_k_truss_exhausted_fallback_support_within_truss(spark):
         for r in k_truss(edges, 4, max_rounds=1).collect()
     }
     assert got == {(u, v): 2 for u, v in k4}
+
+
+def test_random_walks_follow_md5_choices(spark):
+    import hashlib
+
+    from cccatalog_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (3, 0)],
+        "src long, dst long",
+    )
+    adj = {0: [1, 2], 1: [2], 2: [0, 3], 3: [0]}
+
+    def model(start, walk_len=4):
+        cur, path = start, [start]
+        for t in range(1, walk_len):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            h = hashlib.md5(
+                f"walk:{start}:{t}:{cur}".encode()
+            ).hexdigest()[:8]
+            cur = nbrs[int(h, 16) % len(nbrs)]
+            path.append(cur)
+        return "->".join(map(str, path))
+
+    got = {
+        r["start"]: (r["path"], r["n_steps"])
+        for r in random_walks(edges, walk_len=4).collect()
+    }
+    for s in range(4):
+        exp = model(s)
+        assert got[s] == (exp, exp.count("->") + 1)
+
+
+def test_random_walks_stop_at_sinks(spark):
+    from cccatalog_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r["start"]: r["n_steps"]
+        for r in random_walks(edges, walk_len=5).collect()
+    }
+    # 3 is a sink: walk of 1; 2 reaches 3 then stops; 1 walks 1->2->3
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_random_walks_deterministic_under_repartition(spark):
+    from cccatalog_spark.operators.graph import random_walks
+
+    rows = [(i, (i * 7 + 3) % 20) for i in range(40)]
+    e1 = spark.createDataFrame(rows, "src long, dst long")
+    e2 = e1.repartition(13)
+    a = sorted(map(tuple, random_walks(e1, walk_len=3).collect()))
+    b = sorted(map(tuple, random_walks(e2, walk_len=3).collect()))
+    assert a == b

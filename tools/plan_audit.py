@@ -47,6 +47,7 @@ SANCTIONED_BNLJ = {
     "q100_hybrid_rrf": "1-row corpus-stats broadcast (BM25 half of the "
     "fusion)",
     "q103_bigram_lm_nll": "1-row vocabulary-size scalar broadcast",
+    "q229_kn_lm_nll": "1-row (bigram-types, vocab-size) scalar broadcast (the q103 contract with the KN constants)",
     "q115_corpus_drift": "1-row token-total scalar broadcast",
     "q189_pca_power": "1-row L2-norm / eigenvalue scalar broadcasts per "
     "power-iteration round (HITS normalization pattern; frames are "
