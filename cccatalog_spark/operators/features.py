@@ -310,3 +310,117 @@ def pca_project(
         .groupBy(id_col)
         .agg(F.sum(F.col("x") * F.col("loading")).alias(out_col))
     )
+
+
+def hash_word_vector(word: Column, dim: int, salt: str = "wv:") -> Column:
+    """Deterministic pseudo-random word vector in [-1, 1]^dim from
+    md5 prefixes — the oracle-replayable stand-in for trained word
+    embeddings (``('0x'‖md5(salt‖j‖':'‖w)[:8]) % 2001`` recentred),
+    the same derandomization contract as operators/sampling.py."""
+    comps = [
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{salt}{j}:"), word)), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        )
+        for j in range(1, dim + 1)
+    ]
+    return F.array(*comps)
+
+
+def sif_embed(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 8,
+    a: float = 1e-3,
+    *,
+    word_vectors: DataFrame | None = None,
+    remove_common: bool = True,
+    n_iter: int = 3,
+) -> DataFrame:
+    """SIF sentence/document embeddings (Arora et al. ICLR'17 — "a
+    simple but tough-to-beat baseline"): pool word vectors with
+    smooth-inverse-frequency weights ``a/(a + p(w))``, then remove the
+    corpus common component (the projection onto the pooled matrix's
+    first principal direction — syntax/frequency noise shared by all
+    docs). Returns ``(id, n_tokens, emb array<double>)``.
+
+    ``word_vectors`` (frame ``(w, vec array<double>)``) lets a trained
+    table drive the pooling; the default is :func:`hash_word_vector`
+    so the whole trajectory sits under a SQL oracle.
+
+    Scale shape: token explode → ONE shuffle joining the vocab-keyed
+    frequency frame (the q103 LM-join pattern; AQE skew-split covers
+    stopword hubs) → one per-doc aggregate of ``dim`` weighted sums.
+    The common-component stage is the PCA split above (one d²/2-key
+    covariance shuffle, then bounded d-row catalogs), its removal one
+    id-keyed join plus a d-row array broadcast — no collect anywhere.
+    """
+    toks = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("w"))
+    freq = ex.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("double").alias("_tot"))
+    wt = freq.crossJoin(F.broadcast(total)).select(
+        "w",
+        (F.lit(a) / (F.lit(a) + F.col("cnt") / F.col("_tot"))).alias(
+            "wgt"
+        ),
+    )
+    if word_vectors is not None:
+        vecs = ex.join(wt, "w").join(word_vectors, "w").select(
+            id_col, "wgt", F.col("vec").alias("_v")
+        )
+    else:
+        vecs = ex.join(wt, "w").select(
+            id_col, "wgt", hash_word_vector(F.col("w"), dim).alias("_v")
+        )
+    pooled = vecs.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.array(
+            *[
+                (
+                    F.sum(F.col("wgt") * F.col("_v")[j]) / F.count("*")
+                ).alias(f"_e{j}")
+                for j in range(dim)
+            ]
+        ).alias("emb"),
+    )
+    if not remove_common:
+        return pooled.select(id_col, "n_tokens", "emb")
+    pooled = pooled.persist()
+    loads = pca_power_component(pooled, "emb", dim, n_iter=n_iter)
+    pc1 = pca_project(pooled, "emb", id_col, loads)
+    uvec = loads.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("i"), F.col("loading")))
+            ),
+            lambda s: s["loading"],
+        ).alias("_u")
+    )
+    return (
+        pooled.join(pc1, id_col)
+        .crossJoin(F.broadcast(uvec))
+        .select(
+            id_col,
+            "n_tokens",
+            F.zip_with(
+                F.col("emb"),
+                F.col("_u"),
+                lambda x, u: x - F.col("pc1") * u,
+            ).alias("emb"),
+        )
+    )

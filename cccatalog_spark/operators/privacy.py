@@ -1,0 +1,69 @@
+"""Re-identification risk screens for released corpora — the
+privacy-side companion to the PII detectors in functions/text.py and
+functions/luhn.py: those find sensitive VALUES inside documents; this
+module measures how identifying the released METADATA columns are.
+
+k-anonymity (Sweeney 2002): a release is k-anonymous over a set of
+quasi-identifier columns if every observed combination of those
+columns is shared by at least k rows. Combinations below k are the
+re-identification surface (join them with a public register and the
+row is a person).
+
+Scale shape: ONE groupBy over the quasi-identifier tuple (map-side
+combinable count), an optional second tiny aggregate for the summary —
+no joins, no windows, no collect. The risky-combination frame is the
+low-frequency tail, small by construction at corpus scale.
+
+Reference anchor: no counterpart in the reference (SURVEY §2
+extension layer); the reference's nearest concern is tag/creator
+sanitization in ImageStore (image.py:200-233).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Per-combination audit table: every observed quasi-identifier
+    combination with its group size, whether it violates k-anonymity,
+    and the share of all rows it covers — ``(*quasi_cols, n, at_risk,
+    row_share)``, shares rounded to 6. Null column values count as a
+    value (they are observable in a release, so they group)."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("n"))
+    total = groups.agg(F.sum("n").cast("double").alias("_t"))
+    return groups.crossJoin(F.broadcast(total)).select(
+        *quasi_cols,
+        "n",
+        (F.col("n") < k).alias("at_risk"),
+        F.round(F.col("n") / F.col("_t"), 6).alias("row_share"),
+    )
+
+
+def k_anonymity_summary(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """One-row release verdict: ``(n_groups, n_risky_groups,
+    n_risky_rows, risky_row_share, min_group, k_anonymous)`` —
+    ``k_anonymous`` is true iff NO combination falls below k (the
+    publishable/suppress-first decision)."""
+    audit = k_anonymity_audit(df, quasi_cols, k)
+    return audit.agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.col("at_risk").cast("long")).alias("n_risky_groups"),
+        F.sum(F.when(F.col("at_risk"), F.col("n")).otherwise(0)).alias(
+            "n_risky_rows"
+        ),
+        F.round(
+            F.sum(F.when(F.col("at_risk"), F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("risky_row_share"),
+        F.min("n").alias("min_group"),
+        (F.sum(F.col("at_risk").cast("long")) == 0).alias("k_anonymous"),
+    )

@@ -12429,3 +12429,123 @@ def q235_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") + 40.0).alias("score")
     )
     return population_stability_index(ref, cur, "score", n_bins=8)
+
+
+# ---------------------------------------------------------------------------
+# q236 — k-anonymity release audit (operators/privacy.
+# k_anonymity_audit): group sizes over the (lang, source) quasi-
+# identifier pair with doc_id%97 grafted on as a pseudo-zip to create
+# genuinely risky small groups — the re-identification screen run
+# before any metadata release. One contingency aggregate; oracle
+# replays counts, the k threshold, and row shares.
+# ---------------------------------------------------------------------------
+@query(
+    "q236_k_anonymity",
+    oracle="""
+    WITH d AS (SELECT lang, source,
+                      CAST(doc_id % 97 AS BIGINT) AS zip3 FROM documents),
+    g AS (SELECT lang, source, zip3, count(*) AS n
+          FROM d GROUP BY 1, 2, 3),
+    t AS (SELECT CAST(sum(n) AS DOUBLE) AS tt FROM g)
+    SELECT lang, source, zip3, n, n < 5 AS at_risk,
+           round(n / tt, 6) AS row_share
+    FROM g, t
+    """,
+)
+def q236_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.privacy import k_anonymity_audit
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", (F.col("doc_id") % 97).alias("zip3")
+    )
+    return k_anonymity_audit(d, ["lang", "source", "zip3"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# q237 — SIF document embeddings (operators/features.sif_embed, Arora
+# ICLR'17): smooth-inverse-frequency weighted pooling of md5-hash
+# word vectors + first-principal-component removal — the classic
+# cheap-but-strong sentence embedding, fully derandomized so the
+# whole trajectory (freq weights, hash vectors, covariance, 3 power
+# iterations, projection removal) replays in SQL.
+# ---------------------------------------------------------------------------
+_SIF_DIM = 8
+
+
+def _q237_oracle(dim: int = _SIF_DIM, n_iter: int = 3) -> str:
+    def hv(j: int) -> str:
+        return (
+            f"((('0x' || substring(md5('wv:{j}:' || e.w), 1, 8))::BIGINT"
+            f" % 2001) - 1000) / CAST(1000.0 AS DOUBLE)"
+        )
+
+    pooled = ",\n            ".join(
+        f"sum(wgt * ({hv(j)})) / count(*) AS e{j}"
+        for j in range(1, dim + 1)
+    )
+    arr = "[" + ", ".join(f"e{j}" for j in range(1, dim + 1)) + "]"
+    parts = [
+        "WITH t AS (SELECT doc_id, list_filter(string_split_regex("
+        "text, '\\s+'), x -> x <> '') AS toks FROM documents)",
+        "e AS (SELECT doc_id, lower(unnest(toks)) AS w FROM t)",
+        "f AS (SELECT w, count(*) AS cnt FROM e GROUP BY 1)",
+        "tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM f)",
+        "wt AS (SELECT f.w, CAST(0.001 AS DOUBLE)"
+        " / (CAST(0.001 AS DOUBLE) + cnt / total) AS wgt FROM f, tt)",
+        f"""p AS (SELECT e.doc_id, count(*) AS n_tokens,
+            {pooled}
+          FROM e JOIN wt ON e.w = wt.w GROUP BY 1)""",
+        f"x AS (SELECT doc_id, i, {arr}[i] AS xi FROM p,"
+        f" unnest(generate_series(1, {dim})) g(i))",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p)",
+        "c AS (SELECT a.i AS i, b.i AS j,"
+        " sum(a.xi * b.xi) / max(nn.n)"
+        " - (sum(a.xi) / max(nn.n)) * (sum(b.xi) / max(nn.n)) AS cov"
+        " FROM x a JOIN x b USING (doc_id), nn GROUP BY 1, 2)",
+        f"v0 AS (SELECT unnest(generate_series(1, {dim})) AS i,"
+        f" 1.0 / sqrt({dim}.0) AS val)",
+    ]
+    for s in range(1, n_iter + 1):
+        parts.append(
+            f"w{s} AS (SELECT c.i, sum(c.cov * v.val) AS w"
+            f" FROM c JOIN v{s-1} v ON c.j = v.i GROUP BY 1)"
+        )
+        parts.append(
+            f"v{s} AS (SELECT i, w / (SELECT sqrt(sum(w * w))"
+            f" FROM w{s}) AS val FROM w{s})"
+        )
+    parts.append(
+        f"pc AS (SELECT x.doc_id, sum(x.xi * v.val) AS pc1"
+        f" FROM x JOIN v{n_iter} v ON x.i = v.i GROUP BY 1)"
+    )
+    parts.append(
+        f"o AS (SELECT x.doc_id, x.i, x.xi - pc.pc1 * v.val AS xo"
+        f" FROM x JOIN pc ON x.doc_id = pc.doc_id"
+        f" JOIN v{n_iter} v ON x.i = v.i)"
+    )
+    out = ",\n           ".join(
+        f"round(max(CASE WHEN o.i = {j} THEN o.xo END), 6) AS e{j}"
+        for j in range(1, dim + 1)
+    )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT o.doc_id, max(p.n_tokens) AS n_tokens,\n"
+        f"           {out}\n"
+        f"    FROM o JOIN p ON o.doc_id = p.doc_id GROUP BY o.doc_id"
+    )
+
+
+@query("q237_sif_embeddings", oracle=_q237_oracle())
+def q237_sif_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import sif_embed
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = sif_embed(d, "text", "doc_id", dim=_SIF_DIM)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        *[
+            F.round(F.col("emb")[j], 6).alias(f"e{j+1}")
+            for j in range(_SIF_DIM)
+        ],
+    )

@@ -125,3 +125,66 @@ def test_pca_power_matches_numpy_eigendecomposition(spark):
     got_p = {r.vec_id: r.pc1 for r in proj}
     for i in range(400):
         assert abs(got_p[i] - want[i]) < 1e-6
+
+
+def test_sif_embed_downweights_frequent_words(spark):
+    from cccatalog_spark.operators.features import (
+        hash_word_vector,
+        sif_embed,
+    )
+    from pyspark.sql import functions as F
+
+    # 'the' dominates the corpus; with SIF weights a doc of pure 'the'
+    # must pool to a much smaller-magnitude raw vector than a doc of
+    # the same word appearing once
+    docs = spark.createDataFrame(
+        [(1, "the " * 50 + "cat"), (2, "unique words only here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["emb"]
+        for r in sif_embed(
+            docs, "text", "doc_id", dim=4, remove_common=False
+        ).collect()
+    }
+    import math
+
+    n1 = math.sqrt(sum(x * x for x in out[1]))
+    n2 = math.sqrt(sum(x * x for x in out[2]))
+    assert n1 < n2
+
+    # hash vectors are deterministic and bounded
+    hv = spark.range(1).select(
+        hash_word_vector(F.lit("cat"), 4).alias("v")
+    ).collect()[0]["v"]
+    hv2 = spark.range(1).select(
+        hash_word_vector(F.lit("cat"), 4).alias("v")
+    ).collect()[0]["v"]
+    assert hv == hv2 and all(-1.0 <= x <= 1.0 for x in hv)
+
+
+def test_sif_common_component_removed_is_orthogonal(spark):
+    from cccatalog_spark.operators.features import (
+        pca_power_component,
+        sif_embed,
+    )
+
+    rows = [
+        (i, "shared prefix tokens " + ("alpha " if i % 2 else "beta ") * 3)
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cleaned = sif_embed(docs, "text", "doc_id", dim=4)
+    # after removal, projecting the cleaned embeddings onto their OWN
+    # first component of the ORIGINAL pooled matrix ~ 0 is hard to
+    # assert directly; instead check the removed frame's projection on
+    # the original direction is ~0 by recomputing loadings on the raw
+    # pooled frame
+    raw = sif_embed(docs, "text", "doc_id", dim=4, remove_common=False)
+    loads = {
+        r["i"]: r["loading"]
+        for r in pca_power_component(raw, "emb", 4).collect()
+    }
+    for r in cleaned.collect():
+        proj = sum(r["emb"][i] * loads[i + 1] for i in range(4))
+        assert abs(proj) < 1e-9
