@@ -12549,3 +12549,45 @@ def q237_sif_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_SIF_DIM)
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# q238 — skip-gram pair generation with frequency subsampling
+# (operators/skipgram.skipgram_pairs, Mikolov NIPS'13): (center,
+# context) pair counts over a ±2 post-subsample window, keep draw
+# md5-derandomized per (doc, pos) — the word2vec training-table
+# extraction. Oracle replays subsampling, renumbering, and the
+# window join.
+# ---------------------------------------------------------------------------
+@query(
+    "q238_skipgram_pairs",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(text,
+                 '\s+'), x -> x <> '') AS tk FROM documents),
+    i AS (SELECT doc_id, lower(tk[p]) AS w, p - 1 AS pos
+          FROM t, unnest(generate_series(1, len(tk))) g(p)),
+    f AS (SELECT w, count(*) AS cnt FROM i GROUP BY 1),
+    tt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM f),
+    pw AS (SELECT w, least(CAST(1.0 AS DOUBLE),
+                 sqrt(CAST(0.001 AS DOUBLE) / (cnt / tot))) AS keep
+           FROM f, tt),
+    k AS (SELECT i.doc_id, i.pos, i.w
+          FROM i JOIN pw ON i.w = pw.w
+          WHERE ('0x' || substring(md5('sg:'
+              || CAST(i.doc_id AS VARCHAR) || ':'
+              || CAST(i.pos AS VARCHAR)), 1, 13))::BIGINT
+            / CAST(4503599627370496.0 AS DOUBLE) < keep),
+    s AS (SELECT doc_id, w, row_number() OVER (
+            PARTITION BY doc_id ORDER BY pos) AS r FROM k),
+    p2 AS (SELECT a.w AS w_center, b.w AS w_context
+           FROM s a JOIN s b ON a.doc_id = b.doc_id
+            AND abs(a.r - b.r) <= 2 AND a.r <> b.r)
+    SELECT w_center, w_context, count(*) AS n_pairs
+    FROM p2 GROUP BY 1, 2
+    """,
+)
+def q238_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.skipgram import skipgram_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return skipgram_pairs(d, "text", "doc_id", window=2, subsample_t=1e-3)
