@@ -12591,3 +12591,90 @@ def q238_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return skipgram_pairs(d, "text", "doc_id", window=2, subsample_t=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# q239 — Bradley–Terry preference ranking (operators/preferences.
+# bradley_terry, Hunter 2004 MM): 8 synthetic "models" with true
+# strengths i+1 compared once per order (winner md5-derandomized in
+# proportion to true strength), 5 MM rounds — the aggregation step
+# for pairwise preference data before DPO/RLHF or leaderboards. The
+# oracle unrolls the MM recurrence as CTEs.
+# ---------------------------------------------------------------------------
+def _q239_oracle(iterations: int = 5) -> str:
+    parts = [
+        """WITH cmp AS (
+      SELECT CASE WHEN hwin THEN a ELSE b END AS w,
+             CASE WHEN hwin THEN b ELSE a END AS l
+      FROM (SELECT a, b,
+              ('0x' || substring(md5('bt:'
+                 || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                % (a + b + 2) < a + 1 AS hwin
+            FROM (SELECT o_orderkey,
+                    CAST(o_custkey % 8 AS BIGINT) AS a,
+                    CAST((o_custkey % 8 + 1 + o_orderkey % 7) % 8
+                         AS BIGINT) AS b
+                  FROM orders)))""",
+        "wins AS (SELECT w AS item, CAST(count(*) AS DOUBLE) AS wins"
+        " FROM cmp GROUP BY 1)",
+        "und AS (SELECT least(w, l) AS x, greatest(w, l) AS y,"
+        " CAST(count(*) AS DOUBLE) AS n FROM cmp GROUP BY 1, 2)",
+        "pr AS (SELECT x AS i, y AS j, n FROM und"
+        " UNION ALL SELECT y, x, n FROM und)",
+        "it AS (SELECT DISTINCT i AS item FROM pr)",
+        "ni AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM it)",
+        "p0 AS (SELECT item, 1.0 / c AS pi FROM it, ni)",
+    ]
+    for r in range(1, iterations + 1):
+        parts.append(
+            f"d{r} AS (SELECT pr.i, sum(pr.n / (a.pi + b.pi)) AS den"
+            f" FROM pr JOIN p{r-1} a ON pr.i = a.item"
+            f" JOIN p{r-1} b ON pr.j = b.item GROUP BY 1)"
+        )
+        parts.append(
+            f"r{r} AS (SELECT it.item, coalesce(w.wins, 0) / d.den AS raw"
+            f" FROM it JOIN d{r} d ON it.item = d.i"
+            f" LEFT JOIN wins w ON it.item = w.item)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT item, raw / (SELECT sum(raw) FROM r{r})"
+            f" AS pi FROM r{r})"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"\n    SELECT item, round(pi, 6) AS pi FROM p{iterations}"
+    )
+
+
+@query("q239_bradley_terry", oracle=_q239_oracle())
+def q239_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.preferences import bradley_terry
+
+    o = load_table(spark, sf_dir, "orders")
+    a = (F.col("o_custkey") % 8).cast("long")
+    b = ((F.col("o_custkey") % 8 + 1 + F.col("o_orderkey") % 7) % 8).cast(
+        "long"
+    )
+    hwin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("bt:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % (a + b + 2)
+        < a + 1
+    )
+    cmp = o.select(
+        F.when(hwin, a).otherwise(b).alias("winner"),
+        F.when(hwin, b).otherwise(a).alias("loser"),
+    )
+    fit = bradley_terry(cmp, iterations=5)
+    return fit.select("item", F.round("pi", 6).alias("pi"))
