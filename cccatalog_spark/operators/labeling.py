@@ -1,0 +1,106 @@
+"""Crowd-label aggregation: binary Dawid–Skene by fixed-round EM
+(Dawid & Skene 1979) — the annotation-pipeline standard that majority
+vote is the degenerate case of: estimate each worker's sensitivity
+(true-positive rate) and specificity (true-negative rate) jointly
+with the item posteriors, so reliable annotators outvote noisy ones.
+
+LLM-pipeline role: collapsing redundant human/model labels (toxicity,
+quality, preference flags) into one training label per document, with
+per-worker quality as a free byproduct (flags spam annotators).
+
+Fixed-round EM, deterministic end to end:
+
+  init   μ_i   = mean of observed labels (majority-vote share)
+  M-step α_w   = Σ_i μ_i·[l_wi=1] / Σ_i μ_i        (clamped to [ε,1−ε])
+         β_w   = Σ_i (1−μ_i)·[l_wi=0] / Σ_i (1−μ_i)
+         p     = mean μ
+  E-step logit_i = ln(p/(1−p)) + Σ_w ln(term1/term0)
+         term1 = α_w if l=1 else 1−α_w ; term0 = 1−β_w if l=1 else β_w
+         μ_i   = 1/(1+e^(−logit))
+
+Scale shape per round: the labels frame joins the |workers|-row
+confusion catalog (broadcast-sized in any real annotation project),
+then ONE item-keyed aggregate for the log-sum E-step and ONE
+worker-keyed aggregate for the M-step — both map-side combinable; the
+prior is a 1-row cross-broadcast. Lineage truncated per round; no
+collect, no UDF.
+
+Reference anchor: no counterpart in the reference (SURVEY §2
+extension layer); companion to operators/quality.label_model_vote
+(weak supervision with KNOWN rule weights — Dawid-Skene LEARNS the
+weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cccatalog_spark.operators.dedup import _truncate_lineage
+
+
+def dawid_skene_binary(
+    labels: DataFrame,
+    item_col: str,
+    worker_col: str,
+    label_col: str,
+    rounds: int = 2,
+    eps: float = 1e-3,
+) -> DataFrame:
+    """``(item, mu, label)`` — posterior P(true=1) rounded to 6 and
+    the hard threshold at 0.5 after ``rounds`` EM rounds. ``label_col``
+    must be 0/1-valued (cast to double internally)."""
+    obs = labels.select(
+        F.col(item_col).alias("_i"),
+        F.col(worker_col).alias("_w"),
+        F.col(label_col).cast("double").alias("_l"),
+    ).persist()
+    mu = obs.groupBy("_i").agg(F.avg("_l").alias("mu"))
+    lo, hi = float(eps), 1.0 - float(eps)
+    clamp = lambda c: F.least(F.greatest(c, F.lit(lo)), F.lit(hi))  # noqa: E731
+    for _ in range(rounds):
+        j = obs.join(mu, "_i")
+        conf = j.groupBy("_w").agg(
+            clamp(
+                F.sum(F.col("mu") * F.col("_l")) / F.sum("mu")
+            ).alias("alpha"),
+            clamp(
+                F.sum((1.0 - F.col("mu")) * (1.0 - F.col("_l")))
+                / F.sum(1.0 - F.col("mu"))
+            ).alias("beta"),
+        )
+        prior = mu.agg(clamp(F.avg("mu")).alias("p"))
+        t1 = F.when(F.col("_l") == 1.0, F.col("alpha")).otherwise(
+            1.0 - F.col("alpha")
+        )
+        t0 = F.when(F.col("_l") == 1.0, 1.0 - F.col("beta")).otherwise(
+            F.col("beta")
+        )
+        logit = (
+            obs.join(F.broadcast(conf), "_w")
+            .groupBy("_i")
+            .agg(F.sum(F.log(t1 / t0)).alias("_s"))
+        )
+        mu = _truncate_lineage(
+            logit.crossJoin(F.broadcast(prior)).select(
+                "_i",
+                (
+                    1.0
+                    / (
+                        1.0
+                        + F.exp(
+                            -(
+                                F.log(F.col("p") / (1.0 - F.col("p")))
+                                + F.col("_s")
+                            )
+                        )
+                    )
+                ).alias("mu"),
+            )
+        )
+    obs.unpersist()
+    return mu.select(
+        F.col("_i").alias(item_col),
+        F.round("mu", 6).alias("mu"),
+        (F.col("mu") >= 0.5).cast("int").alias("label"),
+    )

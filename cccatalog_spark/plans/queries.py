@@ -12678,3 +12678,103 @@ def q239_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fit = bradley_terry(cmp, iterations=5)
     return fit.select("item", F.round("pi", 6).alias("pi"))
+
+
+# ---------------------------------------------------------------------------
+# q240 — Dawid–Skene crowd-label aggregation (operators/labeling.
+# dawid_skene_binary, 1979): five synthetic annotators of reliability
+# 0.55..0.95 label every doc's parity; 2 EM rounds learn per-worker
+# sensitivity/specificity and the item posteriors — the step that
+# collapses redundant annotations into one training label. Oracle
+# unrolls init + both EM rounds.
+# ---------------------------------------------------------------------------
+_DS_OBS_SQL = """
+      SELECT doc_id AS i, w,
+             CASE WHEN ('0x' || substring(md5('ds:'
+                    || CAST(w AS VARCHAR) || ':'
+                    || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                  / CAST(4503599627370496.0 AS DOUBLE)
+                  < 0.55 + 0.1 * w
+                  THEN CAST(doc_id % 2 AS DOUBLE)
+                  ELSE CAST(1 - doc_id % 2 AS DOUBLE) END AS l
+      FROM documents, unnest(generate_series(0, 4)) g(w)
+"""
+
+
+def _q240_oracle(rounds: int = 2) -> str:
+    parts = [
+        f"WITH obs AS ({_DS_OBS_SQL})",
+        "mu0 AS (SELECT i, avg(l) AS mu FROM obs GROUP BY 1)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""conf{r} AS (SELECT obs.w,
+            least(greatest(sum(m.mu * obs.l) / sum(m.mu),
+                  CAST(0.001 AS DOUBLE)), CAST(0.999 AS DOUBLE)) AS alpha,
+            least(greatest(sum((1 - m.mu) * (1 - obs.l))
+                  / sum(1 - m.mu),
+                  CAST(0.001 AS DOUBLE)), CAST(0.999 AS DOUBLE)) AS beta
+          FROM obs JOIN mu{r-1} m ON obs.i = m.i GROUP BY 1)"""
+        )
+        parts.append(
+            f"pr{r} AS (SELECT least(greatest(avg(mu),"
+            f" CAST(0.001 AS DOUBLE)), CAST(0.999 AS DOUBLE)) AS p"
+            f" FROM mu{r-1})"
+        )
+        parts.append(
+            f"""s{r} AS (SELECT obs.i,
+            sum(ln(CASE WHEN obs.l = 1 THEN c.alpha
+                        ELSE 1 - c.alpha END
+                   / CASE WHEN obs.l = 1 THEN 1 - c.beta
+                          ELSE c.beta END)) AS s
+          FROM obs JOIN conf{r} c ON obs.w = c.w GROUP BY 1)"""
+        )
+        parts.append(
+            f"mu{r} AS (SELECT i, 1 / (1 + exp(-(ln(p / (1 - p)) + s)))"
+            f" AS mu FROM s{r}, pr{r})"
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT i AS doc_id, round(mu, 6) AS mu,
+           CAST(mu >= 0.5 AS INT) AS label
+    FROM mu{rounds}"""
+    )
+
+
+@query("q240_dawid_skene", oracle=_q240_oracle())
+def q240_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.labeling import dawid_skene_binary
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("w")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ds:"),
+                        F.col("w").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    truth = (F.col("doc_id") % 2).cast("double")
+    obs = lab.select(
+        "doc_id",
+        "w",
+        F.when(frac < 0.55 + 0.1 * F.col("w"), truth)
+        .otherwise(1.0 - truth)
+        .alias("l"),
+    )
+    return dawid_skene_binary(obs, "doc_id", "w", "l", rounds=2)
