@@ -104,3 +104,89 @@ def dawid_skene_binary(
         F.round("mu", 6).alias("mu"),
         (F.col("mu") >= 0.5).cast("int").alias("label"),
     )
+
+
+def krippendorff_alpha_nominal(
+    labels: DataFrame,
+    item_col: str,
+    rater_col: str,
+    value_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data (Krippendorff 2004) —
+    the agreement coefficient that, unlike Cohen's kappa
+    (operators/ml_metrics.py), handles ANY number of raters and
+    missing ratings, so it is the one to report for real annotation
+    projects where coverage is ragged.
+
+    One row: ``(n_items, n_pairable_values, d_o, d_e, alpha)`` with
+    ``alpha = 1 − D_o/D_e`` over the coincidence matrix (each
+    within-item ordered pair weighted ``1/(m_u − 1)``); items with a
+    single rating are excluded (they carry no agreement evidence).
+    Reads: 1 perfect, 0 chance-level, < 0 systematic disagreement;
+    ≥ 0.8 is the conventional publishable bar.
+
+    Scale shape: ONE self-join keyed by the item id (fan-out bounded
+    by the per-item rating count — the rater pool, not the corpus),
+    then value-keyed aggregates over the ≤|values|² coincidence
+    frame; totals combine via 1-row cross-broadcasts. No collect, no
+    UDF, no windows.
+    """
+    r = labels.select(
+        F.col(item_col).alias("_i"),
+        F.col(rater_col).alias("_r"),
+        F.col(value_col).cast("string").alias("_v"),
+    )
+    sizes = r.groupBy("_i").agg(F.count("*").alias("_m"))
+    pairable = r.join(
+        sizes.where(F.col("_m") >= 2), "_i"
+    ).persist()
+    a, b = pairable.alias("a"), pairable.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a._i") == F.col("b._i"))
+        & (F.col("a._r") != F.col("b._r")),
+    ).select(
+        F.col("a._v").alias("c"),
+        F.col("b._v").alias("k"),
+        (1.0 / (F.col("a._m") - 1)).alias("wt"),
+    )
+    coin = pairs.groupBy("c", "k").agg(F.sum("wt").alias("o"))
+    n_tot = pairable.groupBy().agg(
+        F.countDistinct("_i").alias("n_items"),
+        F.count("*").cast("double").alias("n"),
+    )
+    nc = coin.groupBy("c").agg(F.sum("o").alias("n_c"))
+    disagree = coin.where(F.col("c") != F.col("k")).agg(
+        F.coalesce(F.sum("o"), F.lit(0.0)).alias("_od")
+    )
+    ed = (
+        nc.alias("x")
+        .crossJoin(nc.alias("y"))
+        .where(F.col("x.c") != F.col("y.c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("x.n_c") * F.col("y.n_c")), F.lit(0.0)
+            ).alias("_ee")
+        )
+    )
+    out = (
+        n_tot.crossJoin(F.broadcast(disagree))
+        .crossJoin(F.broadcast(ed))
+        .select(
+            "n_items",
+            F.col("n").cast("long").alias("n_pairable_values"),
+            F.round(F.col("_od") / F.col("n"), round_to).alias("d_o"),
+            F.round(
+                F.col("_ee") / (F.col("n") * (F.col("n") - 1)), round_to
+            ).alias("d_e"),
+            F.round(
+                1.0
+                - (F.col("_od") / F.col("n"))
+                / (F.col("_ee") / (F.col("n") * (F.col("n") - 1))),
+                round_to,
+            ).alias("alpha"),
+        )
+    )
+    return out

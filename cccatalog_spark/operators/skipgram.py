@@ -114,3 +114,60 @@ def skipgram_pairs(
         .groupBy("w_center", "w_context")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 4,
+    distance_weighted: bool = True,
+) -> DataFrame:
+    """GloVe-style co-occurrence matrix extraction (Pennington et al.
+    EMNLP'14): ``(w_center, w_context, x)`` with each co-occurrence
+    contributing ``1/distance`` (or 1 when ``distance_weighted`` is
+    False — the raw window-count matrix). No subsampling — GloVe's
+    weighting function handles frequency at training time. ``x``
+    rounded to 6 (re-ordered float sum).
+
+    Same exchange budget as :func:`skipgram_pairs` minus the
+    frequency join: one posexplode, one equi-join on ``(doc,
+    pos+δ)`` with offsets exploded probe-side, one map-side-combinable
+    pair aggregate."""
+    toks = F.transform(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
+        lambda t: F.lower(t),
+    )
+    inst = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(toks).alias("pos", "w"),
+    )
+    offs = F.array(
+        *[F.lit(d) for d in range(-window, window + 1) if d != 0]
+    )
+    probe = inst.select(
+        "_doc",
+        F.col("w").alias("w_center"),
+        F.explode(
+            F.transform(
+                offs,
+                lambda d: F.struct(
+                    (F.col("pos") + d).alias("pos"),
+                    (
+                        1.0 / F.abs(d) if distance_weighted else F.lit(1.0)
+                    ).alias("wt"),
+                ),
+            )
+        ).alias("_o"),
+    ).select(
+        "_doc", "w_center", F.col("_o.pos").alias("pos"),
+        F.col("_o.wt").alias("wt"),
+    )
+    return (
+        probe.join(
+            inst.select("_doc", F.col("w").alias("w_context"), "pos"),
+            ["_doc", "pos"],
+        )
+        .groupBy("w_center", "w_context")
+        .agg(F.round(F.sum("wt"), 6).alias("x"))
+    )

@@ -12778,3 +12778,105 @@ def q240_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("l"),
     )
     return dawid_skene_binary(obs, "doc_id", "w", "l", rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# q241 — GloVe co-occurrence matrix extraction (operators/skipgram.
+# cooccurrence_counts, Pennington EMNLP'14): distance-weighted
+# (1/d) co-occurrence sums over a ±4 window — the other embedding-
+# training table (q238's count sibling). Oracle is the abs-distance
+# self-join replay.
+# ---------------------------------------------------------------------------
+@query(
+    "q241_glove_cooccurrence",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(text,
+                 '\s+'), x -> x <> '') AS tk FROM documents),
+    i AS (SELECT doc_id, lower(tk[p]) AS w, p AS pos
+          FROM t, unnest(generate_series(1, len(tk))) g(p)),
+    p2 AS (SELECT a.w AS w_center, b.w AS w_context,
+                  CAST(1.0 AS DOUBLE) / abs(a.pos - b.pos) AS wt
+           FROM i a JOIN i b ON a.doc_id = b.doc_id
+            AND abs(a.pos - b.pos) <= 4 AND a.pos <> b.pos)
+    SELECT w_center, w_context, round(sum(wt), 6) AS x
+    FROM p2 GROUP BY 1, 2
+    """,
+)
+def q241_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.skipgram import cooccurrence_counts
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cooccurrence_counts(d, "text", "doc_id", window=4)
+
+
+# ---------------------------------------------------------------------------
+# q242 — Krippendorff's alpha (operators/labeling.
+# krippendorff_alpha_nominal): agreement over the q240 synthetic
+# annotator pool with ragged coverage (worker w skips doc_id % 5 = w
+# items) — the any-raters/missing-data coefficient Cohen's kappa
+# (q215) cannot express. Oracle replays the coincidence matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "q242_krippendorff_alpha",
+    oracle=f"""
+    WITH obs0 AS ({_DS_OBS_SQL}),
+    obs AS (SELECT i, w, CAST(l AS VARCHAR) AS v FROM obs0
+            WHERE i % 5 <> w),
+    m AS (SELECT i, count(*) AS mu FROM obs GROUP BY 1),
+    p AS (SELECT obs.i, obs.w, obs.v, m.mu FROM obs
+          JOIN m ON obs.i = m.i WHERE m.mu >= 2),
+    pr AS (SELECT a.v AS c, b.v AS k,
+                  CAST(1.0 AS DOUBLE) / (a.mu - 1) AS wt
+           FROM p a JOIN p b ON a.i = b.i AND a.w <> b.w),
+    coin AS (SELECT c, k, sum(wt) AS o FROM pr GROUP BY 1, 2),
+    nt AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+                  CAST(count(*) AS DOUBLE) AS n FROM p),
+    nc AS (SELECT c, sum(o) AS n_c FROM coin GROUP BY 1),
+    dis AS (SELECT coalesce(sum(o), 0) AS od FROM coin WHERE c <> k),
+    ee AS (SELECT coalesce(sum(x.n_c * y.n_c), 0) AS ee
+           FROM nc x, nc y WHERE x.c <> y.c)
+    SELECT n_items, CAST(n AS BIGINT) AS n_pairable_values,
+           round(od / n, 6) AS d_o,
+           round(ee / (n * (n - 1)), 6) AS d_e,
+           round(1.0 - (od / n) / (ee / (n * (n - 1))), 6) AS alpha
+    FROM nt, dis, ee
+    """,
+)
+def q242_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.labeling import (
+        krippendorff_alpha_nominal,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = d.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("w")
+    ).where(F.col("doc_id") % 5 != F.col("w"))
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("ds:"),
+                        F.col("w").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    truth = (F.col("doc_id") % 2).cast("double")
+    obs = lab.select(
+        "doc_id",
+        "w",
+        F.when(frac < 0.55 + 0.1 * F.col("w"), truth)
+        .otherwise(1.0 - truth)
+        .cast("string")
+        .alias("v"),
+    )
+    return krippendorff_alpha_nominal(obs, "doc_id", "w", "v")

@@ -49,3 +49,50 @@ def test_dawid_skene_unanimous_labels_confident(spark):
         mu, lab = out[i]
         assert lab == i % 2
         assert mu > 0.99 if i % 2 else mu < 0.01
+
+
+def test_krippendorff_alpha_hand_example(spark):
+    from cccatalog_spark.operators.labeling import (
+        krippendorff_alpha_nominal,
+    )
+
+    rows = [
+        (1, "A", "x"), (1, "B", "x"),
+        (2, "A", "x"), (2, "B", "y"),
+        (3, "A", "y"), (3, "B", "y"),
+        (4, "A", "x"),  # single rating: excluded
+    ]
+    df = spark.createDataFrame(rows, "item long, rater string, v string")
+    r = krippendorff_alpha_nominal(df, "item", "rater", "v").collect()[0]
+    # hand: n=6, D_o = 2/6, n_x = n_y = 3, D_e = 18/30
+    assert r["n_items"] == 3 and r["n_pairable_values"] == 6
+    assert abs(r["d_o"] - 1 / 3) < 1e-6
+    assert abs(r["d_e"] - 0.6) < 1e-6
+    assert abs(r["alpha"] - (1 - (1 / 3) / 0.6)) < 1e-6
+
+
+def test_krippendorff_alpha_perfect_and_chance(spark):
+    from cccatalog_spark.operators.labeling import (
+        krippendorff_alpha_nominal,
+    )
+
+    perfect = spark.createDataFrame(
+        [(i, r, str(i % 2)) for i in range(10) for r in "ABC"],
+        "item long, rater string, v string",
+    )
+    assert (
+        krippendorff_alpha_nominal(perfect, "item", "rater", "v")
+        .collect()[0]["alpha"]
+        == 1.0
+    )
+    # systematic disagreement: every item rated x by A and y by B
+    anti = spark.createDataFrame(
+        [(i, "A", "x") for i in range(10)]
+        + [(i, "B", "y") for i in range(10)],
+        "item long, rater string, v string",
+    )
+    assert (
+        krippendorff_alpha_nominal(anti, "item", "rater", "v")
+        .collect()[0]["alpha"]
+        < 0
+    )

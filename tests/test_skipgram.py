@@ -68,3 +68,26 @@ def test_skipgram_subsampling_drops_dominant_word(spark):
     assert the_pairs_full > 400
     assert 0 < sum(n for (_, _, n) in r1)
     assert the_pairs < the_pairs_full / 10
+
+
+def test_cooccurrence_distance_weights(spark):
+    from cccatalog_spark.operators.skipgram import cooccurrence_counts
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = {
+        (r["w_center"], r["w_context"]): r["x"]
+        for r in cooccurrence_counts(
+            docs, "text", "doc_id", window=2
+        ).collect()
+    }
+    assert out == {
+        ("a", "b"): 1.0, ("b", "a"): 1.0, ("b", "c"): 1.0,
+        ("c", "b"): 1.0, ("a", "c"): 0.5, ("c", "a"): 0.5,
+    }
+    flat = {
+        (r["w_center"], r["w_context"]): r["x"]
+        for r in cooccurrence_counts(
+            docs, "text", "doc_id", window=2, distance_weighted=False
+        ).collect()
+    }
+    assert flat[("a", "c")] == 1.0
