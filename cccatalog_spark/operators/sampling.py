@@ -659,3 +659,100 @@ def stratified_exact_k(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ipf_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: dict[str, float],
+    col_targets: dict[str, float],
+    iterations: int = 5,
+) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan
+    1940): per-cell resampling weights that make the corpus match a
+    target marginal on BOTH ``row_col`` and ``col_col``
+    simultaneously — the two-dimensional upgrade of
+    :func:`stratified_sample`'s one-axis mixing (e.g. hit a lang
+    distribution AND a source distribution at once, which per-axis
+    scaling alone cannot do).
+
+    Returns ``(row, col, n, weight)``: observed cell counts and the
+    converged multiplier (``n·weight`` sums to each target, up to IPF
+    convergence after ``iterations`` alternating scalings; exact on
+    separable targets). Cells absent from the corpus get no row;
+    categories absent from a target dict get target 0 (weight → 0).
+
+    Scale shape: the corpus is touched ONCE (the contingency
+    aggregate); every IPF round is two joins against the broadcast
+    target dims over the ≤|rows|×|cols| cell catalog — bounded work
+    independent of corpus size, the same split as the PCA/k-means
+    family. Deterministic: no RNG, fixed rounds, unrolled-SQL
+    replayable.
+    """
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    spark = df.sparkSession
+    cells = (
+        df.groupBy(
+            F.col(row_col).alias("row"), F.col(col_col).alias("col")
+        )
+        .agg(F.count("*").cast("double").alias("n"))
+        .persist()
+    )
+    rt = spark.createDataFrame(
+        sorted(row_targets.items()), ["row", "rt"]
+    )
+    ct = spark.createDataFrame(
+        sorted(col_targets.items()), ["col", "ct"]
+    )
+    w = cells.select("row", "col", "n", F.lit(1.0).alias("weight"))
+    for _ in range(iterations):
+        rsum = w.groupBy("row").agg(
+            F.sum(F.col("n") * F.col("weight")).alias("_rs")
+        )
+        w = (
+            w.join(rsum, "row")
+            .join(F.broadcast(rt), "row", "left")
+            .select(
+                "row",
+                "col",
+                "n",
+                F.when(
+                    F.col("_rs") > 0,
+                    F.col("weight")
+                    * F.coalesce(F.col("rt"), F.lit(0.0))
+                    / F.col("_rs"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("weight"),
+            )
+        )
+        csum = w.groupBy("col").agg(
+            F.sum(F.col("n") * F.col("weight")).alias("_cs")
+        )
+        # the cell catalog is tiny, but without a per-round lineage cut
+        # the analyzed plan nests both scalings every round and
+        # Catalyst analysis time grows exponentially (the iterative-
+        # operator discipline used by pagerank/lloyd/bradley_terry)
+        w = _truncate_lineage(
+            w.join(csum, "col")
+            .join(F.broadcast(ct), "col", "left")
+            .select(
+                "row",
+                "col",
+                "n",
+                F.when(
+                    F.col("_cs") > 0,
+                    F.col("weight")
+                    * F.coalesce(F.col("ct"), F.lit(0.0))
+                    / F.col("_cs"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("weight"),
+            )
+        )
+    return w.select(
+        "row", "col", F.col("n").cast("long").alias("n"),
+        F.round("weight", 6).alias("weight"),
+    )

@@ -12880,3 +12880,70 @@ def q242_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v"),
     )
     return krippendorff_alpha_nominal(obs, "doc_id", "w", "v")
+
+
+# ---------------------------------------------------------------------------
+# q243 — IPF / raking corpus-mix weights (operators/sampling.
+# ipf_weights, Deming-Stephan 1940): per-cell multipliers hitting a
+# target LANG marginal and a target id-bucket marginal
+# simultaneously — the 2-D upgrade of q85's one-axis mixing. The
+# corpus is scanned once (contingency aggregate); 5 alternating
+# scalings over the cell catalog, unrolled in the oracle.
+# ---------------------------------------------------------------------------
+_IPF_ROW_T = [("de", 15.0), ("en", 40.0), ("es", 15.0), ("fr", 15.0),
+              ("zh", 15.0)]
+_IPF_COL_T = [("b0", 10.0), ("b1", 20.0), ("b2", 30.0), ("b3", 40.0)]
+
+
+def _q243_oracle(iterations: int = 5) -> str:
+    rt = ", ".join(f"('{k}', {v})" for k, v in _IPF_ROW_T)
+    ct = ", ".join(f"('{k}', {v})" for k, v in _IPF_COL_T)
+    parts = [
+        "WITH d AS (SELECT lang AS r, 'b' || CAST(doc_id % 4 AS VARCHAR)"
+        " AS c FROM documents)",
+        "cells AS (SELECT r, c, CAST(count(*) AS DOUBLE) AS n"
+        " FROM d GROUP BY 1, 2)",
+        f"rt(r, t) AS (VALUES {rt})",
+        f"ct(c, t) AS (VALUES {ct})",
+        "w0 AS (SELECT r, c, n, CAST(1.0 AS DOUBLE) AS w FROM cells)",
+    ]
+    for s in range(1, iterations + 1):
+        parts.append(
+            f"""a{s} AS (SELECT w.r, w.c, w.n,
+            CASE WHEN sum(w.n * w.w) OVER (PARTITION BY w.r) > 0
+                 THEN w.w * coalesce(rt.t, 0) /
+                   (sum(w.n * w.w) OVER (PARTITION BY w.r))
+                 ELSE 0 END AS w
+          FROM w{s-1} w LEFT JOIN rt ON w.r = rt.r)"""
+        )
+        parts.append(
+            f"""w{s} AS (SELECT a.r, a.c, a.n,
+            CASE WHEN sum(a.n * a.w) OVER (PARTITION BY a.c) > 0
+                 THEN a.w * coalesce(ct.t, 0) /
+                   (sum(a.n * a.w) OVER (PARTITION BY a.c))
+                 ELSE 0 END AS w
+          FROM a{s} a LEFT JOIN ct ON a.c = ct.c)"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT r AS row, c AS col, CAST(n AS BIGINT) AS n,
+           round(w, 6) AS weight
+    FROM w{iterations}"""
+    )
+
+
+@query("q243_ipf_raking", oracle=_q243_oracle())
+def q243_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import ipf_weights
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("lang"),
+        F.concat(F.lit("b"), (F.col("doc_id") % 4).cast("string")).alias(
+            "bucket"
+        ),
+    )
+    return ipf_weights(
+        d, "lang", "bucket", dict(_IPF_ROW_T), dict(_IPF_COL_T),
+        iterations=5,
+    )

@@ -459,3 +459,41 @@ def test_stratified_exact_k_isolated_strata(spark):
         if r["source"] == "a"
     )
     assert pick(df1) == pick(df2)
+
+
+def test_ipf_weights_hit_both_marginals(spark):
+    import collections
+
+    from cccatalog_spark.operators.sampling import ipf_weights
+
+    rows = (
+        [("en", "web")] * 50 + [("en", "book")] * 10
+        + [("de", "web")] * 20 + [("de", "book")] * 20
+    )
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = ipf_weights(
+        df, "lang", "src", {"en": 60.0, "de": 40.0},
+        {"web": 30.0, "book": 70.0}, iterations=10,
+    ).collect()
+    rm = collections.defaultdict(float)
+    cm = collections.defaultdict(float)
+    for r in out:
+        rm[r["row"]] += r["n"] * r["weight"]
+        cm[r["col"]] += r["n"] * r["weight"]
+    assert abs(rm["en"] - 60) < 1e-3 and abs(rm["de"] - 40) < 1e-3
+    assert abs(cm["web"] - 30) < 1e-3 and abs(cm["book"] - 70) < 1e-3
+
+
+def test_ipf_missing_target_category_zeroes_out(spark):
+    from cccatalog_spark.operators.sampling import ipf_weights
+
+    rows = [("en", "web")] * 5 + [("xx", "web")] * 5
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = {
+        (r["row"], r["col"]): r["weight"]
+        for r in ipf_weights(
+            df, "lang", "src", {"en": 10.0}, {"web": 10.0}, iterations=4
+        ).collect()
+    }
+    assert out[("xx", "web")] == 0.0
+    assert out[("en", "web")] > 0
