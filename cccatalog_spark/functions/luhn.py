@@ -69,3 +69,53 @@ def card_counts(text: Column) -> Column:
         F.size(cands).alias("n_candidates"),
         F.size(valid).alias("n_valid"),
     )
+
+
+# IBAN candidates: country code + check digits + 10-30 alphanumerics.
+# Unbounded upper repetition for the same maximal-munch boundary
+# guard as CARD_CANDIDATE_RE; the 15-34 length gate rejects over-long
+# runs whole.
+IBAN_CANDIDATE_RE = r"[A-Z]{2}[0-9]{2}[A-Z0-9]{10,}"
+
+
+def iban_valid(s: Column) -> Column:
+    """True iff ``s`` passes the IBAN ISO 13616 mod-97 check: move
+    the first 4 chars to the end, map letters to two digits (A=10 …
+    Z=35), and the left fold ``acc = (acc·10 + d) mod 97`` over the
+    digit stream must end at 1. Same incremental-mod arithmetic
+    replays in DuckDB ``list_reduce``, so the check is oracle-exact
+    (the number itself can be 60+ digits — never materialized)."""
+    re = F.concat(F.substring(s, 5, 64), F.substring(s, 1, 4))
+    chars = F.filter(F.split(re, ""), lambda c: c != "")
+    digs = F.flatten(
+        F.transform(
+            chars,
+            lambda c: F.when(
+                (c >= "0") & (c <= "9"), F.array(F.ascii(c) - 48)
+            ).otherwise(
+                F.array(
+                    F.floor((F.ascii(c) - 55) / 10).cast("int"),
+                    (F.ascii(c) - 55) % 10,
+                )
+            ),
+        )
+    )
+    folded = F.aggregate(
+        digs, F.lit(0), lambda acc, d: (acc * 10 + d) % 97
+    )
+    return (F.length(s) >= 15) & (F.length(s) <= 34) & (folded == 1)
+
+
+def iban_counts(text: Column) -> Column:
+    """Struct ``(n_candidates, n_valid)`` over IBAN-shaped runs in
+    the text — the account-number layer of the PII screen (cards are
+    :func:`card_counts`)."""
+    raw = F.regexp_extract_all(text, F.lit(IBAN_CANDIDATE_RE), F.lit(0))
+    cands = F.filter(
+        raw, lambda s: (F.length(s) >= 15) & (F.length(s) <= 34)
+    )
+    valid = F.filter(cands, iban_valid)
+    return F.struct(
+        F.size(cands).alias("n_candidates"),
+        F.size(valid).alias("n_valid"),
+    )

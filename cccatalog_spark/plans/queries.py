@@ -12947,3 +12947,168 @@ def q243_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "lang", "bucket", dict(_IPF_ROW_T), dict(_IPF_COL_T),
         iterations=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — IBAN mod-97 PII screen (functions/luhn.iban_counts): grafted
+# valid/tampered account numbers per doc; candidates vs checksum-
+# passing — the account-number layer beside q225's card layer. The
+# incremental (acc·10+d) mod 97 fold replays in DuckDB list_reduce.
+# ---------------------------------------------------------------------------
+_IBAN_VALID_SQL = """(len(s) BETWEEN 15 AND 34 AND list_reduce(
+      list_prepend(0, flatten(list_transform(
+        list_transform(generate_series(1,
+            len(substr(s, 5) || substr(s, 1, 4))),
+          i -> (substr(s, 5) || substr(s, 1, 4))[i]),
+        c -> CASE WHEN c BETWEEN '0' AND '9' THEN [ascii(c) - 48]
+                  ELSE [(ascii(c) - 55) // 10, (ascii(c) - 55) % 10]
+             END))),
+      (a, b) -> (a * 10 + b) % 97) = 1)"""
+
+
+@query(
+    "q244_iban_pii",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+        text || CASE WHEN doc_id % 3 = 0
+                     THEN ' iban GB82WEST12345698765432 ref'
+                     WHEN doc_id % 3 = 1
+                     THEN ' iban GB82WEST12345698765433 ref'
+                     ELSE '' END AS raw
+        FROM documents),
+    c AS (SELECT doc_id,
+                 list_filter(
+                   regexp_extract_all(raw, '[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{10,}}'),
+                   s -> len(s) BETWEEN 15 AND 34) AS cands
+          FROM t),
+    v AS (SELECT doc_id, cands,
+                 list_filter(cands, s -> {_IBAN_VALID_SQL}) AS valid
+          FROM c)
+    SELECT doc_id, CAST(len(cands) AS INT) AS n_candidates,
+           CAST(len(valid) AS INT) AS n_valid
+    FROM v
+    """,
+)
+def q244_iban_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.luhn import iban_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" iban GB82WEST12345698765432 ref"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit(" iban GB82WEST12345698765433 ref"),
+        )
+        .otherwise(F.lit("")),
+    )
+    c = iban_counts(raw)
+    return d.select(
+        "doc_id",
+        c["n_candidates"].alias("n_candidates"),
+        c["n_valid"].alias("n_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245 — LSH recall audit (completeness critic over the dedup stack):
+# q25's banded MinHash detections measured against q24's exact
+# inverted-index ground truth at the same threshold — the evaluation
+# row that justifies trusting the approximate path at scale (verify
+# stage pins precision to 1; banding bounds recall). Oracle replays
+# BOTH pipelines and the comparison.
+# ---------------------------------------------------------------------------
+@query(
+    "q245_lsh_recall_audit",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+    sh AS (SELECT doc_id, {{sh3}} AS s FROM t),
+    shn AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM shn),
+    tp AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, a.n, b.n
+        HAVING CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)) >= 0.4),
+    sig AS (
+        SELECT doc_id, s,
+               [list_min(list_transform(s, x -> md5('0:' || x))),
+                list_min(list_transform(s, x -> md5('1:' || x))),
+                list_min(list_transform(s, x -> md5('2:' || x))),
+                list_min(list_transform(s, x -> md5('3:' || x))),
+                list_min(list_transform(s, x -> md5('4:' || x))),
+                list_min(list_transform(s, x -> md5('5:' || x))),
+                list_min(list_transform(s, x -> md5('6:' || x))),
+                list_min(list_transform(s, x -> md5('7:' || x)))] AS sg
+        FROM shn),
+    banded AS (
+        SELECT doc_id, u.band,
+               sg[2 * u.band + 1] || '|' || sg[2 * u.band + 2] AS bsig
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) u),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bsig = b.bsig
+          AND a.doc_id < b.doc_id),
+    det AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+              (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+              >= 0.4),
+    tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tp),
+    de AS (SELECT CAST(count(*) AS BIGINT) AS n_detected FROM det),
+    hi AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+           FROM tp JOIN det USING (id_a, id_b))
+    SELECT n_true, n_detected, n_hit,
+           round(CASE WHEN n_true > 0
+                 THEN CAST(n_hit AS DOUBLE) / n_true ELSE 1.0 END, 6)
+             AS recall,
+           round(CASE WHEN n_detected > 0
+                 THEN CAST(n_hit AS DOUBLE) / n_detected ELSE 1.0 END, 6)
+             AS prec
+    FROM tr, de, hi
+    """.replace("{toks}", _TOKS).replace("{sh3}", _SHINGLES3),
+)
+def q245_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    truth = D.dedup_ngram_jaccard(
+        d, "text", "doc_id", k=3, threshold=0.4
+    ).select("id_a", "id_b").persist()
+    det = D.dedup_minhash_lsh(
+        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.4
+    ).select("id_a", "id_b").persist()
+    tr = truth.agg(F.count("*").alias("n_true"))
+    de = det.agg(F.count("*").alias("n_detected"))
+    hi = truth.join(det, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        tr.crossJoin(F.broadcast(de))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_true",
+            "n_detected",
+            "n_hit",
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit") / F.col("n_true"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("n_detected") > 0,
+                    F.col("n_hit") / F.col("n_detected"),
+                ).otherwise(F.lit(1.0)),
+                6,
+            ).alias("prec"),
+        )
+    )

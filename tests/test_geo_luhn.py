@@ -128,3 +128,34 @@ def test_card_counts_long_run_not_prefix_scored(spark):
     }
     assert out[1]["n_candidates"] == 0 and out[1]["n_valid"] == 0
     assert out[2]["n_candidates"] == 1 and out[2]["n_valid"] == 1
+
+
+def test_iban_known_numbers(spark):
+    from cccatalog_spark.functions.luhn import iban_valid
+
+    rows = [
+        (1, "GB82WEST12345698765432"),   # valid (ISO example)
+        (2, "DE89370400440532013000"),   # valid
+        (3, "GB82WEST12345698765433"),   # tampered last digit
+        (4, "DE00111122223333444455"),   # random
+        (5, "GB82WEST1234"),             # too short
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    out = {
+        r["id"]: r["v"]
+        for r in df.select("id", iban_valid(F.col("s")).alias("v"))
+        .collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_iban_counts_in_text(spark):
+    from cccatalog_spark.functions.luhn import iban_counts
+
+    t = (
+        "pay GB82WEST12345698765432 or DE89370400440532013000, "
+        "fake GB82WEST12345698765433 end"
+    )
+    df = spark.createDataFrame([(1, t)], "id long, text string")
+    r = df.select(iban_counts(F.col("text")).alias("c")).collect()[0]["c"]
+    assert r["n_candidates"] == 3 and r["n_valid"] == 2
