@@ -373,3 +373,137 @@ def bleu_scores(
             ).alias("bleu"),
         )
     )
+
+
+def fit_temperature(
+    df: DataFrame,
+    logit_col: str,
+    label_col: str,
+    temps: list[float] | None = None,
+) -> DataFrame:
+    """Temperature-scaling calibration fit (Guo et al. ICML'17): the
+    single post-hoc scalar T minimizing binary NLL of
+    ``sigmoid(logit/T)`` over a fixed candidate grid — the standard
+    repair when a quality classifier's scores are overconfident (ECE
+    high, q164's diagnosis; this is the corresponding treatment).
+    Returns one row ``(temperature, nll)`` (nll rounded to 6).
+
+    Grid search is deliberate: the 1-D NLL is evaluated for every
+    candidate in ONE corpus pass (constant |grid| fan-out per row,
+    map-side-combinable per-T aggregate, |grid|-row argmin via
+    TakeOrdered(1)) — no gradient loop, no driver iteration, exactly
+    SQL-replayable."""
+    if temps is None:
+        temps = [round(0.25 * i, 2) for i in range(1, 17)]  # 0.25..4.0
+    x = F.col(logit_col).cast("double")
+    y = F.col(label_col).cast("double")
+    grid = F.array(*[F.lit(float(t)) for t in temps])
+    e = df.select(x.alias("_x"), y.alias("_y")).select(
+        "_x", "_y", F.explode(grid).alias("t")
+    )
+    p = 1.0 / (1.0 + F.exp(-F.col("_x") / F.col("t")))
+    nll = e.groupBy("t").agg(
+        (-F.avg(F.col("_y") * F.log(p) + (1.0 - F.col("_y")) * F.log(1.0 - p))
+         ).alias("nll")
+    )
+    return (
+        nll.orderBy(F.asc("nll"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.col("t").alias("temperature"), F.round("nll", 6).alias("nll")
+        )
+    )
+
+
+def conformal_threshold(
+    df: DataFrame, score_col: str, alpha: float
+) -> DataFrame:
+    """Split-conformal quantile (Vovk et al.; Angelopoulos & Bates
+    2021 tutorial): the calibration threshold q̂ = the
+    ``ceil((n+1)(1−α))``-th smallest nonconformity score, giving
+    marginal coverage ≥ 1−α on exchangeable future points — how a
+    filter's score cut gets a distribution-free guarantee instead of
+    an eyeballed threshold. Returns one row ``(alpha, n, k, qhat)``.
+
+    Scale shape: one count, then the exact k-th smallest via the
+    iterative-refinement machinery of operators/quantiles.py (bounded
+    driver state at any n) — n and k are the only driver scalars."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    from cccatalog_spark.operators.quantiles import exact_quantiles
+
+    import math
+
+    vals = df.select(F.col(score_col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    n = vals.count()
+    k = min(int(math.ceil((n + 1) * (1.0 - alpha))), n)
+    [(_, qhat)] = exact_quantiles(vals, "v", [k / n])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(float(alpha), n, k, round(float(qhat), 6))],
+        "alpha double, n long, k long, qhat double",
+    )
+
+
+def group_fairness_report(
+    df: DataFrame,
+    group_col: str,
+    label_col: str,
+    pred_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group confusion rates with the corpus-wide disparity gaps
+    attached to every row — the release audit for a trained filter
+    (does the quality classifier suppress one language/source
+    disproportionately?): ``(group, n, pos_rate, tpr, fpr,
+    pos_rate_gap, tpr_gap, fpr_gap)``; rates null when undefined
+    (no positives / no negatives in the group), gaps = max−min over
+    groups with defined rates.
+
+    Scale shape: ONE group aggregate over the corpus; the gap frame
+    is a 1-row cross-broadcast over the |groups|-row result. No
+    windows, no collect."""
+    y = F.col(label_col).cast("boolean")
+    yhat = F.col(pred_col).cast("boolean")
+    g = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(yhat.cast("long")).alias("_np"),
+            F.sum((y & yhat).cast("long")).alias("_tp"),
+            F.sum(y.cast("long")).alias("_p"),
+            F.sum(((~y) & yhat).cast("long")).alias("_fp"),
+            F.sum((~y).cast("long")).alias("_neg"),
+        )
+        .select(
+            "grp",
+            "n",
+            (F.col("_np") / F.col("n")).alias("pos_rate"),
+            F.when(F.col("_p") > 0, F.col("_tp") / F.col("_p")).alias(
+                "tpr"
+            ),
+            F.when(
+                F.col("_neg") > 0, F.col("_fp") / F.col("_neg")
+            ).alias("fpr"),
+        )
+        .persist()
+    )
+    gaps = g.agg(
+        (F.max("pos_rate") - F.min("pos_rate")).alias("pos_rate_gap"),
+        (F.max("tpr") - F.min("tpr")).alias("tpr_gap"),
+        (F.max("fpr") - F.min("fpr")).alias("fpr_gap"),
+    )
+    r = lambda c: F.round(F.col(c), round_to).alias(c)  # noqa: E731
+    return g.crossJoin(F.broadcast(gaps)).select(
+        F.col("grp").alias(group_col),
+        "n",
+        r("pos_rate"),
+        r("tpr"),
+        r("fpr"),
+        r("pos_rate_gap"),
+        r("tpr_gap"),
+        r("fpr_gap"),
+    )

@@ -13112,3 +13112,139 @@ def q245_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prec"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — temperature-scaling calibration fit (operators/ml_metrics.
+# fit_temperature, Guo ICML'17): labels sampled (md5-derandomized) at
+# true temperature 2 from synthetic logits; one corpus pass evaluates
+# the whole candidate grid and TakeOrdered(1) picks the NLL argmin —
+# q164's ECE diagnosis paired with its standard treatment.
+# ---------------------------------------------------------------------------
+_CAL_TEMPS = [round(0.25 * i, 2) for i in range(1, 17)]
+
+
+@query(
+    "q246_temperature_fit",
+    oracle=f"""
+    WITH d AS (SELECT
+        (doc_id % 21 - 10) / CAST(2.5 AS DOUBLE) AS x,
+        CASE WHEN ('0x' || substring(md5('cal:'
+               || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+             / CAST(4503599627370496.0 AS DOUBLE)
+             < 1 / (1 + exp(-((doc_id % 21 - 10)
+                              / CAST(2.5 AS DOUBLE)) / 2))
+             THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y
+      FROM documents),
+    e AS (SELECT x, y, t FROM d,
+          unnest([{", ".join(f"CAST({t} AS DOUBLE)" for t in _CAL_TEMPS)}])
+            u(t)),
+    n AS (SELECT t,
+            -avg(y * ln(1 / (1 + exp(-x / t)))
+                 + (1 - y) * ln(1 - 1 / (1 + exp(-x / t)))) AS nll
+          FROM e GROUP BY 1)
+    SELECT t AS temperature, round(nll, 6) AS nll
+    FROM n ORDER BY nll, t LIMIT 1
+    """,
+)
+def q246_temperature_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import fit_temperature
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    x = (F.col("doc_id") % 21 - 10) / 2.5
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cal:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 52))
+    )
+    obs = d.select(
+        x.alias("logit"),
+        (frac < 1.0 / (1.0 + F.exp(-x / 2))).cast("double").alias("y"),
+    )
+    return fit_temperature(obs, "logit", "y", temps=_CAL_TEMPS)
+
+
+# ---------------------------------------------------------------------------
+# q247 — split-conformal threshold (operators/ml_metrics.
+# conformal_threshold): the ceil((n+1)(1−α))-th smallest
+# nonconformity score at α=0.1 over document lengths — the
+# distribution-free coverage guarantee for a filter cut. Exact k-th
+# smallest via the quantile-refinement machinery; oracle ranks
+# directly.
+# ---------------------------------------------------------------------------
+@query(
+    "q247_conformal_threshold",
+    oracle="""
+    WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+               WHERE n_chars IS NOT NULL),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    k AS (SELECT least(CAST(ceil((n + 1) * CAST(0.9 AS DOUBLE))
+                       AS BIGINT), n) AS k, n FROM n),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+    SELECT CAST(0.1 AS DOUBLE) AS alpha, k.n AS n, k.k AS k,
+           round(r.v, 6) AS qhat
+    FROM r, k WHERE r.rn = k.k
+    """,
+)
+def q247_conformal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import conformal_threshold
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score")
+    )
+    return conformal_threshold(d, "score", alpha=0.1)
+
+
+# ---------------------------------------------------------------------------
+# q248 — group-fairness release audit (operators/ml_metrics.
+# group_fairness_report): per-language confusion rates of a synthetic
+# filter decision with corpus-wide disparity gaps on every row — the
+# "does the filter suppress one language disproportionately?" check
+# run before shipping a trained quality classifier.
+# ---------------------------------------------------------------------------
+@query(
+    "q248_fairness_gaps",
+    oracle="""
+    WITH d AS (SELECT lang, doc_id % 3 = 0 AS y,
+                      doc_id % 5 < 2 AS yh FROM documents),
+    g AS (SELECT lang AS grp, count(*) AS n,
+                 sum(CASE WHEN yh THEN 1 ELSE 0 END) AS np,
+                 sum(CASE WHEN y AND yh THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+                 sum(CASE WHEN NOT y AND yh THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS neg
+          FROM d GROUP BY 1),
+    r AS (SELECT grp, n,
+                 CAST(np AS DOUBLE) / n AS pos_rate,
+                 CASE WHEN p > 0 THEN CAST(tp AS DOUBLE) / p END AS tpr,
+                 CASE WHEN neg > 0 THEN CAST(fp AS DOUBLE) / neg END
+                   AS fpr
+          FROM g),
+    gp AS (SELECT max(pos_rate) - min(pos_rate) AS prg,
+                  max(tpr) - min(tpr) AS tg,
+                  max(fpr) - min(fpr) AS fg FROM r)
+    SELECT grp AS lang, n, round(pos_rate, 6) AS pos_rate,
+           round(tpr, 6) AS tpr, round(fpr, 6) AS fpr,
+           round(prg, 6) AS pos_rate_gap, round(tg, 6) AS tpr_gap,
+           round(fg, 6) AS fpr_gap
+    FROM r, gp
+    """,
+)
+def q248_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import group_fairness_report
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        (F.col("doc_id") % 3 == 0).alias("y"),
+        (F.col("doc_id") % 5 < 2).alias("yh"),
+    )
+    return group_fairness_report(d, "lang", "y", "yh")

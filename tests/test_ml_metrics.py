@@ -163,3 +163,57 @@ def test_bleu_matches_python_model(spark):
     # disjoint words score below the clipped-repeat candidate, which
     # scores below the verbatim one (ordering sanity on the smoothing)
     assert out[3]["bleu"] < out[2]["bleu"]
+
+
+def test_fit_temperature_recovers_true_scale(spark):
+    import random
+
+    from cccatalog_spark.operators.ml_metrics import fit_temperature
+
+    rng = random.Random(3)
+    import math
+
+    rows = []
+    for _ in range(4000):
+        x = rng.uniform(-4, 4)
+        p = 1 / (1 + math.exp(-x / 2.0))  # true temperature 2
+        rows.append((x, 1.0 if rng.random() < p else 0.0))
+    df = spark.createDataFrame(rows, "logit double, y double")
+    r = fit_temperature(df, "logit", "y").collect()[0]
+    assert 1.5 <= r["temperature"] <= 2.75
+
+
+def test_conformal_threshold_rank_semantics(spark):
+    from cccatalog_spark.operators.ml_metrics import conformal_threshold
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "score double"
+    )
+    r = conformal_threshold(df, "score", alpha=0.1).collect()[0]
+    # k = ceil(101*0.9) = 91 -> 91st smallest of 1..100 is 91
+    assert r["n"] == 100 and r["k"] == 91 and r["qhat"] == 91.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        conformal_threshold(df, "score", alpha=0.0)
+
+
+def test_group_fairness_hand_computed(spark):
+    from cccatalog_spark.operators.ml_metrics import group_fairness_report
+
+    rows = [
+        # group a: 2 pos (1 predicted), 2 neg (1 predicted)
+        ("a", True, True), ("a", True, False),
+        ("a", False, True), ("a", False, False),
+        # group b: all positives, perfect predictions
+        ("b", True, True), ("b", True, True),
+    ]
+    df = spark.createDataFrame(rows, "g string, y boolean, yh boolean")
+    out = {
+        r["g"]: r
+        for r in group_fairness_report(df, "g", "y", "yh").collect()
+    }
+    assert out["a"]["tpr"] == 0.5 and out["a"]["fpr"] == 0.5
+    assert out["b"]["tpr"] == 1.0 and out["b"]["fpr"] is None
+    assert out["a"]["tpr_gap"] == 0.5  # 1.0 - 0.5, null fpr ignored
+    assert out["a"]["pos_rate_gap"] == 0.5
