@@ -606,7 +606,8 @@ def random_walks(
     adj = e.select(
         "s", "d", (F.row_number().over(rk) - 1).alias("_idx")
     ).persist()
-    degs = adj.groupBy("s").agg(F.count("*").alias("_deg"))
+    # joined every step: persist so the degree aggregate runs once
+    degs = adj.groupBy("s").agg(F.count("*").alias("_deg")).persist()
     nodes = (
         e.select(F.col("s").alias("start"))
         .union(e.select(F.col("d").alias("start")))

@@ -91,9 +91,11 @@ def skipgram_pairs(
         .select("_doc", "pos", "w")
     )
     rk = Window.partitionBy("_doc").orderBy("pos")
+    # consumed twice (probe side and context side): persist so the
+    # subsample join + renumbering window run once
     seq = kept.select(
         "_doc", "w", F.row_number().over(rk).alias("r")
-    )
+    ).persist()
     offs = F.array(
         *[F.lit(d) for d in range(-window, window + 1) if d != 0]
     )
@@ -138,10 +140,11 @@ def cooccurrence_counts(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
         lambda t: F.lower(t),
     )
+    # consumed twice (center and context sides): persist the explode
     inst = docs.select(
         F.col(id_col).alias("_doc"),
         F.posexplode(toks).alias("pos", "w"),
-    )
+    ).persist()
     offs = F.array(
         *[F.lit(d) for d in range(-window, window + 1) if d != 0]
     )
