@@ -55,7 +55,10 @@ def k_center_select(
     previously-selected set at selection time (monotone non-increasing
     after round 1; the round-r value bounds the k-center cost of the
     first r centers). ``radius`` rounded to 6; rank 0 (the seed =
-    smallest id) has radius 0.0 by convention."""
+    smallest id) has radius 0.0 by convention. Requires ``k`` <= the
+    number of distinct input points: past that, every point is
+    already a center (min distance 0 everywhere) and later ranks
+    would re-select covered points with radius 0."""
     if k < 1:
         raise ValueError("k must be >= 1")
     spark: SparkSession = vectors.sparkSession

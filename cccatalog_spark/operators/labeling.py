@@ -182,9 +182,15 @@ def krippendorff_alpha_nominal(
                 F.col("_ee") / (F.col("n") * (F.col("n") - 1)), round_to
             ).alias("d_e"),
             F.round(
-                1.0
-                - (F.col("_od") / F.col("n"))
-                / (F.col("_ee") / (F.col("n") * (F.col("n") - 1))),
+                # D_e = 0 (a single observed value corpus-wide) leaves
+                # alpha undefined — emit null rather than a division
+                # error under ANSI mode
+                F.when(
+                    F.col("_ee") > 0,
+                    1.0
+                    - (F.col("_od") / F.col("n"))
+                    / (F.col("_ee") / (F.col("n") * (F.col("n") - 1))),
+                ),
                 round_to,
             ).alias("alpha"),
         )

@@ -12838,7 +12838,7 @@ def q241_glove_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_items, CAST(n AS BIGINT) AS n_pairable_values,
            round(od / n, 6) AS d_o,
            round(ee / (n * (n - 1)), 6) AS d_e,
-           round(1.0 - (od / n) / (ee / (n * (n - 1))), 6) AS alpha
+           round(CASE WHEN ee > 0 THEN 1.0 - (od / n) / (ee / (n * (n - 1))) END, 6) AS alpha
     FROM nt, dis, ee
     """,
 )

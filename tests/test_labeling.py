@@ -96,3 +96,16 @@ def test_krippendorff_alpha_perfect_and_chance(spark):
         .collect()[0]["alpha"]
         < 0
     )
+
+
+def test_krippendorff_alpha_single_value_null(spark):
+    from cccatalog_spark.operators.labeling import (
+        krippendorff_alpha_nominal,
+    )
+
+    df = spark.createDataFrame(
+        [(i, r, "same") for i in range(5) for r in "AB"],
+        "item long, rater string, v string",
+    )
+    r = krippendorff_alpha_nominal(df, "item", "rater", "v").collect()[0]
+    assert r["alpha"] is None and r["d_o"] == 0.0
