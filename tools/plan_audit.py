@@ -98,6 +98,13 @@ SANCTIONED_BNLJ = {
     "q226_mutual_information": "1-row total/entropy scalars cross-broadcast around the |cells|-row contingency",
     "q227_benford_audit": "1-row total and chi-square scalars cross-broadcast around the 9-row digit frame",
     "q228_class_tfidf": "1-row average-class-mass scalar broadcast into the (class, term) counts",
+    "q235_psi_drift": "1-row reference-bounds / totals / psi scalar broadcasts (the woe_iv contract on both sides)",
+    "q236_k_anonymity": "1-row row-total scalar broadcast",
+    "q237_sif_embeddings": "1-row token-total + d-row loadings-array broadcasts plus the q189 PCA norm/eigen scalar chain",
+    "q238_skipgram_pairs": "1-row token-total scalar broadcast (the subsample keep-probability denominator)",
+    "q242_krippendorff_alpha": "<=|values|-row coincidence marginals cross-combined + 1-row totals (bounded catalogs; |values| is the label alphabet, not the corpus)",
+    "q245_lsh_recall_audit": "three 1-row count frames cross-combined (the evaluation summary row)",
+    "q248_fairness_gaps": "1-row disparity-gap frame cross-broadcast over the |groups|-row report",
 }
 
 
