@@ -119,6 +119,28 @@ FAMILIES = {
         "q198_containment_pairs",
         {"joins": 5, "exchanges": 12},
     ),
+    # jusText-style content extraction: ONE doc-keyed shuffle serves
+    # both the lag/lead window and the reassembly aggregate; no joins,
+    # no UDF (lines.extract_content_lines)
+    "content-extract-one-doc-shuffle": (
+        "q231_content_extract",
+        {"joins": 0, "exchanges": 2},
+    ),
+    # GloVe co-occurrence: one (doc,pos) equi-join with constant 2w
+    # probe-side fan-out + the pair aggregate — never a range join
+    "glove-single-equi-join": (
+        "q241_glove_cooccurrence",
+        {"joins": 1, "exchanges": 3},
+    ),
+    # skip-gram pairs: vocab-keyed subsample join + per-doc rank
+    # window + (doc,rank) equi-join + pair agg. DESIGN is 3 joins /
+    # 5 exchanges; the plan printer re-prints the persisted seq
+    # subtree under each InMemoryTableScan reference, so the
+    # string-counted budget is 3 joins / 17 exchanges.
+    "skipgram-vocab-join-plus-rank-window": (
+        "q238_skipgram_pairs",
+        {"joins": 3, "exchanges": 17},
+    ),
 }
 
 
