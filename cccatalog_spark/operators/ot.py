@@ -1,0 +1,127 @@
+"""Entropic optimal transport (Sinkhorn-Knopp) over category
+marginals — "reshape this corpus's distribution into that target
+distribution while moving as little mass as possible".
+
+The concrete pipeline job: the corpus's document-length (or lang, or
+source) histogram is ``a``; the mixture the training run wants is
+``b``; moving a doc between adjacent buckets is cheap (truncate /
+concat / resample nearby) while jumping far is expensive. The
+entropic-OT plan ``T`` (Cuturi, NeurIPS 2013: "Sinkhorn Distances:
+Lightspeed Computation of Optimal Transport") answers *which* source
+bucket should supply *which* target bucket, and in what proportion —
+strictly more informative than IPF/raking (operators/sampling.
+ipf_weights), which re-weights cells but has no notion of a cost for
+moving between them. Sinkhorn IS the IPF iteration applied to the
+Gibbs kernel ``K = exp(-C/eps)`` instead of the observed contingency.
+
+Determinism note: the kernel is computed as ``pow(2, -C/eps)`` —
+i.e. the Gibbs kernel with the natural log base swapped for 2 — so
+that integer ``C/eps`` yields EXACT binary doubles in both Spark and
+DuckDB (libm ``exp`` may differ in the last ulp across engines;
+``pow(2, -n)`` cannot). With base 2 the regularizer is eps·ln2 in
+nat units; pick eps accordingly.
+
+Scale shape: the corpus is touched ONCE (the source-marginal count
+aggregate). Everything after runs on the |src|x|dst| cell catalog —
+a bounded cross-broadcast of two ≤k-row dims (the sanctioned
+catalog pattern shared with ipf_weights / k-means). Each Sinkhorn
+round is two window sums over that catalog; lineage is truncated
+every round so Catalyst analysis stays linear in ``iterations``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sinkhorn_transport(
+    df: DataFrame,
+    src_col: str,
+    dst_targets: dict,
+    cost_fn: Callable[[Column, Column], Column],
+    epsilon: float = 1.0,
+    iterations: int = 12,
+) -> DataFrame:
+    """Entropic-OT transport plan from the observed distribution of
+    ``src_col`` to the ``dst_targets`` distribution (category ->
+    positive mass; normalized internally, so shares or raw counts both
+    work).
+
+    ``cost_fn(src, dst)`` builds the cost column over the cell
+    catalog; the kernel is ``2^(-cost/epsilon)`` (see module note).
+    Returns one row per (src, dst) cell:
+
+    ``(src, dst, a, b, mass, move_share)`` — ``a``/``b`` the
+    normalized marginals, ``mass`` the plan entry ``T_ij`` (column
+    marginals are exact after the final ``v`` scaling; row marginals
+    converge geometrically), ``move_share = T_ij / a_i`` the fraction
+    of source bucket ``i`` that should be routed to target bucket
+    ``j`` — the actionable resampling directive. All floats rounded
+    to 6 places in both engines.
+
+    Precondition: every target mass must be > 0 (a zero-mass target
+    category would need the v-scaling zero guard; drop such
+    categories from the dict instead — they receive no mass either
+    way).
+    """
+    if not dst_targets:
+        raise ValueError("dst_targets must be non-empty")
+    if any(v <= 0 for v in dst_targets.values()):
+        raise ValueError("dst_targets masses must be > 0")
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    spark = df.sparkSession
+    total_b = float(sum(dst_targets.values()))
+    b = spark.createDataFrame(
+        sorted((k, v / total_b) for k, v in dst_targets.items()),
+        ["dst", "b"],
+    )
+    a = (
+        df.groupBy(F.col(src_col).alias("src"))
+        .agg(F.count("*").cast("double").alias("_n"))
+    )
+    tot = a.agg(F.sum("_n").alias("_tot"))
+    # bounded-catalog cross-broadcasts: |src| rows x 1 row, then
+    # |src| x |dst| — the cell matrix the whole iteration runs on
+    cells = (
+        a.crossJoin(F.broadcast(tot))
+        .select("src", (F.col("_n") / F.col("_tot")).alias("a"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "src",
+            "dst",
+            "a",
+            "b",
+            F.pow(
+                F.lit(2.0),
+                -cost_fn(F.col("src"), F.col("dst")) / F.lit(epsilon),
+            ).alias("k"),
+        )
+    )
+    w_src = Window.partitionBy("src")
+    w_dst = Window.partitionBy("dst")
+    state = cells.select("*", F.lit(1.0).alias("v"))
+    for _ in range(iterations):
+        state = state.select(
+            "src", "dst", "a", "b", "k", "v",
+            (F.col("a") / F.sum(F.col("k") * F.col("v")).over(w_src)).alias("u"),
+        )
+        state = _truncate_lineage(
+            state.select(
+                "src", "dst", "a", "b", "k", "u",
+                (F.col("b") / F.sum(F.col("k") * F.col("u")).over(w_dst)).alias("v"),
+            )
+        )
+    mass = F.col("u") * F.col("k") * F.col("v")
+    return state.select(
+        "src",
+        "dst",
+        F.round("a", 6).alias("a"),
+        F.round("b", 6).alias("b"),
+        F.round(mass, 6).alias("mass"),
+        F.round(mass / F.col("a"), 6).alias("move_share"),
+    )

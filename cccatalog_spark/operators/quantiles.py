@@ -490,3 +490,54 @@ def quantiles_from_histogram(
         F.col("total").cast("long").alias("total"),
         (F.lit(lo) + (F.col("_bin") + 1) * F.lit(width)).alias("q_est"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    grid: int = 100,
+) -> DataFrame:
+    """Cross-group score calibration by quantile normalization: map
+    each value onto the POOLED distribution at its within-group
+    percentile, so a "0.8 quality" from a lenient provider and a
+    "0.3" from a harsh one land on comparable scales before a single
+    global threshold is applied (the microarray-normalization trick,
+    Bolstad et al. 2003, applied to per-provider quality scores).
+
+    Steps: (1) within-group ``percent_rank`` — one window shuffle
+    keyed by group; (2) the pooled distribution reduced to a
+    ``grid+1``-point exact-percentile sketch — ONE global aggregate
+    whose result is a single broadcast row; (3) each row reads the
+    pooled quantile at ``floor(p * grid)`` — column algebra on the
+    broadcast array. No per-row pooled lookup join, no global sort.
+
+    Returns ``(id, group, value, pct_rank, normalized)`` with floats
+    rounded to 6. Step-function semantics (no interpolation between
+    grid points) keep the result exactly SQL-replayable; grid=100
+    bounds the calibration error at the pooled 1%-ile resolution.
+    """
+    x = F.col(value_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(x)
+    ranked = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        x.alias("value"),
+        F.percent_rank().over(w).alias("_p"),
+    )
+    fractions = F.array(*[F.lit(j / grid) for j in range(grid + 1)])
+    pooled = df.agg(F.percentile(x, fractions).alias("_q"))
+    return ranked.crossJoin(F.broadcast(pooled)).select(
+        "id",
+        "group",
+        "value",
+        F.round("_p", 6).alias("pct_rank"),
+        F.round(
+            F.element_at(
+                F.col("_q"),
+                (F.floor(F.col("_p") * grid) + 1).cast("int"),
+            ),
+            6,
+        ).alias("normalized"),
+    )

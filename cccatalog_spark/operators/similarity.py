@@ -860,3 +860,71 @@ def lsh_cosine_topk_multiprobe(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def silhouette_centroid(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_seeds: int = 8,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette — the cluster-quality
+    report card run after k-means (the "did SemDeDup's k actually
+    separate anything?" check). Per vector, with distances to the k
+    centroids: ``a`` = distance to the nearest (its cluster), ``b`` =
+    distance to the second-nearest, ``s = (b-a)/max(a,b)`` — the
+    Pampalk/sklearn `silhouette (centroid) approximation`, which
+    replaces the O(n²) pairwise a/b of Rousseeuw 1987 with k
+    broadcast distances per row (the only silhouette that exists at
+    100 TB).
+
+    Seeds are the ``n_seeds`` lowest-id vectors (same deterministic
+    convention as :func:`kmeans_assign`). Returns per-cluster rows
+    ``(seed_id, n, mean_s, overall_s)`` with ``overall_s`` repeated
+    (corpus mean silhouette). s in [0, 1] here since a <= b by
+    construction; 0 = boundary point, 1 = glued to its centroid.
+
+    Scale shape: one k-row broadcast, k distances per row map-side,
+    one per-vector two-smallest aggregate (array_sort over k structs,
+    k constant), one per-cluster rollup + a 1-row overall broadcast.
+    No pairwise joins anywhere.
+    """
+    seeds = df.where(F.col(id_col) < n_seeds).select(
+        F.col(id_col).alias("seed_id"),
+        F.col(vec_col).alias("seed_vec"),
+    )
+    dist = l2_distance(F.col(vec_col), F.col("seed_vec"))
+    two = (
+        df.crossJoin(F.broadcast(seeds))
+        .select(
+            F.col(id_col),
+            F.struct(dist.alias("dist"), F.col("seed_id").alias("seed_id")).alias(
+                "c"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.slice(F.array_sort(F.collect_list("c")), 1, 2).alias("t2"))
+        .select(
+            F.col("t2")[0]["seed_id"].alias("seed_id"),
+            F.col("t2")[0]["dist"].alias("a"),
+            F.col("t2")[1]["dist"].alias("b"),
+        )
+    )
+    sil = two.select(
+        "seed_id",
+        F.when(
+            F.greatest("a", "b") > 0,
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    overall = sil.agg(F.avg("s").alias("_o"))
+    return (
+        sil.groupBy("seed_id")
+        .agg(F.count("*").alias("n"), F.round(F.avg("s"), 6).alias("mean_s"))
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "seed_id", "n", "mean_s", F.round("_o", 6).alias("overall_s")
+        )
+    )

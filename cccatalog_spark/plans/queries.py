@@ -13248,3 +13248,381 @@ def q248_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5 < 2).alias("yh"),
     )
     return group_fairness_report(d, "lang", "y", "yh")
+
+
+# ---------------------------------------------------------------------------
+# q249 — entropic optimal transport (operators/ot.sinkhorn_transport,
+# Cuturi NeurIPS'13): the Sinkhorn plan that reshapes the corpus's
+# doc-length-bucket histogram into a long-doc-heavy target mixture
+# with |i-j| movement cost. The kernel is pow(2, -cost) so both
+# engines compute EXACT binary doubles (no libm exp); 12 alternating
+# scalings unroll into window-sum CTEs, mirroring q243's IPF replay.
+# ---------------------------------------------------------------------------
+_OT_TARGETS = [(0, 6.0), (1, 10.0), (2, 14.0), (3, 20.0), (4, 26.0),
+               (5, 24.0)]
+
+
+def _q249_oracle(iterations: int = 12) -> str:
+    bt = ", ".join(f"({j}, {m})" for j, m in _OT_TARGETS)
+    parts = [
+        "WITH d AS (SELECT least(CAST(floor(length(text) / 100.0)"
+        " AS INT), 5) AS src FROM documents)",
+        "acnt AS (SELECT src, CAST(count(*) AS DOUBLE) AS n FROM d"
+        " GROUP BY 1)",
+        "tot AS (SELECT sum(n) AS t FROM acnt)",
+        f"bt(dst, bm) AS (VALUES {bt})",
+        "bsum AS (SELECT sum(bm) AS s FROM bt)",
+        """cells AS (SELECT acnt.src, bt.dst, acnt.n / tot.t AS a,
+            bt.bm / bsum.s AS b,
+            power(2.0, -abs(acnt.src - bt.dst)) AS k
+          FROM acnt, tot, bt, bsum)""",
+        "s0 AS (SELECT src, dst, a, b, k, CAST(1.0 AS DOUBLE) AS v"
+        " FROM cells)",
+    ]
+    for s in range(1, iterations + 1):
+        parts.append(
+            f"""u{s} AS (SELECT src, dst, a, b, k, v,
+            a / sum(k * v) OVER (PARTITION BY src) AS u FROM s{s-1})"""
+        )
+        parts.append(
+            f"""s{s} AS (SELECT src, dst, a, b, k, u,
+            b / sum(k * u) OVER (PARTITION BY dst) AS v FROM u{s})"""
+        )
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT src, dst, round(a, 6) AS a, round(b, 6) AS b,
+           round(u * k * v, 6) AS mass,
+           round(u * k * v / a, 6) AS move_share
+    FROM s{iterations}"""
+    )
+
+
+@query("q249_sinkhorn_ot", oracle=_q249_oracle())
+def q249_sinkhorn_ot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ot import sinkhorn_transport
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.least(
+            F.floor(F.length("text") / 100.0).cast("int"), F.lit(5)
+        ).alias("len_bucket")
+    )
+    return sinkhorn_transport(
+        d,
+        "len_bucket",
+        dict(_OT_TARGETS),
+        cost_fn=lambda s, t: F.abs(s - t),
+        epsilon=1.0,
+        iterations=12,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — mojibake screen + repair (functions/encoding.py, ftfy-shaped):
+# deterministic UTF-8-as-CP1252 damage grafted per doc_id band, then
+# artifact counting, score, and the ordered replace-chain repair. The
+# fixed artifact table and its ANSI twins are generated from ONE
+# Python map, so Spark and DuckDB replay byte-identically. The
+# generic recode path (translate + ISO-8859-1 encode + UTF-8 decode)
+# is test-pinned against Python codecs instead (DuckDB has no CP1252
+# codec).
+# ---------------------------------------------------------------------------
+_MOJI_GRAFTS = [" cafÃ© menÃ¼", " donâ€™t â€œquoteâ€¦", " seÃ±or nr Â\xa05"]
+
+
+def _q250_oracle() -> str:
+    from cccatalog_spark.functions.encoding import (
+        mojibake_sql_count,
+        mojibake_sql_repair,
+    )
+
+    g = [s.replace("'", "''") for s in _MOJI_GRAFTS]
+    cnt = mojibake_sql_count("raw")
+    rep = mojibake_sql_repair("raw")
+    return f"""
+    WITH t AS (SELECT doc_id,
+        text || CASE doc_id % 4 WHEN 0 THEN '{g[0]}'
+                WHEN 1 THEN '{g[1]}' WHEN 2 THEN '{g[2]}'
+                ELSE '' END AS raw
+        FROM documents)
+    SELECT doc_id, {cnt} AS n_artifacts,
+           round(CAST({cnt} AS DOUBLE) /
+                 greatest(CAST(length(raw) AS DOUBLE), 1.0), 6) AS score,
+           CAST(length({rep}) AS INT) AS repaired_len
+    FROM t
+    """
+
+
+@query("q250_mojibake_repair", oracle=_q250_oracle())
+def q250_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.encoding import (
+        mojibake_artifact_count,
+        mojibake_score,
+        repair_mojibake,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(_MOJI_GRAFTS[0]))
+        .when(F.col("doc_id") % 4 == 1, F.lit(_MOJI_GRAFTS[1]))
+        .when(F.col("doc_id") % 4 == 2, F.lit(_MOJI_GRAFTS[2]))
+        .otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        mojibake_artifact_count(raw).alias("n_artifacts"),
+        F.round(mojibake_score(raw), 6).alias("score"),
+        F.length(repair_mojibake(raw)).alias("repaired_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q251 — phrase blocklist screen (operators/blocklist.
+# phrase_match_report): token-exact banned-phrase matching via lead()
+# n-gram construction + broadcast join (the Spark-native Aho-Corasick
+# stand-in). One doc-keyed shuffle + one broadcast join + one agg;
+# mixed 1/2/3-token phrases exercise the full gram ladder.
+# ---------------------------------------------------------------------------
+_BLOCK_PHRASES = ["filter", "slow query", "big table scan"]
+
+
+@query(
+    "q251_phrase_blocklist",
+    oracle="""
+    WITH p(gram) AS (VALUES ('filter'), ('slow query'),
+                            ('big table scan')),
+    nrm AS (SELECT doc_id, string_split(trim(regexp_replace(
+              lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS tk
+            FROM documents),
+    tok AS (SELECT doc_id, g.p AS pos, tk[g.p] AS tok
+            FROM nrm, unnest(generate_series(1, len(tk))) g(p)
+            WHERE tk[g.p] <> ''),
+    gr AS (SELECT doc_id, pos, tok AS g1,
+              tok || ' ' || lead(tok, 1) OVER w AS g2,
+              tok || ' ' || lead(tok, 1) OVER w || ' '
+                  || lead(tok, 2) OVER w AS g3
+           FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grams AS (SELECT doc_id, pos, g1 AS gram FROM gr
+      UNION ALL SELECT doc_id, pos, g2 FROM gr WHERE g2 IS NOT NULL
+      UNION ALL SELECT doc_id, pos, g3 FROM gr WHERE g3 IS NOT NULL),
+    m AS (SELECT grams.doc_id, grams.pos, grams.gram
+          FROM grams JOIN p USING (gram))
+    SELECT doc_id, count(*) AS n_matches,
+           count(DISTINCT gram) AS n_phrases,
+           array_to_string(list_sort(list(DISTINCT gram)), '|')
+             AS phrases,
+           CAST(min(pos) AS INT) AS first_pos
+    FROM m GROUP BY 1
+    """,
+)
+def q251_phrase_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.blocklist import phrase_match_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_match_report(d, "doc_id", "text", _BLOCK_PHRASES)
+
+
+# ---------------------------------------------------------------------------
+# q252 — cross-provider quantile normalization (operators/quantiles.
+# quantile_normalize, Bolstad et al. 2003): per-source n_chars scores
+# mapped onto the pooled distribution at their within-source
+# percentile — one group-keyed window + one global percentile
+# aggregate broadcast as a single 101-point row. Step-function
+# (floor-of-grid) semantics replay exactly in DuckDB quantile_cont.
+# ---------------------------------------------------------------------------
+@query(
+    "q252_quantile_normalize",
+    oracle="""
+    WITH v AS (SELECT doc_id AS id, source AS grp,
+                      CAST(n_chars AS DOUBLE) AS x FROM documents),
+    p AS (SELECT id, grp, x,
+                 percent_rank() OVER (PARTITION BY grp ORDER BY x)
+                   AS pr FROM v),
+    g AS (SELECT quantile_cont(x, [0.0, 0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99, 1.0]) AS q FROM v)
+    SELECT id, grp AS "group", x AS value, round(pr, 6) AS pct_rank,
+           round(q[CAST(floor(pr * 100) AS INT) + 1], 6) AS normalized
+    FROM p, g
+""",
+)
+def q252_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quantiles import quantile_normalize
+
+    d = load_table(spark, sf_dir, "documents")
+    out = quantile_normalize(d, "doc_id", "source", "n_chars", grid=100)
+    return out.select(
+        F.col("id"), F.col("group"), "value", "pct_rank", "normalized"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q253 — centroid silhouette (operators/similarity.silhouette_centroid,
+# Rousseeuw'87 via the centroid approximation): cluster-quality report
+# over the embeddings against the q96 seed centroids. a/b are the two
+# smallest of k exact L2 distances (sequential-fold doubles =
+# list_distance), so per-row s is oracle-exact; means rounded.
+# ---------------------------------------------------------------------------
+@query(
+    "q253_silhouette",
+    oracle="""
+    WITH s AS (SELECT vec_id AS seed_id, embedding FROM embeddings
+               WHERE vec_id < 8),
+    d AS (SELECT e.vec_id, s.seed_id,
+            list_distance(e.embedding::DOUBLE[], s.embedding::DOUBLE[])
+                AS dist
+          FROM embeddings e, s),
+    r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, seed_id) AS rn
+          FROM d),
+    ab AS (SELECT a.vec_id, a.seed_id, a.dist AS a, b.dist AS b
+           FROM r a JOIN r b ON a.vec_id = b.vec_id
+           WHERE a.rn = 1 AND b.rn = 2),
+    sil AS (SELECT vec_id, seed_id,
+              CASE WHEN greatest(a, b) > 0
+                   THEN (b - a) / greatest(a, b)
+                   ELSE CAST(0.0 AS DOUBLE) END AS sv
+            FROM ab),
+    o AS (SELECT avg(sv) AS osv FROM sil)
+    SELECT seed_id, count(*) AS n, round(avg(sv), 6) AS mean_s,
+           round(o.osv, 6) AS overall_s
+    FROM sil, o GROUP BY seed_id, o.osv
+    """,
+)
+def q253_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.silhouette_centroid(e, "embedding", "vec_id", n_seeds=8)
+
+
+# ---------------------------------------------------------------------------
+# q254 — STREAMING MinHash-LSH near-dup screen (streaming/stateful.
+# lsh_bucket_claims): the batch q25 banding column algebra runs
+# unchanged on a file stream; keyed state per (band, bsig) bucket
+# remembers the first claimant across micro-batches; a doc that owns
+# none of its 4 buckets is a near-dup candidate. Two triggers
+# (doc_id%2==0 first, rest second) make arrival order deterministic,
+# so the whole streaming outcome replays as one SQL argmin-by-
+# (batch, doc_id) per bucket.
+# ---------------------------------------------------------------------------
+@query(
+    "q254_stream_lsh_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id,
+               [list_min(list_transform(s, x -> md5('0:' || x))),
+                list_min(list_transform(s, x -> md5('1:' || x))),
+                list_min(list_transform(s, x -> md5('2:' || x))),
+                list_min(list_transform(s, x -> md5('3:' || x))),
+                list_min(list_transform(s, x -> md5('4:' || x))),
+                list_min(list_transform(s, x -> md5('5:' || x))),
+                list_min(list_transform(s, x -> md5('6:' || x))),
+                list_min(list_transform(s, x -> md5('7:' || x)))] AS sg
+        FROM shn
+    ),
+    banded AS (
+        SELECT doc_id, u.band,
+               sg[2 * u.band + 1] || '|' || sg[2 * u.band + 2] AS bsig
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) u
+    ),
+    k AS (SELECT doc_id, band, bsig,
+            CASE WHEN doc_id % 2 = 0 THEN doc_id
+                 ELSE doc_id + 1000000000000 END AS key
+          FROM banded),
+    own AS (SELECT band, bsig, min(key) AS okey FROM k GROUP BY 1, 2),
+    j AS (SELECT k.doc_id, k.key, o.okey FROM k
+          JOIN own o ON k.band = o.band AND k.bsig = o.bsig)
+    SELECT doc_id, count(*) AS n_buckets,
+           CAST(sum(CASE WHEN key = okey THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_owned,
+           sum(CASE WHEN key = okey THEN 1 ELSE 0 END) = 0
+             AS is_candidate
+    FROM j GROUP BY 1
+    """,
+)
+def q254_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.functions.text import shingles
+    from cccatalog_spark.operators.dedup import minhash_signature
+    from cccatalog_spark.streaming.stateful import lsh_bucket_claims
+
+    base = tempfile.mkdtemp(prefix="ccc_slsh_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    now = time.time()
+    batches = [
+        d.where(F.col("doc_id") % 2 == 0),
+        d.where(F.col("doc_id") % 2 == 1),
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        dst = os.path.join(src, f"batch{i}.tsv")
+        os.rename(os.path.join(stage, parts[0]), dst)
+        os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    # q25's banding algebra, applied to the unbounded frame
+    rows_per_band, bands = 2, 4
+    banded = (
+        stream.select(
+            "doc_id", shingles(F.col("text"), 3).alias("sh")
+        )
+        .where(F.size("sh") > 0)
+        .select(
+            "doc_id", minhash_signature(F.col("sh"), 8).alias("sig")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("int").alias("band"),
+                            F.array_join(
+                                F.slice(
+                                    "sig", i * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                "|",
+                            ).alias("bsig"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("doc_id", "bk.band", "bk.bsig")
+    )
+    claims = lsh_bucket_claims(banded, "doc_id")
+    sink = f"q254_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        claims.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT doc_id, count(*) AS n_buckets,
+               sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS n_owned,
+               sum(CASE WHEN is_first THEN 1 ELSE 0 END) = 0
+                 AS is_candidate
+        FROM {sink} GROUP BY doc_id
+        """
+    )

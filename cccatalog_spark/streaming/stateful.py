@@ -349,3 +349,75 @@ def match_sequence_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def lsh_bucket_claims(
+    banded_stream: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming LSH near-dup screen, bucket stage: keyed state per
+    LSH band bucket ``(band, bsig)`` remembering the first document
+    that claimed it. Each input row (one doc x one band, produced by
+    the same banded-signature column algebra as the batch LSH —
+    operators/dedup._banded_sig — which runs unchanged on a stream)
+    emits ``(band, bsig, doc_id, owner_id, is_first)``: ``owner_id``
+    the bucket's established owner, ``is_first`` whether THIS row
+    established it. A document that owns none of its buckets collided
+    with earlier documents on every band — the streaming analog of
+    the batch LSH candidate test, decided per micro-batch with O(1)
+    state per bucket and no joins.
+
+    Within a trigger, ties go to the smallest ``id_col`` (sorted
+    before the claim), so replays and same-batch races are
+    deterministic. Downstream, a per-doc batch aggregate over the
+    sink (``min(is_first ? 1 : 0)``... i.e. "no bucket owned") yields
+    the near-dup-candidate flag; candidates then verify with the
+    exact Jaccard join, as in the batch path.
+
+    State never expires here (corpus dedup wants full history); at
+    100 TB bound it by sharding buckets across jobs or adding an
+    EventTimeTimeout when the dedup horizon is finite.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:
+            yield pd.DataFrame(
+                {
+                    "band": [], "bsig": [], id_col: [],
+                    "owner_id": [], "is_first": [],
+                }
+            )
+            return
+        batch = pd.concat(rows).sort_values(id_col)
+        if state.exists:
+            owner = state.get[0]
+            first_mask = [False] * len(batch)
+        else:
+            owner = int(batch[id_col].iloc[0])
+            state.update((owner,))
+            first_mask = [bool(v == owner) for v in batch[id_col]]
+        yield pd.DataFrame(
+            {
+                "band": batch["band"].values,
+                "bsig": batch["bsig"].values,
+                id_col: batch[id_col].values,
+                "owner_id": [owner] * len(batch),
+                "is_first": first_mask,
+            }
+        )
+
+    return banded_stream.groupBy("band", "bsig").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"band int, bsig string, {id_col} long, owner_id long,"
+            " is_first boolean"
+        ),
+        stateStructType="owner long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

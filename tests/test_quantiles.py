@@ -233,3 +233,50 @@ def test_trimmed_mean_udaf_matches_numpy(spark):
     tm9 = trimmed_mean_udaf(0.9)
     got2 = small.groupBy("g").agg(tm9(F.col("v")).alias("m")).first()["m"]
     assert got2 == 2.0
+
+
+def test_quantile_normalize_calibrates_groups(spark):
+    from cccatalog_spark.operators.quantiles import quantile_normalize
+
+    # lenient grader scores 50-100, harsh grader 0-50: same latent
+    # ordering, incomparable scales
+    rows = [(i, "lenient", 50.0 + i) for i in range(51)] + [
+        (100 + i, "harsh", float(i)) for i in range(51)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    out = quantile_normalize(df, "id", "grp", "score", grid=100).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group"], []).append(
+            (r["value"], r["normalized"])
+        )
+    for grp, pairs in by_group.items():
+        pairs.sort()
+        vals = [n for _, n in pairs]
+        # monotone non-decreasing in the raw score within each group
+        assert vals == sorted(vals)
+    # after calibration the two groups' normalized medians coincide
+    med = {
+        g: sorted(n for _, n in prs)[len(prs) // 2]
+        for g, prs in by_group.items()
+    }
+    assert abs(med["lenient"] - med["harsh"]) < 1e-9
+    # and equal within-group percentiles map to equal pooled values
+    top = {g: max(n for _, n in prs) for g, prs in by_group.items()}
+    assert abs(top["lenient"] - top["harsh"]) < 1e-9
+
+
+def test_quantile_normalize_single_group_rank_preserving(spark):
+    from cccatalog_spark.operators.quantiles import quantile_normalize
+
+    rows = [(i, "g", float(v)) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "id long, grp string, score double")
+    out = {
+        r["id"]: r for r in
+        quantile_normalize(df, "id", "grp", "score", grid=100).collect()
+    }
+    # pct_rank spans [0, 1]; normalized endpoints hit pooled min/max
+    assert out[1]["pct_rank"] == 0.0
+    assert out[2]["pct_rank"] == 1.0
+    assert out[1]["normalized"] == 1.0
+    assert out[2]["normalized"] == 9.0

@@ -492,3 +492,46 @@ def test_semantic_dedup_matches_brute_force(spark):
     }
     assert {i: g[0] for i, g in got.items()} == asg
     assert {i: g[1] for i, g in got.items()} == want
+
+
+def test_silhouette_separated_vs_overlapping(spark):
+    from cccatalog_spark.operators.similarity import silhouette_centroid
+
+    def corpus(spread):
+        rows = []
+        # seeds 0 and 1 define two centers; members jitter by `spread`
+        centers = {0: [0.0, 0.0], 1: [10.0, 0.0]}
+        for cid, c in centers.items():
+            rows.append((cid, c))
+        i = 2
+        for cid, c in centers.items():
+            for dx in (-spread, spread):
+                rows.append((i, [c[0] + dx, c[1] + spread / 2]))
+                i += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, emb array<double>"
+        )
+
+    tight = silhouette_centroid(corpus(0.5), "emb", "vec_id", n_seeds=2)
+    loose = silhouette_centroid(corpus(4.0), "emb", "vec_id", n_seeds=2)
+    t = tight.collect()[0]["overall_s"]
+    l_ = loose.collect()[0]["overall_s"]
+    assert t > l_           # tighter clusters score higher
+    assert 0.0 <= l_ <= t <= 1.0
+
+
+def test_silhouette_seed_rows_score_one(spark):
+    from cccatalog_spark.operators.similarity import silhouette_centroid
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 0.0]), (2, [0.1, 0.0])],
+        "vec_id long, emb array<double>",
+    )
+    rows = {
+        r["seed_id"]: r
+        for r in silhouette_centroid(df, "emb", "vec_id", n_seeds=2).collect()
+    }
+    # each seed contains its own vector at distance 0 -> s = 1 exactly
+    assert rows[1]["n"] == 1 and rows[1]["mean_s"] == 1.0
+    assert rows[0]["n"] == 2
+    assert rows[0]["overall_s"] == rows[1]["overall_s"]

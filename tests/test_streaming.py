@@ -613,3 +613,57 @@ def test_stream_cep_repeated_step_types_equals_batch(spark, tmp_path):
     }
     assert batch, "batch operator found no matches — fixture broken"
     assert stream == batch
+
+
+def test_lsh_bucket_claims_first_owner_across_batches(spark, tmp_path):
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import lsh_bucket_claims
+
+    watch = tmp_path / "lsh_in"
+    watch.mkdir()
+    now = time.time()
+    # pre-banded rows: (doc_id, band, bsig). batch 1 claims bucket
+    # (0, "x") with doc 4 (and doc 6 same-batch race -> min id wins);
+    # batch 2's doc 1 collides on every one of its buckets, doc 3 owns
+    # a fresh bucket
+    _write_tsv(
+        str(watch / "b1.tsv"),
+        ["4\t0\tx", "6\t0\tx", "4\t1\ty"],
+        now - 120,
+    )
+    _write_tsv(
+        str(watch / "b2.tsv"),
+        ["1\t0\tx", "1\t1\ty", "3\t2\tz"],
+        now - 60,
+    )
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("doc_id long, band int, bsig string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(str(watch))
+    )
+    sink = f"lsh_claims_{uuid.uuid4().hex[:8]}"
+    q = (
+        lsh_bucket_claims(stream, "doc_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["doc_id"], r["band"], r["bsig"]): r
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    assert rows[(4, 0, "x")]["is_first"] and rows[(4, 0, "x")]["owner_id"] == 4
+    assert not rows[(6, 0, "x")]["is_first"]       # same-batch race: min id
+    assert rows[(6, 0, "x")]["owner_id"] == 4
+    assert not rows[(1, 0, "x")]["is_first"]       # later batch never owns
+    assert not rows[(1, 1, "y")]["is_first"]
+    assert rows[(3, 2, "z")]["is_first"]           # fresh bucket in batch 2
+    # doc 1 owns zero of its buckets -> near-dup candidate
+    owned = [r for (d, _, _), r in rows.items() if d == 1 and r["is_first"]]
+    assert owned == []
