@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def cuped_readout(
@@ -77,4 +78,78 @@ def cuped_readout(
                 6,
             ).alias("var_reduction"),
         )
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum: the nonparametric "did
+    provider A's quality distribution shift vs provider B's?" test —
+    the right tool when doc-length/quality metrics are heavy-tailed
+    and a t-test's mean is meaningless. Mid-ranks for ties, the
+    standard tie-corrected normal approximation:
+
+        U_a  = R_a - n_a(n_a+1)/2
+        z    = (U_a - n_a n_b/2) / sigma,
+        sigma = sqrt(n_a n_b/12 * ((n+1) - sum(t^3-t)/(n(n-1))))
+
+    Returns one row ``(n_a, n_b, u_a, z)`` (U with .5 precision from
+    mid-ranks; z rounded 6; z NULL when every value ties).
+
+    Scale shape: ranks are NOT computed per row — values collapse to
+    a per-distinct-value count frame first (one corpus aggregate),
+    and the rank cumsum window runs over the DISTINCT-value catalog
+    (bounded by value cardinality, like the quantile grid). The
+    corpus is touched once.
+    """
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    pool = df.where(g.isin([group_a, group_b])).select(
+        x.alias("x"),
+        F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+    )
+    v = pool.groupBy("x").agg(
+        F.sum("is_a").cast("double").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("cb"),
+    )
+    w = Window.orderBy("x")
+    t = F.col("ca") + F.col("cb")
+    ranked = v.select(
+        "ca",
+        t.alias("t"),
+        # mid-rank of this value's block: rows before it + (t+1)/2
+        (
+            F.coalesce(F.sum(t).over(w), F.lit(0.0))
+            - t
+            + (t + 1) / 2
+        ).alias("mid_rank"),
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("na"),
+        F.sum(F.col("t") - F.col("ca")).alias("nb"),
+        F.sum(F.col("ca") * F.col("mid_rank")).alias("ra"),
+        F.sum(F.pow(F.col("t"), 3) - F.col("t")).alias("ties"),
+    )
+    n = F.col("na") + F.col("nb")
+    u_a = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    sigma = F.sqrt(
+        F.col("na") * F.col("nb") / 12.0
+        * ((n + 1) - F.col("ties") / (n * (n - 1)))
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(u_a, 2).alias("u_a"),
+        F.round(
+            F.when(
+                sigma > 0,
+                (u_a - F.col("na") * F.col("nb") / 2) / sigma,
+            ),
+            6,
+        ).alias("z"),
     )

@@ -439,3 +439,81 @@ def tfidf_cosine_pairs(
         )
     )
     return out.where(F.col("cosine") >= threshold)
+
+
+def hard_negatives(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for
+    every training query, the top-k BM25-scoring documents that are
+    NOT its labeled positives — the negatives that actually teach a
+    bi-encoder something (random negatives are trivially separable;
+    BM25-hard ones are the standard recipe, cf. DPR, Karpukhin et al.
+    EMNLP'20).
+
+    ``queries``: ``(qid, term)`` one row per query term (lowercase).
+    ``positives``: ``(qid, {id_col})`` labeled relevant pairs.
+    Returns ``(qid, id, n_terms, score, rank)`` with rank 1..k per
+    query by (score desc, id) — total order, oracle-deterministic.
+
+    Scale shape: ONE postings build serves all queries — the token
+    array is filtered to the distinct term universe before exploding,
+    so corpus work is bounded by matched tokens, not |queries| scans.
+    Query terms and corpus stats broadcast; the per-query top-k is a
+    rank-window over (qid) partitions (each query's candidate set,
+    not the corpus); positives knock out via a broadcast anti-join.
+    """
+    terms = [
+        r["term"] for r in queries.select("term").distinct().collect()
+    ]
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size(TX.tokens(F.col(text_col)))).alias("avgdl"),
+    )
+    tf = _term_freqs(docs, text_col, id_col, terms)
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("dfc")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dfc") + F.lit(0.5))
+        / (F.col("dfc") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("qid", id_col)
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+    )
+    neg = scored.join(
+        F.broadcast(positives.select("qid", id_col)),
+        ["qid", id_col],
+        "left_anti",
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        neg.select("*", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )

@@ -13626,3 +13626,213 @@ def q254_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {sink} GROUP BY doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — multiple-testing control (operators/fdr.py, Benjamini-
+# Hochberg 1995): a 20-hypothesis family of word-vs-language
+# chi-square tests (df=4, presence/absence x 5 langs), p-values from
+# the exact even-df closed form exp(-x/2)(1+x/2) — no scipy — then
+# the BH step-up verdict per word at alpha=0.25. The corpus is
+# touched once (distinct-token explode); everything after runs on
+# the 20-row hypothesis catalog.
+# ---------------------------------------------------------------------------
+_FDR_VOCAB = [
+    "spark", "join", "window", "stream", "hash", "merge", "batch",
+    "scan", "filter", "sort", "group", "vector", "query", "table",
+    "data", "line", "row", "value", "key", "slow",
+]
+
+
+@query(
+    "q255_bh_fdr",
+    oracle=f"""
+    WITH voc(w) AS (VALUES {", ".join(f"('{w}')" for w in _FDR_VOCAB)}),
+    d AS (SELECT doc_id, lang, list_distinct({_TOKS}) AS tks
+          FROM documents),
+    nl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_l
+           FROM documents GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    pl AS (SELECT w, lang, CAST(count(*) AS DOUBLE) AS o
+           FROM (SELECT lang, unnest(tks) AS w FROM d) t
+           JOIN voc USING (w) GROUP BY 1, 2),
+    grid AS (SELECT voc.w, nl.lang, nl.n_l, coalesce(pl.o, 0) AS o
+             FROM voc CROSS JOIN nl
+             LEFT JOIN pl ON pl.w = voc.w AND pl.lang = nl.lang),
+    pw AS (SELECT w, sum(o) AS pres FROM grid GROUP BY 1),
+    cell AS (SELECT g.w, g.o, g.n_l, p.pres, nn.n,
+                    g.n_l * p.pres / nn.n AS ep,
+                    g.n_l * (nn.n - p.pres) / nn.n AS ea
+             FROM grid g JOIN pw p USING (w), nn
+             WHERE p.pres > 0 AND p.pres < nn.n),
+    x AS (SELECT w, sum(pow(o - ep, 2) / ep
+                        + pow(n_l - o - ea, 2) / ea) AS chi2
+          FROM cell GROUP BY 1),
+    hyp AS (SELECT w, chi2, exp(-chi2 / 2) * (1 + chi2 / 2) AS p
+            FROM x),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM hyp),
+    rk AS (SELECT w, chi2, p,
+                  row_number() OVER (ORDER BY p, w) AS rank FROM hyp),
+    kk AS (SELECT max(rank) AS k FROM rk, m
+           WHERE p * m.m <= rank * CAST(0.25 AS DOUBLE))
+    SELECT rk.w AS key, round(rk.chi2, 6) AS chi2, round(rk.p, 6) AS p,
+           rk.rank, m.m AS m,
+           round(rk.rank * CAST(0.25 AS DOUBLE) / m.m, 6) AS bh_crit,
+           coalesce(rk.rank <= kk.k, FALSE) AS significant
+    FROM rk, m, kk
+    """,
+)
+def q255_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.fdr import bh_fdr, chi2_sf_even_df
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "lang",
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("w"),
+    ).where(F.col("w").isin(_FDR_VOCAB))
+    pl = tk.groupBy("w", "lang").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    nl = d.groupBy("lang").agg(F.count("*").cast("double").alias("n_l"))
+    nn = d.agg(F.count("*").cast("double").alias("n"))
+    voc = spark.createDataFrame([(w,) for w in _FDR_VOCAB], ["w"])
+    grid = (
+        voc.crossJoin(F.broadcast(nl))
+        .join(pl, ["w", "lang"], "left")
+        .select("w", "lang", "n_l", F.coalesce("o", F.lit(0.0)).alias("o"))
+    )
+    pw = grid.groupBy("w").agg(F.sum("o").alias("pres"))
+    ep = F.col("n_l") * F.col("pres") / F.col("n")
+    ea = F.col("n_l") * (F.col("n") - F.col("pres")) / F.col("n")
+    x = (
+        grid.join(F.broadcast(pw), "w")
+        .crossJoin(F.broadcast(nn))
+        .where((F.col("pres") > 0) & (F.col("pres") < F.col("n")))
+        .groupBy("w")
+        .agg(
+            F.sum(
+                F.pow(F.col("o") - ep, 2) / ep
+                + F.pow(F.col("n_l") - F.col("o") - ea, 2) / ea
+            ).alias("chi2")
+        )
+    )
+    hyp = x.select(
+        "w", "chi2", chi2_sf_even_df(F.col("chi2"), 4).alias("p")
+    )
+    verdict = bh_fdr(hyp.select("w", "p"), "w", "p", alpha=0.25)
+    return (
+        verdict.join(hyp.select(F.col("w").alias("key"), "chi2"), "key")
+        .select(
+            "key", F.round("chi2", 6).alias("chi2"), "p", "rank", "m",
+            "bh_crit", "significant",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256 — Mann-Whitney rank-sum (operators/experiments.mann_whitney_u):
+# tie-corrected mid-rank U comparing n_chars between the even/odd
+# doc_id halves. Ranks come from a cumsum window over the DISTINCT-
+# value catalog (one corpus aggregate first), never a per-row global
+# sort — the scale-safe form of a rank test.
+# ---------------------------------------------------------------------------
+@query(
+    "q256_mann_whitney",
+    oracle="""
+    WITH pool AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                           AS is_a
+                  FROM documents),
+    v AS (SELECT x, CAST(sum(is_a) AS DOUBLE) AS ca,
+                 CAST(sum(1 - is_a) AS DOUBLE) AS cb
+          FROM pool GROUP BY 1),
+    r AS (SELECT ca, ca + cb AS t,
+                 sum(ca + cb) OVER (ORDER BY x) - (ca + cb)
+                   + (ca + cb + 1) / 2 AS mid_rank
+          FROM v),
+    a AS (SELECT sum(ca) AS na, sum(t - ca) AS nb,
+                 sum(ca * mid_rank) AS ra,
+                 sum(pow(t, 3) - t) AS ties
+          FROM r)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ra - na * (na + 1) / 2, 2) AS u_a,
+           round(CASE WHEN na * nb / 12.0 * ((na + nb + 1)
+                        - ties / ((na + nb) * (na + nb - 1))) > 0
+                 THEN (ra - na * (na + 1) / 2 - na * nb / 2)
+                      / sqrt(na * nb / 12.0 * ((na + nb + 1)
+                        - ties / ((na + nb) * (na + nb - 1))))
+                 END, 6) AS z
+    FROM a
+    """,
+)
+def q256_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import mann_whitney_u
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("half"),
+    )
+    return mann_whitney_u(d, "half", "n_chars", "even", "odd")
+
+
+# ---------------------------------------------------------------------------
+# q257 — BM25 hard-negative mining (operators/retrieval.
+# hard_negatives, DPR recipe): per training query, the top-10 BM25
+# docs that are not labeled positives. One postings build serves all
+# queries (filter-before-explode), query dim + df stats broadcast,
+# per-query rank window, positives anti-joined. Same BM25 constants
+# as q90, so the oracle reuses its exact formula.
+# ---------------------------------------------------------------------------
+_HN_QUERIES = [(1, "spark"), (1, "stream"), (2, "merge"), (2, "batch"),
+               (3, "vector")]
+
+
+@query(
+    "q257_hard_negatives",
+    oracle=f"""
+    WITH q(qid, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in _HN_QUERIES)}),
+    pos AS (SELECT qq.qid, d.doc_id
+            FROM documents d, (SELECT DISTINCT qid FROM q) qq
+            WHERE d.doc_id % 17 = qq.qid),
+    t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+          FROM documents),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+    e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+           WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3),
+    dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfc
+            FROM tf GROUP BY 1),
+    sc AS (SELECT q.qid, tf.doc_id, count(*) AS n_terms,
+             round(sum(
+               ln(CAST(1.0 AS DOUBLE)
+                  + (s.n_docs - dfq.dfc + CAST(0.5 AS DOUBLE))
+                    / (dfq.dfc + CAST(0.5 AS DOUBLE)))
+               * (tf.tf * CAST(2.2 AS DOUBLE)
+                  / (tf.tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + CAST(0.75 AS DOUBLE) * tf.dl / s.avgdl)))), 6)
+               AS score
+           FROM tf JOIN q ON tf.term = q.term
+           JOIN dfq ON tf.term = dfq.term, s
+           GROUP BY 1, 2),
+    neg AS (SELECT sc.* FROM sc LEFT JOIN pos
+            ON sc.qid = pos.qid AND sc.doc_id = pos.doc_id
+            WHERE pos.doc_id IS NULL),
+    r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                ORDER BY score DESC, doc_id) AS rank FROM neg)
+    SELECT qid, doc_id, n_terms, score, rank FROM r WHERE rank <= 10
+    """,
+)
+def q257_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import hard_negatives
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = spark.createDataFrame(_HN_QUERIES, ["qid", "term"])
+    qids = sorted({i for i, _ in _HN_QUERIES})
+    pos = d.select("doc_id").crossJoin(
+        spark.createDataFrame([(i,) for i in qids], ["qid"])
+    ).where(F.col("doc_id") % 17 == F.col("qid"))
+    return hard_negatives(d, "text", "doc_id", q, pos, k=10)

@@ -245,3 +245,40 @@ def test_tfidf_cosine_identical_docs_score_one(spark):
         ).collect()
     }
     assert out == {(1, 2): 1.0}
+
+
+def test_hard_negatives_excludes_positives_and_ranks(spark):
+    from cccatalog_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream spark"),
+            (2, "spark spark spark stream"),
+            (3, "spark"),
+            (4, "nothing relevant here"),
+            (5, "merge batch merge"),
+            (6, "batch"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "spark"), (1, "stream"), (2, "merge"), (2, "batch")],
+        "qid int, term string",
+    )
+    pos = spark.createDataFrame([(1, 2), (2, 5)], "qid int, doc_id long")
+    out = hard_negatives(docs, "text", "doc_id", q, pos, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    # labeled positives never appear
+    assert all(r["doc_id"] != 2 for r in by_q[1])
+    assert all(r["doc_id"] != 5 for r in by_q[2])
+    # q1: doc 1 matches both terms, doc 3 one term -> doc 1 ranks first
+    q1 = sorted(by_q[1], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in q1] == [1, 3]
+    assert q1[0]["n_terms"] == 2 and q1[1]["n_terms"] == 1
+    assert q1[0]["score"] > q1[1]["score"]
+    # q2: only doc 6 remains
+    assert [r["doc_id"] for r in by_q[2]] == [6]
+    # doc 4 matches nothing anywhere
+    assert all(r["doc_id"] != 4 for rs in by_q.values() for r in rs)
