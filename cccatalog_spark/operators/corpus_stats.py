@@ -304,3 +304,46 @@ def population_stability_index(
         "bin", "lo", "hi", "n_ref", "n_cur", "ref_share", "cur_share",
         "psi",
     )
+
+
+def lexical_diversity_profile(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group lexical-diversity report card: token mass N, type
+    count V, type-token ratio, hapax share (V1/V — the fraction of
+    words seen exactly once; machine-generated or templated text runs
+    low), and Yule's K = 10^4·(Σc_w² − N)/N² (repetitiveness measure
+    that, unlike TTR, is ~length-invariant — Yule 1944). The standard
+    corpus-QC row next to q121's data card.
+
+    Scale shape: ONE (group, word) count aggregate (map-side
+    combinable off the token explode), then ONE per-group rollup of
+    (Σc, count, Σ[c=1], Σc²). No windows, no joins.
+    """
+    from cccatalog_spark.functions.text import tokens
+
+    c = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.transform(
+                    tokens(F.col(text_col)), lambda t: F.lower(t)
+                )
+            ).alias("w"),
+        )
+        .groupBy("grp", "w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    n = F.sum("c")
+    v = F.count("*").cast("double")
+    v1 = F.sum(F.when(F.col("c") == 1, 1.0).otherwise(0.0))
+    c2 = F.sum(F.col("c") * F.col("c"))
+    return c.groupBy("grp").agg(
+        n.cast("long").alias("n_tokens"),
+        v.cast("long").alias("n_types"),
+        F.round(v / n, 6).alias("ttr"),
+        F.round(v1 / v, 6).alias("hapax_share"),
+        F.round(F.lit(10000.0) * (c2 - n) / (n * n), 6).alias("yule_k"),
+    )

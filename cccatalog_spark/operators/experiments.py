@@ -109,7 +109,8 @@ def mann_whitney_u(
     """
     x = F.col(value_col).cast("double")
     g = F.col(group_col)
-    pool = df.where(g.isin([group_a, group_b])).select(
+    # null values carry no rank and engines disagree on null ordering
+    pool = df.where(g.isin([group_a, group_b]) & x.isNotNull()).select(
         x.alias("x"),
         F.when(g == group_a, 1).otherwise(0).alias("is_a"),
     )

@@ -67,3 +67,58 @@ def k_anonymity_summary(
         F.min("n").alias("min_group"),
         (F.sum(F.col("at_risk").cast("long")) == 0).alias("k_anonymous"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp:",
+) -> DataFrame:
+    """Differentially-private histogram release (Dwork et al. 2006):
+    per-category counts + Laplace(1/epsilon) noise — the mechanism a
+    public data card uses so per-category document counts can't leak
+    any single contributor. Sensitivity is 1 (each doc lands in one
+    category).
+
+    Noise is DERANDOMIZED the way every sampler in this codebase is:
+    u = md5-uniform of (salt ‖ category) in (0,1), then the Laplace
+    inverse CDF ``-(1/eps)·sign(u-½)·ln(1-2|u-½|)`` — deterministic,
+    repartition-stable, exactly SQL-replayable, and distributionally
+    identical to a seeded RNG keyed by category. (True release-grade
+    DP wants a fresh secret seed per release — swap the salt; the
+    mechanism and its guarantee are unchanged.)
+
+    Returns ``(group, n_noised)`` with ``n_noised = max(0, n+noise)``
+    rounded to 6 — the true count is deliberately NOT a column.
+
+    Scale shape: one map-side-combinable count aggregate over the
+    corpus; noise is column algebra on the |categories|-row result.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("double").alias("_n")
+    )
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("group").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(float(16**12))  # strictly inside (0,1)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / epsilon)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(centered))
+    )
+    return g.select(
+        "group",
+        F.round(F.greatest(F.col("_n") + noise, F.lit(0.0)), 6).alias(
+            "n_noised"
+        ),
+    )

@@ -519,6 +519,9 @@ def quantile_normalize(
     bounds the calibration error at the pooled 1%-ile resolution.
     """
     x = F.col(value_col).cast("double")
+    # null scores carry no rank information, and engines disagree on
+    # null ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) — exclude
+    df = df.where(x.isNotNull())
     w = Window.partitionBy(group_col).orderBy(x)
     ranked = df.select(
         F.col(id_col).alias("id"),

@@ -13836,3 +13836,69 @@ def q257_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(i,) for i in qids], ["qid"])
     ).where(F.col("doc_id") % 17 == F.col("qid"))
     return hard_negatives(d, "text", "doc_id", q, pos, k=10)
+
+
+# ---------------------------------------------------------------------------
+# q258 — lexical-diversity report card (operators/corpus_stats.
+# lexical_diversity_profile, Yule 1944): per-source token mass, type
+# count, TTR, hapax share, Yule's K — the templated-text / synthetic-
+# text smell test beside q121's data card. One (group,word) count
+# aggregate + one per-group rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q258_lexical_diversity",
+    oracle=f"""
+    WITH e AS (SELECT source AS grp,
+                      unnest(list_transform({_TOKS}, x -> lower(x))) AS w
+               FROM documents),
+    c AS (SELECT grp, w, CAST(count(*) AS DOUBLE) AS c
+          FROM e GROUP BY 1, 2)
+    SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+           round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END)
+                 / count(*), 6) AS hapax_share,
+           round(10000.0 * (sum(c * c) - sum(c))
+                 / (sum(c) * sum(c)), 6) AS yule_k
+    FROM c GROUP BY 1
+    """,
+)
+def q258_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import (
+        lexical_diversity_profile,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return lexical_diversity_profile(d, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# q259 — differentially-private histogram release (operators/privacy.
+# dp_noisy_counts, Dwork et al. 2006): per-lang doc counts + md5-
+# derandomized Laplace(1/eps) noise — the privacy-preserving data-card
+# row. The inverse-CDF draw replays exactly in DuckDB; the true count
+# never appears in the output.
+# ---------------------------------------------------------------------------
+@query(
+    "q259_dp_histogram",
+    oracle="""
+    WITH g AS (SELECT lang AS "group", CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY 1),
+    u AS (SELECT "group", n,
+            (('0x' || substring(md5('dp:' || "group"), 1, 12))::BIGINT
+             + CAST(0.5 AS DOUBLE)) / CAST(281474976710656.0 AS DOUBLE)
+              AS u
+          FROM g)
+    SELECT "group",
+           round(greatest(n + (CAST(-1.0 AS DOUBLE) / CAST(0.5 AS DOUBLE))
+                 * sign(u - CAST(0.5 AS DOUBLE))
+                 * ln(1 - 2 * abs(u - CAST(0.5 AS DOUBLE))), 0.0), 6)
+             AS n_noised
+    FROM u
+    """,
+)
+def q259_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.privacy import dp_noisy_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return dp_noisy_counts(d, "lang", epsilon=0.5)

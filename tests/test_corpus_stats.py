@@ -120,3 +120,31 @@ def test_psi_nulls_excluded(spark):
     )
     out = population_stability_index(ref, cur, "score", n_bins=5)
     assert sum(r["n_cur"] for r in out.collect()) == 50
+
+
+def test_lexical_diversity_profile(spark):
+    from cccatalog_spark.operators.corpus_stats import (
+        lexical_diversity_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("rich", "one two three four five"),
+            ("poor", "spam spam spam spam ham"),
+        ],
+        "src string, text string",
+    )
+    out = {
+        r["grp"]: r
+        for r in lexical_diversity_profile(df, "src", "text").collect()
+    }
+    rich, poor = out["rich"], out["poor"]
+    assert rich["n_tokens"] == 5 and rich["n_types"] == 5
+    assert rich["ttr"] == 1.0 and rich["hapax_share"] == 1.0
+    # all-hapax text: sum(c^2) = N -> K exactly 0
+    assert rich["yule_k"] == 0.0
+    assert poor["n_types"] == 2 and poor["ttr"] == 0.4
+    assert poor["hapax_share"] == 0.5
+    # K = 1e4 * (16 + 1 - 5) / 25 = 4800
+    assert poor["yule_k"] == 4800.0
+    assert poor["yule_k"] > rich["yule_k"]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import hashlib
+
 import pytest
 
 from cccatalog_spark.operators.privacy import (
@@ -52,3 +54,44 @@ def test_k_anonymity_empty_cols_raises(spark):
     df = spark.createDataFrame([("x",)], "lang string")
     with pytest.raises(ValueError):
         k_anonymity_audit(df, [], 2)
+
+
+def test_dp_noisy_counts_derandomized_laplace(spark):
+    import math
+
+    from cccatalog_spark.operators.privacy import dp_noisy_counts
+
+    rows = [("a",)] * 100 + [("b",)] * 50 + [("c",)] * 3
+    df = spark.createDataFrame(rows, "lang string")
+    out = {
+        r["group"]: r["n_noised"]
+        for r in dp_noisy_counts(df, "lang", epsilon=0.5).collect()
+    }
+    true = {"a": 100, "b": 50, "c": 3}
+    for g, n in true.items():
+        # replay the md5-derandomized inverse-CDF draw in Python
+        h = hashlib.md5(f"dp:{g}".encode()).hexdigest()[:12]
+        u = (int(h, 16) + 0.5) / 16**12
+        noise = -2.0 * math.copysign(1.0, u - 0.5) * math.log(
+            1 - 2 * abs(u - 0.5)
+        )
+        assert abs(out[g] - max(0.0, n + noise)) < 1e-5
+    # determinism: same salt -> same release
+    again = {
+        r["group"]: r["n_noised"]
+        for r in dp_noisy_counts(df, "lang", epsilon=0.5).collect()
+    }
+    assert again == out
+
+
+def test_dp_noisy_counts_guards(spark):
+    import pytest as _pytest
+
+    from cccatalog_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([("a",)], "lang string")
+    with _pytest.raises(ValueError):
+        dp_noisy_counts(df, "lang", epsilon=0.0)
+    # floor at zero: tiny count with large noise scale never negative
+    out = dp_noisy_counts(df, "lang", epsilon=0.01).collect()
+    assert out[0]["n_noised"] >= 0.0
