@@ -23,6 +23,8 @@ No window over the corpus, no collect.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -153,4 +155,119 @@ def mann_whitney_u(
             ),
             6,
         ).alias("z"),
+    )
+
+
+def _poisson1_weight(u):  # u: Column in (0,1)
+    """Poisson(1) draw by inverse CDF — thresholds folded Python-side
+    so Spark and SQL oracles compare against identical double
+    literals. Truncated at 6 (P(X>6) ~ 8e-5; bias immaterial for a
+    bootstrap weight)."""
+    import math
+
+    e = math.exp(-1.0)
+    cdf, acc, fact = [], 0.0, 1.0
+    for k in range(6):
+        fact *= max(k, 1)
+        acc += e / fact
+        cdf.append(acc)
+    w = F.lit(0)
+    for c in cdf:
+        w = w + F.when(u >= F.lit(c), 1).otherwise(0)
+    return w
+
+
+def poisson1_cdf_literals() -> list[float]:
+    """The same thresholds for oracle authors."""
+    import math
+
+    e = math.exp(-1.0)
+    out, acc, fact = [], 0.0, 1.0
+    for k in range(6):
+        fact *= max(k, 1)
+        acc += e / fact
+        out.append(acc)
+    return out
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    b: int = 50,
+    alpha: float = 0.05,
+    salt: str = "boot:",
+) -> DataFrame:
+    """Percentile bootstrap CI for the mean in ONE corpus pass — the
+    Poisson bootstrap (Chamandy et al., Google 2012 "Estimating
+    uncertainty for massive data streams"): instead of resampling n
+    rows with replacement (impossible distributed — you'd need n
+    global draws per replica), each row independently receives a
+    Poisson(1) weight per replica, which converges to multinomial
+    resampling as n grows. ``b`` replicas ride along as an exploded
+    replica axis; weights are md5-derandomized (deterministic,
+    repartition-stable, SQL-replayable).
+
+    Returns one row ``(point, ci_lo, ci_hi, b, n)``: the full-sample
+    mean and the percentile interval over replica means (lower =
+    ceil(alpha/2·b)-th smallest, upper = ceil((1-alpha/2)·b)-th).
+    Floats rounded 6.
+
+    Scale shape: corpus touched once, fanned out x b (constant);
+    replica means are ONE map-side-combinable aggregate to a b-row
+    catalog; the rank selection windows over those b rows only.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    x = F.col(value_col).cast("double")
+    base = df.where(x.isNotNull()).select(
+        F.col(id_col).alias("_id"), x.alias("_x")
+    )
+    reps = base.select(
+        "_id", "_x",
+        F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**12))
+    w = _poisson1_weight(u).cast("double")
+    rm = (
+        reps.select("rep", "_x", w.alias("w"))
+        .groupBy("rep")
+        .agg((F.sum(F.col("w") * F.col("_x")) / F.sum("w")).alias("m"))
+    )
+    lo_rank = math.ceil(alpha / 2 * b)
+    hi_rank = math.ceil((1 - alpha / 2) * b)
+    ranked = rm.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("r")
+    )
+    bounds = ranked.agg(
+        F.min(F.when(F.col("r") == lo_rank, F.col("m"))).alias("_lo"),
+        F.min(F.when(F.col("r") == hi_rank, F.col("m"))).alias("_hi"),
+    )
+    point = base.agg(
+        F.avg("_x").alias("_pt"), F.count("*").alias("_n")
+    )
+    return point.crossJoin(F.broadcast(bounds)).select(
+        F.round("_pt", 6).alias("point"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+        F.lit(b).alias("b"),
+        F.col("_n").cast("long").alias("n"),
     )

@@ -13902,3 +13902,58 @@ def q259_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return dp_noisy_counts(d, "lang", epsilon=0.5)
+
+
+# ---------------------------------------------------------------------------
+# q260 — Poisson bootstrap CI (operators/experiments.
+# poisson_bootstrap_ci, Chamandy et al. 2012): percentile interval
+# for mean n_chars from 50 md5-derandomized Poisson(1)-weighted
+# replicas in one corpus pass — the only bootstrap that exists
+# distributed. Inverse-CDF thresholds are Python-folded doubles, so
+# both engines compare identical literals.
+# ---------------------------------------------------------------------------
+def _q260_oracle(b: int = 50, alpha: float = 0.05) -> str:
+    import math
+
+    from cccatalog_spark.operators.experiments import (
+        poisson1_cdf_literals,
+    )
+
+    cdf = poisson1_cdf_literals()
+    wexpr = " + ".join(
+        f"(CASE WHEN u >= CAST({c!r} AS DOUBLE) THEN 1 ELSE 0 END)"
+        for c in cdf
+    )
+    lo = math.ceil(alpha / 2 * b)
+    hi = math.ceil((1 - alpha / 2) * b)
+    return f"""
+    WITH base AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x
+                  FROM documents),
+    reps AS (SELECT doc_id, x, g.rep FROM base,
+             unnest(generate_series(0, {b - 1})) g(rep)),
+    wts AS (SELECT rep, x,
+              (('0x' || substring(md5('boot:' || CAST(rep AS VARCHAR)
+                 || ':' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               + CAST(0.5 AS DOUBLE))
+               / CAST(281474976710656.0 AS DOUBLE) AS u
+            FROM reps),
+    w AS (SELECT rep, x, CAST({wexpr} AS DOUBLE) AS w FROM wts),
+    rm AS (SELECT rep, sum(w * x) / sum(w) AS m FROM w GROUP BY 1),
+    rk AS (SELECT m, row_number() OVER (ORDER BY m) AS r FROM rm),
+    bounds AS (SELECT min(CASE WHEN r = {lo} THEN m END) AS lo,
+                      min(CASE WHEN r = {hi} THEN m END) AS hi
+               FROM rk),
+    pt AS (SELECT avg(x) AS pt, count(*) AS n FROM base)
+    SELECT round(pt.pt, 6) AS point, round(bounds.lo, 6) AS ci_lo,
+           round(bounds.hi, 6) AS ci_hi, {b} AS b,
+           CAST(pt.n AS BIGINT) AS n
+    FROM pt, bounds
+    """
+
+
+@query("q260_bootstrap_ci", oracle=_q260_oracle())
+def q260_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import poisson_bootstrap_ci
+
+    d = load_table(spark, sf_dir, "documents")
+    return poisson_bootstrap_ci(d, "doc_id", "n_chars", b=50, alpha=0.05)

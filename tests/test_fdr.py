@@ -89,3 +89,32 @@ def test_mann_whitney_all_tied_null_z(spark):
     r = _mw(spark, [5, 5], [5, 5])
     assert r["u_a"] == 2.0  # pure mid-rank mass
     assert r["z"] is None
+
+
+def test_poisson_bootstrap_ci(spark):
+    from cccatalog_spark.operators.experiments import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [(i, float(100 + (i * 37) % 41)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    r = poisson_bootstrap_ci(df, "id", "x", b=40, alpha=0.1).collect()[0]
+    mean = sum(v for _, v in rows) / len(rows)
+    assert abs(r["point"] - round(mean, 6)) < 1e-9
+    assert r["ci_lo"] <= r["point"] <= r["ci_hi"]
+    # interval is tight for n=400 (sd ~ 12, se ~ 0.6)
+    assert r["ci_hi"] - r["ci_lo"] < 5.0
+    assert r["b"] == 40 and r["n"] == 400
+    # deterministic end to end
+    r2 = poisson_bootstrap_ci(df, "id", "x", b=40, alpha=0.1).collect()[0]
+    assert r2.asDict() == r.asDict()
+
+
+def test_poisson_bootstrap_alpha_guard(spark):
+    from cccatalog_spark.operators.experiments import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, x double")
+    with pytest.raises(ValueError):
+        poisson_bootstrap_ci(df, "id", "x", alpha=0.0)

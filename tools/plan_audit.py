@@ -72,6 +72,14 @@ SANCTIONED_BNLJ = {
     "(closed-form slot arithmetic)",
     "q131_triangle_count": "1-row doc-count scalar broadcast (the "
     "co-occurrence edge threshold)",
+    "q252_quantile_normalize": "1-row pooled-percentile-grid broadcast "
+    "(101 doubles — the whole calibration sketch)",
+    "q253_silhouette": "≤k-row seed-centroid catalog broadcast plus the "
+    "1-row overall-mean scalar (the q96 contract)",
+    "q255_bh_fdr": "1-row doc-total / m-row hypothesis-catalog "
+    "broadcasts (BH runs entirely on the 20-row catalog)",
+    "q257_hard_negatives": "1-row corpus-stats broadcast (the q90 BM25 "
+    "contract, shared across the query family)",
     "q133_dsir_resample": "1-row target-floor scalar + ≤buckets-row "
     "distribution broadcasts (DSIR model state)",
     "q144_ranking_metrics": "1-row n-probes scalar broadcast inside "

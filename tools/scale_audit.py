@@ -60,6 +60,16 @@ SANCTIONED_GLOBAL_WINDOW = {
     # UNION OF BUCKET-LOCAL FRONTIERS (pareto.py phase 1), never
     # the corpus; its size is the skyline's own output bound
     "q220_pareto_frontier",
+    # BH step-up ranks the m-row HYPOTHESIS CATALOG (m = number of
+    # tests, 20 here), never the corpus — fdr.bh_fdr docstring
+    "q255_bh_fdr",
+    # rank-sum mid-ranks cumsum over the DISTINCT-VALUE catalog
+    # (value-domain-bounded; the corpus collapses to per-value counts
+    # in one aggregate first) — experiments.mann_whitney_u docstring
+    "q256_mann_whitney",
+    # percentile selection over the b-row REPLICA-MEAN catalog
+    # (b = 50 bootstrap replicas) — experiments.poisson_bootstrap_ci
+    "q260_bootstrap_ci",
 }
 
 
@@ -131,6 +141,20 @@ FAMILIES = {
     "glove-single-equi-join": (
         "q241_glove_cooccurrence",
         {"joins": 1, "exchanges": 3},
+    ),
+    # phrase blocklist: ONE doc-keyed window shuffle builds the whole
+    # 1..L gram ladder; the phrase dim is a broadcast hash join (the
+    # Aho-Corasick stand-in never self-joins the corpus)
+    "blocklist-one-window-one-broadcast": (
+        "q251_phrase_blocklist",
+        {"joins": 1, "exchanges": 2},
+    ),
+    # hard-negative mining: ONE shared postings build serves every
+    # query (filter-before-explode); query dim + df stats broadcast,
+    # positives anti-join, per-query rank window — corpus touched once
+    "hard-negatives-shared-postings": (
+        "q257_hard_negatives",
+        {"joins": 4, "exchanges": 10},
     ),
     # skip-gram pairs: vocab-keyed subsample join + per-doc rank
     # window + (doc,rank) equi-join + pair agg. DESIGN is 3 joins /
