@@ -133,3 +133,76 @@ def test_exact_k_subset_and_counts(spark, rows, k):
     sizes = collections.Counter(s for _, s in rows)
     for s, m in sizes.items():
         assert per[s] == min(k, m)
+
+
+@given(
+    st.lists(st.integers(0, 4), min_size=5, max_size=40),
+    st.lists(st.floats(0.5, 20.0), min_size=5, max_size=5),
+)
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sinkhorn_marginals_property(spark, srcs, masses):
+    from pyspark.sql import functions as F
+
+    from cccatalog_spark.operators.ot import sinkhorn_transport
+
+    df = spark.createDataFrame([(s,) for s in srcs], "src int")
+    targets = {j: m for j, m in enumerate(masses)}
+    out = sinkhorn_transport(
+        df, "src", targets, cost_fn=lambda s, t: F.abs(s - t),
+        epsilon=1.0, iterations=30,
+    ).collect()
+    total_b = sum(masses)
+    col = {}
+    row = {}
+    for r in out:
+        assert r["mass"] >= 0.0
+        col[r["dst"]] = col.get(r["dst"], 0.0) + r["mass"]
+        row[r["src"]] = row.get(r["src"], 0.0) + r["mass"]
+    for j, m in targets.items():
+        assert abs(col[j] - m / total_b) < 1e-4
+    import collections
+
+    cnt = collections.Counter(srcs)
+    n = len(srcs)
+    for s, c in cnt.items():
+        assert abs(row[s] - c / n) < 1e-3
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+             min_size=1, max_size=12),
+    min_size=1, max_size=10,
+))
+@settings(
+    max_examples=8, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_blocklist_matches_python_reference(spark, docs):
+    from cccatalog_spark.operators.blocklist import phrase_match_report
+
+    phrases = ["aa", "bb cc", "cc dd aa"]
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {
+        r["id"]: (r["n_matches"], r["phrases"], r["first_pos"])
+        for r in phrase_match_report(df, "id", "txt", phrases).collect()
+    }
+    # python reference: contiguous token-run matching at every position
+    want = {}
+    for i, toks in enumerate(docs):
+        hits = []
+        for pos in range(len(toks)):
+            for ph in phrases:
+                p = ph.split()
+                if toks[pos:pos + len(p)] == p:
+                    hits.append((pos + 1, ph))
+        if hits:
+            want[i] = (
+                len(hits),
+                "|".join(sorted({ph for _, ph in hits})),
+                min(p for p, _ in hits),
+            )
+    assert got == want
