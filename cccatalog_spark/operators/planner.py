@@ -86,3 +86,75 @@ def adaptive_join(
         decision["strategy"] = "merge"
         out = fact.join(dim.hint("merge"), key)
     return out, decision
+
+
+def lsh_parameter_plan(
+    spark,
+    num_hashes: int = 16,
+    threshold: float = 0.5,
+    s_grid: int = 41,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+) -> DataFrame:
+    """Pick MinHash-LSH banding parameters BEFORE the 100 TB run: for
+    every (bands b, rows-per-band r) factorization of the signature
+    length, integrate the S-curve ``P(candidate | s) = 1-(1-s^r)^b``
+    (Leskovec-Rajaraman-Ullman ch.3) against the target Jaccard
+    threshold — false-positive area below the threshold (wasted
+    verify joins), false-negative area above it (missed near-dups) —
+    and rank by weighted cost. The planner-side complement of q245's
+    after-the-fact recall audit.
+
+    Pure catalog math: |divisors| x s_grid rows total; no corpus
+    input. Returns ``(b, r, fp_area, fn_area, cost, rank)`` with
+    rank 1 = recommended; areas are Riemann sums on the s-grid,
+    rounded 6 (ranking uses the rounded cost so the argmin is
+    cross-engine deterministic; ties break to fewer bands).
+    """
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    from pyspark.sql.window import Window
+
+    combos = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    cdf = spark.createDataFrame(combos, ["b", "r"])
+    step = 1.0 / (s_grid - 1)
+    grid = cdf.select(
+        "b", "r",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(s_grid - 1))
+        ).alias("i"),
+    ).select(
+        "b", "r", (F.col("i") * F.lit(step)).alias("s")
+    )
+    p = 1.0 - F.pow(
+        1.0 - F.pow(F.col("s"), F.col("r").cast("double")),
+        F.col("b").cast("double"),
+    )
+    areas = grid.groupBy("b", "r").agg(
+        F.round(
+            F.sum(F.when(F.col("s") < threshold, p).otherwise(0.0))
+            * step,
+            6,
+        ).alias("fp_area"),
+        F.round(
+            F.sum(F.when(F.col("s") >= threshold, 1.0 - p).otherwise(0.0))
+            * step,
+            6,
+        ).alias("fn_area"),
+    )
+    cost = F.round(
+        F.lit(fp_weight) * F.col("fp_area")
+        + F.lit(fn_weight) * F.col("fn_area"),
+        6,
+    )
+    w = Window.orderBy(cost.asc(), F.col("b").asc())
+    return areas.select(
+        "b", "r", "fp_area", "fn_area", cost.alias("cost"),
+        F.row_number().over(w).alias("rank"),
+    )

@@ -928,3 +928,61 @@ def silhouette_centroid(
             "seed_id", "n", "mean_s", F.round("_o", 6).alias("overall_s")
         )
     )
+
+
+def matryoshka_overlap(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_id: int,
+    dims: tuple[int, ...] = (8, 16, 32, 64),
+    k: int = 10,
+) -> DataFrame:
+    """Matryoshka / truncated-embedding retrieval audit (Kusupati et
+    al. NeurIPS'22): how much of the full-dimension top-k survives
+    when the index stores only the first d coordinates? Retrieval
+    infra truncates embeddings to cut memory 4-8x; this measures the
+    recall price per candidate d before committing an index build.
+
+    Per d in ``dims``: exact cosine top-k against the probe vector
+    using only coordinates 1..d, then the overlap |topk_d ∩
+    topk_full| / k (full = max(dims), overlap 1.0 by construction).
+    Returns ``(d, n_common, overlap)``.
+
+    Scale shape: probe vector (1 row) and dim list (|dims| rows)
+    broadcast; each corpus row scores |dims| slices map-side; per-d
+    top-k is a rank window PARTITIONED by d (never global). Ordering
+    on the ROUNDED score with id tiebreak keeps ranks cross-engine
+    deterministic (the q26 contract).
+    """
+    from pyspark.sql.window import Window
+
+    full_d = max(dims)
+    probe = df.where(F.col(id_col) == probe_id).select(
+        F.col(vec_col).alias("_qv")
+    )
+    ddf = df.sparkSession.createDataFrame([(d,) for d in dims], ["d"])
+    s = cosine(
+        F.slice(F.col(vec_col), 1, F.col("d")),
+        F.slice(F.col("_qv"), 1, F.col("d")),
+    )
+    scored = (
+        df.crossJoin(F.broadcast(probe))
+        .crossJoin(F.broadcast(ddf))
+        .select("d", F.col(id_col).alias("_id"), F.round(s, 6).alias("s"))
+    )
+    w = Window.partitionBy("d").orderBy(F.desc("s"), F.asc("_id"))
+    topk = scored.select(
+        "d", "_id", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+    full = topk.where(F.col("d") == full_d).select(
+        F.col("_id").alias("_fid")
+    )
+    return (
+        topk.join(F.broadcast(full), topk["_id"] == full["_fid"], "left")
+        .groupBy("d")
+        .agg(
+            F.count("_fid").alias("n_common"),
+            F.round(F.count("_fid") / F.lit(float(k)), 6).alias("overlap"),
+        )
+    )

@@ -13957,3 +13957,80 @@ def q260_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return poisson_bootstrap_ci(d, "doc_id", "n_chars", b=50, alpha=0.05)
+
+
+# ---------------------------------------------------------------------------
+# q261 — matryoshka truncation audit (operators/similarity.
+# matryoshka_overlap, Kusupati NeurIPS'22): top-10 cosine overlap vs
+# the full 64-dim ranking when the index keeps only the first
+# 8/16/32 coordinates — the recall price of an embedding-truncation
+# index build, measured before committing one. Probe + dim catalog
+# broadcast; per-d rank windows partitioned by d.
+# ---------------------------------------------------------------------------
+@query(
+    "q261_matryoshka_audit",
+    oracle="""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dims(d) AS (VALUES (8), (16), (32), (64)),
+    sc AS (SELECT d.d, e.vec_id,
+             round(list_cosine_similarity(
+               list_slice(e.embedding, 1, d.d)::DOUBLE[],
+               list_slice(q.embedding, 1, d.d)::DOUBLE[]), 6) AS s
+           FROM embeddings e, q, dims d),
+    topk AS (SELECT d, vec_id FROM (
+               SELECT d, vec_id, row_number() OVER (
+                 PARTITION BY d ORDER BY s DESC, vec_id) AS rn
+               FROM sc) t WHERE rn <= 10),
+    fullk AS (SELECT vec_id FROM topk WHERE d = 64)
+    SELECT t.d, count(f.vec_id) AS n_common,
+           round(CAST(count(f.vec_id) AS DOUBLE) / 10.0, 6) AS overlap
+    FROM topk t LEFT JOIN fullk f ON t.vec_id = f.vec_id
+    GROUP BY 1
+    """,
+)
+def q261_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.matryoshka_overlap(
+        e, "embedding", "vec_id", probe_id=0, dims=(8, 16, 32, 64), k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# q262 — LSH banding planner (operators/planner.lsh_parameter_plan,
+# LRU ch.3 S-curve): rank every (b, r) factorization of a 16-hash
+# signature by false-positive/false-negative area against the 0.5
+# Jaccard target — the before-the-run complement of q245's recall
+# audit. Pure catalog math (5 combos x 41 grid points).
+# ---------------------------------------------------------------------------
+@query(
+    "q262_lsh_plan",
+    oracle="""
+    WITH combos(b, r) AS (VALUES (1, 16), (2, 8), (4, 4), (8, 2),
+                                 (16, 1)),
+    grid AS (SELECT b, r, g.i * (CAST(1.0 AS DOUBLE) / 40) AS s
+             FROM combos, unnest(generate_series(0, 40)) g(i)),
+    p AS (SELECT b, r, s,
+            1.0 - power(1.0 - power(s, CAST(r AS DOUBLE)),
+                        CAST(b AS DOUBLE)) AS pc
+          FROM grid),
+    a AS (SELECT b, r,
+            round(sum(CASE WHEN s < CAST(0.5 AS DOUBLE) THEN pc
+                      ELSE 0 END) * (CAST(1.0 AS DOUBLE) / 40), 6)
+              AS fp_area,
+            round(sum(CASE WHEN s >= CAST(0.5 AS DOUBLE) THEN 1.0 - pc
+                      ELSE 0 END) * (CAST(1.0 AS DOUBLE) / 40), 6)
+              AS fn_area
+          FROM p GROUP BY 1, 2)
+    SELECT b, r, fp_area, fn_area,
+           round(fp_area + fn_area, 6) AS cost,
+           row_number() OVER (ORDER BY round(fp_area + fn_area, 6),
+                              b) AS rank
+    FROM a
+    """,
+)
+def q262_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.planner import lsh_parameter_plan
+
+    return lsh_parameter_plan(
+        spark, num_hashes=16, threshold=0.5, s_grid=41
+    )

@@ -535,3 +535,28 @@ def test_silhouette_seed_rows_score_one(spark):
     assert rows[1]["n"] == 1 and rows[1]["mean_s"] == 1.0
     assert rows[0]["n"] == 2
     assert rows[0]["overall_s"] == rows[1]["overall_s"]
+
+
+def test_matryoshka_overlap_detects_truncation_loss(spark):
+    from cccatalog_spark.operators.similarity import matryoshka_overlap
+
+    # first 2 dims identical everywhere; last 2 dims carry the signal
+    rows = [
+        (0, [1.0, 1.0, 1.0, 0.0]),    # probe
+        (1, [1.0, 1.0, 0.9, 0.1]),    # true near neighbor
+        (2, [1.0, 1.0, -1.0, 0.2]),   # far in full space
+        (3, [1.0, 1.0, 0.8, 0.05]),
+        (4, [1.0, 1.0, -0.9, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    out = {
+        r["d"]: r
+        for r in matryoshka_overlap(
+            df, "emb", "vec_id", probe_id=0, dims=(2, 4), k=3
+        ).collect()
+    }
+    assert out[4]["overlap"] == 1.0          # full dim = reference
+    # at d=2 every vector ties at cosine 1 -> id-order top-3 (0,1,2)
+    # vs full-space top-3 (0,1,3): overlap must drop below 1
+    assert out[2]["overlap"] < 1.0
+    assert out[2]["n_common"] == 2

@@ -70,6 +70,9 @@ SANCTIONED_GLOBAL_WINDOW = {
     # percentile selection over the b-row REPLICA-MEAN catalog
     # (b = 50 bootstrap replicas) — experiments.poisson_bootstrap_ci
     "q260_bootstrap_ci",
+    # argmin rank over the |divisors|-row (b,r) combo catalog — a
+    # pure-math planner with no corpus input (planner.lsh_parameter_plan)
+    "q262_lsh_plan",
 }
 
 
