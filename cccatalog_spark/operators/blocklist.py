@@ -49,8 +49,14 @@ def phrase_match_report(
     token-exact after :func:`normalize_for_match`; multi-token
     phrases match as contiguous token runs.
     """
+    import re as _re
+
+    # phrases get the SAME normalization as documents, so "don't
+    # buy" matches the tokenized "don t buy" rather than silently
+    # never matching
     norm = sorted({p for p in (
-        " ".join(ph.lower().split()) for ph in phrases
+        _re.sub(r"[^a-z0-9]+", " ", ph.lower()).strip()
+        for ph in phrases
     ) if p})
     if not norm:
         raise ValueError("phrases must contain at least one non-empty entry")

@@ -251,6 +251,9 @@ def poisson_bootstrap_ci(
         reps.select("rep", "_x", w.alias("w"))
         .groupBy("rep")
         .agg((F.sum(F.col("w") * F.col("_x")) / F.sum("w")).alias("m"))
+        # a replica whose every weight drew 0 (possible only at tiny n)
+        # has no mean; drop it rather than rank a null
+        .where(F.col("m").isNotNull())
     )
     lo_rank = math.ceil(alpha / 2 * b)
     hi_rank = math.ceil((1 - alpha / 2) * b)

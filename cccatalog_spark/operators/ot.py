@@ -81,7 +81,10 @@ def sinkhorn_transport(
         ["dst", "b"],
     )
     a = (
-        df.groupBy(F.col(src_col).alias("src"))
+        # null categories carry no transportable identity — drop them
+        # (they would otherwise propagate null kernels/masses)
+        df.where(F.col(src_col).isNotNull())
+        .groupBy(F.col(src_col).alias("src"))
         .agg(F.count("*").cast("double").alias("_n"))
     )
     tot = a.agg(F.sum("_n").alias("_tot"))

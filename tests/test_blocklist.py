@@ -65,3 +65,14 @@ def test_empty_phrases_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "id long, txt string")
     with pytest.raises(ValueError):
         phrase_match_report(df, "id", "txt", ["", "   "])
+
+
+def test_phrase_punctuation_normalized_like_documents(spark):
+    out = _report(
+        spark,
+        [(1, "please don't buy this"), (2, "do not buy")],
+        ["Don't  Buy!"],
+    )
+    assert out[1]["n_matches"] == 1
+    assert out[1]["phrases"] == "don t buy"
+    assert 2 not in out

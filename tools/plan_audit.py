@@ -72,6 +72,11 @@ SANCTIONED_BNLJ = {
     "(closed-form slot arithmetic)",
     "q131_triangle_count": "1-row doc-count scalar broadcast (the "
     "co-occurrence edge threshold)",
+    "q260_bootstrap_ci": "1-row bounds/point frames cross-combined "
+    "(the b-row replica catalog reduced to scalars)",
+    "q261_matryoshka_audit": "1-row probe vector + |dims|-row dim "
+    "catalog broadcasts (every row scores every prefix dim by "
+    "construction — the q26/q96 linear-scan contract)",
     "q252_quantile_normalize": "1-row pooled-percentile-grid broadcast "
     "(101 doubles — the whole calibration sketch)",
     "q253_silhouette": "≤k-row seed-centroid catalog broadcast plus the "
