@@ -158,29 +158,11 @@ def mann_whitney_u(
     )
 
 
-def _poisson1_weight(u):  # u: Column in (0,1)
-    """Poisson(1) draw by inverse CDF — thresholds folded Python-side
-    so Spark and SQL oracles compare against identical double
+def poisson1_cdf_literals() -> list[float]:
+    """Poisson(1) CDF thresholds, folded Python-side so the Spark
+    expression and the SQL oracle compare against identical double
     literals. Truncated at 6 (P(X>6) ~ 8e-5; bias immaterial for a
     bootstrap weight)."""
-    import math
-
-    e = math.exp(-1.0)
-    cdf, acc, fact = [], 0.0, 1.0
-    for k in range(6):
-        fact *= max(k, 1)
-        acc += e / fact
-        cdf.append(acc)
-    w = F.lit(0)
-    for c in cdf:
-        w = w + F.when(u >= F.lit(c), 1).otherwise(0)
-    return w
-
-
-def poisson1_cdf_literals() -> list[float]:
-    """The same thresholds for oracle authors."""
-    import math
-
     e = math.exp(-1.0)
     out, acc, fact = [], 0.0, 1.0
     for k in range(6):
@@ -188,6 +170,15 @@ def poisson1_cdf_literals() -> list[float]:
         acc += e / fact
         out.append(acc)
     return out
+
+
+def _poisson1_weight(u):  # u: Column in (0,1)
+    """Poisson(1) draw by inverse CDF over the SAME literals the
+    oracle embeds (single source: poisson1_cdf_literals)."""
+    w = F.lit(0)
+    for c in poisson1_cdf_literals():
+        w = w + F.when(u >= F.lit(c), 1).otherwise(0)
+    return w
 
 
 def poisson_bootstrap_ci(
@@ -213,39 +204,38 @@ def poisson_bootstrap_ci(
     ceil(alpha/2·b)-th smallest, upper = ceil((1-alpha/2)·b)-th).
     Floats rounded 6.
 
+    Precondition: ``id_col`` values should be unique — duplicate ids
+    draw IDENTICAL weights in every replica (correlated resampling,
+    which silently narrows the interval). Null ids and null values
+    are excluded from both the point estimate and the replicas.
+
     Scale shape: corpus touched once, fanned out x b (constant);
     replica means are ONE map-side-combinable aggregate to a b-row
     catalog; the rank selection windows over those b rows only.
     """
     if not 0 < alpha < 1:
         raise ValueError("alpha must be in (0, 1)")
+    from cccatalog_spark.operators.sampling import md5_u01
+
     x = F.col(value_col).cast("double")
-    base = df.where(x.isNotNull()).select(
-        F.col(id_col).alias("_id"), x.alias("_x")
-    )
+    # a null id would null its md5 draw, giving the row permanent
+    # weight 0 in every replica while still counting in the point
+    # estimate — exclude it from both
+    base = df.where(
+        x.isNotNull() & F.col(id_col).isNotNull()
+    ).select(F.col(id_col).alias("_id"), x.alias("_x"))
     reps = base.select(
         "_id", "_x",
         F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("rep"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit(salt),
-                        F.col("rep").cast("string"),
-                        F.lit(":"),
-                        F.col("_id").cast("string"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(float(16**12))
+    u = md5_u01(
+        F.concat(
+            F.col("rep").cast("string"),
+            F.lit(":"),
+            F.col("_id").cast("string"),
+        ),
+        salt,
+    )
     w = _poisson1_weight(u).cast("double")
     rm = (
         reps.select("rep", "_x", w.alias("w"))

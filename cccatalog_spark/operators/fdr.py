@@ -56,18 +56,29 @@ def bh_fdr(
     ``rank/m*alpha``, and the step-up verdict (rank <= largest i
     with p_(i) <= crit_i — note a rank can be significant even if its
     own p exceeds its crit, per the step-up rule). Floats rounded 6.
+
+    Hypotheses with a null p carry no evidence and are EXCLUDED (they
+    would otherwise sort NULLS FIRST into rank 1 and inflate m). m is
+    carried as a window count over the catalog itself — no separate
+    count() action re-running the upstream pipeline — and the catalog
+    is persisted so the step-up scalar doesn't recompute it either.
     """
     p = F.col(p_col).cast("double")
     w = Window.orderBy(p, F.col(key_col))
-    ranked = hypotheses.select(
-        F.col(key_col).alias("key"),
-        p.alias("p"),
-        F.row_number().over(w).alias("rank"),
+    ranked = (
+        hypotheses.where(p.isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            p.alias("p"),
+            F.row_number().over(w).alias("rank"),
+            F.count("*").over(
+                Window.partitionBy(F.lit(1))
+            ).alias("m"),
+        )
+        .persist()
     )
-    m = hypotheses.count()  # catalog-sized; the driver already holds m
-    ranked = ranked.withColumn("m", F.lit(m))
     ok = ranked.where(
-        F.col("p") * m <= F.col("rank") * F.lit(alpha)
+        F.col("p") * F.col("m") <= F.col("rank") * F.lit(alpha)
     ).agg(F.max("rank").alias("_k"))
     return (
         ranked.crossJoin(F.broadcast(ok))
@@ -76,7 +87,9 @@ def bh_fdr(
             F.round("p", 6).alias("p"),
             "rank",
             "m",
-            F.round(F.col("rank") / m * alpha, 6).alias("bh_crit"),
+            F.round(F.col("rank") / F.col("m") * alpha, 6).alias(
+                "bh_crit"
+            ),
             F.coalesce(F.col("rank") <= F.col("_k"), F.lit(False)).alias(
                 "significant"
             ),

@@ -97,19 +97,18 @@ def dp_noisy_counts(
     """
     if epsilon <= 0:
         raise ValueError("epsilon must be > 0")
+    from cccatalog_spark.operators.sampling import md5_u01
+
     g = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count("*").cast("double").alias("_n")
     )
-    v = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.col("group").cast("string"))),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("double")
-    u = (v + F.lit(0.5)) / F.lit(float(16**12))  # strictly inside (0,1)
+    # a null category still gets REAL noise: hash a sentinel for the
+    # draw (md5 of a null concat would null the whole noise expression
+    # and release the exact count as 0.0)
+    u = md5_u01(
+        F.coalesce(F.col("group").cast("string"), F.lit("\x00null")),
+        salt,
+    )  # strictly inside (0,1)
     centered = u - F.lit(0.5)
     noise = (
         F.lit(-1.0 / epsilon)

@@ -470,6 +470,10 @@ def hard_negatives(
     rank-window over (qid) partitions (each query's candidate set,
     not the corpus); positives knock out via a broadcast anti-join.
     """
+    # a term repeated within one query must not double its BM25
+    # contribution — dedup once, and reuse the deduped frame for both
+    # the postings term universe and the scoring join
+    queries = queries.dropDuplicates(["qid", "term"])
     terms = [
         r["term"] for r in queries.select("term").distinct().collect()
     ]

@@ -888,7 +888,17 @@ def silhouette_centroid(
     one per-vector two-smallest aggregate (array_sort over k structs,
     k constant), one per-cluster rollup + a 1-row overall broadcast.
     No pairwise joins anywhere.
+
+    Precondition: ids must include at least TWO values < n_seeds
+    (dense-from-0 ids, the q96/kmeans_assign convention) — ``b`` is
+    the distance to the second-nearest centroid, so with fewer than
+    two seed rows every s is null.
     """
+    if n_seeds < 2:
+        raise ValueError(
+            "silhouette needs >= 2 seed centroids (b is the distance"
+            " to the SECOND-nearest)"
+        )
     seeds = df.where(F.col(id_col) < n_seeds).select(
         F.col(id_col).alias("seed_id"),
         F.col(vec_col).alias("seed_vec"),

@@ -118,3 +118,31 @@ def test_poisson_bootstrap_alpha_guard(spark):
     df = spark.createDataFrame([(1, 1.0)], "id long, x double")
     with pytest.raises(ValueError):
         poisson_bootstrap_ci(df, "id", "x", alpha=0.0)
+
+
+def test_bh_null_p_excluded(spark):
+    df = spark.createDataFrame(
+        [("a", None), ("b", 0.01), ("c", 0.5)], "key string, p double"
+    )
+    out = {r["key"]: r for r in bh_fdr(df, "key", "p", alpha=0.05).collect()}
+    assert "a" not in out           # null p carries no evidence
+    assert out["b"]["m"] == 2       # m counts only testable hypotheses
+    assert out["b"]["rank"] == 1 and out["b"]["significant"]
+    assert not out["c"]["significant"]
+
+
+def test_poisson_bootstrap_null_id_excluded(spark):
+    from cccatalog_spark.operators.experiments import (
+        poisson_bootstrap_ci,
+    )
+
+    clean = [(i, 10.0 + i % 5) for i in range(100)]
+    df = spark.createDataFrame(
+        clean + [(None, 1e9)], "id long, x double"
+    )
+    r = poisson_bootstrap_ci(df, "id", "x", b=20).collect()[0]
+    mean = sum(v for _, v in clean) / len(clean)
+    # the null-id outlier is excluded from point AND replicas
+    assert abs(r["point"] - round(mean, 6)) < 1e-9
+    assert r["n"] == 100
+    assert r["ci_lo"] <= r["point"] <= r["ci_hi"] < 1e6

@@ -95,3 +95,19 @@ def test_dp_noisy_counts_guards(spark):
     # floor at zero: tiny count with large noise scale never negative
     out = dp_noisy_counts(df, "lang", epsilon=0.01).collect()
     assert out[0]["n_noised"] >= 0.0
+
+
+def test_dp_noisy_counts_null_category_still_noised(spark):
+    from cccatalog_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 40 + [(None,)] * 30, "lang string"
+    )
+    out = {
+        r["group"]: r["n_noised"]
+        for r in dp_noisy_counts(df, "lang", epsilon=1.0).collect()
+    }
+    # null category is released WITH Laplace noise, not as a constant
+    assert None in out
+    assert out[None] != 0.0 and abs(out[None] - 30.0) < 30.0
+    assert out[None] != 30.0

@@ -282,3 +282,28 @@ def test_hard_negatives_excludes_positives_and_ranks(spark):
     assert [r["doc_id"] for r in by_q[2]] == [6]
     # doc 4 matches nothing anywhere
     assert all(r["doc_id"] != 4 for rs in by_q.values() for r in rs)
+
+
+def test_hard_negatives_repeated_query_term_counted_once(spark):
+    from cccatalog_spark.operators.retrieval import hard_negatives
+
+    docs = spark.createDataFrame(
+        [(1, "spark stream"), (2, "spark")], "doc_id long, text string"
+    )
+    pos = spark.createDataFrame([], "qid int, doc_id long")
+    once = spark.createDataFrame(
+        [(1, "spark"), (1, "stream")], "qid int, term string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "spark"), (1, "spark"), (1, "stream")],
+        "qid int, term string",
+    )
+    a = {r["doc_id"]: r for r in
+         hard_negatives(docs, "text", "doc_id", once, pos, k=5).collect()}
+    b = {r["doc_id"]: r for r in
+         hard_negatives(docs, "text", "doc_id", dup, pos, k=5).collect()}
+    assert a.keys() == b.keys()
+    for d in a:
+        assert a[d]["score"] == b[d]["score"]
+        assert a[d]["n_terms"] == b[d]["n_terms"]
+        assert a[d]["rank"] == b[d]["rank"]

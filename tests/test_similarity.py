@@ -560,3 +560,15 @@ def test_matryoshka_overlap_detects_truncation_loss(spark):
     # vs full-space top-3 (0,1,3): overlap must drop below 1
     assert out[2]["overlap"] < 1.0
     assert out[2]["n_common"] == 2
+
+
+def test_silhouette_rejects_single_seed(spark):
+    import pytest as _pytest
+
+    from cccatalog_spark.operators.similarity import silhouette_centroid
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, emb array<double>"
+    )
+    with _pytest.raises(ValueError):
+        silhouette_centroid(df, "emb", "vec_id", n_seeds=1)
