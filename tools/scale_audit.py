@@ -155,9 +155,11 @@ FAMILIES = {
     # hard-negative mining: ONE shared postings build serves every
     # query (filter-before-explode); query dim + df stats broadcast,
     # positives anti-join, per-query rank window — corpus touched once
+    # (11th exchange = the dropDuplicates on the tiny (qid, term)
+    # query dim — term-dedup correctness, catalog-sized)
     "hard-negatives-shared-postings": (
         "q257_hard_negatives",
-        {"joins": 4, "exchanges": 10},
+        {"joins": 4, "exchanges": 11},
     ),
     # skip-gram pairs: vocab-keyed subsample join + per-doc rank
     # window + (doc,rank) equi-join + pair agg. DESIGN is 3 joins /
