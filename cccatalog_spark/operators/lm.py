@@ -182,3 +182,76 @@ def kneser_ney_score(
         F.count("*").alias("n_bigrams"),
         F.round(-F.avg(F.log(p)), 6).alias("nll"),
     )
+
+
+def good_turing_counts(
+    docs: DataFrame,
+    text_col: str,
+    max_r: int = 10,
+    n: int = 1,
+) -> DataFrame:
+    """Good-Turing frequency re-estimation (Good 1953; the
+    Katz-backoff workhorse): for each observed unigram count r, the
+    adjusted count ``r* = (r+1) · N_{r+1} / N_r`` (gram order ``n``) where N_r is the
+    frequency-of-frequencies — how much probability mass the counts-r
+    words SHOULD get once the unseen mass (N_1/N) is set aside. The
+    companion smoothing to Kneser-Ney above: KN discounts bigram
+    continuations; GT re-estimates the raw unigram spectrum (and its
+    r=1 row IS the leave-one-out unseen-mass estimate).
+
+    Returns one row per r <= ``max_r``: ``(r, n_r, r_star,
+    mass_share)`` — ``r_star`` null where N_{r+1}=0 (the standard
+    cutoff; production smoothers switch to a fitted S_r there),
+    ``mass_share = r·N_r / N`` the unadjusted share of the corpus in
+    count-r words. Floats rounded 6.
+
+    Scale shape: token counts (one aggregate) → count-of-counts (one
+    aggregate over the vocab frame) → a self-join on r+1 over the
+    ≤max_r-row spectrum catalog. The corpus is touched once.
+    """
+    from cccatalog_spark.functions.text import tokens
+
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    if n > 1:
+        # n-gram spectrum (the useful setting on small closed
+        # vocabularies, where every unigram is frequent): grams built
+        # by index transform, multiset counts
+        grams = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(toks, (i + j).cast("int")) for j in range(n)
+            ]),
+        )
+    else:
+        grams = toks
+    c = (
+        docs.select(F.explode(grams).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("r"))
+    )
+    spectrum = c.groupBy("r").agg(
+        F.count("*").cast("double").alias("n_r")
+    )
+    total = spectrum.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("_n")
+    )
+    nxt = spectrum.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    )
+    return (
+        spectrum.where(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "r",
+            F.col("n_r").cast("long").alias("n_r"),
+            F.round(
+                (F.col("r") + 1) * F.col("_n_next") / F.col("n_r"), 6
+            ).alias("r_star"),
+            F.round(F.col("r") * F.col("n_r") / F.col("_n"), 6).alias(
+                "mass_share"
+            ),
+        )
+    )

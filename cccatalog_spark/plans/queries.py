@@ -14034,3 +14034,102 @@ def q262_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_parameter_plan(
         spark, num_hashes=16, threshold=0.5, s_grid=41
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — ROUGE-2 pair scoring (operators/eval_text.rouge_n, Lin 2004):
+# clipped bigram overlap P/R/F1 over deterministic (doc i, doc i+1)
+# candidate/reference pairs — the summarization/distillation eval
+# metric as relational algebra: two count frames, ONE full-outer
+# (pair, gram) equi-join, one rollup. ROUGE-L (quadratic LCS) is
+# deliberately out of scope.
+# ---------------------------------------------------------------------------
+@query(
+    "q263_rouge2_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x))
+                 AS tk FROM documents),
+    pr AS (SELECT a.doc_id AS pid, a.tk AS ck, b.tk AS rk
+           FROM t a JOIN t b ON b.doc_id = a.doc_id + 1),
+    cg AS (SELECT pid, g, CAST(count(*) AS DOUBLE) AS cc FROM (
+             SELECT pid, ck[u.i] || ' ' || ck[u.i + 1] AS g
+             FROM pr, unnest(generate_series(1,
+                    greatest(len(ck) - 1, 0))) u(i)) x
+           GROUP BY 1, 2),
+    rg AS (SELECT pid, g, CAST(count(*) AS DOUBLE) AS cr FROM (
+             SELECT pid, rk[u.i] || ' ' || rk[u.i + 1] AS g
+             FROM pr, unnest(generate_series(1,
+                    greatest(len(rk) - 1, 0))) u(i)) x
+           GROUP BY 1, 2),
+    j AS (SELECT coalesce(cg.pid, rg.pid) AS pid,
+                 coalesce(cg.cc, 0) AS cc, coalesce(rg.cr, 0) AS cr
+          FROM cg FULL OUTER JOIN rg
+            ON cg.pid = rg.pid AND cg.g = rg.g),
+    a AS (SELECT pid, sum(least(cc, cr)) AS ov, sum(cc) AS nc,
+                 sum(cr) AS nr
+          FROM j GROUP BY 1)
+    SELECT pid AS doc_id, CAST(ov AS BIGINT) AS n_overlap,
+           CAST(nc AS BIGINT) AS n_cand, CAST(nr AS BIGINT) AS n_ref,
+           round(CASE WHEN nc > 0 THEN ov / nc END, 6) AS "precision",
+           round(CASE WHEN nr > 0 THEN ov / nr END, 6) AS recall,
+           round(CASE WHEN nc > 0 AND nr > 0 THEN
+                   CASE WHEN ov / nc + ov / nr > 0
+                        THEN 2 * (ov / nc) * (ov / nr)
+                             / (ov / nc + ov / nr)
+                        ELSE CAST(0.0 AS DOUBLE) END
+                 END, 6) AS f1
+    FROM a
+    """,
+)
+def q263_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.eval_text import rouge_n
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        d.select(F.col("doc_id"), F.col("text").alias("cand"))
+        .join(
+            d.select(
+                (F.col("doc_id") - 1).alias("doc_id"),
+                F.col("text").alias("ref"),
+            ),
+            "doc_id",
+        )
+    )
+    return rouge_n(pairs, "doc_id", "cand", "ref", n=2)
+
+
+# ---------------------------------------------------------------------------
+# q264 — Good-Turing frequency spectrum (operators/lm.
+# good_turing_counts, Good 1953): count-of-counts N_r and the
+# adjusted r* = (r+1)N_{r+1}/N_r for r <= 10 over the TRIGRAM
+# spectrum (the synthetic corpus's closed ~30-word vocabulary makes
+# every unigram frequent; trigrams have the real long tail) — the
+# Katz-backoff re-estimate beside q229's Kneser-Ney bigrams; the r=1
+# row is the leave-one-out unseen-mass estimate. Corpus touched once;
+# the spectrum self-join runs on the ≤max_r-row catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q264_good_turing",
+    oracle=f"""
+    WITH t AS (SELECT list_transform({_TOKS}, x -> lower(x)) AS tk
+               FROM documents),
+    e AS (SELECT tk[u.i] || ' ' || tk[u.i + 1] || ' ' || tk[u.i + 2]
+            AS w
+          FROM t, unnest(generate_series(1,
+                 greatest(len(tk) - 2, 0))) u(i)),
+    c AS (SELECT w, count(*) AS r FROM e GROUP BY 1),
+    s AS (SELECT r, CAST(count(*) AS DOUBLE) AS n_r FROM c GROUP BY 1),
+    tot AS (SELECT sum(r * n_r) AS n FROM s),
+    nx AS (SELECT r - 1 AS r, n_r AS n_next FROM s)
+    SELECT s.r, CAST(s.n_r AS BIGINT) AS n_r,
+           round((s.r + 1) * nx.n_next / s.n_r, 6) AS r_star,
+           round(s.r * s.n_r / tot.n, 6) AS mass_share
+    FROM s LEFT JOIN nx ON s.r = nx.r, tot
+    WHERE s.r <= 10
+    """,
+)
+def q264_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lm import good_turing_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return good_turing_counts(d, "text", max_r=10, n=3)
