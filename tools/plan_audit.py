@@ -72,6 +72,9 @@ SANCTIONED_BNLJ = {
     "(closed-form slot arithmetic)",
     "q131_triangle_count": "1-row doc-count scalar broadcast (the "
     "co-occurrence edge threshold)",
+    "q264_good_turing": "1-row token-total scalar broadcast (the "
+    "mass_share denominator; spectrum math runs on the <=max_r-row "
+    "catalog)",
     "q260_bootstrap_ci": "1-row bounds/point frames cross-combined "
     "(the b-row replica catalog reduced to scalars)",
     "q261_matryoshka_audit": "1-row probe vector + |dims|-row dim "
