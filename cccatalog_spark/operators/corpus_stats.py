@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cccatalog_spark.functions import text as TX
 
@@ -346,4 +347,151 @@ def lexical_diversity_profile(
         F.round(v / n, 6).alias("ttr"),
         F.round(v1 / v, 6).alias("hapax_share"),
         F.round(F.lit(10000.0) * (c2 - n) / (n * n), 6).alias("yule_k"),
+    )
+
+
+def heaps_law_fit(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    grid: int = 10,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) ~ K·N^beta (Heaps 1978):
+    how fast does the vocabulary grow as the corpus streams in? The
+    capacity-planning number behind every vocab/embedding-table sizing
+    decision (natural text: beta ~ 0.4-0.6; templated/synthetic text
+    collapses toward 0, adversarial junk toward 1).
+
+    Method: global token positions via the two-phase prefix sum
+    (operators/cumsum.global_running_sum — NO single-partition window
+    over the corpus), each type's FIRST-occurrence position, V(n) at
+    ``grid`` evenly spaced checkpoints n_j, then the closed-form
+    least-squares line through (ln n_j, ln V_j). Returns one row
+    ``(total_tokens, vocab, beta, k)``.
+
+    Scale shape: one doc-token-count aggregate + the prefix-sum
+    machinery (range partition, catalog-sized offsets frame) + one
+    min-per-type aggregate; the checkpoint counting fans the vocab
+    frame out x grid (constant) and the regression runs on the
+    grid-row catalog.
+    """
+    from cccatalog_spark.functions.text import tokens
+    from cccatalog_spark.operators.cumsum import global_running_sum
+
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    dtc = docs.select(
+        F.col(id_col).alias("_d"), toks.alias("_tk")
+    ).select("_d", "_tk", F.size("_tk").alias("_tc"))
+    off = global_running_sum(
+        dtc.select("_d", "_tc"), [F.col("_d")], "_tc", out_col="_cum"
+    ).select("_d", (F.col("_cum") - F.col("_tc")).alias("_off"))
+    first = (
+        dtc.select("_d", F.posexplode("_tk").alias("_p", "_w"))
+        .join(off, "_d")
+        .groupBy("_w")
+        .agg(F.min(F.col("_off") + F.col("_p") + 1).alias("_fp"))
+    )
+    total = dtc.agg(F.sum("_tc").alias("_n"))
+    pts = (
+        total.select(
+            "_n",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(grid))
+            ).alias("_j"),
+        )
+        .select(
+            "_n",
+            F.ceil(F.col("_n") * F.col("_j") / float(grid))
+            .cast("long")
+            .alias("_nj"),
+        )
+    )
+    vj = (
+        first.crossJoin(F.broadcast(pts))
+        .where(F.col("_fp") <= F.col("_nj"))
+        .groupBy("_n", "_nj")
+        .agg(F.count("*").cast("double").alias("_vj"))
+    )
+    x = F.log(F.col("_nj").cast("double"))
+    y = F.log("_vj")
+    reg = vj.agg(
+        F.max("_n").alias("_tot"),
+        F.max(F.when(F.col("_nj") == F.col("_n"), F.col("_vj"))).alias(
+            "_vocab"
+        ),
+        F.count("*").alias("_g"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    beta = (
+        (F.col("_g") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+        / (F.col("_g") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    )
+    k = F.exp((F.col("_sy") - beta * F.col("_sx")) / F.col("_g"))
+    return reg.select(
+        F.col("_tot").cast("long").alias("total_tokens"),
+        F.col("_vocab").cast("long").alias("vocab"),
+        F.round(beta, 6).alias("beta"),
+        F.round(k, 6).alias("k"),
+    )
+
+
+def emd_1d(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Exact 1-D earth mover's (Wasserstein-1) distance between two
+    groups' distributions of a numeric column — the drift metric with
+    actual units (``EMD = ∫|CDF_a - CDF_b| dx``, i.e. "how far does
+    mass move, in the column's units"), complementing PSI (q235,
+    bin-share ratios) and the Sinkhorn plan (q249, categorical with a
+    cost model).
+
+    Returns one row ``(n_a, n_b, n_support, emd)`` (rounded 6).
+
+    Scale shape: the corpus collapses to per-distinct-value counts in
+    ONE aggregate; the CDF-gap sum is a cumsum window over the
+    DISTINCT-value catalog (value-domain-bounded, the q256 contract).
+    Null values excluded (no ordering across engines).
+    """
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    pool = df.where(g.isin([group_a, group_b]) & x.isNotNull()).select(
+        x.alias("x"),
+        F.when(g == group_a, 1.0).otherwise(0.0).alias("ia"),
+    )
+    v = pool.groupBy("x").agg(
+        F.sum("ia").alias("ca"),
+        F.sum(1.0 - F.col("ia")).alias("cb"),
+    )
+    tot = v.agg(
+        F.sum("ca").alias("_ta"), F.sum("cb").alias("_tb")
+    )
+    w = Window.orderBy("x")
+    c = v.crossJoin(F.broadcast(tot)).select(
+        "x",
+        (F.sum("ca").over(w) / F.col("_ta")).alias("cdfa"),
+        (F.sum("cb").over(w) / F.col("_tb")).alias("cdfb"),
+        "_ta",
+        "_tb",
+    )
+    gap = F.lead("x", 1).over(w) - F.col("x")
+    return (
+        c.select(
+            "_ta", "_tb",
+            (F.abs(F.col("cdfa") - F.col("cdfb")) * gap).alias("_seg"),
+        )
+        .agg(
+            F.max("_ta").cast("long").alias("n_a"),
+            F.max("_tb").cast("long").alias("n_b"),
+            (F.count("*")).alias("n_support"),
+            F.round(F.coalesce(F.sum("_seg"), F.lit(0.0)), 6).alias(
+                "emd"
+            ),
+        )
     )

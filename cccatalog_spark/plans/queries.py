@@ -14133,3 +14133,220 @@ def q264_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return good_turing_counts(d, "text", max_r=10, n=3)
+
+
+# ---------------------------------------------------------------------------
+# q265 — Heaps'-law vocabulary-growth fit (operators/corpus_stats.
+# heaps_law_fit, Heaps 1978): V(N) ~ K·N^beta from first-occurrence
+# token positions (two-phase prefix sum — no single-partition window
+# over the corpus) and a closed-form log-log least squares over 10
+# checkpoints. The vocab/embedding-table capacity-planning number.
+# ---------------------------------------------------------------------------
+@query(
+    "q265_heaps_law",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x))
+                 AS tk FROM documents),
+    d AS (SELECT doc_id, tk, len(tk) AS tc FROM t),
+    o AS (SELECT doc_id, tk,
+                 sum(tc) OVER (ORDER BY doc_id) - tc AS off FROM d),
+    e AS (SELECT tk[u.i] AS w, off + u.i AS gp
+          FROM o, unnest(generate_series(1, len(tk))) u(i)),
+    f AS (SELECT w, min(gp) AS fp FROM e GROUP BY 1),
+    n AS (SELECT CAST(sum(tc) AS BIGINT) AS n FROM d),
+    pts AS (SELECT n.n,
+                   CAST(ceil(n.n * g.j / 10.0) AS BIGINT) AS nj
+            FROM n, unnest(generate_series(1, 10)) g(j)),
+    vj AS (SELECT pts.n, pts.nj, CAST(count(*) AS DOUBLE) AS vj
+           FROM f, pts WHERE f.fp <= pts.nj GROUP BY 1, 2),
+    reg AS (SELECT max(n) AS tot,
+                   max(CASE WHEN nj = n THEN vj END) AS vocab,
+                   CAST(count(*) AS DOUBLE) AS g,
+                   sum(ln(CAST(nj AS DOUBLE))) AS sx,
+                   sum(ln(vj)) AS sy,
+                   sum(ln(CAST(nj AS DOUBLE)) * ln(vj)) AS sxy,
+                   sum(ln(CAST(nj AS DOUBLE))
+                       * ln(CAST(nj AS DOUBLE))) AS sxx
+            FROM vj)
+    SELECT CAST(tot AS BIGINT) AS total_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           round((g * sxy - sx * sy) / (g * sxx - sx * sx), 6) AS beta,
+           round(exp((sy - ((g * sxy - sx * sy)
+                 / (g * sxx - sx * sx)) * sx) / g), 6) AS k
+    FROM reg
+    """,
+)
+def q265_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import heaps_law_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    return heaps_law_fit(d, "doc_id", "text", grid=10)
+
+
+# ---------------------------------------------------------------------------
+# q266 — exact 1-D earth mover's distance (operators/corpus_stats.
+# emd_1d): Wasserstein-1 between the en and zh doc-length
+# distributions — drift in the column's own units (∫|CDF_a-CDF_b|dx),
+# beside q235's PSI (bin ratios) and q249's Sinkhorn (categorical +
+# cost model). Corpus collapses to distinct-value counts; CDF cumsum
+# over the value catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q266_emd_drift",
+    oracle="""
+    WITH pool AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END
+                           AS ia
+                  FROM documents WHERE lang IN ('en', 'zh')),
+    v AS (SELECT x, sum(ia) AS ca, sum(1.0 - ia) AS cb
+          FROM pool GROUP BY 1),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM v),
+    c AS (SELECT x, sum(ca) OVER (ORDER BY x) / tot.ta AS cdfa,
+                 sum(cb) OVER (ORDER BY x) / tot.tb AS cdfb,
+                 tot.ta, tot.tb
+          FROM v, tot),
+    s AS (SELECT ta, tb,
+                 abs(cdfa - cdfb)
+                   * (lead(x) OVER (ORDER BY x) - x) AS seg
+          FROM c)
+    SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT)
+             AS n_b,
+           count(*) AS n_support,
+           round(coalesce(sum(seg), 0.0), 6) AS emd
+    FROM s
+    """,
+)
+def q266_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import emd_1d
+
+    d = load_table(spark, sf_dir, "documents")
+    return emd_1d(d, "lang", "n_chars", "en", "zh")
+
+
+# ---------------------------------------------------------------------------
+# q267 — skew-safe salted equi-join (operators/skew.salted_join):
+# lineitem⋈orders with the big side salted into 8 sub-keys and the
+# small side exploded across them — result pinned identical to the
+# plain join by the oracle (the operator's contract), so the skew
+# treatment itself sits inside the correctness gate, not just unit
+# tests.
+# ---------------------------------------------------------------------------
+@query(
+    "q267_salted_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q267_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, ["k"], salt_buckets=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q268 — STREAMING distinct-users-per-window (engine-native:
+# dropDuplicatesWithinWatermark keyed by (day, type, user) feeding a
+# watermarked tumbling count in append mode; the far-future sentinel
+# batch flushes the real windows and its own never emits, q81's
+# contract). Distinct aggregation is unsupported in streaming — this
+# dedup-then-count split IS the standard scale recipe.
+# ---------------------------------------------------------------------------
+@query(
+    "q268_stream_window_distinct",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events WHERE event_id % 3 = 0)
+    SELECT CAST(floor(sec / 86400) AS BIGINT) * 86400 AS w_start,
+           event_type,
+           count(DISTINCT user_id) AS n_users
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q268_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    base = tempfile.mkdtemp(prefix="ccc_swd_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 3 == 0
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    b0 = e.where(F.col("event_id") % 6 == 0).select(
+        "sec", "event_type", "user_id"
+    )
+    b1 = e.where(F.col("event_id") % 6 == 3).select(
+        "sec", "event_type", "user_id"
+    )
+    sentinel = spark.range(1).select(
+        F.lit(1709251200).alias("sec"),
+        F.lit("zz_sentinel").alias("event_type"),
+        F.lit(-1).cast("long").alias("user_id"),
+    )
+    now = time.time()
+    for i, b in enumerate([b0, b1, sentinel]):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
+        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
+        dst = os.path.join(src, f"batch{i}.tsv")
+        os.rename(os.path.join(stage, part), dst)
+        os.utime(dst, (now - 180 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("sec long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    s = stream.select(
+        F.timestamp_seconds("sec").alias("ts"),
+        "event_type",
+        "user_id",
+        (F.floor(F.col("sec") / 86400) * 86400).alias("day"),
+    ).withWatermark("ts", "2 days")
+    dedup = s.dropDuplicatesWithinWatermark(
+        ["day", "event_type", "user_id"]
+    )
+    agg = dedup.groupBy(
+        F.window("ts", "1 day"), F.col("event_type")
+    ).agg(F.count("*").alias("n_users"))
+    sink = f"q268_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT unix_timestamp(window.start) AS w_start, event_type,"
+        f" n_users FROM {sink}"
+    )

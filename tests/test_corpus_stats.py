@@ -148,3 +148,57 @@ def test_lexical_diversity_profile(spark):
     # K = 1e4 * (16 + 1 - 5) / 25 = 4800
     assert poor["yule_k"] == 4800.0
     assert poor["yule_k"] > rich["yule_k"]
+
+
+def test_heaps_law_fit_growth_vs_templated(spark):
+    from cccatalog_spark.operators.corpus_stats import heaps_law_fit
+
+    # growing corpus: every doc introduces fresh words alongside a
+    # shared core -> beta well inside (0, 1)
+    grow = [
+        (i, "the a of " + " ".join(f"w{i}_{j}" for j in range(5)))
+        for i in range(40)
+    ]
+    g = heaps_law_fit(
+        spark.createDataFrame(grow, "doc_id long, text string"),
+        "doc_id", "text",
+    ).collect()[0]
+    assert g["total_tokens"] == 40 * 8
+    assert g["vocab"] == 3 + 200
+    assert 0.5 < g["beta"] < 1.0
+
+    # templated corpus: vocabulary saturates immediately -> beta ~ 0
+    flat = [(i, "spam ham eggs spam ham eggs") for i in range(40)]
+    f = heaps_law_fit(
+        spark.createDataFrame(flat, "doc_id long, text string"),
+        "doc_id", "text",
+    ).collect()[0]
+    assert f["vocab"] == 3
+    assert f["beta"] < 0.1
+    assert f["beta"] < g["beta"]
+
+
+def test_emd_1d_known_distances(spark):
+    from cccatalog_spark.operators.corpus_stats import emd_1d
+
+    # identical distributions -> 0
+    rows = [(float(v), "a") for v in (1, 2, 3)] + [
+        (float(v), "b") for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "x double, g string")
+    r = emd_1d(df, "g", "x", "a", "b").collect()[0]
+    assert r["emd"] == 0.0 and r["n_a"] == 3 and r["n_b"] == 3
+
+    # b = a shifted by +2 -> EMD exactly 2
+    rows = [(float(v), "a") for v in (0, 1, 2)] + [
+        (float(v) + 2.0, "b") for v in (0, 1, 2)
+    ]
+    df = spark.createDataFrame(rows, "x double, g string")
+    r = emd_1d(df, "g", "x", "a", "b").collect()[0]
+    assert abs(r["emd"] - 2.0) < 1e-9
+
+    # point masses at 0 and 5 -> EMD 5
+    rows = [(0.0, "a"), (5.0, "b")]
+    df = spark.createDataFrame(rows, "x double, g string")
+    r = emd_1d(df, "g", "x", "a", "b").collect()[0]
+    assert r["emd"] == 5.0

@@ -73,6 +73,13 @@ SANCTIONED_GLOBAL_WINDOW = {
     # argmin rank over the |divisors|-row (b,r) combo catalog — a
     # pure-math planner with no corpus input (planner.lsh_parameter_plan)
     "q262_lsh_plan",
+    # two-phase prefix sum: the single-partition window is over the
+    # ≤#partitions offsets frame (cumsum.py:63-70), plus the 10-row
+    # checkpoint regression catalog (corpus_stats.heaps_law_fit)
+    "q265_heaps_law",
+    # CDF cumsum over the DISTINCT-value catalog (the q256 contract)
+    # — corpus_stats.emd_1d
+    "q266_emd_drift",
 }
 
 
