@@ -72,6 +72,11 @@ SANCTIONED_BNLJ = {
     "(closed-form slot arithmetic)",
     "q131_triangle_count": "1-row doc-count scalar broadcast (the "
     "co-occurrence edge threshold)",
+    "q265_heaps_law": "1-row token-total broadcast exploded into the "
+    "10-row checkpoint catalog (the regression grid; prefix-sum "
+    "offsets frame is <=#partitions rows)",
+    "q266_emd_drift": "1-row group-totals broadcast (the CDF "
+    "denominators; distance math runs on the distinct-value catalog)",
     "q264_good_turing": "1-row token-total scalar broadcast (the "
     "mass_share denominator; spectrum math runs on the <=max_r-row "
     "catalog)",
