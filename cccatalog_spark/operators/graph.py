@@ -665,3 +665,52 @@ def random_walks(
     )
     adj.unpersist()
     return out
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS hop distances over an UNDIRECTED view of the
+    edge list — the shortest-path primitive beside PageRank/HITS/CC:
+    "how many hops is every node from the nearest seed?" (seed set =
+    trusted domains, gold documents, known-spam hubs; the distance is
+    the classic TrustRank-style propagation feature).
+
+    Returns ``(node, dist)`` for nodes REACHED within ``max_hops``
+    (unreached nodes are absent — at 100 TB materializing the
+    unreachable set is the expensive non-answer). Deterministic: BFS
+    layers are unique minima, no tie-breaks needed.
+
+    Scale shape per round: frontier⋈edges (one shuffle keyed by node)
+    + a min aggregate, with per-round lineage truncation — the
+    connected-components discipline; ``max_hops`` bounds rounds, and
+    the dist frame only ever holds reached nodes.
+    """
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    spark = edges.sparkSession
+    und = edges.select(
+        F.col(src_col).alias("n"), F.col(dst_col).alias("nbr")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("nbr"))
+    ).distinct().persist()
+    dist = _truncate_lineage(
+        spark.createDataFrame(
+            [(s, 0) for s in seeds], ["node", "dist"]
+        )
+    )
+    for _ in range(max_hops):
+        hop = (
+            und.join(dist, und["n"] == dist["node"])
+            .select(F.col("nbr").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = _truncate_lineage(
+            dist.unionAll(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist

@@ -14350,3 +14350,115 @@ def q268_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT unix_timestamp(window.start) AS w_start, event_type,"
         f" n_users FROM {sink}"
     )
+
+
+# ---------------------------------------------------------------------------
+# q269 — DBSCAN density clustering (operators/density.dbscan_2d, Ester
+# KDD'96): cluster discovery without k over the q224 synthetic
+# customer coordinates — grid-bucketed exact eps-neighbor join →
+# degree core test → star-CC over core-core edges → border attach →
+# noise. Oracle: brute-force pairs + WITH RECURSIVE reachability
+# (fine at oracle scale, never the engine plan). eps=4.2 km,
+# min_pts=3 → 637 cores / 14 clusters at sf0.01.
+# ---------------------------------------------------------------------------
+@query(
+    "q269_dbscan",
+    oracle="""
+    WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+            45.0 + (c_custkey % 100) / 50.0 AS lat,
+            8.0 + (c_custkey % 37) / 18.5 AS lon FROM customer),
+    pp AS (SELECT a.id AS ida, b.id AS idb
+           FROM pts a, pts b
+           WHERE a.id <> b.id AND round(2 * 6371.0 * asin(sqrt(
+             sin(radians(b.lat - a.lat) / 2)
+               * sin(radians(b.lat - a.lat) / 2)
+             + cos(radians(a.lat)) * cos(radians(b.lat))
+               * sin(radians(b.lon - a.lon) / 2)
+               * sin(radians(b.lon - a.lon) / 2))), 6) <= 4.2),
+    deg AS (SELECT ida, count(*) AS d FROM pp GROUP BY 1),
+    core AS (SELECT pts.id, coalesce(deg.d, 0) AS n_nbrs,
+                    coalesce(deg.d, 0) + 1 >= 3 AS is_core
+             FROM pts LEFT JOIN deg ON pts.id = deg.ida),
+    ce AS (SELECT pp.ida AS src, pp.idb AS dst FROM pp
+           JOIN core ca ON pp.ida = ca.id AND ca.is_core
+           JOIN core cb ON pp.idb = cb.id AND cb.is_core),
+    reach(node, r) AS (
+        SELECT id, id FROM core WHERE is_core
+        UNION
+        SELECT ce.dst, reach.r FROM reach JOIN ce ON ce.src = reach.node),
+    cc AS (SELECT node, min(r) AS cl FROM reach GROUP BY 1),
+    border AS (SELECT pp.ida AS id, min(cc.cl) AS cl
+               FROM pp JOIN core cb ON pp.idb = cb.id AND cb.is_core
+               JOIN cc ON cc.node = pp.idb
+               JOIN core ca ON pp.ida = ca.id AND NOT ca.is_core
+               GROUP BY 1)
+    SELECT core.id AS c_custkey, CAST(core.n_nbrs AS BIGINT) AS n_nbrs,
+           core.is_core,
+           CASE WHEN core.is_core THEN cc.cl ELSE border.cl END
+             AS cluster
+    FROM core LEFT JOIN cc ON cc.node = core.id
+    LEFT JOIN border ON border.id = core.id
+    """,
+)
+def q269_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.density import dbscan_2d
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (45.0 + (F.col("c_custkey") % 100) / 50.0).alias("lat"),
+        (8.0 + (F.col("c_custkey") % 37) / 18.5).alias("lon"),
+    )
+    return dbscan_2d(
+        cu, "c_custkey", "lat", "lon", eps_km=4.2, min_pts=3,
+        max_abs_lat=48.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q270 — multi-source BFS hop distances (operators/graph.
+# multi_source_bfs): nearest-seed distance over the undirected
+# supplier-customer fulfilment graph from 3 seed suppliers — the
+# TrustRank-style propagation feature beside PageRank/HITS/CC.
+# Oracle: WITH RECURSIVE bounded-depth reachability + min.
+# ---------------------------------------------------------------------------
+@query(
+    "q270_multi_source_bfs",
+    oracle="""
+    WITH RECURSIVE ed AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'C' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    und AS (SELECT src AS n, dst AS nbr FROM ed
+            UNION SELECT dst, src FROM ed),
+    seeds(node) AS (VALUES ('S1'), ('S5'), ('S9')),
+    reach(node, d) AS (
+        SELECT node, 0 FROM seeds
+        UNION
+        SELECT und.nbr, reach.d + 1
+        FROM reach JOIN und ON und.n = reach.node
+        WHERE reach.d < 4)
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM reach GROUP BY 1
+    """,
+)
+def q270_multi_source_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import multi_source_bfs
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    out = multi_source_bfs(
+        edges, ["S1", "S5", "S9"], max_hops=4
+    )
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
