@@ -673,6 +673,7 @@ def multi_source_bfs(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 4,
+    _frontier_probe: list | None = None,
 ) -> DataFrame:
     """Multi-source BFS hop distances over an UNDIRECTED view of the
     edge list — the shortest-path primitive beside PageRank/HITS/CC:
@@ -685,10 +686,20 @@ def multi_source_bfs(
     unreachable set is the expensive non-answer). Deterministic: BFS
     layers are unique minima, no tie-breaks needed.
 
-    Scale shape per round: frontier⋈edges (one shuffle keyed by node)
-    + a min aggregate, with per-round lineage truncation — the
-    connected-components discipline; ``max_hops`` bounds rounds, and
-    the dist frame only ever holds reached nodes.
+    Scale shape per round — FRONTIER-ONLY (the canonical BFS work
+    bound): only the nodes first reached in round ``r`` join the edge
+    list in round ``r+1`` (frontier⋈edges, one shuffle keyed by node),
+    followed by an anti-join against the accumulated ``dist`` frame to
+    drop already-settled nodes; per-round lineage truncation keeps the
+    plan flat.  Work per round is O(deg(frontier_r)), not
+    O(deg(reached_{≤r})) — at 100 TB the difference is the whole
+    algorithm.  ``max_hops`` bounds rounds, and the dist frame only
+    ever holds reached nodes.
+
+    ``_frontier_probe`` is a test hook: when a list is passed, the
+    row count of each round's frontier is appended (one tiny count job
+    per round — tests only, never set on the hot path).  It pins the
+    bound "round r joins exactly |frontier_r| rows against the edges".
     """
     from cccatalog_spark.operators.dedup import _truncate_lineage
 
@@ -698,19 +709,24 @@ def multi_source_bfs(
     ).unionAll(
         edges.select(F.col(dst_col).alias("n"), F.col(src_col).alias("nbr"))
     ).distinct().persist()
-    dist = _truncate_lineage(
+    frontier = _truncate_lineage(
         spark.createDataFrame(
             [(s, 0) for s in seeds], ["node", "dist"]
         )
     )
-    for _ in range(max_hops):
+    dist = frontier
+    for r in range(max_hops):
+        if _frontier_probe is not None:
+            _frontier_probe.append(frontier.count())
         hop = (
-            und.join(dist, und["n"] == dist["node"])
-            .select(F.col("nbr").alias("node"), (F.col("dist") + 1).alias("dist"))
+            und.join(frontier, und["n"] == frontier["node"])
+            .select(F.col("nbr").alias("node"))
+            .distinct()
         )
-        dist = _truncate_lineage(
-            dist.unionAll(hop)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+        frontier = _truncate_lineage(
+            hop.join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(r + 1).cast("long"))
         )
+        dist = _truncate_lineage(dist.unionAll(frontier))
+    und.unpersist()
     return dist

@@ -107,6 +107,110 @@ def bigram_lm_score(
     )
 
 
+def min_k_prob_score(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    frac: float = 0.2,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Min-k% probability memorization score (Shi et al. 2024,
+    "Detecting Pretraining Data from Large Language Models"): per
+    document, the mean NLL of its ``frac`` LEAST-probable bigram
+    instances (= highest NLL; ``ceil(frac·n)``, at least one).  A LOW
+    tail score means even the document's worst tokens are predictable
+    — the membership-inference signal for "the model has seen this";
+    pipelines use it to audit eval-set contamination beyond exact
+    n-gram overlap (operators/bloom.py's family).  Model here is the
+    same exact relational add-one bigram LM as ``bigram_lm_score``, so
+    the whole audit sits under a SQL oracle.
+
+    Returns ``(id, n_bigrams, n_scored, mink_nll)``; documents with
+    fewer than two tokens emit no row.
+
+    Scale shape: the model joins of ``bigram_lm_score`` plus ONE
+    doc-keyed window shuffle shared by the rank and the count (same
+    key as the final groupBy — the aggregate reuses the partitioning).
+    Ties in NLL at the selection boundary are tie-broken (w1, w2) for
+    a deterministic row set, and tied rows carry equal NLL so the MEAN
+    is boundary-stable regardless.
+    """
+    from pyspark.sql.window import Window
+
+    pairs, heads, vocab = model or bigram_model(docs, text_col, id_col)
+    big = _bigram_instances(docs, text_col, id_col)
+    nll = -F.log(
+        (F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("ch"), F.lit(0)) + F.col("vs"))
+    )
+    inst = (
+        big.join(pairs, ["w1", "w2"], "left")
+        .join(heads, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, "w1", "w2", nll.alias("_nll"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_nll"), F.asc("w1"), F.asc("w2")
+    )
+    wc = Window.partitionBy(id_col)
+    ranked = inst.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(wc)
+    )
+    take = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.lit(frac) * F.col("_n"))
+    )
+    return (
+        ranked.where(F.col("_rn") <= take)
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").alias("n_bigrams"),
+            F.count("*").alias("n_scored"),
+            F.round(F.avg("_nll"), 6).alias("mink_nll"),
+        )
+    )
+
+
+def perplexity_partition(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    n_buckets: int = 3,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020): score
+    every document with the bigram LM, then split each ``group_col``
+    stratum (CCNet: language) into ``n_buckets`` equal-frequency
+    bands by ascending NLL — head = most fluent under the model,
+    tail = least.  Downstream mixes sample by band (head kept, middle
+    downweighted, tail dropped or quality-reviewed).
+
+    Returns ``(id, group, n_bigrams, nll, ppl_bucket)`` with bucket
+    1..n_buckets.  Deterministic: ntile orders by the ROUNDED nll
+    (ulp-stable across engines) with the unique id as tiebreak.
+
+    Scale shape: ``bigram_lm_score``'s joins plus one group-keyed
+    window shuffle; a stratum is a language, so the window partition
+    is coarse but bounded by corpus-per-language — at skew (one giant
+    language) this is the documented two-phase-rank/salting case, not
+    an all-corpus single partition.
+    """
+    from pyspark.sql.window import Window
+
+    scored = bigram_lm_score(docs, text_col, id_col, model=model)
+    d = docs.select(id_col, group_col).join(scored, [id_col])
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("nll"), F.asc(id_col)
+    )
+    return d.select(
+        id_col,
+        group_col,
+        "n_bigrams",
+        "nll",
+        F.ntile(n_buckets).over(w).alias("ppl_bucket"),
+    )
+
+
 def kneser_ney_model(
     train: DataFrame, text_col: str, id_col: str, discount: float = 0.75
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:

@@ -268,6 +268,106 @@ def _cos_py(a: list[float], b: list[float]) -> float:
     )
 
 
+def pq_codebooks(
+    df: DataFrame, vec_col: str, id_col: str, m: int, k: int
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al. TPAMI 2011): split
+    the vector space into ``m`` contiguous subspaces and give each a
+    ``k``-centroid codebook.  Centroids are the sub-vectors of the
+    first ``k`` vectors by id — the same deterministic k-means
+    stand-in as ``ivf_centroids`` (identical plan shape downstream;
+    swap in trained centroids without touching the encoder).  A
+    driver-resident catalog (m·k·(dim/m) = k·dim floats), never
+    distributed data."""
+    rows = df.orderBy(F.col(id_col).asc()).limit(k).collect()
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [
+            [float(x) for x in r[vec_col]][j * sub : (j + 1) * sub]
+            for r in rows
+        ]
+        for j in range(m)
+    ]
+
+
+def _ssd(seg, centroid: list[float]):
+    """Σ (x_t − c_t)² as an in-order left fold — float-deterministic
+    across engines (both sides sum in index order)."""
+    c = F.array(*[F.lit(float(t)) for t in centroid])
+    return F.aggregate(
+        F.zip_with(seg, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """PQ encoder: per subspace, the argmin-L2 centroid ordinal —
+    ``(id, pq_code array<int>, pq_err double)`` where ``pq_err`` is
+    the total squared reconstruction error (the quantizer's quality
+    metric; recall curves track it).
+
+    The 100 TB story: a 64-dim float corpus (256 B/vector) compresses
+    to ``m`` bytes/vector (m=8: 32× less memory), which is what lets
+    a billion-vector index live in RAM; ADC search then scans codes
+    against a query's per-subspace distance tables.
+
+    Scale shape: codebooks are literals in the plan, so encoding is
+    ONE narrow whole-stage-codegen pass — no join, no shuffle, no UDF
+    (the ``ivf_assign`` discipline).  Ties break to the lower centroid
+    ordinal via the (dist, ordinal) struct min."""
+    sub = len(codebooks[0][0])
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    best = []
+    for j, book in enumerate(codebooks):
+        seg = F.slice(vec, j * sub + 1, sub)
+        cand = F.array(
+            *[
+                F.struct(
+                    _ssd(seg, c).alias("d"),
+                    F.lit(i).alias("c"),
+                )
+                for i, c in enumerate(book)
+            ]
+        )
+        best.append(F.array_min(cand))
+    return df.select(
+        id_col,
+        F.array(*[b["c"] for b in best]).alias("pq_code"),
+        F.round(
+            sum((b["d"] for b in best), F.lit(0.0)), 6
+        ).alias("pq_err"),
+    )
+
+
+def fetch_probe(
+    df: DataFrame, vec_col: str, id_col: str, id_val
+) -> list[float]:
+    """Fetch ONE probe vector by id as a driver-resident catalog value
+    (dim floats — the same footprint class as ``ivf_centroids``).  ANN
+    entry points genuinely need the query vector driver-side: IVF ranks
+    its centroid catalog against it and LSH derives the probe bucket
+    ids from it, both before any distributed stage is planned.  This is
+    the sanctioned bounded-catalog fetch (a 1-row limit under a
+    pushed-down id filter), kept here so query plans never carry a raw
+    ``.collect()``."""
+    rows = (
+        df.where(F.col(id_col) == F.lit(id_val))
+        .select(vec_col)
+        .limit(1)
+        .collect()
+    )
+    return [float(x) for x in rows[0][vec_col]]
+
+
 def ivf_centroids(
     df: DataFrame, vec_col: str, id_col: str, n_lists: int
 ) -> list[tuple[int, list[float]]]:

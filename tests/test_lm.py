@@ -119,3 +119,72 @@ def test_kneser_ney_cross_corpus_floors_unseen(spark):
     # 1/(vs+bt) = 1/6
     assert rows[0]["n_bigrams"] == 1
     assert abs(rows[0]["nll"] - (-math.log(1 / 6))) < 1e-6
+
+
+def test_min_k_prob_matches_python_model(spark):
+    from cccatalog_spark.operators.lm import min_k_prob_score
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat the cat sat the cat sat",
+        "a dog ran far away today quickly",
+    ]
+    pairs, heads, v = _model(texts)
+    got = {
+        r["doc_id"]: r
+        for r in min_k_prob_score(
+            _docs(spark, texts), "text", "doc_id", frac=0.4
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        nlls = sorted(
+            (
+                -math.log((pairs[(a, b)] + 1.0) / (heads[a] + v))
+                for a, b in zip(ws, ws[1:])
+            ),
+            reverse=True,
+        )
+        take = max(1, math.ceil(0.4 * len(nlls)))
+        assert got[i]["n_bigrams"] == len(nlls)
+        assert got[i]["n_scored"] == take
+        assert got[i]["mink_nll"] == round(sum(nlls[:take]) / take, 6)
+    # the repetitive doc's worst-case tail is still predictable ->
+    # lower min-k score than the all-one-off doc
+    assert got[1]["mink_nll"] < got[2]["mink_nll"]
+
+
+def test_min_k_singleton_floor(spark):
+    from cccatalog_spark.operators.lm import min_k_prob_score
+
+    # one bigram -> frac*1 rounds up to the at-least-one floor
+    got = min_k_prob_score(
+        _docs(spark, ["two words"]), "text", "doc_id", frac=0.2
+    ).collect()
+    assert len(got) == 1 and got[0]["n_scored"] == 1
+
+
+def test_perplexity_partition_bands(spark):
+    from cccatalog_spark.operators.lm import perplexity_partition
+
+    rows = [
+        (i, "the cat sat " * (1 + i % 3), "en") for i in range(6)
+    ] + [(10 + i, f"w{i} x{i} y{i} z{i}", "de") for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    out = perplexity_partition(
+        docs, "text", "doc_id", "lang", n_buckets=3
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # each language is banded independently into 1..3, equal frequency
+    assert sorted(r["ppl_bucket"] for r in by_lang["en"]) == [1, 1, 2, 2, 3, 3]
+    assert sorted(r["ppl_bucket"] for r in by_lang["de"]) == [1, 2, 3]
+    # banding follows ascending nll within each language
+    for rs in by_lang.values():
+        for a in rs:
+            for b in rs:
+                if a["nll"] < b["nll"]:
+                    assert a["ppl_bucket"] <= b["ppl_bucket"]

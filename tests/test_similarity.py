@@ -572,3 +572,59 @@ def test_silhouette_rejects_single_seed(spark):
     )
     with _pytest.raises(ValueError):
         silhouette_centroid(df, "emb", "vec_id", n_seeds=1)
+
+
+def test_pq_encode_hand_computed(spark):
+    from cccatalog_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    # 4-dim vectors, m=2 subspaces of 2 dims, k=2 codebooks from the
+    # first two vectors by id
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [4.0, 4.0, 0.0, 0.0]),
+        (2, [0.5, 0.5, 0.2, 0.2]),   # sub0 -> c0, sub1 -> c1
+        (3, [3.0, 3.0, 9.0, 9.0]),   # sub0 -> c1, sub1 -> c0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<float>")
+    books = pq_codebooks(df, "emb", "vec_id", m=2, k=2)
+    assert books == [
+        [[0.0, 0.0], [4.0, 4.0]],
+        [[10.0, 10.0], [0.0, 0.0]],
+    ]
+    got = {
+        r["vec_id"]: r
+        for r in pq_encode(df, "emb", "vec_id", books).collect()
+    }
+    assert list(got[0]["pq_code"]) == [0, 0] and got[0]["pq_err"] == 0.0
+    assert list(got[1]["pq_code"]) == [1, 1] and got[1]["pq_err"] == 0.0
+    assert list(got[2]["pq_code"]) == [0, 1]
+    assert got[2]["pq_err"] == round(0.5**2 * 2 + 0.2**2 * 2, 6)
+    assert list(got[3]["pq_code"]) == [1, 0]
+    assert got[3]["pq_err"] == round(1.0 * 2 + 1.0 * 2, 6)
+
+
+def test_pq_tie_breaks_to_lower_ordinal(spark):
+    from cccatalog_spark.operators.similarity import pq_encode
+
+    # duplicate centroids -> equidistant -> code must pick ordinal 0
+    books = [[[1.0, 1.0], [1.0, 1.0]]]
+    df = spark.createDataFrame(
+        [(7, [2.0, 2.0])], "vec_id long, emb array<float>"
+    )
+    got = pq_encode(df, "emb", "vec_id", books).collect()[0]
+    assert list(got["pq_code"]) == [0]
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from cccatalog_spark.operators.similarity import pq_codebooks
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, emb array<float>"
+    )
+    with _pytest.raises(ValueError):
+        pq_codebooks(df, "emb", "vec_id", m=2, k=1)

@@ -1,0 +1,102 @@
+"""Scaling-curve bench: time the most expensive inventory queries at
+sf0.1 and at the 3x key-offset replica (.scratch/sf0.3, built by
+tools/gen_scale.py) and record the wall-time ratio per query.
+
+A ratio far above the 3x data-growth ratio exposes a hidden
+super-linear stage sf0.1 alone cannot; a sub-3x ratio just means fixed
+overhead (session, streaming triggers, Python worker spin-up) still
+dominates at this scale. Each timing is the MIN of two runs (the
+repo-wide noise defense — the sandbox shows multi-tenant CPU bursts).
+
+Writes BENCH_SCALING.json at the repo root.
+
+Usage: python tools/bench_scaling.py [big_sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+# the 15 most expensive queries in BENCH_LOCAL.json (round 5), the
+# verdict-prescribed scaling set: dedup pair generators, iterative
+# graph algorithms, stateful streaming, column stats, DBSCAN, salted
+# join — every family where a super-linear stage could hide
+QUERIES = [
+    "q24_ngram_jaccard",
+    "q97_pagerank",
+    "q106_stream_stream_join",
+    "q150_column_stats",
+    "q185_jaccard_prefix_join",
+    "q186_sorted_neighborhood",
+    "q198_containment_pairs",
+    "q211_personalized_pagerank",
+    "q237_sif_embeddings",
+    "q245_lsh_recall_audit",
+    "q254_stream_lsh_neardup",
+    "q267_salted_join",
+    "q268_stream_window_distinct",
+    "q269_dbscan",
+    "q270_multi_source_bfs",
+]
+
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+
+
+def _time(fn, spark, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    big = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf0.3"
+    small = "/root/testdata/sf0.1"
+    data_ratio = 3.0
+
+    from cccatalog_spark.plans.queries import all_queries
+    from cccatalog_spark.session import get_spark
+
+    spark = get_spark("cccatalog-bench-scaling")
+    qs = all_queries()
+
+    # warm JVM + Python workers (same protocol as bench.py)
+    qs["q01_pricing_summary"](spark, small).count()
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, n_workers * 10, 1, n_workers).mapInPandas(
+        lambda batches: (b for b in batches), "id long"
+    ).count()
+
+    out = {"small_sf": small, "big_sf": big, "data_ratio": data_ratio,
+           "queries": {}}
+    for name in QUERIES:
+        t_small = _time(qs[name], spark, small)
+        t_big = _time(qs[name], spark, big)
+        ratio = t_big / t_small if t_small > 0 else float("inf")
+        out["queries"][name] = {
+            "sec_small": round(t_small, 2),
+            "sec_big": round(t_big, 2),
+            "ratio": round(ratio, 2),
+        }
+        print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.2f}",
+              flush=True)
+
+    ratios = [v["ratio"] for v in out["queries"].values()]
+    out["max_ratio"] = max(ratios)
+    out["median_ratio"] = sorted(ratios)[len(ratios) // 2]
+    with open("BENCH_SCALING.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"max_ratio": out["max_ratio"],
+                      "median_ratio": out["median_ratio"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

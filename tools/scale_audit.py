@@ -177,6 +177,53 @@ FAMILIES = {
         "q238_skipgram_pairs",
         {"joins": 3, "exchanges": 17},
     ),
+    # DBSCAN: grid-pruned radius join + degree aggregate + star-CC
+    # over core-core edges + border attach (density.dbscan_2d). The
+    # DESIGN is 4 joins (3x3-cell equi-join, core semi-joins, attach);
+    # the printer re-prints the persisted pairs/core subtrees under
+    # their InMemoryTableScan references, so the string-counted budget
+    # is 25 joins / 15 exchanges. The star-CC rounds are lineage-cut —
+    # the count is diameter-independent.
+    "dbscan-grid-join-star-cc": (
+        "q269_dbscan",
+        {"joins": 25, "exchanges": 15},
+    ),
+    # Sinkhorn OT: every scaling round ends in a lineage cut, so the
+    # FINAL plan is a checkpoint readback — 0 exchanges, 0 joins,
+    # iteration-count-independent (operators/ot.py; the
+    # logreg-truncated-lineage contract for iterative algorithms).
+    "sinkhorn-truncated-lineage": (
+        "q249_sinkhorn_ot",
+        {"joins": 0, "exchanges": 0},
+    ),
+    # Frontier-only multi-source BFS: each round joins ONLY the newly
+    # reached frontier against the edges and is lineage-cut, so the
+    # final dist frame is a checkpoint readback — 0 exchanges, 0
+    # joins, hop-count-independent (graph.multi_source_bfs; the
+    # per-round |frontier_r| work bound is pinned by
+    # tests/test_density.py::test_multi_source_bfs_frontier_only_bound).
+    "bfs-frontier-only-truncated": (
+        "q270_multi_source_bfs",
+        {"joins": 0, "exchanges": 0},
+    ),
+    # Salted skew join: the hot-key side explodes into SALT shards
+    # pre-join, so the shuffle keys are (key, salt) — exactly ONE join
+    # and its exchange pair, never a hot-partition straggler
+    # (operators/skew.py).
+    "salted-join-one-shuffle": (
+        "q267_salted_join",
+        {"joins": 1, "exchanges": 2},
+    ),
+    # Streaming LSH bucket claims: the banding algebra is batch q25's
+    # unchanged (covered by minhash-lsh-banded); what this pins is the
+    # readback side — the memory-sink aggregate is ONE exchange, and
+    # the state op is keyed by (band, bsig) so state is bucket-bounded
+    # (streaming/stateful.lsh_bucket_claims; e2e semantics under the
+    # q254 oracle).
+    "stream-lsh-claims-readback": (
+        "q254_stream_lsh_neardup",
+        {"joins": 0, "exchanges": 1},
+    ),
 }
 
 
