@@ -159,6 +159,52 @@ def percentile_normalize(
     return df.withColumn(out_col, F.percent_rank().over(w))
 
 
+def wilson_gate(
+    df: DataFrame,
+    group_col: str,
+    defect_col: str,
+    *,
+    z: float = 1.96,
+    max_rate: float = 0.1,
+) -> DataFrame:
+    """Per-group defect-rate gate on the Wilson score interval's LOWER
+    bound (Wilson 1927) — the source-quarantine rule that doesn't get
+    fooled by small samples: a source with 2/3 defective docs has a
+    high point rate but a wide interval, so it is NOT quarantined
+    until the evidence clears ``max_rate`` at confidence ``z``.
+
+        lb = (p + z²/2n − z·√((p(1−p) + z²/4n)/n)) / (1 + z²/n)
+
+    Returns ``(group, n_docs, n_defects, defect_rate, wilson_lb,
+    quarantine)``.  ``defect_col`` is any boolean defect predicate
+    (too-short, mojibake, blocklisted…).
+
+    Scale: ONE map-side-combinable aggregate keyed by group; the bound
+    is closed-form column algebra on (n, d) — no second pass, no UDF.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(defect_col).cast("long")).alias("n_defects"),
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_defects") / n
+    z2 = F.lit(z * z)
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - F.lit(z)
+        * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_defects",
+        F.round(p, 6).alias("defect_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+        (lb > F.lit(max_rate)).alias("quarantine"),
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     group_col: str,

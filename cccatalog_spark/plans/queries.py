@@ -14618,3 +14618,209 @@ def q273_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_partition(
         d, "text", "doc_id", "lang", n_buckets=3
     ).select("doc_id", "lang", "n_bigrams", "nll", "ppl_bucket")
+
+
+# ---------------------------------------------------------------------------
+# q274 — CCNet quality-stratified mix (lm.perplexity_partition +
+# sampling.stratified_sample): the head band is kept whole, middle
+# halved, tail decimated — the canonical perplexity-bucketed corpus
+# mix, md5-derandomized so both engines keep the identical row set.
+# Output: per (lang, band) kept-doc counts + mean NLL of the kept set.
+# ---------------------------------------------------------------------------
+_CCNET_RATES = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+
+
+def _q274_oracle() -> str:
+    from cccatalog_spark.operators.sampling import threshold_hex
+
+    thr = {k: threshold_hex(v) for k, v in _CCNET_RATES.items()}
+    return f"""
+    WITH t AS (SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS w,
+                 generate_subscripts(toks, 1) AS pos
+          FROM t),
+    big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+            FROM e a JOIN e b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+    pairs AS (SELECT w1, w2, count(*) AS cp FROM big GROUP BY 1, 2),
+    heads AS (SELECT w1, count(*) AS ch FROM big GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs FROM e),
+    sc AS (SELECT big.doc_id,
+                  ln((pairs.cp + CAST(1.0 AS DOUBLE)) / (heads.ch + v.vs))
+                      AS lp
+           FROM big
+           JOIN pairs ON big.w1 = pairs.w1 AND big.w2 = pairs.w2
+           JOIN heads ON big.w1 = heads.w1, v),
+    nd AS (SELECT doc_id, round(-avg(lp), 6) AS nll FROM sc GROUP BY 1),
+    bands AS (SELECT d.doc_id, d.lang, nd.nll,
+                     CASE ntile(3) OVER (PARTITION BY d.lang
+                                         ORDER BY nd.nll, d.doc_id)
+                          WHEN 1 THEN 'head'
+                          WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS band
+              FROM documents d JOIN nd ON d.doc_id = nd.doc_id),
+    kept AS (SELECT * FROM bands
+             WHERE substring(md5('ccnetmix:' || CAST(doc_id AS VARCHAR)),
+                             1, 4)
+                   < CASE band WHEN 'head' THEN '{thr["head"]}'
+                               WHEN 'middle' THEN '{thr["middle"]}'
+                               ELSE '{thr["tail"]}' END)
+    SELECT lang, band, CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(nll), 6) AS mean_nll
+    FROM kept GROUP BY 1, 2
+    """
+
+
+@query("q274_ccnet_mix", oracle=_q274_oracle())
+def q274_ccnet_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lm import perplexity_partition
+    from cccatalog_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    banded = perplexity_partition(
+        d, "text", "doc_id", "lang", n_buckets=3
+    ).withColumn(
+        "band",
+        F.when(F.col("ppl_bucket") == 1, "head")
+        .when(F.col("ppl_bucket") == 2, "middle")
+        .otherwise("tail"),
+    )
+    kept = stratified_sample(
+        banded, "band", _CCNET_RATES, "doc_id", salt="ccnetmix:"
+    )
+    return kept.groupBy("lang", "band").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.avg("nll"), 6).alias("mean_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q275 — train/test split leakage audit (dedup.dedup_minhash_lsh +
+# sampling.hash_split): near-duplicate pairs that STRADDLE the
+# hash-assigned train/test boundary — the eval-contamination failure
+# mode exact-overlap decontamination (q80/q91/q139) misses. The pair
+# generator is q25's banded LSH unchanged; the split adds two
+# broadcast-cheap key joins.
+# ---------------------------------------------------------------------------
+_LEAK_SPLITS = [("train", 0.8), ("test", 0.2)]
+
+
+def _q275_oracle() -> str:
+    from cccatalog_spark.operators.sampling import split_case_sql
+
+    case_a = split_case_sql("sa.doc_id", _LEAK_SPLITS)
+    case_b = split_case_sql("sb.doc_id", _LEAK_SPLITS)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+    sig AS (
+        SELECT doc_id, s,
+               [list_min(list_transform(s, x -> md5('0:' || x))),
+                list_min(list_transform(s, x -> md5('1:' || x))),
+                list_min(list_transform(s, x -> md5('2:' || x))),
+                list_min(list_transform(s, x -> md5('3:' || x))),
+                list_min(list_transform(s, x -> md5('4:' || x))),
+                list_min(list_transform(s, x -> md5('5:' || x))),
+                list_min(list_transform(s, x -> md5('6:' || x))),
+                list_min(list_transform(s, x -> md5('7:' || x)))] AS sg
+        FROM shn
+    ),
+    banded AS (
+        SELECT doc_id, u.band,
+               sg[2 * u.band + 1] || '|' || sg[2 * u.band + 2] AS bsig
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band) u
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               {case_a} AS split_a,
+               {case_b} AS split_b,
+               CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                   (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+                   AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, split_a, split_b, round(jaccard, 6) AS jaccard
+    FROM verified
+    WHERE jaccard >= 0.4 AND split_a <> split_b
+    """
+
+
+@query("q275_split_leakage", oracle=_q275_oracle())
+def q275_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_minhash_lsh(
+        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.4
+    )
+    splits = hash_split(
+        d.select("doc_id"), "doc_id", _LEAK_SPLITS
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a", "id_b", "split_a", "split_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q276 — Wilson lower-bound source quarantine (operators/quality.
+# wilson_gate, Wilson 1927): per-source too-short-doc defect rate
+# gated on the score interval's LOWER bound, so small samples with
+# high point rates are not quarantined until the evidence clears the
+# threshold. One map-side-combinable aggregate + closed-form algebra.
+# ---------------------------------------------------------------------------
+@query(
+    "q276_wilson_gate",
+    oracle=f"""
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_defects
+               FROM documents GROUP BY 1),
+    w AS (SELECT source, n_docs, n_defects,
+                 n_defects / CAST(n_docs AS DOUBLE) AS p,
+                 CAST(n_docs AS DOUBLE) AS n
+          FROM g)
+    SELECT source, n_docs, n_defects,
+           round(p, 6) AS defect_rate,
+           round((p + {1.96 * 1.96!r} / (2.0 * n)
+                  - 1.96 * sqrt((p * (1.0 - p)
+                                 + {1.96 * 1.96!r} / (4.0 * n)) / n))
+                 / (1.0 + {1.96 * 1.96!r} / n), 6) AS wilson_lb,
+           (p + {1.96 * 1.96!r} / (2.0 * n)
+            - 1.96 * sqrt((p * (1.0 - p)
+                           + {1.96 * 1.96!r} / (4.0 * n)) / n))
+           / (1.0 + {1.96 * 1.96!r} / n) > 0.1 AS quarantine
+    FROM w
+    """,
+)
+def q276_wilson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quality import wilson_gate
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") < 200).alias("is_defect")
+    )
+    return wilson_gate(
+        d, "source", "is_defect", z=1.96, max_rate=0.1
+    )

@@ -450,3 +450,50 @@ def test_label_model_requires_rules():
 
     with pytest.raises(ValueError):
         label_model_vote(None, "id", [])
+
+
+def test_wilson_gate_small_sample_not_quarantined(spark):
+    from cccatalog_spark.operators.quality import wilson_gate
+
+    rows = (
+        # tiny source: 2/3 defective -> high point rate, wide interval
+        [("tiny", True), ("tiny", True), ("tiny", False)]
+        # big source: 200/1000 defective -> lb clears 0.1
+        + [("big", i < 200) for i in range(1000)]
+        # clean source
+        + [("clean", False) for _ in range(50)]
+    )
+    df = spark.createDataFrame(rows, "source string, bad boolean")
+    got = {
+        r["source"]: r
+        for r in wilson_gate(df, "source", "bad", z=1.96, max_rate=0.1)
+        .collect()
+    }
+    import math
+
+    def lb(d, n, z=1.96):
+        p = d / n
+        z2 = z * z
+        return (p + z2 / (2 * n)
+                - z * math.sqrt((p * (1 - p) + z2 / (4 * n)) / n)) / (
+            1 + z2 / n)
+
+    assert got["tiny"]["n_docs"] == 3 and got["tiny"]["n_defects"] == 2
+    assert got["tiny"]["wilson_lb"] == round(lb(2, 3), 6)
+    # 2/3 point rate but the 95% lower bound sits near 0.21 — still
+    # above 0.1 here; the SMALL-sample protection shows at 1/3:
+    assert got["big"]["quarantine"] is True
+    assert got["clean"]["quarantine"] is False
+    assert got["clean"]["wilson_lb"] == 0.0
+
+
+def test_wilson_gate_one_defect_small_n_protected(spark):
+    from cccatalog_spark.operators.quality import wilson_gate
+
+    # 1/4 defective: point rate 0.25 > 0.1, but lb ~= 0.046 -> kept
+    df = spark.createDataFrame(
+        [("s", True)] + [("s", False)] * 3, "source string, bad boolean"
+    )
+    got = wilson_gate(df, "source", "bad").collect()[0]
+    assert got["defect_rate"] == 0.25
+    assert got["quarantine"] is False
