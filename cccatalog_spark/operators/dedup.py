@@ -1074,3 +1074,52 @@ def line_dedup(
             "clean_text",
         )
     )
+
+
+def overlap_stitch(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """Suffix-prefix overlap detection ("document stitching"): find
+    ordered pairs (a, b) where a's LAST ``k`` tokens equal b's FIRST
+    ``k`` tokens — the crawl-processing signal for one logical
+    document split across fetches/pages (continuation candidates), and
+    the de-overlap step before sequence packing double-counts the
+    seam. Both docs must have ≥ k tokens; a doc never stitches to
+    itself.
+
+    Returns ``(id_a, id_b, boundary_gram)`` with the md5 of the shared
+    boundary for downstream grouping.
+
+    Scale shape: ONE equi-join on the boundary-gram hash (each side
+    contributes exactly one row per doc — candidates are
+    Σ per-gram(tail_count · head_count), the blocked-join discipline,
+    never a text cross join). Both gram columns come from the same
+    single scan-stage tokenize.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("_t"),
+        n.alias("_n"),
+    ).where(F.col("_n") >= k)
+    tail = base.select(
+        F.col(id_col).alias("id_a"),
+        F.md5(
+            F.array_join(F.slice(F.col("_t"), F.col("_n") - k + 1, k), " ")
+        ).alias("boundary_gram"),
+    )
+    head = base.select(
+        F.col(id_col).alias("id_b"),
+        F.md5(F.array_join(F.slice(F.col("_t"), 1, k), " ")).alias(
+            "boundary_gram"
+        ),
+    )
+    return (
+        tail.join(head, "boundary_gram")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "boundary_gram")
+    )

@@ -667,6 +667,58 @@ def random_walks(
     return out
 
 
+def deepwalk_pairs(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_len: int = 4,
+    window: int = 2,
+    salt: str = "walk:",
+) -> DataFrame:
+    """DeepWalk training pairs (Perozzi et al. KDD'14 §4.2): run the
+    md5-derandomized ``random_walks`` corpus, then emit skip-gram
+    (center, context) co-occurrence counts within ``window`` positions
+    inside each walk — the node-embedding analogue of the text
+    skip-gram generator (operators/sampling-adjacent skipgram.py); the
+    output feeds the same hashed-feature / GloVe-style trainers.
+
+    Returns ``(center, context, n_pairs)``; pairs are ordered
+    (center, context both directions), center ≠ context positionally
+    (self-pairs at distance 0 excluded, a node co-occurring with
+    itself at distance ≥ 1 counts — standard skip-gram).
+
+    Scale shape: walks are one frame keyed by ``start`` (one walk per
+    node); the pair generator is ONE (walk, position) self-equi-join
+    on the walk id with the |Δpos| ≤ window filter — the GloVe
+    single-equi-join discipline (constant ≤ 2·window fan-out per
+    position, never a cross join) — plus the final pair aggregate.
+    """
+    walks = random_walks(
+        edges, src_col, dst_col, walk_len=walk_len, salt=salt
+    )
+    seq = walks.select(
+        "start",
+        F.posexplode(F.split(F.col("path"), "->")).alias("pos", "node"),
+    )
+    a = seq.select(
+        F.col("start").alias("_w"),
+        F.col("pos").alias("_pa"),
+        F.col("node").alias("center"),
+    )
+    b = seq.select(
+        F.col("start").alias("_w"),
+        F.col("pos").alias("_pb"),
+        F.col("node").alias("context"),
+    )
+    pairs = a.join(b, "_w").where(
+        (F.col("_pa") != F.col("_pb"))
+        & (F.abs(F.col("_pa") - F.col("_pb")) <= window)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
 def multi_source_bfs(
     edges: DataFrame,
     seeds: list,

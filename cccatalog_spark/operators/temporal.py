@@ -252,6 +252,71 @@ def sessionize(
     )
 
 
+def touch_attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    window_seconds: int,
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    ``conversion_type`` event, credit (a) the key's EARLIEST and (b)
+    its LATEST non-conversion event strictly before the conversion and
+    within ``window_seconds`` — the two classic marketing-attribution
+    models, and in pipeline terms the "which upstream signal preceded
+    the outcome" join that also powers label-leakage audits.
+
+    Returns per touched event type: ``(event_type, first_touch,
+    last_touch)`` credit counts.  Conversions with no in-window prior
+    event earn no credit row (the "direct" bucket is the count
+    difference, computable by the caller in one aggregate).
+
+    Deterministic: first/last are min_by/max_by over the
+    ``(ts, event id)`` struct, so same-timestamp ties break on the
+    unique id in both engines.
+
+    Scale shape: ONE equi-join keyed by ``key_col`` (conversions ×
+    that key's events, fan-out bounded by per-key activity inside the
+    time window — the interval-join discipline, never a global range
+    join) + one per-conversion aggregate + one per-type count.
+    """
+    ev = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+        F.col(id_col).alias("_id"),
+    )
+    conv = ev.where(F.col("_ty") == conversion_type).select(
+        F.col("_k"), F.col("_ts").alias("_cts"), F.col("_id").alias("_cid")
+    )
+    prior = ev.where(F.col("_ty") != conversion_type)
+    j = conv.join(prior, "_k").where(
+        (F.col("_ts") < F.col("_cts"))
+        & (F.col("_cts") - F.col("_ts") <= window_seconds)
+    )
+    key = F.struct(F.col("_ts"), F.col("_id"))
+    per_conv = j.groupBy("_k", "_cid").agg(
+        F.min_by("_ty", key).alias("first_ty"),
+        F.max_by("_ty", key).alias("last_ty"),
+    )
+    first = per_conv.groupBy(F.col("first_ty").alias("event_type")).agg(
+        F.count("*").alias("first_touch")
+    )
+    last = per_conv.groupBy(F.col("last_ty").alias("event_type")).agg(
+        F.count("*").alias("last_touch")
+    )
+    return (
+        first.join(last, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("first_touch", F.lit(0)).alias("first_touch"),
+            F.coalesce("last_touch", F.lit(0)).alias("last_touch"),
+        )
+    )
+
+
 def match_event_sequence(
     df: DataFrame,
     key_col: str,

@@ -14824,3 +14824,120 @@ def q276_wilson_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wilson_gate(
         d, "source", "is_defect", z=1.96, max_rate=0.1
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — DeepWalk skip-gram pairs (operators/graph.deepwalk_pairs,
+# Perozzi KDD'14): q234's md5-derandomized walk corpus fed through a
+# window-2 skip-gram pair generator — the node-embedding training-data
+# step. One (walk, position) equi-join on the walk id (constant ≤2w
+# fan-out per position) + the pair aggregate.
+# ---------------------------------------------------------------------------
+def _q277_oracle() -> str:
+    return f"""
+    WITH walks AS ({_q234_oracle()}),
+    seq AS (SELECT start,
+                   unnest(string_split(path, '->')) AS node,
+                   generate_subscripts(string_split(path, '->'), 1) AS pos
+            FROM walks),
+    p AS (SELECT a.node AS center, b.node AS context
+          FROM seq a JOIN seq b
+            ON a.start = b.start AND a.pos <> b.pos
+               AND abs(a.pos - b.pos) <= 2)
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1, 2
+    """
+
+
+@query("q277_deepwalk_pairs", oracle=_q277_oracle())
+def q277_deepwalk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import deepwalk_pairs
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 200).alias("dst"),
+    )
+    return deepwalk_pairs(edges, walk_len=4, window=2)
+
+
+# ---------------------------------------------------------------------------
+# q278 — first/last-touch conversion attribution (operators/temporal.
+# touch_attribution): per purchase, credit the user's earliest and
+# latest non-purchase event within the prior 7 days; ties on the
+# (sec, event_id) struct. One user-keyed equi-join (interval-join
+# discipline) + two aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "q278_touch_attribution",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    conv AS (SELECT user_id, sec AS csec, event_id AS cid
+             FROM e WHERE event_type = 'purchase'),
+    prior AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+    j AS (SELECT c.user_id, c.cid, p.event_type, p.sec, p.event_id
+          FROM conv c JOIN prior p USING (user_id)
+          WHERE p.sec < c.csec AND c.csec - p.sec <= 604800),
+    pc AS (SELECT user_id, cid,
+                  first(event_type ORDER BY sec, event_id) AS first_ty,
+                  last(event_type ORDER BY sec, event_id) AS last_ty
+           FROM j GROUP BY 1, 2),
+    f AS (SELECT first_ty AS event_type,
+                 CAST(count(*) AS BIGINT) AS first_touch
+          FROM pc GROUP BY 1),
+    l AS (SELECT last_ty AS event_type,
+                 CAST(count(*) AS BIGINT) AS last_touch
+          FROM pc GROUP BY 1)
+    SELECT coalesce(f.event_type, l.event_type) AS event_type,
+           coalesce(f.first_touch, 0) AS first_touch,
+           coalesce(l.last_touch, 0) AS last_touch
+    FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
+    """,
+)
+def q278_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import touch_attribution
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    return touch_attribution(
+        e, "user_id", "sec", "event_type", "event_id",
+        conversion_type="purchase", window_seconds=604800,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q279 — suffix-prefix overlap stitching (operators/dedup.
+# overlap_stitch): ordered doc pairs where a's last-k tokens equal
+# b's first-k — split-page continuation candidates / the pre-packing
+# seam audit. One equi-join on the boundary-gram md5 (one row per doc
+# per side, blocked-join discipline).
+# ---------------------------------------------------------------------------
+@query(
+    "q279_overlap_stitch",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+    tl AS (SELECT doc_id AS id_a,
+                  md5(array_to_string(toks[n - 1:n], ' ')) AS boundary_gram
+           FROM b),
+    hd AS (SELECT doc_id AS id_b,
+                  md5(array_to_string(toks[1:2], ' ')) AS boundary_gram
+           FROM b)
+    SELECT id_a, id_b, boundary_gram
+    FROM tl JOIN hd USING (boundary_gram)
+    WHERE id_a <> id_b
+    """,
+)
+def q279_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dedup import overlap_stitch
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return overlap_stitch(d, "text", "doc_id", k=2)

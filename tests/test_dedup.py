@@ -456,3 +456,37 @@ def test_line_dedup_within_doc_repeat_and_all_dup_doc(spark):
     assert rows[1]["n_lines"] == 3 and rows[1]["n_dup_lines"] == 2
     assert rows[2]["clean_text"] == ""
     assert rows[2]["dup_ratio"] == 1.0
+
+
+def test_overlap_stitch_tail_meets_head(spark):
+    from cccatalog_spark.operators.dedup import overlap_stitch
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "gamma delta epsilon zeta"),   # 1 stitches into 2
+            (3, "unrelated words entirely here"),
+            (4, "x"),                           # < k tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in overlap_stitch(docs, "text", "doc_id", k=2).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_overlap_stitch_no_self_pairs(spark):
+    from cccatalog_spark.operators.dedup import overlap_stitch
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d")], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in overlap_stitch(docs, "text", "doc_id", k=2).collect()
+    }
+    # doc 1's tail 'a b' == its own head but self-pairs are excluded;
+    # it does stitch into doc 2's head 'a b'
+    assert got == {(1, 2)}

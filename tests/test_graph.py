@@ -320,3 +320,38 @@ def test_random_walks_deterministic_under_repartition(spark):
     a = sorted(map(tuple, random_walks(e1, walk_len=3).collect()))
     b = sorted(map(tuple, random_walks(e2, walk_len=3).collect()))
     assert a == b
+
+
+def test_deepwalk_pairs_hand_counted(spark):
+    from cccatalog_spark.operators.graph import deepwalk_pairs
+
+    # a line graph a->b->c: walks are a->b->c (from a), b->c (from b),
+    # c (from c) at walk_len=3; window=1 pairs are adjacent positions
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in deepwalk_pairs(edges, walk_len=3, window=1).collect()
+    }
+    # walk a: (a,b),(b,a),(b,c),(c,b); walk b: (b,c),(c,b); walk c: none
+    assert got == {
+        ("a", "b"): 1,
+        ("b", "a"): 1,
+        ("b", "c"): 2,
+        ("c", "b"): 2,
+    }
+
+
+def test_deepwalk_window_width(spark):
+    from cccatalog_spark.operators.graph import deepwalk_pairs
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in deepwalk_pairs(edges, walk_len=4, window=3).collect()
+    }
+    # the full walk from 'a' is a->b->c->d: distance-3 pair present
+    assert got[("a", "d")] == 1 and got[("d", "a")] == 1

@@ -497,3 +497,52 @@ def test_wilson_gate_one_defect_small_n_protected(spark):
     got = wilson_gate(df, "source", "bad").collect()[0]
     assert got["defect_rate"] == 0.25
     assert got["quarantine"] is False
+
+
+def test_touch_attribution_first_and_last(spark):
+    from cccatalog_spark.operators.temporal import touch_attribution
+
+    rows = [
+        # user 1: view(10) -> click(20) -> purchase(30)
+        (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+        # user 2: click outside window, view inside -> both credit view
+        (4, 2, 5, "click"), (5, 2, 950, "view"), (6, 2, 1000, "purchase"),
+        # user 3: purchase with no prior event -> no credit row
+        (7, 3, 100, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    )
+    got = {
+        r["event_type"]: r
+        for r in touch_attribution(
+            df, "user_id", "sec", "event_type", "event_id",
+            conversion_type="purchase", window_seconds=100,
+        ).collect()
+    }
+    assert got["view"]["first_touch"] == 2   # user1 first, user2 only
+    assert got["view"]["last_touch"] == 1    # user2
+    assert got["click"]["last_touch"] == 1   # user1
+    assert got["click"]["first_touch"] == 0
+    assert set(got) == {"view", "click"}
+
+
+def test_touch_attribution_tie_breaks_on_event_id(spark):
+    from cccatalog_spark.operators.temporal import touch_attribution
+
+    # two prior events at the SAME second: id order decides first/last
+    rows = [
+        (10, 1, 50, "view"), (11, 1, 50, "click"), (12, 1, 60, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long, event_type string"
+    )
+    got = {
+        r["event_type"]: r
+        for r in touch_attribution(
+            df, "user_id", "sec", "event_type", "event_id",
+            conversion_type="purchase", window_seconds=100,
+        ).collect()
+    }
+    assert got["view"]["first_touch"] == 1
+    assert got["click"]["last_touch"] == 1
