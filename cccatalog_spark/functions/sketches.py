@@ -154,6 +154,55 @@ def hll_estimate(
     )
 
 
+def hll_rolling_estimate(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    window_days: int = 7,
+    *,
+    out_col: str = "hll_distinct",
+) -> DataFrame:
+    """Trailing-window distinct estimate from MERGED daily HLL states:
+    per-day registers roll up into a ``window_days`` trailing union by
+    a per-register max window — the mergeability dividend (Flajolet
+    2007 §4): "distinct users, trailing 7 days, every day" costs ONE
+    pass over raw rows ever; the rolling union touches only
+    |days|·256 register rows.  COUNT(DISTINCT) over sliding windows
+    re-scans every window at full width; sketches are how this is done
+    at 100 TB.
+
+    Returns ``(day, n_used, out_col)`` — one row per day present in
+    the data, the estimate covering days (day − window_days + 1 … day].
+
+    Determinism: registers are md5-derived (q101's contract), the
+    merge is an idempotent max over a RANGE frame keyed by the day
+    VALUE (calendar gaps respected), and the day×register grid is
+    densified by an explode (no join) so absent registers on a day
+    still see earlier days' state.
+    """
+    reg = hll_registers(df, [day_col], value_col)
+    grid = (
+        df.select(day_col)
+        .distinct()
+        .withColumn(
+            "_j", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1)))
+        )
+        .withColumn("_j", F.col("_j").cast("long"))
+    )
+    full = grid.join(reg, [day_col, "_j"], "left")
+    w = (
+        Window.partitionBy("_j")
+        .orderBy(F.col(day_col))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    rolled = (
+        full.withColumn("_rm", F.max("_m").over(w))
+        .where(F.col("_rm").isNotNull())
+        .select(day_col, "_j", F.col("_rm").alias("_m"))
+    )
+    return hll_estimate(rolled, [day_col], out_col=out_col)
+
+
 def kmv_sketch(df: DataFrame, value_col) -> DataFrame:
     """One-column frame of the DISTINCT 60-bit hashes of
     ``value_col`` — feed ``kmv_topk`` to bound it to a sketch."""

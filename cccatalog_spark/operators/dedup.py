@@ -1123,3 +1123,25 @@ def overlap_stitch(
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "boundary_gram")
     )
+
+
+def dedup_impact(
+    clusters: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Dedup impact report: the cluster-size histogram of a clustering
+    frame (connected_components / _star output) — ``(cluster_size,
+    n_clusters, n_docs)``.  size-1 rows are the untouched singletons;
+    everything else quantifies what dedup removes (survivors =
+    n_clusters, removals = n_docs − n_clusters per row) — the
+    before/after evidence a corpus release ships.
+
+    Scale: two map-side-combinable aggregates (cluster, then size) —
+    the histogram is at most |corpus| rows mid-stage and a handful
+    after."""
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )

@@ -268,6 +268,90 @@ def _cos_py(a: list[float], b: list[float]) -> float:
     )
 
 
+def bitext_margin_mine(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+    CCMatrix recipe): score every (probe, candidate) cross-lingual
+    pair by cosine NORMALIZED by both sides' top-k neighborhood means,
+
+        margin(x, y) = cos(x, y) / ((avgtopk_x + avgtopk_y) / 2),
+
+    which cancels hubness (a candidate close to everything gains no
+    margin).  Returns one row per probe: its argmax-margin candidate,
+    the margin, and ``mutual`` (is the probe also the candidate's best
+    probe) — the mutual-best filter is the standard mining threshold.
+
+    Scale shape: ``probes`` is a BOUNDED batch (broadcast; the q27 kNN
+    sanction) scored against a linear corpus scan — |corpus|·|probes|
+    rows, never corpus×corpus; both neighborhood means and both argmax
+    directions are rank windows over that one scored frame (keyed by
+    probe / by candidate).  For corpus-scale mining runs, feed probe
+    batches through this operator; the per-batch plan is unchanged.
+    Determinism: ranks order by the ROUNDED cosine/margin with id
+    tiebreaks (the q261 engine-stability contract).
+    """
+    from pyspark.sql.window import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("_pv")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")
+    ).join(F.broadcast(p), F.lit(True)).select(
+        "probe_id",
+        "cand_id",
+        F.round(cosine(F.col("_cv"), F.col("_pv")), 6).alias("_cos"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.desc("_cos"), F.asc("cand_id")
+    )
+    wb = Window.partitionBy("cand_id").orderBy(
+        F.desc("_cos"), F.asc("probe_id")
+    )
+    ranked = scored.withColumn("_rf", F.row_number().over(wf)).withColumn(
+        "_rb", F.row_number().over(wb)
+    )
+    af = Window.partitionBy("probe_id")
+    ab = Window.partitionBy("cand_id")
+    topk = ranked.withColumn(
+        "_avgf",
+        F.avg(F.when(F.col("_rf") <= k, F.col("_cos"))).over(af),
+    ).withColumn(
+        "_avgb",
+        F.avg(F.when(F.col("_rb") <= k, F.col("_cos"))).over(ab),
+    )
+    margin = F.round(
+        F.col("_cos")
+        / ((F.col("_avgf") + F.col("_avgb")) / F.lit(2.0)),
+        6,
+    )
+    m = topk.withColumn("_margin", margin)
+    mf = Window.partitionBy("probe_id").orderBy(
+        F.desc("_margin"), F.asc("cand_id")
+    )
+    mb = Window.partitionBy("cand_id").orderBy(
+        F.desc("_margin"), F.asc("probe_id")
+    )
+    best = (
+        m.withColumn("_bf", F.row_number().over(mf))
+        .withColumn("_bb", F.row_number().over(mb))
+    )
+    return (
+        best.where(F.col("_bf") == 1)
+        .select(
+            "probe_id",
+            "cand_id",
+            F.col("_margin").alias("margin"),
+            (F.col("_bb") == 1).alias("mutual"),
+        )
+    )
+
+
 def pq_codebooks(
     df: DataFrame, vec_col: str, id_col: str, m: int, k: int
 ) -> list[list[list[float]]]:

@@ -14941,3 +14941,188 @@ def q279_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return overlap_stitch(d, "text", "doc_id", k=2)
+
+
+# ---------------------------------------------------------------------------
+# q280 — margin-based bitext mining (operators/similarity.
+# bitext_margin_mine, Artetxe & Schwenk ACL'19 / CCMatrix): a bounded
+# 20-probe batch (label<5 = "source language") scored against the
+# label>=5 corpus; cosine normalized by both sides' top-4
+# neighborhood means cancels hubness; per probe the argmax-margin
+# candidate + the mutual-best flag. Probe batch broadcasts (the q27
+# kNN sanction); both margin directions are rank windows over ONE
+# scored frame.
+# ---------------------------------------------------------------------------
+@query(
+    "q280_bitext_margin",
+    oracle="""
+    WITH p AS (SELECT vec_id AS probe_id, embedding::DOUBLE[] AS pv
+               FROM embeddings WHERE label < 5 ORDER BY vec_id LIMIT 20),
+    c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE label >= 5),
+    s AS (SELECT probe_id, cand_id,
+                 round(list_cosine_similarity(cv, pv), 6) AS cos
+          FROM c CROSS JOIN p),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY cos DESC, cand_id) AS rf,
+                 row_number() OVER (PARTITION BY cand_id
+                                    ORDER BY cos DESC, probe_id) AS rb
+          FROM s),
+    t AS (SELECT *,
+                 avg(CASE WHEN rf <= 4 THEN cos END)
+                     OVER (PARTITION BY probe_id) AS avgf,
+                 avg(CASE WHEN rb <= 4 THEN cos END)
+                     OVER (PARTITION BY cand_id) AS avgb
+          FROM r),
+    m AS (SELECT *, round(cos / ((avgf + avgb) / 2.0), 6) AS margin
+          FROM t),
+    b AS (SELECT *,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY margin DESC, cand_id) AS bf,
+                 row_number() OVER (PARTITION BY cand_id
+                                    ORDER BY margin DESC, probe_id) AS bb
+          FROM m)
+    SELECT probe_id, cand_id, margin, bb = 1 AS mutual
+    FROM b WHERE bf = 1
+    """,
+)
+def q280_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.where(F.col("label") < 5)
+        .orderBy(F.col("vec_id").asc())
+        .limit(20)
+    )
+    corpus = emb.where(F.col("label") >= 5)
+    return SIM.bitext_margin_mine(
+        probes, corpus, "embedding", "vec_id", k=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281 — rolling 7-day distinct users from merged daily HLL states
+# (functions/sketches.hll_rolling_estimate): per-day registers roll
+# into a trailing union via a per-register RANGE-frame max — raw rows
+# scanned ONCE ever; the sliding COUNT(DISTINCT) that doesn't exist
+# at 100 TB. Day×register grid densified by explode (no join).
+# ---------------------------------------------------------------------------
+@query(
+    "q281_rolling_hll",
+    oracle=f"""
+    WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                      md5(CAST(user_id AS VARCHAR)) AS hx
+               FROM events),
+    hh AS (SELECT day, {_KMV_FOLD} AS h FROM d),
+    b AS (SELECT day, h % 256 AS j, h // 256 AS w FROM hh),
+    r AS (SELECT day, j,
+                 CASE WHEN w = 0 THEN 53
+                      ELSE CAST(round(log2(w & (-w))) AS INTEGER) + 1
+                 END AS rho
+          FROM b),
+    m AS (SELECT day, j, max(rho) AS mr FROM r GROUP BY 1, 2),
+    g AS (SELECT dd.day, jj.j
+          FROM (SELECT DISTINCT day FROM b) dd,
+               (SELECT unnest(range(0, 256)) AS j) jj),
+    mm AS (SELECT g.day, g.j, m.mr
+           FROM g LEFT JOIN m ON m.day = g.day AND m.j = g.j),
+    rl AS (SELECT day, j,
+                  max(mr) OVER (PARTITION BY j ORDER BY day
+                                RANGE BETWEEN 6 PRECEDING
+                                AND CURRENT ROW) AS mr
+           FROM mm),
+    rn AS (SELECT * FROM rl WHERE mr IS NOT NULL),
+    a AS (SELECT day, CAST(count(*) AS INTEGER) AS n_used,
+                 sum(power(CAST(2.0 AS DOUBLE), -mr)) AS zu
+          FROM rn GROUP BY 1)
+    SELECT day, n_used,
+           round(CASE WHEN CAST({_HLLC!r} AS DOUBLE)
+                           / (CAST(256 - n_used AS DOUBLE) + zu)
+                        <= CAST(640.0 AS DOUBLE)
+                      AND n_used < 256
+                 THEN CAST(256.0 AS DOUBLE)
+                      * ln(CAST(256.0 AS DOUBLE)
+                           / CAST(256 - n_used AS DOUBLE))
+                 ELSE CAST({_HLLC!r} AS DOUBLE)
+                      / (CAST(256 - n_used AS DOUBLE) + zu)
+                 END, 4) AS hll_distinct
+    FROM a
+    """,
+)
+def q281_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.sketches import hll_rolling_estimate
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("day"),
+        "user_id",
+    )
+    return hll_rolling_estimate(e, "day", "user_id", window_days=7)
+
+
+# ---------------------------------------------------------------------------
+# q282 — dedup impact report (operators/dedup.dedup_impact over q71's
+# blocked-levenshtein clustering): the cluster-size histogram a corpus
+# release ships — singletons untouched, survivors = n_clusters per
+# row, removals = n_docs - n_clusters.
+# ---------------------------------------------------------------------------
+@query(
+    "q282_dedup_impact",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, substring(text, 1, 30) AS s30,
+               substring(text, 1, 4) AS blk
+        FROM documents),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.s30, b.s30) <= 5),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM s
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN e ON e.src = reach.node),
+    cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+           FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, count(*) AS cluster_size
+           FROM cl GROUP BY 1)
+    SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs
+    FROM sz GROUP BY 1
+    """,
+)
+def q282_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dedup import (
+        connected_components,
+        dedup_impact,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("s30"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.s30"), F.col("b.s30")) <= 5)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    clusters = connected_components(
+        s.select("doc_id"), pairs, node_col="doc_id"
+    )
+    return dedup_impact(clusters, "cluster_id")

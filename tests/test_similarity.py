@@ -628,3 +628,50 @@ def test_pq_rejects_indivisible_dim(spark):
     )
     with _pytest.raises(ValueError):
         pq_codebooks(df, "emb", "vec_id", m=2, k=1)
+
+
+def test_bitext_margin_hand_computed(spark):
+    from cccatalog_spark.operators.similarity import bitext_margin_mine
+
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, emb array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7071, 0.7071])],
+        "vec_id long, emb array<float>",
+    )
+    got = {
+        r["probe_id"]: r
+        for r in bitext_margin_mine(
+            probes, corpus, "emb", "vec_id", k=1
+        ).collect()
+    }
+    # axis probes pick their axis twins with margin 1 and mutuality
+    assert got[100]["cand_id"] == 1 and got[100]["mutual"] is True
+    assert got[101]["cand_id"] == 2 and got[101]["mutual"] is True
+    assert got[100]["margin"] == 1.0 and got[101]["margin"] == 1.0
+
+
+def test_bitext_margin_cancels_hub(spark):
+    from cccatalog_spark.operators.similarity import bitext_margin_mine
+
+    # the hub candidate is moderately close to BOTH probes; raw cosine
+    # would rank it near the top for probe B, but its own top-1
+    # neighborhood mean is high, so the margin demotes it below B's
+    # true twin
+    probes = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, emb array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [0.9, 0.05]), (2, [0.05, 0.9]), (9, [0.8, 0.8])],
+        "vec_id long, emb array<float>",
+    )
+    got = {
+        r["probe_id"]: r["cand_id"]
+        for r in bitext_margin_mine(
+            probes, corpus, "emb", "vec_id", k=1
+        ).collect()
+    }
+    assert got == {100: 1, 101: 2}

@@ -38,6 +38,14 @@ SANCTIONED_BNLJ = {
     "q41_expiration_mark": "1-row anchor scalar broadcast (P9 TTL)",
     "q26_ann_topk": "single probe vector broadcast (brute-force top-k)",
     "q27_knn_join": "k probe vectors broadcast (kNN scan, linear in corpus)",
+    "q280_bitext_margin": "bounded 20-probe batch broadcast (the q27 "
+    "kNN sanction; margin windows run on the |corpus|x|probes| frame)",
+    "q272_min_k_prob": "1-row vocabulary-size scalar broadcast (the "
+    "q103 contract)",
+    "q273_ccnet_ppl_buckets": "1-row vocabulary-size scalar broadcast "
+    "(q103 contract under the band window)",
+    "q274_ccnet_mix": "1-row vocabulary-size scalar broadcast (q103 "
+    "contract under the band window + md5 keep filter)",
     "q79_quantized_ann": "1 probe vector broadcast (int8 scan + re-rank)",
     "q90_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast",
     "q92_heavy_hitters": "1-row stream-total scalar broadcast",
