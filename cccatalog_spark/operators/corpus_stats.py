@@ -77,6 +77,77 @@ def js_divergence(
     )
 
 
+import math as _math
+
+_LN2 = _math.log(2.0)
+
+
+def js_divergence_matrix(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    *,
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs Jensen–Shannon divergence between the unigram
+    distributions of every ``group_col`` stratum (languages, sources,
+    snapshots) in ONE corpus pass — the drift matrix a corpus report
+    ships beside the two-corpus ``js_divergence`` above.
+
+    The one-sided absent-term mass never needs a dense group×vocab
+    grid: a term present in a and absent in b contributes exactly
+    ``0.5·p·ln 2`` to jsd(a, b), so
+
+        jsd = Σ_{w∈A∩B} [p/2·ln(p/m) + q/2·ln(q/m)]
+              + (ln 2)/2 · (2 − P_shared − Q_shared),
+
+    with P_shared the a-mass on shared terms.  ``ln 2`` is interpolated
+    as one Python-computed literal into both engines.
+
+    Scale shape: one (group, term) count aggregate, a k-row totals
+    broadcast, ONE term-keyed self-join (candidates per term ≤
+    |groups|², the bounded-catalog pair discipline), one pair
+    aggregate.  Returns ``(group_a, group_b, n_shared_terms, jsd)``
+    for a < b.
+    """
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    cnt = (
+        docs.select(F.col(group_col).alias("_g"), F.explode(toks).alias("_w"))
+        .groupBy("_g", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    tot = cnt.groupBy("_g").agg(F.sum("_c").cast("double").alias("_n"))
+    p = cnt.join(F.broadcast(tot), "_g").select(
+        "_g", "_w", (F.col("_c") / F.col("_n")).alias("_p")
+    )
+    a = p.select(
+        F.col("_g").alias("group_a"), "_w", F.col("_p").alias("_pa")
+    )
+    b = p.select(
+        F.col("_g").alias("group_b"), "_w", F.col("_p").alias("_pb")
+    )
+    j = a.join(b, "_w").where(F.col("group_a") < F.col("group_b"))
+    m = (F.col("_pa") + F.col("_pb")) / F.lit(2.0)
+    term = F.lit(0.5) * F.col("_pa") * F.log(F.col("_pa") / m) + F.lit(
+        0.5
+    ) * F.col("_pb") * F.log(F.col("_pb") / m)
+    agg = j.groupBy("group_a", "group_b").agg(
+        F.count("*").alias("n_shared_terms"),
+        F.sum(term).alias("_s"),
+        F.sum("_pa").alias("_psh"),
+        F.sum("_pb").alias("_qsh"),
+    )
+    jsd = F.col("_s") + F.lit(0.5 * _LN2) * (
+        F.lit(2.0) - F.col("_psh") - F.col("_qsh")
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        "n_shared_terms",
+        F.round(jsd, round_to).alias("jsd"),
+    )
+
+
 def pmi_pairs(
     docs: DataFrame,
     text_col: str,

@@ -205,6 +205,52 @@ def wilson_gate(
     )
 
 
+def eb_shrunk_rate(
+    df: DataFrame,
+    group_col: str,
+    flag_col: str,
+    *,
+    prior_strength: float = 20.0,
+) -> DataFrame:
+    """Empirical-Bayes shrunk per-group rate (beta-binomial posterior
+    mean with a corpus-wide prior): the domain-reputation smoother —
+    a 2-doc domain with 2 flagged docs should NOT outrank a 1000-doc
+    domain at 40%; its estimate shrinks toward the corpus mean until
+    its sample earns the distance.
+
+        shrunk = (flags_g + k·p_corpus) / (n_g + k)
+
+    ``k = prior_strength`` is the prior's pseudo-count weight.
+    Returns ``(group, n_docs, n_flagged, raw_rate, shrunk_rate)``.
+    Complements ``wilson_gate`` (hard quarantine bound) with a ranking
+    score.
+
+    Scale: one map-side-combinable group aggregate + a 1-row corpus
+    prior broadcast; closed-form algebra after."""
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(flag_col).cast("long")).alias("n_flagged"),
+    )
+    prior = g.agg(
+        (
+            F.sum("n_flagged").cast("double")
+            / F.sum("n_docs").cast("double")
+        ).alias("_pg")
+    )
+    k = F.lit(float(prior_strength))
+    t = g.crossJoin(F.broadcast(prior))
+    n = F.col("n_docs").cast("double")
+    return t.select(
+        group_col,
+        "n_docs",
+        "n_flagged",
+        F.round(F.col("n_flagged") / n, 6).alias("raw_rate"),
+        F.round(
+            (F.col("n_flagged") + k * F.col("_pg")) / (n + k), 6
+        ).alias("shrunk_rate"),
+    )
+
+
 def robust_outliers(
     df: DataFrame,
     group_col: str,

@@ -15126,3 +15126,191 @@ def q282_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select("doc_id"), pairs, node_col="doc_id"
     )
     return dedup_impact(clusters, "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# q283 — pairwise JS divergence matrix (operators/corpus_stats.
+# js_divergence_matrix): unigram-distribution distance between every
+# language pair in ONE corpus pass; the absent-term mass folds to
+# (ln2)/2·(2 − P_sh − Q_sh), so no dense group×vocab grid exists.
+# One (group, term) aggregate + one term-keyed self-join (≤|groups|²
+# candidates per term).
+# ---------------------------------------------------------------------------
+import math as _math_q283
+
+
+@query(
+    "q283_js_matrix",
+    oracle=f"""
+    WITH c AS (SELECT lang AS g, lower(t.w) AS w, count(*) AS c
+               FROM documents,
+                    unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS t(w)
+               GROUP BY 1, 2),
+    n AS (SELECT g, CAST(sum(c) AS DOUBLE) AS n FROM c GROUP BY 1),
+    p AS (SELECT c.g, c.w, c.c / n.n AS p FROM c JOIN n USING (g)),
+    j AS (SELECT a.g AS group_a, b.g AS group_b, a.w,
+                 a.p AS pa, b.p AS pb,
+                 (a.p + b.p) / 2.0 AS m
+          FROM p a JOIN p b ON a.w = b.w AND a.g < b.g),
+    agg AS (SELECT group_a, group_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_terms,
+                   sum(0.5 * pa * ln(pa / m)
+                       + 0.5 * pb * ln(pb / m)) AS s,
+                   sum(pa) AS psh, sum(pb) AS qsh
+            FROM j GROUP BY 1, 2)
+    SELECT group_a, group_b, n_shared_terms,
+           round(s + {0.5 * _math_q283.log(2.0)!r} * (2.0 - psh - qsh),
+                 6) AS jsd
+    FROM agg
+    """,
+)
+def q283_js_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import js_divergence_matrix
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return js_divergence_matrix(d, "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q284 — empirical-Bayes domain reputation (operators/quality.
+# eb_shrunk_rate): per-source flagged-doc rate shrunk toward the
+# corpus prior with k=20 pseudo-counts — the ranking smoother beside
+# q276's hard Wilson gate. One group aggregate + 1-row prior
+# broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q284_eb_reputation",
+    oracle="""
+    WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_flagged
+               FROM documents GROUP BY 1),
+    pr AS (SELECT CAST(sum(n_flagged) AS DOUBLE)
+                      / CAST(sum(n_docs) AS DOUBLE) AS pg
+           FROM g)
+    SELECT source, n_docs, n_flagged,
+           round(n_flagged / CAST(n_docs AS DOUBLE), 6) AS raw_rate,
+           round((n_flagged + 20.0 * pr.pg)
+                 / (CAST(n_docs AS DOUBLE) + 20.0), 6) AS shrunk_rate
+    FROM g, pr
+    """,
+)
+def q284_eb_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.quality import eb_shrunk_rate
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", (F.col("n_chars") < 200).alias("is_flagged")
+    )
+    return eb_shrunk_rate(d, "source", "is_flagged", prior_strength=20.0)
+
+
+# ---------------------------------------------------------------------------
+# q285 — contrastive training pairs (q71 clusters + sampling.
+# negative_samples, the composition the negative-sampler docstring
+# prescribes): positives = intra-dup-cluster pairs (label 1),
+# negatives = one md5-derandomized uniform draw per doc with
+# same-cluster draws excluded (label 0).
+# ---------------------------------------------------------------------------
+@query(
+    "q285_contrastive_pairs",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, substring(text, 1, 30) AS s30,
+               substring(text, 1, 4) AS blk
+        FROM documents),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.s30, b.s30) <= 5),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM p
+        UNION
+        SELECT id_b, id_a FROM p),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM s
+        UNION
+        SELECT e.dst, reach.r
+        FROM reach JOIN e ON e.src = reach.node),
+    cl AS (SELECT node AS doc_id, min(r) AS cluster_id
+           FROM reach GROUP BY node),
+    pos AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(1 AS INT) AS label
+            FROM cl a JOIN cl b
+              ON a.cluster_id = b.cluster_id AND a.doc_id < b.doc_id),
+    d AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY doc_id) - 1 AS idx
+          FROM documents),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+    a AS (SELECT doc_id AS anchor, idx AS aidx,
+                 unnest(range(0, 1)) AS draw
+          FROM d),
+    h AS (SELECT anchor, aidx, draw, nn.nn,
+                 md5('neg:' || CAST(anchor AS VARCHAR) || ':'
+                     || CAST(draw AS VARCHAR)) AS hx
+          FROM a, nn),
+    r AS (SELECT anchor, aidx, nn, ({_KMV_FOLD}) % nn AS raw FROM h),
+    w AS (SELECT anchor,
+                 CASE WHEN raw = aidx THEN (raw + 1) % nn
+                      ELSE raw END AS nidx
+          FROM r),
+    neg AS (SELECT w.anchor AS id_a, d2.doc_id AS id_b,
+                   CAST(0 AS INT) AS label
+            FROM w JOIN d d2 ON w.nidx = d2.idx
+            JOIN cl ca ON ca.doc_id = w.anchor
+            JOIN cl cb ON cb.doc_id = d2.doc_id
+            WHERE ca.cluster_id <> cb.cluster_id)
+    SELECT id_a, id_b, label FROM pos
+    UNION ALL
+    SELECT id_a, id_b, label FROM neg
+    """,
+)
+def q285_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dedup import connected_components
+    from cccatalog_spark.operators.sampling import negative_samples
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        F.substring("text", 1, 30).alias("s30"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.levenshtein(F.col("a.s30"), F.col("b.s30")) <= 5)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    clusters = connected_components(
+        s.select("doc_id"), pairs, node_col="doc_id"
+    )
+    ca = clusters.select(
+        F.col("doc_id").alias("id_a"), F.col("cluster_id").alias("_cla")
+    )
+    cb = clusters.select(
+        F.col("doc_id").alias("id_b"), F.col("cluster_id").alias("_clb")
+    )
+    pos = (
+        ca.join(cb, F.col("_cla") == F.col("_clb"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1).cast("int").alias("label"))
+    )
+    neg = (
+        negative_samples(d.select("doc_id"), "doc_id", k=1)
+        .select(
+            F.col("anchor").alias("id_a"),
+            F.col("negative").alias("id_b"),
+        )
+        .join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(F.col("_cla") != F.col("_clb"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("label"))
+    )
+    return pos.unionByName(neg)

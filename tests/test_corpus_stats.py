@@ -202,3 +202,55 @@ def test_emd_1d_known_distances(spark):
     df = spark.createDataFrame(rows, "x double, g string")
     r = emd_1d(df, "g", "x", "a", "b").collect()[0]
     assert r["emd"] == 5.0
+
+
+def test_js_matrix_symmetric_inputs_and_disjoint_bound(spark):
+    import math
+
+    from cccatalog_spark.operators.corpus_stats import (
+        js_divergence_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "g1"),
+            (2, "a b c", "g2"),       # identical dist to g1
+            (3, "x y z", "g3"),       # disjoint from both
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in js_divergence_matrix(docs, "text", "lang").collect()
+    }
+    # identical distributions -> jsd 0
+    assert got[("g1", "g2")]["jsd"] == 0.0
+    assert got[("g1", "g2")]["n_shared_terms"] == 3
+    # fully disjoint -> jsd = ln 2 exactly (no shared terms row exists,
+    # so the pair is ABSENT from the matrix — the absent-mass identity
+    # only fires when at least one term is shared)
+    assert ("g1", "g3") not in got
+
+
+def test_js_matrix_partial_overlap_hand_computed(spark):
+    import math
+
+    from cccatalog_spark.operators.corpus_stats import (
+        js_divergence_matrix,
+    )
+
+    # g1: a a b ; g2: a c c -> shared term 'a' with p=2/3, q=1/3
+    docs = spark.createDataFrame(
+        [(1, "a a b", "g1"), (2, "a c c", "g2")],
+        "doc_id long, text string, lang string",
+    )
+    got = js_divergence_matrix(docs, "text", "lang").collect()[0]
+    p, q = 2 / 3, 1 / 3
+    m = (p + q) / 2
+    expect = (
+        0.5 * p * math.log(p / m)
+        + 0.5 * q * math.log(q / m)
+        + 0.5 * math.log(2.0) * (2.0 - p - q)
+    )
+    assert got["n_shared_terms"] == 1
+    assert got["jsd"] == round(expect, 6)

@@ -546,3 +546,27 @@ def test_touch_attribution_tie_breaks_on_event_id(spark):
     }
     assert got["view"]["first_touch"] == 1
     assert got["click"]["last_touch"] == 1
+
+
+def test_eb_shrunk_rate_pulls_small_samples_to_prior(spark):
+    from cccatalog_spark.operators.quality import eb_shrunk_rate
+
+    rows = (
+        [("tiny", True), ("tiny", True)]            # raw 1.0, n=2
+        + [("big", i < 100) for i in range(1000)]   # raw 0.1
+    )
+    df = spark.createDataFrame(rows, "source string, bad boolean")
+    got = {
+        r["source"]: r
+        for r in eb_shrunk_rate(
+            df, "source", "bad", prior_strength=20.0
+        ).collect()
+    }
+    pg = 102 / 1002
+    assert got["tiny"]["raw_rate"] == 1.0
+    assert got["tiny"]["shrunk_rate"] == round((2 + 20 * pg) / 22, 6)
+    assert got["big"]["shrunk_rate"] == round((100 + 20 * pg) / 1020, 6)
+    # the 2-sample 100% domain must NOT outrank... but also must sit
+    # far below its raw rate, while the big domain barely moves
+    assert got["tiny"]["shrunk_rate"] < 0.3
+    assert abs(got["big"]["shrunk_rate"] - 0.1) < 0.005
