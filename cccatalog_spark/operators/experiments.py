@@ -158,6 +158,62 @@ def mann_whitney_u(
     )
 
 
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator (KM 1958) with
+    right censoring — retention/churn curves, crawl-liveness decay,
+    label-shelf-life studies: one row per subject with ``duration``
+    (time observed) and ``event`` (1 = event occurred, 0 = censored).
+
+        S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+    with d_i events at time t_i and n_i subjects still at risk
+    (duration ≥ t_i).  Returns one row per distinct EVENT time:
+    ``(t, n_risk, n_events, survival)``.
+
+    The product is exp(Σ ln(1 − d/n)) so both engines fold identical
+    doubles in identical t-order; the d = n endpoint (everyone at risk
+    dies) short-circuits to exactly 0 via a cumulative flag instead of
+    ln(0).
+
+    Scale shape: subjects collapse to per-duration (events, total)
+    counts in ONE aggregate; at-risk counts are a reverse cumulative
+    sum and the survival fold a forward one, both windows over the
+    DISTINCT-DURATION catalog (value-domain-bounded — the q256/q266
+    rank-statistics sanction), never the subject table.
+    """
+    per_t = df.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.count("*").alias("_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_all = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.withColumn("n_risk", F.sum("_total").over(w_all))
+    w_fwd = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dn = F.col("n_events") / F.col("n_risk").cast("double")
+    ln_term = F.when(
+        F.col("n_events") > 0,
+        F.when(dn < 1.0, F.log(F.lit(1.0) - dn)).otherwise(F.lit(0.0)),
+    ).otherwise(F.lit(0.0))
+    dead_end = F.max((dn >= 1.0).cast("int")).over(w_fwd)
+    surv = F.when(
+        dead_end == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.sum(ln_term).over(w_fwd)))
+    return (
+        at_risk.withColumn("survival", F.round(surv, 6))
+        .where(F.col("n_events") > 0)
+        .select("t", "n_risk", "n_events", "survival")
+    )
+
+
 def poisson1_cdf_literals() -> list[float]:
     """Poisson(1) CDF thresholds, folded Python-side so the Spark
     expression and the SQL oracle compare against identical double

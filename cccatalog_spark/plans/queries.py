@@ -15314,3 +15314,149 @@ def q285_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.lit(0).cast("int").alias("label"))
     )
     return pos.unionByName(neg)
+
+
+# ---------------------------------------------------------------------------
+# q286 — ROUGE-L pairs (operators/eval_text.rouge_l, Lin 2004 §3):
+# LCS-based P/R/F1 over 12-token prefixes of (doc, doc+1) pairs for
+# doc_id % 10 = 0 — the in-order overlap ROUGE-N can't see. Spark
+# side: ONE Arrow-batched mapInPandas DP (the module's documented
+# non-relational case, cost-bounded by max_tokens). Oracle: LCS as
+# monotone-path reachability — recursive states (pid, i, j, v) with
+# the diagonal rule gated on token equality; max v = LCS.
+# ---------------------------------------------------------------------------
+@query(
+    "q286_rouge_l_pairs",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               (list_transform({_TOKS}, x -> lower(x)))[1:12] AS tk
+        FROM documents),
+    pr AS (SELECT a.doc_id AS pid, a.tk AS ca, b.tk AS rf,
+                  len(a.tk) AS n, len(b.tk) AS m
+           FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+           WHERE a.doc_id % 10 = 0),
+    st(pid, i, j, v) AS (
+        SELECT pid, 0, 0, 0 FROM pr
+        UNION
+        SELECT q.pid, q.i, q.j, q.v FROM (
+            SELECT st.pid, u.opt,
+                   CASE WHEN u.opt = 2 THEN st.i ELSE st.i + 1 END AS i,
+                   CASE WHEN u.opt = 1 THEN st.j ELSE st.j + 1 END AS j,
+                   CASE WHEN u.opt = 3 THEN st.v + 1 ELSE st.v END AS v,
+                   pr.n, pr.m, pr.ca, pr.rf
+            FROM st JOIN pr USING (pid)
+            CROSS JOIN (SELECT unnest([1, 2, 3]) AS opt) u
+        ) q
+        WHERE (q.opt = 1 AND q.i <= q.n)
+           OR (q.opt = 2 AND q.j <= q.m)
+           OR (q.opt = 3 AND q.i <= q.n AND q.j <= q.m
+               AND q.ca[q.i] = q.rf[q.j])),
+    l AS (SELECT pid, max(v) AS lcs FROM st GROUP BY 1)
+    SELECT pr.pid AS doc_id,
+           CAST(l.lcs AS BIGINT) AS lcs_len,
+           CAST(pr.n AS BIGINT) AS n_cand,
+           CAST(pr.m AS BIGINT) AS n_ref,
+           round(CASE WHEN pr.n > 0
+                      THEN l.lcs / CAST(pr.n AS DOUBLE) END, 6)
+               AS precision,
+           round(CASE WHEN pr.m > 0
+                      THEN l.lcs / CAST(pr.m AS DOUBLE) END, 6)
+               AS recall,
+           round(CASE WHEN pr.n > 0 AND pr.m > 0
+                       AND l.lcs / CAST(pr.n AS DOUBLE)
+                           + l.lcs / CAST(pr.m AS DOUBLE) > 0
+                      THEN 2 * (l.lcs / CAST(pr.n AS DOUBLE))
+                             * (l.lcs / CAST(pr.m AS DOUBLE))
+                           / (l.lcs / CAST(pr.n AS DOUBLE)
+                              + l.lcs / CAST(pr.m AS DOUBLE))
+                      WHEN pr.n > 0 AND pr.m > 0
+                      THEN CAST(0.0 AS DOUBLE) END, 6) AS f1
+    FROM pr JOIN l ON l.pid = pr.pid
+    """,
+)
+def q286_rouge_l_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.eval_text import rouge_l
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (
+        d.where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.col("text").alias("cand"))
+        .join(
+            d.select(
+                (F.col("doc_id") - 1).alias("doc_id"),
+                F.col("text").alias("ref"),
+            ),
+            "doc_id",
+        )
+    )
+    return rouge_l(pairs, "doc_id", "cand", "ref", max_tokens=12)
+
+
+# ---------------------------------------------------------------------------
+# q287 — Kaplan-Meier survival curve (operators/experiments.
+# kaplan_meier, KM 1958): per-user observation span in days as the
+# duration, "ever purchased" as the event, everyone else right-
+# censored — the retention/decay curve over the events table.
+# Subjects collapse to per-duration counts in ONE aggregate; at-risk
+# and survival folds are windows over the distinct-duration catalog
+# (the q256/q266 sanction).
+# ---------------------------------------------------------------------------
+@query(
+    "q287_kaplan_meier",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    u AS (SELECT user_id,
+                 (max(sec) - min(sec)) // 86400 AS dur,
+                 max(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS ev
+          FROM e GROUP BY 1),
+    pt AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS total,
+                  CAST(sum(ev) AS BIGINT) AS n_events
+           FROM u GROUP BY 1),
+    ar AS (SELECT t, total, n_events,
+                  sum(total) OVER (ORDER BY t DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS n_risk
+           FROM pt),
+    s AS (SELECT t, n_risk, n_events,
+                 CASE WHEN max(CASE WHEN n_events >= n_risk
+                                    THEN 1 ELSE 0 END)
+                           OVER (ORDER BY t ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) = 1
+                      THEN CAST(0.0 AS DOUBLE)
+                      ELSE exp(sum(CASE WHEN n_events > 0
+                                         AND n_events < n_risk
+                                        THEN ln(1.0 - n_events
+                                                / CAST(n_risk AS DOUBLE))
+                                        ELSE CAST(0.0 AS DOUBLE) END)
+                               OVER (ORDER BY t ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW))
+                 END AS surv
+          FROM ar)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           round(surv, 6) AS survival
+    FROM s WHERE n_events > 0
+    """,
+)
+def q287_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import kaplan_meier
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.expr("(max(sec) - min(sec)) div 86400").alias("dur"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "ev"
+        ),
+    )
+    return kaplan_meier(u, "dur", "ev")

@@ -61,3 +61,37 @@ def test_good_turing_trigram_order(spark):
     # doc1 grams: "a b c","b c a","c a b","a b c" -> 2; doc2: 1) = 3
     assert out[1]["n_r"] >= 4      # the singletons
     assert out[3]["n_r"] == 1      # "a b c"
+
+
+def test_rouge_l_hand_computed(spark):
+    from cccatalog_spark.operators.eval_text import rouge_l
+
+    pairs = spark.createDataFrame(
+        [
+            # LCS("a b c d", "a x c d") = "a c d" = 3
+            (1, "a b c d", "a x c d"),
+            # in-order non-contiguous match ROUGE-2 would score 0
+            (2, "police killed the gunman", "the gunman police killed"),
+            (3, "same text here", "same text here"),
+        ],
+        "pid long, cand string, ref string",
+    )
+    got = {
+        r["pid"]: r for r in rouge_l(pairs, "pid", "cand", "ref").collect()
+    }
+    assert got[1]["lcs_len"] == 3
+    assert got[1]["precision"] == 0.75 and got[1]["recall"] == 0.75
+    # "the gunman" preserved in order -> LCS 2 (either direction)
+    assert got[2]["lcs_len"] == 2
+    assert got[3]["f1"] == 1.0
+
+
+def test_rouge_l_truncates_to_max_tokens(spark):
+    from cccatalog_spark.operators.eval_text import rouge_l
+
+    pairs = spark.createDataFrame(
+        [(1, "a b c d e f", "a b c d e f")],
+        "pid long, cand string, ref string",
+    )
+    got = rouge_l(pairs, "pid", "cand", "ref", max_tokens=3).collect()[0]
+    assert got["n_cand"] == 3 and got["lcs_len"] == 3

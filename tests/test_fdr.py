@@ -146,3 +146,30 @@ def test_poisson_bootstrap_null_id_excluded(spark):
     assert abs(r["point"] - round(mean, 6)) < 1e-9
     assert r["n"] == 100
     assert r["ci_lo"] <= r["point"] <= r["ci_hi"] < 1e6
+
+
+def test_kaplan_meier_textbook(spark):
+    from cccatalog_spark.operators.experiments import kaplan_meier
+
+    # classic toy: events at t=1 (1 of 5), t=3 (2 of 3); censored at
+    # t=2 and t=4
+    rows = [
+        (1, 1, 1), (2, 2, 0), (3, 3, 1), (4, 3, 1), (5, 4, 0),
+    ]
+    df = spark.createDataFrame(rows, "sid long, dur long, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_risk"] == 5 and got[1]["n_events"] == 1
+    assert got[1]["survival"] == 0.8
+    assert got[3]["n_risk"] == 3 and got[3]["n_events"] == 2
+    assert got[3]["survival"] == round(0.8 * (1 / 3), 6)
+
+
+def test_kaplan_meier_all_die_hits_zero(spark):
+    from cccatalog_spark.operators.experiments import kaplan_meier
+
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, 2, 1)], "sid long, dur long, ev int"
+    )
+    got = {r["t"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert got[1] == 0.5 and got[2] == 0.0

@@ -80,6 +80,10 @@ SANCTIONED_GLOBAL_WINDOW = {
     # CDF cumsum over the DISTINCT-value catalog (the q256 contract)
     # — corpus_stats.emd_1d
     "q266_emd_drift",
+    # at-risk / survival folds over the DISTINCT-DURATION catalog
+    # (value-domain-bounded; subjects collapse to per-duration counts
+    # first) — experiments.kaplan_meier
+    "q287_kaplan_meier",
 }
 
 
