@@ -252,6 +252,109 @@ def sessionize(
     )
 
 
+def cusum_changepoints(
+    daily: DataFrame,
+    t_col: str,
+    value_col: str,
+    *,
+    slack_sigmas: float = 0.5,
+    threshold_sigmas: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM drift detector (Page 1954) over a per-period
+    series — the volume/quality regression alarm for ingest monitors.
+    The textbook recurrence S_t = max(0, S_{t-1} + x_t − μ − k) is
+    sequential, but it has the exact prefix-sum closed form
+
+        S⁺_t = P_t − min_{j ≤ t} P_j,   P_t = Σ_{i≤t} (x_i − μ − k),
+
+    (and symmetrically for the downward side) — so the whole detector
+    is two running sums and two running mins, no recursion, no UDF.
+    μ and σ are the series' own mean / population stddev (1-row
+    broadcast); slack k = ``slack_sigmas``·σ, alarm at
+    ``threshold_sigmas``·σ.
+
+    Returns per period: ``(t, value, s_pos, s_neg, is_change)``.
+
+    Scale: the input is a per-period aggregate (the caller collapses
+    raw rows first), so every window here runs over the PERIOD catalog
+    — value-domain-bounded, the q256/q266 sanction class.
+    """
+    stats = daily.agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sigma"),
+    )
+    t = daily.select(
+        F.col(t_col).alias("t"), F.col(value_col).alias("value")
+    ).crossJoin(F.broadcast(stats))
+    k = F.lit(slack_sigmas) * F.col("_sigma")
+    h = F.lit(threshold_sigmas) * F.col("_sigma")
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    p_pos = F.sum(F.col("value") - F.col("_mu") - k).over(w)
+    p_neg = F.sum(F.col("_mu") - F.col("value") - k).over(w)
+    c = t.withColumn("_pp", p_pos).withColumn("_pn", p_neg)
+    s_pos = F.col("_pp") - F.least(F.min("_pp").over(w), F.lit(0.0))
+    s_neg = F.col("_pn") - F.least(F.min("_pn").over(w), F.lit(0.0))
+    out = c.withColumn("_sp", s_pos).withColumn("_sn", s_neg)
+    return out.select(
+        "t",
+        "value",
+        F.round("_sp", 6).alias("s_pos"),
+        F.round("_sn", 6).alias("s_neg"),
+        ((F.col("_sp") > h) | (F.col("_sn") > h)).alias("is_change"),
+    )
+
+
+def theil_sen_trend(
+    daily: DataFrame,
+    t_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend (Theil 1950; Sen 1968): the MEDIAN of
+    all pairwise slopes — up to ~29% wild outliers cannot move it,
+    unlike the OLS slope drift monitors usually fit.  Intercept is the
+    median of ``y − slope·t``.
+
+    Returns ONE row ``(n_points, n_pairs, slope, intercept)``.
+    Deterministic: medians are percentile_disc (exact lower-median).
+
+    Scale: the input is a per-period aggregate, so the pairwise-slope
+    frame is |periods|² — catalog², still a catalog (the bounded-pair
+    discipline); raw rows are never pair-joined.
+    """
+    from cccatalog_spark.functions.popularity import percentile_disc
+
+    d = daily.select(
+        F.col(t_col).cast("double").alias("_t"),
+        F.col(value_col).cast("double").alias("_y"),
+    )
+    a = d.select(F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
+    b = d.select(F.col("_t").alias("_tb"), F.col("_y").alias("_yb"))
+    pairs = a.join(b, F.col("_ta") < F.col("_tb")).select(
+        ((F.col("_yb") - F.col("_ya")) / (F.col("_tb") - F.col("_ta")))
+        .alias("_slope")
+    )
+    slope = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        percentile_disc(F.col("_slope"), 0.5).alias("_sl"),
+    )
+    resid = d.crossJoin(F.broadcast(slope)).select(
+        "n_pairs",
+        "_sl",
+        (F.col("_y") - F.col("_sl") * F.col("_t")).alias("_r"),
+    )
+    return resid.groupBy("n_pairs", "_sl").agg(
+        F.count("*").alias("n_points"),
+        percentile_disc(F.col("_r"), 0.5).alias("_ic"),
+    ).select(
+        "n_points",
+        "n_pairs",
+        F.round("_sl", 6).alias("slope"),
+        F.round("_ic", 6).alias("intercept"),
+    )
+
+
 def touch_attribution(
     df: DataFrame,
     key_col: str,

@@ -15460,3 +15460,103 @@ def q287_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return kaplan_meier(u, "dur", "ev")
+
+
+# ---------------------------------------------------------------------------
+# q288 — CUSUM changepoint detection (operators/temporal.
+# cusum_changepoints, Page 1954): daily mean click value through the
+# exact prefix-sum closed form S_t = P_t - min(0, min_j P_j) — the
+# sequential recurrence without recursion. Windows run over the daily
+# catalog; mu/sigma are a 1-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q288_cusum_changepoint",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+                      value
+               FROM events WHERE event_type = 'click'),
+    d AS (SELECT t, avg(value) AS value FROM e GROUP BY 1),
+    st AS (SELECT avg(value) AS mu, stddev_pop(value) AS sigma FROM d),
+    c AS (SELECT d.t, d.value, st.mu, st.sigma,
+                 sum(d.value - st.mu - 0.5 * st.sigma)
+                     OVER (ORDER BY d.t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pp,
+                 sum(st.mu - d.value - 0.5 * st.sigma)
+                     OVER (ORDER BY d.t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS pn
+          FROM d, st),
+    s AS (SELECT t, value, sigma,
+                 pp - least(min(pp) OVER (ORDER BY t
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW),
+                            CAST(0.0 AS DOUBLE)) AS sp,
+                 pn - least(min(pn) OVER (ORDER BY t
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW),
+                            CAST(0.0 AS DOUBLE)) AS sn
+          FROM c)
+    SELECT t, value, round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
+           (sp > 4.0 * sigma OR sn > 4.0 * sigma) AS is_change
+    FROM s
+    """,
+)
+def q288_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import cusum_changepoints
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    ).select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t"),
+        "value",
+    )
+    daily = e.groupBy("t").agg(F.avg("value").alias("value"))
+    return cusum_changepoints(
+        daily, "t", "value", slack_sigmas=0.5, threshold_sigmas=4.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — Theil-Sen robust trend (operators/temporal.theil_sen_trend,
+# Theil 1950 / Sen 1968): median pairwise slope of the daily event
+# volume — the outlier-immune drift line. The pair frame is
+# |days|² = catalog², never raw rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q289_theil_sen",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t
+               FROM events),
+    d AS (SELECT CAST(t AS DOUBLE) AS t,
+                 CAST(count(*) AS DOUBLE) AS y
+          FROM e GROUP BY 1),
+    p AS (SELECT (b.y - a.y) / (b.t - a.t) AS slope
+          FROM d a JOIN d b ON a.t < b.t),
+    sl AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                  percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)
+                      AS slope
+           FROM p),
+    r AS (SELECT sl.n_pairs, sl.slope, d.y - sl.slope * d.t AS resid
+          FROM d, sl)
+    SELECT CAST(count(*) AS BIGINT) AS n_points, n_pairs,
+           round(slope, 6) AS slope,
+           round(percentile_disc(0.5) WITHIN GROUP (ORDER BY resid), 6)
+               AS intercept
+    FROM r GROUP BY n_pairs, slope
+    """,
+)
+def q289_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import theil_sen_trend
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t")
+    )
+    daily = e.groupBy("t").agg(F.count("*").alias("y"))
+    return theil_sen_trend(daily, "t", "y")

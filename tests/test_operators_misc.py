@@ -570,3 +570,44 @@ def test_eb_shrunk_rate_pulls_small_samples_to_prior(spark):
     # far below its raw rate, while the big domain barely moves
     assert got["tiny"]["shrunk_rate"] < 0.3
     assert abs(got["big"]["shrunk_rate"] - 0.1) < 0.005
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from cccatalog_spark.operators.temporal import cusum_changepoints
+
+    vals = [10.0, 10.2, 9.9, 10.1, 10.0, 14.0, 14.2, 14.1]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, value double"
+    )
+    got = {
+        r["t"]: r
+        for r in cusum_changepoints(
+            df, "t", "value", slack_sigmas=0.5, threshold_sigmas=2.0
+        ).collect()
+    }
+    # replay the textbook recurrence in python
+    mu = sum(vals) / len(vals)
+    var = sum((v - mu) ** 2 for v in vals) / len(vals)
+    sigma = var ** 0.5
+    k, h = 0.5 * sigma, 2.0 * sigma
+    sp = sn = 0.0
+    for t, v in enumerate(vals):
+        sp = max(0.0, sp + v - mu - k)
+        sn = max(0.0, sn + mu - v - k)
+        assert got[t]["s_pos"] == round(sp, 6), t
+        assert got[t]["s_neg"] == round(sn, 6), t
+        assert got[t]["is_change"] == (sp > h or sn > h), t
+    # the level shift is detected somewhere in the shifted tail
+    assert any(got[t]["is_change"] for t in (5, 6, 7))
+
+
+def test_theil_sen_ignores_outlier(spark):
+    from cccatalog_spark.operators.temporal import theil_sen_trend
+
+    # y = 2t + 1 with one wild outlier at t=3
+    rows = [(0, 1.0), (1, 3.0), (2, 5.0), (3, 500.0), (4, 9.0), (5, 11.0)]
+    df = spark.createDataFrame(rows, "t long, y double")
+    got = theil_sen_trend(df, "t", "y").collect()[0]
+    assert got["n_points"] == 6 and got["n_pairs"] == 15
+    assert got["slope"] == 2.0
+    assert got["intercept"] == 1.0

@@ -40,6 +40,13 @@ SANCTIONED_BNLJ = {
     "q27_knn_join": "k probe vectors broadcast (kNN scan, linear in corpus)",
     "q280_bitext_margin": "bounded 20-probe batch broadcast (the q27 "
     "kNN sanction; margin windows run on the |corpus|x|probes| frame)",
+    "q288_cusum_changepoint": "1-row mu/sigma scalar broadcast over "
+    "the daily catalog",
+    "q289_theil_sen": "daily-catalog pairwise-slope self-join "
+    "(catalog^2, bounded; raw rows never pair-joined) + 1-row median "
+    "broadcast",
+    "q287_kaplan_meier": "per-duration catalog windows; no join "
+    "flags expected (listed for the scalar broadcast if plans shift)",
     "q272_min_k_prob": "1-row vocabulary-size scalar broadcast (the "
     "q103 contract)",
     "q273_ccnet_ppl_buckets": "1-row vocabulary-size scalar broadcast "

@@ -84,6 +84,9 @@ SANCTIONED_GLOBAL_WINDOW = {
     # (value-domain-bounded; subjects collapse to per-duration counts
     # first) — experiments.kaplan_meier
     "q287_kaplan_meier",
+    # CUSUM prefix sums / running mins over the DAILY catalog (raw
+    # rows collapse to per-day means first) — temporal.cusum_changepoints
+    "q288_cusum_changepoint",
 }
 
 
