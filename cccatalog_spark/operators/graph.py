@@ -719,6 +719,101 @@ def deepwalk_pairs(
     )
 
 
+def graph_report(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One-row graph health report — the summary card a link-graph
+    ingest ships before anyone runs PageRank on it:
+
+    - ``density`` = m_directed / (n·(n−1));
+    - ``reciprocity`` = fraction of directed edges whose reverse also
+      exists (spam link farms score high);
+    - ``assortativity`` = Pearson correlation of endpoint TOTAL
+      degrees over the undirected edge set (Newman 2002, full-degree
+      variant) — positive: hubs link hubs; negative: hub-and-spoke.
+      Both edge orientations enter the sums, the standard
+      symmetrization; degenerate variance → null.
+
+    Scale shape: one distinct + one degree aggregate + a reverse-edge
+    semi-join keyed by the (dst, src) pair + two degree-attach joins —
+    every key data-proportional; the report itself is three scalar
+    aggregates folded into one row (explicit sum formulas, not corr(),
+    so the oracle replays them exactly).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .persist()
+    )
+    n_nodes = (
+        e.select(F.col("s").alias("n"))
+        .unionAll(e.select(F.col("d").alias("n")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi").agg(
+        F.count("*").alias("_nrecip")
+    )
+    m_dir = e.agg(F.count("*").alias("n_edges_directed"))
+    und = e.select(
+        F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("double").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("_ju"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("_jv"))
+    ends = und.join(du, "u").join(dv, "v")
+    # symmetrized sums: each undirected edge contributes both (j,k)
+    # and (k,j), which makes Sj == Sk and the formula the textbook one
+    sums = ends.agg(
+        F.count("*").cast("double").alias("_m"),
+        F.sum(F.col("_ju") * F.col("_jv")).alias("_sjk"),
+        F.sum(F.col("_ju") + F.col("_jv")).alias("_sj2x"),
+        F.sum(
+            F.col("_ju") * F.col("_ju") + F.col("_jv") * F.col("_jv")
+        ).alias("_sq2x"),
+    )
+    mm = F.lit(2.0) * F.col("_m")
+    mean = F.col("_sj2x") / mm
+    var = F.col("_sq2x") / mm - mean * mean
+    r = (F.col("_sjk") / F.col("_m") - mean * mean) / var
+    return (
+        m_dir.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(recip))
+        .crossJoin(F.broadcast(und.agg(F.count("*").alias("n_edges_undirected"))))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_nodes",
+            "n_edges_directed",
+            "n_edges_undirected",
+            F.round(
+                F.col("n_edges_directed")
+                / (
+                    F.col("n_nodes").cast("double")
+                    * (F.col("n_nodes") - 1)
+                ),
+                6,
+            ).alias("density"),
+            F.round(
+                F.col("_nrecip")
+                / F.col("n_edges_directed").cast("double"),
+                6,
+            ).alias("reciprocity"),
+            F.round(
+                F.when(var > 0, r), 6
+            ).alias("assortativity"),
+        )
+    )
+
+
 def multi_source_bfs(
     edges: DataFrame,
     seeds: list,

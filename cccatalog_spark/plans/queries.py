@@ -15560,3 +15560,66 @@ def q289_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = e.groupBy("t").agg(F.count("*").alias("y"))
     return theil_sen_trend(daily, "t", "y")
+
+
+# ---------------------------------------------------------------------------
+# q290 — graph health report (operators/graph.graph_report): density,
+# reciprocity, and Newman degree assortativity (full-degree,
+# symmetrized sums) over the q234 directed customer->order graph —
+# the summary card shipped before anyone runs PageRank. Explicit sum
+# formulas, no corr(); reverse-edge semi-join keyed by the pair.
+# ---------------------------------------------------------------------------
+@query(
+    "q290_graph_report",
+    oracle="""
+    WITH e AS (SELECT DISTINCT o_custkey % 200 AS s,
+                      o_orderkey % 200 AS d
+               FROM orders
+               WHERE o_custkey % 200 <> o_orderkey % 200),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM
+           (SELECT s AS n FROM e UNION SELECT d FROM e)),
+    md AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_directed FROM e),
+    rc AS (SELECT CAST(count(*) AS BIGINT) AS nrecip
+           FROM e WHERE EXISTS (SELECT 1 FROM e r
+                                WHERE r.s = e.d AND r.d = e.s)),
+    u AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM e),
+    mu AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_undirected FROM u),
+    dg AS (SELECT node, CAST(count(*) AS DOUBLE) AS deg FROM
+           (SELECT u AS node FROM u UNION ALL SELECT v FROM u)
+           GROUP BY 1),
+    ends AS (SELECT a.deg AS ju, b.deg AS jv
+             FROM u JOIN dg a ON a.node = u.u
+                    JOIN dg b ON b.node = u.v),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+                 sum(ju * jv) AS sjk,
+                 sum(ju + jv) AS sj2x,
+                 sum(ju * ju + jv * jv) AS sq2x
+          FROM ends)
+    SELECT nn.n_nodes, md.n_edges_directed, mu.n_edges_undirected,
+           round(md.n_edges_directed
+                 / (CAST(nn.n_nodes AS DOUBLE) * (nn.n_nodes - 1)), 6)
+               AS density,
+           round(rc.nrecip / CAST(md.n_edges_directed AS DOUBLE), 6)
+               AS reciprocity,
+           round(CASE WHEN s.sq2x / (2.0 * s.m)
+                           - (s.sj2x / (2.0 * s.m))
+                             * (s.sj2x / (2.0 * s.m)) > 0
+                      THEN (s.sjk / s.m
+                            - (s.sj2x / (2.0 * s.m))
+                              * (s.sj2x / (2.0 * s.m)))
+                           / (s.sq2x / (2.0 * s.m)
+                              - (s.sj2x / (2.0 * s.m))
+                                * (s.sj2x / (2.0 * s.m)))
+                 END, 6) AS assortativity
+    FROM nn, md, rc, mu, s
+    """,
+)
+def q290_graph_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import graph_report
+
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 200).alias("dst"),
+    )
+    return graph_report(edges)

@@ -355,3 +355,31 @@ def test_deepwalk_window_width(spark):
     }
     # the full walk from 'a' is a->b->c->d: distance-3 pair present
     assert got[("a", "d")] == 1 and got[("d", "a")] == 1
+
+
+def test_graph_report_hand_computed(spark):
+    from cccatalog_spark.operators.graph import graph_report
+
+    # directed: a->b, b->a (reciprocal pair), a->c
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    got = graph_report(edges).collect()[0]
+    assert got["n_nodes"] == 3
+    assert got["n_edges_directed"] == 3
+    assert got["n_edges_undirected"] == 2
+    assert got["density"] == 0.5          # 3 / (3*2)
+    assert got["reciprocity"] == round(2 / 3, 6)
+    # star a-(b,c): deg a=2, b=c=1; ends (2,1),(2,1) symmetrized:
+    # mean=1.5, var=0.25, sjk/m=2 -> r = (2-2.25)/0.25 = -1
+    assert got["assortativity"] == -1.0
+
+
+def test_graph_report_degenerate_variance_null(spark):
+    from cccatalog_spark.operators.graph import graph_report
+
+    # a single edge: both endpoint degrees 1, zero variance -> null
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = graph_report(edges).collect()[0]
+    assert got["assortativity"] is None
+    assert got["reciprocity"] == 0.0
