@@ -507,3 +507,199 @@ def group_fairness_report(
         r("tpr_gap"),
         r("fpr_gap"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (PAV) calibration curve over score bins — the
+    non-parametric recalibrator beside ``fit_temperature``'s single
+    scalar.  Pool-adjacent-violators is a sequential pooling
+    algorithm, but its fit has the exact MINIMAX closed form
+    (Robertson et al. 1988):
+
+        iso(i) = max_{j ≤ i} min_{k ≥ i} weighted-mean(y over bins j..k)
+
+    so the whole fit is relational algebra over the BIN catalog: one
+    binning aggregate, one (j, k) interval-mean frame (catalog²), one
+    (i, j, k) min/max fold (catalog³ rows — 8000 at 20 bins, a
+    catalog).  Interval means are ratios of integer sums, so both
+    engines compare bit-identical doubles.
+
+    Returns per non-empty bin: ``(bin, n, mean_score, raw_acc,
+    iso_acc)`` with iso_acc monotone non-decreasing in bin.
+    """
+    b = (
+        df.select(
+            F.least(
+                F.floor(F.col(score_col) * n_bins).cast("int"),
+                F.lit(n_bins - 1),
+            ).alias("bin"),
+            F.col(label_col).cast("long").alias("_y"),
+            F.col(score_col).alias("_p"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("_y").alias("_sy"),
+            F.sum("_p").alias("_sp"),
+        )
+        .persist()
+    )
+    idx = b.select("bin")
+    j = idx.select(F.col("bin").alias("_j"))
+    k = idx.select(F.col("bin").alias("_k"))
+    pairs = j.join(k, F.col("_j") <= F.col("_k"))
+    spans = (
+        pairs.join(
+            b, (F.col("bin") >= F.col("_j")) & (F.col("bin") <= F.col("_k"))
+        )
+        .groupBy("_j", "_k")
+        .agg(
+            (
+                F.sum("_sy").cast("double") / F.sum("n").cast("double")
+            ).alias("_mean")
+        )
+    )
+    i = idx.select(F.col("bin").alias("_i"))
+    tri = spans.join(
+        i, (F.col("_j") <= F.col("_i")) & (F.col("_k") >= F.col("_i"))
+    )
+    inner = tri.groupBy("_i", "_j").agg(F.min("_mean").alias("_mn"))
+    iso = inner.groupBy("_i").agg(F.max("_mn").alias("_iso"))
+    return (
+        b.join(iso, b["bin"] == iso["_i"])
+        .select(
+            "bin",
+            "n",
+            F.round(F.col("_sp") / F.col("n"), 6).alias("mean_score"),
+            F.round(
+                F.col("_sy").cast("double") / F.col("n"), 6
+            ).alias("raw_acc"),
+            F.round("_iso", 6).alias("iso_acc"),
+        )
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over forecast
+    bins: ``brier = reliability − resolution + uncertainty`` up to the
+    within-bin variance term the binning absorbs —
+
+        REL = Σ n_k/N (p̄_k − ȳ_k)²   (calibration error, want 0)
+        RES = Σ n_k/N (ȳ_k − ȳ)²      (discrimination, want large)
+        UNC = ȳ (1 − ȳ)               (task difficulty, fixed)
+
+    The full-granularity raw ``brier`` is reported beside the three
+    terms so the binning residual is visible.  ONE corpus aggregate +
+    one bin rollup; everything after is a 1-row fold.
+    """
+    base = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("_b"),
+        F.col(label_col).cast("double").alias("_y"),
+        F.col(score_col).alias("_p"),
+    )
+    binned = base.groupBy("_b").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg("_p").alias("_conf"),
+        F.avg("_y").alias("_acc"),
+    )
+    glob = base.agg(
+        F.count("*").cast("double").alias("_nn"),
+        F.avg("_y").alias("_ybar"),
+        F.avg((F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y")))
+        .alias("_brier"),
+    )
+    t = binned.crossJoin(F.broadcast(glob))
+    return t.agg(
+        F.max("_nn").cast("long").alias("n"),
+        F.round(F.max("_brier"), 6).alias("brier"),
+        F.round(
+            F.sum(
+                F.col("_n")
+                / F.col("_nn")
+                * (F.col("_conf") - F.col("_acc"))
+                * (F.col("_conf") - F.col("_acc"))
+            ),
+            6,
+        ).alias("reliability"),
+        F.round(
+            F.sum(
+                F.col("_n")
+                / F.col("_nn")
+                * (F.col("_acc") - F.col("_ybar"))
+                * (F.col("_acc") - F.col("_ybar"))
+            ),
+            6,
+        ).alias("resolution"),
+        F.round(
+            F.max(F.col("_ybar") * (F.lit(1.0) - F.col("_ybar"))), 6
+        ).alias("uncertainty"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift chart by DESCENDING score bin — "how
+    many of the positives live in the top-scoring X% of the corpus",
+    the filter-threshold picker beside AUC's single number.  Bins are
+    score-value bins (not global-row deciles): the per-row work is a
+    scan-stage expression and every window runs over the n_bins
+    catalog — a global ntile would be the documented scale cliff.
+
+    Returns per bin, highest scores first: ``(bin, n, n_pos,
+    cum_frac_rows, gain, lift)`` where gain = cumulative share of all
+    positives captured and lift = gain / cum_frac_rows.
+    """
+    base = df.select(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.col(label_col).cast("long").alias("_y"),
+    )
+    binned = base.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("_y").alias("n_pos")
+    )
+    glob = binned.agg(
+        F.sum("n").cast("double").alias("_nn"),
+        F.sum("n_pos").cast("double").alias("_np"),
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    t = binned.crossJoin(F.broadcast(glob)).withColumn(
+        "_cn", F.sum("n").over(w)
+    ).withColumn("_cp", F.sum("n_pos").over(w))
+    return t.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("_cn") / F.col("_nn"), 6).alias("cum_frac_rows"),
+        F.round(
+            F.when(F.col("_np") > 0, F.col("_cp") / F.col("_np")), 6
+        ).alias("gain"),
+        F.round(
+            F.when(
+                F.col("_np") > 0,
+                (F.col("_cp") / F.col("_np"))
+                / (F.col("_cn") / F.col("_nn")),
+            ),
+            6,
+        ).alias("lift"),
+    )

@@ -15623,3 +15623,127 @@ def q290_graph_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 200).alias("dst"),
     )
     return graph_report(edges)
+
+
+# ---------------------------------------------------------------------------
+# q291 — isotonic (PAV) calibration curve (operators/ml_metrics.
+# isotonic_calibration, Robertson'88 minimax form): iso(i) =
+# max_{j<=i} min_{k>=i} mean(y over bins j..k) — the sequential
+# pooling algorithm as pure relational algebra over the 20-bin
+# catalog (catalog³ fold). Interval means are integer-sum ratios, so
+# both engines compare identical doubles.
+# ---------------------------------------------------------------------------
+@query(
+    "q291_isotonic_calibration",
+    oracle=f"""
+    WITH s AS (SELECT label % 2 AS y, {_SCORE_SQL} AS p FROM embeddings),
+    b AS (SELECT least(CAST(floor(p * 20) AS INT), 19) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 sum(p) AS sp
+          FROM s GROUP BY 1),
+    pr AS (SELECT a.bin AS j, c.bin AS k FROM b a JOIN b c
+           ON a.bin <= c.bin),
+    m AS (SELECT pr.j, pr.k,
+                 CAST(sum(b.sy) AS DOUBLE) / CAST(sum(b.n) AS DOUBLE)
+                     AS mean
+          FROM pr JOIN b ON b.bin BETWEEN pr.j AND pr.k
+          GROUP BY 1, 2),
+    mn AS (SELECT i.bin AS i, m.j, min(m.mean) AS mn
+           FROM m JOIN b i ON m.j <= i.bin AND m.k >= i.bin
+           GROUP BY 1, 2),
+    iso AS (SELECT i, max(mn) AS iso FROM mn GROUP BY 1)
+    SELECT b.bin, b.n,
+           round(b.sp / b.n, 6) AS mean_score,
+           round(CAST(b.sy AS DOUBLE) / b.n, 6) AS raw_acc,
+           round(iso.iso, 6) AS iso_acc
+    FROM b JOIN iso ON iso.i = b.bin
+    """,
+)
+def q291_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import isotonic_calibration
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).alias("y"), _score_col().alias("p")
+    )
+    return isotonic_calibration(emb, "p", "y", n_bins=20)
+
+
+# ---------------------------------------------------------------------------
+# q292 — Brier score decomposition (operators/ml_metrics.
+# brier_decomposition, Murphy 1973): reliability / resolution /
+# uncertainty over 10 forecast bins beside the raw Brier — ECE's
+# (q164) variance-aware sibling. One corpus aggregate + one bin
+# rollup + a 1-row fold.
+# ---------------------------------------------------------------------------
+@query(
+    "q292_brier_decomposition",
+    oracle=f"""
+    WITH s AS (SELECT CAST(label % 2 AS DOUBLE) AS y, {_SCORE_SQL} AS p
+               FROM embeddings),
+    g AS (SELECT CAST(count(*) AS DOUBLE) AS nn, avg(y) AS ybar,
+                 avg((p - y) * (p - y)) AS brier
+          FROM s),
+    b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 avg(p) AS conf, avg(y) AS acc
+          FROM s GROUP BY 1)
+    SELECT CAST(max(g.nn) AS BIGINT) AS n,
+           round(max(g.brier), 6) AS brier,
+           round(sum(b.n / g.nn * (b.conf - b.acc) * (b.conf - b.acc)),
+                 6) AS reliability,
+           round(sum(b.n / g.nn * (b.acc - g.ybar) * (b.acc - g.ybar)),
+                 6) AS resolution,
+           round(max(g.ybar * (1.0 - g.ybar)), 6) AS uncertainty
+    FROM b, g
+    """,
+)
+def q292_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import brier_decomposition
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).alias("y"), _score_col().alias("p")
+    )
+    return brier_decomposition(emb, "p", "y", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# q293 — cumulative gains / lift chart (operators/ml_metrics.
+# cumulative_gains): positives captured per descending score bin —
+# the filter-threshold picker beside AUC. Score-VALUE bins, never a
+# global row ntile; cums run over the 10-bin catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q293_cumulative_gains",
+    oracle=f"""
+    WITH s AS (SELECT label % 2 AS y, {_SCORE_SQL} AS p FROM embeddings),
+    b AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos
+          FROM s GROUP BY 1),
+    g AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+                 CAST(sum(n_pos) AS DOUBLE) AS np
+          FROM b),
+    c AS (SELECT b.bin, b.n, b.n_pos, g.nn, g.np,
+                 sum(b.n) OVER (ORDER BY b.bin DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cn,
+                 sum(b.n_pos) OVER (ORDER BY b.bin DESC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cp
+          FROM b, g)
+    SELECT bin, n, n_pos,
+           round(cn / nn, 6) AS cum_frac_rows,
+           round(CASE WHEN np > 0 THEN cp / np END, 6) AS gain,
+           round(CASE WHEN np > 0 THEN (cp / np) / (cn / nn) END, 6)
+               AS lift
+    FROM c
+    """,
+)
+def q293_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import cumulative_gains
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).alias("y"), _score_col().alias("p")
+    )
+    return cumulative_gains(emb, "p", "y", n_bins=10)

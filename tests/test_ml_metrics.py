@@ -217,3 +217,62 @@ def test_group_fairness_hand_computed(spark):
     assert out["b"]["tpr"] == 1.0 and out["b"]["fpr"] is None
     assert out["a"]["tpr_gap"] == 0.5  # 1.0 - 0.5, null fpr ignored
     assert out["a"]["pos_rate_gap"] == 0.5
+
+
+def test_isotonic_pools_violators(spark):
+    from cccatalog_spark.operators.ml_metrics import isotonic_calibration
+
+    # bins 0..3 with raw accs 0.2, 0.6, 0.4, 0.8: PAV pools bins 1-2
+    # (violation) to (0.6*10+0.4*10)/20 = 0.5
+    rows = []
+    accs = [0.2, 0.6, 0.4, 0.8]
+    for b, acc in enumerate(accs):
+        p = (b + 0.5) / 4.0
+        n_pos = int(acc * 10)
+        rows += [(p, 1)] * n_pos + [(p, 0)] * (10 - n_pos)
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {
+        r["bin"]: r
+        for r in isotonic_calibration(df, "p", "y", n_bins=4).collect()
+    }
+    assert got[0]["iso_acc"] == 0.2
+    assert got[1]["iso_acc"] == 0.5 and got[2]["iso_acc"] == 0.5
+    assert got[3]["iso_acc"] == 0.8
+    # raw accs preserved
+    assert [got[b]["raw_acc"] for b in range(4)] == accs
+    # monotone
+    vals = [got[b]["iso_acc"] for b in range(4)]
+    assert vals == sorted(vals)
+
+
+def test_brier_identity_up_to_binning(spark):
+    from cccatalog_spark.operators.ml_metrics import brier_decomposition
+
+    # forecasts exactly at bin centers, labels matching rates:
+    # perfect reliability (conf == acc within bin up to center offset)
+    rows = [(0.05, 0)] * 9 + [(0.05, 1)] + [(0.95, 1)] * 9 + [(0.95, 0)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = brier_decomposition(df, "p", "y", n_bins=10).collect()[0]
+    assert got["n"] == 20
+    assert got["uncertainty"] == 0.25          # ybar = 0.5
+    # conf 0.05 vs acc 0.1 -> rel = (0.05)^2 = 0.0025
+    assert got["reliability"] == 0.0025
+    # acc 0.1/0.9 vs ybar 0.5 -> res = 0.16
+    assert got["resolution"] == 0.16
+    # identity holds exactly here (within-bin forecast variance 0)
+    assert got["brier"] == round(0.0025 - 0.16 + 0.25, 6)
+
+
+def test_cumulative_gains_concentrated_positives(spark):
+    from cccatalog_spark.operators.ml_metrics import cumulative_gains
+
+    rows = [(0.95, 1)] * 5 + [(0.05, 0)] * 45
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {
+        r["bin"]: r for r in cumulative_gains(df, "p", "y").collect()
+    }
+    # top bin captures ALL positives with 10% of rows -> lift 10
+    assert got[9]["gain"] == 1.0
+    assert got[9]["cum_frac_rows"] == 0.1
+    assert got[9]["lift"] == 10.0
+    assert got[0]["gain"] == 1.0 and got[0]["lift"] == 1.0

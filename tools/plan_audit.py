@@ -47,6 +47,13 @@ SANCTIONED_BNLJ = {
     "broadcast",
     "q287_kaplan_meier": "per-duration catalog windows; no join "
     "flags expected (listed for the scalar broadcast if plans shift)",
+    "q291_isotonic_calibration": "bin-catalog interval joins "
+    "(catalog^2/catalog^3 at 20 bins — the PAV minimax fold; corpus "
+    "touched once in the binning aggregate)",
+    "q292_brier_decomposition": "1-row global-stats broadcast over "
+    "the 10-bin catalog",
+    "q293_cumulative_gains": "1-row totals broadcast over the 10-bin "
+    "catalog",
     "q272_min_k_prob": "1-row vocabulary-size scalar broadcast (the "
     "q103 contract)",
     "q273_ccnet_ppl_buckets": "1-row vocabulary-size scalar broadcast "

@@ -87,6 +87,9 @@ SANCTIONED_GLOBAL_WINDOW = {
     # CUSUM prefix sums / running mins over the DAILY catalog (raw
     # rows collapse to per-day means first) — temporal.cusum_changepoints
     "q288_cusum_changepoint",
+    # gains/lift cums over the 10-SCORE-BIN catalog (corpus collapses
+    # to per-bin counts first) — ml_metrics.cumulative_gains
+    "q293_cumulative_gains",
 }
 
 
