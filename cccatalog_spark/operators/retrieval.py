@@ -521,3 +521,63 @@ def hard_negatives(
         neg.select("*", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def rbo_overlap(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str,
+    rank_col: str = "rank",
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. TOIS 2010), truncated at the
+    lists' depth k — the top-weighted agreement measure between two
+    rankings (exact vs approximate ANN, two index builds, two scoring
+    functions), where a swap at rank 1 costs far more than one at
+    rank k:
+
+        RBO@k = Σ_{d=1..k} (1−p)·p^{d−1} · |A_d ∩ B_d| / d
+
+    with A_d the first d items of list A.  Inputs are two ranked
+    top-k frames ``(id, rank 1..k)``; k is taken from list A.
+
+    Returns ONE row ``(k, overlap_at_k, rbo)``.
+
+    Scale: the lists are top-k results — k-row catalogs by
+    construction — so the item equi-join, the depth grid, and the
+    weighted fold are all catalog work; nothing touches a corpus.
+    """
+    a = ranked_a.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_ra")
+    )
+    b = ranked_b.select(
+        F.col(id_col).alias("_id"), F.col(rank_col).alias("_rb")
+    )
+    shared = a.join(b, "_id").select(
+        F.greatest("_ra", "_rb").alias("_m")
+    )
+    depths = a.select(F.col("_ra").alias("d")).distinct()
+    xd = (
+        depths.join(shared, F.col("_m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("_m").alias("_x"))
+    )
+    kk = a.agg(F.max("_ra").alias("k"))
+    term = (
+        F.lit(1.0 - p)
+        * F.pow(F.lit(p), F.col("d") - 1)
+        * F.col("_x")
+        / F.col("d")
+    )
+    return (
+        xd.crossJoin(F.broadcast(kk))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("d") == F.col("k"), F.col("_x")))
+                / F.max("k").cast("double"),
+                6,
+            ).alias("overlap_at_k"),
+            F.round(F.sum(term), 6).alias("rbo"),
+        )
+    )

@@ -15747,3 +15747,133 @@ def q293_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") % 2).alias("y"), _score_col().alias("p")
     )
     return cumulative_gains(emb, "p", "y", n_bins=10)
+
+
+# ---------------------------------------------------------------------------
+# q294 — rank-biased overlap of exact vs LSH ANN rankings
+# (operators/retrieval.rbo_overlap, Webber TOIS'10): the
+# top-weighted agreement between q26's exact top-10 and q47's
+# LSH-bucket top-10 — the recall audit (q245) generalized to WHERE in
+# the ranking the approximation diverges. All catalog work: the lists
+# are k-row frames.
+# ---------------------------------------------------------------------------
+def _q294_oracle() -> str:
+    return f"""
+    WITH ea AS (SELECT e.vec_id,
+                       round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                                    q.embedding::DOUBLE[]),
+                             6) AS cosine_sim
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                ORDER BY cosine_sim DESC, e.vec_id ASC
+                LIMIT 10),
+    a AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY cosine_sim DESC, vec_id)
+                     AS ra
+          FROM ea),
+    lb AS ({_q47_oracle()}),
+    b AS (SELECT vec_id,
+                 row_number() OVER (ORDER BY cosine_sim DESC, vec_id)
+                     AS rb
+          FROM lb),
+    sh AS (SELECT greatest(a.ra, b.rb) AS m
+           FROM a JOIN b USING (vec_id)),
+    xd AS (SELECT d.ra AS d, count(sh.m) AS x
+           FROM (SELECT DISTINCT ra FROM a) d
+           LEFT JOIN sh ON sh.m <= d.ra
+           GROUP BY 1),
+    kk AS (SELECT max(ra) AS k FROM a)
+    SELECT kk.k,
+           round(max(CASE WHEN xd.d = kk.k THEN xd.x END)
+                 / CAST(max(kk.k) AS DOUBLE), 6) AS overlap_at_k,
+           round(sum(0.1 * power(0.9, xd.d - 1) * xd.x / xd.d), 6)
+               AS rbo
+    FROM xd, kk GROUP BY kk.k
+    """
+
+
+@query("q294_rbo_ann_agreement", oracle=_q294_oracle())
+def q294_rbo_ann_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from cccatalog_spark.operators.retrieval import rbo_overlap
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = SIM.fetch_probe(emb, "embedding", "vec_id", 0)
+    w = _W.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    exact = SIM.cosine_topk(
+        emb, "embedding", "vec_id", probe, k=10
+    ).withColumn("rank", F.row_number().over(w))
+    approx = SIM.lsh_cosine_topk(
+        emb, "embedding", "vec_id", probe, k=10, bits=4
+    ).withColumn("rank", F.row_number().over(w))
+    return rbo_overlap(exact, approx, "vec_id", "rank", p=0.9)
+
+
+# ---------------------------------------------------------------------------
+# q295 — IPS / SNIPS off-policy replay (Horvitz-Thompson 1952;
+# counterfactual policy evaluation): logged keep/drop decisions with
+# known propensities (md5-derandomized 0.7/0.3 logger) replayed
+# against a new lang-based filter policy — "what would the corpus
+# quality have been under the new filter" WITHOUT re-running it. One
+# scan-stage expression block + one global aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q295_ips_offpolicy",
+    oracle="""
+    WITH l AS (SELECT doc_id, lang,
+                      CASE WHEN n_chars >= 200 THEN 1.0 ELSE 0.0 END
+                          AS reward,
+                      CASE WHEN substring(md5('log:'
+                                || CAST(doc_id AS VARCHAR)), 1, 4)
+                              < 'b333'
+                           THEN 'keep' ELSE 'drop' END AS action
+               FROM documents),
+    s AS (SELECT reward, action,
+                 CASE WHEN action = 'keep' THEN 0.7 ELSE 0.3 END
+                     AS propensity,
+                 CASE WHEN lang IN ('en', 'de', 'fr')
+                      THEN 'keep' ELSE 'drop' END AS pi_action
+          FROM l),
+    t AS (SELECT reward,
+                 CASE WHEN pi_action = action
+                      THEN 1.0 / propensity ELSE 0.0 END AS w
+          FROM s)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(reward * w), 6) AS ips,
+           round(sum(reward * w) / sum(w), 6) AS snips
+    FROM t
+    """,
+)
+def q295_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import bucket_hex
+
+    d = load_table(spark, sf_dir, "documents")
+    action = F.when(
+        bucket_hex(F.col("doc_id"), "log:") < F.lit("b333"), "keep"
+    ).otherwise("drop")
+    s = d.select(
+        F.when(F.col("n_chars") >= 200, 1.0).otherwise(0.0).alias(
+            "reward"
+        ),
+        action.alias("action"),
+        F.when(
+            F.col("lang").isin("en", "de", "fr"), "keep"
+        ).otherwise("drop").alias("pi_action"),
+    ).withColumn(
+        "propensity",
+        F.when(F.col("action") == "keep", 0.7).otherwise(0.3),
+    ).withColumn(
+        "w",
+        F.when(
+            F.col("pi_action") == F.col("action"),
+            F.lit(1.0) / F.col("propensity"),
+        ).otherwise(F.lit(0.0)),
+    )
+    return s.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.col("reward") * F.col("w")), 6).alias("ips"),
+        F.round(
+            F.sum(F.col("reward") * F.col("w")) / F.sum("w"), 6
+        ).alias("snips"),
+    )

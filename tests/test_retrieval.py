@@ -307,3 +307,46 @@ def test_hard_negatives_repeated_query_term_counted_once(spark):
         assert a[d]["score"] == b[d]["score"]
         assert a[d]["n_terms"] == b[d]["n_terms"]
         assert a[d]["rank"] == b[d]["rank"]
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from cccatalog_spark.operators.retrieval import rbo_overlap
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "item long, rank int"
+    )
+    same = rbo_overlap(a, a, "item", "rank", p=0.9).collect()[0]
+    # identical lists: X_d = d so rbo = sum (1-p) p^(d-1)
+    expect = round(sum(0.1 * 0.9 ** (d - 1) for d in range(1, 6)), 6)
+    assert same["k"] == 5
+    assert same["overlap_at_k"] == 1.0
+    assert same["rbo"] == expect
+    b = spark.createDataFrame(
+        [(100 + i, i) for i in range(1, 6)], "item long, rank int"
+    )
+    disj = rbo_overlap(a, b, "item", "rank", p=0.9).collect()[0]
+    assert disj["rbo"] == 0.0 and disj["overlap_at_k"] == 0.0
+
+
+def test_rbo_top_weighted(spark):
+    from cccatalog_spark.operators.retrieval import rbo_overlap
+
+    a = spark.createDataFrame(
+        [(i, i) for i in range(1, 4)], "item long, rank int"
+    )
+    # same items, ranks 1 and 2 swapped: X_1 = 0, X_2 = 2, X_3 = 3
+    b = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 3)], "item long, rank int"
+    )
+    swap_top = rbo_overlap(a, b, "item", "rank", p=0.9).collect()[0]
+    # ranks 2 and 3 swapped: X_1 = 1, X_2 = 1, X_3 = 3
+    c = spark.createDataFrame(
+        [(1, 1), (3, 2), (2, 3)], "item long, rank int"
+    )
+    swap_tail = rbo_overlap(a, c, "item", "rank", p=0.9).collect()[0]
+    e_top = round(0.1 * (0 / 1 + 0.9 * 2 / 2 + 0.81 * 3 / 3), 6)
+    e_tail = round(0.1 * (1 / 1 + 0.9 * 1 / 2 + 0.81 * 3 / 3), 6)
+    assert swap_top["rbo"] == e_top
+    assert swap_tail["rbo"] == e_tail
+    # a swap deeper in the list hurts less
+    assert swap_tail["rbo"] > swap_top["rbo"]

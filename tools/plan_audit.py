@@ -54,6 +54,9 @@ SANCTIONED_BNLJ = {
     "the 10-bin catalog",
     "q293_cumulative_gains": "1-row totals broadcast over the 10-bin "
     "catalog",
+    "q294_rbo_ann_agreement": "k-row top-k list catalogs: depth-grid "
+    "non-equi join + 1-row k broadcast (plus q26/q47's probe "
+    "broadcasts upstream)",
     "q272_min_k_prob": "1-row vocabulary-size scalar broadcast (the "
     "q103 contract)",
     "q273_ccnet_ppl_buckets": "1-row vocabulary-size scalar broadcast "

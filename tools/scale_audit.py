@@ -90,6 +90,9 @@ SANCTIONED_GLOBAL_WINDOW = {
     # gains/lift cums over the 10-SCORE-BIN catalog (corpus collapses
     # to per-bin counts first) — ml_metrics.cumulative_gains
     "q293_cumulative_gains",
+    # rank windows over the two k-row TOP-K lists (k = 10 by
+    # construction) — retrieval.rbo_overlap inputs
+    "q294_rbo_ann_agreement",
 }
 
 
