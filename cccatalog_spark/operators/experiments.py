@@ -320,3 +320,224 @@ def poisson_bootstrap_ci(
         F.lit(b).alias("b"),
         F.col("_n").cast("long").alias("n"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the distribution-shift
+    detector that reads the WHOLE CDF (PSI reads bins, EMD integrates,
+    KS takes the sup): D = max |F_a − F_b| with the standard
+    asymptotic p-value
+
+        p = 2 Σ_{j≥1} (−1)^{j−1} exp(−2 j² λ²),   truncated at j = 5,
+        λ = (√n_e + 0.12 + 0.11/√n_e) · D,  n_e = n_a n_b/(n_a+n_b)
+
+    (Numerical-Recipes form; the 5-term truncation is exact to far
+    beyond 6 decimals for any λ worth reporting).
+
+    Returns one row ``(n_a, n_b, d_stat, p_value)``.
+
+    Scale shape: the ``mann_whitney_u`` discipline — values collapse
+    to per-distinct-value counts in ONE corpus aggregate; the CDFs
+    and their sup-gap run over the distinct-value catalog.
+    """
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    pool = df.where(g.isin([group_a, group_b]) & x.isNotNull()).select(
+        x.alias("x"),
+        F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+    )
+    v = pool.groupBy("x").agg(
+        F.sum("is_a").cast("double").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = v.select(
+        F.sum("ca").over(w).alias("_cca"),
+        F.sum("cb").over(w).alias("_ccb"),
+    )
+    totals = pool.agg(
+        F.sum("is_a").cast("double").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("nb"),
+    )
+    agg = (
+        c.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+            F.max(
+                F.abs(
+                    F.col("_cca") / F.col("na")
+                    - F.col("_ccb") / F.col("nb")
+                )
+            ).alias("d"),
+        )
+    )
+    ne = F.col("na") * F.col("nb") / (F.col("na") + F.col("nb"))
+    lam = (
+        F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)
+    ) * F.col("d")
+    p = sum(
+        (
+            F.lit(2.0 * (1 if j % 2 == 1 else -1))
+            * F.exp(F.lit(-2.0 * j * j) * lam * lam)
+            for j in range(1, 6)
+        ),
+        F.lit(0.0),
+    )
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("d", 6).alias("d_stat"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6)
+        .alias("p_value"),
+    )
+
+
+def effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Standardized effect sizes between two groups — the "is the
+    shift big enough to CARE about" companion to the p-value family
+    (q256/q296): Cohen's d (pooled-variance mean gap), Hedges' g
+    (small-sample-corrected d), and Cliff's delta
+    (P(a > b) − P(a < b) — the ordinal, outlier-immune one).
+
+    Returns one row ``(n_a, n_b, cohens_d, hedges_g, cliffs_delta)``;
+    d/g null when the pooled variance is 0.
+
+    Scale shape: moments come from ONE corpus aggregate (explicit
+    Σx/Σx² algebra, engine-replayable); Cliff's delta from the
+    distinct-value count catalog with one cumsum window — the
+    pairwise definition without the pairwise join.
+    """
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    pool = df.where(g.isin([group_a, group_b]) & x.isNotNull()).select(
+        x.alias("x"),
+        F.when(g == group_a, 1).otherwise(0).alias("is_a"),
+    )
+    v = pool.groupBy("x").agg(
+        F.sum("is_a").cast("double").alias("ca"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = v.select(
+        "x",
+        "ca",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb")).alias("_b_less"),
+        (F.sum("cb").over(tot) - F.sum("cb").over(w)).alias("_b_greater"),
+    )
+    stats = pool.agg(
+        F.sum("is_a").cast("double").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("double").alias("nb"),
+        F.sum(F.col("x") * F.col("is_a")).alias("sa"),
+        F.sum(F.col("x") * (1 - F.col("is_a"))).alias("sb"),
+        F.sum(F.col("x") * F.col("x") * F.col("is_a")).alias("qa"),
+        F.sum(F.col("x") * F.col("x") * (1 - F.col("is_a"))).alias("qb"),
+    )
+    delta = c.agg(
+        F.sum(
+            F.col("ca") * (F.col("_b_less") - F.col("_b_greater"))
+        ).alias("_dnum")
+    )
+    t = stats.crossJoin(F.broadcast(delta))
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (
+        F.col("na") - 1
+    )
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (
+        F.col("nb") - 1
+    )
+    sp = F.sqrt(
+        ((F.col("na") - 1) * va + (F.col("nb") - 1) * vb)
+        / (F.col("na") + F.col("nb") - 2)
+    )
+    d = F.when(sp > 0, (ma - mb) / sp)
+    corr = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("na") + F.col("nb")) - F.lit(9.0)
+    )
+    return t.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * corr, 6).alias("hedges_g"),
+        F.round(
+            F.col("_dnum") / (F.col("na") * F.col("nb")), 6
+        ).alias("cliffs_delta"),
+    )
+
+
+def srm_check(
+    assigned: DataFrame,
+    split_col: str,
+    expected: dict[str, float],
+    *,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Sample-ratio mismatch guardrail (the first thing any experiment
+    readout must check): chi-square goodness-of-fit of observed split
+    counts against the design weights.  A significant SRM means the
+    assignment or logging pipeline is broken and every downstream
+    metric is garbage — the test that invalidates experiments before
+    anyone reads them.
+
+    df = |splits| − 1 must be EVEN for the closed-form p
+    (operators/fdr.chi2_sf_even_df — no incomplete-gamma numerics);
+    the train/val/test 3-way split gives df = 2.
+
+    Returns one row ``(n, chi2, p_value, srm)``.
+
+    Scale: one count aggregate over the split catalog + a 1-row fold.
+    """
+    from cccatalog_spark.operators.fdr import chi2_sf_even_df
+
+    if (len(expected) - 1) % 2 != 0:
+        raise ValueError("need an odd split count (even df) for the "
+                         "closed-form p-value")
+    obs = assigned.groupBy(split_col).agg(F.count("*").alias("_o"))
+    tot = obs.agg(F.sum("_o").cast("double").alias("_n"))
+    wmap = None
+    for name, wgt in sorted(expected.items()):
+        cond = F.col(split_col) == name
+        wmap = (
+            F.when(cond, F.lit(float(wgt)))
+            if wmap is None
+            else wmap.when(cond, F.lit(float(wgt)))
+        )
+    t = obs.crossJoin(F.broadcast(tot)).withColumn(
+        "_e", wmap * F.col("_n")
+    )
+    chi2 = F.sum(
+        (F.col("_o") - F.col("_e"))
+        * (F.col("_o") - F.col("_e"))
+        / F.col("_e")
+    )
+    agg = t.agg(
+        F.max("_n").cast("long").alias("n"), chi2.alias("_chi2")
+    )
+    p = chi2_sf_even_df(F.col("_chi2"), len(expected) - 1)
+    return agg.select(
+        "n",
+        F.round("_chi2", 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        (p < F.lit(alpha)).alias("srm"),
+    )

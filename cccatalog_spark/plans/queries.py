@@ -15877,3 +15877,156 @@ def q295_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("reward") * F.col("w")) / F.sum("w"), 6
         ).alias("snips"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q296 — two-sample Kolmogorov-Smirnov (operators/experiments.
+# ks_test): sup-gap of the en-vs-zh n_chars CDFs + the asymptotic
+# 5-term p — the whole-CDF shift detector beside PSI's bins (q235)
+# and EMD's integral (q266). Distinct-value-catalog discipline.
+# ---------------------------------------------------------------------------
+@query(
+    "q296_ks_test",
+    oracle="""
+    WITH p AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+               FROM documents
+               WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL),
+    v AS (SELECT x, CAST(sum(ia) AS DOUBLE) AS ca,
+                 CAST(sum(1 - ia) AS DOUBLE) AS cb
+          FROM p GROUP BY 1),
+    c AS (SELECT sum(ca) OVER (ORDER BY x
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cca,
+                 sum(cb) OVER (ORDER BY x
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ccb
+          FROM v),
+    t AS (SELECT CAST(sum(ia) AS DOUBLE) AS na,
+                 CAST(sum(1 - ia) AS DOUBLE) AS nb
+          FROM p),
+    a AS (SELECT max(t.na) AS na, max(t.nb) AS nb,
+                 max(abs(c.cca / t.na - c.ccb / t.nb)) AS d
+          FROM c, t),
+    l AS (SELECT na, nb, d,
+                 (sqrt(na * nb / (na + nb)) + 0.12
+                  + 0.11 / sqrt(na * nb / (na + nb))) * d AS lam
+          FROM a)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(d, 6) AS d_stat,
+           round(least(greatest(
+               2.0 * exp(-2.0 * lam * lam)
+               - 2.0 * exp(-8.0 * lam * lam)
+               + 2.0 * exp(-18.0 * lam * lam)
+               - 2.0 * exp(-32.0 * lam * lam)
+               + 2.0 * exp(-50.0 * lam * lam),
+               CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)), 6)
+               AS p_value
+    FROM l
+    """,
+)
+def q296_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import ks_test
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return ks_test(d, "lang", "n_chars", "en", "zh")
+
+
+# ---------------------------------------------------------------------------
+# q297 — standardized effect sizes (operators/experiments.
+# effect_sizes): Cohen's d, Hedges' g, Cliff's delta for en-vs-zh
+# n_chars — "is the shift big enough to care" beside q256/q296's
+# p-values. Moments from one aggregate; Cliff's delta from the
+# distinct-value catalog (pairwise definition, no pairwise join).
+# ---------------------------------------------------------------------------
+@query(
+    "q297_effect_sizes",
+    oracle="""
+    WITH p AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+               FROM documents
+               WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL),
+    v AS (SELECT x, CAST(sum(ia) AS DOUBLE) AS ca,
+                 CAST(sum(1 - ia) AS DOUBLE) AS cb
+          FROM p GROUP BY 1),
+    c AS (SELECT ca,
+                 sum(cb) OVER (ORDER BY x
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - cb AS b_less,
+                 sum(cb) OVER () - sum(cb)
+                     OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS b_greater
+          FROM v),
+    dn AS (SELECT sum(ca * (b_less - b_greater)) AS dnum FROM c),
+    s AS (SELECT CAST(sum(ia) AS DOUBLE) AS na,
+                 CAST(sum(1 - ia) AS DOUBLE) AS nb,
+                 sum(x * ia) AS sa, sum(x * (1 - ia)) AS sb,
+                 sum(x * x * ia) AS qa, sum(x * x * (1 - ia)) AS qb
+          FROM p),
+    f AS (SELECT s.*, dn.dnum,
+                 (s.qa - s.sa * s.sa / s.na) / (s.na - 1) AS va,
+                 (s.qb - s.sb * s.sb / s.nb) / (s.nb - 1) AS vb
+          FROM s, dn),
+    g AS (SELECT *,
+                 sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+                     AS sp
+          FROM f)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(CASE WHEN sp > 0
+                      THEN (sa / na - sb / nb) / sp END, 6) AS cohens_d,
+           round(CASE WHEN sp > 0
+                      THEN (sa / na - sb / nb) / sp
+                           * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
+                 END, 6) AS hedges_g,
+           round(dnum / (na * nb), 6) AS cliffs_delta
+    FROM g
+    """,
+)
+def q297_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import effect_sizes
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return effect_sizes(d, "lang", "n_chars", "en", "zh")
+
+
+# ---------------------------------------------------------------------------
+# q298 — sample-ratio mismatch guardrail (operators/experiments.
+# srm_check): chi-square goodness-of-fit of the q84 hash-split counts
+# against the 0.8/0.1/0.1 design (df=2, closed-form even-df p) — the
+# test that invalidates an experiment before anyone reads it.
+# ---------------------------------------------------------------------------
+def _q298_oracle() -> str:
+    from cccatalog_spark.operators.sampling import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLITS)
+    return f"""
+    WITH a AS (SELECT {case} AS split FROM documents),
+    o AS (SELECT split, CAST(count(*) AS BIGINT) AS obs
+          FROM a GROUP BY 1),
+    t AS (SELECT CAST(sum(obs) AS DOUBLE) AS n FROM o),
+    e AS (SELECT o.split, o.obs, t.n,
+                 CASE o.split WHEN 'train' THEN 0.8
+                              WHEN 'val' THEN 0.1
+                              ELSE 0.1 END * t.n AS exp
+          FROM o, t),
+    x AS (SELECT max(n) AS n,
+                 sum((obs - exp) * (obs - exp) / exp) AS chi2
+          FROM e)
+    SELECT CAST(n AS BIGINT) AS n, round(chi2, 6) AS chi2,
+           round(exp(-chi2 / 2), 6) AS p_value,
+           exp(-chi2 / 2) < 0.001 AS srm
+    FROM x
+    """
+
+
+@query("q298_srm_check", oracle=_q298_oracle())
+def q298_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import srm_check
+    from cccatalog_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assigned = hash_split(d, "doc_id", _SPLITS)
+    return srm_check(
+        assigned, "split", dict(_SPLITS), alpha=0.001
+    )

@@ -173,3 +173,70 @@ def test_kaplan_meier_all_die_hits_zero(spark):
     )
     got = {r["t"]: r["survival"] for r in kaplan_meier(df, "dur", "ev").collect()}
     assert got[1] == 0.5 and got[2] == 0.0
+
+
+def test_ks_identical_vs_shifted(spark):
+    from cccatalog_spark.operators.experiments import ks_test
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v)) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    same = ks_test(df, "g", "x", "a", "b").collect()[0]
+    assert same["d_stat"] == 0.0 and same["p_value"] == 1.0
+    rows2 = [("a", float(v)) for v in range(100)] + [
+        ("b", float(v) + 50.0) for v in range(100)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, x double")
+    shift = ks_test(df2, "g", "x", "a", "b").collect()[0]
+    assert shift["d_stat"] == 0.5
+    assert shift["p_value"] < 0.001
+
+
+def test_effect_sizes_hand_computed(spark):
+    import math
+
+    from cccatalog_spark.operators.experiments import effect_sizes
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [3.0, 4.0, 5.0, 6.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = effect_sizes(df, "g", "x", "a", "b").collect()[0]
+    # pooled sd: both sample variances are 5/3
+    sp = math.sqrt(5 / 3)
+    assert got["cohens_d"] == round(-2.0 / sp, 6)
+    assert got["hedges_g"] == round(-2.0 / sp * (1 - 3 / (4 * 8 - 9)), 6)
+    # pairs: a>b none except (3,3)(4,3)(4,4) ties... count strict:
+    # a<b pairs: 13, a>b pairs: 1 (4>3); delta = (1-13)/16
+    assert got["cliffs_delta"] == round((1 - 13) / 16, 6)
+
+
+def test_srm_detects_broken_split(spark):
+    from cccatalog_spark.operators.experiments import srm_check
+
+    rows = [("train",)] * 700 + [("val",)] * 100 + [("test",)] * 200
+    df = spark.createDataFrame(rows, "split string")
+    got = srm_check(
+        df, "split", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()[0]
+    # chi2 = 100^2/800 + 0 + 100^2/100 = 112.5 -> p ~ e^-56 -> SRM
+    assert got["chi2"] == 112.5
+    assert got["srm"] is True
+    ok = [("train",)] * 800 + [("val",)] * 100 + [("test",)] * 100
+    got2 = srm_check(
+        spark.createDataFrame(ok, "split string"),
+        "split",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()[0]
+    assert got2["chi2"] == 0.0 and got2["srm"] is False
+
+
+def test_srm_rejects_even_split_count(spark):
+    import pytest as _pytest
+
+    from cccatalog_spark.operators.experiments import srm_check
+
+    df = spark.createDataFrame([("a",), ("b",)], "split string")
+    with _pytest.raises(ValueError):
+        srm_check(df, "split", {"a": 0.5, "b": 0.5})
