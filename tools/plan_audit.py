@@ -57,6 +57,16 @@ SANCTIONED_BNLJ = {
     "q294_rbo_ann_agreement": "k-row top-k list catalogs: depth-grid "
     "non-equi join + 1-row k broadcast (plus q26/q47's probe "
     "broadcasts upstream)",
+    "q284_eb_reputation": "1-row corpus-prior scalar broadcast",
+    "q285_contrastive_pairs": "1-row corpus-size scalar broadcast "
+    "(the q118 negative-draw contract)",
+    "q290_graph_report": "five 1-row report-scalar broadcasts folded "
+    "into the single output row",
+    "q296_ks_test": "1-row (n_a, n_b) totals broadcast over the "
+    "distinct-value catalog",
+    "q297_effect_sizes": "1-row moments + delta-numerator broadcasts",
+    "q298_srm_check": "1-row split-total scalar broadcast over the "
+    "3-row split catalog",
     "q272_min_k_prob": "1-row vocabulary-size scalar broadcast (the "
     "q103 contract)",
     "q273_ccnet_ppl_buckets": "1-row vocabulary-size scalar broadcast "

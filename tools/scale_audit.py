@@ -93,6 +93,15 @@ SANCTIONED_GLOBAL_WINDOW = {
     # rank windows over the two k-row TOP-K lists (k = 10 by
     # construction) — retrieval.rbo_overlap inputs
     "q294_rbo_ann_agreement",
+    # two-phase prefix sum: the single-partition window is the
+    # ≤#partitions offsets frame (cumsum.py:63-70) inside
+    # negative_samples' dense-index build — the q118 contract
+    "q285_contrastive_pairs",
+    # CDF cumsums over the DISTINCT-VALUE catalog (corpus collapses
+    # to per-value counts first — the q256 contract):
+    # experiments.ks_test / effect_sizes
+    "q296_ks_test",
+    "q297_effect_sizes",
 }
 
 
