@@ -566,3 +566,61 @@ def emd_1d(
             ),
         )
     )
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/freshness audit
+    run before adding a crawl slice to a training mix: for each
+    document, the fraction of its DISTINCT word-k-gram shingles whose
+    first occurrence in the corpus (by ``id_col`` ingest order) is
+    this document itself. Boilerplate and near-copies of earlier
+    documents score ≈ 0; genuinely new text scores ≈ 1. (The
+    "fraction of novel n-grams" diagnostic of Welleck et al. 2020 /
+    the RefinedWeb data card, corpus-ified.)
+
+    Returns ``(id, n_sh, novel, novelty)`` for documents with ≥ 1
+    shingle, novelty rounded 6.
+
+    Scale shape: shingle explode → ONE map-side-combinable
+    ``min(id)`` aggregate keyed by the 8-byte xxhash64 of the shingle
+    (same shuffle-size trade as operators/dedup._pair_jaccard) →
+    count-per-first-owner (second tiny aggregate, first-owner keyed)
+    → one join back to the per-doc shingle counts. The corpus is
+    never self-joined and no window spans it; the min-aggregate IS
+    the temporal comparison.
+    """
+    from cccatalog_spark.sources.tables import fan_out
+
+    sh = (
+        fan_out(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            TX.shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .withColumn("n_sh", F.size("_sh"))
+        .where(F.col("n_sh") > 0)
+        .persist()
+    )
+    ex = sh.select("id", F.explode("_sh").alias("_s")).select(
+        "id", F.xxhash64("_s").alias("_g")
+    )
+    first = ex.groupBy("_g").agg(F.min("id").alias("_first"))
+    novel = first.groupBy(F.col("_first").alias("id")).agg(
+        F.count("*").alias("novel")
+    )
+    return (
+        sh.select("id", "n_sh")
+        .join(novel, "id", "left")
+        .select(
+            "id",
+            "n_sh",
+            F.coalesce(F.col("novel"), F.lit(0)).alias("novel"),
+            F.round(
+                F.coalesce(F.col("novel"), F.lit(0)) / F.col("n_sh"), 6
+            ).alias("novelty"),
+        )
+    )

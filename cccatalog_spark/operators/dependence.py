@@ -140,3 +140,124 @@ def mi_py(cells: dict[tuple, int]) -> float:
         pxy = c / n
         mi += pxy * math.log(pxy / ((mx[a] / n) * (my[b] / n)))
     return mi
+
+def spearman_corr(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation with the standard average-rank tie
+    treatment (Spearman 1904): Pearson's r computed on mid-ranks —
+    the monotone-association measure that survives any monotone
+    rescaling of either column (chars-vs-tokens, score-vs-score
+    drift), where raw Pearson only sees lines.
+
+    Mid-ranks come from the distinct-value catalog, never a global
+    sort of raw rows: for a value with ``c`` occurrences below which
+    ``cum_before`` rows sort, every occurrence gets rank
+    ``cum_before + (c+1)/2``.
+
+    Returns one row ``(n, rho)``, rho rounded 6.
+
+    Scale shape: two (value, count) catalog aggregates + one window
+    over each catalog (catalog-sized), two keyed joins to re-attach
+    ranks, and ONE corr aggregate. The corpus is never sorted and
+    never self-joined.
+    """
+    from pyspark.sql.window import Window
+
+    def ranks(col: str, alias: str) -> DataFrame:
+        cat = (
+            df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+            .groupBy(F.col(col).alias("_v"))
+            .agg(F.count("*").alias("_c"))
+        )
+        w = Window.orderBy("_v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return cat.select(
+            F.col("_v").alias(col),
+            (
+                F.sum("_c").over(w)
+                - F.col("_c")
+                + (F.col("_c") + 1) / 2.0
+            ).alias(alias),
+        )
+
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(x_col, y_col)
+    ranked = base.join(ranks(x_col, "_rx"), x_col).join(
+        ranks(y_col, "_ry"), y_col
+    )
+    return ranked.agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("_rx", "_ry"), 6).alias("rho"),
+    )
+
+
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's tau-b (Kendall 1945, the tie-corrected form) from
+    the joint distinct-value CELL catalog: concordant/discordant
+    pair mass is a cell-catalog self-join (catalog², never rows²),
+    so the caller buckets near-continuous columns first — the same
+    pre-binning contract as mutual_information above.
+
+        tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2))
+        n0 = n(n−1)/2,  n1 = Σ_x t_x(t_x−1)/2,  n2 = Σ_y t_y(t_y−1)/2
+
+    Every count stays integer until the final division, so engines
+    agree bit-for-bit. Returns one row ``(n, concordant, discordant,
+    tau_b)``, tau rounded 6.
+
+    Scale shape: one (x, y, cnt) aggregate; the self-join runs on
+    that catalog with an x-ordering predicate (each unordered pair
+    counted once); marginal tie terms are two more catalog
+    aggregates; final algebra on a 1-row frame.
+    """
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+    cells = base.groupBy("_x", "_y").agg(F.count("*").alias("_c"))
+    cells = cells.persist()
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cd = (
+        a.join(b, F.col("a._x") < F.col("b._x"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("b._y") > F.col("a._y"),
+                    F.col("a._c") * F.col("b._c"),
+                ).otherwise(F.lit(0))
+            ).alias("c"),
+            F.sum(
+                F.when(
+                    F.col("b._y") < F.col("a._y"),
+                    F.col("a._c") * F.col("b._c"),
+                ).otherwise(F.lit(0))
+            ).alias("d"),
+        )
+    )
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(
+            F.sum("_t").alias("n"),
+            F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("n1"),
+        )
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(F.sum(F.col("_t") * (F.col("_t") - 1) / 2).alias("n2"))
+    )
+    joined = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    denom = F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2")))
+    # an all-tied-x input empties the self-join: its lone aggregate
+    # row carries null sums, which are genuinely zero pair mass
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    d0 = F.coalesce(F.col("d"), F.lit(0))
+    return joined.select(
+        F.col("n").cast("long").alias("n"),
+        c0.cast("long").alias("concordant"),
+        d0.cast("long").alias("discordant"),
+        F.round(F.when(denom > 0, (c0 - d0) / denom), 6).alias("tau_b"),
+    )

@@ -541,3 +541,171 @@ def srm_check(
         F.round(p, 6).alias("p_value"),
         (p < F.lit(alpha)).alias("srm"),
     )
+
+def jackknife_ratio(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+) -> DataFrame:
+    """Leave-one-out jackknife standard error of a RATIO-OF-SUMS
+    metric per group (Tukey 1958; the delete-1 jackknife every
+    experimentation platform uses for ratio metrics, where the naive
+    i.i.d. variance formula is biased because numerator and
+    denominator share units):
+
+        R       = Σy / Σx
+        R_(i)   = (Σy - y_i) / (Σx - x_i)      (closed form — no
+                                                 n recomputations)
+        se²_jk  = (n-1)/n · Σ_i (R_(i) - mean(R_(i)))²
+
+    Returns one row per group: ``(group, n, ratio, se_jack,
+    ci_lo, ci_hi)`` with the normal-approximation 95% interval,
+    floats rounded 6. Rows with null num/den are excluded; a group
+    where some Σx - x_i = 0 yields null se (the estimator is
+    undefined there).
+
+    Scale shape: one groupBy for the per-group sums (k-row catalog,
+    broadcast back), then the LOO replicas are PURE COLUMN ALGEBRA on
+    the original rows — the closed form is what makes delete-1
+    feasible at 100 TB — and one final per-group moment aggregate.
+    Two shuffles total, both keyed by the group.
+    """
+    y = F.col(num_col).cast("double")
+    x = F.col(den_col).cast("double")
+    base = df.where(y.isNotNull() & x.isNotNull()).select(
+        F.col(group_col).alias("group"), y.alias("_y"), x.alias("_x")
+    )
+    sums = base.groupBy("group").agg(
+        F.sum("_y").alias("_sy"),
+        F.sum("_x").alias("_sx"),
+        F.count("*").alias("n"),
+    )
+    loo = base.join(F.broadcast(sums), "group").select(
+        "group",
+        "n",
+        "_sy",
+        "_sx",
+        F.when(
+            F.col("_sx") - F.col("_x") != 0,
+            (F.col("_sy") - F.col("_y")) / (F.col("_sx") - F.col("_x")),
+        ).alias("_r"),
+    )
+    agg = loo.groupBy("group", "n", "_sy", "_sx").agg(
+        F.var_pop("_r").alias("_vr"),
+        F.count("_r").alias("_nr"),
+    )
+    ratio = F.when(F.col("_sx") != 0, F.col("_sy") / F.col("_sx"))
+    se = F.when(
+        (F.col("_nr") == F.col("n")) & (F.col("n") > 1),
+        F.sqrt((F.col("n") - 1) * F.col("_vr")),
+    )
+    return agg.select(
+        "group",
+        "n",
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("se_jack"),
+        F.round(ratio - 1.959963984540054 * se, 6).alias("ci_lo"),
+        F.round(ratio + 1.959963984540054 * se, 6).alias("ci_hi"),
+    )
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 200,
+    salt: str = "perm:",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Randomization test for the difference in means between two
+    groups (Fisher 1935, in the approximate Monte-Carlo form of
+    Dwass 1957): under H₀ labels are exchangeable, so re-draw the
+    label assignment ``k`` times and count how often the permuted
+    |mean_A − mean_B| reaches the observed one.
+
+    Labels are re-drawn i.i.d. with P(A) = n_a/n per replica —
+    md5-derandomized from (replica ‖ unit id), so deterministic,
+    repartition-stable and SQL-replayable (the same binomial
+    relaxation of exact permutation as the Poisson bootstrap above is
+    of multinomial resampling). p uses the standard add-one form
+    (1 + #{≥}) / (k + 1), which keeps p > 0 and is exact-valid.
+
+    Returns one row: ``(n_a, n_b, observed_diff, k, p_value)``,
+    floats rounded 6.
+
+    Scale shape: one 1-row aggregate for the observed stat and group
+    sizes; replicas ride an exploded constant-``k`` axis into ONE
+    map-side-combinable (replica, label) aggregate → a 2k-row
+    catalog; the comparison is a k-row aggregate. The corpus is
+    scanned twice (observed + replicas), never joined to itself.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from cccatalog_spark.operators.sampling import md5_u01
+
+    x = F.col(value_col).cast("double")
+    uid = F.col(id_col) if id_col else x
+    base = df.where(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        (F.col(group_col) == group_a).alias("_ia"),
+        x.alias("_x"),
+        uid.cast("string").alias("_id"),
+    )
+    base = base.persist()
+    obs = base.agg(
+        F.sum(F.col("_ia").cast("long")).alias("n_a"),
+        F.sum((~F.col("_ia")).cast("long")).alias("n_b"),
+        F.abs(
+            F.avg(F.when(F.col("_ia"), F.col("_x")))
+            - F.avg(F.when(~F.col("_ia"), F.col("_x")))
+        ).alias("_d_obs"),
+    )
+    reps = base.crossJoin(F.broadcast(obs)).select(
+        "_x",
+        "n_a",
+        "n_b",
+        "_d_obs",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_rep"),
+        F.col("_id"),
+    )
+    u = md5_u01(
+        F.concat(F.col("_rep").cast("string"), F.lit(":"), F.col("_id")),
+        salt,
+    )
+    pa = F.col("n_a") / (F.col("n_a") + F.col("n_b"))
+    perm = (
+        reps.select(
+            "_rep", "_x", "_d_obs", (u < pa).alias("_pa")
+        )
+        .groupBy("_rep", "_d_obs")
+        .agg(
+            F.abs(
+                F.avg(F.when(F.col("_pa"), F.col("_x")))
+                - F.avg(F.when(~F.col("_pa"), F.col("_x")))
+            ).alias("_d")
+        )
+    )
+    hits = perm.agg(
+        F.max("_d_obs").alias("_d_obs"),
+        F.sum(
+            # a degenerate replica (all rows one side) has null _d:
+            # count it as extreme, the conservative direction
+            F.when(
+                F.col("_d").isNull() | (F.col("_d") >= F.col("_d_obs")),
+                1,
+            ).otherwise(0)
+        ).alias("_ge"),
+    )
+    return obs.crossJoin(F.broadcast(hits.select("_ge"))).select(
+        "n_a",
+        "n_b",
+        F.round("_d_obs", 6).alias("observed_diff"),
+        F.lit(k).alias("k"),
+        F.round((1 + F.col("_ge")) / F.lit(float(k + 1)), 6).alias(
+            "p_value"
+        ),
+    )

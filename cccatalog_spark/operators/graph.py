@@ -877,3 +877,167 @@ def multi_source_bfs(
         dist = _truncate_lineage(dist.unionAll(frontier))
     und.unpersist()
     return dist
+
+
+def link_prediction_scores(
+    memberships: DataFrame,
+    item_col: str = "item",
+    container_col: str = "container",
+    min_common: int = 2,
+    max_container_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction scores over a bipartite membership frame
+    (item ∈ container — parts per order, users per session, terms per
+    document): for every item pair sharing ≥ ``min_common``
+    containers, the three classic neighborhood scores
+
+        common      = |Γ(a) ∩ Γ(b)|             (shared containers)
+        jaccard     = common / |Γ(a) ∪ Γ(b)|
+        adamic_adar = Σ_{c ∈ Γ(a)∩Γ(b)} 1 / ln(deg(c))
+
+    (Liben-Nowell & Kleinberg, CIKM'03; Adamic & Adar, Social
+    Networks'03 — the degree-discounted variant downweights hub
+    containers, exactly the "everyone touches the front page" fix).
+    Mirrors the reference's tags-in-common enrichment idea
+    (src/providers family) generalized to scored candidate pairs.
+
+    Returns ``(id_a, id_b, common, jaccard, adamic_adar)`` with
+    ``id_a < id_b``.
+
+    Scale shape — identical to the shingle inverted index
+    (operators/dedup._pair_jaccard): candidates are generated
+    per-container, so pair volume is Σ_c deg(c)², NOT |items|².
+    ``max_container_degree`` is the hub guard: a container holding
+    100k items would alone emit 10^10 pairs, so real-scale callers cap
+    it (the dropped hubs carry the least signal — 1/ln(deg) ≈ 0
+    anyway, the same argument as dropping max-doc-freq shingles). A
+    container of degree 1 can never witness a pair, so deg ≥ 2 is a
+    lossless cut applied for free off the same degree aggregate. One
+    shuffle keyed by container for degrees, one self-join keyed by
+    container for pairs, one pair-keyed aggregate.
+    """
+    m = memberships.select(
+        F.col(item_col).alias("i"), F.col(container_col).alias("c")
+    ).distinct()
+    deg = m.groupBy("c").agg(F.count("*").alias("deg"))
+    cut = F.col("deg") >= 2
+    if max_container_degree is not None:
+        cut = cut & (F.col("deg") <= max_container_degree)
+    # postings ⋈ per-container degree: degree frame is one row per
+    # container — broadcastable at catalog scale, shuffle-joined at
+    # corpus scale; either way the pair self-join below dominates
+    md = m.join(deg.where(cut), "c").persist()
+    item_deg = m.groupBy("i").agg(F.count("*").alias("di"))
+    a = md.alias("a")
+    b = md.hint("merge").alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .groupBy(
+            F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b")
+        )
+        .agg(
+            F.count("*").alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("a.deg"))).alias("adamic_adar"),
+        )
+        .where(F.col("common") >= int(min_common))
+    )
+    da = item_deg.select(
+        F.col("i").alias("id_a"), F.col("di").alias("_da")
+    )
+    db = item_deg.select(
+        F.col("i").alias("id_b"), F.col("di").alias("_db")
+    )
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            (
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common"))
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 2,
+) -> DataFrame:
+    """h-truncated harmonic centrality over the UNDIRECTED view of
+    the edge list (Boldi & Vigna, "Axioms for centrality", 2014):
+
+        H_h(v) = Σ_{u ≠ v, d(u,v) ≤ h} 1 / d(u,v)
+
+    — the centrality that, unlike closeness, is defined on
+    disconnected graphs (unreachable nodes contribute 0, no ∞). The
+    hop bound IS the estimator every web-graph study uses in
+    practice: beyond a few hops 1/d adds noise, not signal.
+
+    Returns ``(node, n_reached, harmonic)`` (harmonic rounded 6).
+
+    Scale shape: bounded all-pairs BFS carrying the SOURCE on every
+    frontier row — per round one join keyed by node plus an anti-join
+    against the settled pair set, with per-round lineage cuts (the
+    multi_source_bfs discipline, pair-keyed). The pair frame is
+    O(|V| · ball_h), which is exactly the cost of the truncated
+    definition — real at h ≤ 2-3, explosive beyond; at full web
+    scale swap the exact pair set for HyperBall's per-node HLL
+    neighborhood counters (same recurrence, mergeable sketch state)
+    and accept the sketch error. The aggregate is one
+    map-side-combinable sum keyed by source.
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("n"), F.col(src_col).alias("m")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    # settled pairs start with (v, v, 0) so the anti-join never
+    # re-reaches a source from itself; dist-0 rows are excluded from
+    # the final sum
+    seeds = und.select(F.col("n").alias("s"), F.col("n").alias("node")) \
+        .distinct().withColumn("dist", F.lit(0).cast("long"))
+    frontier = (
+        und.select(F.col("n").alias("s"), F.col("m").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("long"))
+    )
+    reached = _truncate_lineage(seeds.unionAll(frontier))
+    for r in range(2, max_hops + 1):
+        hop = (
+            frontier.join(und, frontier["node"] == und["n"])
+            .select("s", F.col("m").alias("node"))
+            .distinct()
+        )
+        frontier = _truncate_lineage(
+            hop.join(reached, ["s", "node"], "left_anti")
+            .withColumn("dist", F.lit(r).cast("long"))
+        )
+        reached = _truncate_lineage(reached.unionAll(frontier))
+    out = (
+        reached.where(F.col("dist") > 0)
+        .groupBy(F.col("s").alias("node"))
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist")), 6).alias(
+                "harmonic"
+            ),
+        )
+    )
+    und.unpersist()
+    return out

@@ -121,3 +121,82 @@ def dp_noisy_counts(
             "n_noised"
         ),
     )
+
+def t_closeness_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) for an
+    ORDERED sensitive attribute: per quasi-identifier group, the
+    normalized 1-D earth-mover's distance between the group's
+    sensitive-value distribution and the global one,
+
+        t = (1 / (m-1)) · Σ_{j=1}^{m} | Σ_{k ≤ j} (q_k - p_k) |
+
+    over the m observed sensitive values in order (q = group
+    proportions, p = global proportions; the inner sum is the
+    cumulative-histogram gap, the closed form of ordered EMD — same
+    algebra as operators/experiments' exact 1-D EMD). k-anonymity
+    (above) says "the group is big enough"; t-closeness says "knowing
+    the group doesn't shift your belief about the sensitive value" —
+    the homogeneity-attack guard. Callers bucket continuous sensitive
+    columns first (sensitivity of the audit = bucket width).
+
+    Returns one row per group: ``(*quasi_cols, n, t)``, t rounded 6.
+
+    Scale shape: one groupBy for the global value catalog (m rows,
+    broadcast), one groupBy over (group, value), a dense
+    group×catalog grid built by broadcast cross join (|groups|·m rows
+    — catalog-sized, never corpus-sized), and ONE window partitioned
+    by group over m rows for the cumulative gap. No corpus-wide
+    window, no collect.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    from pyspark.sql.window import Window
+
+    s = F.col(sensitive_col)
+    base = df.where(s.isNotNull()).select(
+        *quasi_cols, s.alias("_v")
+    )
+    vals = base.groupBy("_v").agg(F.count("*").alias("_gn"))
+    tot = vals.agg(
+        F.sum("_gn").cast("double").alias("_N"),
+        F.count("*").cast("double").alias("_m"),
+    )
+    vals = vals.crossJoin(F.broadcast(tot)).select(
+        "_v", (F.col("_gn") / F.col("_N")).alias("_p"), "_m"
+    )
+    groups = base.groupBy(*quasi_cols).agg(F.count("*").alias("n"))
+    gv = base.groupBy(*quasi_cols, "_v").agg(F.count("*").alias("_c"))
+    grid = (
+        groups.crossJoin(F.broadcast(vals))
+        .join(gv, [*quasi_cols, "_v"], "left")
+        .select(
+            *quasi_cols,
+            "n",
+            "_v",
+            "_m",
+            (
+                F.coalesce(F.col("_c"), F.lit(0)) / F.col("n")
+                - F.col("_p")
+            ).alias("_d"),
+        )
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("_cum", F.sum("_d").over(w))
+        .groupBy(*quasi_cols, "n")
+        .agg(
+            F.round(
+                F.when(
+                    F.max("_m") > 1,
+                    F.sum(F.abs(F.col("_cum"))) / (F.max("_m") - 1),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("t")
+        )
+    )

@@ -96,3 +96,91 @@ def trimmed_mean_udaf(trim: float = 0.1):
         return float(kept.mean())
 
     return trimmed_mean
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorized + trimmed robust moments — the outlier-
+    hardened location/scale report (Tukey & McLaughlin 1963) a
+    quality dashboard wants when a handful of pathological documents
+    would otherwise own the mean: clamp at the exact discrete
+    [p_lo, p_hi] quantiles (winsorize), and separately drop beyond
+    them (trim).
+
+    Quantile convention is percentile_disc (functions/popularity.py):
+    the smallest value whose cumulative count reaches ``ceil(p·n)``
+    — an actual datum, exactly SQL-replayable.
+
+    Returns ``(group, n, lo, hi, mean_w, std_w, trimmed_mean,
+    n_trimmed)``, floats rounded 6.
+
+    Scale shape: the distinct-value-catalog discipline (q296/q297) —
+    quantiles come from a (group, value, cnt) catalog aggregate plus
+    ONE window over that catalog (partitioned by group, |catalog|
+    rows, never the corpus), bounds re-attach by broadcast, and the
+    moments are one clamp-then-aggregate pass. No collect_list, no
+    per-group sort of raw rows, no collect.
+    """
+    if not 0 <= p_lo < p_hi <= 1:
+        raise ValueError("need 0 <= p_lo < p_hi <= 1")
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("group"), v.alias("_v")
+    )
+    cat = base.groupBy("group", "_v").agg(F.count("*").alias("_c"))
+    wg = Window.partitionBy("group")
+    wc = (
+        Window.partitionBy("group")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cat.select(
+        "group",
+        "_v",
+        F.sum("_c").over(wc).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    k_lo = F.greatest(F.ceil(F.lit(p_lo) * F.col("_n")), F.lit(1))
+    k_hi = F.greatest(F.ceil(F.lit(p_hi) * F.col("_n")), F.lit(1))
+    bounds = cum.groupBy("group").agg(
+        F.min(F.when(F.col("_cum") >= k_lo, F.col("_v"))).alias("_lo"),
+        F.min(F.when(F.col("_cum") >= k_hi, F.col("_v"))).alias("_hi"),
+    )
+    clamped = base.join(F.broadcast(bounds), "group").select(
+        "group",
+        "_lo",
+        "_hi",
+        "_v",
+        F.least(F.greatest(F.col("_v"), F.col("_lo")), F.col("_hi")).alias(
+            "_w"
+        ),
+    )
+    return clamped.groupBy("group").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("_lo"), 6).alias("lo"),
+        F.round(F.min("_hi"), 6).alias("hi"),
+        F.round(F.avg("_w"), 6).alias("mean_w"),
+        F.round(F.stddev_pop("_w"), 6).alias("std_w"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("_v") >= F.col("_lo"))
+                    & (F.col("_v") <= F.col("_hi")),
+                    F.col("_v"),
+                )
+            ),
+            6,
+        ).alias("trimmed_mean"),
+        F.sum(
+            (
+                (F.col("_v") < F.col("_lo")) | (F.col("_v") > F.col("_hi"))
+            ).cast("long")
+        ).alias("n_trimmed"),
+    )

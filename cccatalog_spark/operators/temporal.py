@@ -11,6 +11,8 @@ attribution (interval containment) are everyday 100 TB-pipeline asks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -513,3 +515,161 @@ def match_event_sequence(
         )
 
     return df.groupBy(key_col).applyInPandas(run, schema)
+
+def seasonal_decompose(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of Macaulay 1931, `statsmodels.seasonal_decompose`'s
+    default) of a regular series: ``y = trend + seasonal + resid``.
+
+    trend    = centered ``period``-point moving average (even periods
+               use the standard half-weight endpoints via a 2×MA);
+    seasonal = per-phase mean of (y - trend), re-centered to sum 0
+               over one period;
+    resid    = y - trend - seasonal (null where trend is null — the
+               ``period//2`` edge points have no centered window).
+
+    Input must be one row per time step (pre-aggregate first);
+    ``time_col`` must be integer-indexable (epoch days / step index).
+    Returns ``(t, y, trend, seasonal, resid)`` floats rounded 6.
+
+    Scale shape: the series frame is a CATALOG (a daily rollup of a
+    100 TB event log is a few thousand rows) — the corpus-sized work
+    is the aggregation the caller did to build it. Here: one
+    full-window moving average (single-partition window over the
+    catalog, explicitly acceptable at catalog size), one per-phase
+    aggregate (≤ period rows) broadcast back. Nothing corpus-wide.
+    """
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    t = F.col(time_col).cast("long")
+    y = F.col(value_col).cast("double")
+    base = series.select(t.alias("t"), y.alias("y"))
+    half = period // 2
+    w = Window.orderBy("t").rowsBetween(-half, half)
+    if period % 2 == 1:
+        trend = F.when(
+            F.count("y").over(w) == period, F.avg("y").over(w)
+        )
+    else:
+        # even period: 2×MA == window of period+1 points with the two
+        # endpoints half-weighted
+        wsum = (
+            F.sum("y").over(w)
+            - (F.first("y").over(w) + F.last("y").over(w)) / 2.0
+        )
+        trend = F.when(
+            F.count("y").over(w) == period + 1, wsum / period
+        )
+    d = base.withColumn("_trend", trend).withColumn(
+        "_phase", F.pmod(F.col("t"), F.lit(period))
+    )
+    d = d.persist()
+    ph = d.groupBy("_phase").agg(
+        F.avg(F.col("y") - F.col("_trend")).alias("_s_raw")
+    )
+    ctr = ph.agg(F.avg("_s_raw").alias("_s_mean"))
+    ph = ph.crossJoin(F.broadcast(ctr)).select(
+        "_phase", (F.col("_s_raw") - F.col("_s_mean")).alias("_seasonal")
+    )
+    return (
+        d.join(F.broadcast(ph), "_phase")
+        .select(
+            F.col("t"),
+            F.round("y", 6).alias("y"),
+            F.round("_trend", 6).alias("trend"),
+            F.round("_seasonal", 6).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("_trend") - F.col("_seasonal"), 6
+            ).alias("resid"),
+        )
+    )
+
+def mann_kendall_trend(
+    series: DataFrame, time_col: str, value_col: str
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test (Mann 1945, Kendall 1975)
+    over a regular series — the nonparametric "is this drifting"
+    companion to theil_sen_trend's slope:
+
+        S     = Σ_{i<j} sgn(v_j − v_i)
+        var S = (n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)) / 18
+        z     = (S∓1)/sqrt(var S)  (continuity-corrected, 0 if S=0)
+
+    Two-sided p from the Abramowitz-Stegun 26.2.17 polynomial for the
+    normal tail — explicit algebra, so the SQL oracle reproduces it
+    term-for-term (same discipline as q296's KS p).
+
+    Returns one row ``(n, s, var_s, z, p_value, trend)`` where trend
+    ∈ {'increasing','decreasing','no_trend'} at α=0.05.
+
+    Scale shape: the series is a catalog (caller pre-aggregates —
+    same contract as seasonal_decompose/cusum); S is a catalog² pair
+    join counted with integer arithmetic, tie terms one catalog
+    aggregate. Nothing touches raw corpus rows.
+    """
+    t = F.col(time_col).cast("long")
+    v = F.col(value_col).cast("double")
+    base = series.where(t.isNotNull() & v.isNotNull()).select(
+        t.alias("_t"), v.alias("_v")
+    )
+    base = base.persist()
+    a = base.alias("a")
+    b = base.alias("b")
+    s = a.join(b, F.col("a._t") < F.col("b._t")).agg(
+        F.sum(
+            F.signum(F.col("b._v") - F.col("a._v")).cast("long")
+        ).alias("s")
+    )
+    ties = (
+        base.groupBy("_v")
+        .agg(F.count("*").alias("_tc"))
+        .agg(
+            F.count("*").alias("_nv"),
+            F.sum("_tc").alias("n"),
+            F.sum(
+                F.col("_tc")
+                * (F.col("_tc") - 1)
+                * (2 * F.col("_tc") + 5)
+            ).alias("tie_term"),
+        )
+    )
+    j = s.crossJoin(F.broadcast(ties))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    z = F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s)).when(
+        F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    j = j.select("n", "s", F.round(var_s, 6).alias("var_s"), z.alias("_z"))
+    # A&S 26.2.17: 1 - Phi(x) = phi(x)(b1 k + ... + b5 k^5),
+    # k = 1/(1 + 0.2316419 x), x >= 0; two-sided p = 2 * tail(|z|)
+    x = F.abs(F.col("_z"))
+    k = 1.0 / (1.0 + 0.2316419 * x)
+    poly = (
+        0.319381530 * k
+        - 0.356563782 * k * k
+        + 1.781477937 * k * k * k
+        - 1.821255978 * k * k * k * k
+        + 1.330274429 * k * k * k * k * k
+    )
+    phi = F.exp(-x * x / 2.0) / math.sqrt(2.0 * math.pi)
+    p = F.least(2.0 * phi * poly, F.lit(1.0))
+    return j.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("s"),
+        "var_s",
+        F.round("_z", 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        # threshold the ROUNDED p so the SQL twin's libm exp, which
+        # may differ in the last ulp, can never flip the label
+        F.when(F.round(p, 6) >= 0.05, F.lit("no_trend"))
+        .when(F.col("s") > 0, F.lit("increasing"))
+        .otherwise(F.lit("decreasing"))
+        .alias("trend"),
+    )

@@ -16030,3 +16030,621 @@ def q298_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srm_check(
         assigned, "split", dict(_SPLITS), alpha=0.001
     )
+
+
+# ---------------------------------------------------------------------------
+# q299 — link prediction (operators/graph.link_prediction_scores):
+# common-neighbors / Jaccard / Adamic-Adar over the part∈order
+# bipartite membership frame — candidate pairs generated per
+# container (Σ deg² work, basket-bounded), never items². Top-20 by
+# Adamic-Adar.
+# ---------------------------------------------------------------------------
+@query(
+    "q299_link_prediction",
+    oracle="""
+    WITH m AS (SELECT DISTINCT l_orderkey AS c, l_partkey AS i
+               FROM lineitem),
+    deg AS (SELECT c, count(*) AS d FROM m GROUP BY 1),
+    idg AS (SELECT i, count(*) AS di FROM m GROUP BY 1),
+    p AS (SELECT a.i AS id_a, b.i AS id_b,
+                 count(*) AS common,
+                 sum(1.0 / ln(deg.d)) AS aa
+          FROM m a
+          JOIN m b ON a.c = b.c AND a.i < b.i
+          JOIN deg ON deg.c = a.c
+          WHERE deg.d >= 2
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)
+    SELECT p.id_a, p.id_b, p.common,
+           round(CAST(p.common AS DOUBLE)
+                 / (da.di + db.di - p.common), 6) AS jaccard,
+           round(p.aa, 6) AS adamic_adar
+    FROM p
+    JOIN idg da ON da.i = p.id_a
+    JOIN idg db ON db.i = p.id_b
+    ORDER BY round(p.aa, 6) DESC, p.id_a, p.id_b
+    LIMIT 20
+    """,
+)
+def q299_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import link_prediction_scores
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("item"),
+        F.col("l_orderkey").alias("container"),
+    )
+    s = link_prediction_scores(
+        li, "item", "container", min_common=2
+    )
+    return (
+        s.select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+        .orderBy(
+            F.desc(F.round("adamic_adar", 6)), F.asc("id_a"), F.asc("id_b")
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q300 — t-closeness audit (operators/privacy.t_closeness_audit):
+# per (lang, source) group, normalized ordered-EMD gap between the
+# group's n_chars-bucket distribution and the global one — the
+# homogeneity-attack guard beside q236's k-anonymity. Dense
+# group×catalog grid, one catalog-sized window.
+# ---------------------------------------------------------------------------
+@query(
+    "q300_t_closeness",
+    oracle="""
+    WITH b AS (SELECT lang, source,
+                      CAST(floor(n_chars / 500) AS BIGINT) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+    vals AS (SELECT v, CAST(count(*) AS DOUBLE) AS gn FROM b GROUP BY 1),
+    t AS (SELECT CAST(sum(gn) AS DOUBLE) AS nn,
+                 CAST(count(*) AS DOUBLE) AS m FROM vals),
+    pv AS (SELECT v, gn / t.nn AS p, t.m FROM vals, t),
+    g AS (SELECT lang, source, count(*) AS n FROM b GROUP BY 1, 2),
+    gv AS (SELECT lang, source, v, CAST(count(*) AS DOUBLE) AS c
+           FROM b GROUP BY 1, 2, 3),
+    grid AS (SELECT g.lang, g.source, g.n, pv.v, pv.m,
+                    coalesce(gv.c, 0) / g.n - pv.p AS d
+             FROM g CROSS JOIN pv
+             LEFT JOIN gv ON gv.lang = g.lang AND gv.source = g.source
+                          AND gv.v = pv.v),
+    c AS (SELECT lang, source, n, m,
+                 sum(d) OVER (PARTITION BY lang, source ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+          FROM grid)
+    SELECT lang, source, n,
+           round(CASE WHEN max(m) > 1
+                      THEN sum(abs(cum)) / (max(m) - 1)
+                      ELSE 0.0 END, 6) AS t
+    FROM c GROUP BY 1, 2, 3
+    ORDER BY 4 DESC, lang, source
+    LIMIT 20
+    """,
+)
+def q300_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.privacy import t_closeness_audit
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 500).cast("long").alias("bucket"),
+        )
+    )
+    out = t_closeness_audit(d, ["lang", "source"], "bucket")
+    return out.orderBy(
+        F.desc("t"), F.asc("lang"), F.asc("source")
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q301 — n-gram novelty (operators/corpus_stats.ngram_novelty): per
+# document, the fraction of its distinct 3-gram shingles first seen
+# in THIS document (by doc_id ingest order) — the memorization /
+# boilerplate-freshness audit. One min(id) aggregate carries the
+# whole temporal comparison; the corpus never self-joins. Bottom-20
+# (least novel = most derivative documents).
+# ---------------------------------------------------------------------------
+@query(
+    "q301_ngram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s, len(s) AS n_sh FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM shn),
+    f AS (SELECT g, min(doc_id) AS first_id FROM ex GROUP BY 1),
+    nv AS (SELECT first_id AS doc_id, count(*) AS novel
+           FROM f GROUP BY 1)
+    SELECT shn.doc_id AS id, shn.n_sh,
+           coalesce(nv.novel, 0) AS novel,
+           round(CAST(coalesce(nv.novel, 0) AS DOUBLE) / shn.n_sh, 6)
+               AS novelty
+    FROM shn LEFT JOIN nv USING (doc_id)
+    ORDER BY novelty, id
+    LIMIT 20
+    """,
+)
+def q301_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = ngram_novelty(d, "text", "doc_id", k=3)
+    return out.orderBy(F.asc("novelty"), F.asc("id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q302 — classical seasonal decomposition (operators/temporal.
+# seasonal_decompose): daily event volume = trend (centered 7-day MA)
+# + weekday seasonal + residual — the "is Sunday always low or is
+# this a real dip" report. The corpus-sized stage is the daily
+# rollup; everything after runs on the day catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q302_seasonal_decompose",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t
+               FROM events),
+    d AS (SELECT t, CAST(count(*) AS DOUBLE) AS y FROM e GROUP BY 1),
+    tr AS (SELECT t, y,
+                  CASE WHEN count(y) OVER w7 = 7
+                       THEN avg(y) OVER w7 END AS trend
+           FROM d
+           WINDOW w7 AS (ORDER BY t
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    ph AS (SELECT t % 7 AS phase, avg(y - trend) AS s_raw
+           FROM tr GROUP BY 1),
+    ctr AS (SELECT avg(s_raw) AS s_mean FROM ph),
+    se AS (SELECT phase, s_raw - ctr.s_mean AS seasonal FROM ph, ctr)
+    SELECT tr.t, round(tr.y, 6) AS y, round(tr.trend, 6) AS trend,
+           round(se.seasonal, 6) AS seasonal,
+           round(tr.y - tr.trend - se.seasonal, 6) AS resid
+    FROM tr JOIN se ON tr.t % 7 = se.phase
+    ORDER BY tr.t
+    """,
+)
+def q302_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import seasonal_decompose
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t")
+    )
+    daily = e.groupBy("t").agg(F.count("*").cast("double").alias("y"))
+    out = seasonal_decompose(daily, "t", "y", period=7)
+    return out.orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# q303 — delete-1 jackknife for a ratio-of-sums metric (operators/
+# experiments.jackknife_ratio): chars-per-token by language with the
+# jackknife SE the naive i.i.d. formula gets wrong — the closed-form
+# LOO replicas are pure column algebra, never n recomputations.
+# ---------------------------------------------------------------------------
+@query(
+    "q303_jackknife_ratio",
+    oracle=f"""
+    WITH p AS (SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS y,
+                      CAST(len({_TOKS}) AS DOUBLE) AS x
+               FROM documents WHERE n_chars IS NOT NULL),
+    s AS (SELECT grp, sum(y) AS sy, sum(x) AS sx, count(*) AS n
+          FROM p GROUP BY 1),
+    l AS (SELECT p.grp, s.n, s.sy, s.sx,
+                 CASE WHEN s.sx - p.x <> 0
+                      THEN (s.sy - p.y) / (s.sx - p.x) END AS r
+          FROM p JOIN s USING (grp)),
+    a AS (SELECT grp, n, sy, sx,
+                 var_pop(r) AS vr, count(r) AS nr
+          FROM l GROUP BY 1, 2, 3, 4),
+    f AS (SELECT grp, n,
+                 CASE WHEN sx <> 0 THEN sy / sx END AS ratio,
+                 CASE WHEN nr = n AND n > 1
+                      THEN sqrt((n - 1) * vr) END AS se
+          FROM a)
+    SELECT grp AS "group", n, round(ratio, 6) AS ratio,
+           round(se, 6) AS se_jack,
+           round(ratio - CAST(1.959963984540054 AS DOUBLE) * se, 6)
+               AS ci_lo,
+           round(ratio + CAST(1.959963984540054 AS DOUBLE) * se, 6)
+               AS ci_hi
+    FROM f
+    ORDER BY 1
+    """,
+)
+def q303_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions import text as TX
+    from cccatalog_spark.operators.experiments import jackknife_ratio
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            "lang",
+            F.col("n_chars").cast("double").alias("chars"),
+            F.size(TX.tokens(F.col("text"))).cast("double").alias("toks"),
+        )
+    )
+    return jackknife_ratio(d, "lang", "chars", "toks").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q304 — Monte-Carlo permutation test (operators/experiments.
+# permutation_test): is the en-vs-zh n_chars gap bigger than label
+# shuffling alone produces? 200 md5-derandomized relabelings ride one
+# exploded axis into a single (replica, label) aggregate; integer
+# values make every replica mean bit-exact between engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q304_permutation_test",
+    oracle="""
+    WITH p AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS x,
+                      lang = 'en' AS ia
+               FROM documents
+               WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL),
+    o AS (SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_a,
+                 CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_b,
+                 abs(avg(CASE WHEN ia THEN x END)
+                     - avg(CASE WHEN NOT ia THEN x END)) AS d_obs
+          FROM p),
+    r AS (SELECT p.x, o.d_obs, g.rep,
+                 (CAST(('0x' || substring(
+                      md5('perm:' || CAST(g.rep AS VARCHAR) || ':'
+                          || CAST(p.doc_id AS VARCHAR)), 1, 12))
+                      AS BIGINT) + CAST(0.5 AS DOUBLE))
+                 / CAST(281474976710656.0 AS DOUBLE)
+                 < CAST(o.n_a AS DOUBLE) / (o.n_a + o.n_b) AS pa
+          FROM p, o, (SELECT unnest(range(0, 200)) AS rep) g),
+    pm AS (SELECT rep, max(d_obs) AS d_obs,
+                  abs(avg(CASE WHEN pa THEN x END)
+                      - avg(CASE WHEN NOT pa THEN x END)) AS d
+           FROM r GROUP BY 1),
+    h AS (SELECT sum(CASE WHEN d IS NULL OR d >= d_obs
+                          THEN 1 ELSE 0 END) AS ge
+          FROM pm)
+    SELECT o.n_a, o.n_b, round(o.d_obs, 6) AS observed_diff,
+           200 AS k,
+           round((1 + h.ge) / CAST(201.0 AS DOUBLE), 6) AS p_value
+    FROM o, h
+    """,
+)
+def q304_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import permutation_test
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return permutation_test(
+        d, "lang", "n_chars", "en", "zh", k=200, id_col="doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q305 — h-truncated harmonic centrality (operators/graph.
+# harmonic_centrality, Boldi-Vigna 2014) over the q97 fulfilment
+# graph at h=2: bounded all-pairs BFS carrying the source on each
+# frontier row; the O(V·ball) pair frame is the exact price of the
+# truncated definition (HyperBall's HLL counters are the documented
+# full-web swap). Top-20.
+# ---------------------------------------------------------------------------
+@query(
+    "q305_harmonic_centrality",
+    oracle="""
+    WITH ed AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+                                'C' || CAST(o_custkey AS VARCHAR) AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    und AS (SELECT a AS n, b AS m FROM ed UNION SELECT b, a FROM ed),
+    d2 AS (SELECT DISTINCT u1.n, u2.m
+           FROM und u1 JOIN und u2 ON u1.m = u2.n
+           WHERE u1.n <> u2.m),
+    d2o AS (SELECT n, m FROM d2 EXCEPT SELECT n, m FROM und),
+    h1 AS (SELECT n, CAST(count(*) AS BIGINT) AS c1 FROM und GROUP BY 1),
+    h2 AS (SELECT n, CAST(count(*) AS BIGINT) AS c2 FROM d2o GROUP BY 1)
+    SELECT h1.n AS node, h1.c1 + coalesce(h2.c2, 0) AS n_reached,
+           round(h1.c1 + CAST(0.5 AS DOUBLE) * coalesce(h2.c2, 0), 6)
+               AS harmonic
+    FROM h1 LEFT JOIN h2 USING (n)
+    ORDER BY 3 DESC, 1 LIMIT 20
+    """,
+)
+def q305_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import harmonic_centrality
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    h = harmonic_centrality(edges, max_hops=2)
+    return h.orderBy(F.desc("harmonic"), F.asc("node")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q306 — TextRank keywords (operators/retrieval.textrank_keywords,
+# Mihalcea-Tarau 2004): PageRank over the corpus word-adjacency
+# graph (lowercased ≥4-letter tokens, window 2, undirected
+# unweighted). The oracle unrolls the identical 5-iteration
+# recurrence over the identically-specified edge CTE. Top-20 words.
+# ---------------------------------------------------------------------------
+def _textrank_oracle_sql(iterations: int = 5) -> str:
+    toks = _TOKS
+    edge_ctes = [
+        """t AS (
+        SELECT list_filter(list_transform(%s, x -> lower(x)),
+                           x -> regexp_matches(x, '^[a-z]{4,}$')) AS ft
+        FROM documents)""" % toks,
+        """bp AS (
+        SELECT list_transform(range(1, len(ft)),
+                              i -> [ft[i], ft[i + 1]]) AS ps
+        FROM t WHERE len(ft) >= 2)""",
+        "pr AS (SELECT unnest(ps) AS p FROM bp)",
+        """e0 AS (SELECT p[1] AS a, p[2] AS b FROM pr
+        WHERE p[1] <> p[2])""",
+        """ed AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+        FROM e0)""",
+        """edges AS (SELECT a AS src, b AS dst FROM ed
+        UNION ALL SELECT b, a FROM ed)""",
+        """nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges)""",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes)",
+        """outdeg AS (
+        SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM edges GROUP BY src)""",
+        """r0 AS (
+        SELECT node, (SELECT CAST(1.0 AS DOUBLE) / nn FROM n) AS r
+        FROM nodes)""",
+    ]
+    for t in range(1, iterations + 1):
+        edge_ctes.append(
+            f"""r{t} AS (
+        SELECT nodes.node,
+               (SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn
+                FROM n)
+               + CAST(0.85 AS DOUBLE) * coalesce(s.m, CAST(0 AS DOUBLE)) AS r
+        FROM nodes LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r / o.deg) AS m
+            FROM edges e
+            JOIN r{t - 1} p ON e.src = p.node
+            JOIN outdeg o ON e.src = o.src
+            GROUP BY e.dst) s USING (node))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(edge_ctes)
+        + f"""
+    SELECT node AS word, round(r, 8) AS rank
+    FROM r{iterations}
+    ORDER BY round(r, 8) DESC, node LIMIT 20"""
+    )
+
+
+@query("q306_textrank", oracle=_textrank_oracle_sql(5))
+def q306_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import textrank_keywords
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    r = textrank_keywords(d, "text", iterations=5, min_len=4)
+    return r.orderBy(F.desc("rank"), F.asc("word")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q307 — winsorized + trimmed robust moments (operators/stats.
+# winsorized_stats): per-language n_chars clamped/trimmed at the
+# exact disc [p5, p95] — quantiles from the distinct-value catalog
+# (one catalog window), never a raw-row sort. Complements q203's
+# Arrow trimmed-mean UDAF with the all-codegen form.
+# ---------------------------------------------------------------------------
+@query(
+    "q307_winsorized_stats",
+    oracle="""
+    WITH b AS (SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+    cat AS (SELECT grp, v, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (SELECT grp, v,
+                   sum(c) OVER (PARTITION BY grp ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY grp) AS n
+            FROM cat),
+    bd AS (SELECT grp,
+                  min(CASE WHEN cm >= greatest(ceil(0.05 * n), 1)
+                           THEN v END) AS lo,
+                  min(CASE WHEN cm >= greatest(ceil(0.95 * n), 1)
+                           THEN v END) AS hi
+           FROM cum GROUP BY 1),
+    j AS (SELECT b.grp, b.v, bd.lo, bd.hi,
+                 least(greatest(b.v, bd.lo), bd.hi) AS w
+          FROM b JOIN bd USING (grp))
+    SELECT grp AS "group", CAST(count(*) AS BIGINT) AS n,
+           round(min(lo), 6) AS lo, round(min(hi), 6) AS hi,
+           round(avg(w), 6) AS mean_w,
+           round(stddev_pop(w), 6) AS std_w,
+           round(avg(CASE WHEN v BETWEEN lo AND hi THEN v END), 6)
+               AS trimmed_mean,
+           CAST(sum(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_trimmed
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+)
+def q307_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import winsorized_stats
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return winsorized_stats(d, "lang", "n_chars", 0.05, 0.95).orderBy(
+        "group"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q308 — Spearman rank correlation (operators/dependence.
+# spearman_corr): chars-vs-tokens monotone association via mid-ranks
+# off the distinct-value catalogs (no global row sort); ranks are
+# exact half-integers so the final Pearson-on-ranks agrees across
+# engines bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "q308_spearman",
+    oracle=f"""
+    WITH p AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                      CAST(len({_TOKS}) AS DOUBLE) AS y
+               FROM documents WHERE n_chars IS NOT NULL),
+    cx AS (SELECT x, count(*) AS c FROM p GROUP BY 1),
+    rx AS (SELECT x, sum(c) OVER (ORDER BY x
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                     - c + (c + 1) / 2.0 AS rxx
+           FROM cx),
+    cy AS (SELECT y, count(*) AS c FROM p GROUP BY 1),
+    ry AS (SELECT y, sum(c) OVER (ORDER BY y
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                     - c + (c + 1) / 2.0 AS ryy
+           FROM cy),
+    j AS (SELECT rx.rxx, ry.ryy
+          FROM p JOIN rx USING (x) JOIN ry USING (y))
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(rxx, ryy), 6) AS rho
+    FROM j
+    """,
+)
+def q308_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions import text as TX
+    from cccatalog_spark.operators.dependence import spearman_corr
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            F.col("n_chars").cast("double").alias("x"),
+            F.size(TX.tokens(F.col("text"))).cast("double").alias("y"),
+        )
+    )
+    return spearman_corr(d, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# q309 — Kendall tau-b (operators/dependence.kendall_tau_b) on
+# pre-binned chars/tokens: concordant/discordant mass from the joint
+# CELL catalog self-join (catalog², never rows²), tie-corrected;
+# everything integer until the final division.
+# ---------------------------------------------------------------------------
+@query(
+    "q309_kendall_tau",
+    oracle=f"""
+    WITH p AS (SELECT CAST(floor(n_chars / 500) AS BIGINT) AS x,
+                      CAST(floor(len({_TOKS}) / 100) AS BIGINT) AS y
+               FROM documents WHERE n_chars IS NOT NULL),
+    cells AS (SELECT x, y, count(*) AS c FROM p GROUP BY 1, 2),
+    cd AS (SELECT sum(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+                      AS cc,
+                  sum(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+                      AS dd
+           FROM cells a JOIN cells b ON a.x < b.x),
+    tx AS (SELECT sum(t) AS n, sum(t * (t - 1) / 2) AS n1
+           FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+    ty AS (SELECT sum(t * (t - 1) / 2) AS n2
+           FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+    SELECT CAST(tx.n AS BIGINT) AS n,
+           CAST(cd.cc AS BIGINT) AS concordant,
+           CAST(cd.dd AS BIGINT) AS discordant,
+           round(CASE WHEN (tx.n * (tx.n - 1) / 2.0 - tx.n1)
+                           * (tx.n * (tx.n - 1) / 2.0 - ty.n2) > 0
+                      THEN (cd.cc - cd.dd)
+                           / sqrt((tx.n * (tx.n - 1) / 2.0 - tx.n1)
+                                  * (tx.n * (tx.n - 1) / 2.0 - ty.n2))
+                 END, 6) AS tau_b
+    FROM cd, tx, ty
+    """,
+)
+def q309_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions import text as TX
+    from cccatalog_spark.operators.dependence import kendall_tau_b
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select(
+            F.floor(F.col("n_chars") / 500).cast("long").alias("x"),
+            F.floor(F.size(TX.tokens(F.col("text"))) / 100)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return kendall_tau_b(d, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# q310 — Mann-Kendall trend test (operators/temporal.
+# mann_kendall_trend) on daily event volume: S from the day-catalog
+# pair join, tie-corrected variance, continuity-corrected z, A&S
+# 26.2.17 normal-tail p replicated term-for-term in the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q310_mann_kendall",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t
+               FROM events),
+    d AS (SELECT t, CAST(count(*) AS DOUBLE) AS v FROM e GROUP BY 1),
+    s AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                               WHEN b.v < a.v THEN -1
+                               ELSE 0 END) AS BIGINT) AS s
+          FROM d a JOIN d b ON a.t < b.t),
+    ti AS (SELECT CAST(sum(tc) AS BIGINT) AS n,
+                  sum(tc * (tc - 1) * (2 * tc + 5)) AS tie
+           FROM (SELECT count(*) AS tc FROM d GROUP BY v)),
+    vz AS (SELECT s.s, ti.n,
+                  (ti.n * (ti.n - 1) * (2 * ti.n + 5) - ti.tie)
+                      / 18.0 AS var_s
+           FROM s, ti),
+    zz AS (SELECT n, s, var_s,
+                  CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                       WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                       ELSE 0.0 END AS z
+           FROM vz),
+    pp AS (SELECT n, s, var_s, z,
+                  least(2.0 * (exp(-abs(z) * abs(z) / 2.0)
+                               / sqrt(2.0 * pi()))
+                        * (0.319381530
+                               * (1.0 / (1.0 + 0.2316419 * abs(z)))
+                           - 0.356563782
+                               * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 2)
+                           + 1.781477937
+                               * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 3)
+                           - 1.821255978
+                               * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 4)
+                           + 1.330274429
+                               * pow(1.0 / (1.0 + 0.2316419 * abs(z)), 5)),
+                        CAST(1.0 AS DOUBLE)) AS p
+           FROM zz)
+    SELECT n, s, round(var_s, 6) AS var_s, round(z, 6) AS z,
+           round(p, 6) AS p_value,
+           CASE WHEN round(p, 6) >= 0.05 THEN 'no_trend'
+                WHEN s > 0 THEN 'increasing'
+                ELSE 'decreasing' END AS trend
+    FROM pp
+    """,
+)
+def q310_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import mann_kendall_trend
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t")
+    )
+    daily = e.groupBy("t").agg(F.count("*").cast("double").alias("v"))
+    return mann_kendall_trend(daily, "t", "v")
