@@ -624,3 +624,66 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+def concentration_report(df: DataFrame, group_col: str) -> DataFrame:
+    """Source-concentration report — the "is the mix dominated by one
+    crawl/source" governance card computed before training on a
+    blend: per-category shares summarized as
+
+        top1_share         max p_i
+        hhi                Σ p_i²           (Herfindahl-Hirschman)
+        entropy            −Σ p_i ln p_i
+        effective_groups   exp(entropy)     (perplexity of the mix —
+                                             "how many equal sources
+                                             is this worth")
+        gini               group-level Gini over category sizes
+
+    Returns one row ``(n_rows, n_groups, top1_share, hhi, entropy,
+    effective_groups, gini)``, floats rounded 6. Null categories
+    count as a category (they are a real slice of the mix).
+
+    Scale shape: ONE map-side-combinable count aggregate collapses
+    the corpus to the category catalog; shares/entropy/HHI are a
+    second catalog aggregate, and Gini adds one window (row_number
+    by size) over that catalog. Nothing corpus-wide after the first
+    groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    cat = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count("*").cast("double").alias("_c")
+    )
+    # deterministic Gini rank: order by (count, category) so tied
+    # sizes rank identically in the SQL twin; the unpartitioned
+    # window/total both run on the category CATALOG only
+    w = Window.orderBy("_v", "_g2")
+    ranked = cat.select(
+        F.col("_c").alias("_v"),
+        # null category still ranks deterministically (engines
+        # disagree on default null ordering — sentinel it out)
+        F.coalesce(F.col("_g").cast("string"), F.lit("\x00null")).alias(
+            "_g2"
+        ),
+    ).withColumn("_i", F.row_number().over(w))
+    tot = ranked.agg(F.sum("_v").alias("_t"))
+    p = F.col("_v") / F.col("_t")
+    ent = -F.sum(p * F.log(p))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum("_v").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.round(F.max(p), 6).alias("top1_share"),
+            F.round(F.sum(p * p), 6).alias("hhi"),
+            F.round(ent, 6).alias("entropy"),
+            F.round(F.exp(ent), 6).alias("effective_groups"),
+            F.round(
+                (
+                    2.0 * F.sum(F.col("_i") * F.col("_v"))
+                    - (F.count("*") + 1) * F.sum("_v")
+                )
+                / (F.count("*") * F.sum("_v")),
+                6,
+            ).alias("gini"),
+        )
+    )

@@ -16648,3 +16648,118 @@ def q310_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = e.groupBy("t").agg(F.count("*").cast("double").alias("v"))
     return mann_kendall_trend(daily, "t", "v")
+
+
+# ---------------------------------------------------------------------------
+# q311 — HyperBall harmonic centrality (operators/graph.
+# hyperball_harmonic, Boldi-Vigna WSDM'14): q305's exact truncated
+# harmonic swapped for per-node 256-register HLL ball sketches —
+# state bounded at |V|·256 FOREVER, the form that exists at full web
+# scale. md5-derandomized registers ⇒ the oracle replays the
+# IDENTICAL estimates, so even the approximation has a hard value
+# gate. Top-20.
+# ---------------------------------------------------------------------------
+def _hyperball_oracle_sql(max_hops: int = 2) -> str:
+    est = (
+        "SELECT node, round(CASE WHEN CAST({a!r} AS DOUBLE)"
+        " / (CAST(256 - n_used AS DOUBLE) + zu)"
+        " <= CAST(640.0 AS DOUBLE) AND n_used < 256"
+        " THEN CAST(256.0 AS DOUBLE)"
+        " * ln(CAST(256.0 AS DOUBLE) / CAST(256 - n_used AS DOUBLE))"
+        " ELSE CAST({a!r} AS DOUBLE)"
+        " / (CAST(256 - n_used AS DOUBLE) + zu) END, 4) AS e"
+        " FROM (SELECT node, CAST(count(*) AS INTEGER) AS n_used,"
+        " sum(power(CAST(2.0 AS DOUBLE), -mr)) AS zu"
+        " FROM {reg} GROUP BY 1)"
+    )
+    ctes = [
+        """ed AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+                                 'C' || CAST(o_custkey AS VARCHAR) AS b
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        "und AS (SELECT a AS n, b AS m FROM ed UNION SELECT b, a FROM ed)",
+        "nodes AS (SELECT DISTINCT n AS node FROM und)",
+        "hx0 AS (SELECT node, md5(CAST(node AS VARCHAR)) AS hx FROM nodes)",
+        f"hh AS (SELECT node, {_KMV_FOLD} AS h FROM hx0)",
+        """r0 AS (SELECT node, h % 256 AS j,
+                 CASE WHEN h // 256 = 0 THEN 53
+                      ELSE CAST(round(log2((h // 256) & (-(h // 256))))
+                           AS INTEGER) + 1 END AS mr
+          FROM hh)""",
+        "e0 AS (" + est.format(a=_HLLC, reg="r0") + ")",
+    ]
+    for t in range(1, max_hops + 1):
+        ctes.append(
+            f"""r{t} AS (SELECT node, j, max(mr) AS mr FROM (
+            SELECT u.n AS node, r.j, r.mr
+            FROM und u JOIN r{t - 1} r ON r.node = u.m
+            UNION ALL SELECT node, j, mr FROM r{t - 1}) GROUP BY 1, 2)"""
+        )
+        ctes.append(f"e{t} AS (" + est.format(a=_HLLC, reg=f"r{t}") + ")")
+    inc = " + ".join(
+        f"greatest(e{t}.e - e{t - 1}.e, CAST(0.0 AS DOUBLE)) / {t}.0"
+        for t in range(1, max_hops + 1)
+    )
+    joins = " ".join(
+        f"JOIN e{t} ON e{t}.node = e0.node"
+        for t in range(1, max_hops + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e0.node, e{max_hops}.e AS ball_est,
+           round({inc}, 5) AS harmonic_hll
+    FROM e0 {joins}
+    ORDER BY round({inc}, 5) DESC, e0.node LIMIT 20"""
+    )
+
+
+@query("q311_hyperball_harmonic", oracle=_hyperball_oracle_sql(2))
+def q311_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import hyperball_harmonic
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    h = hyperball_harmonic(edges, max_hops=2)
+    return h.orderBy(F.desc("harmonic_hll"), F.asc("node")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q312 — source-concentration report (operators/corpus_stats.
+# concentration_report): top-1 share, HHI, entropy, effective source
+# count (exp H), group-level Gini — the mix-governance card. One
+# corpus aggregate; everything else on the category catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q312_concentration",
+    oracle="""
+    WITH cat AS (SELECT source AS g, CAST(count(*) AS DOUBLE) AS v
+                 FROM documents GROUP BY 1),
+    rk AS (SELECT v,
+                  row_number() OVER (
+                      ORDER BY v,
+                      coalesce(CAST(g AS VARCHAR), chr(0) || 'null'))
+                      AS i
+           FROM cat),
+    t AS (SELECT sum(v) AS tt FROM rk)
+    SELECT CAST(sum(v) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           round(max(v / tt), 6) AS top1_share,
+           round(sum((v / tt) * (v / tt)), 6) AS hhi,
+           round(-sum(v / tt * ln(v / tt)), 6) AS entropy,
+           round(exp(-sum(v / tt * ln(v / tt))), 6)
+               AS effective_groups,
+           round((2.0 * sum(i * v) - (count(*) + 1) * sum(v))
+                 / (count(*) * sum(v)), 6) AS gini
+    FROM rk, t
+    """,
+)
+def q312_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import concentration_report
+
+    d = load_table(spark, sf_dir, "documents").select("source")
+    return concentration_report(d, "source")
