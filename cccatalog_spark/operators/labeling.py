@@ -196,3 +196,83 @@ def krippendorff_alpha_nominal(
         )
     )
     return out
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    item_col: str,
+    category_col: str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for a
+    FIXED number of raters per item with nominal categories, the
+    multi-rater generalization Cohen's kappa (q215) can't provide
+    (rater identity is irrelevant to the statistic — only per-item
+    category counts enter, so the input is simply one row per
+    (item, assigned category) rating):
+
+        P_i  = (Σ_j n_ij² − r) / (r(r−1))     per-item agreement
+        P̄    = mean_i P_i
+        P_e  = Σ_j p_j²,  p_j = Σ_i n_ij / (N·r)
+        κ    = (P̄ − P_e) / (1 − P_e)
+
+    Items that do not have exactly ``n_raters`` ratings are DROPPED
+    (Fleiss assumes a constant panel size; partial panels would bias
+    P_i) and reported in ``n_dropped``.
+
+    Returns one row ``(n_items, n_raters, n_dropped, p_bar, p_e,
+    kappa)``, floats rounded 6 (κ null when P_e = 1 — a single
+    observed category has no chance-corrected scale).
+
+    Scale shape: one (item, category) count aggregate, one item-keyed
+    rollup for P_i, one category-catalog aggregate for p_j — all
+    map-side combinable; the final algebra is a 1-row cross of two
+    catalog aggregates. No windows over the corpus, no collect.
+    """
+    if n_raters < 2:
+        raise ValueError("n_raters must be >= 2")
+    r = float(n_raters)
+    nij = labels.groupBy(
+        F.col(item_col).alias("_i"), F.col(category_col).alias("_c")
+    ).agg(F.count("*").alias("_n"))
+    per_item = nij.groupBy("_i").agg(
+        F.sum("_n").alias("_r"),
+        F.sum(F.col("_n") * F.col("_n")).alias("_sq"),
+    )
+    per_item = per_item.withColumn("_ok", F.col("_r") == n_raters)
+    pi = per_item.agg(
+        F.sum(F.col("_ok").cast("long")).alias("n_items"),
+        F.sum((~F.col("_ok")).cast("long")).alias("n_dropped"),
+        F.avg(
+            F.when(
+                F.col("_ok"),
+                (F.col("_sq") - r) / (r * (r - 1.0)),
+            )
+        ).alias("p_bar"),
+    )
+    kept = nij.join(
+        per_item.where("_ok").select("_i"), "_i"
+    )
+    pe = (
+        kept.groupBy("_c")
+        .agg(F.sum("_n").cast("double").alias("_cj"))
+        .agg(
+            (
+                F.sum(F.col("_cj") * F.col("_cj"))
+                / (F.sum("_cj") * F.sum("_cj"))
+            ).alias("p_e")
+        )
+    )
+    out = pi.crossJoin(F.broadcast(pe))
+    kappa = F.when(
+        F.col("p_e") < 1.0,
+        (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")),
+    )
+    return out.select(
+        "n_items",
+        F.lit(n_raters).alias("n_raters"),
+        "n_dropped",
+        F.round("p_bar", 6).alias("p_bar"),
+        F.round("p_e", 6).alias("p_e"),
+        F.round(kappa, 6).alias("kappa"),
+    )

@@ -1180,3 +1180,109 @@ def matryoshka_overlap(
             F.round(F.count("_fid") / F.lit(float(k)), 6).alias("overlap"),
         )
     )
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection rows
+    (Achlioptas 2003's database-friendly JL: Rademacher entries keep
+    the guarantee of Gaussian JL while the projection stays exact
+    integer-sign arithmetic). LCG-seeded like _hyperplanes — plan
+    literals, reproducible across engines with no numpy in the plan.
+    """
+    state = seed & 0x7FFFFFFF
+    rows = []
+    for _ in range(out_dim):
+        v = []
+        for _ in range(in_dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            v.append(1.0 if state & 1 else -1.0)
+        rows.append(v)
+    return rows
+
+
+def jl_project(
+    vec: Column, rows: list[list[float]]
+) -> Column:
+    """Project an embedding onto the JL sign rows:
+    ``y_j = Σ_i x_i·r_ji / sqrt(k)``. Pure sequential-fold column
+    algebra (same _dot discipline the cosine path uses → bit-identical
+    in a SQL replay), no shuffle, no UDF — at 100 TB this is a narrow
+    map stage that cuts every downstream distance computation by
+    in_dim/out_dim."""
+    k = len(rows)
+    return F.array(
+        *[
+            (_dot(vec, F.array(*[F.lit(v) for v in r])) / math.sqrt(k))
+            for r in rows
+        ]
+    )
+
+
+def jl_distortion_audit(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    eps: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """JL projection quality report over consecutive-id pairs: the
+    squared-distance ratio ``||Px−Py||²/||x−y||²`` concentrates
+    around 1 (the JL lemma); this audits how tight it actually is at
+    the chosen ``out_dim`` before wiring the projection in front of
+    an ANN stage (q26/q47's documented prefilter trade).
+
+    Returns one row ``(n_pairs, out_dim, mean_ratio, min_ratio,
+    max_ratio, frac_within)`` — ``frac_within`` = share of pairs with
+    ratio in [1−eps, 1+eps]; floats rounded 6. Identical-vector pairs
+    (zero original distance) are excluded (ratio undefined).
+
+    Scale shape: projection is a narrow map; pairing is ONE id-keyed
+    self-join (consecutive ids — the q286 pairing idiom, a stand-in
+    for whatever bounded pair sample the caller prefers); the report
+    is one aggregate.
+    """
+    rows = jl_signs(in_dim, out_dim, seed)
+    proj = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_x"),
+        jl_project(F.col(vec_col), rows).alias("_p"),
+    )
+    a = proj.alias("a")
+    b = proj.alias("b")
+
+    def _d2(u: Column, v: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                u,
+                v,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    pairs = a.join(
+        b, F.col("a._id") + 1 == F.col("b._id")
+    ).select(
+        _d2(F.col("a._x"), F.col("b._x")).alias("_do"),
+        _d2(F.col("a._p"), F.col("b._p")).alias("_dp"),
+    ).where(F.col("_do") > 0)
+    ratio = F.col("_dp") / F.col("_do")
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.lit(out_dim).alias("out_dim"),
+        F.round(F.avg(ratio), 6).alias("mean_ratio"),
+        F.round(F.min(ratio), 6).alias("min_ratio"),
+        F.round(F.max(ratio), 6).alias("max_ratio"),
+        F.round(
+            F.avg(
+                (
+                    (ratio >= 1.0 - eps) & (ratio <= 1.0 + eps)
+                ).cast("double")
+            ),
+            6,
+        ).alias("frac_within"),
+    )

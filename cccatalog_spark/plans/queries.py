@@ -16334,8 +16334,11 @@ def q304_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q305 — h-truncated harmonic centrality (operators/graph.
-# harmonic_centrality, Boldi-Vigna 2014) over the q97 fulfilment
-# graph at h=2: bounded all-pairs BFS carrying the source on each
+# harmonic_centrality, Boldi-Vigna 2014) over one month of the
+# fulfilment graph at h=2 (the O(V·ball) pair frame is the exact
+# price of the definition — measured 395 s on the FULL sf0.1 graph
+# vs 54 s for q311's sketch; the slice keeps the exact form bench-
+# sized): bounded all-pairs BFS carrying the source on each
 # frontier row; the O(V·ball) pair frame is the exact price of the
 # truncated definition (HyperBall's HLL counters are the documented
 # full-web swap). Top-20.
@@ -16345,7 +16348,9 @@ def q304_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ed AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
                                 'C' || CAST(o_custkey AS VARCHAR) AS b
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate >= DATE '1995-03-01'
+                  AND l_shipdate < DATE '1995-04-01'),
     und AS (SELECT a AS n, b AS m FROM ed UNION SELECT b, a FROM ed),
     d2 AS (SELECT DISTINCT u1.n, u2.m
            FROM und u1 JOIN und u2 ON u1.m = u2.n
@@ -16363,7 +16368,14 @@ def q304_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q305_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cccatalog_spark.operators.graph import harmonic_centrality
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
@@ -16675,7 +16687,9 @@ def _hyperball_oracle_sql(max_hops: int = 2) -> str:
     ctes = [
         """ed AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
                                  'C' || CAST(o_custkey AS VARCHAR) AS b
-                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 WHERE l_shipdate >= DATE '1995-03-01'
+                   AND l_shipdate < DATE '1995-04-01')""",
         "und AS (SELECT a AS n, b AS m FROM ed UNION SELECT b, a FROM ed)",
         "nodes AS (SELECT DISTINCT n AS node FROM und)",
         "hx0 AS (SELECT node, md5(CAST(node AS VARCHAR)) AS hx FROM nodes)",
@@ -16718,7 +16732,14 @@ def _hyperball_oracle_sql(max_hops: int = 2) -> str:
 def q311_hyperball_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cccatalog_spark.operators.graph import hyperball_harmonic
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
         F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
@@ -16763,3 +16784,150 @@ def q312_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("source")
     return concentration_report(d, "source")
+
+
+# ---------------------------------------------------------------------------
+# q313 — Fleiss' kappa (operators/labeling.fleiss_kappa, Fleiss
+# 1971): 3-rater agreement on document language — the metadata lang,
+# q23's lang_id on the full text, and lang_id on the first half of
+# the tokens (the "does the prediction survive truncation"
+# consistency panel). Chance-corrected multi-rater agreement that
+# Cohen's kappa (q215) can't express.
+# ---------------------------------------------------------------------------
+def _langid_case_sql(toks: str) -> str:
+    def sc(markers: str) -> str:
+        return (
+            f"len(list_filter({toks}, x -> list_contains([{markers}], x)))"
+        )
+
+    s_de = sc("'der','die','das','und','ist'")
+    s_en = sc("'the','and','of','is','was'")
+    s_es = sc("'el','la','los','las','es'")
+    s_fr = sc("'le','la','les','est','et'")
+    s_zh = sc("'de5','shi4','le5','zai4','he2'")
+    return f"""CASE WHEN greatest({s_de}, {s_en}, {s_es}, {s_fr}, {s_zh}) = 0
+             THEN 'und'
+         WHEN {s_de} >= {s_en} AND {s_de} >= {s_es} AND {s_de} >= {s_fr}
+              AND {s_de} >= {s_zh} THEN 'de'
+         WHEN {s_en} >= {s_es} AND {s_en} >= {s_fr} AND {s_en} >= {s_zh}
+             THEN 'en'
+         WHEN {s_es} >= {s_fr} AND {s_es} >= {s_zh} THEN 'es'
+         WHEN {s_fr} >= {s_zh} THEN 'fr'
+         ELSE 'zh' END"""
+
+
+@query(
+    "q313_fleiss_kappa",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    h AS (SELECT doc_id, lang, toks,
+                 list_slice(toks, 1, (len(toks) + 1) // 2) AS hd
+          FROM t),
+    labels AS (
+        SELECT doc_id, lang AS cat FROM h
+        UNION ALL
+        SELECT doc_id, {_langid_case_sql("toks")} AS cat FROM h
+        UNION ALL
+        SELECT doc_id, {_langid_case_sql("hd")} AS cat FROM h),
+    nij AS (SELECT doc_id, cat, count(*) AS n FROM labels GROUP BY 1, 2),
+    per AS (SELECT doc_id, sum(n) AS r, sum(n * n) AS sq
+            FROM nij GROUP BY 1),
+    pi AS (SELECT CAST(sum(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_items,
+                  CAST(sum(CASE WHEN r <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_dropped,
+                  avg(CASE WHEN r = 3
+                           THEN (sq - 3.0) / (3.0 * 2.0) END) AS p_bar
+           FROM per),
+    pe AS (SELECT sum(cj * cj) / (sum(cj) * sum(cj)) AS p_e
+           FROM (SELECT CAST(sum(n) AS DOUBLE) AS cj
+                 FROM nij
+                 JOIN (SELECT doc_id FROM per WHERE r = 3) k
+                 USING (doc_id)
+                 GROUP BY cat))
+    SELECT pi.n_items, 3 AS n_raters, pi.n_dropped,
+           round(pi.p_bar, 6) AS p_bar, round(pe.p_e, 6) AS p_e,
+           round(CASE WHEN pe.p_e < 1.0
+                      THEN (pi.p_bar - pe.p_e) / (1.0 - pe.p_e) END, 6)
+               AS kappa
+    FROM pi, pe
+    """,
+)
+def q313_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions import text as TX
+    from cccatalog_spark.operators.labeling import fleiss_kappa
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = TX.tokens(F.col("text"))
+    head = F.array_join(
+        F.slice(toks, 1, ((F.size(toks) + 1) / 2).cast("int")), " "
+    )
+    labels = (
+        d.select("doc_id", F.col("lang").alias("cat"))
+        .unionAll(
+            d.select("doc_id", TX.lang_id(F.col("text")).alias("cat"))
+        )
+        .unionAll(d.select("doc_id", TX.lang_id(head).alias("cat")))
+    )
+    return fleiss_kappa(labels, "doc_id", "cat", n_raters=3)
+
+
+# ---------------------------------------------------------------------------
+# q314 — Johnson-Lindenstrauss distortion audit (operators/
+# similarity.jl_distortion_audit, Achlioptas 2003 ±1 rows): squared-
+# distance ratios 64→16 dims over consecutive-id pairs. Projection
+# and distances are sequential-fold algebra mirrored term-for-term
+# in the oracle, so even the "random" projection sits under a hard
+# value gate.
+# ---------------------------------------------------------------------------
+def _jl_oracle_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    import math as _math
+
+    from cccatalog_spark.operators.similarity import jl_signs
+
+    rows = jl_signs(in_dim, out_dim, seed=7)
+    rk = _math.sqrt(float(out_dim))
+    projs = []
+    for j, r in enumerate(rows):
+        terms = " + ".join(
+            f"x[{i + 1}] * ({'1.0' if v > 0 else '-1.0'})"
+            for i, v in enumerate(r)
+        )
+        projs.append(f"({terms}) / {rk!r} AS p{j}")
+    proj_sql = ",\n                 ".join(projs)
+    dorig = " + ".join(
+        f"(a.x[{i + 1}] - b.x[{i + 1}]) * (a.x[{i + 1}] - b.x[{i + 1}])"
+        for i in range(in_dim)
+    )
+    dproj = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})" for j in range(out_dim)
+    )
+    return f"""
+    WITH p AS (SELECT vec_id AS id, embedding::DOUBLE[] AS x,
+                 {proj_sql}
+               FROM embeddings),
+    pr AS (SELECT ({dorig}) AS dorig, ({dproj}) AS dproj
+           FROM p a JOIN p b ON a.id + 1 = b.id),
+    r AS (SELECT dproj / dorig AS ratio FROM pr WHERE dorig > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs, {out_dim} AS out_dim,
+           round(avg(ratio), 6) AS mean_ratio,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio,
+           round(avg(CASE WHEN ratio >= 0.5 AND ratio <= 1.5
+                          THEN 1.0 ELSE 0.0 END), 6) AS frac_within
+    FROM r
+    """
+
+
+@query("q314_jl_distortion", oracle=_jl_oracle_sql(16, 64))
+def q314_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.similarity import jl_distortion_audit
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return jl_distortion_audit(
+        e, "embedding", "vec_id", out_dim=16, in_dim=64, eps=0.5, seed=7
+    )
