@@ -687,3 +687,52 @@ def concentration_report(df: DataFrame, group_col: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+def lexical_profile(
+    docs: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group lexical richness card — the corpus-comparison table
+    (docs, tokens, vocabulary size, type-token ratio, hapax share,
+    mean token length) a data report prints per source/language
+    before mixing: low TTR + high repetition flags template farms,
+    hapax share tracks vocabulary freshness (the pointwise sibling of
+    the q265 Heaps fit).
+
+    Returns one row per group: ``(group, n_docs, n_tokens, n_types,
+    ttr, hapax_share, avg_token_len)``, floats rounded 6. Tokens are
+    lowercased whitespace tokens (unigram_counts' convention).
+
+    Scale shape: one explode → (group, term) count aggregate (map-side
+    combined — the corpus collapses to per-group vocabularies), one
+    group rollup, plus a separate doc-count aggregate joined back;
+    token lengths fold off the vocabulary catalog, never raw rows.
+    """
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    ex = (
+        docs.select(F.col(group_col).alias("group"), toks.alias("_t"))
+        .select("group", F.explode("_t").alias("_w"))
+        .groupBy("group", "_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    vocab = ex.groupBy("group").agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum((F.col("_c") == 1).cast("long")).alias("_hapax"),
+        F.sum(F.length("_w") * F.col("_c")).alias("_chars"),
+    )
+    nd = docs.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").alias("n_docs")
+    )
+    return nd.join(vocab, "group", "left").select(
+        "group",
+        "n_docs",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("n_types"), F.lit(0)).alias("n_types"),
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(F.col("_hapax") / F.col("n_types"), 6).alias(
+            "hapax_share"
+        ),
+        F.round(F.col("_chars") / F.col("n_tokens"), 6).alias(
+            "avg_token_len"
+        ),
+    )

@@ -16931,3 +16931,175 @@ def q314_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_distortion_audit(
         e, "embedding", "vec_id", out_dim=16, in_dim=64, eps=0.5, seed=7
     )
+
+
+# ---------------------------------------------------------------------------
+# q315 — robust outlier listing by modified z-score (operators/
+# stats.mad_outliers, Iglewicz-Hoaglin 1993): per-event-type value
+# outliers at |M| > 3.5 — median and MAD off two distinct-value-
+# catalog rounds, so the cutoff is immune to the very tail it flags.
+# Top-20 by |M|.
+# ---------------------------------------------------------------------------
+@query(
+    "q315_mad_outliers",
+    oracle="""
+    WITH b AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+               FROM events WHERE value IS NOT NULL),
+    c1 AS (SELECT grp, v, count(*) AS c FROM b GROUP BY 1, 2),
+    m1 AS (SELECT grp,
+                  min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1)
+                           THEN v END) AS med
+           FROM (SELECT grp, v,
+                        sum(c) OVER (PARTITION BY grp ORDER BY v
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+                        sum(c) OVER (PARTITION BY grp) AS n
+                 FROM c1)
+           GROUP BY 1),
+    d AS (SELECT b.grp, b.v, m1.med, abs(b.v - m1.med) AS dev
+          FROM b JOIN m1 USING (grp)),
+    c2 AS (SELECT grp, dev, count(*) AS c FROM d GROUP BY 1, 2),
+    m2 AS (SELECT grp,
+                  min(CASE WHEN cum >= greatest(ceil(0.5 * n), 1)
+                           THEN dev END) AS mad
+           FROM (SELECT grp, dev,
+                        sum(c) OVER (PARTITION BY grp ORDER BY dev
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+                        sum(c) OVER (PARTITION BY grp) AS n
+                 FROM c2)
+           GROUP BY 1),
+    s AS (SELECT d.grp, d.v, d.med, m2.mad,
+                 0.6745 * (d.v - d.med) / m2.mad AS z
+          FROM d JOIN m2 USING (grp)
+          WHERE m2.mad > 0)
+    SELECT grp AS "group", round(v, 6) AS value, round(med, 6) AS med,
+           round(mad, 6) AS mad, round(z, 6) AS mod_z
+    FROM s WHERE abs(z) > 3.5
+    ORDER BY abs(round(z, 6)) DESC, "group", value
+    LIMIT 20
+    """,
+)
+def q315_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import mad_outliers
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = mad_outliers(e, "event_type", "value", threshold=3.5)
+    return out.orderBy(
+        F.abs(F.col("mod_z")).desc(), F.asc("group"), F.asc("value")
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q316 — per-language lexical richness card (operators/corpus_stats.
+# lexical_profile): tokens, vocabulary, TTR, hapax share, mean token
+# length — the pointwise sibling of the q265 Heaps fit; one explode
+# into a (group, term) aggregate, folds off the vocabulary catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q316_lexical_profile",
+    oracle=f"""
+    WITH t AS (SELECT lang,
+                      list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    ex AS (SELECT lang, unnest(toks) AS w FROM t),
+    cnt AS (SELECT lang AS grp, w, count(*) AS c FROM ex GROUP BY 1, 2),
+    v AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+                 sum(len(w) * c) AS chars
+          FROM cnt GROUP BY 1),
+    nd AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1)
+    SELECT nd.grp AS "group", nd.n_docs,
+           coalesce(v.n_tokens, 0) AS n_tokens,
+           coalesce(v.n_types, 0) AS n_types,
+           round(CAST(v.n_types AS DOUBLE) / v.n_tokens, 6) AS ttr,
+           round(CAST(v.hapax AS DOUBLE) / v.n_types, 6) AS hapax_share,
+           round(CAST(v.chars AS DOUBLE) / v.n_tokens, 6)
+               AS avg_token_len
+    FROM nd LEFT JOIN v USING (grp)
+    ORDER BY 1
+    """,
+)
+def q316_lexical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import lexical_profile
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return lexical_profile(d, "text", "lang").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q317 — streaming heavy hitters (streaming/stateful.
+# heavy_hitters_topk, SpaceSaving ICDT'05): sharded capacity-bounded
+# summaries in keyed state across three micro-batches, merged by
+# summing ests per key. Capacity covers the fixture's key domain, so
+# the final summary is EXACT — the oracle is the plain count. Tests
+# pin the eviction/overestimation path.
+# ---------------------------------------------------------------------------
+@query(
+    "q317_stream_heavy_hitters",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS est
+    FROM events WHERE event_id % 4 = 2
+    GROUP BY event_type
+    ORDER BY est DESC, event_type
+    """,
+)
+def q317_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import heavy_hitters_topk
+
+    base = tempfile.mkdtemp(prefix="ccc_hh_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 4 == 2)
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        (
+            e.where(F.col("event_id") % 3 == i)
+            .select("event_type")
+            .coalesce(1)
+            .write.option("sep", "\t")
+            .mode("overwrite")
+            .csv(stage)
+        )
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            os.rename(
+                os.path.join(stage, parts[0]),
+                os.path.join(src, f"batch{i}.tsv"),
+            )
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    hh = heavy_hitters_topk(stream, "event_type", capacity=8, n_shards=4)
+    sink = f"q317_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        hh.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # last emission per (shard, key) is the final summary; merge
+    # shards by summing ests (the Misra-Gries-family merge)
+    return spark.sql(
+        f"""
+        SELECT event_type, CAST(sum(est) AS BIGINT) AS est
+        FROM (SELECT shard, event_type, max(est) AS est
+              FROM {sink} GROUP BY shard, event_type)
+        GROUP BY event_type
+        ORDER BY est DESC, event_type
+        """
+    )

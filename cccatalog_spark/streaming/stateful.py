@@ -421,3 +421,98 @@ def lsh_bucket_claims(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_topk(
+    stream: DataFrame,
+    key_col: str,
+    capacity: int = 8,
+    n_shards: int = 4,
+) -> DataFrame:
+    """Streaming heavy hitters by sharded SpaceSaving (Metwally,
+    Agrawal & El Abbadi, ICDT'05) — "which keys dominate the stream,
+    in bounded memory" when the key domain is too large for an exact
+    per-key state store. Each of ``n_shards`` hash shards keeps a
+    ``capacity``-entry summary in state; when a new key arrives at a
+    full summary it REPLACES the current minimum, inheriting its
+    count as the overestimation error:
+
+        est(k) ∈ [true(k), true(k) + err(k)]   (the SpaceSaving bound)
+
+    Per trigger the shard emits its full summary (update mode);
+    shard summaries merge downstream by summing ests per key (the
+    standard Misra-Gries-family merge). When every shard's distinct
+    keys fit in ``capacity`` the summary is EXACT (err 0) — the
+    regime the oracle pins; tests pin the eviction path.
+
+    Determinism: batch rows collapse to per-key counts first and
+    summaries apply keys in sorted order, so the evicted victim never
+    depends on partition order (ties break toward the smallest key,
+    which holds the minimum slot after the sorted sweep).
+
+    State per shard: three parallel arrays (keys, counts, errs) of
+    length ≤ capacity — O(shards·capacity) total, independent of the
+    stream's key cardinality; that bound is the operator's contract
+    at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    if capacity < 1 or n_shards < 1:
+        raise ValueError("capacity and n_shards must be >= 1")
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            keys, counts, errs = state.get
+            summ = {
+                k: [c, e] for k, c, e in zip(keys, counts, errs)
+            }
+        else:
+            summ = {}
+        batch: dict[str, int] = {}
+        for pdf in pdfs:
+            for k, c in pdf[key_col].value_counts().items():
+                batch[k] = batch.get(k, 0) + int(c)
+        for k in sorted(batch):
+            c = batch[k]
+            if k in summ:
+                summ[k][0] += c
+            elif len(summ) < capacity:
+                summ[k] = [c, 0]
+            else:
+                victim = min(summ, key=lambda x: (summ[x][0], x))
+                vcount = summ[victim][0]
+                del summ[victim]
+                summ[k] = [vcount + c, vcount]
+        ks = sorted(summ)
+        state.update(
+            ([k for k in ks],
+             [summ[k][0] for k in ks],
+             [summ[k][1] for k in ks])
+        )
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(ks),
+                key_col: ks,
+                "est": [summ[k][0] for k in ks],
+                "err": [summ[k][1] for k in ks],
+            }
+        )
+
+    sharded = stream.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards))
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"shard long, {key_col} string, est long, err long"
+        ),
+        stateStructType=(
+            "keys array<string>, counts array<long>, errs array<long>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -102,12 +102,57 @@ SANCTIONED_GLOBAL_WINDOW = {
     # experiments.ks_test / effect_sizes
     "q296_ks_test",
     "q297_effect_sizes",
+    # mid-rank cumsums over the DISTINCT-VALUE catalogs (corpus
+    # collapses to per-value counts first) — dependence.spearman_corr
+    "q308_spearman",
+    # trend/seasonal windows over the DAILY catalog (raw rows collapse
+    # to one row per day first) — temporal.seasonal_decompose
+    "q302_seasonal_decompose",
+    # Gini row_number over the CATEGORY catalog (one count aggregate
+    # collapses the corpus first) — corpus_stats.concentration_report
+    "q312_concentration",
 }
 
 
 # family -> (query, budget): every budget key must hold as <= (ints)
 # or == (bools) on the measured metrics
 FAMILIES = {
+    # link prediction: candidates generated per container (one pair
+    # self-join + two item-degree joins + the deg>=2 cut join);
+    # Σdeg² work, never items² (graph.link_prediction_scores)
+    "link-prediction-per-container": (
+        "q299_link_prediction",
+        {"joins": 5, "exchanges": 13},
+    ),
+    # n-gram novelty: ONE min(id) aggregate carries the temporal
+    # comparison; exactly one join (novel counts back to doc sizes),
+    # the corpus never self-joins (corpus_stats.ngram_novelty)
+    "novelty-single-min-aggregate": (
+        "q301_ngram_novelty",
+        {"joins": 1, "exchanges": 4},
+    ),
+    # permutation test: k relabelings ride ONE exploded axis into a
+    # (replica,label) aggregate — zero joins, cost k×scan, never n²
+    # (experiments.permutation_test)
+    "permutation-explode-constant": (
+        "q304_permutation_test",
+        {"joins": 0, "exchanges": 7},
+    ),
+    # HyperBall: per-round register merge persisted + lineage-cut, so
+    # the FINAL plan is round-count-independent (reads the cached
+    # register frame; graph.hyperball_harmonic) — like logreg's
+    # truncated-lineage contract
+    "hyperball-truncated-lineage": (
+        "q311_hyperball_harmonic",
+        {"joins": 0, "exchanges": 1},
+    ),
+    # JL audit: projection is a narrow map (plan-literal matrix, no
+    # UDF); ONE consecutive-id self-join; one 1-row report aggregate
+    # (similarity.jl_distortion_audit)
+    "jl-narrow-projection": (
+        "q314_jl_distortion",
+        {"joins": 1, "arrow_udf_nodes": 0, "exchanges": 3},
+    ),
     # one gram-frequency window + one lag window + fan_out; NO pair
     # join, no suffix array (SCALE.md 'substring dedup', Lee ACL'22)
     "substring-dedup-no-pair-join": (
