@@ -736,3 +736,75 @@ def lexical_profile(
             "avg_token_len"
         ),
     )
+
+def hill_tail_index(
+    df: DataFrame, value_col: str, k: int = 50
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975):
+
+        alpha = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))
+
+    over the k largest observations — "how heavy is the tail" for
+    document lengths, domain sizes, degree distributions; the
+    numeric sibling of the q193 Zipf slope (which fits ranks, not
+    tail order statistics). Also reports the standard asymptotic
+    se = alpha/sqrt(k).
+
+    Returns one row ``(n, k, x_k1, alpha, se)``, floats rounded 6.
+    Requires at least k+1 positive values (null row otherwise is
+    avoided — raises early if the catalog proves too small at plan
+    time is impossible, so the guard is a null alpha).
+
+    Scale shape: the corpus collapses to the (value, count) catalog
+    in one aggregate; the descending cumulative rank and the top-k
+    log-fold both run over that catalog (ONE window), with the
+    boundary value's count capped so exactly k observations enter.
+    No raw-row sort, no collect.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & (v > 0)).select(v.alias("_v"))
+    cat = base.groupBy("_v").agg(F.count("*").alias("_c"))
+    w = (
+        Window.orderBy(F.desc("_v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cat.select(
+        "_v",
+        "_c",
+        F.sum("_c").over(w).alias("_cum"),
+    )
+    # x_(k+1): the largest value whose descending cumulative count
+    # exceeds k
+    xk1 = cum.where(F.col("_cum") >= k + 1).agg(
+        F.max("_v").alias("_xk1")
+    )
+    n = base.agg(F.count("*").alias("n"))
+    top = (
+        cum.crossJoin(F.broadcast(xk1))
+        .where(F.col("_v") > F.col("_xk1"))
+        .agg(
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("_nt"),
+            F.max("_xk1").alias("_xk1"),
+            F.coalesce(
+                F.sum(F.col("_c") * F.log(F.col("_v"))), F.lit(0.0)
+            ).alias("_slog"),
+        )
+    )
+    # fewer than k strictly-greater observations (ties at the
+    # boundary): the remaining k - nt slots sit AT x_(k+1) and
+    # contribute ln(x/x) = 0, so the sum needs no correction — only
+    # the divisor stays k
+    alpha = F.when(
+        (F.col("_xk1") > 0) & (F.col("_slog") > F.col("_nt") * F.log("_xk1")),
+        F.lit(float(k))
+        / (F.col("_slog") - F.col("_nt") * F.log(F.col("_xk1"))),
+    )
+    return n.crossJoin(F.broadcast(top)).select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).alias("k"),
+        F.round("_xk1", 6).alias("x_k1"),
+        F.round(alpha, 6).alias("alpha"),
+        F.round(alpha / _math.sqrt(float(k)), 6).alias("se"),
+    )

@@ -261,3 +261,53 @@ def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         d0.cast("long").alias("discordant"),
         F.round(F.when(denom > 0, (c0 - d0) / denom), 6).alias("tau_b"),
     )
+
+def chi2_cell_residuals(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Adjusted standardized residuals for every contingency cell
+    (Haberman 1973) — the DIAGNOSTIC behind a significant chi-square
+    (q175): which (x, y) cells actually drive the dependence, and in
+    which direction:
+
+        adj = (O − E) / sqrt(E · (1 − r/N) · (1 − c/N))
+
+    asymptotically N(0,1) under independence, so |adj| > 2 names the
+    culprit cells.
+
+    Returns one row per observed cell: ``(x, y, observed, expected,
+    adj_residual)``, floats rounded 6.
+
+    Scale shape: the contingency groupBy collapses the corpus to the
+    |X|·|Y| cell catalog; marginals are two more catalog aggregates
+    broadcast back; the residual algebra is codegen on catalog rows.
+    """
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    cells = base.groupBy("x", "y").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    rx = cells.groupBy("x").agg(F.sum("o").alias("_r"))
+    cy = cells.groupBy("y").agg(F.sum("o").alias("_c"))
+    nn = cells.agg(F.sum("o").alias("_n"))
+    j = (
+        cells.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(nn))
+    )
+    e = F.col("_r") * F.col("_c") / F.col("_n")
+    denom = F.sqrt(
+        e
+        * (1.0 - F.col("_r") / F.col("_n"))
+        * (1.0 - F.col("_c") / F.col("_n"))
+    )
+    return j.select(
+        "x",
+        "y",
+        F.col("o").cast("long").alias("observed"),
+        F.round(e, 6).alias("expected"),
+        F.round(
+            F.when(denom > 0, (F.col("o") - e) / denom), 6
+        ).alias("adj_residual"),
+    )

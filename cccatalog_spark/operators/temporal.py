@@ -673,3 +673,51 @@ def mann_kendall_trend(
         .otherwise(F.lit("decreasing"))
         .alias("trend"),
     )
+
+def dispersion_report(
+    series: DataFrame,
+    group_col: str,
+    time_col: str,
+) -> DataFrame:
+    """Index-of-dispersion (Fano factor) per group over a counting
+    process: variance-to-mean ratio of per-period event counts —
+    1 for a Poisson process, > 1 = bursty/clumped arrivals (bot
+    traffic, scripted crawls), < 1 = rate-limited/regular. The
+    per-series companion to q197's burst windows: one number that
+    says WHETHER a series is bursty before asking where.
+
+    Input is raw (group, period) event rows; periods with zero
+    events inside the group's observed [min, max] span COUNT as
+    zeros (omitting them inflates the mean and masks burstiness), so
+    the moments are computed over the full span length analytically
+    rather than by materializing zero rows:
+
+        mean = n / span,  var = Σc²/span − mean²
+
+    Returns ``(group, span, n_events, mean, variance, fano)``,
+    floats rounded 6 (span = #periods in [min, max]).
+
+    Scale shape: one (group, period) count aggregate, one group
+    rollup carrying Σc, Σc², min/max period — all map-side
+    combinable; the zero-period correction is closed-form algebra,
+    no grid join, no window.
+    """
+    per = series.select(
+        F.col(group_col).alias("group"),
+        F.col(time_col).cast("long").alias("_t"),
+    ).groupBy("group", "_t").agg(F.count("*").alias("_c"))
+    g = per.groupBy("group").agg(
+        (F.max("_t") - F.min("_t") + 1).alias("span"),
+        F.sum("_c").alias("n_events"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
+    )
+    mean = F.col("n_events") / F.col("span")
+    var = F.col("_sq") / F.col("span") - mean * mean
+    return g.select(
+        "group",
+        F.col("span").cast("long").alias("span"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(F.when(mean > 0, var / mean), 6).alias("fano"),
+    )

@@ -17103,3 +17103,131 @@ def q317_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY est DESC, event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q318 — Hill tail-index estimator (operators/corpus_stats.
+# hill_tail_index, Hill 1975): how heavy is the document-length
+# tail, from the k=50 largest order statistics — the tail sibling of
+# q193's Zipf rank fit. Catalog-window order statistics, no raw-row
+# sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q318_hill_tail",
+    oracle="""
+    WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+               WHERE n_chars IS NOT NULL AND n_chars > 0),
+    cat AS (SELECT v, count(*) AS c FROM b GROUP BY 1),
+    cum AS (SELECT v, c,
+                   sum(c) OVER (ORDER BY v DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cm
+            FROM cat),
+    xk AS (SELECT max(v) AS xk1 FROM cum WHERE cm >= 51),
+    top AS (SELECT coalesce(sum(cum.c), 0) AS nt,
+                   max(xk.xk1) AS xk1,
+                   coalesce(sum(cum.c * ln(cum.v)), 0.0) AS slog
+            FROM cum, xk WHERE cum.v > xk.xk1),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+    SELECT n.n, 50 AS k, round(top.xk1, 6) AS x_k1,
+           round(CASE WHEN top.xk1 > 0
+                       AND top.slog > top.nt * ln(top.xk1)
+                      THEN 50.0 / (top.slog - top.nt * ln(top.xk1))
+                 END, 6) AS alpha,
+           round(CASE WHEN top.xk1 > 0
+                       AND top.slog > top.nt * ln(top.xk1)
+                      THEN 50.0 / (top.slog - top.nt * ln(top.xk1))
+                           / sqrt(50.0)
+                 END, 6) AS se
+    FROM n, top
+    """,
+)
+def q318_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import hill_tail_index
+
+    d = load_table(spark, sf_dir, "documents").select("n_chars")
+    return hill_tail_index(d, "n_chars", k=50)
+
+
+# ---------------------------------------------------------------------------
+# q319 — chi-square cell diagnostics (operators/dependence.
+# chi2_cell_residuals, Haberman 1973): adjusted standardized
+# residuals per (lang, source) cell — WHICH cells drive q175's
+# significant chi-square, and in which direction. Catalog algebra
+# after one contingency aggregate. Top-20 by |residual|.
+# ---------------------------------------------------------------------------
+@query(
+    "q319_chi2_residuals",
+    oracle="""
+    WITH cells AS (SELECT lang AS x, source AS y,
+                          CAST(count(*) AS DOUBLE) AS o
+                   FROM documents GROUP BY 1, 2),
+    rx AS (SELECT x, sum(o) AS r FROM cells GROUP BY 1),
+    cy AS (SELECT y, sum(o) AS c FROM cells GROUP BY 1),
+    nn AS (SELECT sum(o) AS n FROM cells),
+    j AS (SELECT cells.x, cells.y, cells.o,
+                 rx.r * cy.c / nn.n AS e,
+                 sqrt(rx.r * cy.c / nn.n
+                      * (1.0 - rx.r / nn.n) * (1.0 - cy.c / nn.n))
+                     AS den
+          FROM cells JOIN rx USING (x) JOIN cy USING (y), nn)
+    SELECT x, y, CAST(o AS BIGINT) AS observed,
+           round(e, 6) AS expected,
+           round(CASE WHEN den > 0 THEN (o - e) / den END, 6)
+               AS adj_residual
+    FROM j
+    ORDER BY abs(round(CASE WHEN den > 0 THEN (o - e) / den END, 6))
+             DESC, x, y
+    LIMIT 20
+    """,
+)
+def q319_chi2_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dependence import chi2_cell_residuals
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "source")
+    out = chi2_cell_residuals(d, "lang", "source")
+    return out.orderBy(
+        F.abs(F.col("adj_residual")).desc(), F.asc("x"), F.asc("y")
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q320 — index of dispersion / Fano factor (operators/temporal.
+# dispersion_report): per-event-type burstiness of daily arrivals —
+# Poisson = 1, clumped > 1; zero days inside the span enter the
+# moments via closed-form algebra, no grid join.
+# ---------------------------------------------------------------------------
+@query(
+    "q320_dispersion",
+    oracle="""
+    WITH per AS (SELECT event_type AS grp,
+                        CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+                        count(*) AS c
+                 FROM events GROUP BY 1, 2),
+    g AS (SELECT grp, max(t) - min(t) + 1 AS span,
+                 sum(c) AS n, sum(c * c) AS sq
+          FROM per GROUP BY 1)
+    SELECT grp AS "group", CAST(span AS BIGINT) AS span,
+           CAST(n AS BIGINT) AS n_events,
+           round(n / CAST(span AS DOUBLE), 6) AS mean,
+           round(sq / CAST(span AS DOUBLE)
+                 - (n / CAST(span AS DOUBLE))
+                   * (n / CAST(span AS DOUBLE)), 6) AS variance,
+           round((sq / CAST(span AS DOUBLE)
+                  - (n / CAST(span AS DOUBLE))
+                    * (n / CAST(span AS DOUBLE)))
+                 / (n / CAST(span AS DOUBLE)), 6) AS fano
+    FROM g ORDER BY 1
+    """,
+)
+def q320_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import dispersion_report
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t"),
+    )
+    return dispersion_report(e, "event_type", "t").orderBy("group")
