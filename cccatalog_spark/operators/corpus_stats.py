@@ -808,3 +808,41 @@ def hill_tail_index(
         F.round(alpha, 6).alias("alpha"),
         F.round(alpha / _math.sqrt(float(k)), 6).alias("se"),
     )
+
+def chao1_richness(docs: DataFrame, text_col: str) -> DataFrame:
+    """Chao1 unseen-vocabulary estimate (Chao 1984, bias-corrected
+    form) + Good's coverage — "how much vocabulary has this corpus
+    NOT seen yet", the budgeting question behind "will more data add
+    new types or just repeats" (the asymptote q265's Heaps fit only
+    extrapolates):
+
+        chao1    = V + F1(F1−1) / (2(F2+1))
+        coverage = 1 − F1/N          (Good 1953's missing-mass C)
+
+    F1/F2 = singleton/doubleton type counts, V = observed types,
+    N = tokens. Returns one row ``(n_tokens, n_types, f1, f2, chao1,
+    coverage)``, floats rounded 6.
+
+    Scale shape: the corpus collapses to the term catalog in one
+    aggregate; F1/F2/V/N are one rollup over it. Nothing else.
+    """
+    cnt = unigram_counts(docs, text_col)
+    return cnt.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("cnt") == 2).cast("long")).alias("f2"),
+        F.round(
+            F.count("*")
+            + F.sum((F.col("cnt") == 1).cast("long"))
+            * (F.sum((F.col("cnt") == 1).cast("long")) - 1)
+            / (2.0 * (F.sum((F.col("cnt") == 2).cast("long")) + 1)),
+            6,
+        ).alias("chao1"),
+        F.round(
+            1.0
+            - F.sum((F.col("cnt") == 1).cast("long"))
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

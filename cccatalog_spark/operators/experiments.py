@@ -709,3 +709,123 @@ def permutation_test(
             "p_value"
         ),
     )
+
+def capture_recapture(
+    df: DataFrame,
+    id_col: str,
+    p1: float = 0.3,
+    p2: float = 0.3,
+    salt1: str = "cap1:",
+    salt2: str = "cap2:",
+) -> DataFrame:
+    """Chapman capture-recapture population estimate (Chapman 1951;
+    Lincoln-Petersen's bias-corrected form): draw two INDEPENDENT
+    md5-derandomized samples and infer the total from their overlap,
+
+        N̂  = (n1+1)(n2+1)/(m+1) − 1
+        se = sqrt((n1+1)(n2+1)(n1−m)(n2−m) / ((m+1)²(m+2)))
+
+    — the estimator for "how big is the population we can only
+    sample" (dedup-cluster count from two crawl slices, total-domain
+    estimates from two index probes). Here the frame IS enumerable,
+    which is exactly what makes the estimator oracle-checkable: the
+    estimate can be compared to the known truth.
+
+    Returns one row ``(n1, n2, overlap, n_hat, se)``, rounded 6.
+
+    Scale shape: one pass computes both membership flags as column
+    algebra (two md5 draws per row) and ONE aggregate counts
+    n1/n2/m. Nothing else.
+    """
+    if not (0 < p1 <= 1 and 0 < p2 <= 1):
+        raise ValueError("sampling rates must be in (0, 1]")
+    from cccatalog_spark.operators.sampling import md5_u01
+
+    key = F.col(id_col).cast("string")
+    in1 = md5_u01(key, salt1) < p1
+    in2 = md5_u01(key, salt2) < p2
+    agg = df.where(F.col(id_col).isNotNull()).agg(
+        F.sum(in1.cast("long")).alias("n1"),
+        F.sum(in2.cast("long")).alias("n2"),
+        F.sum((in1 & in2).cast("long")).alias("m"),
+    )
+    n1, n2, m = F.col("n1"), F.col("n2"), F.col("m")
+    n_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1).cast("double")
+        * (n2 + 1)
+        * (n1 - m)
+        * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    return agg.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        m.cast("long").alias("overlap"),
+        F.round(n_hat, 6).alias("n_hat"),
+        F.round(F.sqrt(var), 6).alias("se"),
+    )
+
+
+def shift_share_decomposition(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mix-vs-rate decomposition of a metric change between two
+    periods (the shift-share / Oaxaca-style identity every metrics
+    review reaches for when "the average moved" needs a WHY):
+
+        Δ = Σ_g (s_B − s_A)·r_A     (mix: composition shifted)
+          + Σ_g s_A·(r_B − r_A)     (rate: within-group change)
+          + Σ_g Δs·Δr               (interaction)
+
+    with s = group's row share of its period, r = group mean of the
+    value. ``period_col`` must be boolean (false = period A / true =
+    period B). Returns one row per group with its contributions plus
+    the shares/rates: ``(group, share_a, share_b, rate_a, rate_b,
+    mix_effect, rate_effect, interaction)``, rounded 6; groups
+    missing from a period carry share 0 and rate 0 in it (their
+    whole contribution is then genuinely mix).
+
+    Scale shape: ONE (group, period) aggregate collapses the corpus;
+    period totals broadcast back; the identity is catalog algebra.
+    """
+    v = F.col(value_col).cast("double")
+    per = df.where(v.isNotNull()).groupBy(
+        F.col(group_col).alias("group"),
+        F.col(period_col).cast("boolean").alias("_b"),
+    ).agg(F.count("*").alias("_n"), F.sum(v).alias("_s"))
+    tot = per.groupBy("_b").agg(F.sum("_n").alias("_t"))
+    j = per.join(F.broadcast(tot), "_b")
+    wide = j.groupBy("group").agg(
+        F.coalesce(
+            F.max(F.when(~F.col("_b"), F.col("_n") / F.col("_t"))),
+            F.lit(0.0),
+        ).alias("share_a"),
+        F.coalesce(
+            F.max(F.when(F.col("_b"), F.col("_n") / F.col("_t"))),
+            F.lit(0.0),
+        ).alias("share_b"),
+        F.coalesce(
+            F.max(F.when(~F.col("_b"), F.col("_s") / F.col("_n"))),
+            F.lit(0.0),
+        ).alias("rate_a"),
+        F.coalesce(
+            F.max(F.when(F.col("_b"), F.col("_s") / F.col("_n"))),
+            F.lit(0.0),
+        ).alias("rate_b"),
+    )
+    ds = F.col("share_b") - F.col("share_a")
+    dr = F.col("rate_b") - F.col("rate_a")
+    return wide.select(
+        "group",
+        F.round("share_a", 6).alias("share_a"),
+        F.round("share_b", 6).alias("share_b"),
+        F.round("rate_a", 6).alias("rate_a"),
+        F.round("rate_b", 6).alias("rate_b"),
+        F.round(ds * F.col("rate_a"), 6).alias("mix_effect"),
+        F.round(F.col("share_a") * dr, 6).alias("rate_effect"),
+        F.round(ds * dr, 6).alias("interaction"),
+    )

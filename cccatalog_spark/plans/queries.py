@@ -17231,3 +17231,147 @@ def q320_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return dispersion_report(e, "event_type", "t").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q321 — Chapman capture-recapture (operators/experiments.
+# capture_recapture): population size inferred from the overlap of
+# two independent md5-derandomized 30% samples — and because the
+# documents table IS enumerable, the estimate sits right next to
+# its truth (500 at sf0.01-scale counts). One pass, one aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q321_capture_recapture",
+    oracle="""
+    WITH f AS (SELECT
+        (CAST(('0x' || substring(md5('cap1:'
+             || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+         + CAST(0.5 AS DOUBLE)) / CAST(281474976710656.0 AS DOUBLE)
+            < CAST(0.3 AS DOUBLE) AS in1,
+        (CAST(('0x' || substring(md5('cap2:'
+             || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+         + CAST(0.5 AS DOUBLE)) / CAST(281474976710656.0 AS DOUBLE)
+            < CAST(0.3 AS DOUBLE) AS in2
+      FROM documents WHERE doc_id IS NOT NULL),
+    a AS (SELECT
+        CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(sum(CASE WHEN in2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(sum(CASE WHEN in1 AND in2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS m
+      FROM f)
+    SELECT n1, n2, m AS overlap,
+           round((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1, 6)
+               AS n_hat,
+           round(sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)
+                      * (n2 - m)
+                      / ((m + 1) * (m + 1) * (m + 2))), 6) AS se
+    FROM a
+    """,
+)
+def q321_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import capture_recapture
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return capture_recapture(d, "doc_id", p1=0.3, p2=0.3)
+
+
+# ---------------------------------------------------------------------------
+# q322 — Chao1 unseen-vocabulary estimate + Good's coverage
+# (operators/corpus_stats.chao1_richness): the asymptote behind the
+# q265 Heaps extrapolation — "will more data add new types or just
+# repeats". One rollup over the term catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q322_chao1",
+    oracle=f"""
+    WITH t AS (SELECT list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    ex AS (SELECT unnest(toks) AS w FROM t),
+    cnt AS (SELECT w, count(*) AS c FROM ex GROUP BY 1),
+    a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS f2
+          FROM cnt)
+    SELECT n_tokens, n_types, f1, f2,
+           round(n_types + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6)
+               AS chao1,
+           round(1.0 - f1 / CAST(n_tokens AS DOUBLE), 6) AS coverage
+    FROM a
+    """,
+)
+def q322_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import chao1_richness
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return chao1_richness(d, "text")
+
+
+# ---------------------------------------------------------------------------
+# q323 — shift-share decomposition (operators/experiments.
+# shift_share_decomposition): the early-vs-late change in mean event
+# value split per event type into mix (composition shifted), rate
+# (within-type change), and interaction — the "WHY did the average
+# move" identity. One (group, period) aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q323_shift_share",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+                      CAST(value AS DOUBLE) AS v
+               FROM events WHERE value IS NOT NULL),
+    bd AS (SELECT (min(t) + max(t) + 1) // 2 AS mid FROM e),
+    p AS (SELECT event_type AS grp, e.t >= bd.mid AS b, v
+          FROM e, bd),
+    per AS (SELECT grp, b, count(*) AS n, sum(v) AS s
+            FROM p GROUP BY 1, 2),
+    tot AS (SELECT b, sum(n) AS t FROM per GROUP BY 1),
+    j AS (SELECT per.grp, per.b, per.n, per.s, tot.t
+          FROM per JOIN tot USING (b)),
+    w AS (SELECT grp,
+                 coalesce(max(CASE WHEN NOT b
+                                   THEN n / CAST(t AS DOUBLE) END), 0.0)
+                     AS share_a,
+                 coalesce(max(CASE WHEN b
+                                   THEN n / CAST(t AS DOUBLE) END), 0.0)
+                     AS share_b,
+                 coalesce(max(CASE WHEN NOT b
+                                   THEN s / n END), 0.0) AS rate_a,
+                 coalesce(max(CASE WHEN b
+                                   THEN s / n END), 0.0) AS rate_b
+          FROM j GROUP BY 1)
+    SELECT grp AS "group",
+           round(share_a, 6) AS share_a, round(share_b, 6) AS share_b,
+           round(rate_a, 6) AS rate_a, round(rate_b, 6) AS rate_b,
+           round((share_b - share_a) * rate_a, 6) AS mix_effect,
+           round(share_a * (rate_b - rate_a), 6) AS rate_effect,
+           round((share_b - share_a) * (rate_b - rate_a), 6)
+               AS interaction
+    FROM w ORDER BY 1
+    """,
+)
+def q323_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import (
+        shift_share_decomposition,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t"),
+        "value",
+    ).where(F.col("value").isNotNull())
+    bounds = e.agg(
+        F.expr("(min(t) + max(t) + 1) div 2").alias("_mid")
+    )
+    d = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type", "value", (F.col("t") >= F.col("_mid")).alias("late")
+    )
+    return shift_share_decomposition(
+        d, "event_type", "late", "value"
+    ).orderBy("group")
