@@ -829,3 +829,166 @@ def shift_share_decomposition(
         F.round(F.col("share_a") * dr, 6).alias("rate_effect"),
         F.round(ds * dr, 6).alias("interaction"),
     )
+
+def always_valid_pvalue(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Always-valid (anytime) p-value sequence by mixture SPRT
+    (Johari, Koomen, Pekelis & Walsh, KDD'17 — the "peeking-safe"
+    experiment monitor): per period, the running two-sample mean gap
+    is scored by the Gaussian-mixture likelihood ratio
+
+        Λ = sqrt(se²/(se²+τ²)) · exp(δ² τ² / (2 se² (se²+τ²)))
+        p_t = min_{s ≤ t} min(1, 1/Λ_s)
+
+    which keeps P(∃t: p_t ≤ α | H₀) ≤ α under ANY stopping rule —
+    fixed-horizon p-values (q304) are invalid the moment a dashboard
+    is watched daily; this is the one that isn't.
+
+    Returns one row per period with cumulative
+    ``(t, n_a, n_b, delta, lam, p_always)`` (needs ≥ 2 obs per side
+    and se > 0 — earlier periods carry lam null / p 1.0). Floats
+    rounded 6.
+
+    Scale shape: ONE (period, group) aggregate collapses the corpus;
+    cumulative sums, the Λ algebra, and the running min are windows
+    over the period CATALOG. Nothing corpus-wide after the first
+    groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col).cast("double")
+    base = df.where(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(time_col).cast("long").alias("_t"),
+        (F.col(group_col) == group_a).alias("_ia"),
+        x.alias("_x"),
+    )
+    per = base.groupBy("_t").agg(
+        F.sum(F.col("_ia").cast("long")).alias("_na"),
+        F.sum((~F.col("_ia")).cast("long")).alias("_nb"),
+        F.sum(F.when(F.col("_ia"), F.col("_x")).otherwise(0.0)).alias("_sa"),
+        F.sum(F.when(~F.col("_ia"), F.col("_x")).otherwise(0.0)).alias("_sb"),
+        F.sum(
+            F.when(F.col("_ia"), F.col("_x") * F.col("_x")).otherwise(0.0)
+        ).alias("_qa"),
+        F.sum(
+            F.when(~F.col("_ia"), F.col("_x") * F.col("_x")).otherwise(0.0)
+        ).alias("_qb"),
+    )
+    w = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "_t",
+        F.sum("_na").over(w).alias("na"),
+        F.sum("_nb").over(w).alias("nb"),
+        F.sum("_sa").over(w).alias("sa"),
+        F.sum("_sb").over(w).alias("sb"),
+        F.sum("_qa").over(w).alias("qa"),
+        F.sum("_qb").over(w).alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    delta = F.col("sa") / na - F.col("sb") / nb
+    sig2 = (
+        (F.col("qa") - F.col("sa") * F.col("sa") / na)
+        + (F.col("qb") - F.col("sb") * F.col("sb") / nb)
+    ) / (na + nb - 2)
+    se2 = sig2 * (1.0 / na + 1.0 / nb)
+    t2 = float(tau) * float(tau)
+    lam = F.when(
+        (na >= 2) & (nb >= 2) & (se2 > 0),
+        F.sqrt(se2 / (se2 + t2))
+        * F.exp(delta * delta * t2 / (2.0 * se2 * (se2 + t2))),
+    )
+    scored = cum.select(
+        F.col("_t").alias("t"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        delta.alias("_d"),
+        lam.alias("_lam"),
+        F.least(
+            F.coalesce(1.0 / lam, F.lit(1.0)), F.lit(1.0)
+        ).alias("_p"),
+    )
+    wp = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return scored.select(
+        "t",
+        "n_a",
+        "n_b",
+        F.round("_d", 6).alias("delta"),
+        F.round("_lam", 6).alias("lam"),
+        F.round(F.min("_p").over(wp), 6).alias("p_always"),
+    )
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_deciles: int = 9,
+) -> DataFrame:
+    """Quantile treatment effects (Lehmann/Doksum's quantile-shift
+    view): ``QTE(p) = Q_B(p) − Q_A(p)`` at each decile — WHERE in the
+    distribution a shift lives, which the mean gap (q297) averages
+    away (tail-only effects, compressions, crossings). Exact disc
+    quantiles (functions/popularity convention) from the
+    distinct-value catalogs.
+
+    Returns ``n_deciles`` rows ``(p, q_a, q_b, qte)``, rounded 6.
+
+    Scale shape: one (group, value) catalog aggregate, ONE window
+    over each group's catalog, and the decile picks are a
+    grid×catalog aggregate (deciles × values — catalog-sized). No
+    raw-row sort.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col).cast("double")
+    base = df.where(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select((F.col(group_col) == group_a).alias("_ia"), x.alias("_v"))
+    cat = base.groupBy("_ia", "_v").agg(F.count("*").alias("_c"))
+    wc = (
+        Window.partitionBy("_ia")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("_ia")
+    cum = cat.select(
+        "_ia",
+        "_v",
+        F.sum("_c").over(wc).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    spark = df.sparkSession
+    probs = spark.createDataFrame(
+        [(round((i + 1) / (n_deciles + 1), 6),) for i in range(n_deciles)],
+        "p double",
+    )
+    g = cum.crossJoin(F.broadcast(probs))
+    k = F.greatest(F.ceil(F.col("p") * F.col("_n")), F.lit(1))
+    q = g.groupBy("p", "_ia").agg(
+        F.min(F.when(F.col("_cum") >= k, F.col("_v"))).alias("_q")
+    )
+    wide = q.groupBy("p").agg(
+        F.max(F.when(F.col("_ia"), F.col("_q"))).alias("q_a"),
+        F.max(F.when(~F.col("_ia"), F.col("_q"))).alias("q_b"),
+    )
+    return wide.select(
+        "p",
+        F.round("q_a", 6).alias("q_a"),
+        F.round("q_b", 6).alias("q_b"),
+        F.round(F.col("q_b") - F.col("q_a"), 6).alias("qte"),
+    )

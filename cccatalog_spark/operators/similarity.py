@@ -1286,3 +1286,85 @@ def jl_distortion_audit(
             6,
         ).alias("frac_within"),
     )
+
+
+def nearest_centroid_eval(
+    df: DataFrame, vec_col: str, label_col: str, id_col: str
+) -> DataFrame:
+    """Rocchio nearest-centroid classification eval (Rocchio 1971 /
+    the "centroid classifier" baseline): per-label embedding
+    centroids, every vector assigned to its nearest centroid by
+    squared L2, scored against the true label — the 30-second "are
+    these embeddings linearly separable by class at all" sanity
+    check run before training anything on them.
+
+    Returns one row per true label: ``(label, n, correct, accuracy,
+    top_confusion)`` — ``top_confusion`` is the most common predicted
+    label among that class's errors (ties → smallest label; null when
+    the class is perfectly classified). Floats rounded 6.
+
+    Scale shape: centroids come from ONE posexplode → (label, dim)
+    average (map-side combined) rebuilt into k array rows; assignment
+    is a broadcast of the k-row centroid catalog against a narrow
+    scan with the (dist, ordinal) struct-min argmin (the
+    pq_encode/kmeans_assign discipline); scoring is one more
+    aggregate. The corpus is never self-joined.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.where(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_y"),
+        F.col(vec_col).alias("_x"),
+    )
+    dims = base.select(
+        "_y", F.posexplode(F.col("_x")).alias("_d", "_v")
+    ).groupBy("_y", "_d").agg(F.avg(F.col("_v").cast("double")).alias("_m"))
+    cents = dims.groupBy("_y").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("_d", "_m"))),
+            lambda s: s["_m"],
+        ).alias("_c")
+    ).select(F.col("_y").alias("_cy"), "_c")
+    crossed = base.crossJoin(F.broadcast(cents))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_x"),
+            F.col("_c"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    best = crossed.groupBy("_id", "_y").agg(
+        F.min(F.struct(d2.alias("_dist"), F.col("_cy").alias("_pred")))
+        .alias("_b")
+    ).select("_y", F.col("_b._pred").alias("_pred"))
+    per = best.groupBy("_y", "_pred").agg(F.count("*").alias("_n"))
+    per = per.persist()
+    tot = per.groupBy("_y").agg(
+        F.sum("_n").alias("n"),
+        F.sum(F.when(F.col("_pred") == F.col("_y"), F.col("_n"))
+              .otherwise(0)).alias("correct"),
+    )
+    werr = Window.partitionBy("_y").orderBy(
+        F.desc("_n"), F.asc("_pred")
+    )
+    conf = (
+        per.where(F.col("_pred") != F.col("_y"))
+        .withColumn("_r", F.row_number().over(werr))
+        .where(F.col("_r") == 1)
+        .select("_y", F.col("_pred").alias("top_confusion"))
+    )
+    return (
+        tot.join(conf, "_y", "left")
+        .select(
+            F.col("_y").alias("label"),
+            F.col("n").cast("long").alias("n"),
+            F.col("correct").cast("long").alias("correct"),
+            F.round(F.col("correct") / F.col("n"), 6).alias("accuracy"),
+            "top_confusion",
+        )
+    )

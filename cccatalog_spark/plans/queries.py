@@ -17375,3 +17375,184 @@ def q323_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shift_share_decomposition(
         d, "event_type", "late", "value"
     ).orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q324 — always-valid p-value sequence (operators/experiments.
+# always_valid_pvalue, Johari et al. KDD'17 mSPRT): the peeking-safe
+# daily monitor of the click-vs-view value gap — fixed-horizon p
+# (q304) is invalid the moment a dashboard is watched daily; this
+# one is valid under ANY stopping rule. Catalog windows only.
+# ---------------------------------------------------------------------------
+@query(
+    "q324_always_valid_p",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+                      event_type = 'click' AS ia,
+                      CAST(value AS DOUBLE) AS x
+               FROM events
+               WHERE value IS NOT NULL
+                 AND event_type IN ('click', 'view')),
+    per AS (SELECT t,
+                   sum(CASE WHEN ia THEN 1 ELSE 0 END) AS pna,
+                   sum(CASE WHEN ia THEN 0 ELSE 1 END) AS pnb,
+                   sum(CASE WHEN ia THEN x ELSE 0.0 END) AS psa,
+                   sum(CASE WHEN ia THEN 0.0 ELSE x END) AS psb,
+                   sum(CASE WHEN ia THEN x * x ELSE 0.0 END) AS pqa,
+                   sum(CASE WHEN ia THEN 0.0 ELSE x * x END) AS pqb
+            FROM e GROUP BY 1),
+    cum AS (SELECT t,
+                   sum(pna) OVER w AS na, sum(pnb) OVER w AS nb,
+                   sum(psa) OVER w AS sa, sum(psb) OVER w AS sb,
+                   sum(pqa) OVER w AS qa, sum(pqb) OVER w AS qb
+            FROM per
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    s AS (SELECT t, na, nb,
+                 sa / na - sb / nb AS d,
+                 ((qa - sa * sa / na) + (qb - sb * sb / nb))
+                     / (na + nb - 2)
+                     * (1.0 / na + 1.0 / nb) AS se2
+          FROM cum),
+    l AS (SELECT t, na, nb, d,
+                 CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0
+                      THEN sqrt(se2 / (se2 + 1.0))
+                           * exp(d * d * 1.0
+                                 / (2.0 * se2 * (se2 + 1.0)))
+                 END AS lam
+          FROM s),
+    p AS (SELECT t, na, nb, d, lam,
+                 least(coalesce(1.0 / lam, 1.0), 1.0) AS pv
+          FROM l)
+    SELECT t, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(d, 6) AS delta, round(lam, 6) AS lam,
+           round(min(pv) OVER (ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW), 6) AS p_always
+    FROM p ORDER BY t
+    """,
+)
+def q324_always_valid_p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import always_valid_pvalue
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t"),
+    )
+    out = always_valid_pvalue(
+        e, "event_type", "t", "value", "click", "view", tau=1.0
+    )
+    return out.orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# q325 — quantile treatment effects (operators/experiments.
+# quantile_treatment_effect): the en-vs-zh length gap at every
+# decile — WHERE the shift lives, which the mean gap (q297)
+# averages away. Exact disc quantiles off the distinct-value
+# catalogs, decile grid × catalog aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q325_qte",
+    oracle="""
+    WITH p AS (SELECT lang = 'en' AS ia, CAST(n_chars AS DOUBLE) AS v
+               FROM documents
+               WHERE n_chars IS NOT NULL AND lang IN ('en', 'zh')),
+    cat AS (SELECT ia, v, count(*) AS c FROM p GROUP BY 1, 2),
+    cum AS (SELECT ia, v,
+                   sum(c) OVER (PARTITION BY ia ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY ia) AS n
+            FROM cat),
+    probs AS (SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+                             CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                             CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                             CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                             CAST(0.9 AS DOUBLE)]) AS p),
+    q AS (SELECT probs.p, cum.ia,
+                 min(CASE WHEN cum.cm >= greatest(ceil(probs.p * cum.n),
+                                                  1)
+                          THEN cum.v END) AS qq
+          FROM cum CROSS JOIN probs GROUP BY 1, 2)
+    SELECT p,
+           round(max(CASE WHEN ia THEN qq END), 6) AS q_a,
+           round(max(CASE WHEN NOT ia THEN qq END), 6) AS q_b,
+           round(max(CASE WHEN NOT ia THEN qq END)
+                 - max(CASE WHEN ia THEN qq END), 6) AS qte
+    FROM q GROUP BY 1 ORDER BY 1
+    """,
+)
+def q325_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import (
+        quantile_treatment_effect,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return quantile_treatment_effect(
+        d, "lang", "n_chars", "en", "zh", n_deciles=9
+    ).orderBy("p")
+
+
+# ---------------------------------------------------------------------------
+# q326 — nearest-centroid (Rocchio) eval (operators/similarity.
+# nearest_centroid_eval): per-label embedding centroids from one
+# posexplode average, broadcast argmin assignment, per-class
+# accuracy + top confusion — "are these embeddings class-separable
+# at all" before training on them.
+# ---------------------------------------------------------------------------
+def _q326_oracle() -> str:
+    d2 = " + ".join(
+        f"(b.x[{i}] - c.c[{i}]) * (b.x[{i}] - c.c[{i}])"
+        for i in range(1, 65)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id AS id, label AS y, embedding::DOUBLE[] AS x
+               FROM embeddings WHERE label IS NOT NULL),
+    dims AS (SELECT y, g.i AS d, avg(x[g.i]) AS m
+             FROM b, (SELECT unnest(range(1, 65)) AS i) g
+             GROUP BY 1, 2),
+    cents AS (SELECT y AS cy, list(m ORDER BY d) AS c
+              FROM dims GROUP BY 1),
+    scored AS (SELECT b.id, b.y, c.cy, ({d2}) AS dist
+               FROM b CROSS JOIN cents c),
+    best AS (SELECT id, y, cy AS pred
+             FROM (SELECT id, y, cy,
+                          row_number() OVER (PARTITION BY id, y
+                                             ORDER BY dist, cy) AS r
+                   FROM scored)
+             WHERE r = 1),
+    per AS (SELECT y, pred, count(*) AS n FROM best GROUP BY 1, 2),
+    tot AS (SELECT y, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pred = y THEN n ELSE 0 END)
+                        AS BIGINT) AS correct
+            FROM per GROUP BY 1),
+    conf AS (SELECT y, pred AS top_confusion
+             FROM (SELECT y, pred, n,
+                          row_number() OVER (PARTITION BY y
+                                             ORDER BY n DESC, pred)
+                              AS r
+                   FROM per WHERE pred <> y)
+             WHERE r = 1)
+    SELECT tot.y AS label, tot.n, tot.correct,
+           round(CAST(tot.correct AS DOUBLE) / tot.n, 6) AS accuracy,
+           conf.top_confusion
+    FROM tot LEFT JOIN conf USING (y)
+    ORDER BY label
+    """
+
+
+@query("q326_nearest_centroid", oracle=_q326_oracle())
+def q326_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.similarity import nearest_centroid_eval
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return nearest_centroid_eval(
+        e, "embedding", "label", "vec_id"
+    ).orderBy("label")
