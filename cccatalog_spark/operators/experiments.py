@@ -992,3 +992,217 @@ def quantile_treatment_effect(
         F.round("q_b", 6).alias("q_b"),
         F.round(F.col("q_b") - F.col("q_a"), 6).alias("qte"),
     )
+
+def covariate_balance(
+    df: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    covariates: list[str],
+) -> DataFrame:
+    """Covariate balance table via standardized mean differences
+    (the |SMD| < 0.1 convention of Austin 2009) — the FIRST table of
+    any observational comparison: are the two groups even comparable
+    on their covariates, before reading a treatment effect into the
+    gap?
+
+        smd = (mean_a − mean_b) / sqrt((var_a + var_b)/2)
+
+    (pooled-without-weighting form; var = sample variance). Returns
+    one row per covariate: ``(covariate, n_a, n_b, mean_a, mean_b,
+    smd, balanced)`` with ``balanced = |smd| < 0.1``, rounded 6.
+    Boolean/integer covariates enter as 0/1 (the binary SMD).
+
+    Scale shape: the covariates melt via ``stack`` into (covariate,
+    group) rows — one corpus scan, one map-side-combinable moment
+    aggregate per (covariate, group), a |covariates|×2 catalog out.
+    """
+    if not covariates:
+        raise ValueError("covariates must be non-empty")
+    pairs = ", ".join(
+        f"'{c}', CAST({c} AS DOUBLE)" for c in covariates
+    )
+    melted = df.where(
+        F.col(group_col).isin([group_a, group_b])
+    ).selectExpr(
+        f"{group_col} AS _g",
+        f"stack({len(covariates)}, {pairs}) AS (_cov, _x)",
+    ).where(F.col("_x").isNotNull())
+    agg = melted.groupBy("_cov").agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("n_a"),
+        F.sum((F.col("_g") == group_b).cast("long")).alias("n_b"),
+        F.avg(F.when(F.col("_g") == group_a, F.col("_x"))).alias("_ma"),
+        F.avg(F.when(F.col("_g") == group_b, F.col("_x"))).alias("_mb"),
+        F.var_samp(
+            F.when(F.col("_g") == group_a, F.col("_x"))
+        ).alias("_va"),
+        F.var_samp(
+            F.when(F.col("_g") == group_b, F.col("_x"))
+        ).alias("_vb"),
+    )
+    denom = F.sqrt((F.col("_va") + F.col("_vb")) / 2.0)
+    smd = F.when(denom > 0, (F.col("_ma") - F.col("_mb")) / denom)
+    return agg.select(
+        F.col("_cov").alias("covariate"),
+        "n_a",
+        "n_b",
+        F.round("_ma", 6).alias("mean_a"),
+        F.round("_mb", 6).alias("mean_b"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(F.round(smd, 6)) < 0.1).alias("balanced"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+) -> DataFrame:
+    """2×2 difference-in-differences (the canonical Card-Krueger
+    design): the treated group's post-vs-pre change minus the
+    control group's —
+
+        DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+
+    with the independent-cell normal se ``sqrt(Σ var_cell/n_cell)``
+    and its 95% interval. Identification rests on parallel trends —
+    this computes the estimator, q289/q310 interrogate the trends.
+
+    ``treated_col``/``post_col`` must be boolean. Returns one row
+    ``(n, mean_c_pre, mean_c_post, mean_t_pre, mean_t_post, did, se,
+    ci_lo, ci_hi)``, rounded 6 (se null if any cell has < 2 rows).
+
+    Scale shape: ONE aggregate computes all four cell moments via
+    conditional aggregation — no joins, no windows, one corpus scan.
+    """
+    v = F.col(value_col).cast("double")
+    t = F.col(treated_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    base = df.where(
+        v.isNotNull() & t.isNotNull() & p.isNotNull()
+    ).select(t.alias("_t"), p.alias("_p"), v.alias("_x"))
+
+    def cell(tt: bool, pp: bool, what: str):
+        cond = (F.col("_t") == tt) & (F.col("_p") == pp)
+        x = F.when(cond, F.col("_x"))
+        if what == "m":
+            return F.avg(x)
+        if what == "v":
+            return F.var_samp(x)
+        return F.sum(cond.cast("long"))
+
+    agg = base.agg(
+        F.count("*").alias("n"),
+        *[
+            cell(tt, pp, w).alias(f"_{w}{int(tt)}{int(pp)}")
+            for tt in (False, True)
+            for pp in (False, True)
+            for w in ("m", "v", "c")
+        ],
+    )
+    did = (F.col("_m11") - F.col("_m10")) - (
+        F.col("_m01") - F.col("_m00")
+    )
+    ok = (
+        (F.col("_c00") >= 2)
+        & (F.col("_c01") >= 2)
+        & (F.col("_c10") >= 2)
+        & (F.col("_c11") >= 2)
+    )
+    se = F.when(
+        ok,
+        F.sqrt(
+            F.col("_v00") / F.col("_c00")
+            + F.col("_v01") / F.col("_c01")
+            + F.col("_v10") / F.col("_c10")
+            + F.col("_v11") / F.col("_c11")
+        ),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("_m00", 6).alias("mean_c_pre"),
+        F.round("_m01", 6).alias("mean_c_post"),
+        F.round("_m10", 6).alias("mean_t_pre"),
+        F.round("_m11", 6).alias("mean_t_post"),
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did - 1.959963984540054 * se, 6).alias("ci_lo"),
+        F.round(did + 1.959963984540054 * se, 6).alias("ci_hi"),
+    )
+
+
+def mde_curve(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    alpha_z: float = 1.959963984540054,
+    power_z: float = 0.8416212335729143,
+) -> DataFrame:
+    """Minimum-detectable-effect curve — "how much longer must this
+    experiment run": per period, the smallest true mean gap the
+    accumulated sample could detect at 5%/80% (z_{α/2}+z_{β})·se —
+    the planning companion to q324's anytime p (that one reads the
+    data, this one reads only the sample sizes/variance).
+
+    Returns per period: ``(t, n_a, n_b, se, mde, mde_rel)`` with
+    ``mde_rel`` relative to the pooled running mean (null at mean 0);
+    rounded 6; needs ≥ 2 obs per side.
+
+    Scale shape: identical to always_valid_pvalue — one (period,
+    group) aggregate, cumulative windows over the period catalog.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(value_col).cast("double")
+    base = df.where(
+        x.isNotNull() & F.col(group_col).isin([group_a, group_b])
+    ).select(
+        F.col(time_col).cast("long").alias("_t"),
+        (F.col(group_col) == group_a).alias("_ia"),
+        x.alias("_x"),
+    )
+    per = base.groupBy("_t").agg(
+        F.sum(F.col("_ia").cast("long")).alias("_na"),
+        F.sum((~F.col("_ia")).cast("long")).alias("_nb"),
+        F.sum(F.col("_x")).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_q"),
+        F.sum(F.when(F.col("_ia"), F.col("_x")).otherwise(0.0)).alias("_sa"),
+        F.sum(
+            F.when(F.col("_ia"), F.col("_x") * F.col("_x")).otherwise(0.0)
+        ).alias("_qa"),
+    )
+    w = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "_t",
+        F.sum("_na").over(w).alias("na"),
+        F.sum("_nb").over(w).alias("nb"),
+        F.sum("_s").over(w).alias("s"),
+        F.sum("_q").over(w).alias("q"),
+        F.sum("_sa").over(w).alias("sa"),
+        F.sum("_qa").over(w).alias("qa"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    n = na + nb
+    # pooled variance of the mixed sample (planning convention: the
+    # outcome's overall spread, not the within-group pooled)
+    sig2 = (F.col("q") - F.col("s") * F.col("s") / n) / (n - 1)
+    se = F.when(
+        (na >= 2) & (nb >= 2) & (sig2 > 0),
+        F.sqrt(sig2 * (1.0 / na + 1.0 / nb)),
+    )
+    mde = (alpha_z + power_z) * se
+    mean = F.col("s") / n
+    return cum.select(
+        F.col("_t").alias("t"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(se, 6).alias("se"),
+        F.round(mde, 6).alias("mde"),
+        F.round(F.when(mean != 0, mde / mean), 6).alias("mde_rel"),
+    )

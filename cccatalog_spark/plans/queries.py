@@ -17556,3 +17556,187 @@ def q326_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nearest_centroid_eval(
         e, "embedding", "label", "vec_id"
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# q327 — covariate balance table (operators/experiments.
+# covariate_balance, Austin 2009 |SMD|<0.1): are src0 and src1 even
+# comparable on length/tokens/language before reading anything into
+# their metric gap? One melt + one moment aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q327_covariate_balance",
+    oracle=f"""
+    WITH d0 AS (SELECT source AS g,
+                       CAST(n_chars AS DOUBLE) AS n_chars,
+                       CAST(len({_TOKS}) AS DOUBLE) AS toks,
+                       CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                            AS DOUBLE) AS is_en
+                FROM documents WHERE source IN ('src0', 'src1')),
+    m AS (SELECT g, 'n_chars' AS covariate, n_chars AS x FROM d0
+          UNION ALL SELECT g, 'toks', toks FROM d0
+          UNION ALL SELECT g, 'is_en', is_en FROM d0),
+    a AS (SELECT covariate,
+                 CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                 avg(CASE WHEN g = 'src0' THEN x END) AS ma,
+                 avg(CASE WHEN g = 'src1' THEN x END) AS mb,
+                 var_samp(CASE WHEN g = 'src0' THEN x END) AS va,
+                 var_samp(CASE WHEN g = 'src1' THEN x END) AS vb
+          FROM m WHERE x IS NOT NULL GROUP BY 1)
+    SELECT covariate, n_a, n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(CASE WHEN sqrt((va + vb) / 2.0) > 0
+                      THEN (ma - mb) / sqrt((va + vb) / 2.0) END, 6)
+               AS smd,
+           abs(round(CASE WHEN sqrt((va + vb) / 2.0) > 0
+                          THEN (ma - mb) / sqrt((va + vb) / 2.0)
+                     END, 6)) < 0.1 AS balanced
+    FROM a ORDER BY covariate
+    """,
+)
+def q327_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions import text as TX
+    from cccatalog_spark.operators.experiments import covariate_balance
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").cast("double").alias("n_chars"),
+        F.size(TX.tokens(F.col("text"))).cast("double").alias("toks"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    return covariate_balance(
+        d, "source", "src0", "src1", ["n_chars", "toks", "is_en"]
+    ).orderBy("covariate")
+
+
+# ---------------------------------------------------------------------------
+# q328 — 2×2 difference-in-differences (operators/experiments.
+# diff_in_diff): click-vs-view value change across the early/late
+# split — the canonical causal contrast, all four cell moments from
+# ONE conditional aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q328_diff_in_diff",
+    oracle="""
+    WITH e AS (SELECT event_type = 'click' AS t,
+                      CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                      CAST(value AS DOUBLE) AS x
+               FROM events
+               WHERE value IS NOT NULL
+                 AND event_type IN ('click', 'view')),
+    bd AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM e),
+    b AS (SELECT e.t, e.d >= bd.mid AS p, e.x FROM e, bd),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 avg(CASE WHEN NOT t AND NOT p THEN x END) AS m00,
+                 avg(CASE WHEN NOT t AND p THEN x END) AS m01,
+                 avg(CASE WHEN t AND NOT p THEN x END) AS m10,
+                 avg(CASE WHEN t AND p THEN x END) AS m11,
+                 var_samp(CASE WHEN NOT t AND NOT p THEN x END) AS v00,
+                 var_samp(CASE WHEN NOT t AND p THEN x END) AS v01,
+                 var_samp(CASE WHEN t AND NOT p THEN x END) AS v10,
+                 var_samp(CASE WHEN t AND p THEN x END) AS v11,
+                 sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS c00,
+                 sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS c01,
+                 sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS c10,
+                 sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS c11
+          FROM b),
+    f AS (SELECT n, m00, m01, m10, m11,
+                 (m11 - m10) - (m01 - m00) AS did,
+                 CASE WHEN c00 >= 2 AND c01 >= 2 AND c10 >= 2
+                       AND c11 >= 2
+                      THEN sqrt(v00 / c00 + v01 / c01 + v10 / c10
+                                + v11 / c11) END AS se
+          FROM a)
+    SELECT n, round(m00, 6) AS mean_c_pre, round(m01, 6) AS mean_c_post,
+           round(m10, 6) AS mean_t_pre, round(m11, 6) AS mean_t_post,
+           round(did, 6) AS did, round(se, 6) AS se,
+           round(did - CAST(1.959963984540054 AS DOUBLE) * se, 6)
+               AS ci_lo,
+           round(did + CAST(1.959963984540054 AS DOUBLE) * se, 6)
+               AS ci_hi
+    FROM f
+    """,
+)
+def q328_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import diff_in_diff
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin(["click", "view"])
+    ).select(
+        (F.col("event_type") == "click").alias("treated"),
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("d"),
+        "value",
+    )
+    bounds = e.agg(F.expr("(min(d) + max(d) + 1) div 2").alias("_mid"))
+    d = e.crossJoin(F.broadcast(bounds)).select(
+        "treated", (F.col("d") >= F.col("_mid")).alias("post"), "value"
+    )
+    return diff_in_diff(d, "treated", "post", "value")
+
+
+# ---------------------------------------------------------------------------
+# q329 — minimum-detectable-effect curve (operators/experiments.
+# mde_curve): per day, the smallest click-vs-view gap the
+# accumulated sample could detect at 5%/80% — "how much longer must
+# this run", reading only sizes and variance. q324's planning twin.
+# ---------------------------------------------------------------------------
+@query(
+    "q329_mde_curve",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t,
+                      event_type = 'click' AS ia,
+                      CAST(value AS DOUBLE) AS x
+               FROM events
+               WHERE value IS NOT NULL
+                 AND event_type IN ('click', 'view')),
+    per AS (SELECT t,
+                   sum(CASE WHEN ia THEN 1 ELSE 0 END) AS pna,
+                   sum(CASE WHEN ia THEN 0 ELSE 1 END) AS pnb,
+                   sum(x) AS ps, sum(x * x) AS pq
+            FROM e GROUP BY 1),
+    cum AS (SELECT t,
+                   sum(pna) OVER w AS na, sum(pnb) OVER w AS nb,
+                   sum(ps) OVER w AS s, sum(pq) OVER w AS q
+            FROM per
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    f AS (SELECT t, na, nb,
+                 CASE WHEN na >= 2 AND nb >= 2
+                       AND (q - s * s / (na + nb)) / (na + nb - 1) > 0
+                      THEN sqrt((q - s * s / (na + nb)) / (na + nb - 1)
+                                * (1.0 / na + 1.0 / nb)) END AS se,
+                 s / (na + nb) AS mean
+          FROM cum)
+    SELECT t, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(se, 6) AS se,
+           round((CAST(1.959963984540054 AS DOUBLE)
+                  + CAST(0.8416212335729143 AS DOUBLE)) * se, 6)
+               AS mde,
+           round(CASE WHEN mean <> 0
+                      THEN (CAST(1.959963984540054 AS DOUBLE)
+                            + CAST(0.8416212335729143 AS DOUBLE)) * se
+                           / mean END, 6) AS mde_rel
+    FROM f ORDER BY t
+    """,
+)
+def q329_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import mde_curve
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t"),
+    )
+    return mde_curve(
+        e, "event_type", "t", "value", "click", "view"
+    ).orderBy("t")
