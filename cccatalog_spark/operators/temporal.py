@@ -721,3 +721,106 @@ def dispersion_report(
         F.round(var, 6).alias("variance"),
         F.round(F.when(mean > 0, var / mean), 6).alias("fano"),
     )
+
+def segmented_trend(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    min_seg: int = 3,
+) -> DataFrame:
+    """Best single-breakpoint piecewise-linear fit (two-segment
+    broken-stick) of a regular series — q288's CUSUM says WHETHER the
+    level shifted; this says WHERE the trend bends and by how much,
+    scanning every admissible breakpoint in closed form:
+
+    per candidate b, both segments' OLS slope/intercept/SSE come from
+    cumulative sums of (1, t, y, t², ty, y²) — SSE = Syy − a·Sy −
+    m·Sty — so the whole scan is ONE forward cumulative window over
+    the period catalog plus totals algebra, never a per-candidate
+    refit. Integer-valued series keep every sum exact, so engines
+    agree bit-for-bit through the argmin.
+
+    Returns one row: ``(breakpoint, slope_left, slope_right,
+    sse_split, sse_single, sse_gain)`` — breakpoint = LAST period of
+    the left segment (argmin total SSE, smallest t on ties); floats
+    rounded 6. Segments must have ≥ ``min_seg`` points.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.col(time_col).cast("double")
+    y = F.col(value_col).cast("double")
+    base = series.where(t.isNotNull() & y.isNotNull()).select(
+        t.alias("_t"), y.alias("_y")
+    )
+    w = Window.orderBy("_t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = base.select(
+        "_t",
+        F.count("*").over(w).alias("nl"),
+        F.sum("_t").over(w).alias("st_l"),
+        F.sum("_y").over(w).alias("sy_l"),
+        F.sum(F.col("_t") * F.col("_t")).over(w).alias("stt_l"),
+        F.sum(F.col("_t") * F.col("_y")).over(w).alias("sty_l"),
+        F.sum(F.col("_y") * F.col("_y")).over(w).alias("syy_l"),
+    )
+    tot = base.agg(
+        F.count("*").alias("n"),
+        F.sum("_t").alias("st"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_t") * F.col("_t")).alias("stt"),
+        F.sum(F.col("_t") * F.col("_y")).alias("sty"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+
+    def _fit(n, st, sy, stt, sty, syy):
+        det = n * stt - st * st
+        m = F.when(det != 0, (n * sty - st * sy) / det).otherwise(0.0)
+        a = (sy - m * st) / n
+        sse = syy - a * sy - m * sty
+        return m, sse
+
+    j = cum.crossJoin(F.broadcast(tot))
+    nl = F.col("nl").cast("double")
+    nr = (F.col("n") - F.col("nl")).cast("double")
+    ml, ssel = _fit(
+        nl, F.col("st_l"), F.col("sy_l"), F.col("stt_l"),
+        F.col("sty_l"), F.col("syy_l"),
+    )
+    mr, sser = _fit(
+        nr,
+        F.col("st") - F.col("st_l"),
+        F.col("sy") - F.col("sy_l"),
+        F.col("stt") - F.col("stt_l"),
+        F.col("sty") - F.col("sty_l"),
+        F.col("syy") - F.col("syy_l"),
+    )
+    m1, sse1 = _fit(
+        F.col("n").cast("double"), F.col("st"), F.col("sy"),
+        F.col("stt"), F.col("sty"), F.col("syy"),
+    )
+    cand = j.where((nl >= min_seg) & (nr >= min_seg)).select(
+        F.col("_t").alias("_last_left"),
+        ml.alias("_ml"),
+        mr.alias("_mr"),
+        (ssel + sser).alias("_sse"),
+        sse1.alias("_sse1"),
+    )
+    best = cand.agg(
+        F.min(
+            F.struct(
+                F.col("_sse"), F.col("_last_left"),
+                F.col("_ml"), F.col("_mr"), F.col("_sse1"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
+        F.round(F.col("_b._last_left"), 6).alias("breakpoint"),
+        F.round(F.col("_b._ml"), 6).alias("slope_left"),
+        F.round(F.col("_b._mr"), 6).alias("slope_right"),
+        F.round(F.col("_b._sse"), 6).alias("sse_split"),
+        F.round(F.col("_b._sse1"), 6).alias("sse_single"),
+        F.round(F.col("_b._sse1") - F.col("_b._sse"), 6).alias(
+            "sse_gain"
+        ),
+    )

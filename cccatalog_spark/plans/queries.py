@@ -17740,3 +17740,223 @@ def q329_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mde_curve(
         e, "event_type", "t", "value", "click", "view"
     ).orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# q330 — Hilbert-vs-Z-order locality audit (operators/zorder.
+# hilbert_value_frame / z_value, Faloutsos-Roseman PODS'89): both
+# curve indexes over a 16×16 cell grid and the total/max Manhattan
+# step between index-consecutive cells — Hilbert's unit steps are
+# WHY it beats Morton for 2-D range-scan clustering; this measures
+# it instead of asserting it. Pure integer algebra, exact oracle.
+# ---------------------------------------------------------------------------
+def _q330_oracle() -> str:
+    from cccatalog_spark.operators.zorder import (
+        hilbert_sql_ctes,
+        z_value_sql,
+    )
+
+    ctes, final = hilbert_sql_ctes("cells", "x", "y", bits=4, keep="x, y")
+    zexpr = z_value_sql("x", "y", 4)
+    return (
+        """WITH cells AS (SELECT DISTINCT c_custkey % 16 AS x,
+                      (c_custkey // 16) % 16 AS y
+               FROM customer),
+    """
+        + ",\n    ".join(ctes)
+        + f""",
+    k AS (SELECT x, y, hd, {zexpr} AS zv FROM {final}),
+    st AS (SELECT
+        abs(x - lag(x) OVER (ORDER BY hd))
+        + abs(y - lag(y) OVER (ORDER BY hd)) AS hstep,
+        abs(x - lag(x) OVER (ORDER BY zv))
+        + abs(y - lag(y) OVER (ORDER BY zv)) AS zstep
+        FROM k)
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(hstep) AS BIGINT) AS hilbert_locality,
+           CAST(max(hstep) AS BIGINT) AS hilbert_max_step,
+           CAST(sum(zstep) AS BIGINT) AS zorder_locality,
+           CAST(max(zstep) AS BIGINT) AS zorder_max_step
+    FROM st
+    """
+    )
+
+
+@query("q330_hilbert_locality", oracle=_q330_oracle())
+def q330_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cccatalog_spark.operators.zorder import (
+        hilbert_value_frame,
+        z_value,
+    )
+
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") % 16).alias("x"),
+            (F.expr("c_custkey div 16") % 16).alias("y"),
+        )
+        .distinct()
+    )
+    k = hilbert_value_frame(cu, "x", "y", bits=4, out_col="hd").withColumn(
+        "zv", z_value(F.col("x"), F.col("y"), 4)
+    )
+    wh = Window.orderBy("hd")
+    wz = Window.orderBy("zv")
+    st = k.select(
+        (
+            F.abs(F.col("x") - F.lag("x").over(wh))
+            + F.abs(F.col("y") - F.lag("y").over(wh))
+        ).alias("hstep"),
+        (
+            F.abs(F.col("x") - F.lag("x").over(wz))
+            + F.abs(F.col("y") - F.lag("y").over(wz))
+        ).alias("zstep"),
+    )
+    return st.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("hstep").cast("long").alias("hilbert_locality"),
+        F.max("hstep").cast("long").alias("hilbert_max_step"),
+        F.sum("zstep").cast("long").alias("zorder_locality"),
+        F.max("zstep").cast("long").alias("zorder_max_step"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q331 — best single-breakpoint piecewise trend (operators/temporal.
+# segmented_trend): WHERE the daily-volume trend bends — every
+# admissible breakpoint scored in closed form off ONE cumulative
+# window (SSE from running sums), never a per-candidate refit.
+# Integer daily counts keep both engines bit-identical through the
+# argmin.
+# ---------------------------------------------------------------------------
+@query(
+    "q331_segmented_trend",
+    oracle="""
+    WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS t
+               FROM events),
+    d AS (SELECT CAST(t AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS y
+          FROM e GROUP BY 1),
+    cum AS (SELECT t,
+                   count(*) OVER w AS nl,
+                   sum(t) OVER w AS stl, sum(y) OVER w AS syl,
+                   sum(t * t) OVER w AS sttl,
+                   sum(t * y) OVER w AS styl,
+                   sum(y * y) OVER w AS syyl
+            FROM d
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+    tot AS (SELECT count(*) AS n, sum(t) AS st, sum(y) AS sy,
+                   sum(t * t) AS stt, sum(t * y) AS sty,
+                   sum(y * y) AS syy
+            FROM d),
+    c AS (SELECT cum.t AS bp,
+                 CAST(cum.nl AS DOUBLE) AS nl,
+                 CAST(tot.n - cum.nl AS DOUBLE) AS nr,
+                 cum.stl, cum.syl, cum.sttl, cum.styl, cum.syyl,
+                 tot.st - cum.stl AS str_, tot.sy - cum.syl AS syr,
+                 tot.stt - cum.sttl AS sttr,
+                 tot.sty - cum.styl AS styr,
+                 tot.syy - cum.syyl AS syyr,
+                 CAST(tot.n AS DOUBLE) AS n, tot.st, tot.sy, tot.stt,
+                 tot.sty, tot.syy
+          FROM cum, tot),
+    f AS (SELECT bp,
+        CASE WHEN nl * sttl - stl * stl <> 0
+             THEN (nl * styl - stl * syl) / (nl * sttl - stl * stl)
+             ELSE 0.0 END AS ml,
+        CASE WHEN nr * sttr - str_ * str_ <> 0
+             THEN (nr * styr - str_ * syr) / (nr * sttr - str_ * str_)
+             ELSE 0.0 END AS mr,
+        nl, nr, stl, syl, styl, syyl, str_, syr, styr, syyr,
+        n, st, sy, stt, sty, syy
+        FROM c WHERE nl >= 3 AND nr >= 3),
+    g AS (SELECT bp, ml, mr,
+        (syyl - ((syl - ml * stl) / nl) * syl - ml * styl)
+        + (syyr - ((syr - mr * str_) / nr) * syr - mr * styr) AS sse,
+        syy - ((sy - (CASE WHEN n * stt - st * st <> 0
+                           THEN (n * sty - st * sy)
+                                / (n * stt - st * st)
+                           ELSE 0.0 END) * st) / n) * sy
+            - (CASE WHEN n * stt - st * st <> 0
+                    THEN (n * sty - st * sy) / (n * stt - st * st)
+                    ELSE 0.0 END) * sty AS sse1
+        FROM f),
+    b AS (SELECT * FROM g ORDER BY sse, bp LIMIT 1)
+    SELECT round(bp, 6) AS breakpoint, round(ml, 6) AS slope_left,
+           round(mr, 6) AS slope_right, round(sse, 6) AS sse_split,
+           round(sse1, 6) AS sse_single,
+           round(sse1 - sse, 6) AS sse_gain
+    FROM b
+    """,
+)
+def q331_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import segmented_trend
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) / 1000000 AS BIGINT)"
+            " div 86400"
+        ).alias("t")
+    )
+    daily = e.groupBy("t").agg(F.count("*").cast("double").alias("y"))
+    return segmented_trend(daily, "t", "y", min_seg=3)
+
+
+# ---------------------------------------------------------------------------
+# q332 — JSONL ingest with malformed-record quarantine (sources/
+# jsonl.read_jsonl_quarantine): the S9 TSV quarantine contract on
+# the other wire format — every staged line lands in exactly one of
+# (typed frame, quarantine). Three malformed lines are injected into
+# a staged slice of documents; the oracle knows both counts exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q332_jsonl_quarantine",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_bad,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 10 = 7
+    """,
+)
+def q332_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from cccatalog_spark.sources.jsonl import read_jsonl_quarantine
+
+    base = tempfile.mkdtemp(prefix="ccc_jsonl_")
+    src = os.path.join(base, "in")
+    stage = os.path.join(base, "stage")
+    # fixture staging without a driver collect: Spark serializes the
+    # slice to JSON lines (coalesce(1) = the sanctioned staging idiom)
+    (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 7)
+        .select(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("j")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(stage)
+    )
+    os.makedirs(src)
+    parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+    os.rename(
+        os.path.join(stage, parts[0]), os.path.join(src, "docs.jsonl")
+    )
+    with open(os.path.join(src, "bad.jsonl"), "w") as fh:
+        for _ in range(3):  # three injected malformed lines
+            fh.write('{"doc_id": "broken", "n_chars": ' + "\n")
+    good, bad = read_jsonl_quarantine(
+        spark, src, "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    )
+    g = good.agg(
+        F.count("*").cast("long").alias("n_good"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    b = bad.agg(F.count("*").cast("long").alias("n_bad"))
+    return g.crossJoin(F.broadcast(b)).select(
+        "n_good", "n_bad", "sum_chars"
+    )

@@ -111,6 +111,18 @@ SANCTIONED_GLOBAL_WINDOW = {
     # Gini row_number over the CATEGORY catalog (one count aggregate
     # collapses the corpus first) — corpus_stats.concentration_report
     "q312_concentration",
+    # cumulative-day windows over the PERIOD catalog (corpus collapses
+    # to per-day aggregates first) — experiments.always_valid_pvalue /
+    # mde_curve / temporal.segmented_trend
+    "q324_always_valid_p",
+    "q329_mde_curve",
+    "q331_segmented_trend",
+    # curve-order lag windows over the 256-row CELL catalog —
+    # zorder.hilbert locality audit
+    "q330_hilbert_locality",
+    # descending value-catalog cumsum for the top-k order statistics —
+    # corpus_stats.hill_tail_index
+    "q318_hill_tail",
 }
 
 
