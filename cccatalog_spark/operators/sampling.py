@@ -772,3 +772,73 @@ def ipf_weights(
         "row", "col", F.col("n").cast("long").alias("n"),
         F.round("weight", 6).alias("weight"),
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    budget: int,
+) -> DataFrame:
+    """Neyman optimal stratified-sample allocation (Neyman 1934):
+    given a sampling budget, put more of it where the metric varies
+    more —
+
+        n_h = budget · N_h σ_h / Σ_k N_k σ_k
+
+    the design that minimizes the stratified mean's variance; also
+    reports proportional allocation and the variance ratio
+    (design effect of Neyman vs proportional) so the caller sees
+    what the tilt buys BEFORE drawing (the planning step in front of
+    operators/sampling.stratified_sample).
+
+    Returns one row per stratum: ``(stratum, n_rows, sd,
+    n_proportional, n_neyman, var_ratio)`` — var_ratio repeats the
+    scalar V_neyman/V_proportional on every row (≤ 1 by design),
+    rounded 6. Zero-variance strata legitimately draw 0 under Neyman
+    (one row tells you everything). Fractional allocations are
+    reported unrounded — integerization is the caller's rounding
+    rule.
+
+    Scale shape: ONE moment aggregate per stratum (map-side
+    combined), totals broadcast back, pure catalog algebra after.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    v = F.col(value_col).cast("double")
+    per = df.where(v.isNotNull()).groupBy(
+        F.col(stratum_col).alias("stratum")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.stddev_samp(v), F.lit(0.0)).alias("sd"),
+    )
+    tot = per.agg(
+        F.sum("n_rows").alias("_N"),
+        F.sum(F.col("n_rows") * F.col("sd")).alias("_ns"),
+        # variance algebra: V_prop ∝ Σ W_h σ_h², V_ney ∝ (Σ W_h σ_h)²
+        F.sum(
+            F.col("n_rows") * F.col("sd") * F.col("sd")
+        ).alias("_nss"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    w_sigma = F.col("n_rows") * F.col("sd")
+    v_prop = F.col("_nss") / F.col("_N")
+    v_ney = (F.col("_ns") / F.col("_N")) * (F.col("_ns") / F.col("_N"))
+    return j.select(
+        "stratum",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sd", 6).alias("sd"),
+        F.round(
+            F.lit(float(budget)) * F.col("n_rows") / F.col("_N"), 6
+        ).alias("n_proportional"),
+        F.round(
+            F.when(
+                F.col("_ns") > 0,
+                F.lit(float(budget)) * w_sigma / F.col("_ns"),
+            ).otherwise(0.0),
+            6,
+        ).alias("n_neyman"),
+        F.round(
+            F.when(v_prop > 0, v_ney / v_prop), 6
+        ).alias("var_ratio"),
+    )

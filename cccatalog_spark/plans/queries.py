@@ -17960,3 +17960,109 @@ def q332_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(b)).select(
         "n_good", "n_bad", "sum_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# q333 — Neyman optimal allocation (operators/sampling.
+# neyman_allocation, Neyman 1934): how a 1000-doc annotation budget
+# should split across languages — more where n_chars varies more —
+# plus the variance ratio the tilt buys vs proportional. The
+# planning step in front of q85's stratified sampler.
+# ---------------------------------------------------------------------------
+@query(
+    "q333_neyman_allocation",
+    oracle="""
+    WITH p AS (SELECT lang AS stratum, count(*) AS n_rows,
+                      coalesce(stddev_samp(CAST(n_chars AS DOUBLE)),
+                               0.0) AS sd
+               FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+    t AS (SELECT sum(n_rows) AS nn, sum(n_rows * sd) AS ns,
+                 sum(n_rows * sd * sd) AS nss
+          FROM p)
+    SELECT p.stratum, CAST(p.n_rows AS BIGINT) AS n_rows,
+           round(p.sd, 6) AS sd,
+           round(1000.0 * p.n_rows / t.nn, 6) AS n_proportional,
+           round(CASE WHEN t.ns > 0
+                      THEN 1000.0 * p.n_rows * p.sd / t.ns
+                      ELSE 0.0 END, 6) AS n_neyman,
+           round(CASE WHEN t.nss / t.nn > 0
+                      THEN (t.ns / t.nn) * (t.ns / t.nn)
+                           / (t.nss / t.nn) END, 6) AS var_ratio
+    FROM p, t ORDER BY 1
+    """,
+)
+def q333_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import neyman_allocation
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return neyman_allocation(d, "lang", "n_chars", budget=1000).orderBy(
+        "stratum"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q334 — cross-source duplicate flow matrix (composite: operators/
+# dedup.dedup_ngram_jaccard + a source dimension join): WHICH
+# sources near-duplicate WHICH — the provenance table behind a dedup
+# decision ("drop src7, it's 80% copies of src2"). Pair generation
+# is q24's inverted shingle index unchanged; the matrix is one
+# catalog aggregate over the pair frame.
+# ---------------------------------------------------------------------------
+@query(
+    "q334_dup_flow_matrix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s FROM t),
+    shn AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM shn),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.n AS n_a, b.n AS n_b, count(*) AS common
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    dup AS (SELECT id_a, id_b FROM pairs
+            WHERE CAST(common AS DOUBLE) / (n_a + n_b - common)
+                  >= 0.4),
+    m AS (SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b
+          FROM dup
+          JOIN documents da ON da.doc_id = dup.id_a
+          JOIN documents db ON db.doc_id = dup.id_b)
+    SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY 1, 2
+    ORDER BY 3 DESC, 1, 2
+    """,
+)
+def q334_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.dedup_ngram_jaccard(d, "text", "doc_id", k=3, threshold=0.4)
+    src = d.select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("_sb"),
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+    )
+    return (
+        m.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("source_a"), F.asc("source_b"))
+    )
