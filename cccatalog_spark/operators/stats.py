@@ -252,3 +252,65 @@ def mad_outliers(
         F.round("_mad", 6).alias("mad"),
         F.round(z, 6).alias("mod_z"),
     )
+
+
+def median_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Distribution-free confidence interval for the median from
+    order statistics (the binomial/sign-test interval, Conover 1999):
+    the interval between the ⌊(n − z√n)/2⌋-th and ⌈1 + (n + z√n)/2⌉-th
+    smallest values covers the true median with ≥ 95% — no normality,
+    no bootstrap replicas, exact ranks.
+
+    Returns one row per group ``(group, n, median, ci_lo, ci_hi)``
+    (median = disc 0.5 quantile; floats rounded 6; ranks clamped to
+    [1, n] so tiny groups degrade to the extremes).
+
+    Scale shape: the distinct-value-catalog discipline — one (group,
+    value) count aggregate, ONE catalog window for the cumulative
+    ranks, and the three order statistics are conditional mins over
+    that catalog. No raw-row sort.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("group"), v.alias("_v")
+    )
+    cat = base.groupBy("group", "_v").agg(F.count("*").alias("_c"))
+    wc = (
+        Window.partitionBy("group")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy("group")
+    cum = cat.select(
+        "group",
+        "_v",
+        F.sum("_c").over(wc).alias("_cum"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+    n = F.col("_n").cast("double")
+    k_med = F.greatest(F.ceil(0.5 * n), F.lit(1))
+    k_lo = F.greatest(
+        F.floor((n - z * F.sqrt(n)) / 2.0), F.lit(1)
+    )
+    k_hi = F.least(
+        F.ceil(1.0 + (n + z * F.sqrt(n)) / 2.0), F.col("_n")
+    )
+    return cum.groupBy("group").agg(
+        F.max("_n").cast("long").alias("n"),
+        F.round(
+            F.min(F.when(F.col("_cum") >= k_med, F.col("_v"))), 6
+        ).alias("median"),
+        F.round(
+            F.min(F.when(F.col("_cum") >= k_lo, F.col("_v"))), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.min(F.when(F.col("_cum") >= k_hi, F.col("_v"))), 6
+        ).alias("ci_hi"),
+    )

@@ -18066,3 +18066,145 @@ def q334_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), F.asc("source_a"), F.asc("source_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 — distinct-estimator shootout (functions/sketches.
+# kmv_distinct + hll_distinct vs exact COUNT DISTINCT): all three on
+# the same column, with each sketch's relative error — the
+# completeness-critic table that decides WHICH sketch a 100 TB rollup
+# should carry. Both sketches are md5-derandomized, so even the
+# approximations sit under the hard value gate.
+# ---------------------------------------------------------------------------
+from cccatalog_spark.functions.sketches import _HLL_ALPHA_M2 as _HLLC2
+
+
+@query(
+    "q335_estimator_shootout",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT l_returnflag,
+               md5(CAST(l_partkey AS VARCHAR)) AS hx
+        FROM lineitem),
+    hh AS (SELECT DISTINCT l_returnflag, {_KMV_FOLD} AS h FROM d),
+    r AS (SELECT l_returnflag, h,
+                 row_number() OVER (
+                     PARTITION BY l_returnflag ORDER BY h) AS rn
+          FROM hh),
+    kmv AS (SELECT l_returnflag,
+                   CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                        ELSE round(
+                            CAST(255 AS DOUBLE)
+                            * CAST(1152921504606846976 AS DOUBLE)
+                            / max(CASE WHEN rn = 256 THEN h END), 2)
+                   END AS kmv_est
+            FROM r WHERE rn <= 256 GROUP BY l_returnflag),
+    b AS (SELECT l_returnflag, h % 256 AS j, h // 256 AS w FROM hh),
+    rg AS (SELECT l_returnflag, j,
+                  max(CASE WHEN w = 0 THEN 53
+                           ELSE CAST(round(log2(w & (-w))) AS INTEGER)
+                                + 1 END) AS mr
+           FROM b GROUP BY 1, 2),
+    hll AS (SELECT l_returnflag,
+                   round(CASE WHEN CAST({_HLLC2!r} AS DOUBLE)
+                               / (CAST(256 - count(*) AS DOUBLE)
+                                  + sum(power(CAST(2.0 AS DOUBLE), -mr)))
+                              <= CAST(640.0 AS DOUBLE)
+                              AND count(*) < 256
+                         THEN CAST(256.0 AS DOUBLE)
+                              * ln(CAST(256.0 AS DOUBLE)
+                                   / CAST(256 - count(*) AS DOUBLE))
+                         ELSE CAST({_HLLC2!r} AS DOUBLE)
+                              / (CAST(256 - count(*) AS DOUBLE)
+                                 + sum(power(CAST(2.0 AS DOUBLE), -mr)))
+                         END, 4) AS hll_est
+            FROM rg GROUP BY 1),
+    ex AS (SELECT l_returnflag,
+                  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact
+           FROM lineitem GROUP BY 1)
+    SELECT ex.l_returnflag, ex.exact, kmv.kmv_est, hll.hll_est,
+           round(abs(kmv.kmv_est - ex.exact) / ex.exact, 6)
+               AS kmv_rel_err,
+           round(abs(hll.hll_est - ex.exact) / ex.exact, 6)
+               AS hll_rel_err
+    FROM ex JOIN kmv USING (l_returnflag) JOIN hll USING (l_returnflag)
+    ORDER BY 1
+    """,
+)
+def q335_estimator_shootout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.sketches import hll_distinct, kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_partkey"
+    )
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact")
+    )
+    kmv = kmv_distinct(li, ["l_returnflag"], "l_partkey", k=256).select(
+        "l_returnflag", F.col("approx_distinct").alias("kmv_est")
+    )
+    hll = hll_distinct(li, ["l_returnflag"], "l_partkey").select(
+        "l_returnflag", F.col("hll_distinct").alias("hll_est")
+    )
+    return (
+        ex.join(kmv, "l_returnflag")
+        .join(hll, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact",
+            "kmv_est",
+            "hll_est",
+            F.round(
+                F.abs(F.col("kmv_est") - F.col("exact")) / F.col("exact"),
+                6,
+            ).alias("kmv_rel_err"),
+            F.round(
+                F.abs(F.col("hll_est") - F.col("exact")) / F.col("exact"),
+                6,
+            ).alias("hll_rel_err"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q336 — order-statistic median CI (operators/stats.median_ci,
+# Conover 1999 sign-test interval): distribution-free 95% bounds on
+# each language's median length from exact ranks — no normality
+# assumption, no bootstrap replicas, one catalog window.
+# ---------------------------------------------------------------------------
+@query(
+    "q336_median_ci",
+    oracle="""
+    WITH b AS (SELECT lang AS grp, CAST(n_chars AS DOUBLE) AS v
+               FROM documents WHERE n_chars IS NOT NULL),
+    cat AS (SELECT grp, v, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (SELECT grp, v,
+                   sum(c) OVER (PARTITION BY grp ORDER BY v
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY grp) AS n
+            FROM cat)
+    SELECT grp AS "group", CAST(max(n) AS BIGINT) AS n,
+           round(min(CASE WHEN cm >= greatest(
+                       ceil(0.5 * CAST(n AS DOUBLE)), 1)
+                     THEN v END), 6) AS median,
+           round(min(CASE WHEN cm >= greatest(
+                       floor((CAST(n AS DOUBLE)
+                              - CAST(1.959963984540054 AS DOUBLE)
+                                * sqrt(CAST(n AS DOUBLE))) / 2.0), 1)
+                     THEN v END), 6) AS ci_lo,
+           round(min(CASE WHEN cm >= least(
+                       ceil(1.0 + (CAST(n AS DOUBLE)
+                                   + CAST(1.959963984540054 AS DOUBLE)
+                                     * sqrt(CAST(n AS DOUBLE))) / 2.0),
+                       CAST(n AS DOUBLE))
+                     THEN v END), 6) AS ci_hi
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+)
+def q336_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import median_ci
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    return median_ci(d, "lang", "n_chars").orderBy("group")
