@@ -1130,3 +1130,90 @@ def hyperball_harmonic(
         F.round("_prev", 4).alias("ball_est"),
         F.round("_h", 5).alias("harmonic_hll"),
     )
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 6,
+    salt: str = "mis:",
+) -> DataFrame:
+    """Luby's maximal independent set (Luby, STOC'85) over the
+    undirected view of the edge list — the conflict-free scheduling
+    primitive (pick a maximal set of mutually non-adjacent items:
+    parallel-safe updates, seed selection with no near-dup pairs,
+    one-per-conflict-group sampling):
+
+    per round, every undecided node draws an md5-derandomized
+    priority; a node joins the MIS iff its priority beats every
+    undecided neighbor's; its neighbors drop out. Expected O(log n)
+    rounds; priorities are pure functions of (round, node), so the
+    result is deterministic, repartition-stable, and SQL-replayable
+    — a "random" distributed algorithm under an exact value gate.
+
+    Returns ``(node, round)`` for MIS members.
+
+    Scale shape per round: one join of the undecided-priority frame
+    keyed by node against the edge list + one max aggregate (the
+    neighbor-priority bound), one anti-join to shrink the undecided
+    set; per-round lineage cuts; the convergence probe is a bounded
+    scalar (the connected-components discipline).
+    """
+    from cccatalog_spark.operators.sampling import md5_u01
+
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src_col).alias("n"), F.col(dst_col).alias("m"))
+        .unionAll(
+            edges.select(
+                F.col(dst_col).alias("n"), F.col(src_col).alias("m")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    undecided = _truncate_lineage(
+        und.select(F.col("n").alias("node")).distinct()
+    ).persist()
+    mis = spark.createDataFrame([], "node string, round int")
+    for r in range(max_rounds):
+        if undecided.isEmpty():
+            break
+        pri = undecided.withColumn(
+            "_p", md5_u01(F.col("node"), f"{salt}{r}:")
+        ).persist()
+        nbr_max = (
+            und.join(
+                pri.select(F.col("node").alias("m"), F.col("_p").alias("_pm")),
+                "m",
+            )
+            .groupBy("n")
+            .agg(F.max("_pm").alias("_mx"))
+        )
+        cand = (
+            pri.join(
+                nbr_max.select(F.col("n").alias("node"), "_mx"),
+                "node",
+                "left",
+            )
+            .where(F.col("_mx").isNull() | (F.col("_p") > F.col("_mx")))
+            .select("node")
+        ).persist()
+        mis = _truncate_lineage(
+            mis.unionAll(
+                cand.select("node", F.lit(r).cast("int").alias("round"))
+            )
+        )
+        excluded = (
+            und.join(cand.select(F.col("node").alias("n")), "n")
+            .select(F.col("m").alias("node"))
+            .distinct()
+        )
+        undecided = _truncate_lineage(
+            undecided.join(
+                cand.unionAll(excluded).distinct(), "node", "left_anti"
+            )
+        ).persist()
+    und.unpersist()
+    return mis

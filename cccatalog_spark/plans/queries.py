@@ -18208,3 +18208,178 @@ def q336_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
     return median_ci(d, "lang", "n_chars").orderBy("group")
+
+
+# ---------------------------------------------------------------------------
+# q337 — Luby's maximal independent set (operators/graph.
+# maximal_independent_set, STOC'85): a conflict-free node set over
+# the month-slice fulfilment graph — md5-derandomized priorities
+# make the classic randomized distributed algorithm deterministic,
+# repartition-stable, and exactly SQL-replayable round by round.
+# ---------------------------------------------------------------------------
+def _mis_oracle_sql(rounds: int = 6) -> str:
+    u01 = (
+        "(CAST(('0x' || substring(md5('mis:{r}:' "
+        "|| CAST(node AS VARCHAR)), 1, 12)) AS BIGINT) "
+        "+ CAST(0.5 AS DOUBLE)) / CAST(281474976710656.0 AS DOUBLE)"
+    )
+    ctes = [
+        """ed AS MATERIALIZED (
+            SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS a,
+                            'C' || CAST(o_custkey AS VARCHAR) AS b
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1995-03-01'
+              AND l_shipdate < DATE '1995-04-01')""",
+        "und AS MATERIALIZED (SELECT a AS n, b AS m FROM ed"
+        " UNION SELECT b, a FROM ed)",
+        "u0 AS MATERIALIZED (SELECT DISTINCT n AS node FROM und)",
+    ]
+    for r in range(rounds):
+        pr = u01.format(r=r)
+        ctes.append(
+            f"p{r} AS MATERIALIZED (SELECT node, {pr} AS p FROM u{r})"
+        )
+        ctes.append(
+            f"""mx{r} AS (SELECT e.n AS node, max(pm.p) AS mx
+            FROM und e JOIN p{r} pm ON pm.node = e.m GROUP BY 1)"""
+        )
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (SELECT p{r}.node FROM p{r}
+            LEFT JOIN mx{r} USING (node)
+            WHERE mx IS NULL OR p > mx)"""
+        )
+        ctes.append(
+            f"""x{r} AS (SELECT DISTINCT e.m AS node
+            FROM und e JOIN c{r} c ON c.node = e.n)"""
+        )
+        ctes.append(
+            f"""u{r + 1} AS MATERIALIZED (SELECT node FROM u{r}
+            EXCEPT SELECT node FROM
+            (SELECT node FROM c{r} UNION SELECT node FROM x{r}))"""
+        )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT node, {r} AS round FROM c{r}" for r in range(rounds)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round FROM ({sel}) ORDER BY node"
+    )
+
+
+@query("q337_luby_mis", oracle=_mis_oracle_sql(6))
+def q337_luby_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import maximal_independent_set
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return maximal_independent_set(edges, max_rounds=6).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# q338 — label-noise suspects (composite: operators/classifier
+# nb_train/nb_score + an argmax window): documents whose metadata
+# language the full-corpus NB model confidently contradicts — the
+# confident-learning-style "find the mislabeled rows" pass. Top-20
+# by rounded margin.
+# ---------------------------------------------------------------------------
+@query(
+    "q338_label_noise",
+    oracle=f"""
+    WITH tt AS (SELECT lang AS label,
+                  unnest(list_transform({_TOKS}, x -> lower(x))) AS token
+           FROM documents),
+    cnt AS (SELECT token, label, count(*) AS c FROM tt GROUP BY 1, 2),
+    ltot AS (SELECT label, sum(c) AS n_tok FROM cnt GROUP BY 1),
+    voc AS (SELECT count(DISTINCT token) AS v FROM cnt),
+    den AS (SELECT label, CAST(n_tok AS DOUBLE) + 1.0 * v AS denom
+            FROM ltot CROSS JOIN voc),
+    mdl AS (SELECT token, label,
+                   ln((CAST(c AS DOUBLE) + 1.0) / denom) AS log_prob
+            FROM cnt JOIN den USING (label)),
+    dc AS (SELECT lang AS label, count(*) AS n_docs FROM documents
+           GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS t FROM dc),
+    ls AS (SELECT dc.label,
+                  ln(CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE))
+                    AS log_prior,
+                  ln(1.0 / denom) AS log_fallback
+           FROM dc CROSS JOIN tot JOIN den ON den.label = dc.label),
+    tk AS (SELECT doc_id,
+                  unnest(list_transform({_TOKS}, x -> lower(x))) AS token
+           FROM documents),
+    sc AS (SELECT tk.doc_id, ls.label,
+                  coalesce(mdl.log_prob, ls.log_fallback) AS lp
+           FROM tk CROSS JOIN ls
+           LEFT JOIN mdl ON mdl.token = tk.token AND mdl.label = ls.label),
+    agg AS (SELECT doc_id, label, sum(lp) AS token_ll
+            FROM sc GROUP BY 1, 2),
+    d0 AS (SELECT doc_id, lang FROM documents),
+    full0 AS (SELECT d0.doc_id, d0.lang, ls.label,
+                     ls.log_prior + coalesce(agg.token_ll, 0.0) AS score
+              FROM d0 CROSS JOIN ls
+              LEFT JOIN agg ON agg.doc_id = d0.doc_id
+                           AND agg.label = ls.label),
+    rk AS (SELECT doc_id, lang, label, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, label) AS r
+           FROM full0),
+    pred AS (SELECT doc_id, lang, label AS pred, score AS s_pred
+             FROM rk WHERE r = 1),
+    truth AS (SELECT doc_id, score AS s_true FROM full0
+              WHERE label = lang)
+    SELECT p.doc_id, p.lang AS label, p.pred,
+           round(p.s_pred - t.s_true, 6) AS margin
+    FROM pred p JOIN truth t USING (doc_id)
+    WHERE p.pred <> p.lang
+    ORDER BY round(p.s_pred - t.s_true, 6) DESC, p.doc_id
+    LIMIT 20
+    """,
+)
+def q338_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cccatalog_spark.operators.classifier import nb_score, nb_train
+
+    d = load_table(spark, sf_dir, "documents")
+    model = nb_train(d, "text", "lang")
+    scores = nb_score(d, model, "text", "doc_id")
+    truth = d.select("doc_id", F.col("lang").alias("_true"))
+    s = scores.join(truth, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    pred = s.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") == 1
+    ).select(
+        "doc_id",
+        F.col("_true").alias("label"),
+        F.col("label").alias("pred"),
+        F.col("score").alias("_s_pred"),
+    )
+    ts = s.where(F.col("label") == F.col("_true")).select(
+        "doc_id", F.col("score").alias("_s_true")
+    )
+    out = (
+        pred.join(ts, "doc_id")
+        .where(F.col("pred") != F.col("label"))
+        .select(
+            "doc_id",
+            "label",
+            "pred",
+            F.round(F.col("_s_pred") - F.col("_s_true"), 6).alias(
+                "margin"
+            ),
+        )
+    )
+    return out.orderBy(F.desc("margin"), F.asc("doc_id")).limit(20)
