@@ -424,3 +424,73 @@ def sif_embed(
             ).alias("emb"),
         )
     )
+
+
+def hashing_collision_audit(
+    docs: DataFrame,
+    text_col: str,
+    dims_list: list[int],
+    salt: str = "hb:",
+) -> DataFrame:
+    """Feature-hashing (hashing-trick) collision audit (Weinberger et
+    al., ICML'09): for each candidate bucket count, how much of the
+    vocabulary collides — the table that picks the classifier's
+    feature dimension BEFORE training degrades silently:
+
+        collision_rate = 1 − buckets_used / vocab
+        max_bucket     = most terms sharing one bucket
+        mass_top_bucket= corpus token mass in that bucket
+
+    Buckets are md5-derandomized (``u01 · dims``), so the audit is
+    exactly the assignment a hashed-bow trainer would use and the
+    oracle replays it. Returns one row per dims:
+    ``(dims, vocab, buckets_used, collision_rate, max_bucket,
+    mass_top_bucket)``, floats rounded 6.
+
+    Scale shape: the corpus collapses to the term catalog once; the
+    dims axis explodes over THAT catalog (|vocab|·|dims| rows, never
+    corpus-sized); two catalog aggregates per dims ride one groupBy.
+    """
+    if not dims_list:
+        raise ValueError("dims_list must be non-empty")
+    from cccatalog_spark.functions import text as TX
+    from cccatalog_spark.operators.sampling import md5_u01
+
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    cat = (
+        docs.select(F.explode(toks).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").alias("_c"))
+    )
+    dims = docs.sparkSession.createDataFrame(
+        [(int(d),) for d in dims_list], "dims int"
+    )
+    g = cat.crossJoin(F.broadcast(dims)).select(
+        "dims",
+        "_c",
+        F.floor(md5_u01(F.col("_w"), salt) * F.col("dims"))
+        .cast("long")
+        .alias("_b"),
+    )
+    per_bucket = g.groupBy("dims", "_b").agg(
+        F.count("*").alias("_terms"), F.sum("_c").alias("_mass")
+    )
+    tot = per_bucket.groupBy("dims").agg(
+        F.sum("_terms").alias("vocab"),
+        F.count("*").alias("buckets_used"),
+        F.max("_terms").alias("max_bucket"),
+        F.sum("_mass").alias("_tmass"),
+        F.max(F.struct(F.col("_terms"), F.col("_mass"))).alias("_mb"),
+    )
+    return tot.select(
+        "dims",
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("buckets_used").cast("long").alias("buckets_used"),
+        F.round(
+            1.0 - F.col("buckets_used") / F.col("vocab"), 6
+        ).alias("collision_rate"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.round(F.col("_mb._mass") / F.col("_tmass"), 6).alias(
+            "mass_top_bucket"
+        ),
+    )

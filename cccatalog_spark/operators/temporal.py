@@ -824,3 +824,49 @@ def segmented_trend(
             "sse_gain"
         ),
     )
+
+def timing_regularity(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_events: int = 5,
+    cv_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-key inter-arrival regularity — the classic bot/scripted-
+    client tell: humans produce bursty gaps (coefficient of variation
+    ≈ 1 for Poisson, > 1 bursty), cron jobs and scrapers produce
+    metronome gaps (CV → 0). Flags keys with ``cv < cv_threshold``
+    over ≥ ``min_events`` events.
+
+    Returns one row per qualifying key: ``(key, n_events, mean_gap,
+    cv, is_regular)``, floats rounded 6 (keys with fewer than
+    ``min_events`` events or zero mean gap are dropped — no gap
+    distribution to judge).
+
+    Scale shape: ONE window partitioned by key ordered by time for
+    the lag gaps (each partition streams sorted — the sessionize
+    discipline), then one key-keyed moment aggregate. Nothing
+    corpus-global.
+    """
+    t = F.col(ts_col).cast("double")
+    gaps = events.select(
+        F.col(key_col).alias("key"),
+        (t - F.lag(t).over(
+            Window.partitionBy(key_col).orderBy(t)
+        )).alias("_gap"),
+    ).where(F.col("_gap").isNotNull())
+    agg = gaps.groupBy("key").agg(
+        (F.count("*") + 1).alias("n_events"),
+        F.avg("_gap").alias("_mean"),
+        F.stddev_pop("_gap").alias("_sd"),
+    )
+    cv = F.col("_sd") / F.col("_mean")
+    return agg.where(
+        (F.col("n_events") >= min_events) & (F.col("_mean") > 0)
+    ).select(
+        "key",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("_mean", 6).alias("mean_gap"),
+        F.round(cv, 6).alias("cv"),
+        (F.round(cv, 6) < cv_threshold).alias("is_regular"),
+    )

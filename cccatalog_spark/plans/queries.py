@@ -18383,3 +18383,100 @@ def q338_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("margin"), F.asc("doc_id")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q339 — feature-hashing collision audit (operators/features.
+# hashing_collision_audit, Weinberger ICML'09): vocabulary collision
+# rate / worst bucket at 64-1024 dims — the table that picks the
+# hashed-bow dimension before q207's classifier degrades silently.
+# Dims axis explodes over the term CATALOG, never the corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "q339_hashing_collisions",
+    oracle=f"""
+    WITH t AS (SELECT list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    cat AS (SELECT w, count(*) AS c
+            FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+    dm AS (SELECT unnest([64, 256, 1024]) AS dims),
+    g AS (SELECT dm.dims, cat.c,
+                 CAST(floor(
+                     (CAST(('0x' || substring(md5('hb:' || cat.w), 1, 12))
+                           AS BIGINT) + CAST(0.5 AS DOUBLE))
+                     / CAST(281474976710656.0 AS DOUBLE)
+                     * dm.dims) AS BIGINT) AS b
+          FROM cat CROSS JOIN dm),
+    pb AS (SELECT dims, b, count(*) AS terms, sum(c) AS mass
+           FROM g GROUP BY 1, 2),
+    mb AS (SELECT dims, mass AS top_mass
+           FROM (SELECT dims, terms, mass,
+                        row_number() OVER (PARTITION BY dims
+                                           ORDER BY terms DESC,
+                                                    mass DESC) AS r
+                 FROM pb)
+           WHERE r = 1),
+    tt AS (SELECT dims, CAST(sum(terms) AS BIGINT) AS vocab,
+                  CAST(count(*) AS BIGINT) AS buckets_used,
+                  CAST(max(terms) AS BIGINT) AS max_bucket,
+                  sum(mass) AS tmass
+           FROM pb GROUP BY 1)
+    SELECT tt.dims, tt.vocab, tt.buckets_used,
+           round(1.0 - CAST(tt.buckets_used AS DOUBLE) / tt.vocab, 6)
+               AS collision_rate,
+           tt.max_bucket,
+           round(CAST(mb.top_mass AS DOUBLE) / tt.tmass, 6)
+               AS mass_top_bucket
+    FROM tt JOIN mb USING (dims)
+    ORDER BY tt.dims
+    """,
+)
+def q339_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import hashing_collision_audit
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return hashing_collision_audit(
+        d, "text", [64, 256, 1024]
+    ).orderBy("dims")
+
+
+# ---------------------------------------------------------------------------
+# q340 — inter-arrival regularity / bot tell (operators/temporal.
+# timing_regularity): per-user coefficient of variation of event
+# gaps — metronome gaps (CV→0) are scripted clients, CV≈1 is human
+# Poisson. One per-key lag window + one moment aggregate. Top-20
+# most regular.
+# ---------------------------------------------------------------------------
+@query(
+    "q340_timing_regularity",
+    oracle="""
+    WITH e AS (SELECT user_id AS key,
+                      CAST(epoch(ts) AS DOUBLE) AS t
+               FROM events),
+    g AS (SELECT key,
+                 t - lag(t) OVER (PARTITION BY key ORDER BY t) AS gap
+          FROM e),
+    a AS (SELECT key, count(*) + 1 AS n_events,
+                 avg(gap) AS m, stddev_pop(gap) AS sd
+          FROM g WHERE gap IS NOT NULL GROUP BY 1)
+    SELECT key, CAST(n_events AS BIGINT) AS n_events,
+           round(m, 6) AS mean_gap,
+           round(sd / m, 6) AS cv,
+           round(sd / m, 6) < 0.1 AS is_regular
+    FROM a WHERE n_events >= 5 AND m > 0
+    ORDER BY round(sd / m, 6), key
+    LIMIT 20
+    """,
+)
+def q340_timing_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import timing_regularity
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)")
+            / 1000000.0
+        ).alias("t"),
+    )
+    out = timing_regularity(e, "user_id", "t", min_events=5)
+    return out.orderBy(F.asc("cv"), F.asc("key")).limit(20)
