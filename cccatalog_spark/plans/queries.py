@@ -18480,3 +18480,201 @@ def q340_timing_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = timing_regularity(e, "user_id", "t", min_events=5)
     return out.orderBy(F.asc("cv"), F.asc("key")).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q341 — streaming per-key HLL distinct (streaming/stateful.
+# hll_distinct_stream): COUNT(DISTINCT user) per event type carried
+# across three micro-batches as 256-int register state — the only
+# distinct that exists on an unbounded stream. Register max is batch-
+# order-independent, so the oracle replays the identical sketch (and
+# the estimate) from the batch table.
+# ---------------------------------------------------------------------------
+from cccatalog_spark.functions.sketches import _HLL_ALPHA_M2 as _HLLC3
+
+
+@query(
+    "q341_stream_hll_distinct",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT event_type,
+                      md5(CAST(user_id AS VARCHAR)) AS hx
+               FROM events WHERE event_id % 4 = 3),
+    hh AS (SELECT DISTINCT event_type, {_KMV_FOLD} AS h FROM d),
+    b AS (SELECT event_type, h % 256 AS j, h // 256 AS w FROM hh),
+    rg AS (SELECT event_type, j,
+                  max(CASE WHEN w = 0 THEN 53
+                           ELSE CAST(round(log2(w & (-w))) AS INTEGER)
+                                + 1 END) AS mr
+           FROM b GROUP BY 1, 2),
+    a AS (SELECT event_type, CAST(count(*) AS INTEGER) AS n_used,
+                 sum(power(CAST(2.0 AS DOUBLE), -mr)) AS zu
+          FROM rg GROUP BY 1)
+    SELECT event_type, n_used,
+           round(CASE WHEN CAST({_HLLC3!r} AS DOUBLE)
+                           / (CAST(256 - n_used AS DOUBLE) + zu)
+                        <= CAST(640.0 AS DOUBLE)
+                      AND n_used < 256
+                 THEN CAST(256.0 AS DOUBLE)
+                      * ln(CAST(256.0 AS DOUBLE)
+                           / CAST(256 - n_used AS DOUBLE))
+                 ELSE CAST({_HLLC3!r} AS DOUBLE)
+                      / (CAST(256 - n_used AS DOUBLE) + zu)
+                 END, 4) AS hll_distinct
+    FROM a ORDER BY event_type
+    """,
+)
+def q341_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import hll_distinct_stream
+
+    base = tempfile.mkdtemp(prefix="ccc_shll_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 4 == 3)
+    for i in range(3):
+        stage = os.path.join(base, f"stage{i}")
+        (
+            e.where(F.col("event_id") % 3 == i)
+            .select("event_type", F.col("user_id").cast("string"))
+            .coalesce(1)
+            .write.option("sep", "\t")
+            .mode("overwrite")
+            .csv(stage)
+        )
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            os.rename(
+                os.path.join(stage, parts[0]),
+                os.path.join(src, f"batch{i}.tsv"),
+            )
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("event_type string, user_id string")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    est = hll_distinct_stream(stream, "event_type", "user_id")
+    sink = f"q341_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        est.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # per key, the LAST emission (max n_used) is the final state
+    return spark.sql(
+        f"""
+        SELECT event_type, n_used, hll_distinct
+        FROM (SELECT event_type, n_used, hll_distinct,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY n_used DESC,
+                                                 hll_distinct DESC) AS r
+              FROM {sink})
+        WHERE r = 1 ORDER BY event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q342 — dataset card (composite): the one-row governance summary a
+# corpus release ships — volume, language/source spread, length
+# distribution, near-dup pair rate, short-doc share — each number a
+# primitive this engine already proves elsewhere, composed into the
+# report users actually read.
+# ---------------------------------------------------------------------------
+@query(
+    "q342_data_card",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      len({_TOKS}) AS ntok
+               FROM documents),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                    round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars,
+                    round(avg(CASE WHEN ntok < 20 THEN 1.0
+                                   ELSE 0.0 END), 6) AS short_doc_share
+             FROM t),
+    lt AS (SELECT lang, count(*) AS c FROM t GROUP BY 1),
+    top AS (SELECT lang AS top_lang,
+                   round(CAST(c AS DOUBLE)
+                         / (SELECT sum(c) FROM lt), 6) AS top_lang_share
+            FROM lt ORDER BY c DESC, lang LIMIT 1),
+    sh AS (SELECT doc_id, {_SHINGLES3} AS s
+           FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    shn AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+    ex AS (SELECT doc_id, n, unnest(s) AS shingle FROM shn),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n AS n_a, b.n AS n_b, count(*) AS common
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+    dup AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs
+            FROM pairs
+            WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.4)
+    SELECT base.*, top.top_lang, top.top_lang_share, dup.n_dup_pairs,
+           round(CAST(dup.n_dup_pairs AS DOUBLE) / base.n_docs, 6)
+               AS dup_pair_rate
+    FROM base, top, dup
+    """,
+)
+def q342_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions import text as TX
+    from cccatalog_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(TX.tokens(F.col("text"))).alias("ntok"),
+    )
+    base = t.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+            "mean_chars"
+        ),
+        F.round(
+            F.avg(F.when(F.col("ntok") < 20, 1.0).otherwise(0.0)), 6
+        ).alias("short_doc_share"),
+    )
+    lt = t.groupBy("lang").agg(F.count("*").alias("_c"))
+    ltot = lt.agg(F.sum("_c").alias("_t"))
+    top = (
+        lt.crossJoin(F.broadcast(ltot))
+        .orderBy(F.desc("_c"), F.asc("lang"))
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("_c") / F.col("_t"), 6).alias(
+                "top_lang_share"
+            ),
+        )
+    )
+    dup = (
+        D.dedup_ngram_jaccard(d, "text", "doc_id", k=3, threshold=0.4)
+        .agg(F.count("*").cast("long").alias("n_dup_pairs"))
+    )
+    return (
+        base.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(dup))
+        .select(
+            "*",
+            F.round(
+                F.col("n_dup_pairs") / F.col("n_docs"), 6
+            ).alias("dup_pair_rate"),
+        )
+    )

@@ -516,3 +516,75 @@ def heavy_hitters_topk(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_distinct_stream(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Streaming per-key approximate COUNT(DISTINCT) with the
+    256-register HLL as KEYED STATE — the sketch form of
+    running_counts: exact distinct state grows with the key's value
+    cardinality, this is 256 ints per key forever (the only
+    COUNT(DISTINCT) that exists on an unbounded stream).
+
+    Registers use functions/sketches' md5-derandomized hash layout
+    (same bucket/rho algebra bit-for-bit), and register max is
+    order- and batch-independent, so the final state equals the
+    batch sketch of the same rows — which is exactly what lets a SQL
+    oracle replay the "streaming" estimate.
+
+    Emits per trigger: ``(key, n_used, hll_distinct)`` (estimate
+    rounded 4, the hll_estimate convention, linear-counting branch
+    included).
+    """
+    import hashlib
+    import math as _m
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity import)
+
+    from cccatalog_spark.functions.sketches import _HLL_ALPHA_M2
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * 256
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                h = int(
+                    hashlib.md5(str(v).encode("utf-8")).hexdigest()[:15],
+                    16,
+                )
+                j = h % 256
+                w = h // 256
+                rho = 53 if w == 0 else (w & -w).bit_length()
+                if rho > regs[j]:
+                    regs[j] = rho
+        state.update((regs,))
+        n_used = sum(1 for r in regs if r > 0)
+        z = float(256 - n_used) + sum(
+            2.0 ** -r for r in regs if r > 0
+        )
+        e_raw = _HLL_ALPHA_M2 / z
+        if e_raw <= 2.5 * 256 and n_used < 256:
+            est = 256.0 * _m.log(256.0 / float(256 - n_used))
+        else:
+            est = e_raw
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_used": [n_used],
+                "hll_distinct": [round(est, 4)],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} string, n_used int, hll_distinct double"
+        ),
+        stateStructType="regs array<int>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
