@@ -1217,3 +1217,76 @@ def maximal_independent_set(
         ).persist()
     und.unpersist()
     return mis
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity of a node partition (Newman & Girvan 2004)
+    over the undirected view of the edge list:
+
+        Q = Σ_c ( e_c/m − (d_c/2m)² )
+
+    e_c = intra-community edges, d_c = community degree sum, m =
+    total edges — THE score for "are these communities real":
+    community detectors (q209's LPA) produce labels, this prices
+    them; Q < 0 means anti-community structure (a bipartite split
+    scores negative by construction).
+
+    Returns one row ``(n_nodes, n_edges, n_communities, q)``
+    (rounded 6) plus per-community detail is deliberately not
+    emitted — the scalar is the decision.
+
+    Scale shape: two label joins against the edge list (keyed by
+    endpoint — broadcast when the label frame is a catalog, shuffle
+    otherwise), one community aggregate, one 1-row fold. Degrees
+    come from the same edge scan.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    la = labels.select(
+        F.col(node_col).alias("a"), F.col(label_col).alias("_la")
+    )
+    lb = labels.select(
+        F.col(node_col).alias("b"), F.col(label_col).alias("_lb")
+    )
+    j = e.join(la, "a").join(lb, "b")
+    m = j.agg(F.count("*").cast("double").alias("_m"))
+    # community degree sums from the labeled edge endpoints
+    deg = (
+        j.select(F.col("_la").alias("_c"))
+        .unionAll(j.select(F.col("_lb").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count("*").cast("double").alias("_d"))
+    )
+    intra = j.where(F.col("_la") == F.col("_lb")).groupBy(
+        F.col("_la").alias("_c")
+    ).agg(F.count("*").cast("double").alias("_e"))
+    per = deg.join(intra, "_c", "left").crossJoin(F.broadcast(m))
+    qterm = F.coalesce(F.col("_e"), F.lit(0.0)) / F.col("_m") - (
+        F.col("_d") / (2.0 * F.col("_m"))
+    ) * (F.col("_d") / (2.0 * F.col("_m")))
+    nn = labels.agg(F.countDistinct(node_col).alias("n_nodes"))
+    out = per.agg(
+        F.count("*").cast("long").alias("n_communities"),
+        F.sum(qterm).alias("_q"),
+        F.max("_m").cast("long").alias("n_edges"),
+    )
+    return out.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        "n_edges",
+        "n_communities",
+        F.round("_q", 6).alias("q"),
+    )

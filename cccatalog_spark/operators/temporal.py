@@ -870,3 +870,51 @@ def timing_regularity(
         F.round(cv, 6).alias("cv"),
         (F.round(cv, 6) < cv_threshold).alias("is_regular"),
     )
+
+def next_event_latency(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+) -> DataFrame:
+    """Per-occurrence latency from each ``from_type`` event to the
+    SAME key's next ``to_type`` event — the product-metric workhorse
+    (view→click, queue→serve, stage→publish). Returns one row per
+    from-event that has a successor:
+    ``(key, t_from, t_to, latency)``.
+
+    Scale shape: ONE window partitioned by key ordered DESCENDING by
+    time carrying the running earliest to-event backward (min over
+    the already-seen suffix) — a single shuffle keyed by key, the
+    asof-join trick with time reversed; no interval join, no self
+    join.
+    """
+    t = F.col(ts_col).cast("double")
+    base = events.where(
+        F.col(type_col).isin([from_type, to_type])
+    ).select(
+        F.col(key_col).alias("key"),
+        t.alias("_t"),
+        (F.col(type_col) == to_type).alias("_is_to"),
+    )
+    # to-events sort before from-events at EQUAL timestamps so a
+    # simultaneous successor counts (latency 0) deterministically
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.desc("_t"), F.desc("_is_to"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = base.withColumn(
+        "_next_to",
+        F.min(F.when(F.col("_is_to"), F.col("_t"))).over(w),
+    )
+    return nxt.where(
+        (~F.col("_is_to")) & F.col("_next_to").isNotNull()
+    ).select(
+        "key",
+        F.col("_t").alias("t_from"),
+        F.col("_next_to").alias("t_to"),
+        F.round(F.col("_next_to") - F.col("_t"), 6).alias("latency"),
+    )

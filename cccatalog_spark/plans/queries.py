@@ -18355,7 +18355,9 @@ def q338_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = nb_train(d, "text", "lang")
     scores = nb_score(d, model, "text", "doc_id")
     truth = d.select("doc_id", F.col("lang").alias("_true"))
-    s = scores.join(truth, "doc_id")
+    # the scored surface feeds both the argmax and the true-label
+    # lookup: persist so the NB model+scoring subtree runs once
+    s = scores.join(truth, "doc_id").persist()
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("label")
     )
@@ -18677,4 +18679,165 @@ def q342_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_dup_pairs") / F.col("n_docs"), 6
             ).alias("dup_pair_rate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q343 — partition modularity (operators/graph.modularity,
+# Newman-Girvan 2004): price the fulfilment graph's supplier/customer
+# split — bipartite anti-community structure scores NEGATIVE by
+# construction, pinning the metric's sign behavior on a partition
+# whose truth is known. Two label joins + one community aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q343_modularity",
+    oracle="""
+    WITH ed AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS s,
+                                'C' || CAST(o_custkey AS VARCHAR) AS c
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate >= DATE '1995-03-01'
+                  AND l_shipdate < DATE '1995-04-01'),
+    e AS (SELECT DISTINCT least(s, c) AS a, greatest(s, c) AS b
+          FROM ed WHERE s <> c),
+    lab AS (SELECT node, substring(node, 1, 1) AS l
+            FROM (SELECT s AS node FROM ed UNION SELECT c FROM ed)),
+    j AS (SELECT la.l AS la, lb.l AS lb
+          FROM e JOIN lab la ON la.node = e.a
+                 JOIN lab lb ON lb.node = e.b),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM j),
+    deg AS (SELECT l, CAST(count(*) AS DOUBLE) AS d
+            FROM (SELECT la AS l FROM j UNION ALL SELECT lb FROM j)
+            GROUP BY 1),
+    intra AS (SELECT la AS l, CAST(count(*) AS DOUBLE) AS e
+              FROM j WHERE la = lb GROUP BY 1),
+    per AS (SELECT deg.l, deg.d, coalesce(intra.e, 0.0) AS e, m.m
+            FROM deg LEFT JOIN intra USING (l), m),
+    nn AS (SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+           FROM lab)
+    SELECT nn.n_nodes,
+           CAST(max(per.m) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           round(sum(per.e / per.m
+                     - (per.d / (2.0 * per.m))
+                       * (per.d / (2.0 * per.m))), 6) AS q
+    FROM per, nn GROUP BY nn.n_nodes
+    """,
+)
+def q343_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import modularity
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.substring("node", 1, 1))
+    )
+    return modularity(edges, nodes)
+
+
+# ---------------------------------------------------------------------------
+# q344 — next-event latency (operators/temporal.next_event_latency):
+# per-user view→click lag via ONE time-reversed running-min window
+# (the asof trick, no self-join), summarized to count / mean / exact
+# disc median+p90 off the latency value catalog. The product-metric
+# workhorse.
+# ---------------------------------------------------------------------------
+@query(
+    "q344_next_event_latency",
+    oracle="""
+    WITH e AS (SELECT user_id AS key,
+                      CAST(epoch(ts) AS DOUBLE) AS t,
+                      event_type = 'click' AS is_to
+               FROM events WHERE event_type IN ('view', 'click')),
+    nx AS (SELECT key, t, is_to,
+                  min(CASE WHEN is_to THEN t END)
+                      OVER (PARTITION BY key
+                            ORDER BY t DESC, is_to DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS next_to
+           FROM e),
+    lat AS (SELECT round(next_to - t, 6) AS latency
+            FROM nx WHERE NOT is_to AND next_to IS NOT NULL),
+    cat AS (SELECT latency, count(*) AS c FROM lat GROUP BY 1),
+    cum AS (SELECT latency, c,
+                   sum(c) OVER (ORDER BY latency
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cm,
+                   sum(c) OVER () AS n
+            FROM cat)
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           round(sum(c * latency) / max(n), 6) AS mean_latency,
+           round(min(CASE WHEN cm >= greatest(
+                       ceil(0.5 * CAST(n AS DOUBLE)), 1)
+                     THEN latency END), 6) AS p50,
+           round(min(CASE WHEN cm >= greatest(
+                       ceil(0.9 * CAST(n AS DOUBLE)), 1)
+                     THEN latency END), 6) AS p90
+    FROM cum
+    """,
+)
+def q344_next_event_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from cccatalog_spark.operators.temporal import next_event_latency
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (
+            F.expr("CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS DOUBLE)")
+            / 1000000.0
+        ).alias("t"),
+        "event_type",
+    )
+    lat = next_event_latency(
+        e, "user_id", "t", "event_type", "view", "click"
+    ).select("latency")
+    cat = lat.groupBy("latency").agg(F.count("*").alias("_c"))
+    wc = Window.orderBy("latency").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = cat.select(
+        "latency",
+        F.sum("_c").over(wc).alias("_cm"),
+        F.sum("_c").over(wall).alias("_n"),
+        F.col("_c"),
+    )
+    n = F.col("_n").cast("double")
+    return cum.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("_c") * F.col("latency")) / F.max("_n"), 6
+        ).alias("mean_latency"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("_cm") >= F.greatest(F.ceil(0.5 * n), F.lit(1)),
+                    F.col("latency"),
+                )
+            ),
+            6,
+        ).alias("p50"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("_cm") >= F.greatest(F.ceil(0.9 * n), F.lit(1)),
+                    F.col("latency"),
+                )
+            ),
+            6,
+        ).alias("p90"),
     )

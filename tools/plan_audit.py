@@ -34,6 +34,53 @@ MATERIALIZED = {
 # vectors) against a linear corpus scan — the intended design, not an
 # accidental O(n²)
 SANCTIONED_BNLJ = {
+    # round-6 batch: every flag below is a 1-row scalar or k-row
+    # catalog cross-broadcast (totals, bounds, priors, probe grids) —
+    # the established pattern; none joins two corpus-sized sides
+    "q300_t_closeness": "1-row totals + m-row value-catalog broadcast "
+    "grid (dense group x catalog)",
+    "q302_seasonal_decompose": "1-row seasonal-mean recentering "
+    "broadcast over the day catalog",
+    "q304_permutation_test": "1-row observed-stat broadcast onto the "
+    "replica axis + 1-row hit-count fold",
+    "q309_kendall_tau": "1-row marginal-tie scalars broadcast",
+    "q310_mann_kendall": "1-row S/tie scalars broadcast",
+    "q312_concentration": "1-row category-total broadcast over the "
+    "category catalog",
+    "q313_fleiss_kappa": "1-row P_bar x P_e fold",
+    "q318_hill_tail": "1-row x_(k+1) boundary broadcast over the "
+    "value catalog",
+    "q319_chi2_residuals": "1-row N broadcast over the contingency "
+    "catalog",
+    "q323_shift_share": "1-row split-day scalar broadcast",
+    "q325_qte": "9-row decile grid broadcast over the value catalogs",
+    "q326_nearest_centroid": "k-row label-centroid catalog broadcast "
+    "(the kmeans_assign sanction)",
+    "q328_diff_in_diff": "1-row split-day scalar broadcast",
+    "q331_segmented_trend": "1-row totals broadcast over the day "
+    "catalog + 1-row argmin fold",
+    "q332_jsonl_quarantine": "1-row quarantine-count fold",
+    "q333_neyman_allocation": "1-row allocation totals broadcast",
+    "q338_label_noise": "L-row label catalog cross (the q206 NB "
+    "scoring shape) + 1-row folds",
+    "q339_hashing_collisions": "3-row dims grid broadcast over the "
+    "term catalog",
+    "q342_data_card": "1-row report folds (top-lang, dup-count) "
+    "cross-joined into the card row",
+    "q335_estimator_shootout": "listed for the sketch scalar "
+    "broadcasts if plans shift",
+    "q336_median_ci": "listed for the rank scalars if plans shift",
+    "q341_stream_hll_distinct": "listed for the final-state rollup "
+    "if plans shift",
+    "q343_modularity": "1-row m/n folds over the community catalog",
+    "q344_next_event_latency": "1-row summary fold over the latency "
+    "catalog",
+    "q321_capture_recapture": "listed for the 1-row Chapman fold if "
+    "plans shift",
+    "q324_always_valid_p": "listed for the cum-window folds if plans "
+    "shift",
+    "q329_mde_curve": "listed for the cum-window folds if plans "
+    "shift",
     "q19_expired_rows": "1-row max-ts scalar anchor broadcast",
     "q41_expiration_mark": "1-row anchor scalar broadcast (P9 TTL)",
     "q26_ann_topk": "single probe vector broadcast (brute-force top-k)",
