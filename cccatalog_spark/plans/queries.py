@@ -17906,7 +17906,7 @@ def q331_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q332 — JSONL ingest with malformed-record quarantine (sources/
-# jsonl.read_jsonl_quarantine): the S9 TSV quarantine contract on
+# jsonl.load_jsonl): the S9 TSV quarantine contract on
 # the other wire format — every staged line lands in exactly one of
 # (typed frame, quarantine). Three malformed lines are injected into
 # a staged slice of documents; the oracle knows both counts exactly.
@@ -17924,7 +17924,7 @@ def q332_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from cccatalog_spark.sources.jsonl import read_jsonl_quarantine
+    from cccatalog_spark.sources.jsonl import load_jsonl
 
     base = tempfile.mkdtemp(prefix="ccc_jsonl_")
     src = os.path.join(base, "in")
@@ -17949,7 +17949,7 @@ def q332_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(src, "bad.jsonl"), "w") as fh:
         for _ in range(3):  # three injected malformed lines
             fh.write('{"doc_id": "broken", "n_chars": ' + "\n")
-    good, bad = read_jsonl_quarantine(
+    good, bad = load_jsonl(
         spark, src, "doc_id BIGINT, lang STRING, n_chars BIGINT"
     )
     g = good.agg(

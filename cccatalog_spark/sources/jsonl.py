@@ -1,23 +1,17 @@
-"""JSON-Lines source with malformed-record quarantine — the JSON
-sibling of the TSV loader's quarantine contract (sources/tsv.py:
-S9 in SURVEY §2.1): ingest never silently drops OR silently accepts
-a bad line; every input row lands in exactly one of (typed frame,
-quarantine frame).
+"""JSON-lines and ORC sources/sinks (format coverage next to
+sources/tsv.py's TSV path — the reference's loaders speak TSV and
+Postgres; an engine consumer also lands JSONL event dumps and ORC
+exports, and both are first-class Spark formats).
 
-Spark reads PERMISSIVE with ``columnNameOfCorruptRecord``; the known
-engine caveat is that a filter on the corrupt column alone is
-disallowed against a lazy scan (Spark raises — the internal column
-is populated only when other fields are also materialized), so the
-raw frame is cached first: one extra materialization, which a real
-ingest pays anyway to split two outputs from one scan.
+JSONL reading mirrors tsv.load_tsv's contract: explicit schema (never
+inferSchema on a 100 TB lake — schema inference is a full extra scan),
+PERMISSIVE mode with a ``_corrupt_record`` capture column, and a
+``quarantine`` split so malformed lines are preserved for audit
+instead of silently dropped (DROPMALFORMED) or job-fatal (FAILFAST).
 
-Scale shape: one narrow scan, zero shuffles; both outputs prune
-columns independently. At 100 TB the quarantine side is the tiny
-tail and the cache is per-batch, not per-corpus.
-
-Reference anchor: the reference quarantines malformed TSV rows in
-its loader (SURVEY §4.3.3); JSONL is the same contract on the other
-wire format it ships.
+ORC round-trips through the native vectorized reader/writer — nothing
+to configure; included so the engine's source matrix (parquet, TSV,
+JSONL, ORC, JDBC, REST) is tested end to end.
 """
 
 from __future__ import annotations
@@ -25,27 +19,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CORRUPT_COL = "_corrupt_record"
+CORRUPT = "_corrupt_record"
 
 
-def read_jsonl_quarantine(
-    spark: SparkSession, path: str, schema_ddl: str
+def load_jsonl(
+    spark: SparkSession, path: str, schema: str
 ) -> tuple[DataFrame, DataFrame]:
-    """Read JSONL at ``path`` with the user schema; returns
-    ``(good, quarantine)`` — good rows typed per ``schema_ddl`` with
-    the corrupt column dropped, quarantine rows as
-    ``(raw_line)``. A line is quarantined iff Spark could not parse
-    it against the schema (malformed JSON or type mismatch in
-    FAILFAST terms)."""
-    raw = (
-        spark.read.schema(f"{schema_ddl}, {CORRUPT_COL} STRING")
+    """(good, quarantine): parse JSON-lines under an explicit schema.
+    ``good`` rows parsed cleanly; ``quarantine`` holds the raw text of
+    every malformed line. Spark requires caching the parsed frame
+    before the corrupt-column filter (the column is only populated
+    during the same scan that fails to parse)."""
+    df = (
+        spark.read.schema(f"{schema}, {CORRUPT} string")
         .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("columnNameOfCorruptRecord", CORRUPT)
         .json(path)
     )
-    raw = raw.cache()
-    good = raw.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    bad = raw.where(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_line")
+    df = df.cache()
+    good = df.where(F.col(CORRUPT).isNull()).drop(CORRUPT)
+    quarantine = df.where(F.col(CORRUPT).isNotNull()).select(
+        F.col(CORRUPT).alias("raw")
     )
-    return good, bad
+    return good, quarantine
+
+
+def write_jsonl(df: DataFrame, path: str, *, partitions: int | None = None) -> None:
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

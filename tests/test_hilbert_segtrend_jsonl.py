@@ -8,7 +8,7 @@ import os
 
 from cccatalog_spark.operators.temporal import segmented_trend
 from cccatalog_spark.operators.zorder import hilbert_value_frame
-from cccatalog_spark.sources.jsonl import read_jsonl_quarantine
+from cccatalog_spark.sources.jsonl import load_jsonl
 
 
 def _xy2d(order, x, y):
@@ -76,12 +76,12 @@ def test_jsonl_quarantine_splits_exactly(spark, tmp_path):
         fh.write("\n")
         fh.write(json.dumps({"id": 3, "name": "c"}) + "\n")
         fh.write("not json at all\n")
-    good, bad = read_jsonl_quarantine(
+    good, bad = load_jsonl(
         spark, str(p), "id BIGINT, name STRING"
     )
     g = sorted(r["id"] for r in good.collect())
     assert g == [1, 3]
-    b = [r["raw_line"] for r in bad.collect()]
+    b = [r["raw"] for r in bad.collect()]
     assert len(b) == 2 and "not json at all" in b
 
 
@@ -91,7 +91,7 @@ def test_jsonl_quarantine_clean_file_empty_quarantine(spark, tmp_path):
     with open(p / "d.jsonl", "w") as fh:
         for i in range(5):
             fh.write(json.dumps({"id": i, "name": str(i)}) + "\n")
-    good, bad = read_jsonl_quarantine(
+    good, bad = load_jsonl(
         spark, str(p), "id BIGINT, name STRING"
     )
     assert good.count() == 5 and bad.count() == 0
