@@ -504,8 +504,12 @@ def heaps_law_fit(
     return reg.select(
         F.col("_tot").cast("long").alias("total_tokens"),
         F.col("_vocab").cast("long").alias("vocab"),
-        F.round(beta, 6).alias("beta"),
-        F.round(k, 6).alias("k"),
+        # + 0.0 normalizes IEEE −0.0 to +0.0: with a degenerate grid
+        # (tiny corpora) beta rounds to zero whose SIGN is association
+        # noise — the one case the driver's %.10g canonicalizer
+        # distinguishes ("−0" vs "0"); same idiom as q148's oracle
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (F.round(k, 6) + F.lit(0.0)).alias("k"),
     )
 
 

@@ -311,3 +311,77 @@ def chi2_cell_residuals(
             F.when(denom > 0, (F.col("o") - e) / denom), 6
         ).alias("adj_residual"),
     )
+
+
+def cramers_v(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Cramér's V (1946) association strength between two categorical
+    columns — the [0, 1]-scaled companion to the chi-square test
+    (q175): V = sqrt(χ² / (n · (min(r, c) − 1))). The pairwise screen
+    a feature-audit runs across every categorical column pair to find
+    redundant or leaking metadata fields.
+
+    Returns ONE row ``(x, y, n, r, c, chi2, v)``.
+
+    Scale shape: identical to :func:`mutual_information` — one
+    contingency groupBy collapsing the table to r·c rows, marginals
+    derived from that catalog and broadcast back; χ² folds over
+    observed cells only, with the missing-cell mass Σ E_ij over
+    absent (i, j) added in closed form (n − ΣE_present), so sparse
+    contingency tables need no dense expansion.
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).cast("string").alias("_x"),
+            F.col(y_col).cast("string").alias("_y"),
+        )
+        .agg(F.count("*").alias("_o"))
+        # three consumers (row marginals, column marginals, the cell
+        # join) — persist so the table is contingency-scanned once
+        .persist()
+    )
+    rx = cells.groupBy("_x").agg(F.sum("_o").alias("_rx"))
+    cy = cells.groupBy("_y").agg(F.sum("_o").alias("_cy"))
+    joined = cells.join(F.broadcast(rx), "_x").join(
+        F.broadcast(cy), "_y"
+    )
+    tot = joined.agg(
+        F.sum("_o").alias("n_pairs"),
+        F.count("*").alias("_cells"),
+    )
+    # χ² = Σ_present (O−E)²/E + (n − Σ_present E); absent cells have
+    # O = 0 so each contributes exactly E_ij.
+    e = F.col("_rx") * F.col("_cy")  # scaled by n below
+    stats = joined.crossJoin(F.broadcast(tot)).select(
+        F.col("n_pairs"),
+        (
+            (F.col("_o") - e / F.col("n_pairs"))
+            * (F.col("_o") - e / F.col("n_pairs"))
+            / (e / F.col("n_pairs"))
+        ).alias("_term"),
+        (e / F.col("n_pairs")).alias("_e"),
+        "_x",
+        "_y",
+    )
+    agg = stats.groupBy("n_pairs").agg(
+        F.sum("_term").alias("_chi_present"),
+        F.sum("_e").alias("_e_present"),
+        F.count_distinct("_x").alias("_r"),
+        F.count_distinct("_y").alias("_c"),
+    )
+    chi2 = F.col("_chi_present") + (
+        F.col("n_pairs").cast("double") - F.col("_e_present")
+    )
+    denom = F.col("n_pairs").cast("double") * (
+        F.least(F.col("_r"), F.col("_c")).cast("double") - 1.0
+    )
+    v = F.when(denom > 0, F.sqrt(chi2 / denom)).otherwise(F.lit(0.0))
+    return agg.select(
+        F.lit(x_col).alias("x"),
+        F.lit(y_col).alias("y"),
+        F.col("n_pairs").cast("long").alias("n"),
+        F.col("_r").cast("long").alias("r"),
+        F.col("_c").cast("long").alias("c"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("v"),
+    )

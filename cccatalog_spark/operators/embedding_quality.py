@@ -1,0 +1,102 @@
+"""Embedding-column quality audits — the checks an embedding pipeline
+runs before anything downstream (ANN indexing, SemDeDup, clustering)
+is allowed to trust the vectors:
+
+- :func:`embedding_health`: structural audit (nulls, dimension
+  mismatches, non-finite elements, zero vectors, norm spread) — the
+  constraint-suite (q346) analogue for ``array<float>`` columns.
+- :func:`class_separability`: per-dimension Fisher discriminant ratio
+  between/within labeled groups — "does this embedding space actually
+  separate my labels?", the one-pass screen before training a probe.
+
+Scale shape: ``embedding_health`` is ONE aggregate pass (all metrics
+fold per-row expressions — array folds run element-order-fixed, so
+results are engine-deterministic). ``class_separability`` melts
+(n × d) once via posexplode into a (label, dim)-keyed aggregate
+(map-side combinable), then folds over the |labels|·d catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_health(
+    df: DataFrame, vec_col: str, expect_dim: int
+) -> DataFrame:
+    """ONE row: ``(n, n_null, n_wrong_dim, n_nonfinite, n_zero,
+    mean_norm, min_norm, max_norm)``."""
+    v = F.col(vec_col)
+    sumsq = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nonfinite = F.exists(
+        v,
+        lambda x: F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) > F.lit(1e308)),
+    )
+    ok = v.isNotNull() & (F.size(v) == int(expect_dim)) & ~nonfinite
+    norm = F.sqrt(sumsq)
+    return df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(v.isNull().cast("long")).cast("long").alias("n_null"),
+        F.sum(
+            (v.isNotNull() & (F.size(v) != int(expect_dim))).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_wrong_dim"),
+        F.sum((v.isNotNull() & nonfinite).cast("long"))
+        .cast("long")
+        .alias("n_nonfinite"),
+        F.sum((ok & (sumsq == 0.0)).cast("long"))
+        .cast("long")
+        .alias("n_zero"),
+        F.round(F.avg(F.when(ok, norm)), 6).alias("mean_norm"),
+        F.round(F.min(F.when(ok, norm)), 6).alias("min_norm"),
+        F.round(F.max(F.when(ok, norm)), 6).alias("max_norm"),
+    )
+
+
+def class_separability(
+    df: DataFrame, vec_col: str, label_col: str
+) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio over labeled vectors:
+
+        S_b(d) = Σ_c (n_c/n)·(μ_cd − μ_d)²     (between-class)
+        S_w(d) = Σ_c (n_c/n)·σ²_cd              (pooled within-class)
+        fisher = S_b / S_w
+
+    Returns one row per dimension ``(dim, s_between, s_within,
+    fisher)`` — dimensions with fisher ≈ 0 carry no label signal
+    (candidates for Matryoshka truncation, cf. q261)."""
+    melted = df.select(
+        F.col(label_col).alias("_c"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_x"),
+    ).select("_c", "dim", F.col("_x").cast("double").alias("x"))
+    per = melted.groupBy("_c", "dim").agg(
+        F.count("*").alias("nc"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    mean_c = F.col("s") / F.col("nc")
+    agg = per.groupBy("dim").agg(
+        F.sum("nc").alias("n"),
+        F.sum("s").alias("gs"),
+        F.sum(F.col("ss") - F.col("s") * mean_c).alias("_wss"),
+        F.sum(F.col("nc") * mean_c * mean_c).alias("_bss"),
+    )
+    n = F.col("n").cast("double")
+    grand = F.col("gs") / n
+    sb = (F.col("_bss") - F.col("n") * grand * grand) / n
+    sw = F.col("_wss") / n
+    return agg.select(
+        "dim",
+        F.round(sb, 6).alias("s_between"),
+        F.round(sw, 6).alias("s_within"),
+        F.round(F.when(sw > 0, sb / sw), 6).alias("fisher"),
+    ).orderBy("dim")

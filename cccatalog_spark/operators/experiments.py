@@ -1206,3 +1206,329 @@ def mde_curve(
         F.round(mde, 6).alias("mde"),
         F.round(F.when(mean != 0, mde / mean), 6).alias("mde_rel"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator — the additive
+    companion to :func:`kaplan_meier` (same subject-level input, same
+    right-censoring semantics):
+
+        H(t) = Σ_{t_i ≤ t} d_i / n_i
+
+    plus its variance estimate Σ d_i / n_i² (Klein 1991 form) and the
+    Fleming–Harrington survival transform exp(−H). Preferred over KM
+    when hazards are the modelling target (crawl-failure intensity,
+    label-decay rates).
+
+    Returns one row per distinct event time: ``(t, n_risk, n_events,
+    cum_hazard, var_hazard, fh_survival)``.
+
+    Scale shape: identical to :func:`kaplan_meier` — subjects collapse
+    to per-duration counts in ONE aggregate; at-risk is the reverse
+    cumulative sum and the hazard the forward one, both over the
+    distinct-duration catalog (value-domain bounded).
+    """
+    per_t = df.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.count("*").alias("_total"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.withColumn("n_risk", F.sum("_total").over(w_rev))
+    w_fwd = Window.orderBy(F.asc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nr = F.col("n_risk").cast("double")
+    h = F.sum(F.col("n_events") / nr).over(w_fwd)
+    vh = F.sum(F.col("n_events") / (nr * nr)).over(w_fwd)
+    return (
+        at_risk.withColumn("cum_hazard", F.round(h, 6))
+        .withColumn("var_hazard", F.round(vh, 8))
+        .withColumn("fh_survival", F.round(F.exp(-h), 6))
+        .where(F.col("n_events") > 0)
+        .select(
+            "t",
+            "n_risk",
+            "n_events",
+            "cum_hazard",
+            "var_hazard",
+            "fh_survival",
+        )
+    )
+
+
+def cmh_odds(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel pooled odds ratio and test statistic
+    (Mantel & Haenszel 1959) — "is treatment associated with outcome
+    AFTER controlling for the stratifying confounder?", the
+    Simpson's-paradox-proof 2×2×K analysis every A/B readout with a
+    known segmenting variable should run instead of the pooled table.
+
+    ``treat_col`` and ``outcome_col`` are boolean columns. Per stratum
+    i with cells (a=T∧O, b=T∧¬O, c=¬T∧O, d=¬T∧¬O) and n_i total:
+
+        OR_MH = Σ a_i·d_i/n_i  /  Σ b_i·c_i/n_i
+        χ²_MH = (Σ a_i − Σ E[a_i])² / Σ Var(a_i),
+        E[a_i] = r1_i·c1_i/n_i,
+        Var    = r1_i·r2_i·c1_i·c2_i / (n_i²·(n_i−1))
+
+    (no continuity correction). Returns ONE row ``(strata, n,
+    or_mh, chi2_mh)``.
+
+    Scale shape: ONE groupBy collapses the table to K stratum rows of
+    four integer cells (map-side combinable); everything else folds
+    over that K-row catalog. Same plan at any scale.
+    """
+    t = F.col(treat_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    per = df.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.sum((t & o).cast("long")).alias("a"),
+        F.sum((t & ~o).cast("long")).alias("b"),
+        F.sum((~t & o).cast("long")).alias("c"),
+        F.sum((~t & ~o).cast("long")).alias("d"),
+    )
+    n_i = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast(
+        "double"
+    )
+    r1 = (F.col("a") + F.col("b")).cast("double")
+    r2 = (F.col("c") + F.col("d")).cast("double")
+    c1 = (F.col("a") + F.col("c")).cast("double")
+    c2 = (F.col("b") + F.col("d")).cast("double")
+    agg = per.agg(
+        F.count("*").cast("long").alias("strata"),
+        F.sum(n_i).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("d") / n_i).alias("_num"),
+        F.sum(F.col("b") * F.col("c") / n_i).alias("_den"),
+        F.sum(F.col("a").cast("double")).alias("_sa"),
+        F.sum(r1 * c1 / n_i).alias("_se"),
+        F.sum(
+            F.when(
+                n_i > 1,
+                r1 * r2 * c1 * c2 / (n_i * n_i * (n_i - 1.0)),
+            ).otherwise(F.lit(0.0))
+        ).alias("_sv"),
+    )
+    dev = F.col("_sa") - F.col("_se")
+    return agg.select(
+        "strata",
+        "n",
+        F.round(
+            F.when(F.col("_den") > 0, F.col("_num") / F.col("_den")),
+            6,
+        ).alias("or_mh"),
+        F.round(
+            F.when(F.col("_sv") > 0, dev * dev / F.col("_sv")), 6
+        ).alias("chi2_mh"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — "do these two cohorts
+    have the same survival curve?", the hypothesis-test companion to
+    :func:`kaplan_meier` / :func:`nelson_aalen`. At each distinct
+    event time t with d_t total events, n_t total at risk and n_at at
+    risk in group A:
+
+        O_A  = Σ d_At                (observed A events)
+        E_A  = Σ d_t · n_At / n_t    (expected under H0)
+        V    = Σ d_t·(n_At/n_t)·(1−n_At/n_t)·(n_t−d_t)/(n_t−1)
+        χ²   = (O_A − E_A)² / V
+
+    Returns ONE row ``(n_a, n_b, o_a, e_a, chi2)``.
+
+    Scale shape: subjects collapse to per-(duration, group) counts in
+    ONE aggregate; at-risk counts are reverse cumulative sums over the
+    distinct-duration catalog (the q287/q351 contract); the statistic
+    is one fold over that catalog.
+    """
+    g = F.col(group_col)
+    sub = df.where(g.isin([group_a, group_b])).select(
+        F.col(duration_col).cast("long").alias("t"),
+        F.col(event_col).cast("long").alias("ev"),
+        (g == F.lit(group_a)).cast("long").alias("is_a"),
+    )
+    per_t = sub.groupBy("t").agg(
+        F.count("*").alias("_tot"),
+        F.sum("is_a").alias("_tot_a"),
+        F.sum("ev").alias("d"),
+        F.sum(F.col("ev") * F.col("is_a")).alias("d_a"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = per_t.select(
+        "t",
+        "d",
+        "d_a",
+        F.sum("_tot").over(w).alias("n_t"),
+        F.sum("_tot_a").over(w).alias("n_at"),
+    ).where(F.col("d") > 0)
+    p = F.col("n_at").cast("double") / F.col("n_t").cast("double")
+    var_t = F.when(
+        F.col("n_t") > 1,
+        F.col("d")
+        * p
+        * (1.0 - p)
+        * (F.col("n_t") - F.col("d")).cast("double")
+        / (F.col("n_t") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    totals = sub.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count("*") - F.sum("is_a")).cast("long").alias("n_b"),
+    )
+    agg = ar.agg(
+        F.sum("d_a").cast("long").alias("o_a"),
+        F.sum(F.col("d") * p).alias("_e_a"),
+        F.sum(var_t).alias("_v"),
+    )
+    return totals.crossJoin(F.broadcast(agg)).select(
+        "n_a",
+        "n_b",
+        "o_a",
+        F.round(F.col("_e_a"), 6).alias("e_a"),
+        F.round(
+            F.when(
+                F.col("_v") > 0,
+                (F.col("o_a") - F.col("_e_a"))
+                * (F.col("o_a") - F.col("_e_a"))
+                / F.col("_v"),
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal-Wallis H test (KW 1952) — the k-group extension of
+    :func:`mann_whitney_u` and the nonparametric twin of q345's
+    ANOVA: "did ANY group's distribution shift?" when the metric is
+    heavy-tailed and means lie. Mid-ranks for ties with the standard
+    tie correction:
+
+        H  = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+        H' = H / (1 − Σ(t³−t)/(N³−N))
+
+    Returns ONE row ``(k, n, h, h_corrected)`` (NULL when every value
+    ties — zero variance in ranks).
+
+    Scale shape (the q256 rank-statistics contract): values collapse
+    to a per-(value, group) count frame in ONE aggregate; the
+    mid-rank cumsum runs over the DISTINCT-value catalog; per-group
+    rank sums and the statistic fold over catalogs. The corpus is
+    touched once.
+    """
+    x = F.col(value_col).cast("double")
+    pool = df.where(x.isNotNull()).select(
+        x.alias("x"), F.col(group_col).alias("g")
+    )
+    vg = pool.groupBy("x", "g").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    v = vg.groupBy("x").agg(F.sum("c").alias("t"))
+    w = Window.orderBy("x")
+    ranked = v.select(
+        "x",
+        "t",
+        (
+            F.coalesce(F.sum("t").over(w), F.lit(0.0))
+            - F.col("t")
+            + (F.col("t") + 1) / 2
+        ).alias("mid_rank"),
+    )
+    per_g = (
+        vg.join(ranked, "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.sum(F.col("c") * F.col("mid_rank")).alias("rg"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(F.pow(F.col("t"), 3) - F.col("t")).alias("_ties"),
+        F.sum("t").alias("_n"),
+    )
+    agg = per_g.crossJoin(F.broadcast(ties)).agg(
+        F.count("*").cast("long").alias("k"),
+        F.max("_n").alias("_n"),
+        F.max("_ties").alias("_t3"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("_rr"),
+    )
+    n = F.col("_n")
+    h = 12.0 / (n * (n + 1)) * F.col("_rr") - 3.0 * (n + 1)
+    corr = 1.0 - F.col("_t3") / (n * n * n - n)
+    return agg.select(
+        "k",
+        n.cast("long").alias("n"),
+        F.round(F.when(corr > 0, h), 6).alias("h"),
+        F.round(F.when(corr > 0, h / corr), 6).alias("h_corrected"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (1974; Levene's test
+    with the MEDIAN center — robust to heavy tails): the assumption
+    check in front of q345's ANOVA. Computes the one-way ANOVA F on
+    the absolute deviations z = |x − median_g| from each group's
+    exact-disc median.
+
+    Returns ONE row ``(k, n, df_between, df_within, f_stat)``.
+
+    Scale shape: per-group medians come from the per-(group, value)
+    count catalog (exact disc selection via a per-group cumsum window
+    over the DISTINCT-value catalog — the q256 contract, partitioned
+    by group so no single-partition anything); the deviations then
+    ride ONE broadcast join back and the ANOVA collapses them in one
+    aggregate.
+    """
+    from cccatalog_spark.operators.stats import anova_oneway
+
+    x = F.col(value_col).cast("double")
+    pool = df.where(x.isNotNull()).select(
+        x.alias("x"), F.col(group_col).alias("g")
+    )
+    vg = pool.groupBy("g", "x").agg(F.count("*").alias("c"))
+    wg = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vg.select(
+        "g",
+        "x",
+        F.sum("c").over(wg).alias("_cum"),
+        F.sum("c").over(Window.partitionBy("g")).alias("_ng"),
+    )
+    med = cum.where(
+        F.col("_cum") >= F.ceil(F.col("_ng") / 2.0)
+    ).groupBy("g").agg(F.min("x").alias("_med"))
+    z = pool.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("x") - F.col("_med")).alias("z")
+    )
+    return anova_oneway(z, "g", "z").select(
+        "k", "n", "df_between", "df_within", "f_stat"
+    )

@@ -1290,3 +1290,345 @@ def modularity(
         "n_communities",
         F.round("_q", 6).alias("q"),
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    UNDIRECTED view of the edge list: the Pearson correlation of the
+    endpoint degrees over every edge counted in both directions —
+    "do hubs link to hubs?" (positive: social/citation shape;
+    negative: web/biological shape). The one-number structural
+    fingerprint beside the q290 graph report.
+
+    Returns ONE row ``(n_edges, r)`` where ``n_edges`` is the
+    directed-both-ways edge count entering the correlation.
+
+    The correlation uses the integer computational formula
+    (n·Σxy − Σx·Σy) / √(n·Σxx − (Σx)²) / √(n·Σyy − (Σy)²) — every sum
+    is an exact integer in both engines, so the result is
+    deterministic to the last bit before the final division.
+
+    Scale shape: one degree aggregate (shuffle by node), two
+    broadcast-or-shuffle joins to attach endpoint degrees, one scalar
+    aggregate. No windows, no iteration.
+    """
+    und = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    both = und.unionAll(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()  # degree agg + the correlation join both read it
+    deg = both.groupBy("a").agg(F.count("*").alias("deg"))
+    da = deg.select(F.col("a"), F.col("deg").alias("dx"))
+    db = deg.select(
+        F.col("a").alias("b"), F.col("deg").alias("dy")
+    )
+    j = both.join(da, "a").join(db, "b")
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        num
+        / F.sqrt(vx.cast("double"))
+        / F.sqrt(vy.cast("double")),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(r, 6).alias("r"),
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 8,
+    prop_rounds: int = 25,
+) -> DataFrame:
+    """Strongly connected components of a DIRECTED edge frame via the
+    distributed Trim + Forward-Min coloring algorithm (Orzan 2004 /
+    Hong et al. 2013 FW-BW-Trim family) — mutual-reachability
+    clusters in redirect graphs, crawl link graphs, citation loops.
+
+    Returns ``(node, scc)`` where ``scc`` is the minimum node id of
+    the component (deterministic, type-agnostic via min).
+
+    Per outer round:
+    1. **Trim** to fixpoint: any node with in-degree 0 or out-degree 0
+       in the remaining subgraph is a singleton SCC — removed
+       immediately. This resolves DAG-like regions (chains, trees) in
+       O(depth) cheap rounds, the known cure for the coloring
+       algorithm's worst case.
+    2. **Color**: propagate c(v) = min({v} ∪ {c(u) : u→v}) along edge
+       direction to fixpoint — c(v) is the smallest id that reaches v
+       within the subgraph.
+    3. **Backward mark**: the pivot of each color class is the node
+       c itself; propagate "reaches pivot" backward along edges inside
+       the same color class to fixpoint. Marked nodes form exactly
+       SCC(pivot) — emitted, removed, repeat. All color classes are
+       processed in the SAME Spark jobs (one pivot per class, all in
+       parallel), so each outer round removes one SCC per color.
+
+    Scale shape: every step is an equi-join keyed by node plus a
+    min-aggregate (map-side combinable); per-round lineage truncation
+    (operators/dedup._truncate_lineage) keeps plans flat; convergence
+    checks are single-scalar counts. ``max_rounds`` bounds outer
+    iterations; nodes still unresolved after that are returned with
+    ``scc`` NULL (loud, never silently wrong — callers at 100 TB size
+    the rounds to the condensation depth, which trim keeps small).
+    """
+    spark = edges.sparkSession
+    e_all = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .persist()
+    )
+    remaining = _truncate_lineage(
+        e_all.select(F.col("s").alias("node"))
+        .unionAll(e_all.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    done_parts: list[DataFrame] = []
+
+    er = e_all
+    for _ in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        # restrict edges to the remaining subgraph
+        er = _truncate_lineage(
+            e_all.join(
+                remaining.withColumnRenamed("node", "s"), "s", "left_semi"
+            ).join(
+                remaining.withColumnRenamed("node", "d"), "d", "left_semi"
+            )
+        )
+        # --- trim to fixpoint -----------------------------------------
+        while True:
+            srcs = er.select(F.col("s").alias("node")).distinct()
+            dsts = er.select(F.col("d").alias("node")).distinct()
+            keep = srcs.join(dsts, "node", "inner")
+            trivial = remaining.join(keep, "node", "left_anti")
+            if trivial.limit(1).count() == 0:
+                break
+            done_parts.append(
+                _truncate_lineage(
+                    trivial.select(
+                        "node", F.col("node").alias("scc")
+                    )
+                )
+            )
+            remaining = _truncate_lineage(
+                remaining.join(trivial, "node", "left_anti")
+            )
+            er = _truncate_lineage(
+                er.join(
+                    remaining.withColumnRenamed("node", "s"),
+                    "s",
+                    "left_semi",
+                ).join(
+                    remaining.withColumnRenamed("node", "d"),
+                    "d",
+                    "left_semi",
+                )
+            )
+        if remaining.limit(1).count() == 0:
+            break
+        # --- forward min coloring to fixpoint --------------------------
+        colors = _truncate_lineage(
+            remaining.select("node", F.col("node").alias("c"))
+        )
+        for _p in range(prop_rounds):
+            msgs = er.join(
+                colors.withColumnRenamed("node", "s"), "s"
+            ).select(F.col("d").alias("node"), "c")
+            new_colors = _truncate_lineage(
+                colors.unionAll(msgs)
+                .groupBy("node")
+                .agg(F.min("c").alias("c"))
+            )
+            changed = (
+                new_colors.alias("n")
+                .join(colors.alias("o"), "node")
+                .where(F.col("n.c") != F.col("o.c"))
+                .limit(1)
+                .count()
+            )
+            colors = new_colors
+            if changed == 0:
+                break
+        # --- backward mark within color class --------------------------
+        marked = _truncate_lineage(
+            colors.where(F.col("c") == F.col("node"))
+        )
+        for _p in range(prop_rounds):
+            msgs = (
+                er.join(marked.withColumnRenamed("node", "d"), "d")
+                .select(F.col("s").alias("node"), "c")
+                .join(colors, ["node", "c"], "left_semi")
+            )
+            new_marked = _truncate_lineage(
+                marked.unionAll(msgs).distinct()
+            )
+            if new_marked.count() == marked.count():
+                marked = new_marked
+                break
+            marked = new_marked
+        done_parts.append(
+            _truncate_lineage(
+                marked.select("node", F.col("c").alias("scc"))
+            )
+        )
+        remaining = _truncate_lineage(
+            remaining.join(marked, "node", "left_anti")
+        )
+    e_all.unpersist()
+    out = done_parts[0] if done_parts else remaining.select(
+        "node", F.lit(None).alias("scc")
+    )
+    for part in done_parts[1:]:
+        out = out.unionAll(part)
+    if done_parts and remaining.limit(1).count() > 0:
+        out = out.unionAll(
+            remaining.select(
+                "node", F.lit(None).cast(out.schema["scc"].dataType).alias("scc")
+            )
+        )
+    return out
+
+
+def feature_propagation(
+    edges: DataFrame,
+    features: DataFrame,
+    node_col: str = "node",
+    feat_col: str = "h",
+    rounds: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mean-aggregate feature propagation over the UNDIRECTED view of
+    the edge list — the message-passing layer of GraphSAGE/GCN
+    (Hamilton et al. 2017, Kipf & Welling 2017) stripped to its Spark
+    shape: h_{r+1}(v) = mean_{u ∈ N(v)} h_r(u), ``rounds`` times.
+    The label/score smoother for web graphs ("average the spam score
+    of my neighbors") and the cheap embedding for nodes without one.
+
+    Returns ``(node, degree, h0, h_out)`` for every node with ≥ 1
+    neighbor; nodes missing an input feature contribute nothing and
+    receive means over featured neighbors only (documented semantics,
+    mirrored by the oracle).
+
+    Determinism note: feed an INTEGER-VALUED feature (scale currency
+    to cents) — round 1's mean is then exact-integer/count, identical
+    in any engine; only later rounds carry association noise, and a
+    coarse ``round_digits`` keeps it far from rounding boundaries
+    (the q360 contract).
+
+    Scale shape per round: ONE equi-join keyed by neighbor + ONE
+    mean-aggregate keyed by node (both map-side combinable) — the
+    standard GNN full-batch round. ``rounds`` is small and fixed;
+    lineage stays flat because each round's output is a plain
+    aggregate of the previous (no recursive growth at these depths).
+    """
+    und = (
+        edges.select(
+            F.col(edges.columns[0]).alias("n"),
+            F.col(edges.columns[1]).alias("nbr"),
+        )
+        .where(F.col("n") != F.col("nbr"))
+        .distinct()
+    )
+    und = und.unionAll(
+        und.select(F.col("nbr").alias("n"), F.col("n").alias("nbr"))
+    ).distinct().persist()  # reused by the degree agg + every round
+    deg = und.groupBy("n").agg(F.count("*").alias("degree"))
+    h = features.select(
+        F.col(node_col).alias("n"),
+        F.col(feat_col).cast("double").alias("h"),
+    )
+    h0 = h
+    for _ in range(int(rounds)):
+        h = (
+            und.join(
+                h.withColumnRenamed("n", "nbr"), "nbr"
+            )
+            .groupBy("n")
+            .agg(F.avg("h").alias("h"))
+        )
+    return (
+        deg.join(h0.withColumnRenamed("h", "h0"), "n", "left")
+        .join(h.withColumnRenamed("h", "h_out"), "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            "degree",
+            F.round("h0", int(round_digits)).alias("h0"),
+            F.round("h_out", int(round_digits)).alias("h_out"),
+        )
+    )
+
+
+def dyad_census(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Holland–Leinhardt dyad census of a DIRECTED edge frame: how
+    many node pairs are MUTUAL (both directions), ASYMMETRIC (one),
+    and what fraction of directed edges are reciprocated — the
+    one-row directionality fingerprint (follow-back rate in social
+    graphs, bidirectional-link rate in web graphs) beside q354's
+    assortativity.
+
+    Returns ONE row ``(n_edges, mutual_dyads, asym_dyads,
+    reciprocity)`` with reciprocity = 2·mutual / n_edges (Garlaschelli
+    & Loffredo 2004 definition over distinct directed edges, self
+    loops excluded).
+
+    Scale shape: ONE canonical-pair aggregate (key = (min, max)) — the
+    reverse-edge join expressed as a 2-row-per-dyad groupBy, map-side
+    combinable; one scalar fold after it.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+        )
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    dyads = e.groupBy(
+        F.least("s", "d").alias("a"),
+        F.greatest("s", "d").alias("b"),
+    ).agg(F.count("*").alias("_dirs"))
+    return dyads.agg(
+        F.sum("_dirs").cast("long").alias("n_edges"),
+        F.sum((F.col("_dirs") == 2).cast("long"))
+        .cast("long")
+        .alias("mutual_dyads"),
+        F.sum((F.col("_dirs") == 1).cast("long"))
+        .cast("long")
+        .alias("asym_dyads"),
+        F.round(
+            2.0
+            * F.sum((F.col("_dirs") == 2).cast("long"))
+            / F.sum("_dirs"),
+            6,
+        ).alias("reciprocity"),
+    )

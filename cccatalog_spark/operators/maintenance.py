@@ -88,3 +88,81 @@ def table_checksum(
             F.expr("bit_xor(_h)").alias("checksum"),
         )
     )
+
+
+def zonemap_prune_audit(
+    df: DataFrame,
+    file_col,
+    value_col: str,
+    lo,
+    hi,
+    layout: str = "layout",
+) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning simulator — "if this
+    table were laid out as these files, what fraction would a range
+    predicate skip?". The decision tool behind every layout operator
+    in this module (compaction, Z-order q108, Hilbert q330, range
+    partition plan q168): run the audit on the current vs proposed
+    file assignment and read the skip rate difference directly.
+
+    ``file_col`` is a Column expression assigning each row to a file
+    (bucket id, partition path, Z-cell); ``[lo, hi]`` is the inclusive
+    predicate range on ``value_col``. A file must be READ iff its
+    [min, max] zone overlaps the predicate (the parquet row-group /
+    Iceberg manifest skipping rule). Returns ONE row:
+
+        (layout, n_files, files_read, file_skip_rate,
+         rows_total, rows_read, row_skip_rate, selectivity)
+
+    ``selectivity`` (exact matching-row fraction) is the floor any
+    layout is chasing: a perfect layout reads only matching rows.
+
+    Scale shape: ONE min/max/count aggregate keyed by file (map-side
+    combinable) plus one exact-match count off the same scan; the
+    verdict folds over the file catalog. The audit never moves data —
+    it prices the move first.
+    """
+    per_file = df.groupBy(file_col.alias("_f")).agg(
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+        F.count("*").alias("_rows"),
+        F.sum(
+            (
+                (F.col(value_col) >= lo) & (F.col(value_col) <= hi)
+            ).cast("long")
+        ).alias("_match"),
+    )
+    overlap = (F.col("_mn") <= hi) & (F.col("_mx") >= lo)
+    agg = per_file.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum(overlap.cast("long")).cast("long").alias("files_read"),
+        F.sum("_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(overlap, F.col("_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_read"),
+        F.sum("_match").cast("long").alias("_matches"),
+    )
+    return agg.select(
+        F.lit(layout).alias("layout"),
+        "n_files",
+        "files_read",
+        F.round(
+            1.0
+            - F.col("files_read").cast("double")
+            / F.col("n_files").cast("double"),
+            6,
+        ).alias("file_skip_rate"),
+        "rows_total",
+        "rows_read",
+        F.round(
+            1.0
+            - F.col("rows_read").cast("double")
+            / F.col("rows_total").cast("double"),
+            6,
+        ).alias("row_skip_rate"),
+        F.round(
+            F.col("_matches").cast("double")
+            / F.col("rows_total").cast("double"),
+            6,
+        ).alias("selectivity"),
+    )

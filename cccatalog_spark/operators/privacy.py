@@ -200,3 +200,45 @@ def t_closeness_audit(
             ).alias("t")
         )
     )
+
+
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a quasi-identifier group can be large yet leak
+    its sensitive attribute completely if every member shares one
+    value. A group is l-diverse when it contains ≥ l DISTINCT
+    well-represented sensitive values; this reports the distinct-count
+    form per group plus the release verdict. Completes the
+    k-anonymity (q236) / t-closeness (q300) / l-diversity triad.
+
+    Returns one row per quasi-identifier combination:
+    ``(*quasi_cols, n, n_sensitive, at_risk, row_share)`` —
+    ``at_risk`` when the group has < l distinct sensitive values.
+
+    Scale shape: ONE (quasi..., sensitive) aggregate collapses the
+    table, a second groupBy folds it to the quasi-combination catalog
+    — both map-side combinable; the total is a broadcast scalar.
+    Nulls in the sensitive column count as a value (observable in a
+    release, so they group).
+    """
+    qcols = [F.col(c) for c in quasi_cols]
+    cells = df.groupBy(
+        *qcols, F.col(sensitive_col).alias("_sv")
+    ).agg(F.count("*").alias("_c"))
+    per_g = cells.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_sensitive"),
+    )
+    total = per_g.agg(F.sum("n").alias("_tot"))
+    return per_g.crossJoin(F.broadcast(total)).select(
+        *quasi_cols,
+        "n",
+        "n_sensitive",
+        (F.col("n_sensitive") < int(l)).alias("at_risk"),
+        F.round(
+            F.col("n").cast("double") / F.col("_tot").cast("double"),
+            6,
+        ).alias("row_share"),
+    )

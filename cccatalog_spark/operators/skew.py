@@ -77,3 +77,53 @@ def rendezvous_assign(
             cond, F.lit(w)
         )
     return df.withColumn(out_col, expr)
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_partitions: int = 200,
+) -> DataFrame:
+    """Shuffle-skew report for a prospective join/aggregation key —
+    the measurement half of :func:`salted_join`: BEFORE shuffling
+    100 TB on a key, list the hot keys, their row share, and the salt
+    factor that would level each one against the average partition
+    (``salt = ceil(cnt / (n / target_partitions))``, the fan-out
+    :func:`salted_join` should use).
+
+    Returns the ``top_k`` hottest keys:
+    ``(key, cnt, share, skew_vs_avg, salt_factor)`` ordered by count
+    desc (key asc tiebreak).
+
+    Scale shape: ONE count aggregate keyed by the candidate key
+    (map-side combinable — the report costs a fraction of the shuffle
+    it prices), a broadcast total, and a TakeOrdered top-k. No
+    windows, no sort of the key catalog.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("_n"), F.count("*").alias("_keys")
+    )
+    avg_part = F.col("_n").cast("double") / float(target_partitions)
+    avg_key = F.col("_n").cast("double") / F.col("_keys")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.col("cnt") / F.col("_n").cast("double"), 6
+            ).alias("share"),
+            F.round(F.col("cnt") / avg_key, 6).alias("skew_vs_avg"),
+            F.greatest(
+                F.ceil(F.col("cnt") / avg_part), F.lit(1)
+            )
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(int(top_k))
+    )

@@ -314,3 +314,107 @@ def median_ci(
             F.min(F.when(F.col("_cum") >= k_hi, F.col("_v"))), 6
         ).alias("ci_hi"),
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One-way ANOVA F-test (Fisher 1925) — "does the mean of
+    ``value_col`` differ across the levels of ``group_col``?", the
+    workhorse screen for corpus slices (mean quality score by source,
+    mean doc length by language) before pairwise drill-downs.
+
+    Returns ONE row ``(k, n, df_between, df_within, ss_between,
+    ss_within, f_stat)`` with
+
+        F = (SSB / (k-1)) / (SSW / (N-k)),
+        SSB = Σ_g n_g (x̄_g − x̄)²,   SSW = Σ_g Σ_i (x_ig − x̄_g)².
+
+    Scale shape: ONE map-side-combinable aggregate collapses the table
+    to k per-group (n, sum, sumsq) rows; the grand mean and both sums
+    of squares fold over that k-row catalog. No window, no second
+    scan, no collect — the same shape at 100 TB, shuffling k rows.
+    """
+    per_g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(value_col).alias("_n"),
+        F.sum(value_col).alias("_s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("_ss"),
+    )
+    mean_g = F.col("_s") / F.col("_n")
+    agg = per_g.agg(
+        F.count("*").alias("k"),
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_s").alias("_ts"),
+        # SSW via the per-group computational identity
+        F.sum(F.col("_ss") - F.col("_s") * mean_g).alias("_ssw"),
+        F.sum(F.col("_n") * mean_g * mean_g).alias("_sb2"),
+    )
+    grand = F.col("_ts") / F.col("n")
+    ssb = F.col("_sb2") - F.col("n") * grand * grand
+    df_b = (F.col("k") - 1).cast("long")
+    df_w = (F.col("n") - F.col("k")).cast("long")
+    f_stat = F.when(
+        (df_b > 0) & (df_w > 0) & (F.col("_ssw") > 0),
+        (ssb / df_b) / (F.col("_ssw") / df_w),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        "n",
+        df_b.alias("df_between"),
+        df_w.alias("df_within"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(F.col("_ssw"), 4).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+def categorical_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column distribution profile for categorical columns — the
+    dataset-card block a curation pipeline prints next to row counts:
+    Shannon entropy (nats), normalized entropy, distinct count, and
+    the modal value's frequency share.
+
+    One row per requested column: ``(column, n, n_distinct, entropy,
+    norm_entropy, top_share)``.
+
+    Scale shape: the table melts to (column, value) pairs in ONE
+    projection (k·N rows, map-local), a single groupBy collapses them
+    to value counts, and the per-column folds run over the
+    value-domain-bounded catalog. No per-column scans.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v")
+    counts = pairs.where(F.col("v").isNotNull()).groupBy(
+        "column", "v"
+    ).agg(F.count("*").alias("_c"))
+    per_col = counts.groupBy("column").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("_c") * F.log("_c")).alias("_clogc"),
+        F.max("_c").alias("_top"),
+    )
+    n = F.col("n").cast("double")
+    ent = F.log(n) - F.col("_clogc") / n
+    norm = F.when(
+        F.col("n_distinct") > 1,
+        ent / F.log(F.col("n_distinct").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return per_col.select(
+        "column",
+        "n",
+        "n_distinct",
+        F.round(ent, 6).alias("entropy"),
+        F.round(norm, 6).alias("norm_entropy"),
+        F.round(F.col("_top") / n, 6).alias("top_share"),
+    ).orderBy("column")

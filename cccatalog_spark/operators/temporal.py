@@ -918,3 +918,229 @@ def next_event_latency(
         F.col("_next_to").alias("t_to"),
         F.round(F.col("_next_to") - F.col("_t"), 6).alias("latency"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function r_k for lags 1..``max_lag`` over a
+    regular series keyed by an INTEGER time index (day number, hour
+    bucket): the standard estimator
+
+        r_k = Σ_t (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    with the global mean and variance denominator (Box–Jenkins form).
+    Gaps in the index simply contribute no pair at the affected lags
+    (mirrored exactly by the SQL oracle). Returns one row per lag:
+    ``(lag, n_pairs, acf)``.
+
+    Scale shape: the mean/denominator is ONE scalar aggregate
+    broadcast back; the k lagged self-joins collapse to ONE equi-join
+    after exploding each point into its (t+lag, lag) probe keys —
+    shuffle keyed by time index, candidates = k·N, no window over the
+    raw series. The series is usually already a per-bucket aggregate
+    (a bounded catalog), so all of this is catalog-sized.
+    """
+    base = df.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).persist()  # scalar stats + probe build + pair join all read it
+    mu_den = base.crossJoin(
+        F.broadcast(base.agg(F.avg("_v").alias("_mu")))
+    ).agg(
+        F.max("_mu").alias("_mu"),
+        F.sum(
+            (F.col("_v") - F.col("_mu")) * (F.col("_v") - F.col("_mu"))
+        ).alias("_den"),
+    )
+    probes = base.select(
+        F.col("_t"),
+        F.col("_v").alias("_v_lead"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+    ).select((F.col("_t") - F.col("lag")).alias("_t"), "lag", "_v_lead")
+    pairs = base.join(probes, "_t")
+    out = pairs.crossJoin(F.broadcast(mu_den)).groupBy("lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(
+                (F.col("_v") - F.col("_mu"))
+                * (F.col("_v_lead") - F.col("_mu"))
+            )
+            / F.max("_den"),
+            6,
+        ).alias("acf"),
+    )
+    return out.orderBy("lag")
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Seasonal-naïve forecast benchmark (forecast x̂_t = x_{t−m}) and
+    its scaled error — MASE (Hyndman & Koehler 2006), the
+    denominators every fancier forecaster must beat. Input is a
+    regular series on an INTEGER time index; returns ONE row
+    ``(n_forecasts, mae, rmse, mase)`` where MASE scales the naïve
+    lag-1 in-sample MAE to exactly 1.0 by construction for the lag-1
+    method, so values ≈1 mean "no better than persistence".
+
+        MASE = mean|x_t − x_{t−m}| / mean|x_t − x_{t−1}|
+
+    Scale shape: two self-equi-joins on the (bounded, per-bucket)
+    series catalog — one at lag m for the forecast errors, one at
+    lag 1 for the scaling denominator — each a broadcast-sized join;
+    no windows, no collect.
+    """
+    base = df.select(
+        F.col(time_col).cast("long").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    lag_m = base.select(
+        (F.col("_t") + int(season)).alias("_t"),
+        F.col("_v").alias("_prev"),
+    )
+    fc = base.join(lag_m, "_t").select(
+        (F.col("_v") - F.col("_prev")).alias("_err")
+    )
+    lag_1 = base.select(
+        (F.col("_t") + 1).alias("_t"), F.col("_v").alias("_p1")
+    )
+    d1 = base.join(lag_1, "_t").agg(
+        F.avg(F.abs(F.col("_v") - F.col("_p1"))).alias("_scale")
+    )
+    return fc.crossJoin(F.broadcast(d1)).agg(
+        F.count("*").cast("long").alias("n_forecasts"),
+        F.round(F.avg(F.abs("_err")), 6).alias("mae"),
+        F.round(
+            F.sqrt(F.avg(F.col("_err") * F.col("_err"))), 6
+        ).alias("rmse"),
+        F.round(
+            F.avg(F.abs("_err")) / F.max("_scale"), 6
+        ).alias("mase"),
+    )
+
+
+def transition_entropy(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Entropy rate of the first-order Markov chain over per-key event
+    sequences — "how predictable is the next event?" in one number
+    (Shannon 1951 journey-entropy; bot traffic and template-generated
+    logs score near 0, organic behavior near the uniform bound):
+
+        H = − Σ_a π(a) Σ_b p(b|a) ln p(b|a)
+
+    with π the empirical from-state distribution over observed
+    transitions and p(b|a) the row-normalized transition counts.
+    Returns ONE row ``(n_transitions, n_states, entropy_rate,
+    max_entropy, normalized)`` where max_entropy = ln(n_states).
+
+    Scale shape: adjacent pairs via ONE lag window PARTITIONED BY key
+    (bounded per-user sequences — never global), collapsed to the
+    |states|² transition catalog; the entropy folds over that catalog.
+    H = −Σ_{a,b} (c_ab/N)·ln(c_ab/c_a·) needs only pair counts and
+    broadcast row sums.
+    """
+    order = [F.col(time_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.withColumn("_from", F.lag(state_col).over(w))
+        .where(F.col("_from").isNotNull())
+        .groupBy(
+            F.col("_from"), F.col(state_col).alias("_to")
+        )
+        .agg(F.count("*").alias("_c"))
+    )
+    row_tot = pairs.groupBy("_from").agg(F.sum("_c").alias("_ca"))
+    j = pairs.join(F.broadcast(row_tot), "_from")
+    agg = j.agg(
+        F.sum("_c").cast("long").alias("n_transitions"),
+        F.count_distinct("_from").cast("long").alias("n_states"),
+        F.sum(
+            F.col("_c")
+            * F.log(
+                F.col("_c").cast("double") / F.col("_ca")
+            )
+        ).alias("_clog"),
+    )
+    h = -F.col("_clog") / F.col("n_transitions").cast("double")
+    hmax = F.log(F.col("n_states").cast("double"))
+    return agg.select(
+        "n_transitions",
+        "n_states",
+        F.round(h, 6).alias("entropy_rate"),
+        F.round(hmax, 6).alias("max_entropy"),
+        F.round(
+            F.when(hmax > 0, h / hmax).otherwise(F.lit(0.0)), 6
+        ).alias("normalized"),
+    )
+
+
+def path_patterns(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    state_col: str,
+    length: int = 3,
+    top_k: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k contiguous event paths of the given length (PrefixSpan's
+    contiguous special case) — "what are the dominant 3-step journeys"
+    — the sequential-pattern extension of the first-order transition
+    matrix (q200): length=2 IS the transition count.
+
+    Returns ``(step_1..step_N, cnt, support)`` for the ``top_k`` most
+    frequent length-N paths (count desc, steps asc — total order);
+    ``support`` = cnt / total length-N windows.
+
+    Scale shape: ONE per-key lag-window shuffle produces all length-N
+    windows (each row looks ahead N−1 steps — sequences never leave
+    their key partition), one groupBy collapses them to the pattern
+    catalog, TakeOrdered picks k. No self-joins, no explosion beyond
+    the N-column projection.
+    """
+    order = [F.col(time_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = [F.col(state_col).alias("step_1")] + [
+        F.lead(state_col, i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, int(length))
+    ]
+    windows = df.select(*steps).where(
+        F.col(f"step_{int(length)}").isNotNull()
+    )
+    counts = windows.groupBy(
+        *[f"step_{i + 1}" for i in range(int(length))]
+    ).agg(F.count("*").alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            *[f"step_{i + 1}" for i in range(int(length))],
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(
+                F.col("cnt") / F.col("_n").cast("double"), 6
+            ).alias("support"),
+        )
+        .orderBy(
+            F.desc("cnt"),
+            *[F.asc(f"step_{i + 1}") for i in range(int(length))],
+        )
+        .limit(int(top_k))
+    )

@@ -14178,9 +14178,10 @@ def q264_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM vj)
     SELECT CAST(tot AS BIGINT) AS total_tokens,
            CAST(vocab AS BIGINT) AS vocab,
-           round((g * sxy - sx * sy) / (g * sxx - sx * sx), 6) AS beta,
+           round((g * sxy - sx * sy) / (g * sxx - sx * sx), 6)
+               + 0.0 AS beta,
            round(exp((sy - ((g * sxy - sx * sy)
-                 / (g * sxx - sx * sx)) * sx) / g), 6) AS k
+                 / (g * sxx - sx * sx)) * sx) / g), 6) + 0.0 AS k
     FROM reg
     """,
 )
@@ -18840,4 +18841,1532 @@ def q344_next_event_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("p90"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q345 — one-way ANOVA F-test (operators/stats.anova_oneway, Fisher
+# 1925): mean l_quantity across return-flag groups. ONE map-side-
+# combinable aggregate to k (n, sum, sumsq) rows; the F statistic
+# folds over that catalog — the same shape at 100 TB. l_quantity is
+# integer-valued so every sum is exact in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q345_anova_f",
+    oracle="""
+    WITH g AS (SELECT l_returnflag AS g,
+                      CAST(count(l_quantity) AS DOUBLE) AS n_g,
+                      sum(l_quantity) AS s,
+                      sum(l_quantity * l_quantity) AS ss
+               FROM lineitem GROUP BY 1),
+    a AS (SELECT count(*) AS k, sum(n_g) AS n, sum(s) AS ts,
+                 sum(ss - s * (s / n_g)) AS ssw,
+                 sum(n_g * (s / n_g) * (s / n_g)) AS sb2
+          FROM g)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round(sb2 - n * (ts / n) * (ts / n), 4) AS ss_between,
+           round(ssw, 4) AS ss_within,
+           round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                      THEN ((sb2 - n * (ts / n) * (ts / n))
+                            / (k - 1)) / (ssw / (n - k)) END,
+                 6) AS f_stat
+    FROM a
+    """,
+)
+def q345_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import anova_oneway
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    return anova_oneway(li, "l_returnflag", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# q346 — declarative data-quality constraint suite (operators/
+# constraints.constraint_audit — the Deequ-style "unit tests for
+# data" gate; engine-side re-expression of the reference loader's
+# NOT NULL / dedup cleanup guarantees, reference
+# src/cc_catalog_airflow/dags/util/loader/sql.py). One aggregate
+# pass for completeness/uniqueness/bounds/set-membership plus one
+# broadcast left join for FK coverage.
+# ---------------------------------------------------------------------------
+@query(
+    "q346_constraint_audit",
+    oracle="""
+    WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(count(o_custkey) AS DOUBLE) AS nc,
+                      CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+                          / CAST(count(o_orderkey) AS DOUBLE) AS uq,
+                      CAST(sum(CASE WHEN o_totalprice >= 0
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(count(o_totalprice) AS DOUBLE) AS nn,
+                      CAST(sum(CASE WHEN o_orderstatus IN
+                                    ('O', 'F', 'P')
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                          / CAST(count(o_orderstatus) AS DOUBLE) AS ci
+               FROM orders),
+    r AS (SELECT CAST(count(c._rk) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS ri
+          FROM (SELECT o_custkey FROM orders
+                WHERE o_custkey IS NOT NULL) o
+          LEFT JOIN (SELECT DISTINCT c_custkey AS _rk
+                     FROM customer) c
+          ON o.o_custkey = c._rk)
+    SELECT 'completeness' AS "constraint", 'o_custkey' AS "column",
+           round(nc / n, 6) AS metric, nc / n >= 1.0 AS passed
+    FROM s
+    UNION ALL
+    SELECT 'uniqueness', 'o_orderkey', round(uq, 6), uq >= 1.0 FROM s
+    UNION ALL
+    SELECT 'non_negative', 'o_totalprice', round(nn, 6), nn >= 1.0
+    FROM s
+    UNION ALL
+    SELECT 'contained_in', 'o_orderstatus', round(ci, 6), ci >= 1.0
+    FROM s
+    UNION ALL
+    SELECT 'ref_integrity', 'o_custkey', round(ri, 6), ri >= 1.0
+    FROM r
+    """,
+)
+def q346_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.constraints import constraint_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return constraint_audit(
+        o,
+        completeness=["o_custkey"],
+        uniqueness=["o_orderkey"],
+        non_negative=["o_totalprice"],
+        contained_in={"o_orderstatus": ["O", "F", "P"]},
+        ref_integrity=("o_custkey", c, "c_custkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q347 — RFM segmentation (operators/segments.rfm_segments): per-
+# customer recency/frequency/monetary quintiles via the DISTRIBUTED
+# global rank (two-phase prefix sum, operators/cumsum) — no
+# single-partition ntile window anywhere; the oracle uses the
+# equivalent row_number + integer-div bucket formula. Monetary is
+# rounded to cents BEFORE ranking so float association noise cannot
+# reorder true ties across engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q347_rfm_segments",
+    oracle="""
+    WITH m AS (SELECT o_custkey AS key,
+                      (CAST(floor(epoch(TIMESTAMP '2001-08-02'))
+                            AS BIGINT)
+                       - CAST(floor(epoch(max(o_orderdate)))
+                              AS BIGINT)) // 86400 AS recency,
+                      count(*) AS frequency,
+                      round(sum(o_totalprice), 2) AS monetary
+               FROM orders GROUP BY 1),
+    t AS (SELECT count(*) AS n FROM m),
+    q AS (SELECT key, monetary,
+                 1 + (row_number() OVER (ORDER BY recency, key) - 1)
+                     * 5 // n AS rq,
+                 1 + (row_number() OVER (ORDER BY frequency, key) - 1)
+                     * 5 // n AS fq,
+                 1 + (row_number() OVER (ORDER BY monetary, key) - 1)
+                     * 5 // n AS mq
+          FROM m, t)
+    SELECT rq, fq, mq, CAST(count(*) AS BIGINT) AS entities,
+           round(avg(monetary), 6) AS avg_monetary
+    FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q347_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.segments import rfm_segments
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.expr(
+            "(CAST(unix_micros(CAST('2001-08-02' AS TIMESTAMP))"
+            " div 1000000 AS BIGINT)"
+            " - CAST(unix_micros(max(CAST(o_orderdate AS TIMESTAMP)))"
+            " div 1000000 AS BIGINT)) div 86400"
+        ).alias("recency"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    return rfm_segments(m, "key", "recency", "frequency", "monetary")
+
+
+# ---------------------------------------------------------------------------
+# q348 — autocorrelation function (operators/temporal.acf_lags,
+# Box–Jenkins): daily mean order value, lags 1..7. The k lagged
+# self-joins collapse to ONE equi-join after exploding each point
+# into (t+lag) probe keys; mean/denominator is a broadcast scalar.
+# ---------------------------------------------------------------------------
+@query(
+    "q348_acf",
+    oracle="""
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                          // 86400 AS t,
+                      avg(o_totalprice) AS v
+               FROM orders GROUP BY 1),
+    mu AS (SELECT avg(v) AS mu FROM d),
+    md AS (SELECT max(mu.mu) AS mu,
+                  sum((d.v - mu.mu) * (d.v - mu.mu)) AS den
+           FROM d, mu),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    probes AS (SELECT d.t - l.lag AS t, l.lag, d.v AS v_lead
+               FROM d, lags l),
+    p AS (SELECT d.t, d.v, pr.lag, pr.v_lead
+          FROM d JOIN probes pr ON pr.t = d.t)
+    SELECT p.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum((p.v - md.mu) * (p.v_lead - md.mu))
+                 / max(md.den), 6) AS acf
+    FROM p, md GROUP BY p.lag ORDER BY p.lag
+    """,
+)
+def q348_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import acf_lags
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 1000000 AS BIGINT) div 86400"
+        ).alias("t")
+    ).agg(F.avg("o_totalprice").alias("v"))
+    return acf_lags(daily, "t", "v", max_lag=7)
+
+
+# ---------------------------------------------------------------------------
+# q349 — Cramér's V association matrix (operators/dependence.
+# cramers_v): the [0,1]-scaled chi-square across two categorical
+# column pairs (orders status×priority, lineitem flag×status) —
+# the redundancy/leakage screen over metadata fields. Contingency
+# groupBy to r·c rows; absent-cell χ² mass added in closed form.
+# ---------------------------------------------------------------------------
+@query(
+    "q349_cramers_v",
+    oracle="""
+    WITH c1 AS (SELECT CAST(o_orderstatus AS VARCHAR) AS x,
+                       CAST(o_orderpriority AS VARCHAR) AS y,
+                       count(*) AS o
+                FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND o_orderpriority IS NOT NULL
+                GROUP BY 1, 2),
+    j1 AS (SELECT c.x, c.y, c.o,
+                  sum(c.o) OVER (PARTITION BY c.x) AS rx,
+                  sum(c.o) OVER (PARTITION BY c.y) AS cy,
+                  sum(c.o) OVER () AS n
+           FROM c1 c),
+    a1 AS (SELECT max(n) AS n,
+                  sum(((o - (rx * cy) / n) * (o - (rx * cy) / n))
+                      / ((rx * cy) / n)) AS chip,
+                  sum((rx * cy) / n) AS ep,
+                  count(DISTINCT x) AS r, count(DISTINCT y) AS c
+           FROM j1),
+    c2 AS (SELECT CAST(l_returnflag AS VARCHAR) AS x,
+                       CAST(l_linestatus AS VARCHAR) AS y,
+                       count(*) AS o
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL
+                  AND l_linestatus IS NOT NULL
+                GROUP BY 1, 2),
+    j2 AS (SELECT c.x, c.y, c.o,
+                  sum(c.o) OVER (PARTITION BY c.x) AS rx,
+                  sum(c.o) OVER (PARTITION BY c.y) AS cy,
+                  sum(c.o) OVER () AS n
+           FROM c2 c),
+    a2 AS (SELECT max(n) AS n,
+                  sum(((o - (rx * cy) / n) * (o - (rx * cy) / n))
+                      / ((rx * cy) / n)) AS chip,
+                  sum((rx * cy) / n) AS ep,
+                  count(DISTINCT x) AS r, count(DISTINCT y) AS c
+           FROM j2),
+    u AS (SELECT 'o_orderstatus' AS x, 'o_orderpriority' AS y, *
+          FROM a1
+          UNION ALL
+          SELECT 'l_returnflag', 'l_linestatus', * FROM a2)
+    SELECT x, y, CAST(n AS BIGINT) AS n,
+           CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+           round(chip + (CAST(n AS DOUBLE) - ep), 6) AS chi2,
+           round(CASE WHEN CAST(n AS DOUBLE)
+                           * (least(r, c) - 1.0) > 0
+                      THEN sqrt((chip + (CAST(n AS DOUBLE) - ep))
+                                / (CAST(n AS DOUBLE)
+                                   * (least(r, c) - 1.0)))
+                      ELSE 0.0 END, 6) AS v
+    FROM u
+    """,
+)
+def q349_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.dependence import cramers_v
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return cramers_v(o, "o_orderstatus", "o_orderpriority").unionByName(
+        cramers_v(li, "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q350 — categorical column profile (operators/stats.
+# categorical_profile): Shannon entropy, normalized entropy,
+# distinct count and modal share per metadata column — the
+# dataset-card distribution block. Table melts to (column, value)
+# once; folds run over the value-domain-bounded catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q350_categorical_profile",
+    oracle="""
+    WITH pairs AS (SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS v
+                   FROM documents
+                   UNION ALL
+                   SELECT 'source', CAST(source AS VARCHAR)
+                   FROM documents),
+    c AS (SELECT col, v, count(*) AS c FROM pairs
+          WHERE v IS NOT NULL GROUP BY 1, 2),
+    p AS (SELECT col, sum(c) AS n, count(*) AS nd,
+                 sum(c * ln(c)) AS clogc, max(c) AS top
+          FROM c GROUP BY 1)
+    SELECT col AS "column", CAST(n AS BIGINT) AS n,
+           CAST(nd AS BIGINT) AS n_distinct,
+           round(ln(CAST(n AS DOUBLE))
+                 - clogc / CAST(n AS DOUBLE), 6) AS entropy,
+           round(CASE WHEN nd > 1
+                      THEN (ln(CAST(n AS DOUBLE))
+                            - clogc / CAST(n AS DOUBLE))
+                           / ln(CAST(nd AS DOUBLE))
+                      ELSE 0.0 END, 6) AS norm_entropy,
+           round(top / CAST(n AS DOUBLE), 6) AS top_share
+    FROM p ORDER BY 1
+    """,
+)
+def q350_categorical_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.stats import categorical_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return categorical_profile(d, ["lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# q351 — Nelson–Aalen cumulative hazard (operators/experiments.
+# nelson_aalen): the additive companion to q287's Kaplan-Meier on
+# the same per-user duration/event input, plus variance and the
+# Fleming-Harrington survival transform. Same catalog-window shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q351_nelson_aalen",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    u AS (SELECT user_id,
+                 (max(sec) - min(sec)) // 86400 AS dur,
+                 max(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS ev
+          FROM e GROUP BY 1),
+    pt AS (SELECT dur AS t, CAST(count(*) AS BIGINT) AS total,
+                  CAST(sum(ev) AS BIGINT) AS n_events
+           FROM u GROUP BY 1),
+    ar AS (SELECT t, total, n_events,
+                  sum(total) OVER (ORDER BY t DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS n_risk
+           FROM pt),
+    s AS (SELECT t, n_risk, n_events,
+                 sum(n_events / CAST(n_risk AS DOUBLE))
+                     OVER (ORDER BY t ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS h,
+                 sum(n_events / (CAST(n_risk AS DOUBLE)
+                                 * CAST(n_risk AS DOUBLE)))
+                     OVER (ORDER BY t ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS vh
+          FROM ar)
+    SELECT t, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           round(h, 6) AS cum_hazard,
+           round(vh, 8) AS var_hazard,
+           round(exp(-h), 6) AS fh_survival
+    FROM s WHERE n_events > 0
+    """,
+)
+def q351_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import nelson_aalen
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.expr("(max(sec) - min(sec)) div 86400").alias("dur"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "ev"
+        ),
+    )
+    return nelson_aalen(u, "dur", "ev")
+
+
+# ---------------------------------------------------------------------------
+# q352 — seasonal-naive forecast benchmark (operators/temporal.
+# seasonal_naive_eval, Hyndman & Koehler 2006): forecast daily order
+# counts with x̂_t = x_{t−7} and report MAE/RMSE/MASE — the scaled
+# baseline every forecaster must beat. Two lag equi-joins over the
+# daily catalog; counts are integers so every error is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q352_seasonal_naive_mase",
+    oracle="""
+    WITH d AS (SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT)
+                          // 86400 AS t,
+                      CAST(count(*) AS DOUBLE) AS v
+               FROM orders GROUP BY 1),
+    fc AS (SELECT a.v - b.v AS err
+           FROM d a JOIN d b ON a.t = b.t + 7),
+    sc AS (SELECT avg(abs(a.v - b.v)) AS scale
+           FROM d a JOIN d b ON a.t = b.t + 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(avg(abs(err)), 6) AS mae,
+           round(sqrt(avg(err * err)), 6) AS rmse,
+           round(avg(abs(err)) / max(sc.scale), 6) AS mase
+    FROM fc, sc
+    """,
+)
+def q352_seasonal_naive_mase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.temporal import seasonal_naive_eval
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 1000000 AS BIGINT) div 86400"
+        ).alias("t")
+    ).agg(F.count("*").cast("double").alias("v"))
+    return seasonal_naive_eval(daily, "t", "v", season=7)
+
+
+# ---------------------------------------------------------------------------
+# q353 — Jaro-Winkler near-duplicate names (operators/jaro.
+# jaro_winkler_pairs, Winkler 1990 census linkage): brand-blocked
+# part-name pairs ≥ 0.9. Pair volume is Σ_block |block|² via the
+# block equi-join (never all-pairs); the scorer is an Arrow-batched
+# pandas UDF pinned byte-for-byte to DuckDB's
+# jaro_winkler_similarity by tests/test_jaro.py.
+# ---------------------------------------------------------------------------
+@query(
+    "q353_jaro_winkler_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS text_a, b.p_name AS text_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+          >= CAST(0.9 AS DOUBLE)
+    """,
+)
+def q353_jaro_winkler_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.jaro import jaro_winkler_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    return jaro_winkler_pairs(
+        p, "p_partkey", "p_name", ["p_brand"], threshold=0.9
+    )
+
+
+# ---------------------------------------------------------------------------
+# q354 — degree assortativity (operators/graph.degree_assortativity,
+# Newman 2002): do high-degree suppliers trade with high-degree
+# customers? Pearson correlation of endpoint degrees over the
+# March-1995 supplier–customer graph; every sum is an exact integer
+# so the coefficient is bit-deterministic in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q354_assortativity",
+    oracle="""
+    WITH ed AS (SELECT DISTINCT
+                    'S' || CAST(l_suppkey AS VARCHAR) AS a,
+                    'C' || CAST(o_custkey AS VARCHAR) AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+                  AND l_shipdate < TIMESTAMP '1995-04-01'),
+    bt AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+    deg AS (SELECT a, count(*) AS deg FROM bt GROUP BY 1),
+    j AS (SELECT da.deg AS dx, db.deg AS dy
+          FROM bt JOIN deg da ON bt.a = da.a
+                  JOIN deg db ON bt.b = db.a),
+    agg AS (SELECT count(*) AS n, sum(dx) AS sx, sum(dy) AS sy,
+                   sum(dx * dy) AS sxy, sum(dx * dx) AS sxx,
+                   sum(dy * dy) AS syy
+            FROM j)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+                      THEN (n * sxy - sx * sy)
+                           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                 END, 6) AS r
+    FROM agg
+    """,
+)
+def q354_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import degree_assortativity
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    return degree_assortativity(edges)
+
+
+# ---------------------------------------------------------------------------
+# q355 — strongly connected components (operators/graph.
+# strongly_connected_components, FW-BW-Trim coloring family): a
+# cyclic directed trade graph — C→S "ordered from" edges plus S→C
+# same-nation "local return" edges over March-1995 participants in
+# nations 0–4 — condensed to (scc, size). The oracle computes the
+# ground truth by recursive transitive closure + mutual-reachability
+# grouping; the Spark side runs trim (singleton peeling) + forward
+# min-label coloring + backward pivot marking, all equi-joins with
+# per-round lineage truncation.
+# ---------------------------------------------------------------------------
+@query(
+    "q355_scc",
+    oracle="""
+    WITH RECURSIVE fwd AS (
+        SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS s,
+                        'S' || CAST(l_suppkey AS VARCHAR) AS d,
+                        o_custkey AS ck, l_suppkey AS sk
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+          AND l_shipdate < TIMESTAMP '1995-04-01'
+          AND c_nationkey < 5 AND s_nationkey < 5),
+    cs AS (SELECT DISTINCT ck FROM fwd),
+    ss AS (SELECT DISTINCT sk FROM fwd),
+    bwd AS (SELECT DISTINCT
+                'S' || CAST(s_suppkey AS VARCHAR) AS s,
+                'C' || CAST(c_custkey AS VARCHAR) AS d
+            FROM supplier
+            JOIN customer ON s_nationkey = c_nationkey
+            JOIN ss ON s_suppkey = ss.sk
+            JOIN cs ON c_custkey = cs.ck),
+    e AS (SELECT s, d FROM (SELECT s, d FROM fwd
+                            UNION SELECT s, d FROM bwd)
+          WHERE s <> d),
+    nodes AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+    r AS (SELECT s AS a, d AS b FROM e
+          UNION
+          SELECT r.a, e.d FROM r JOIN e ON r.b = e.s),
+    m AS (SELECT r1.a AS v, r1.b AS w
+          FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a),
+    lab AS (SELECT nodes.v,
+                   least(nodes.v, coalesce(min(m.w), nodes.v)) AS scc
+            FROM nodes LEFT JOIN m ON nodes.v = m.v
+            GROUP BY nodes.v)
+    SELECT scc, CAST(count(*) AS BIGINT) AS size
+    FROM lab GROUP BY 1 ORDER BY 1
+    """,
+)
+def q355_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey") < 5
+    )
+    s = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") < 5
+    )
+    fwd = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .distinct()
+    )
+    cs = fwd.select("ck").distinct()
+    ss = fwd.select("sk").distinct()
+    bwd = (
+        s.join(F.broadcast(ss), F.col("s_suppkey") == F.col("sk"))
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+        )
+        .join(F.broadcast(cs), F.col("c_custkey") == F.col("ck"))
+        .select(
+            F.concat(
+                F.lit("S"), F.col("s_suppkey").cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("C"), F.col("c_custkey").cast("string")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.select(
+        F.concat(F.lit("C"), F.col("ck").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("sk").cast("string")).alias("dst"),
+    ).unionAll(bwd)
+    lab = strongly_connected_components(edges)
+    return (
+        lab.groupBy("scc")
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy("scc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q356 — Cochran-Mantel-Haenszel pooled odds ratio (operators/
+# experiments.cmh_odds, MH 1959): priority→failure association
+# controlled for market segment — the Simpson's-paradox-proof
+# 2×2×K readout. ONE groupBy to K stratum rows; folds over that
+# catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q356_cmh_odds",
+    oracle="""
+    WITH per AS (SELECT c_mktsegment AS s,
+                 sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           AND o_orderstatus = 'F'
+                          THEN 1 ELSE 0 END) AS a,
+                 sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           AND o_orderstatus <> 'F'
+                          THEN 1 ELSE 0 END) AS b,
+                 sum(CASE WHEN o_orderpriority NOT IN
+                              ('1-URGENT','2-HIGH')
+                           AND o_orderstatus = 'F'
+                          THEN 1 ELSE 0 END) AS c,
+                 sum(CASE WHEN o_orderpriority NOT IN
+                              ('1-URGENT','2-HIGH')
+                           AND o_orderstatus <> 'F'
+                          THEN 1 ELSE 0 END) AS d
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1),
+    agg AS (SELECT count(*) AS strata,
+                   sum(CAST(a+b+c+d AS DOUBLE)) AS n,
+                   sum(a * d / CAST(a+b+c+d AS DOUBLE)) AS num,
+                   sum(b * c / CAST(a+b+c+d AS DOUBLE)) AS den,
+                   sum(CAST(a AS DOUBLE)) AS sa,
+                   sum(CAST(a+b AS DOUBLE) * CAST(a+c AS DOUBLE)
+                       / CAST(a+b+c+d AS DOUBLE)) AS se,
+                   sum(CASE WHEN a+b+c+d > 1 THEN
+                       CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)
+                       * CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE)
+                       / (CAST(a+b+c+d AS DOUBLE)
+                          * CAST(a+b+c+d AS DOUBLE)
+                          * (CAST(a+b+c+d AS DOUBLE) - 1.0))
+                       ELSE CAST(0.0 AS DOUBLE) END) AS sv
+            FROM per)
+    SELECT CAST(strata AS BIGINT) AS strata, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN den > 0 THEN num / den END, 6) AS or_mh,
+           round(CASE WHEN sv > 0
+                      THEN (sa - se) * (sa - se) / sv END,
+                 6) AS chi2_mh
+    FROM agg
+    """,
+)
+def q356_cmh_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import cmh_odds
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    d = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .alias("treat"),
+        (F.col("o_orderstatus") == "F").alias("outcome"),
+        "c_mktsegment",
+    )
+    return cmh_odds(d, "treat", "outcome", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q357 — Markov entropy rate of event sequences (operators/temporal.
+# transition_entropy, Shannon 1951): how predictable is the next
+# event type per user journey — the bot/template-traffic score in
+# one number. One per-key lag window + the |states|² catalog fold.
+# ---------------------------------------------------------------------------
+@query(
+    "q357_transition_entropy",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+               FROM events),
+    l AS (SELECT event_type AS t,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY sec, event_id) AS f
+          FROM e),
+    pairs AS (SELECT f, t, count(*) AS c FROM l
+              WHERE f IS NOT NULL GROUP BY 1, 2),
+    rt AS (SELECT f, sum(c) AS ca FROM pairs GROUP BY 1),
+    agg AS (SELECT sum(pairs.c) AS n,
+                   count(DISTINCT pairs.f) AS k,
+                   sum(pairs.c * ln(CAST(pairs.c AS DOUBLE)
+                                    / CAST(rt.ca AS DOUBLE))) AS clog
+            FROM pairs JOIN rt ON pairs.f = rt.f)
+    SELECT CAST(n AS BIGINT) AS n_transitions,
+           CAST(k AS BIGINT) AS n_states,
+           round(-clog / CAST(n AS DOUBLE), 6) AS entropy_rate,
+           round(ln(CAST(k AS DOUBLE)), 6) AS max_entropy,
+           round(CASE WHEN ln(CAST(k AS DOUBLE)) > 0
+                      THEN (-clog / CAST(n AS DOUBLE))
+                           / ln(CAST(k AS DOUBLE))
+                      ELSE 0.0 END, 6) AS normalized
+    FROM agg
+    """,
+)
+def q357_transition_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.temporal import transition_entropy
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    return transition_entropy(
+        e, "user_id", "sec", "event_type", tiebreak_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q358 — zone-map pruning audit (operators/maintenance.
+# zonemap_prune_audit): price the Q1-1996 shipdate predicate against
+# two layouts of lineitem — insertion order (orderkey buckets) vs
+# date-sorted files — the min/max file-skipping decision every
+# layout operator (compaction/Z-order/Hilbert) is chasing. Pure
+# integer aggregates, exact in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "q358_zonemap_prune",
+    oracle="""
+    WITH li AS (SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT)
+                           // 86400 AS dy,
+                       l_orderkey
+                FROM lineitem),
+    f1 AS (SELECT l_orderkey // 4096 AS f, min(dy) AS mn,
+                  max(dy) AS mx, count(*) AS rw,
+                  sum(CASE WHEN dy BETWEEN 9496 AND 9586
+                           THEN 1 ELSE 0 END) AS mt
+           FROM li GROUP BY 1),
+    a1 AS (SELECT count(*) AS nf,
+                  sum(CASE WHEN mn <= 9586 AND mx >= 9496
+                           THEN 1 ELSE 0 END) AS fr,
+                  sum(rw) AS rt,
+                  sum(CASE WHEN mn <= 9586 AND mx >= 9496
+                           THEN rw ELSE 0 END) AS rr,
+                  sum(mt) AS m
+           FROM f1),
+    f2 AS (SELECT dy // 32 AS f, min(dy) AS mn, max(dy) AS mx,
+                  count(*) AS rw,
+                  sum(CASE WHEN dy BETWEEN 9496 AND 9586
+                           THEN 1 ELSE 0 END) AS mt
+           FROM li GROUP BY 1),
+    a2 AS (SELECT count(*) AS nf,
+                  sum(CASE WHEN mn <= 9586 AND mx >= 9496
+                           THEN 1 ELSE 0 END) AS fr,
+                  sum(rw) AS rt,
+                  sum(CASE WHEN mn <= 9586 AND mx >= 9496
+                           THEN rw ELSE 0 END) AS rr,
+                  sum(mt) AS m
+           FROM f2),
+    u AS (SELECT 'insertion' AS layout, * FROM a1
+          UNION ALL SELECT 'date_sorted', * FROM a2)
+    SELECT layout, CAST(nf AS BIGINT) AS n_files,
+           CAST(fr AS BIGINT) AS files_read,
+           round(1.0 - CAST(fr AS DOUBLE) / CAST(nf AS DOUBLE), 6)
+               AS file_skip_rate,
+           CAST(rt AS BIGINT) AS rows_total,
+           CAST(rr AS BIGINT) AS rows_read,
+           round(1.0 - CAST(rr AS DOUBLE) / CAST(rt AS DOUBLE), 6)
+               AS row_skip_rate,
+           round(CAST(m AS DOUBLE) / CAST(rt AS DOUBLE), 6)
+               AS selectivity
+    FROM u
+    """,
+)
+def q358_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.maintenance import (
+        zonemap_prune_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " div 1000000 AS BIGINT) div 86400"
+        ).alias("dy"),
+        "l_orderkey",
+    )
+    ins = zonemap_prune_audit(
+        li,
+        F.expr("l_orderkey div 4096"),
+        "dy",
+        F.lit(9496),
+        F.lit(9586),
+        layout="insertion",
+    )
+    srt = zonemap_prune_audit(
+        li,
+        F.expr("dy div 32"),
+        "dy",
+        F.lit(9496),
+        F.lit(9586),
+        layout="date_sorted",
+    )
+    return ins.unionByName(srt)
+
+
+# ---------------------------------------------------------------------------
+# q359 — Burrows' Delta stylometry (operators/stylometry.
+# burrows_delta, Burrows 2002): pairwise style distance between
+# document sources over the z-scored top-40 function-word profile —
+# the template/generated-content detector across corpus slices.
+# One corpus count shuffle; everything downstream is catalog-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "q359_burrows_delta",
+    oracle=r"""
+    WITH toks AS (SELECT source AS g,
+                         unnest(list_filter(
+                             string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS w
+                  FROM documents),
+    gw AS (SELECT g, w, CAST(count(*) AS DOUBLE) AS c
+           FROM toks GROUP BY 1, 2),
+    gt AS (SELECT g, sum(c) AS tot FROM gw GROUP BY 1),
+    vocab AS (SELECT w FROM (SELECT w, sum(c) AS cc
+                             FROM gw GROUP BY 1)
+              ORDER BY cc DESC, w LIMIT 40),
+    grid AS (SELECT gr.g, v.w
+             FROM (SELECT DISTINCT g FROM gw) gr, vocab v),
+    rel AS (SELECT grid.g, grid.w,
+                   coalesce(gw.c, CAST(0.0 AS DOUBLE)) / gt.tot AS f
+            FROM grid LEFT JOIN gw
+                 ON grid.g = gw.g AND grid.w = gw.w
+            JOIN gt ON grid.g = gt.g),
+    st AS (SELECT w, avg(f) AS mu, stddev_pop(f) AS sd
+           FROM rel GROUP BY 1),
+    z AS (SELECT rel.g, rel.w,
+                 CASE WHEN st.sd > 0
+                      THEN (rel.f - st.mu) / st.sd
+                      ELSE CAST(0.0 AS DOUBLE) END AS z
+          FROM rel JOIN st ON rel.w = st.w)
+    SELECT a.g AS g_a, b.g AS g_b,
+           round(avg(abs(a.z - b.z)), 6) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.g < b.g
+    GROUP BY 1, 2
+    """,
+)
+def q359_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stylometry import burrows_delta
+
+    d = load_table(spark, sf_dir, "documents")
+    return burrows_delta(d, "source", "text", top_k=40)
+
+
+# ---------------------------------------------------------------------------
+# q360 — GNN-style feature propagation (operators/graph.
+# feature_propagation, GraphSAGE/GCN mean layer): two rounds of
+# neighbor-mean smoothing of account balances over the March-1995
+# supplier–customer graph. One join + one aggregate per round — the
+# full-batch message-passing shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q360_feature_propagation",
+    oracle="""
+    WITH ed AS (SELECT DISTINCT
+                    'S' || CAST(l_suppkey AS VARCHAR) AS a,
+                    'C' || CAST(o_custkey AS VARCHAR) AS b
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+                  AND l_shipdate < TIMESTAMP '1995-04-01'),
+    und AS (SELECT a AS n, b AS nbr FROM ed
+            UNION SELECT b, a FROM ed),
+    deg AS (SELECT n, count(*) AS degree FROM und GROUP BY 1),
+    h0 AS (SELECT 'C' || CAST(c_custkey AS VARCHAR) AS n,
+                  round(c_acctbal * 100.0) AS h
+           FROM customer
+           UNION ALL
+           SELECT 'S' || CAST(s_suppkey AS VARCHAR),
+                  round(s_acctbal * 100.0)
+           FROM supplier),
+    h1 AS (SELECT und.n, avg(h0.h) AS h
+           FROM und JOIN h0 ON und.nbr = h0.n GROUP BY 1),
+    h2 AS (SELECT und.n, avg(h1.h) AS h
+           FROM und JOIN h1 ON und.nbr = h1.n GROUP BY 1)
+    SELECT deg.n AS node, CAST(deg.degree AS BIGINT) AS degree,
+           round(f0.h, 2) AS h0, round(h2.h, 2) AS h_out
+    FROM deg LEFT JOIN h0 f0 ON deg.n = f0.n
+             LEFT JOIN h2 ON deg.n = h2.n
+    """,
+)
+def q360_feature_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.graph import feature_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+            "dst"
+        ),
+    )
+    # cents: integer-valued features make round 1's neighbor mean
+    # exact (integer-sum / count) in BOTH engines; round-2 association
+    # noise then sits ~1e-10 below the coarse round(2) boundary —
+    # the fix for a measured one-row h_out boundary flip at round(6)
+    c = load_table(spark, sf_dir, "customer").select(
+        F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+            "node"
+        ),
+        F.round(F.col("c_acctbal") * 100.0).alias("h"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias(
+            "node"
+        ),
+        F.round(F.col("s_acctbal") * 100.0).alias("h"),
+    )
+    return feature_propagation(
+        edges, c.unionAll(s), "node", "h", rounds=2, round_digits=2
+    )
+
+
+# ---------------------------------------------------------------------------
+# q361 — embedding health audit (operators/embedding_quality.
+# embedding_health): the constraint suite for array<float> columns —
+# nulls, dimension mismatches, non-finite elements, zero vectors,
+# norm spread — in ONE aggregate pass with element-order-fixed array
+# folds (engine-deterministic).
+# ---------------------------------------------------------------------------
+@query(
+    "q361_embedding_health",
+    oracle="""
+    WITH e AS (SELECT embedding,
+                      CASE WHEN embedding IS NULL THEN NULL
+                           ELSE list_sum(list_transform(
+                                CAST(embedding AS DOUBLE[]),
+                                x -> x * x)) END AS ssq,
+                      CASE WHEN embedding IS NULL THEN NULL
+                           ELSE len(list_filter(
+                                CAST(embedding AS DOUBLE[]),
+                                x -> isnan(x) OR abs(x) > 1e308))
+                      END AS bad
+               FROM embeddings),
+    f AS (SELECT embedding IS NULL AS is_null,
+                 embedding IS NOT NULL
+                     AND len(embedding) <> 64 AS wrong_dim,
+                 embedding IS NOT NULL AND bad > 0 AS nonfinite,
+                 embedding IS NOT NULL AND len(embedding) = 64
+                     AND bad = 0 AS ok,
+                 coalesce(ssq, CAST(0.0 AS DOUBLE)) AS ssq
+          FROM e)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(sum(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wrong_dim,
+           CAST(sum(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(sum(CASE WHEN ok AND ssq = 0.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero,
+           round(avg(CASE WHEN ok THEN sqrt(ssq) END), 6)
+               AS mean_norm,
+           round(min(CASE WHEN ok THEN sqrt(ssq) END), 6)
+               AS min_norm,
+           round(max(CASE WHEN ok THEN sqrt(ssq) END), 6)
+               AS max_norm
+    FROM f
+    """,
+)
+def q361_embedding_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.embedding_quality import (
+        embedding_health,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_health(e, "embedding", expect_dim=64)
+
+
+# ---------------------------------------------------------------------------
+# q362 — class separability (operators/embedding_quality.
+# class_separability, Fisher discriminant ratio): does the embedding
+# space separate the labels, per dimension? One (n×d) melt into a
+# (label, dim)-keyed aggregate; folds over the |labels|·d catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q362_class_separability",
+    oracle="""
+    WITH m AS (SELECT label AS c, g.i - 1 AS dim,
+                      (CAST(embedding AS DOUBLE[]))[g.i] AS x
+               FROM embeddings,
+                    LATERAL unnest(generate_series(1, 64)) g(i)),
+    per AS (SELECT c, dim, CAST(count(*) AS BIGINT) AS nc,
+                   sum(x) AS s, sum(x * x) AS ss
+            FROM m GROUP BY 1, 2),
+    agg AS (SELECT dim, sum(nc) AS n, sum(s) AS gs,
+                   sum(ss - s * (s / nc)) AS wss,
+                   sum(nc * (s / nc) * (s / nc)) AS bss
+            FROM per GROUP BY 1)
+    SELECT CAST(dim AS INTEGER) AS dim,
+           round((bss - n * (gs / n) * (gs / n))
+                 / CAST(n AS DOUBLE), 6) AS s_between,
+           round(wss / CAST(n AS DOUBLE), 6) AS s_within,
+           round(CASE WHEN wss / CAST(n AS DOUBLE) > 0
+                      THEN ((bss - n * (gs / n) * (gs / n))
+                            / CAST(n AS DOUBLE))
+                           / (wss / CAST(n AS DOUBLE)) END,
+                 6) AS fisher
+    FROM agg ORDER BY dim
+    """,
+)
+def q362_class_separability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.embedding_quality import (
+        class_separability,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return class_separability(e, "embedding", "label")
+
+
+# ---------------------------------------------------------------------------
+# q363 — customer order-count distribution (TPC-H Q13 shape): LEFT
+# join so zero-order customers survive into the histogram — the
+# classic outer-join + double-aggregate pattern (and the only TPC-H
+# dress-rehearsal shape the inventory lacked). Two shuffles total.
+# ---------------------------------------------------------------------------
+@query(
+    "q363_custdist",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c_custkey,
+                 CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q363_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_c = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_c.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q364 — shuffle-skew report (operators/skew.skew_report): price the
+# hot keys BEFORE shuffling on them — row share, skew-vs-average,
+# and the salt factor salted_join (q267) should use. One count
+# aggregate + broadcast total + TakeOrdered top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "q364_skew_report",
+    oracle="""
+    WITH c AS (SELECT lang AS key, CAST(count(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(cnt) AS n, count(*) AS keys FROM c)
+    SELECT c.key, c.cnt,
+           round(c.cnt / CAST(t.n AS DOUBLE), 6) AS share,
+           round(c.cnt / (CAST(t.n AS DOUBLE) / t.keys), 6)
+               AS skew_vs_avg,
+           CAST(greatest(ceil(c.cnt / (CAST(t.n AS DOUBLE) / 32.0)),
+                         1) AS BIGINT) AS salt_factor
+    FROM c, t
+    ORDER BY c.cnt DESC, c.key ASC
+    LIMIT 10
+    """,
+)
+def q364_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.skew import skew_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return skew_report(d, "lang", top_k=10, target_partitions=32)
+
+
+# ---------------------------------------------------------------------------
+# q365 — l-diversity audit (operators/privacy.l_diversity_audit,
+# Machanavajjhala 2007): the attack k-anonymity (q236) misses — a
+# big quasi-identifier group whose sensitive attribute is constant
+# still leaks. Completes the k-anonymity / t-closeness / l-diversity
+# release-gate triad. Two aggregates, both map-side combinable.
+# ---------------------------------------------------------------------------
+@query(
+    "q365_l_diversity",
+    oracle="""
+    WITH j AS (SELECT c_mktsegment, c_nationkey, o_orderstatus
+               FROM orders JOIN customer ON o_custkey = c_custkey),
+    cells AS (SELECT c_mktsegment, c_nationkey, o_orderstatus,
+                     count(*) AS c
+              FROM j GROUP BY 1, 2, 3),
+    per_g AS (SELECT c_mktsegment, c_nationkey,
+                     CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_sensitive
+              FROM cells GROUP BY 1, 2),
+    t AS (SELECT sum(n) AS tot FROM per_g)
+    SELECT c_mktsegment, c_nationkey, n, n_sensitive,
+           n_sensitive < 3 AS at_risk,
+           round(n / CAST(t.tot AS DOUBLE), 6) AS row_share
+    FROM per_g, t
+    """,
+)
+def q365_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.privacy import l_diversity_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "c_nationkey", "o_orderstatus"
+    )
+    return l_diversity_audit(
+        j, ["c_mktsegment", "c_nationkey"], "o_orderstatus", l=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# q366 — log-rank test (operators/experiments.logrank_test, Mantel
+# 1966): do odd- and even-id user cohorts share the purchase
+# survival curve? The hypothesis test beside q287's KM and q351's
+# Nelson-Aalen, over the same per-subject censored input; folds over
+# the distinct-duration catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q366_logrank",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec
+               FROM events),
+    u AS (SELECT user_id,
+                 (max(sec) - min(sec)) // 86400 AS dur,
+                 max(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS ev,
+                 CAST(user_id % 2 = 0 AS BIGINT) AS is_a
+          FROM e GROUP BY 1),
+    pt AS (SELECT dur AS t, count(*) AS tot, sum(is_a) AS tot_a,
+                  sum(ev) AS d, sum(ev * is_a) AS d_a
+           FROM u GROUP BY 1),
+    ar AS (SELECT t, d, d_a,
+                  sum(tot) OVER (ORDER BY t DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS n_t,
+                  sum(tot_a) OVER (ORDER BY t DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS n_at
+           FROM pt),
+    f AS (SELECT * FROM ar WHERE d > 0),
+    agg AS (SELECT sum(d_a) AS o_a,
+                   sum(d * (CAST(n_at AS DOUBLE)
+                            / CAST(n_t AS DOUBLE))) AS e_a,
+                   sum(CASE WHEN n_t > 1 THEN
+                       d * (CAST(n_at AS DOUBLE) / CAST(n_t AS DOUBLE))
+                         * (1.0 - CAST(n_at AS DOUBLE)
+                                  / CAST(n_t AS DOUBLE))
+                         * CAST(n_t - d AS DOUBLE)
+                         / CAST(n_t - 1 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END) AS v
+            FROM f),
+    tt AS (SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+                  CAST(count(*) - sum(is_a) AS BIGINT) AS n_b
+           FROM u)
+    SELECT tt.n_a, tt.n_b, CAST(agg.o_a AS BIGINT) AS o_a,
+           round(agg.e_a, 6) AS e_a,
+           round(CASE WHEN agg.v > 0
+                      THEN (agg.o_a - agg.e_a) * (agg.o_a - agg.e_a)
+                           / agg.v END, 6) AS chi2
+    FROM tt, agg
+    """,
+)
+def q366_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import logrank_test
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.expr("(max(sec) - min(sec)) div 86400").alias("dur"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "ev"
+        ),
+    ).withColumn("grp", (F.col("user_id") % 2 == 0).cast("string"))
+    return logrank_test(u, "dur", "ev", "grp", "true", "false")
+
+
+# ---------------------------------------------------------------------------
+# q367 — top event paths (operators/temporal.path_patterns,
+# contiguous PrefixSpan special case): the dominant 3-step user
+# journeys — ONE per-key window produces every length-3 window, one
+# groupBy collapses to the pattern catalog, TakeOrdered picks 20.
+# ---------------------------------------------------------------------------
+@query(
+    "q367_path_patterns",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+               FROM events),
+    w AS (SELECT event_type AS step_1,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY sec, event_id)
+                     AS step_2,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                                           ORDER BY sec, event_id)
+                     AS step_3
+          FROM e),
+    c AS (SELECT step_1, step_2, step_3, count(*) AS cnt
+          FROM w WHERE step_3 IS NOT NULL GROUP BY 1, 2, 3),
+    t AS (SELECT sum(cnt) AS n FROM c)
+    SELECT step_1, step_2, step_3, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / CAST(t.n AS DOUBLE), 6) AS support
+    FROM c, t
+    ORDER BY cnt DESC, step_1, step_2, step_3
+    LIMIT 20
+    """,
+)
+def q367_path_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import path_patterns
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("sec"),
+    )
+    return path_patterns(
+        e,
+        "user_id",
+        "sec",
+        "event_type",
+        length=3,
+        top_k=20,
+        tiebreak_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q368 — dyad census / reciprocity (operators/graph.dyad_census,
+# Holland-Leinhardt): mutual vs asymmetric node pairs of the cyclic
+# trade graph — the directionality fingerprint beside q354's
+# assortativity. ONE canonical-pair aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q368_dyad_census",
+    oracle="""
+    WITH fwd AS (
+        SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS s,
+                        'S' || CAST(l_suppkey AS VARCHAR) AS d,
+                        o_custkey AS ck, l_suppkey AS sk
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+          AND l_shipdate < TIMESTAMP '1995-04-01'
+          AND c_nationkey < 5 AND s_nationkey < 5),
+    cs AS (SELECT DISTINCT ck FROM fwd),
+    ss AS (SELECT DISTINCT sk FROM fwd),
+    bwd AS (SELECT DISTINCT
+                'S' || CAST(s_suppkey AS VARCHAR) AS s,
+                'C' || CAST(c_custkey AS VARCHAR) AS d
+            FROM supplier
+            JOIN customer ON s_nationkey = c_nationkey
+            JOIN ss ON s_suppkey = ss.sk
+            JOIN cs ON c_custkey = cs.ck),
+    e AS (SELECT s, d FROM (SELECT s, d FROM fwd
+                            UNION SELECT s, d FROM bwd)
+          WHERE s <> d),
+    dy AS (SELECT least(s, d) AS a, greatest(s, d) AS b,
+                  count(*) AS dirs
+           FROM e GROUP BY 1, 2)
+    SELECT CAST(sum(dirs) AS BIGINT) AS n_edges,
+           CAST(sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS mutual_dyads,
+           CAST(sum(CASE WHEN dirs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS asym_dyads,
+           round(2.0 * sum(CASE WHEN dirs = 2 THEN 1 ELSE 0 END)
+                 / sum(dirs), 6) AS reciprocity
+    FROM dy
+    """,
+)
+def q368_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.graph import dyad_census
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1995-03-01"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_nationkey") < 5
+    )
+    s = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") < 5
+    )
+    fwd = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("l_suppkey").alias("sk"),
+        )
+        .distinct()
+    )
+    cs = fwd.select("ck").distinct()
+    ss = fwd.select("sk").distinct()
+    bwd = (
+        s.join(F.broadcast(ss), F.col("s_suppkey") == F.col("sk"))
+        .join(
+            c.select("c_custkey", "c_nationkey"),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+        )
+        .join(F.broadcast(cs), F.col("c_custkey") == F.col("ck"))
+        .select(
+            F.concat(
+                F.lit("S"), F.col("s_suppkey").cast("string")
+            ).alias("src"),
+            F.concat(
+                F.lit("C"), F.col("c_custkey").cast("string")
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.select(
+        F.concat(F.lit("C"), F.col("ck").cast("string")).alias("src"),
+        F.concat(F.lit("S"), F.col("sk").cast("string")).alias("dst"),
+    ).unionAll(bwd)
+    return dyad_census(edges)
+
+
+# ---------------------------------------------------------------------------
+# q369 — Kruskal-Wallis H (operators/experiments.kruskal_wallis, KW
+# 1952): the k-group nonparametric twin of q345's ANOVA with
+# mid-ranks + tie correction — heavy ties by construction on the
+# 50-value quantity domain, so the rank catalog is value-domain
+# bounded (the q256 contract).
+# ---------------------------------------------------------------------------
+@query(
+    "q369_kruskal_wallis",
+    oracle="""
+    WITH pool AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                         l_returnflag AS g
+                  FROM lineitem WHERE l_quantity IS NOT NULL),
+    vg AS (SELECT x, g, CAST(count(*) AS DOUBLE) AS c
+           FROM pool GROUP BY 1, 2),
+    v AS (SELECT x, sum(c) AS t FROM vg GROUP BY 1),
+    r AS (SELECT x, t,
+                 coalesce(sum(t) OVER (ORDER BY x
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW), CAST(0.0 AS DOUBLE))
+                     - t + (t + 1) / 2 AS mid_rank
+          FROM v),
+    pg AS (SELECT g, sum(c) AS ng, sum(c * mid_rank) AS rg
+           FROM vg JOIN r USING (x) GROUP BY 1),
+    ti AS (SELECT sum(pow(t, 3) - t) AS t3, sum(t) AS n FROM r),
+    agg AS (SELECT count(*) AS k, max(ti.n) AS n, max(ti.t3) AS t3,
+                   sum(rg * rg / ng) AS rr
+            FROM pg, ti)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN 1.0 - t3 / (n * n * n - n) > 0
+                      THEN 12.0 / (n * (n + 1)) * rr - 3.0 * (n + 1)
+                 END, 6) AS h,
+           round(CASE WHEN 1.0 - t3 / (n * n * n - n) > 0
+                      THEN (12.0 / (n * (n + 1)) * rr - 3.0 * (n + 1))
+                           / (1.0 - t3 / (n * n * n - n))
+                 END, 6) AS h_corrected
+    FROM agg
+    """,
+)
+def q369_kruskal_wallis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.experiments import kruskal_wallis
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    return kruskal_wallis(li, "l_returnflag", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# q370 — Brown-Forsythe variance homogeneity (operators/experiments.
+# brown_forsythe, 1974): Levene with the median center — the
+# robust assumption check in front of q345. Per-group exact-disc
+# medians off the per-group value catalog (group-partitioned
+# windows), deviations broadcast back, ONE ANOVA aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q370_brown_forsythe",
+    oracle="""
+    WITH pool AS (SELECT CAST(o_totalprice AS DOUBLE) AS x,
+                         o_orderpriority AS g
+                  FROM orders WHERE o_totalprice IS NOT NULL),
+    vg AS (SELECT g, x, count(*) AS c FROM pool GROUP BY 1, 2),
+    cum AS (SELECT g, x,
+                   sum(c) OVER (PARTITION BY g ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY g) AS ng
+            FROM vg),
+    med AS (SELECT g, min(x) AS med FROM cum
+            WHERE cm >= ceil(ng / 2.0) GROUP BY 1),
+    z AS (SELECT pool.g, abs(pool.x - med.med) AS z
+          FROM pool JOIN med ON pool.g = med.g),
+    gg AS (SELECT g, CAST(count(z) AS DOUBLE) AS n_g,
+                  sum(z) AS s, sum(z * z) AS ss
+           FROM z GROUP BY 1),
+    a AS (SELECT count(*) AS k, sum(n_g) AS n, sum(s) AS ts,
+                 sum(ss - s * (s / n_g)) AS ssw,
+                 sum(n_g * (s / n_g) * (s / n_g)) AS sb2
+          FROM gg)
+    SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                      THEN ((sb2 - n * (ts / n) * (ts / n))
+                            / (k - 1)) / (ssw / (n - k)) END,
+                 6) AS f_stat
+    FROM a
+    """,
+)
+def q370_brown_forsythe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.experiments import brown_forsythe
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return brown_forsythe(o, "o_orderpriority", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# q371 — closed-form multiple regression (operators/regression.
+# ridge_regression_3, Cramer 3×3 on centered normal equations): fit
+# extended price on (quantity, discount, tax) in ONE moment
+# aggregate + a 1-row projection. The post-aggregate algebra is a
+# single source of truth inlined into BOTH engines (F.expr == oracle
+# fragment), so parity holds by construction.
+# ---------------------------------------------------------------------------
+from cccatalog_spark.operators.regression import (  # noqa: E402
+    oracle_sql as _reg_oracle,
+)
+
+
+@query(
+    "q371_ridge_regression",
+    oracle=_reg_oracle(
+        "lineitem",
+        "CAST(l_extendedprice AS DOUBLE)",
+        [
+            "CAST(l_quantity AS DOUBLE)",
+            "CAST(l_discount AS DOUBLE)",
+            "CAST(l_tax AS DOUBLE)",
+        ],
+        lam=0.0,
+    ),
+)
+def q371_ridge_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.regression import ridge_regression_3
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return ridge_regression_3(
+        li,
+        "l_extendedprice",
+        ["l_quantity", "l_discount", "l_tax"],
+        lam=0.0,
     )
