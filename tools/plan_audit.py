@@ -81,6 +81,31 @@ SANCTIONED_BNLJ = {
     "shift",
     "q329_mde_curve": "listed for the cum-window folds if plans "
     "shift",
+    # round-6 second-wave batch: all 1-row scalar / ≤k-row catalog
+    # cross-broadcasts (totals, mean/denominator, tie scalars, grids)
+    "q346_constraint_audit": "1-row metric-scalars x 1-row FK-coverage "
+    "fold (constraint suite)",
+    "q347_rfm_segments": "1-row rank-total broadcast per two-phase "
+    "rank pass (cumsum offsets contract)",
+    "q348_acf": "1-row mean/denominator scalar broadcast over the "
+    "daily catalog",
+    "q349_cramers_v": "1-row n_pairs total broadcast over the r*c "
+    "contingency catalog",
+    "q352_seasonal_naive_mase": "1-row lag-1 scale scalar broadcast",
+    "q359_burrows_delta": "groups x top-k vocab catalog grid "
+    "broadcast (both bounded catalogs)",
+    "q364_skew_report": "1-row total/keys scalar broadcast",
+    "q365_l_diversity": "1-row release-total scalar broadcast",
+    "q366_logrank": "1-row cohort totals x 1-row O/E/V fold",
+    "q367_path_patterns": "1-row window-total scalar broadcast",
+    "q369_kruskal_wallis": "1-row N/tie scalars broadcast over the "
+    "group rank catalog",
+    "q350_categorical_profile": "listed for the per-column folds if "
+    "plans shift",
+    "q361_embedding_health": "listed for the 1-row audit fold if "
+    "plans shift",
+    "q371_ridge_regression": "listed for the 1-row moment fold if "
+    "plans shift",
     "q19_expired_rows": "1-row max-ts scalar anchor broadcast",
     "q41_expiration_mark": "1-row anchor scalar broadcast (P9 TTL)",
     "q26_ann_topk": "single probe vector broadcast (brute-force top-k)",

@@ -123,6 +123,22 @@ SANCTIONED_GLOBAL_WINDOW = {
     # descending value-catalog cumsum for the top-k order statistics —
     # corpus_stats.hill_tail_index
     "q318_hill_tail",
+    # three two-phase rank passes: each single-partition window is the
+    # ≤#partitions offsets frame (cumsum.py:63-70) — segments.rfm
+    "q347_rfm_segments",
+    # at-risk / hazard folds over the DISTINCT-DURATION catalog
+    # (the q287 Kaplan-Meier contract) — experiments.nelson_aalen
+    "q351_nelson_aalen",
+    # at-risk folds over the DISTINCT-DURATION catalog (same
+    # contract) — experiments.logrank_test
+    "q366_logrank",
+    # mid-rank cumsum over the 50-value quantity catalog (the q256
+    # rank-statistics contract) — experiments.kruskal_wallis
+    "q369_kruskal_wallis",
+    # exact-disc p50/p90 cumsum over the DISTINCT-LATENCY catalog
+    # (the corpus collapses to per-latency counts first — the q256
+    # contract) — temporal.next_event_latency summary in q344
+    "q344_next_event_latency",
 }
 
 
@@ -292,6 +308,107 @@ FAMILIES = {
     "salted-join-one-shuffle": (
         "q267_salted_join",
         {"joins": 1, "exchanges": 2},
+    ),
+    # SCC via Trim + FW-coloring: every trim/color/mark round is
+    # lineage-cut, so the FINAL plan is a union of checkpoint
+    # readbacks + ONE size aggregate — round-count-independent
+    # (graph.strongly_connected_components; the logreg/sinkhorn
+    # truncated-lineage contract for iterative algorithms).
+    "scc-truncated-lineage": (
+        "q355_scc",
+        {"joins": 0, "exchanges": 1},
+    ),
+    # RFM distributed quintiles: three two-phase rank passes, each
+    # lineage-cut (segments.rfm_segments), so the final plan holds one
+    # range exchange + local window + offsets broadcast join + the
+    # segment aggregate — never an ntile over one partition of data.
+    "rfm-two-phase-ranks": (
+        "q347_rfm_segments",
+        {"joins": 2, "exchanges": 13},
+    ),
+    # Jaro-Winkler linkage: ONE block equi-join generates candidates
+    # (Σ|block|², never |table|²) and the scorer evaluates in exactly
+    # ONE Arrow node (asNondeterministic single-eval pin, jaro.py) —
+    # the block dim broadcasts so there is no exchange at this scale.
+    "jw-blocked-single-arrow": (
+        "q353_jaro_winkler_pairs",
+        {"joins": 1, "arrow_udf_nodes": 1, "exchanges": 1},
+    ),
+    # Burrows' Delta: the persisted (group, word) count is the ONLY
+    # corpus-wide stage; vocabulary/grid/z/pair stages run over
+    # |groups|·k catalogs. DESIGN is 4 joins; the printer re-prints
+    # the persisted count subtree under each InMemoryTableScan
+    # reference, so the string-counted budget is 11 joins/49 exchanges
+    # (the q198/q238 printer caveat).
+    "burrows-one-corpus-count": (
+        "q359_burrows_delta",
+        {"joins": 11, "exchanges": 49},
+    ),
+    # GNN feature propagation: per round ONE neighbor join + ONE mean
+    # aggregate over the persisted undirected edge frame. DESIGN is
+    # 2·rounds+2 joins; string budget includes persisted-subtree
+    # reprints.
+    "feature-propagation-round-shape": (
+        "q360_feature_propagation",
+        {"joins": 10, "exchanges": 13},
+    ),
+    # ACF: the k lags ride ONE equi-join after the probe explode
+    # (k·N candidates); mean/denominator is a broadcast scalar off the
+    # persisted daily catalog.
+    "acf-single-lag-join": (
+        "q348_acf",
+        {"joins": 1, "exchanges": 8},
+    ),
+    # constraint suite: completeness/uniqueness/bounds/membership in
+    # ONE aggregate pass + one broadcast FK join (constraints.py).
+    "constraint-audit-one-pass": (
+        "q346_constraint_audit",
+        {"joins": 1, "exchanges": 4},
+    ),
+    # skew report: ONE count aggregate keyed by the candidate key +
+    # broadcast total + TakeOrdered — the report must cost a fraction
+    # of the shuffle it prices (skew.skew_report).
+    "skew-report-one-aggregate": (
+        "q364_skew_report",
+        {"joins": 0, "exchanges": 5},
+    ),
+    # path patterns: ONE per-key window shuffle produces every
+    # length-N window; no self-joins (temporal.path_patterns).
+    "path-patterns-one-window": (
+        "q367_path_patterns",
+        {"joins": 0, "exchanges": 5},
+    ),
+    # dyad census: the reverse-edge join expressed as ONE
+    # canonical-pair aggregate (graph.dyad_census) — the 12 string-
+    # counted joins are the shared March-graph BUILD (fwd/bwd edge
+    # derivation), not the census itself.
+    "dyad-census-canonical-pair": (
+        "q368_dyad_census",
+        {"joins": 12, "exchanges": 7},
+    ),
+    # closed-form regression: ONE moment aggregate (12 sums) + a
+    # 1-row Cramer projection — no iteration, no driver linear
+    # algebra (regression.ridge_regression_3).
+    "regression-one-moment-pass": (
+        "q371_ridge_regression",
+        {"joins": 0, "exchanges": 1},
+    ),
+    # Brown-Forsythe: group-partitioned median windows + ONE broadcast
+    # join back + one ANOVA aggregate (experiments.brown_forsythe) —
+    # no single-partition window anywhere.
+    "brown-forsythe-group-windows": (
+        "q370_brown_forsythe",
+        {"joins": 1, "exchanges": 4},
+    ),
+    # embedding audits: health is ONE aggregate pass; separability is
+    # one melt + (label,dim) aggregate (embedding_quality.py).
+    "embedding-health-one-pass": (
+        "q361_embedding_health",
+        {"joins": 0, "exchanges": 2},
+    ),
+    "class-separability-one-melt": (
+        "q362_class_separability",
+        {"joins": 0, "exchanges": 4},
     ),
     # Streaming LSH bucket claims: the banding algebra is batch q25's
     # unchanged (covered by minhash-lsh-banded); what this pins is the
