@@ -116,3 +116,92 @@ def constraint_audit(
         scalars.select(F.explode(structs).alias("r"))
         .select("r.constraint", "r.column", "r.metric", "r.passed")
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    *,
+    dependencies: list[tuple[str, str]] | None = None,
+    keys: list[list[str]] | None = None,
+) -> DataFrame:
+    """Approximate functional-dependency and candidate-key discovery
+    (the profiling pass schema-inference tools like Deequ/Metanome run
+    before a migration; the reference hard-codes its FDs as UNIQUE
+    indexes in `src/cc_catalog_airflow/dags/util/loader/sql.py` — this
+    measures them instead).
+
+    For each declared dependency ``lhs -> rhs``:
+    - ``violations`` is the g3 measure (Kivinen & Mannila 1995): the
+      minimum number of rows to delete so the FD holds exactly,
+      i.e. sum over lhs-groups of (group size - mode frequency).
+    - ``confidence`` = 1 - violations / n.
+
+    For each candidate key (a column list): ``violations`` =
+    n - distinct(combo); a key iff 0.
+
+    Scale: each dependency is two shuffles keyed on (lhs, rhs) then
+    lhs — partial aggregation map-side combines both; each key check
+    is one count_distinct pass. One row out per declared check; the
+    per-check frames are unioned (k single-row frames, k = number of
+    declared checks, a bounded catalog).
+    """
+    outs: list[DataFrame] = []
+    for lhs, rhs in dependencies or []:
+        pair = (
+            df.where(F.col(lhs).isNotNull())
+            .groupBy(lhs, rhs)
+            .agg(F.count("*").alias("_c"))
+        )
+        grp = pair.groupBy(lhs).agg(
+            F.sum("_c").alias("_ng"), F.max("_c").alias("_mx")
+        )
+        viol = F.sum(F.col("_ng") - F.col("_mx"))
+        outs.append(
+            grp.agg(
+                F.sum("_ng").alias("_n"),
+                F.count("*").alias("distinct_lhs"),
+                viol.alias("violations"),
+            ).select(
+                F.lit("fd").alias("dep_type"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.col("_n").cast("bigint").alias("n"),
+                F.col("distinct_lhs").cast("bigint"),
+                F.col("violations").cast("bigint"),
+                F.round(
+                    1.0
+                    - F.col("violations").cast("double")
+                    / F.col("_n").cast("double"),
+                    6,
+                ).alias("confidence"),
+                (F.col("violations") == 0).alias("holds"),
+            )
+        )
+    for cols in keys or []:
+        outs.append(
+            df.agg(
+                F.count("*").alias("_n"),
+                F.count_distinct(F.struct(*cols)).alias("_d"),
+            ).select(
+                F.lit("key").alias("dep_type"),
+                F.lit(",".join(cols)).alias("lhs"),
+                F.lit(None).cast("string").alias("rhs"),
+                F.col("_n").cast("bigint").alias("n"),
+                F.col("_d").cast("bigint").alias("distinct_lhs"),
+                (F.col("_n") - F.col("_d")).cast("bigint").alias(
+                    "violations"
+                ),
+                F.round(
+                    F.col("_d").cast("double")
+                    / F.col("_n").cast("double"),
+                    6,
+                ).alias("confidence"),
+                (F.col("_n") == F.col("_d")).alias("holds"),
+            )
+        )
+    if not outs:
+        raise ValueError("declare at least one dependency or key")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

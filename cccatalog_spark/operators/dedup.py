@@ -1145,3 +1145,82 @@ def dedup_impact(
         F.count("*").alias("n_clusters"),
         F.sum("cluster_size").alias("n_docs"),
     )
+
+
+def weighted_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact weighted (multiset / min-max) Jaccard similarity join:
+    wJ(A,B) = Σ_t min(a_t,b_t) / Σ_t max(a_t,b_t) over token
+    multiplicities — the bag-of-words refinement of
+    ``dedup_ngram_jaccard`` (Chierichetti et al. WWW'10 use the same
+    min/max kernel for weighted MinHash; here the join is exact, the
+    sketch-free analogue of q24 vs q25).
+
+    Identity used: Σmax = n_a + n_b − Σmin (n = total token count),
+    so only Σ min(a_t,b_t) is aggregated over the inverted index.
+
+    Plan: one (id, token) count shuffle, token-keyed sort-merge
+    self-join over the inverted index (the posting side never
+    broadcasts at scale), pair aggregation of least(c_a, c_b). A
+    provable length prefilter is applied INSIDE the join condition:
+    wJ ≥ T ⟹ min(n_a,n_b) ≥ T·max(n_a,n_b), cutting candidate rows
+    before the pair aggregation. ``max_doc_freq`` prunes stop-token
+    postings (df-bounded skew guard, same trade as ``_pair_jaccard``).
+    """
+    from pyspark.sql.window import Window
+
+    toks = fan_out(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    tc = toks.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
+    ex = tc.withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(id_col))
+    ).select(
+        id_col, F.xxhash64("_t").alias("_tok"), "_c", "_n"
+    )
+    if max_doc_freq is not None:
+        freq = ex.groupBy("_tok").count().where(
+            (F.col("count") >= 2) & (F.col("count") <= max_doc_freq)
+        )
+        ex = ex.join(freq.select("_tok"), "_tok")
+    ex = ex.persist()
+    a = ex.alias("a")
+    b = ex.hint("merge").alias("b")
+    t = float(threshold)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a._n"), F.col("b._n"))
+                >= t * F.greatest(F.col("a._n"), F.col("b._n"))
+            ),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._n").alias("n_a"),
+            F.col("b._n").alias("n_b"),
+        )
+        .agg(F.sum(F.least(F.col("a._c"), F.col("b._c"))).alias("_smin"))
+    )
+    wj = F.col("_smin") / (
+        F.col("n_a") + F.col("n_b") - F.col("_smin")
+    )
+    return (
+        pairs.where(wj >= t)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            F.col("_smin").cast("bigint").alias("common_weight"),
+            F.round(wj, 6).alias("weighted_jaccard"),
+        )
+    )

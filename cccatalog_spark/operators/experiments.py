@@ -1532,3 +1532,68 @@ def brown_forsythe(
     return anova_oneway(z, "g", "z").select(
         "k", "n", "df_between", "df_within", "f_stat"
     )
+
+
+def simpson_paradox_audit(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Simpson's-paradox detector (Simpson 1951; Bickel et al.'s
+    Berkeley admissions is the canonical case): per stratum, the
+    treated-vs-control outcome-rate difference, next to the POOLED
+    difference — flagged when the stratum's sign contradicts the
+    pooled sign (the aggregation-reversal that makes a naive A/B
+    readout lie; q356's CMH pooled odds is the fix, this is the
+    detector that says the fix is needed).
+
+    ``treat_col`` / ``outcome_col`` are boolean columns. Returns per
+    stratum: ``(stratum, n, n_treat, n_ctrl, p_treat, p_ctrl, diff,
+    pooled_diff, sign_flip)``; rates/diffs rounded to 6. Strata where
+    either arm is empty have NULL diff and never flag.
+
+    Scale: ONE map-side-combinable groupBy keyed by stratum; the
+    pooled row is the same aggregate without the key, broadcast back
+    (1-row crossJoin). sign_flip uses exact integer cross products
+    (a·d vs b·c style), so the flag is float-free.
+    """
+    t = F.col(treat_col).cast("boolean")
+    y = F.col(outcome_col).cast("boolean")
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(t.cast("long")).alias("nt"),
+        F.sum((~t).cast("long")).alias("nc"),
+        F.sum((t & y).cast("long")).alias("yt"),
+        F.sum((~t & y).cast("long")).alias("yc"),
+    ]
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(*aggs)
+    pooled = df.agg(*aggs).select(
+        F.col("nt").alias("_pnt"),
+        F.col("nc").alias("_pnc"),
+        F.col("yt").alias("_pyt"),
+        F.col("yc").alias("_pyc"),
+    )
+    x = per.crossJoin(F.broadcast(pooled))
+    both = (F.col("nt") > 0) & (F.col("nc") > 0)
+    p_t = F.col("yt") / F.col("nt").cast("double")
+    p_c = F.col("yc") / F.col("nc").cast("double")
+    # integer cross products: stratum sign = yt*nc - yc*nt
+    s_num = F.col("yt") * F.col("nc") - F.col("yc") * F.col("nt")
+    p_num = (
+        F.col("_pyt") * F.col("_pnc") - F.col("_pyc") * F.col("_pnt")
+    )
+    pooled_diff = F.col("_pyt") / F.col("_pnt").cast("double") - F.col(
+        "_pyc"
+    ) / F.col("_pnc").cast("double")
+    return x.select(
+        "stratum",
+        F.col("n").cast("bigint"),
+        F.col("nt").cast("bigint").alias("n_treat"),
+        F.col("nc").cast("bigint").alias("n_ctrl"),
+        F.round(F.when(F.col("nt") > 0, p_t), 6).alias("p_treat"),
+        F.round(F.when(F.col("nc") > 0, p_c), 6).alias("p_ctrl"),
+        F.round(F.when(both, p_t - p_c), 6).alias("diff"),
+        F.round(pooled_diff, 6).alias("pooled_diff"),
+        F.when(both, (s_num * p_num) < 0).alias("sign_flip"),
+    )

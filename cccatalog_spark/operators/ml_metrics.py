@@ -703,3 +703,139 @@ def cumulative_gains(
             6,
         ).alias("lift"),
     )
+
+
+def bcubed(
+    df: DataFrame, cluster_col: str, gold_col: str
+) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998;
+    the per-item precision/recall Amigó et al. 2009 showed uniquely
+    satisfies all four clustering-metric constraints) — the standard
+    scorecard for a dedup/entity-resolution run against gold labels.
+
+    Per item i: P_i = |cluster(i) ∩ gold(i)| / |cluster(i)| and
+    R_i = |∩| / |gold(i)|; summing over items inside a
+    (cluster, gold) cell of size m gives m·(m/C) and m·(m/G), so the
+    whole metric is ONE (cluster, gold) group-count plus two window
+    sums — no per-item pass, no pair join.
+
+    Returns one row: ``(n, n_clusters, n_classes, bcubed_precision,
+    bcubed_recall, bcubed_f1)``.
+    """
+    cell = df.groupBy(
+        F.col(cluster_col).alias("_cl"), F.col(gold_col).alias("_g")
+    ).agg(F.count("*").alias("_m"))
+    wc = Window.partitionBy("_cl")
+    wg = Window.partitionBy("_g")
+    # NB: window-sum columns must NOT be case-twins of _cl/_g —
+    # Spark resolves column names case-insensitively, so "_G" would
+    # silently REPLACE "_g" in withColumn
+    x = cell.withColumn(
+        "_cl_sz", F.sum("_m").over(wc)
+    ).withColumn("_g_sz", F.sum("_m").over(wg))
+    m = F.col("_m").cast("double")
+    agg = x.agg(
+        F.sum("_m").alias("_n"),
+        F.count_distinct("_cl").alias("n_clusters"),
+        F.count_distinct("_g").alias("n_classes"),
+        F.sum(m * m / F.col("_cl_sz")).alias("_sp"),
+        F.sum(m * m / F.col("_g_sz")).alias("_sr"),
+    )
+    p = F.col("_sp") / F.col("_n")
+    r = F.col("_sr") / F.col("_n")
+    return agg.select(
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("n_clusters").cast("bigint"),
+        F.col("n_classes").cast("bigint"),
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
+    )
+
+
+def risk_coverage(
+    df: DataFrame,
+    conf_col: str,
+    correct_col: str,
+    id_col: str,
+    coverages: list[float] = (0.5, 0.8, 1.0),
+) -> DataFrame:
+    """Selective-prediction scorecard: the risk-coverage curve and its
+    area (AURC, Geifman & El-Yaniv 2017) plus the excess AURC
+    (E-AURC, Geifman et al. 2019 — AURC minus the oracle that orders
+    by correctness, so 0 means confidence ranks errors perfectly).
+    This is the acceptance gate for "auto-accept the model's top X%,
+    route the rest to review" quality-filter deployments.
+
+    Sort by confidence DESC (id tiebreak for determinism); at cutoff
+    i the selective risk is (errors among top i)/i; AURC is the mean
+    of that running risk. The optimal curve concentrates all e errors
+    at the tail: optimal AURC = (1/n)·Σ_{i=n-e+1..n} (i-(n-e))/i.
+
+    Returns ONE row: ``(n, n_errors, aurc, e_aurc,
+    risk_at_<c> ...)``, floats rounded to 6.
+
+    Scale: the input is a SCORED EVAL catalog (bounded by
+    construction — the q163 AUC sanction class); the running sums are
+    one ordered window over it, and the closed-form optimal AURC
+    folds over the same frame with integer ranks.
+    """
+    err = (~F.col(correct_col).cast("boolean")).cast("long")
+    w = Window.orderBy(F.desc(conf_col), F.asc(id_col))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        err.alias("_e"),
+        F.row_number().over(w).alias("_i"),
+        F.sum(err).over(wc).alias("_ce"),
+    ).withColumn("_nn", F.count("*").over(wall))
+    risk = F.col("_ce") / F.col("_i").cast("double")
+    aggs = [
+        F.count("*").alias("_n"),
+        F.sum("_e").alias("_ne"),
+        F.avg(risk).alias("_aurc"),
+    ]
+    for c in coverages:
+        # risk at the smallest i with i >= ceil(c*n): a conditional
+        # struct-min isolates that rank's running risk
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_i")
+                    >= F.ceil(F.lit(float(c)) * F.col("_nn")),
+                    F.struct(F.col("_i"), risk.alias("_r")),
+                )
+            ).alias(f"_rc_{int(c * 100)}")
+        )
+    a = ranked.agg(*aggs)
+    # optimal AURC: errors all ranked last
+    # sum_{i=n-e+1..n} (i-(n-e))/i = e - (n-e)*(H(n) - H(n-e));
+    # with e and n as scalars fold the harmonic tail exactly via a
+    # sequence expression over the 1-row frame
+    n = F.col("_n").cast("int")
+    e = F.col("_ne").cast("int")
+    opt = F.when(
+        e > 0,
+        F.aggregate(
+            F.sequence(n - e + 1, n),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (i - (n - e)).cast("double") / i.cast("double"),
+        )
+        / F.col("_n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = [
+        F.col("_n").cast("bigint").alias("n"),
+        F.col("_ne").cast("bigint").alias("n_errors"),
+        F.round(F.col("_aurc"), 6).alias("aurc"),
+        F.round(F.col("_aurc") - opt, 6).alias("e_aurc"),
+    ]
+    for c in coverages:
+        out.append(
+            F.round(F.col(f"_rc_{int(c * 100)}._r"), 6).alias(
+                f"risk_at_{int(c * 100)}"
+            )
+        )
+    return a.select(*out)

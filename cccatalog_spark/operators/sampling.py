@@ -842,3 +842,77 @@ def neyman_allocation(
             F.when(v_prop > 0, v_ney / v_prop), 6
         ).alias("var_ratio"),
     )
+
+
+def grouped_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    *,
+    salt: str = "fold:",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Group-aware k-fold assignment: every row of a GROUP (user,
+    session, document cluster) lands in the same fold — the split
+    discipline that stops per-group correlation leaking across
+    train/eval (sklearn's GroupKFold, made deterministic and
+    distributed: fold = md5(salt‖group) mod k, RNG-free and
+    repartition-stable like ``hash_split``)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn(out_col, (h % k).cast("int"))
+
+
+def kfold_balance_audit(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    k: int = 5,
+    *,
+    salt: str = "fold:",
+) -> DataFrame:
+    """Stratification scorecard for a grouped k-fold split: per
+    (fold, stratum) — row count, distinct groups, the stratum's share
+    within the fold, its global share, and the absolute deviation.
+    Large deviations mean the grouping correlates with the stratum and
+    per-fold metrics won't be comparable (the check sklearn's
+    StratifiedGroupKFold exists to optimize; here it is measured, not
+    enforced, so the split stays a pure hash).
+
+    Scale: one groupBy keyed by (fold, stratum) — k×|strata| output
+    rows; the global shares come from window sums over that bounded
+    catalog, not a second scan.
+    """
+    from pyspark.sql.window import Window
+
+    folded = grouped_kfold(df, group_col, k, salt=salt)
+    cell = folded.groupBy("fold", stratum_col).agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col(group_col)).alias("n_groups"),
+    )
+    wf = Window.partitionBy("fold")
+    ws = Window.partitionBy(stratum_col)
+    wg = Window.partitionBy()
+    out = (
+        cell.withColumn("_fold_n", F.sum("n").over(wf))
+        .withColumn("_strat_n", F.sum("n").over(ws))
+        .withColumn("_total", F.sum("n").over(wg))
+    )
+    fold_share = F.col("n") / F.col("_fold_n").cast("double")
+    global_share = F.col("_strat_n") / F.col("_total").cast("double")
+    return out.select(
+        "fold",
+        stratum_col,
+        F.col("n").cast("bigint"),
+        F.col("n_groups").cast("bigint"),
+        F.round(fold_share, 6).alias("fold_share"),
+        F.round(global_share, 6).alias("global_share"),
+        F.round(F.abs(fold_share - global_share), 6).alias("abs_dev"),
+    )

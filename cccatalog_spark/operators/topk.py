@@ -59,3 +59,77 @@ def grouped_topk(
         .where(F.col(RN) <= k)
         .drop(RN)
     )
+
+
+def misra_gries_heavy_hitters(
+    tokens_df: DataFrame,
+    token_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """Exact phi-heavy hitters (count > n/k) with Misra-Gries candidate
+    generation — the deterministic alternative to a full-vocabulary
+    groupBy when the distinct-token universe is enormous but only the
+    > n/k head matters.
+
+    Pass 1 runs an MG summary of capacity k-1 per PARTITION via
+    mapInPandas (per Arrow batch: a vectorized value_counts, merged
+    into the running summary, pruned by the standard subtract-the-
+    (k)th-largest rule) — no shuffle, and the per-partition output is
+    <= k-1 rows. If count(x) > n/k globally, then in at least one
+    partition count_p(x) > n_p/k, so the union of per-partition
+    candidates is a SUPERSET of every true heavy hitter (the merge
+    lemma of Agarwal et al., TODS 2013).
+
+    Pass 2 semi-joins the stream against the (bounded, broadcast)
+    candidate set and counts exactly, filtering on count > n/k with n
+    as a 1-row broadcast scalar. Because pass 2 is exact, the final
+    output is partitioning-INDEPENDENT: exactly the tokens with
+    count > n/k, their exact counts, and their frequency — which is
+    what makes the operator oracle-checkable.
+
+    Scale: the vocabulary-sized shuffle of a naive groupBy is replaced
+    by a scan (pass 1) + a shuffle keyed on <= (k-1) x P candidate
+    tokens (pass 2) — the win when distinct tokens >> k x partitions.
+    """
+    import pandas as pd
+
+    tok = tokens_df.select(F.col(token_col).alias("tok"))
+
+    def mg_partition(batches):
+        summary: dict[str, int] = {}
+        cap = k - 1
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            for t, c in vc.items():
+                summary[t] = summary.get(t, 0) + int(c)
+            if len(summary) > cap:
+                # subtract the (cap+1)-th largest count from all,
+                # drop the non-positive — one decrement covering
+                # every unit the classic per-item loop would do
+                cut = sorted(summary.values(), reverse=True)[cap]
+                summary = {
+                    t: c - cut for t, c in summary.items() if c > cut
+                }
+        yield pd.DataFrame({"tok": list(summary.keys())})
+
+    candidates = (
+        tok.mapInPandas(mg_partition, schema="tok string")
+        .distinct()
+    )
+    total = tok.agg(F.count("*").alias("_n"))
+    counted = (
+        tok.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        counted.where(F.col("cnt") * k > F.col("_n"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(
+                F.col("cnt") / F.col("_n").cast("double"), 6
+            ).alias("freq"),
+        )
+    )

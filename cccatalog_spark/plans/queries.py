@@ -20377,3 +20377,394 @@ def q371_ridge_regression(
         ["l_quantity", "l_discount", "l_tax"],
         lam=0.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# q372 — exact KNN-Shapley training-data valuation (operators/
+# valuation.knn_shapley; Jia et al. VLDB'19 closed form). The probe
+# set (vec_id % 25 == 0) is the held-out eval catalog, broadcast;
+# scoring is one shuffle-free scan of the training side; the O(N log N)
+# recursion is pure suffix-sum window algebra keyed by probe. Ranking
+# uses 6-dp-rounded cosine with an id tiebreak so both engines sort
+# identically.
+# ---------------------------------------------------------------------------
+@query(
+    "q372_knn_shapley",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv,
+                           label AS py
+                    FROM embeddings WHERE vec_id % 25 = 0),
+    train AS (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id % 25 <> 0),
+    scored AS (
+        SELECT p.probe_id, p.py, t.vec_id, t.label,
+               round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                            p.pv::DOUBLE[]), 6) AS sim
+        FROM train t, probes p),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk,
+               count(*) OVER (PARTITION BY probe_id) AS n,
+               CASE WHEN label = py THEN 1.0 ELSE 0.0 END AS ind
+        FROM scored),
+    terms AS (
+        SELECT *,
+               lead(ind) OVER (PARTITION BY probe_id
+                               ORDER BY rnk) AS ind_next
+        FROM ranked),
+    shap AS (
+        SELECT probe_id, vec_id,
+               sum(CASE WHEN rnk = n THEN ind / CAST(n AS DOUBLE)
+                        ELSE (ind - ind_next) / 5.0
+                             * CAST(least(5, rnk) AS DOUBLE)
+                             / CAST(rnk AS DOUBLE) END)
+                 OVER (PARTITION BY probe_id ORDER BY rnk DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS s
+        FROM terms)
+    SELECT vec_id, count(*) AS n_probes, round(avg(s), 6) AS shapley
+    FROM shap GROUP BY vec_id
+    """,
+)
+def q372_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.valuation import knn_shapley
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 25 == 0)
+    train = emb.where(F.col("vec_id") % 25 != 0)
+    return knn_shapley(train, probes, k=5)
+
+
+# ---------------------------------------------------------------------------
+# q373 — functional-dependency / candidate-key discovery (operators/
+# constraints.fd_audit; g3 repair measure, Kivinen & Mannila 1995).
+# The profiling audit a warehouse runs before declaring UNIQUE
+# indexes — the reference asserts its FDs blindly in loader/sql.py's
+# index DDL; this measures them. Two map-side-combinable shuffles per
+# declared FD, one count-distinct pass per key check.
+# ---------------------------------------------------------------------------
+@query(
+    "q373_fd_discovery",
+    oracle="""
+    WITH fd1 AS (SELECT o_custkey AS l, o_orderstatus AS r,
+                        count(*) AS c
+                 FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+    fd1g AS (SELECT l, sum(c) AS ng, max(c) AS mx FROM fd1 GROUP BY 1),
+    fd1o AS (SELECT 'fd' AS dep_type, 'o_custkey' AS lhs,
+                    'o_orderstatus' AS rhs,
+                    CAST(sum(ng) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS distinct_lhs,
+                    CAST(sum(ng - mx) AS BIGINT) AS violations,
+                    round(1.0 - sum(ng - mx) / CAST(sum(ng) AS DOUBLE),
+                          6) AS confidence,
+                    sum(ng - mx) = 0 AS holds
+             FROM fd1g),
+    fd2 AS (SELECT o_orderkey AS l, o_orderstatus AS r, count(*) AS c
+            FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1, 2),
+    fd2g AS (SELECT l, sum(c) AS ng, max(c) AS mx FROM fd2 GROUP BY 1),
+    fd2o AS (SELECT 'fd' AS dep_type, 'o_orderkey' AS lhs,
+                    'o_orderstatus' AS rhs,
+                    CAST(sum(ng) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS distinct_lhs,
+                    CAST(sum(ng - mx) AS BIGINT) AS violations,
+                    round(1.0 - sum(ng - mx) / CAST(sum(ng) AS DOUBLE),
+                          6) AS confidence,
+                    sum(ng - mx) = 0 AS holds
+             FROM fd2g),
+    fd3 AS (SELECT o_orderpriority AS l, o_orderstatus AS r,
+                   count(*) AS c
+            FROM orders WHERE o_orderpriority IS NOT NULL
+            GROUP BY 1, 2),
+    fd3g AS (SELECT l, sum(c) AS ng, max(c) AS mx FROM fd3 GROUP BY 1),
+    fd3o AS (SELECT 'fd' AS dep_type, 'o_orderpriority' AS lhs,
+                    'o_orderstatus' AS rhs,
+                    CAST(sum(ng) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS distinct_lhs,
+                    CAST(sum(ng - mx) AS BIGINT) AS violations,
+                    round(1.0 - sum(ng - mx) / CAST(sum(ng) AS DOUBLE),
+                          6) AS confidence,
+                    sum(ng - mx) = 0 AS holds
+             FROM fd3g),
+    k1 AS (SELECT 'key' AS dep_type, 'o_orderkey' AS lhs,
+                  CAST(NULL AS VARCHAR) AS rhs,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                      AS distinct_lhs,
+                  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                      AS violations,
+                  round(count(DISTINCT o_orderkey)
+                        / CAST(count(*) AS DOUBLE), 6) AS confidence,
+                  count(*) = count(DISTINCT o_orderkey) AS holds
+           FROM orders),
+    k2 AS (SELECT 'key' AS dep_type, 'o_custkey,o_orderdate' AS lhs,
+                  CAST(NULL AS VARCHAR) AS rhs,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(DISTINCT (o_custkey, o_orderdate))
+                       AS BIGINT) AS distinct_lhs,
+                  CAST(count(*)
+                       - count(DISTINCT (o_custkey, o_orderdate))
+                       AS BIGINT) AS violations,
+                  round(count(DISTINCT (o_custkey, o_orderdate))
+                        / CAST(count(*) AS DOUBLE), 6) AS confidence,
+                  count(*) = count(DISTINCT (o_custkey, o_orderdate))
+                      AS holds
+           FROM orders)
+    SELECT * FROM fd1o UNION ALL SELECT * FROM fd2o
+    UNION ALL SELECT * FROM fd3o
+    UNION ALL SELECT * FROM k1 UNION ALL SELECT * FROM k2
+    """,
+)
+def q373_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.constraints import fd_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return fd_audit(
+        o,
+        dependencies=[
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderkey", "o_orderstatus"),
+            ("o_orderpriority", "o_orderstatus"),
+        ],
+        keys=[["o_orderkey"], ["o_custkey", "o_orderdate"]],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q374 — B-cubed clustering scorecard (operators/ml_metrics.bcubed;
+# Bagga & Baldwin 1998, Amigó et al. 2009) over a nearest-seed
+# assignment: the acceptance gate for a dedup/entity-resolution run
+# against gold labels. The (cluster, gold) contingency makes the
+# per-item metric one group-count + two window sums; the assignment
+# is a k-row broadcast with struct-min argmin (l2_distance is
+# bit-identical to DuckDB list_distance, so the argmin is exact).
+# ---------------------------------------------------------------------------
+@query(
+    "q374_bcubed_eval",
+    oracle="""
+    WITH seeds AS (SELECT vec_id AS seed_id, embedding AS sv
+                   FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT e.vec_id, e.label, s.seed_id,
+                      list_distance(e.embedding::DOUBLE[],
+                                    s.sv::DOUBLE[]) AS d
+               FROM embeddings e, seeds s),
+    best AS (SELECT vec_id, label, seed_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, seed_id ASC) AS rn
+                 FROM scored) WHERE rn = 1),
+    cell AS (SELECT seed_id AS cl, label AS g, count(*) AS m
+             FROM best GROUP BY 1, 2),
+    x AS (SELECT *, sum(m) OVER (PARTITION BY cl) AS cs,
+                 sum(m) OVER (PARTITION BY g) AS gs
+          FROM cell),
+    a AS (SELECT sum(m) AS n, count(DISTINCT cl) AS n_clusters,
+                 count(DISTINCT g) AS n_classes,
+                 sum(CAST(m AS DOUBLE) * m / cs) AS sp,
+                 sum(CAST(m AS DOUBLE) * m / gs) AS sr
+          FROM x)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           round(sp / n, 6) AS bcubed_precision,
+           round(sr / n, 6) AS bcubed_recall,
+           round(2 * (sp / n) * (sr / n) / (sp / n + sr / n), 6)
+               AS bcubed_f1
+    FROM a
+    """,
+)
+def q374_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import bcubed
+    from cccatalog_spark.operators.similarity import l2_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("_sv"),
+    )
+    best = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "label",
+            F.struct(
+                l2_distance(F.col("embedding"), F.col("_sv")).alias(
+                    "d"
+                ),
+                F.col("seed_id"),
+            ).alias("_cand"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("_cand").alias("_best"))
+        .select("vec_id", "label", F.col("_best.seed_id").alias("cluster"))
+    )
+    return bcubed(best, "cluster", "label")
+
+
+# ---------------------------------------------------------------------------
+# q375 — Soundex phonetic blocking (operators/phonetic.soundex_code /
+# soundex_blocked_pairs): linkage candidates over the distinct
+# word catalog of part names — words that sound alike, verified
+# with exact Levenshtein <= 2. The code is translate + a fixed
+# regexp chain (no backreferences), so Java regex and RE2 agree
+# character-for-character; blocking bounds candidates at
+# sum(block^2) over 4-char codes.
+# ---------------------------------------------------------------------------
+@query(
+    "q375_soundex_blocking",
+    oracle="""
+    WITH words AS (
+        SELECT word, count(*) AS n
+        FROM (SELECT unnest(string_split(p_name, ' ')) AS word
+              FROM part)
+        GROUP BY 1),
+    coded AS (
+        SELECT word, n,
+               upper(word[1]) ||
+               rpad(substr(regexp_replace(
+                      substr(regexp_replace(regexp_replace(
+                        regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(
+                          translate(lower(regexp_replace(word,
+                              '[^A-Za-z]', '', 'g')),
+                              'abcdefghijklmnopqrstuvwxyz',
+                              '01230120022455012623010202'),
+                        '11+', '1', 'g'), '22+', '2', 'g'),
+                        '33+', '3', 'g'), '44+', '4', 'g'),
+                        '55+', '5', 'g'), '66+', '6', 'g'), 2),
+                      '0', '', 'g'), 1, 3), 3, '0') AS code
+        FROM words
+        WHERE length(regexp_replace(word, '[^A-Za-z]', '', 'g')) > 0)
+    SELECT a.code, a.word AS word_a, b.word AS word_b,
+           a.n AS n_a, b.n AS n_b,
+           levenshtein(a.word, b.word) AS lev
+    FROM coded a JOIN coded b ON a.code = b.code AND a.word < b.word
+    WHERE levenshtein(a.word, b.word) <= 2
+    """,
+)
+def q375_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.phonetic import soundex_blocked_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    words = (
+        p.select(
+            F.explode(F.split(F.col("p_name"), " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    return soundex_blocked_pairs(words, "word", "n", max_lev=2)
+
+
+# ---------------------------------------------------------------------------
+# q376 — exact weighted (min/max) Jaccard similarity join (operators/
+# dedup.weighted_jaccard_pairs): the bag-of-words refinement of q24's
+# set Jaccard — token MULTIPLICITIES matter, so boilerplate-heavy
+# near-dups that repeat the same phrases score honestly. Inverted
+# index + sort-merge self-join; the provable length prefilter
+# (wJ>=T implies min(n)/max(n)>=T) is evaluated inside the join
+# condition, before the pair aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q376_weighted_jaccard",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+        FROM documents),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM toks
+           WHERE t <> '' GROUP BY 1, 2),
+    sz AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               max(sa.n) AS n_a, max(sb.n) AS n_b,
+               sum(least(a.c, b.c)) AS smin
+        FROM tc a JOIN tc b ON a.t = b.t AND a.doc_id < b.doc_id
+        JOIN sz sa ON sa.doc_id = a.doc_id
+        JOIN sz sb ON sb.doc_id = b.doc_id
+        GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(smin AS BIGINT) AS common_weight,
+           round(smin / CAST(n_a + n_b - smin AS DOUBLE), 6)
+               AS weighted_jaccard
+    FROM pairs
+    WHERE smin / CAST(n_a + n_b - smin AS DOUBLE) >= 0.7
+    """,
+)
+def q376_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.weighted_jaccard_pairs(d, "text", "doc_id", threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# q377 — Misra-Gries heavy hitters, exact-verified (operators/topk.
+# misra_gries_heavy_hitters): all tokens with count > n/k over the
+# document corpus. Pass 1 is a shuffle-free per-partition MG summary
+# (candidate superset by the Agarwal et al. merge lemma); pass 2
+# exact-counts only the bounded candidate set — output is
+# partitioning-independent, hence oracle-exact against the plain
+# GROUP BY. The scale win: no vocabulary-sized shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q377_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(text, '\\s+')) AS token
+        FROM documents),
+    tc AS (SELECT token, count(*) AS cnt FROM toks
+           WHERE token <> '' GROUP BY 1),
+    n AS (SELECT sum(cnt) AS n FROM tc)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt / CAST(n.n AS DOUBLE), 6) AS freq
+    FROM tc, n WHERE cnt * 40 > n.n
+    """,
+)
+def q377_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.topk import misra_gries_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return misra_gries_heavy_hitters(toks, "token", k=40)
+
+
+# ---------------------------------------------------------------------------
+# q378 — grouped k-fold split + stratification audit (operators/
+# sampling.grouped_kfold / kfold_balance_audit): every user's events
+# land in one fold (md5 mod k — RNG-free, repartition-stable, the
+# GroupKFold discipline that stops per-user correlation leaking
+# across train/eval), then the balance scorecard measures how far
+# each fold's event-type mix drifts from the global mix. One
+# (fold, stratum) groupBy; the shares are window sums over that
+# k x |strata| catalog.
+# ---------------------------------------------------------------------------
+@query(
+    "q378_grouped_kfold",
+    oracle="""
+    WITH folded AS (
+        SELECT CAST(('0x' || substring(md5('fold:'
+                     || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 5
+                    AS INTEGER) AS fold,
+               user_id, event_type
+        FROM events),
+    cell AS (SELECT fold, event_type, count(*) AS n,
+                    count(DISTINCT user_id) AS n_groups
+             FROM folded GROUP BY 1, 2),
+    x AS (SELECT *, sum(n) OVER (PARTITION BY fold) AS fn,
+                 sum(n) OVER (PARTITION BY event_type) AS sn,
+                 sum(n) OVER () AS tot
+          FROM cell)
+    SELECT fold, event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           round(n / CAST(fn AS DOUBLE), 6) AS fold_share,
+           round(sn / CAST(tot AS DOUBLE), 6) AS global_share,
+           round(abs(n / CAST(fn AS DOUBLE)
+                     - sn / CAST(tot AS DOUBLE)), 6) AS abs_dev
+    FROM x
+    """,
+)
+def q378_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import kfold_balance_audit
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    return kfold_balance_audit(e, "user_id", "event_type", k=5)
