@@ -275,3 +275,77 @@ def logreg_predict(
             (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("prob"),
         )
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    target_col: str,
+) -> DataFrame:
+    """1R decision stump (Holte 1993): the best single threshold
+    split "feature <= t" for a boolean target by information gain —
+    the weak learner / feature-triage primitive (is this quality
+    signal worth anything on its own?) and the base case of any
+    boosting loop.
+
+    The corpus collapses to the per-distinct-value (count, positives)
+    catalog in ONE map-side-combinable aggregate; every candidate
+    threshold's left/right contingency then comes from cumulative
+    sums over that value-domain-bounded catalog (the q256 sanction
+    class), and the argmax is a (rounded gain DESC, threshold ASC)
+    TakeOrdered — no per-threshold scan, no iteration.
+
+    Returns ONE row: ``(threshold, gain, parent_entropy, n_left,
+    pos_left, n_right, pos_right)``; entropies in nats, floats
+    rounded to 6 BEFORE the argmax so both engines rank identically.
+    """
+    from pyspark.sql.window import Window
+
+    x = F.col(feature_col).cast("double")
+    y = F.col(target_col).cast("boolean").cast("long")
+    base = df.where(x.isNotNull()).select(x.alias("_x"), y.alias("_y"))
+    cat = base.groupBy("_x").agg(
+        F.count("*").alias("_n"), F.sum("_y").alias("_p")
+    )
+    w = Window.orderBy("_x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = (
+        cat.withColumn("_cn", F.sum("_n").over(w))
+        .withColumn("_cp", F.sum("_p").over(w))
+        .withColumn("_tn", F.sum("_n").over(wall))
+        .withColumn("_tp", F.sum("_p").over(wall))
+        .where(F.col("_cn") < F.col("_tn"))  # right side non-empty
+    )
+
+    def ent(p, n):
+        q = p.cast("double") / n.cast("double")
+        term = lambda r: F.when(  # noqa: E731
+            (r > 0) & (r < 1), -r * F.log(r)
+        ).otherwise(F.lit(0.0))
+        return term(q) + term(1 - q)
+
+    h_parent = ent(F.col("_tp"), F.col("_tn"))
+    h_l = ent(F.col("_cp"), F.col("_cn"))
+    h_r = ent(
+        F.col("_tp") - F.col("_cp"), F.col("_tn") - F.col("_cn")
+    )
+    frac_l = F.col("_cn").cast("double") / F.col("_tn").cast("double")
+    gain = F.round(
+        h_parent - frac_l * h_l - (1 - frac_l) * h_r, 6
+    )
+    scored = c.select(
+        F.col("_x").alias("threshold"),
+        gain.alias("gain"),
+        F.round(h_parent, 6).alias("parent_entropy"),
+        F.col("_cn").cast("bigint").alias("n_left"),
+        F.col("_cp").cast("bigint").alias("pos_left"),
+        (F.col("_tn") - F.col("_cn")).cast("bigint").alias("n_right"),
+        (F.col("_tp") - F.col("_cp")).cast("bigint").alias("pos_right"),
+    )
+    return scored.orderBy(
+        F.desc("gain"), F.asc("threshold")
+    ).limit(1)

@@ -850,3 +850,114 @@ def chao1_richness(docs: DataFrame, text_col: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+def vocab_overlap_matrix(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices (sources,
+    languages, time buckets): the cheap cross-slice contamination /
+    style-bleed signal that precedes a full near-dup run.
+
+    Machinery is the inverted index: distinct (group, word) rows,
+    word-keyed self-join for pair intersections (candidates bounded by
+    Σ_w df(w)² over the VOCABULARY, not the corpus), per-group vocab
+    sizes broadcast back. Returns ``(group_a, group_b, vocab_a,
+    vocab_b, common, jaccard)`` with group_a < group_b.
+    """
+    from cccatalog_spark.functions.text import tokens
+
+    gw = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = gw.groupBy("g").agg(F.count("*").alias("vs"))
+    a = gw.select(F.col("g").alias("group_a"), "w")
+    b = gw.select(F.col("g").alias("group_b"), F.col("w").alias("wb"))
+    pairs = (
+        a.join(b, (F.col("w") == F.col("wb"))
+               & (F.col("group_a") < F.col("group_b")))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(
+        F.col("g").alias("group_a"), F.col("vs").alias("vocab_a")
+    )
+    sb = sizes.select(
+        F.col("g").alias("group_b"), F.col("vs").alias("vocab_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("vocab_a").cast("bigint"),
+            F.col("vocab_b").cast("bigint"),
+            F.col("common").cast("bigint"),
+            F.round(
+                F.col("common")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("common")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def vocab_novelty(
+    df: DataFrame,
+    text_col: str,
+    period_col,
+) -> DataFrame:
+    """Per-period vocabulary novelty: what fraction of this period's
+    token occurrences (and distinct words) were never seen in any
+    EARLIER period — the template/bot-burst and topic-shift detector
+    (a crawl that suddenly mints 40% new vocabulary changed its
+    source mix; one that mints 0% is replaying templates).
+
+    Each word's first-seen period is ONE min-aggregate keyed by word;
+    novelty then joins that vocabulary-sized frame back and rolls up
+    per period. Returns ``(period, n_tokens, n_distinct, new_tokens,
+    new_distinct, token_novelty, distinct_novelty)``.
+    """
+    from cccatalog_spark.functions.text import tokens
+
+    tok = df.select(
+        period_col.alias("p"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    pw = tok.groupBy("p", "w").agg(F.count("*").alias("c"))
+    first = pw.groupBy("w").agg(F.min("p").alias("fp"))
+    x = pw.join(first, "w")
+    isnew = (F.col("p") == F.col("fp")).cast("long")
+    return (
+        x.groupBy("p")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.col("c") * isnew).alias("new_tokens"),
+            F.sum(isnew).alias("new_distinct"),
+        )
+        .select(
+            F.col("p").alias("period"),
+            F.col("n_tokens").cast("bigint"),
+            F.col("n_distinct").cast("bigint"),
+            F.col("new_tokens").cast("bigint"),
+            F.col("new_distinct").cast("bigint"),
+            F.round(
+                F.col("new_tokens") / F.col("n_tokens").cast("double"), 6
+            ).alias("token_novelty"),
+            F.round(
+                F.col("new_distinct")
+                / F.col("n_distinct").cast("double"),
+                6,
+            ).alias("distinct_novelty"),
+        )
+    )

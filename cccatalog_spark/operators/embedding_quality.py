@@ -100,3 +100,83 @@ def class_separability(
         F.round(sw, 6).alias("s_within"),
         F.round(F.when(sw > 0, sb / sw), 6).alias("fisher"),
     ).orderBy("dim")
+
+
+def alignment_uniformity(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Alignment & uniformity of an embedding space (Wang & Isola,
+    ICML 2020): the two-number health check for contrastive
+    representations — positives should be close (alignment =
+    E‖za−zb‖² over positive pairs, lower better) while the whole
+    space should spread over the sphere (uniformity =
+    log E exp(−2‖za−zb‖²) over random pairs, lower better).  A space
+    collapsing to a point scores perfect alignment and catastrophic
+    uniformity; this pairing is the standard way to see it before
+    retrieval quality craters.
+
+    Derandomized pair construction (no RNG, engine-reproducible):
+    positive pairs are CONSECUTIVE same-label vectors (rank r joined
+    to r+1 within each label — |n|−|labels| pairs, one shuffle keyed
+    by label); "random" pairs for uniformity are consecutive ids
+    (vec_id joined to vec_id+1 — an equi-join, NO global window, id
+    order is independent of the space geometry so it is an unbiased
+    pair sample).  Distances are sequential-order list folds, the
+    q78 list_sum contract, so both engines agree bitwise.
+
+    Returns ONE row: ``(n_pos_pairs, alignment, n_unif_pairs,
+    uniformity)``, rounded to 6.
+    """
+    from pyspark.sql.window import Window
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(label_col).alias("_l"),
+    )
+    w = Window.partitionBy("_l").orderBy("_id")
+    ranked = base.withColumn("_r", F.row_number().over(w))
+    a = ranked.select("_l", "_r", F.col("_v").alias("_va"))
+    b = ranked.select(
+        "_l", (F.col("_r") - 1).alias("_r"), F.col("_v").alias("_vb")
+    )
+    pos = a.join(b, ["_l", "_r"]).select(
+        d2(F.col("_va"), F.col("_vb")).alias("_d2")
+    )
+    align = pos.agg(
+        F.count("*").alias("n_pos_pairs"),
+        F.avg("_d2").alias("_align"),
+    )
+    ua = base.select(F.col("_id"), F.col("_v").alias("_va"))
+    ub = base.select((F.col("_id") - 1).alias("_id"), F.col("_v").alias("_vb"))
+    unif = (
+        ua.join(ub, "_id")
+        .select(d2(F.col("_va"), F.col("_vb")).alias("_d2"))
+        .agg(
+            F.count("*").alias("n_unif_pairs"),
+            F.log(F.avg(F.exp(F.lit(-2.0) * F.col("_d2")))).alias(
+                "_unif"
+            ),
+        )
+    )
+    return align.crossJoin(F.broadcast(unif)).select(
+        F.col("n_pos_pairs").cast("bigint"),
+        F.round("_align", 6).alias("alignment"),
+        F.col("n_unif_pairs").cast("bigint"),
+        F.round("_unif", 6).alias("uniformity"),
+    )

@@ -1683,7 +1683,7 @@ def multi_source_distances(
     return dist
 
 
-def harmonic_centrality(
+def sampled_harmonic_centrality(
     edges: DataFrame,
     seeds: list,
     *,

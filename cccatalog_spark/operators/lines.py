@@ -353,3 +353,55 @@ def extract_content_lines(
             "content_text",
         )
     )
+
+
+def banned_phrase_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    phrases: list[str],
+) -> DataFrame:
+    """Compliance scan: exact-substring occurrence counts for a
+    curated banned/watched phrase list (the blocklist's content-side
+    twin — operators/blocklist.py gates URLs, this gates text). Per
+    phrase: documents hit, total occurrences, hit rate.
+
+    The phrase catalog is broadcast (compliance lists are small by
+    construction); occurrences per (doc, phrase) are computed with the
+    replace-length identity (len(t) - len(replace(t, p))) / len(p) —
+    pure codegen string algebra, no regex compilation, no Python. One
+    scan of the corpus, one k-row rollup keyed by phrase.
+    """
+    spark = df.sparkSession
+    cat = F.broadcast(
+        spark.createDataFrame([(p,) for p in phrases], ["phrase"])
+    )
+    t = F.col("_t")
+    occ = (
+        F.length(t) - F.length(F.replace(t, F.col("phrase")))
+    ) / F.length(F.col("phrase"))
+    total = df.agg(F.count("*").alias("_total"))
+    scored = (
+        df.select(F.col(id_col), F.col(text_col).alias("_t"))
+        .crossJoin(cat)
+        .select(
+            "phrase",
+            occ.cast("long").alias("_occ"),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.sum((F.col("_occ") > 0).cast("long")).alias("docs_hit"),
+            F.sum("_occ").alias("occurrences"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "phrase",
+            F.col("docs_hit").cast("bigint"),
+            F.col("occurrences").cast("bigint"),
+            F.round(
+                F.col("docs_hit") / F.col("_total").cast("double"), 6
+            ).alias("hit_rate"),
+        )
+    )

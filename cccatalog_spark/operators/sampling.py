@@ -916,3 +916,45 @@ def kfold_balance_audit(
         F.round(global_share, 6).alias("global_share"),
         F.round(F.abs(fold_share - global_share), 6).alias("abs_dev"),
     )
+
+
+def ht_estimate(
+    df: DataFrame,
+    value_col: str,
+    prob_col: str,
+) -> DataFrame:
+    """Horvitz-Thompson / Hájek estimation from an unequal-probability
+    sample: the "measure the corpus from the 1% you actually scanned"
+    workflow. Given sampled rows with their KNOWN inclusion
+    probabilities π (the ``hash_split``/``stratified_sample``
+    operators above make π exact by construction):
+
+      N̂  = Σ 1/π          (estimated population size)
+      T̂  = Σ y/π          (HT total)
+      μ̂  = T̂ / N̂          (Hájek mean — the ratio form that survives
+                           uninformative weights)
+      deff = n·Σw²/(Σw)²  (Kish design effect, w = 1/π — how much the
+                           unequal weighting inflates variance vs SRS)
+
+    ONE map-side-combinable aggregate; returns one row:
+    ``(n_sampled, n_hat, total_hat, mean_hat, deff)``, floats
+    rounded to 6.
+    """
+    w = 1.0 / F.col(prob_col).cast("double")
+    y = F.col(value_col).cast("double")
+    a = df.agg(
+        F.count("*").alias("_n"),
+        F.sum(w).alias("_nh"),
+        F.sum(y * w).alias("_th"),
+        F.sum(w * w).alias("_w2"),
+    )
+    return a.select(
+        F.col("_n").cast("bigint").alias("n_sampled"),
+        F.round("_nh", 6).alias("n_hat"),
+        F.round("_th", 6).alias("total_hat"),
+        F.round(F.col("_th") / F.col("_nh"), 6).alias("mean_hat"),
+        F.round(
+            F.col("_n") * F.col("_w2") / (F.col("_nh") * F.col("_nh")),
+            6,
+        ).alias("deff"),
+    )

@@ -20393,9 +20393,10 @@ def q371_ridge_regression(
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv,
                            label AS py
-                    FROM embeddings WHERE vec_id % 25 = 0),
+                    FROM embeddings
+                    WHERE vec_id % 25 = 0 AND vec_id < 5000),
     train AS (SELECT vec_id, embedding, label FROM embeddings
-              WHERE vec_id % 25 <> 0),
+              WHERE NOT (vec_id % 25 = 0 AND vec_id < 5000)),
     scored AS (
         SELECT p.probe_id, p.py, t.vec_id, t.label,
                round(list_cosine_similarity(t.embedding::DOUBLE[],
@@ -20431,8 +20432,11 @@ def q372_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cccatalog_spark.operators.valuation import knn_shapley
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probes = emb.where(F.col("vec_id") % 25 == 0)
-    train = emb.where(F.col("vec_id") % 25 != 0)
+    # the probe set is a BOUNDED catalog at any SF (<=200 rows): at
+    # 100 TB an eval set does not grow with the corpus
+    is_probe = (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 5000)
+    probes = emb.where(is_probe)
+    train = emb.where(~is_probe)
     return knn_shapley(train, probes, k=5)
 
 
@@ -20768,3 +20772,542 @@ def q378_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type"
     )
     return kfold_balance_audit(e, "user_id", "event_type", k=5)
+
+
+# ---------------------------------------------------------------------------
+# q379 — RAKE keyword extraction (operators/keywords.rake_keywords;
+# Rose et al. 2010): corpus-level keyword phrases for dataset cards /
+# topic drift. Phrase segmentation is the gaps-and-islands window
+# (running stopword-count is constant inside each non-stopword run);
+# deg/freq word scores and phrase sums are plain aggregates; top-k is
+# a TakeOrdered on the ROUNDED score with a phrase tiebreak, so both
+# engines rank identically.
+# ---------------------------------------------------------------------------
+@query(
+    "q379_rake_keywords",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z]+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    e AS (SELECT doc_id, unnest(toks) AS w,
+                 generate_subscripts(toks, 1) AS pos
+          FROM t),
+    m AS (SELECT doc_id, pos, w,
+                 CASE WHEN w IN ('the','a','an','and','or','of','to',
+                                 'in','is') THEN 1 ELSE 0 END AS st
+          FROM e),
+    s AS (SELECT doc_id, pos, w, st,
+                 sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS sg
+          FROM m),
+    mem AS (SELECT doc_id, sg, pos, w FROM s WHERE st = 0),
+    ph AS (SELECT doc_id, sg, count(*) AS plen FROM mem GROUP BY 1, 2),
+    wm AS (SELECT mem.doc_id, mem.sg, mem.w, ph.plen
+           FROM mem JOIN ph USING (doc_id, sg)),
+    ws AS (SELECT w, count(*) AS freq, sum(plen) AS deg
+           FROM wm GROUP BY 1),
+    ps AS (SELECT wm.doc_id, wm.sg,
+                  sum(ws.deg / CAST(ws.freq AS DOUBLE)) AS score
+           FROM wm JOIN ws USING (w) GROUP BY 1, 2),
+    pt AS (SELECT doc_id, sg,
+                  string_agg(w, ' ' ORDER BY pos) AS phrase,
+                  count(*) AS nw
+           FROM mem GROUP BY 1, 2)
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(nw) AS BIGINT) AS n_words,
+           round(max(score), 6) AS score
+    FROM pt JOIN ps USING (doc_id, sg)
+    GROUP BY 1 ORDER BY score DESC, phrase ASC LIMIT 25
+    """,
+)
+def q379_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.keywords import rake_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    return rake_keywords(
+        d,
+        "text",
+        "doc_id",
+        top_k=25,
+        stopwords=["the", "a", "an", "and", "or", "of", "to", "in", "is"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q380 — risk-coverage / AURC selective-prediction scorecard
+# (operators/ml_metrics.risk_coverage; Geifman & El-Yaniv 2017 +
+# E-AURC): the acceptance gate for "auto-accept the model's top X%".
+# Confidence is the q163 md5-blended score (reproducible in SQL);
+# the running risk is one ordered window over the scored EVAL
+# catalog (the q163 sanction class), optimal AURC in closed form.
+# ---------------------------------------------------------------------------
+@query(
+    "q380_risk_coverage",
+    oracle=f"""
+    WITH p AS (SELECT vec_id, {_SCORE_SQL} AS conf,
+                      (({_SCORE_SQL} >= 0.5) = (label % 2 = 1))
+                          AS correct
+               FROM embeddings),
+    r AS (SELECT conf, correct,
+                 row_number() OVER w AS i,
+                 sum(CASE WHEN correct THEN 0 ELSE 1 END) OVER
+                     (w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS ce,
+                 count(*) OVER () AS nn
+          FROM p
+          WINDOW w AS (ORDER BY conf DESC, vec_id ASC)),
+    a AS (SELECT count(*) AS n,
+                 sum(CASE WHEN correct THEN 0 ELSE 1 END) AS ne,
+                 avg(ce / CAST(i AS DOUBLE)) AS aurc,
+                 min(CASE WHEN i >= ceil(CAST(0.5 AS DOUBLE) * nn)
+                          THEN ROW(i, ce / CAST(i AS DOUBLE)) END) AS r50,
+                 min(CASE WHEN i >= ceil(CAST(0.8 AS DOUBLE) * nn)
+                          THEN ROW(i, ce / CAST(i AS DOUBLE)) END) AS r80,
+                 min(CASE WHEN i >= nn
+                          THEN ROW(i, ce / CAST(i AS DOUBLE)) END) AS r100
+          FROM r),
+    o AS (SELECT avg(greatest(CAST(0.0 AS DOUBLE),
+                     (i - (nn - (SELECT ne FROM a)))
+                     / CAST(i AS DOUBLE))) AS opt
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n, CAST(ne AS BIGINT) AS n_errors,
+           round(aurc, 6) AS aurc,
+           round(aurc - o.opt, 6) AS e_aurc,
+           round(r50[2], 6) AS risk_at_50,
+           round(r80[2], 6) AS risk_at_80,
+           round(r100[2], 6) AS risk_at_100
+    FROM a, o
+    """,
+)
+def q380_risk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ml_metrics import risk_coverage
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        _score_col().alias("conf"),
+        (
+            (_score_col() >= 0.5) == (F.col("label") % 2 == 1)
+        ).alias("correct"),
+    )
+    return risk_coverage(scored, "conf", "correct", "vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q381 — sampled harmonic centrality (operators/graph.
+# harmonic_centrality; Boldi-Vigna 2014, Eppstein-Wang pivot
+# sampling): Σ 1/d over a deterministic seed set within a hop budget,
+# on the supplier-customer fulfilment graph (q270's edges). k BFS
+# waves share one frontier-only frame keyed by (seed, node).
+# ---------------------------------------------------------------------------
+@query(
+    "q381_sampled_harmonic",
+    oracle="""
+    WITH RECURSIVE ed AS (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'C' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    und AS (SELECT src AS n, dst AS nbr FROM ed
+            UNION SELECT dst, src FROM ed),
+    seeds(seed) AS (VALUES ('S1'), ('S5'), ('S9'), ('S13')),
+    reach(seed, node, d) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT reach.seed, und.nbr, reach.d + 1
+        FROM reach JOIN und ON und.n = reach.node
+        WHERE reach.d < 3),
+    md AS (SELECT seed, node, min(d) AS d FROM reach GROUP BY 1, 2)
+    SELECT node,
+           CAST(count(*) FILTER (d > 0) AS BIGINT) AS n_reached,
+           round(sum(CASE WHEN d > 0 THEN 1.0 / d END), 6) AS harmonic
+    FROM md GROUP BY 1 HAVING count(*) FILTER (d > 0) > 0
+    """,
+)
+def q381_sampled_harmonic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.graph import (
+        sampled_harmonic_centrality,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return sampled_harmonic_centrality(
+        edges, ["S1", "S5", "S9", "S13"], max_hops=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# q382 — Simpson's-paradox audit (operators/experiments.
+# simpson_paradox_audit): per-market-segment urgent-vs-slow order
+# failure rates next to the pooled rate, flagged where the stratum
+# sign contradicts the pooled sign (the aggregation reversal q356's
+# CMH pooling exists to fix). ONE stratum groupBy + a 1-row pooled
+# broadcast; the flag is integer cross products, float-free.
+# ---------------------------------------------------------------------------
+@query(
+    "q382_simpson_paradox",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS stratum,
+               o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS t,
+               o.o_orderstatus = 'F' AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+    per AS (SELECT stratum, count(*) AS n,
+                   sum(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+                   sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+                   sum(CASE WHEN t AND y THEN 1 ELSE 0 END) AS yt,
+                   sum(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS yc
+            FROM base GROUP BY 1),
+    pooled AS (SELECT sum(nt) AS pnt, sum(nc) AS pnc,
+                      sum(yt) AS pyt, sum(yc) AS pyc
+               FROM per)
+    SELECT stratum, CAST(n AS BIGINT) AS n,
+           CAST(nt AS BIGINT) AS n_treat,
+           CAST(nc AS BIGINT) AS n_ctrl,
+           round(CASE WHEN nt > 0
+                      THEN yt / CAST(nt AS DOUBLE) END, 6) AS p_treat,
+           round(CASE WHEN nc > 0
+                      THEN yc / CAST(nc AS DOUBLE) END, 6) AS p_ctrl,
+           round(CASE WHEN nt > 0 AND nc > 0
+                      THEN yt / CAST(nt AS DOUBLE)
+                           - yc / CAST(nc AS DOUBLE) END, 6) AS diff,
+           round(pyt / CAST(pnt AS DOUBLE)
+                 - pyc / CAST(pnc AS DOUBLE), 6) AS pooled_diff,
+           CASE WHEN nt > 0 AND nc > 0
+                THEN ((yt * nc - yc * nt)
+                      * (pyt * pnc - pyc * pnt)) < 0 END AS sign_flip
+    FROM per, pooled
+    """,
+)
+def q382_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import simpson_paradox_audit
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderstatus"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("t"),
+        (F.col("o_orderstatus") == "F").alias("y"),
+    )
+    return simpson_paradox_audit(base, "t", "y", "stratum")
+
+
+# ---------------------------------------------------------------------------
+# q383 — embedding alignment & uniformity (operators/
+# embedding_quality.alignment_uniformity; Wang & Isola ICML'20): the
+# two-number contrastive-space health check — positives close,
+# everything else spread. Pairs are derandomized: consecutive
+# same-label ranks for alignment (one label-keyed shuffle),
+# consecutive ids for uniformity (an equi-join, no global window);
+# distances are the q78 sequential list-fold contract.
+# ---------------------------------------------------------------------------
+@query(
+    "q383_alignment_uniformity",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    r AS (SELECT *, row_number() OVER (PARTITION BY label
+                    ORDER BY vec_id) AS rk FROM e),
+    pos AS (SELECT list_sum(list_transform(a.v,
+                       (x, i) -> pow(x - b.v[i], 2))) AS d2
+            FROM r a JOIN r b
+              ON a.label = b.label AND b.rk = a.rk + 1),
+    al AS (SELECT count(*) AS n_pos_pairs, avg(d2) AS align FROM pos),
+    un AS (SELECT count(*) AS n_unif_pairs,
+                  ln(avg(exp(-2.0 * list_sum(list_transform(a.v,
+                      (x, i) -> pow(x - b.v[i], 2)))))) AS unif
+           FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+    SELECT CAST(n_pos_pairs AS BIGINT) AS n_pos_pairs,
+           round(align, 6) AS alignment,
+           CAST(n_unif_pairs AS BIGINT) AS n_unif_pairs,
+           round(unif, 6) AS uniformity
+    FROM al, un
+    """,
+)
+def q383_alignment_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.embedding_quality import (
+        alignment_uniformity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return alignment_uniformity(emb)
+
+
+# ---------------------------------------------------------------------------
+# q384 — 1R decision stump (operators/classifier.decision_stump;
+# Holte 1993): best single info-gain threshold on document length for
+# "is this English" — the feature-triage weak learner. The corpus
+# collapses to the distinct-value catalog in ONE aggregate; candidate
+# splits are cumulative sums over that catalog (q256 contract);
+# argmax on the ROUNDED gain with a threshold tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "q384_decision_stump",
+    oracle="""
+    WITH base AS (SELECT CAST(n_chars AS DOUBLE) AS x,
+                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                  FROM documents WHERE n_chars IS NOT NULL),
+    cat AS (SELECT x, count(*) AS n, sum(y) AS p FROM base GROUP BY 1),
+    c AS (SELECT x,
+                 sum(n) OVER w AS cn, sum(p) OVER w AS cp,
+                 sum(n) OVER () AS tn, sum(p) OVER () AS tp
+          FROM cat
+          WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)),
+    g AS (SELECT x, cn, cp, tn, tp,
+                 cn / CAST(tn AS DOUBLE) AS fl,
+                 CASE WHEN tp > 0 AND tp < tn THEN
+                      -(tp / CAST(tn AS DOUBLE))
+                          * ln(tp / CAST(tn AS DOUBLE))
+                      - (1 - tp / CAST(tn AS DOUBLE))
+                          * ln(1 - tp / CAST(tn AS DOUBLE))
+                 ELSE 0.0 END AS hp,
+                 CASE WHEN cp > 0 AND cp < cn THEN
+                      -(cp / CAST(cn AS DOUBLE))
+                          * ln(cp / CAST(cn AS DOUBLE))
+                      - (1 - cp / CAST(cn AS DOUBLE))
+                          * ln(1 - cp / CAST(cn AS DOUBLE))
+                 ELSE 0.0 END AS hl,
+                 CASE WHEN (tp - cp) > 0 AND (tp - cp) < (tn - cn) THEN
+                      -((tp - cp) / CAST(tn - cn AS DOUBLE))
+                          * ln((tp - cp) / CAST(tn - cn AS DOUBLE))
+                      - (1 - (tp - cp) / CAST(tn - cn AS DOUBLE))
+                          * ln(1 - (tp - cp) / CAST(tn - cn AS DOUBLE))
+                 ELSE 0.0 END AS hr
+          FROM c WHERE cn < tn)
+    SELECT x AS threshold,
+           round(hp - fl * hl - (1 - fl) * hr, 6) AS gain,
+           round(hp, 6) AS parent_entropy,
+           CAST(cn AS BIGINT) AS n_left, CAST(cp AS BIGINT) AS pos_left,
+           CAST(tn - cn AS BIGINT) AS n_right,
+           CAST(tp - cp AS BIGINT) AS pos_right
+    FROM g
+    ORDER BY gain DESC, threshold ASC LIMIT 1
+    """,
+)
+def q384_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.classifier import decision_stump
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("x"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return decision_stump(d, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# q385 — Horvitz-Thompson / Hájek estimation from an
+# unequal-probability sample (operators/sampling.ht_estimate): scan
+# 10–50% strata of orders via the md5 bucket gate (inclusion
+# probabilities exact by construction, the hash_split contract) and
+# estimate the full-corpus order count, total and mean price, plus
+# the Kish design effect. ONE aggregate over the sampled rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q385_ht_estimate",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice,
+               CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(0.5 AS DOUBLE)
+                    WHEN o_orderpriority = '2-HIGH'
+                         THEN CAST(0.4 AS DOUBLE)
+                    ELSE CAST(0.1 AS DOUBLE) END AS pi,
+               substring(md5('ht:' || CAST(o_orderkey AS VARCHAR)),
+                         1, 4) AS b
+        FROM orders),
+    k AS (SELECT o_totalprice, pi FROM s
+          WHERE (pi = 0.5 AND b < '8000')
+             OR (pi = 0.4 AND b < '6666')
+             OR (pi = 0.1 AND b < '1999')),
+    a AS (SELECT count(*) AS n, sum(1.0 / pi) AS nh,
+                 sum(o_totalprice / pi) AS th,
+                 sum(1.0 / (pi * pi)) AS w2
+          FROM k)
+    SELECT CAST(n AS BIGINT) AS n_sampled,
+           round(nh, 6) AS n_hat,
+           round(th, 6) AS total_hat,
+           round(th / nh, 6) AS mean_hat,
+           round(n * w2 / (nh * nh), 6) AS deff
+    FROM a
+    """,
+)
+def q385_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.sampling import (
+        bucket_hex,
+        ht_estimate,
+        threshold_hex,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    pi = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(0.5))
+        .when(F.col("o_orderpriority") == "2-HIGH", F.lit(0.4))
+        .otherwise(F.lit(0.1))
+    )
+    s = o.select(
+        "o_totalprice",
+        pi.alias("pi"),
+        bucket_hex(F.col("o_orderkey"), "ht:").alias("_b"),
+    )
+    kept = s.where(
+        ((F.col("pi") == 0.5) & (F.col("_b") < threshold_hex(0.5)))
+        | ((F.col("pi") == 0.4) & (F.col("_b") < threshold_hex(0.4)))
+        | ((F.col("pi") == 0.1) & (F.col("_b") < threshold_hex(0.1)))
+    )
+    return ht_estimate(kept, "o_totalprice", "pi")
+
+
+# ---------------------------------------------------------------------------
+# q386 — cross-slice vocabulary overlap matrix (operators/
+# corpus_stats.vocab_overlap_matrix): pairwise vocab Jaccard between
+# sources — the cheap contamination/style-bleed scan that runs before
+# a full near-dup pass. Inverted index over the VOCABULARY (distinct
+# (source, word)), word-keyed self-join, per-source sizes broadcast.
+# Top-25 most-overlapping source pairs with an id tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "q386_vocab_overlap",
+    oracle="""
+    WITH gw AS (
+        SELECT DISTINCT source AS g,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                   '\\s+'), x -> x <> '')) AS w
+        FROM documents),
+    sizes AS (SELECT g, count(*) AS vs FROM gw GROUP BY 1),
+    pairs AS (SELECT a.g AS group_a, b.g AS group_b,
+                     count(*) AS common
+              FROM gw a JOIN gw b
+                ON a.w = b.w AND a.g < b.g
+              GROUP BY 1, 2)
+    SELECT group_a, group_b,
+           CAST(sa.vs AS BIGINT) AS vocab_a,
+           CAST(sb.vs AS BIGINT) AS vocab_b,
+           CAST(common AS BIGINT) AS common,
+           round(common / CAST(sa.vs + sb.vs - common AS DOUBLE), 6)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.g = group_a
+    JOIN sizes sb ON sb.g = group_b
+    ORDER BY jaccard DESC, group_a ASC, group_b ASC
+    LIMIT 25
+    """,
+)
+def q386_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import vocab_overlap_matrix
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        vocab_overlap_matrix(d, "text", "source")
+        .orderBy(
+            F.desc("jaccard"), F.asc("group_a"), F.asc("group_b")
+        )
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q387 — per-batch vocabulary novelty (operators/corpus_stats.
+# vocab_novelty): the fraction of each ingestion batch's tokens never
+# seen in an earlier batch — near-zero novelty means template replay,
+# a spike means the source mix changed. First-seen batch is ONE
+# min-aggregate keyed by word; the rollup joins that vocabulary-sized
+# frame back.
+# ---------------------------------------------------------------------------
+@query(
+    "q387_vocab_novelty",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id // 100 AS p,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                   '\\s+'), x -> x <> '')) AS w
+        FROM documents),
+    pw AS (SELECT p, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    first AS (SELECT w, min(p) AS fp FROM pw GROUP BY 1)
+    SELECT p AS period,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN p = fp THEN c ELSE 0 END) AS BIGINT)
+               AS new_tokens,
+           CAST(sum(CASE WHEN p = fp THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_distinct,
+           round(sum(CASE WHEN p = fp THEN c ELSE 0 END)
+                 / CAST(sum(c) AS DOUBLE), 6) AS token_novelty,
+           round(sum(CASE WHEN p = fp THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS distinct_novelty
+    FROM pw JOIN first USING (w)
+    GROUP BY 1
+    """,
+)
+def q387_vocab_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import vocab_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_novelty(
+        d, "text", F.floor(F.col("doc_id") / 100).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q388 — banned-phrase compliance audit (operators/lines.
+# banned_phrase_audit): exact-substring occurrence counts for a
+# watched phrase catalog — the content-side twin of the URL
+# blocklist (q59 family). Occurrences via the replace-length
+# identity: pure codegen string algebra, one corpus scan, k-row
+# rollup; the phrase list is broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q388_banned_phrases",
+    oracle="""
+    WITH cat(phrase) AS (VALUES ('click here'), ('buy now'),
+                                ('the quick'), ('lorem ipsum')),
+    tot AS (SELECT count(*) AS total FROM documents),
+    s AS (SELECT cat.phrase,
+                 CAST((length(d.text)
+                       - length(replace(d.text, cat.phrase, '')))
+                      / length(cat.phrase) AS BIGINT) AS occ
+          FROM documents d, cat)
+    SELECT phrase,
+           CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_hit,
+           CAST(sum(occ) AS BIGINT) AS occurrences,
+           round(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END)
+                 / CAST(tot.total AS DOUBLE), 6) AS hit_rate
+    FROM s, tot
+    GROUP BY phrase, tot.total
+    """,
+)
+def q388_banned_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.lines import banned_phrase_audit
+
+    d = load_table(spark, sf_dir, "documents")
+    return banned_phrase_audit(
+        d,
+        "text",
+        "doc_id",
+        ["click here", "buy now", "the quick", "lorem ipsum"],
+    )

@@ -73,7 +73,9 @@ def test_multi_source_distances_path_graph(spark):
 
 
 def test_harmonic_centrality_path_graph(spark):
-    from cccatalog_spark.operators.graph import harmonic_centrality
+    from cccatalog_spark.operators.graph import (
+        sampled_harmonic_centrality as harmonic_centrality,
+    )
 
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
@@ -89,7 +91,9 @@ def test_harmonic_centrality_path_graph(spark):
 
 
 def test_harmonic_hop_budget_truncates(spark):
-    from cccatalog_spark.operators.graph import harmonic_centrality
+    from cccatalog_spark.operators.graph import (
+        sampled_harmonic_centrality as harmonic_centrality,
+    )
 
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]

@@ -139,12 +139,98 @@ SANCTIONED_GLOBAL_WINDOW = {
     # (the corpus collapses to per-latency counts first — the q256
     # contract) — temporal.next_event_latency summary in q344
     "q344_next_event_latency",
+    # risk-coverage window orders the SCORED EVAL catalog (bounded by
+    # construction — the q163 AUC sanction class) —
+    # ml_metrics.risk_coverage
+    "q380_risk_coverage",
+    # split-candidate cumsums over the DISTINCT-VALUE catalog (corpus
+    # collapses to per-value counts first — the q256 contract) —
+    # classifier.decision_stump
+    "q384_decision_stump",
+    # share windows over the k x |strata| CELL catalog (one groupBy
+    # collapses the corpus first) — sampling.kfold_balance_audit
+    "q378_grouped_kfold",
 }
 
 
 # family -> (query, budget): every budget key must hold as <= (ints)
 # or == (bools) on the measured metrics
 FAMILIES = {
+    # KNN-Shapley: probe catalog broadcast => the |train| x |probes|
+    # scoring stage is shuffle-free; one window shuffle keyed by
+    # probe, one groupBy keyed by train id (valuation.knn_shapley)
+    "knn-shapley-broadcast-probes": (
+        "q372_knn_shapley",
+        {"joins": 1, "exchanges": 4},
+    ),
+    # Misra-Gries: pass 1 is a shuffle-free Arrow summary per
+    # partition; pass 2 shuffles only the bounded candidate set
+    # (topk.misra_gries_heavy_hitters)
+    "misra-gries-bounded-candidates": (
+        "q377_heavy_hitters",
+        {"joins": 2, "arrow_udf_nodes": 1, "exchanges": 7},
+    ),
+    # weighted Jaccard: inverted-index sort-merge self-join with the
+    # length prefilter INSIDE the join condition
+    # (dedup.weighted_jaccard_pairs)
+    "weighted-jaccard-prefilter-join": (
+        "q376_weighted_jaccard",
+        {"joins": 1, "exchanges": 6},
+    ),
+    # RAKE: doc-keyed windows + ONE vocabulary-sized broadcast join
+    # back; no per-document loop (keywords.rake_keywords)
+    "rake-vocabulary-broadcast": (
+        "q379_rake_keywords",
+        {"joins": 2, "arrow_udf_nodes": 0, "exchanges": 10},
+    ),
+    # harmonic centrality: per-round frontier-only joins are behind
+    # lineage cuts; the returned rollup reads cached per-round frames
+    # (graph.multi_source_distances)
+    "harmonic-frontier-only": (
+        "q381_sampled_harmonic",
+        {"exchanges": 3},
+    ),
+    # FD discovery: two map-side-combinable aggregates per declared
+    # dependency, one count-distinct per key check; k-row output
+    # union (constraints.fd_audit)
+    "fd-audit-per-dependency": (
+        "q373_fd_discovery",
+        {"joins": 0, "exchanges": 14},
+    ),
+    # B-cubed: ONE (cluster, gold) contingency + window sums over that
+    # cell catalog; assignment is a k-row broadcast argmin
+    # (ml_metrics.bcubed)
+    "bcubed-contingency-windows": (
+        "q374_bcubed_eval",
+        {"joins": 1, "exchanges": 5},
+    ),
+    # Soundex linkage: code computed codegen-side on the
+    # vocabulary-sized distinct-word catalog; block equi-join
+    # (phonetic.soundex_blocked_pairs)
+    "soundex-vocab-blocking": (
+        "q375_soundex_blocking",
+        {"joins": 1, "arrow_udf_nodes": 0, "exchanges": 5},
+    ),
+    # vocab overlap: word-keyed self-join over the VOCABULARY frame,
+    # sizes broadcast back (corpus_stats.vocab_overlap_matrix)
+    "vocab-overlap-inverted-index": (
+        "q386_vocab_overlap",
+        {"joins": 3, "exchanges": 8},
+    ),
+    # HT estimate: ONE map-side aggregate over the sampled rows; the
+    # md5 bucket gate is pushed into the scan filter
+    # (sampling.ht_estimate)
+    "ht-single-aggregate": (
+        "q385_ht_estimate",
+        {"joins": 0, "exchanges": 1},
+    ),
+    # banned phrases: one corpus scan against the broadcast phrase
+    # catalog, replace-length identity codegen-side, k-row rollup
+    # (lines.banned_phrase_audit)
+    "banned-phrase-single-scan": (
+        "q388_banned_phrases",
+        {"joins": 2, "arrow_udf_nodes": 0, "exchanges": 3},
+    ),
     # link prediction: candidates generated per container (one pair
     # self-join + two item-degree joins + the deg>=2 cut join);
     # Σdeg² work, never items² (graph.link_prediction_scores)
