@@ -1153,6 +1153,7 @@ def weighted_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    k: int = 1,
 ) -> DataFrame:
     """Exact weighted (multiset / min-max) Jaccard similarity join:
     wJ(A,B) = Σ_t min(a_t,b_t) / Σ_t max(a_t,b_t) over token
@@ -1164,6 +1165,12 @@ def weighted_jaccard_pairs(
     Identity used: Σmax = n_a + n_b − Σmin (n = total token count),
     so only Σ min(a_t,b_t) is aggregated over the inverted index.
 
+    ``k`` selects the feature: unigram tokens (k=1) or word-k-gram
+    shingles — on corpora with a small shared vocabulary the unigram
+    posting lists approach all-pairs (every document shares every
+    word), while k>=2 shingles keep document frequency, and hence the
+    Σ df² candidate bound, low; multiplicities still count.
+
     Plan: one (id, token) count shuffle, token-keyed sort-merge
     self-join over the inverted index (the posting side never
     broadcasts at scale), pair aggregation of least(c_a, c_b). A
@@ -1174,8 +1181,22 @@ def weighted_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    t = tokens(F.col(text_col))
+    if k <= 1:
+        feat = t
+    else:
+        # NON-distinct k-grams: multiplicities are the whole point
+        # (functions.text.shingles applies array_distinct — the set
+        # semantics q24/q25 want, wrong here)
+        idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+        feat = F.when(
+            F.size(t) >= k,
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(t, i, k), " ")
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     toks = fan_out(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+        F.col(id_col), F.explode(feat).alias("_t")
     )
     tc = toks.groupBy(id_col, "_t").agg(F.count("*").alias("_c"))
     ex = tc.withColumn(

@@ -62,3 +62,62 @@ def pack_stats(
         F.min(order_col).alias("first_doc"),
         F.max(order_col).alias("last_doc"),
     )
+
+
+def padding_waste_sweep(
+    df: DataFrame,
+    text_col: str,
+    lengths: list[int] = (128, 256, 512, 1024),
+) -> DataFrame:
+    """Padding-waste curve for the context-length decision: for each
+    candidate max_len L, the cost of training on this corpus with
+    naive one-doc-per-chunk padding — chunks = ceil(tokens/L) per doc,
+    padded slots = chunks·L, waste = 1 − tokens/slots — plus the
+    share of documents that overflow a single window. The knob this
+    prices is real: halving waste at equal L is free compute.
+    (``pack_sequences`` above is the greedy packer that then realizes
+    the savings; this sweep says whether it is worth running.)
+
+    The whole sweep is ONE aggregate: the L-grid is a plan literal, so
+    every row of the corpus contributes its ceil-division to all grid
+    points in a single pass — no per-L scan, no explode.
+
+    Returns one row per L: ``(max_len, n_docs, total_tokens, chunks,
+    padded_slots, waste_frac, overflow_doc_frac)``.
+    """
+    t = F.size(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    base = df.select(t.alias("_t")).where(F.col("_t") > 0)
+    aggs = [F.count("*").alias("_n"), F.sum("_t").alias("_tok")]
+    for L in lengths:
+        chunks = F.ceil(F.col("_t") / F.lit(L)).cast("long")
+        aggs.append(F.sum(chunks).alias(f"_c{L}"))
+        aggs.append(
+            F.sum((F.col("_t") > L).cast("long")).alias(f"_o{L}")
+        )
+    a = base.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(L).cast("long").alias("max_len"),
+                F.col("_n").cast("bigint").alias("n_docs"),
+                F.col("_tok").cast("bigint").alias("total_tokens"),
+                F.col(f"_c{L}").cast("bigint").alias("chunks"),
+                (F.col(f"_c{L}") * L).cast("bigint").alias(
+                    "padded_slots"
+                ),
+                F.round(
+                    1.0
+                    - F.col("_tok")
+                    / (F.col(f"_c{L}") * L).cast("double"),
+                    6,
+                ).alias("waste_frac"),
+                F.round(
+                    F.col(f"_o{L}") / F.col("_n").cast("double"), 6
+                ).alias("overflow_doc_frac"),
+            )
+            for L in lengths
+        ]
+    )
+    return a.select(F.explode(rows).alias("r")).select("r.*")

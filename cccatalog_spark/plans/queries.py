@@ -20661,21 +20661,31 @@ def q375_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q376 — exact weighted (min/max) Jaccard similarity join (operators/
-# dedup.weighted_jaccard_pairs): the bag-of-words refinement of q24's
-# set Jaccard — token MULTIPLICITIES matter, so boilerplate-heavy
-# near-dups that repeat the same phrases score honestly. Inverted
-# index + sort-merge self-join; the provable length prefilter
-# (wJ>=T implies min(n)/max(n)>=T) is evaluated inside the join
-# condition, before the pair aggregation.
+# dedup.weighted_jaccard_pairs): the bag-of-2-grams refinement of
+# q24's set Jaccard — shingle MULTIPLICITIES matter, so
+# boilerplate-heavy near-dups that repeat the same phrases score
+# honestly. Bigram features keep posting-list df (and the Σdf²
+# candidate bound) low where the synthetic corpus's shared unigram
+# vocabulary would degenerate to all-pairs (measured 25.6 s -> s at
+# sf0.1). Inverted index + sort-merge self-join; the provable length
+# prefilter (wJ>=T implies min(n)/max(n)>=T) is evaluated inside the
+# join condition, before the pair aggregation.
 # ---------------------------------------------------------------------------
 @query(
     "q376_weighted_jaccard",
     oracle="""
-    WITH toks AS (
-        SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS toks
         FROM documents),
-    tc AS (SELECT doc_id, t, count(*) AS c FROM toks
-           WHERE t <> '' GROUP BY 1, 2),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   list_slice(toks, 1, len(toks) - 1),
+                   (x, i) -> x || ' ' || toks[i + 1])) AS t
+        FROM w WHERE len(toks) >= 2),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
     sz AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
     pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -20696,7 +20706,9 @@ def q375_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q376_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.weighted_jaccard_pairs(d, "text", "doc_id", threshold=0.7)
+    return D.weighted_jaccard_pairs(
+        d, "text", "doc_id", threshold=0.7, k=2
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -21311,3 +21323,134 @@ def q388_banned_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         ["click here", "buy now", "the quick", "lorem ipsum"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q389 — ARI / NMI clustering agreement (operators/cluster_eval.
+# clustering_agreement; Hubert-Arabie 1985, Strehl-Ghosh 2002):
+# q374's nearest-seed assignment validated against gold labels with
+# the chance-corrected pair index and normalized mutual information —
+# the "did the clustering actually move" scorecard beside B-cubed.
+# ONE contingency groupBy + window sums over the cell catalog; pair
+# counts exact integers, divisions last.
+# ---------------------------------------------------------------------------
+@query(
+    "q389_clustering_agreement",
+    oracle="""
+    WITH seeds AS (SELECT vec_id AS seed_id, embedding AS sv
+                   FROM embeddings WHERE vec_id < 8),
+    scored AS (SELECT e.vec_id, e.label, s.seed_id,
+                      list_distance(e.embedding::DOUBLE[],
+                                    s.sv::DOUBLE[]) AS d
+               FROM embeddings e, seeds s),
+    best AS (SELECT vec_id, label, seed_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, seed_id ASC) AS rn
+                 FROM scored) WHERE rn = 1),
+    cell AS (SELECT seed_id AS a, label AS b, count(*) AS m
+             FROM best GROUP BY 1, 2),
+    x AS (SELECT *, sum(m) OVER (PARTITION BY a) AS ra,
+                 sum(m) OVER (PARTITION BY b) AS rb,
+                 row_number() OVER (PARTITION BY a ORDER BY b) AS fa,
+                 row_number() OVER (PARTITION BY b ORDER BY a) AS fb
+          FROM cell),
+    agg AS (SELECT sum(m) AS n,
+                   count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+                   sum(CAST(m AS DOUBLE) * (m - 1) / 2) AS sij,
+                   sum(CASE WHEN fa = 1
+                       THEN CAST(ra AS DOUBLE) * (ra - 1) / 2
+                       ELSE 0 END) AS sa,
+                   sum(CASE WHEN fb = 1
+                       THEN CAST(rb AS DOUBLE) * (rb - 1) / 2
+                       ELSE 0 END) AS sb,
+                   sum(CASE WHEN fa = 1
+                       THEN ra * ln(CAST(ra AS DOUBLE)) ELSE 0 END)
+                       AS aloga,
+                   sum(CASE WHEN fb = 1
+                       THEN rb * ln(CAST(rb AS DOUBLE)) ELSE 0 END)
+                       AS blogb,
+                   sum(m * ln(CAST(m AS DOUBLE)
+                              / (CAST(ra AS DOUBLE) * rb))) AS mip
+            FROM x)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ka AS BIGINT) AS n_clusters_a,
+           CAST(kb AS BIGINT) AS n_clusters_b,
+           round(CASE WHEN (sa + sb) / 2
+                           <> sa * sb / (n * (n - 1.0) / 2)
+                 THEN (sij - sa * sb / (n * (n - 1.0) / 2))
+                      / ((sa + sb) / 2
+                         - sa * sb / (n * (n - 1.0) / 2)) END, 6)
+               AS ari,
+           round(CASE WHEN (ln(CAST(n AS DOUBLE)) - aloga / n)
+                           + (ln(CAST(n AS DOUBLE)) - blogb / n) > 0
+                 THEN 2 * (mip / n + ln(CAST(n AS DOUBLE)))
+                      / ((ln(CAST(n AS DOUBLE)) - aloga / n)
+                         + (ln(CAST(n AS DOUBLE)) - blogb / n)) END, 6)
+               AS nmi
+    FROM agg
+    """,
+)
+def q389_clustering_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.cluster_eval import clustering_agreement
+    from cccatalog_spark.operators.similarity import l2_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("_sv"),
+    )
+    best = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "label",
+            F.struct(
+                l2_distance(F.col("embedding"), F.col("_sv")).alias("d"),
+                F.col("seed_id"),
+            ).alias("_cand"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("_cand").alias("_best"))
+        .select("label", F.col("_best.seed_id").alias("cluster"))
+    )
+    return clustering_agreement(best, "cluster", "label")
+
+
+# ---------------------------------------------------------------------------
+# q390 — padding-waste sweep (operators/packing.padding_waste_sweep):
+# prices the context-length decision — for each candidate max_len,
+# the padded-slot waste of naive one-doc-per-window batching and the
+# overflow share; the report that says whether q86's greedy packer is
+# worth running. ONE aggregate carries the whole L-grid (plan
+# literals), no per-L scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q390_padding_waste",
+    oracle="""
+    WITH base AS (
+        SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '')) AS t
+        FROM documents),
+    b AS (SELECT t FROM base WHERE t > 0),
+    g AS (SELECT unnest([128, 256, 512, 1024]) AS L),
+    a AS (SELECT g.L, count(*) AS n, sum(b.t) AS tok,
+                 sum(ceil(b.t / CAST(g.L AS DOUBLE))) AS chunks,
+                 sum(CASE WHEN b.t > g.L THEN 1 ELSE 0 END) AS ovf
+          FROM b, g GROUP BY 1)
+    SELECT CAST(L AS BIGINT) AS max_len, CAST(n AS BIGINT) AS n_docs,
+           CAST(tok AS BIGINT) AS total_tokens,
+           CAST(chunks AS BIGINT) AS chunks,
+           CAST(chunks * L AS BIGINT) AS padded_slots,
+           round(1.0 - tok / CAST(chunks * L AS DOUBLE), 6)
+               AS waste_frac,
+           round(ovf / CAST(n AS DOUBLE), 6) AS overflow_doc_frac
+    FROM a
+    """,
+)
+def q390_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.packing import padding_waste_sweep
+
+    d = load_table(spark, sf_dir, "documents")
+    return padding_waste_sweep(d, "text")

@@ -86,3 +86,25 @@ def test_agreement_single_cluster_degenerate(spark):
     df = spark.createDataFrame([(1, 1)] * 5, ["a", "b"])
     r = clustering_agreement(df, "a", "b").collect()[0]
     assert r["ari"] is None and r["nmi"] is None
+
+
+def test_padding_waste_hand_case(spark):
+    from cccatalog_spark.operators.packing import padding_waste_sweep
+
+    # docs of 3, 5, 9 tokens at L=4: chunks 1+2+3=6, slots 24,
+    # waste 1-17/24; overflow 2/3 of docs
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, "a b c d e f g h i")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["max_len"]: r
+        for r in padding_waste_sweep(df, "text", lengths=[4, 16]).collect()
+    }
+    r4 = out[4]
+    assert r4["chunks"] == 6 and r4["padded_slots"] == 24
+    assert r4["total_tokens"] == 17
+    assert r4["waste_frac"] == pytest.approx(round(1 - 17 / 24, 6))
+    assert r4["overflow_doc_frac"] == pytest.approx(round(2 / 3, 6))
+    r16 = out[16]
+    assert r16["chunks"] == 3 and r16["overflow_doc_frac"] == 0.0

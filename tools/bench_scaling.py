@@ -42,6 +42,15 @@ QUERIES = [
     "q268_stream_window_distinct",
     "q269_dbscan",
     "q270_multi_source_bfs",
+    # round-6 additions: valuation scoring scan, multiset-Jaccard
+    # pair generator, MG candidate pass, RAKE windows, per-seed BFS,
+    # vocabulary self-join
+    "q372_knn_shapley",
+    "q376_weighted_jaccard",
+    "q377_heavy_hitters",
+    "q379_rake_keywords",
+    "q381_sampled_harmonic",
+    "q386_vocab_overlap",
 ]
 
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))

@@ -37,6 +37,20 @@ SANCTIONED_BNLJ = {
     # round-6 batch: every flag below is a 1-row scalar or k-row
     # catalog cross-broadcast (totals, bounds, priors, probe grids) —
     # the established pattern; none joins two corpus-sized sides
+    "q372_knn_shapley": "bounded probe-catalog broadcast (<=200 eval "
+    "rows by construction) scored against the train scan",
+    "q374_bcubed_eval": "8-row seed-catalog broadcast argmin (the "
+    "kmeans_assign sanction)",
+    "q377_heavy_hitters": "1-row corpus-total broadcast onto the "
+    "bounded MG candidate counts",
+    "q382_simpson_paradox": "1-row pooled-rates broadcast over the "
+    "stratum catalog",
+    "q383_alignment_uniformity": "1-row alignment x uniformity report "
+    "fold",
+    "q388_banned_phrases": "k-row phrase catalog cross (the scan-side "
+    "design) + 1-row total fold",
+    "q389_clustering_agreement": "8-row seed-catalog broadcast argmin "
+    "+ 1-row report fold",
     "q300_t_closeness": "1-row totals + m-row value-catalog broadcast "
     "grid (dense group x catalog)",
     "q302_seasonal_decompose": "1-row seasonal-mean recentering "

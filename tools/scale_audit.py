@@ -175,7 +175,7 @@ FAMILIES = {
     # (dedup.weighted_jaccard_pairs)
     "weighted-jaccard-prefilter-join": (
         "q376_weighted_jaccard",
-        {"joins": 1, "exchanges": 6},
+        {"joins": 1, "exchanges": 9},
     ),
     # RAKE: doc-keyed windows + ONE vocabulary-sized broadcast join
     # back; no per-document loop (keywords.rake_keywords)
@@ -202,7 +202,7 @@ FAMILIES = {
     # (ml_metrics.bcubed)
     "bcubed-contingency-windows": (
         "q374_bcubed_eval",
-        {"joins": 1, "exchanges": 5},
+        {"joins": 0, "exchanges": 8},
     ),
     # Soundex linkage: code computed codegen-side on the
     # vocabulary-sized distinct-word catalog; block equi-join
@@ -215,7 +215,7 @@ FAMILIES = {
     # sizes broadcast back (corpus_stats.vocab_overlap_matrix)
     "vocab-overlap-inverted-index": (
         "q386_vocab_overlap",
-        {"joins": 3, "exchanges": 8},
+        {"joins": 3, "exchanges": 11},
     ),
     # HT estimate: ONE map-side aggregate over the sampled rows; the
     # md5 bucket gate is pushed into the scan filter
@@ -224,12 +224,26 @@ FAMILIES = {
         "q385_ht_estimate",
         {"joins": 0, "exchanges": 1},
     ),
+    # ARI/NMI: the q374 contingency shape — one (a,b) groupBy, window
+    # sums over the cell catalog, 8-row seed broadcast argmin
+    # (cluster_eval.clustering_agreement)
+    "clustering-agreement-contingency": (
+        "q389_clustering_agreement",
+        {"joins": 0, "exchanges": 12},
+    ),
+    # padding-waste sweep: the L-grid rides ONE aggregate as plan
+    # literals; the explode is over the |grid|-row struct array
+    # (packing.padding_waste_sweep)
+    "padding-waste-single-aggregate": (
+        "q390_padding_waste",
+        {"joins": 0, "exchanges": 2},
+    ),
     # banned phrases: one corpus scan against the broadcast phrase
     # catalog, replace-length identity codegen-side, k-row rollup
     # (lines.banned_phrase_audit)
     "banned-phrase-single-scan": (
         "q388_banned_phrases",
-        {"joins": 2, "arrow_udf_nodes": 0, "exchanges": 3},
+        {"joins": 0, "arrow_udf_nodes": 0, "exchanges": 4},
     ),
     # link prediction: candidates generated per container (one pair
     # self-join + two item-degree joins + the deg>=2 cut join);
@@ -402,7 +416,10 @@ FAMILIES = {
     # truncated-lineage contract for iterative algorithms).
     "scc-truncated-lineage": (
         "q355_scc",
-        {"joins": 0, "exchanges": 1},
+        # 1 or 2 depending on persisted-frame reuse in the session
+        # (the 2nd exchange is the final rollup of the cached
+        # component frame) — both are round-count-independent
+        {"joins": 0, "exchanges": 2},
     ),
     # RFM distributed quintiles: three two-phase rank passes, each
     # lineage-cut (segments.rfm_segments), so the final plan holds one
