@@ -93,3 +93,81 @@ def clustering_agreement(
         F.round(ari, 6).alias("ari"),
         F.round(nmi, 6).alias("nmi"),
     )
+
+
+def davies_bouldin(
+    df: DataFrame, vec_col: str, cluster_col: str
+) -> DataFrame:
+    """Davies-Bouldin index (Davies & Bouldin TPAMI'79) — lower is
+    better separation; the centroid-based scorecard beside q253's
+    silhouette (silhouette prices point-pairs, DB only centroid
+    geometry, so the pair stage is k², independent of corpus size):
+
+        S_i  = mean ‖x − μ_i‖₂   (intra-cluster scatter)
+        M_ij = ‖μ_i − μ_j‖₂      (centroid separation)
+        DB   = (1/k) Σ_i max_{j≠i} (S_i + S_j) / M_ij
+
+    Returns one row ``(k, db_index)`` (db rounded 6).
+
+    Scale shape: pass 1 — posexplode + (cluster, dim) aggregate for
+    centroids, folded to a k-row array catalog; pass 2 — rows join the
+    BROADCAST catalog, per-row distance via zip_with/aggregate column
+    algebra, one groupBy(cluster) for scatters; the (S_i+S_j)/M_ij
+    max is a k²-row catalog join. No pairwise point join anywhere.
+    """
+    v = df.select(
+        F.col(cluster_col).alias("c"),
+        F.col(vec_col).cast("array<double>").alias("x"),
+    )
+    cent = (
+        v.select("c", F.posexplode("x").alias("i", "xi"))
+        .groupBy("c", "i")
+        .agg(F.avg("xi").alias("m"))
+        .groupBy("c")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "m"))),
+                lambda s: s["m"],
+            ).alias("mu")
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("x"), F.col("mu"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    scatter = (
+        v.join(F.broadcast(cent), "c")
+        .select("c", dist.alias("d"))
+        .groupBy("c")
+        .agg(F.avg("d").alias("s"))
+    )
+    a = cent.join(scatter, "c").select(
+        F.col("c").alias("ca"), F.col("mu").alias("ma"), F.col("s").alias("sa")
+    )
+    b = cent.join(scatter, "c").select(
+        F.col("c").alias("cb"), F.col("mu").alias("mb"), F.col("s").alias("sb")
+    )
+    m = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("ma"), F.col("mb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+    )
+    pairs = (
+        a.join(b, F.col("ca") != F.col("cb"))
+        .select("ca", ((F.col("sa") + F.col("sb")) / m).alias("r"))
+        .groupBy("ca")
+        .agg(F.max("r").alias("rmax"))
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("k"),
+        F.round(F.avg("rmax"), 6).alias("db_index"),
+    )

@@ -961,3 +961,296 @@ def vocab_novelty(
             ).alias("distinct_novelty"),
         )
     )
+
+
+def kl_to_corpus(
+    docs: DataFrame,
+    text_col: str,
+    group_col: str,
+    top_k: int = 200,
+) -> DataFrame:
+    """Per-group KL divergence from the corpus unigram distribution
+    over a TRUNCATED vocabulary — the "which source deviates most from
+    the corpus LM" report beside q283's pairwise JS matrix.
+
+    The corpus's ``top_k`` most frequent terms (count desc, term asc —
+    total order) are kept as-is; every other token folds into one
+    OTHER bucket, so the distribution is exactly (top_k+1)-categorical
+    and the KL is exact over it — no dense group×vocab grid, no
+    smoothing heuristics (q_v > 0 for every kept bucket by
+    construction, and groups missing a bucket contribute p·ln(p/q)=0).
+
+    Returns ``(group, n_tokens, kl, top_term_share)`` — ``kl`` in
+    nats, ``top_term_share`` the group's non-OTHER mass.
+
+    Scale shape: one (group, term) count aggregate, the top-k catalog
+    via TakeOrdered on the |vocab|-row corpus rollup (broadcast back),
+    then a (top_k+1)-bucket re-aggregate per group. Never a window
+    over the corpus.
+    """
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    # (group, term) rollup feeds both the corpus top-k catalog and the
+    # bucketed re-aggregate; persist so the token explode runs ONCE
+    gt = (
+        docs.select(F.col(group_col).alias("group"), F.explode(toks).alias("term"))
+        .groupBy("group", "term")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    corpus = gt.groupBy("term").agg(F.sum("c").alias("cc"))
+    top = (
+        corpus.orderBy(F.desc("cc"), F.asc("term"))
+        .limit(top_k)
+        .select("term", F.lit(True).alias("_keep"))
+    )
+    bucketed = (
+        gt.join(F.broadcast(top), "term", "left")
+        .select(
+            "group",
+            F.when(F.col("_keep"), F.col("term"))
+            .otherwise(F.lit("<other tokens>"))
+            .alias("bucket"),
+            "c",
+        )
+        .groupBy("group", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .persist()  # ≤|groups|·(top_k+1) rows, read by three branches
+    )
+    qdist = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("c").alias("qc"))
+        .crossJoin(
+            F.broadcast(
+                bucketed.agg(F.sum("c").cast("double").alias("qn"))
+            )
+        )
+        .select("bucket", (F.col("qc") / F.col("qn")).alias("q"))
+    )
+    totals = bucketed.groupBy("group").agg(
+        F.sum("c").cast("double").alias("pn")
+    )
+    return (
+        bucketed.join(F.broadcast(qdist), "bucket")
+        .join(F.broadcast(totals), "group")
+        .select(
+            "group",
+            F.col("pn"),
+            ((F.col("c") / F.col("pn"))
+             * F.log((F.col("c") / F.col("pn")) / F.col("q"))).alias("_t"),
+            F.when(F.col("bucket") != "<other tokens>", F.col("c"))
+            .otherwise(0)
+            .alias("_kept"),
+        )
+        .groupBy("group")
+        .agg(
+            F.max("pn").cast("long").alias("n_tokens"),
+            F.round(F.sum("_t"), 6).alias("kl"),
+            F.round(F.sum("_kept") / F.max("pn"), 6).alias(
+                "top_term_share"
+            ),
+        )
+    )
+
+
+def hellinger_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    score_col: str,
+    n_bins: int = 16,
+) -> DataFrame:
+    """Hellinger distance + Bhattacharyya coefficient between two
+    numeric distributions over equal-width histogram bins — the
+    bounded-metric sibling of :func:`population_stability_index` (PSI
+    is unbounded and blows up on empty cells; Hellinger ∈ [0,1] stays
+    comparable across snapshots).
+
+        BC = Σ_b sqrt(ref_share_b · cur_share_b);  H = sqrt(1 − BC)
+
+    Bins follow the PSI convention: the REFERENCE min/max defines the
+    grid, current values clamp into the edge bins, nulls excluded.
+    Returns one row: ``(n_ref, n_cur, n_bins, bc, hellinger)``.
+
+    Scale shape: one (min,max) broadcast off the reference, one
+    n_bins-key groupBy per side, one ≤n_bins-row join — no windows,
+    no collect.
+    """
+    x = F.col(score_col).cast("double")
+    ref = reference.where(x.isNotNull())
+    cur = current.where(x.isNotNull())
+    bounds = ref.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(
+                    F.greatest(
+                        F.when(
+                            F.col("_hi") > F.col("_lo"),
+                            F.floor(
+                                (x - F.col("_lo"))
+                                / (
+                                    (F.col("_hi") - F.col("_lo"))
+                                    / F.lit(float(n_bins))
+                                )
+                            ),
+                        ).otherwise(F.lit(0)),
+                        F.lit(0),
+                    ),
+                    F.lit(n_bins - 1),
+                )
+                .cast("long")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").cast("double").alias(out))
+        )
+
+    r = binned(ref, "nr")
+    c = binned(cur, "nc")
+    j = r.join(c, "bin", "full").select(
+        F.coalesce("nr", F.lit(0.0)).alias("nr"),
+        F.coalesce("nc", F.lit(0.0)).alias("nc"),
+    )
+    return (
+        j.crossJoin(
+            F.broadcast(
+                j.agg(
+                    F.sum("nr").alias("tr"), F.sum("nc").alias("tc")
+                )
+            )
+        )
+        .select(
+            "tr",
+            "tc",
+            F.sqrt((F.col("nr") / F.col("tr")) * (F.col("nc") / F.col("tc")))
+            .alias("_s"),
+        )
+        .groupBy()
+        .agg(
+            F.max("tr").cast("long").alias("n_ref"),
+            F.max("tc").cast("long").alias("n_cur"),
+            F.lit(n_bins).cast("long").alias("n_bins"),
+            F.round(F.sum("_s"), 6).alias("bc"),
+            F.round(
+                F.sqrt(
+                    F.greatest(F.lit(1.0) - F.sum("_s"), F.lit(0.0))
+                ),
+                6,
+            ).alias("hellinger"),
+        )
+    )
+
+
+def char_entropy_rate(
+    docs: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-group character-bigram conditional entropy H(c₂|c₁) in nats
+    (Shannon's order-1 entropy-rate estimate) — the language/encoding-
+    health signal beside q357's event-transition entropy: corrupted or
+    template-stamped text has markedly lower conditional entropy than
+    natural prose in the same script.
+
+    Returns ``(group, n_bigrams, n_contexts, entropy_rate)`` with
+    H = Σ (n₁₂/N)·ln(n₁/n₁₂) over the bigram table.
+
+    Scale shape: the bigram explode is per-row column algebra; ONE
+    (group, bigram) count; the (group, c₁) margins come from windows
+    over that bigram CATALOG (bounded by alphabet², not corpus), then
+    one group reduce.
+    """
+    bigrams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - 1, 0)),"
+        f" i -> substring({text_col}, i, 2))"
+    )
+    bg = (
+        docs.where(F.length(text_col) >= 2)
+        .select(
+            F.col(group_col).alias("group"), F.explode(bigrams).alias("b")
+        )
+        .groupBy("group", "b")
+        .agg(F.count("*").cast("double").alias("n12"))
+    )
+    c1 = F.substring(F.col("b"), 1, 1)
+    w1 = Window.partitionBy("group", c1)
+    wg = Window.partitionBy("group")
+    return (
+        bg.select(
+            "group",
+            "n12",
+            c1.alias("_c1"),
+            F.sum("n12").over(w1).alias("n1"),
+            F.sum("n12").over(wg).alias("nn"),
+        )
+        .groupBy("group")
+        .agg(
+            F.max("nn").cast("long").alias("n_bigrams"),
+            F.countDistinct("_c1").cast("long").alias("n_contexts"),
+            F.round(
+                F.sum(
+                    (F.col("n12") / F.col("nn"))
+                    * F.log(F.col("n1") / F.col("n12"))
+                ),
+                6,
+            ).alias("entropy_rate"),
+        )
+    )
+
+
+def term_burstiness(
+    docs: DataFrame, text_col: str, id_col: str, top_k: int = 50
+) -> DataFrame:
+    """Term burstiness profile (Church & Gale 1995) for the corpus's
+    ``top_k`` most frequent terms: a bursty term concentrates its
+    occurrences in few documents (templates, boilerplate, spam
+    phrases) while a well-mixed term spreads evenly — the Fano factor
+    (variance/mean of the per-document count, zeros included) makes
+    that one number per term.
+
+    Returns ``(term, cf, df, fano, mean_in_doc)`` — cf corpus count,
+    df document frequency, ``mean_in_doc`` = cf/df (Church-Gale's
+    E[tf | tf>0] burstiness), ordered by (fano desc, term asc).
+
+    Scale shape: one (doc, term) count for the candidate terms only
+    (broadcast top-k semi-join BEFORE the per-doc aggregate), one
+    1-row doc-count broadcast; variance from Σtf² in closed form —
+    zero rows never materialize.
+    """
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    ex = docs.select(F.explode(toks).alias("term"))
+    corpus = ex.groupBy("term").agg(F.count("*").alias("cf"))
+    top = (
+        corpus.orderBy(F.desc("cf"), F.asc("term"))
+        .limit(top_k)
+        .select("term")
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("nd"))
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("_doc"),
+            F.explode(toks).alias("term"),
+        )
+        .join(F.broadcast(top), "term")
+        .groupBy("_doc", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("tf").alias("cf"),
+        F.count("*").cast("double").alias("df"),
+        F.sum(F.col("tf") * F.col("tf")).alias("q"),
+    )
+    out = stats.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.col("cf").cast("long").alias("cf"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            (
+                F.col("q") / F.col("nd")
+                - F.pow(F.col("cf") / F.col("nd"), 2)
+            )
+            / (F.col("cf") / F.col("nd")),
+            6,
+        ).alias("fano"),
+        F.round(F.col("cf") / F.col("df"), 6).alias("mean_in_doc"),
+    )
+    return out.orderBy(F.desc("fano"), F.asc("term"))

@@ -180,3 +180,63 @@ def alignment_uniformity(
         F.col("n_unif_pairs").cast("bigint"),
         F.round("_unif", 6).alias("uniformity"),
     )
+
+
+def mmd_linear(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    dim: int,
+) -> DataFrame:
+    """Linear-kernel Maximum Mean Discrepancy between two embedding
+    groups (Gretton et al. JMLR'12, the linear special case): with the
+    identity feature map, MMD² = ‖μ_a − μ_b‖² — the two-sample shift
+    test for representation space ("did the new crawl move the
+    embedding distribution"), the multivariate sibling of q235's PSI.
+
+    Returns one row: ``(n_a, n_b, mmd2, mmd)``.
+
+    Scale shape: ONE aggregate — per-dimension conditional sums via
+    ``F.aggregate`` would be per-row loops, so the vector is unnested
+    by posexplode into (dim, value) keys: one shuffle of 2·d keys,
+    map-side combined. No pairwise kernel matrix exists at any point.
+    """
+    tagged = df.where(F.col(group_col).isin(group_a, group_b)).select(
+        (F.col(group_col) == group_a).alias("_is_a"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "_i", "_v"
+        ),
+    )
+    per_dim = tagged.groupBy("_i").agg(
+        F.sum(F.when(F.col("_is_a"), F.col("_v"))).alias("sa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_v"))).alias("sb"),
+        F.sum(F.col("_is_a").cast("long")).alias("na"),
+        F.sum((~F.col("_is_a")).cast("long")).alias("nb"),
+    )
+    return per_dim.agg(
+        (F.sum("na") / F.lit(dim)).cast("long").alias("n_a"),
+        (F.sum("nb") / F.lit(dim)).cast("long").alias("n_b"),
+        F.round(
+            F.sum(
+                F.pow(
+                    F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"),
+                    2,
+                )
+            ),
+            6,
+        ).alias("mmd2"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.pow(
+                        F.col("sa") / F.col("na")
+                        - F.col("sb") / F.col("nb"),
+                        2,
+                    )
+                )
+            ),
+            6,
+        ).alias("mmd"),
+    )

@@ -1597,3 +1597,254 @@ def simpson_paradox_audit(
         F.round(pooled_diff, 6).alias("pooled_diff"),
         F.when(both, (s_num * p_num) < 0).alias("sign_flip"),
     )
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list[str]) -> DataFrame:
+    """Cronbach's alpha — internal consistency of k score items
+    (Cronbach 1951): one row ``(n, k, alpha)`` with
+
+        α = k/(k−1) · (1 − Σ_i var(item_i) / var(Σ_i item_i)).
+
+    Variances are the SAMPLE variance computed from explicit
+    (Σx, Σx²) sums — not the engine's builtin variance aggregate —
+    so the Spark result and its SQL-oracle twin evaluate the
+    identical formula.  Rows with any null item are dropped (the
+    complete-case convention).
+
+    Scale shape: ONE aggregate over the scan (2k+3 sums).
+    """
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("need at least 2 items")
+    d = df.dropna(subset=item_cols).select(
+        *[F.col(c).cast("double").alias(c) for c in item_cols]
+    )
+    tot = sum((F.col(c) for c in item_cols[1:]), F.col(item_cols[0]))
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in item_cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"q_{c}"))
+    aggs.append(F.sum(tot).alias("s_t"))
+    aggs.append(F.sum(tot * tot).alias("q_t"))
+    a = d.agg(*aggs)
+
+    def var(s, q):
+        return (F.col(q) - F.col(s) * F.col(s) / F.col("n")) / (
+            F.col("n") - 1
+        )
+
+    item_var = None
+    for c in item_cols:
+        v = var(f"s_{c}", f"q_{c}")
+        item_var = v if item_var is None else item_var + v
+    tot_var = var("s_t", "q_t")
+    alpha = F.when(
+        (F.col("n") > 1) & (tot_var > 0),
+        F.lit(k / (k - 1.0)) * (F.lit(1.0) - item_var / tot_var),
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def caliper_matching(
+    df: DataFrame,
+    id_col: str,
+    treat_col: str,
+    x_col: str,
+    y_col: str,
+    caliper: float,
+) -> DataFrame:
+    """Radius (caliper) matching ATT estimate (Cochran & Rubin 1973):
+    each treated unit is matched to ALL control units whose covariate
+    lies within ``caliper``; its effect is y_t − mean(y_controls in
+    radius); the ATT averages over matched treated units.  One row:
+    ``(n_treated, n_matched, match_rate, att)``.
+
+    Radius matching (vs greedy 1:1) is the variant that exists
+    distributed: no sequential match-and-remove state.
+
+    Scale shape: the range join is BANDED — both sides bucket the
+    covariate by caliper width and join only (bucket−1, bucket,
+    bucket+1), the geo-radius-join pattern, so candidate volume is
+    density-bounded, never treated×controls. One groupBy(treated id)
+    + a 1-row reduce.
+    """
+    t = df.where(F.col(treat_col).cast("boolean")).select(
+        F.col(id_col).alias("_tid"),
+        F.col(x_col).cast("double").alias("_xt"),
+        F.col(y_col).cast("double").alias("_yt"),
+    )
+    c = df.where(~F.col(treat_col).cast("boolean")).select(
+        F.col(x_col).cast("double").alias("_xc"),
+        F.col(y_col).cast("double").alias("_yc"),
+    )
+    bt = t.withColumn(
+        "_b",
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(F.col("_xt") / F.lit(caliper)) + i).cast("long")
+                    for i in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    bc = c.withColumn(
+        "_b", F.floor(F.col("_xc") / F.lit(caliper)).cast("long")
+    )
+    cand = bt.join(bc, "_b").where(
+        F.abs(F.col("_xt") - F.col("_xc")) <= F.lit(caliper)
+    )
+    per_t = cand.groupBy("_tid", "_yt").agg(
+        F.avg("_yc").alias("_ybar"), F.count("*").alias("_nc")
+    )
+    n_treated = t.agg(F.count("*").cast("long").alias("n_treated"))
+    return (
+        per_t.agg(
+            F.count("*").cast("long").alias("n_matched"),
+            F.avg(F.col("_yt") - F.col("_ybar")).alias("_att"),
+        )
+        .crossJoin(F.broadcast(n_treated))
+        .select(
+            "n_treated",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_treated"), 6
+            ).alias("match_rate"),
+            F.round("_att", 6).alias("att"),
+        )
+    )
+
+
+def wilcoxon_signed_rank(df: DataFrame, diff_col: str) -> DataFrame:
+    """Wilcoxon signed-rank test for PAIRED differences (Wilcoxon
+    1945; normal approximation with tie + zero handling per Conover):
+    one row ``(n_nonzero, w_plus, z)``.
+
+    Zero differences are dropped (the classical convention); |d| gets
+    average ranks; W⁺ sums ranks of positive differences;
+
+        z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − ΣT/48),
+
+    ΣT = Σ_ties (t³ − t).  The paired complement of
+    :func:`mann_whitney_u` (which assumes independent samples).
+
+    Scale shape: ranks come from the |d| VALUE CATALOG (one groupBy
+    to distinct |d| + counts, cumulative window over the catalog —
+    avg rank of a tie class is cum_before + (t+1)/2), never a
+    data-wide sort; then a 1-row reduce.
+    """
+    d = df.select(F.col(diff_col).cast("double").alias("_d")).where(
+        F.col("_d") != 0.0
+    )
+    cat = d.groupBy(F.abs(F.col("_d")).alias("_a")).agg(
+        F.count("*").cast("double").alias("t"),
+        F.sum((F.col("_d") > 0).cast("long")).cast("double").alias("tp"),
+    )
+    wc = Window.orderBy("_a").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cat.select(
+        "t",
+        "tp",
+        (
+            F.sum("t").over(wc)
+            - F.col("t")
+            + (F.col("t") + 1) / F.lit(2.0)
+        ).alias("_r"),
+    )
+    agg = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("tp") * F.col("_r")).alias("wp"),
+        F.sum(F.pow(F.col("t"), 3) - F.col("t")).alias("tsum"),
+    )
+    mu = F.col("n") * (F.col("n") + 1) / F.lit(4.0)
+    var = F.col("n") * (F.col("n") + 1) * (2 * F.col("n") + 1) / F.lit(
+        24.0
+    ) - F.col("tsum") / F.lit(48.0)
+    return agg.select(
+        F.col("n").cast("long").alias("n_nonzero"),
+        F.round("wp", 6).alias("w_plus"),
+        F.round(
+            F.when(var > 0, (F.col("wp") - mu) / F.sqrt(var)), 6
+        ).alias("z"),
+    )
+
+
+def mood_median_test(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Mood's median test across k groups (Mood 1950): the robust
+    location test — classify every value against the GRAND median,
+    then chi-square the k×2 above/≤ contingency.  One row
+    ``(n, k, grand_median, chi2, dof)``.
+
+    The grand median is the exact lower discrete median computed on
+    the VALUE CATALOG (distinct values + counts, the mad_outliers
+    pattern — cumulative window over the catalog, never a data-wide
+    sort), so the SQL twin replays it byte-identically.
+
+    Scale shape: one value-catalog aggregate + a catalog cumsum for
+    the median (broadcast scalar back), then one groupBy(group)
+    contingency + a 1-row reduce.
+    """
+    v = F.col(value_col).cast("double")
+    cat = df.select(v.alias("_v")).groupBy("_v").agg(
+        F.count("*").alias("_c")
+    )
+    wc = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cat.select(
+        "_v",
+        F.sum("_c").over(wc).alias("_cum"),
+        F.sum("_c").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    k = F.greatest(F.ceil(F.lit(0.5) * F.col("_n")), F.lit(1))
+    med = cum.groupBy().agg(
+        F.min(F.when(F.col("_cum") >= k, F.col("_v"))).alias("gm")
+    )
+    g = (
+        df.select(F.col(group_col).alias("grp"), v.alias("_v"))
+        .crossJoin(F.broadcast(med))
+        .groupBy("grp", "gm")
+        .agg(
+            F.sum((F.col("_v") > F.col("gm")).cast("long")).alias("a"),
+            F.sum((F.col("_v") <= F.col("gm")).cast("long")).alias("b"),
+        )
+    )
+    tot = g.agg(
+        F.sum(F.col("a") + F.col("b")).cast("double").alias("n"),
+        F.sum("a").cast("double").alias("ta"),
+        F.sum("b").cast("double").alias("tb"),
+        F.count("*").cast("long").alias("k"),
+    )
+    ea = (F.col("a") + F.col("b")) * F.col("ta") / F.col("n")
+    eb = (F.col("a") + F.col("b")) * F.col("tb") / F.col("n")
+    x = g.crossJoin(F.broadcast(tot)).select(
+        "gm",
+        "n",
+        "k",
+        (
+            F.pow(F.col("a") - ea, 2) / ea
+            + F.pow(F.col("b") - eb, 2) / eb
+        ).alias("_c"),
+    )
+    return (
+        x.groupBy("gm", "n", "k")
+        .agg(F.round(F.sum("_c"), 6).alias("chi2"))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            "k",
+            F.round("gm", 6).alias("grand_median"),
+            "chi2",
+            (F.col("k") - 1).cast("long").alias("dof"),
+        )
+    )

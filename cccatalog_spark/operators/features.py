@@ -494,3 +494,151 @@ def hashing_collision_audit(
             "mass_top_bucket"
         ),
     )
+
+
+def linear_cka(
+    df: DataFrame, x_col: str, y_col: str, dx: int, dy: int
+) -> DataFrame:
+    """Linear Centered Kernel Alignment between two row-aligned vector
+    representations (Kornblith et al. ICML'19): one row ``(n, cka,
+    cxy_fro2, cxx_fro2, cyy_fro2)`` where
+
+        CKA = ||Yc'Xc||_F² / (||Xc'Xc||_F · ||Yc'Yc||_F)
+
+    — the standard "how much representation geometry survived"
+    scorecard for quantization / truncation / distillation decisions
+    (pairs with the Matryoshka audit and q314's JL distortion).
+
+    Scale shape: each Arrow batch contributes ONE set of numpy-GEMM
+    partial second moments (X'X d×d, Y'Y d'×d', X'Y d×d', column sums,
+    count) emitted as (kind, i, j, v) rows — the same partial-gram
+    pattern as :func:`covariance_matrix_np`; a single groupBy merges
+    partials, centering happens in column algebra on the ≤(dx²+dy²+
+    dx·dy)-row result.  Nothing touches the driver.
+    """
+    import pandas as pd  # noqa: F401
+
+    def partials(batches):
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[x_col]]
+            )
+            Y = np.asarray(
+                [np.asarray(v, dtype="float64") for v in pdf[y_col]]
+            )
+            frames = []
+            for kind, M in (
+                ("xx", X.T @ X),
+                ("yy", Y.T @ Y),
+                ("xy", X.T @ Y),
+            ):
+                ii, jj = M.shape
+                gi, gj = np.meshgrid(
+                    np.arange(1, ii + 1), np.arange(1, jj + 1), indexing="ij"
+                )
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "kind": kind,
+                            "i": gi.ravel(),
+                            "j": gj.ravel(),
+                            "v": M.ravel(),
+                        }
+                    )
+                )
+            frames.append(
+                _pd.DataFrame(
+                    {
+                        "kind": "sx",
+                        "i": np.arange(1, X.shape[1] + 1),
+                        "j": 0,
+                        "v": X.sum(axis=0),
+                    }
+                )
+            )
+            frames.append(
+                _pd.DataFrame(
+                    {
+                        "kind": "sy",
+                        "i": np.arange(1, Y.shape[1] + 1),
+                        "j": 0,
+                        "v": Y.sum(axis=0),
+                    }
+                )
+            )
+            frames.append(
+                _pd.DataFrame(
+                    {"kind": "n", "i": [0], "j": [0], "v": [float(len(pdf))]}
+                )
+            )
+            yield _pd.concat(frames, ignore_index=True)
+
+    # the ≤(dx²+dy²+dx·dy+dx+dy+1)-row moment table feeds seven
+    # downstream branches — persist so the corpus gram pass runs ONCE
+    sums = (
+        df.select(x_col, y_col)
+        .mapInPandas(partials, "kind string, i int, j int, v double")
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("v").alias("v"))
+        .persist()
+    )
+    n = sums.where(F.col("kind") == "n").select(F.col("v").alias("n"))
+    mx = sums.where(F.col("kind") == "sx").select(
+        F.col("i").alias("_i"), F.col("v").alias("_sxi")
+    )
+    my = sums.where(F.col("kind") == "sy").select(
+        F.col("i").alias("_j"), F.col("v").alias("_syj")
+    )
+
+    def fro2(kind: str, mi: DataFrame, mj: DataFrame, micol: str, mjcol: str):
+        return (
+            sums.where(F.col("kind") == kind)
+            .join(F.broadcast(mi), F.col("i") == F.col("_i"))
+            .drop("_i")
+            .withColumnRenamed(micol, "_mi")
+            .join(
+                F.broadcast(mj.withColumnRenamed(mjcol, "_mj")),
+                F.col("j") == F.col("_j"),
+            )
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.pow(
+                    F.col("v") - F.col("_mi") * F.col("_mj") / F.col("n"), 2
+                ).alias("c2")
+            )
+            .agg(F.sum("c2").alias(f"{kind}_fro2"))
+        )
+    mxj = mx.select(F.col("_i").alias("_j"), F.col("_sxi").alias("_sxj"))
+    xx = fro2("xx", mx, mxj, "_sxi", "_sxj")
+    yy = fro2(
+        "yy",
+        my.select(F.col("_j").alias("_i"), F.col("_syj").alias("_syi")),
+        my,
+        "_syi",
+        "_syj",
+    )
+    xy = fro2("xy", mx, my, "_sxi", "_syj")
+    return (
+        n.crossJoin(xx)
+        .crossJoin(yy)
+        .crossJoin(xy)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.when(
+                    (F.col("xx_fro2") > 0) & (F.col("yy_fro2") > 0),
+                    F.col("xy_fro2")
+                    / F.sqrt(F.col("xx_fro2") * F.col("yy_fro2")),
+                ),
+                6,
+            ).alias("cka"),
+            F.round("xy_fro2", 4).alias("cxy_fro2"),
+            F.round("xx_fro2", 4).alias("cxx_fro2"),
+            F.round("yy_fro2", 4).alias("cyy_fro2"),
+        )
+    )

@@ -1718,3 +1718,53 @@ def sampled_harmonic_centrality(
             ).alias("harmonic"),
         )
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 6,
+) -> DataFrame:
+    """Eigenvector centrality by SHIFTED power iteration over the
+    undirected graph (Bonacich 1987; shift per standard practice so
+    the bipartite/periodic case still converges): x ← (x + A·x) /
+    ‖x + A·x‖₁ from the uniform vector, fixed ``iterations`` rounds —
+    deterministic, no RNG, exactly unrollable in the SQL oracle.
+
+    Returns ``(node, r)`` at full precision; callers round for output.
+
+    Scale shape: per round ONE hash join (x ⋈ edges, keyed by node) +
+    one groupBy(dst) message sum; the L1 normalizer is a 1-row
+    broadcast aggregate (never a driver collect); lineage truncated
+    per round like :func:`pagerank`.  Edge list symmetrized + deduped
+    once and persisted across rounds.
+    """
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    und = fwd.union(rev).where(F.col("src") != F.col("dst")).distinct().persist()
+    nodes = und.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()  # bounded catalog scalar (matches pagerank's init)
+
+    x = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(iterations):
+        msgs = (
+            und.join(x, F.col("src") == F.col("node"))
+            .select("dst", F.col("r").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        y = x.join(msgs, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (F.col("r") + F.coalesce(F.col("m"), F.lit(0.0))).alias("y"),
+        )
+        s = y.agg(F.sum("y").alias("s"))
+        new_x = _truncate_lineage(
+            y.crossJoin(F.broadcast(s)).select(
+                "node", (F.col("y") / F.col("s")).alias("r")
+            )
+        )
+        x = new_x
+    und.unpersist()
+    nodes.unpersist()
+    return x

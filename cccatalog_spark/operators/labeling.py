@@ -276,3 +276,46 @@ def fleiss_kappa(
         F.round("p_e", 6).alias("p_e"),
         F.round(kappa, 6).alias("kappa"),
     )
+
+
+def class_weights(
+    df: DataFrame,
+    label_col: str,
+    beta: float = 0.999,
+) -> DataFrame:
+    """Class-balancing weight table for a labeled corpus: the
+    inverse-frequency weight N/(K·n_c) and the effective-number-of-
+    samples weight (1−β)/(1−β^n_c) (Cui et al. CVPR'19), each
+    normalized so Σ_c w_c·n_c = N (the loss keeps its scale).
+
+    Returns ``(label, n, share, inv_freq_w, eff_num_w)`` — the table a
+    trainer joins onto examples or feeds a weighted sampler (pairs
+    with q136's epoch upsampler).
+
+    Scale shape: one count aggregate to the K-row catalog; the
+    normalizers are a 1-row broadcast over it.
+    """
+    if not 0.0 < beta < 1.0:
+        raise ValueError("beta must be in (0, 1)")
+    g = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("double").alias("n")
+    )
+    raw_eff = (F.lit(1.0) - F.lit(beta)) / (
+        F.lit(1.0) - F.pow(F.lit(beta), F.col("n"))
+    )
+    tot = g.select(
+        F.sum("n").alias("tn"),
+        F.count("*").cast("double").alias("k"),
+        F.sum(raw_eff * F.col("n")).alias("eff_mass"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.col("tn"), 6).alias("share"),
+        F.round(F.col("tn") / (F.col("k") * F.col("n")), 6).alias(
+            "inv_freq_w"
+        ),
+        F.round(raw_eff * F.col("tn") / F.col("eff_mass"), 6).alias(
+            "eff_num_w"
+        ),
+    )

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cccatalog_spark.operators.dedup import _truncate_lineage
 
@@ -106,3 +107,73 @@ def bradley_terry(
     pairs.unpersist()
     items.unpersist()
     return pi
+
+
+def kendalls_w(
+    df: DataFrame, item_col: str, ranker_col: str, value_col: str
+) -> DataFrame:
+    """Kendall's coefficient of concordance W across m rankers
+    (Kendall & Babington Smith 1939, tie-corrected): one row
+    ``(n_items, m_rankers, w)`` with
+
+        W = (12·ΣR_i² − 3·m²·n·(n+1)²) / (m²·(n³−n) − m·ΣT_j),
+        T_j = Σ_ties (t³ − t)  per ranker j,
+
+    where R_i sums item i's average ranks over rankers (higher value
+    = better rank... rank ascending by value; direction only flips W's
+    interpretation, not its magnitude under reversal of all rankers).
+    Expects one observation per (item, ranker) — complete design.
+
+    Scale shape: ranks are per-ranker windows (partitioned by ranker,
+    no global sort); ΣR_i² is one groupBy(item) + 1-row reduce; the
+    tie terms one groupBy((ranker, value)).
+    """
+    w = Window.partitionBy("_rk").orderBy(F.col("_v"))
+    ranked = (
+        df.select(
+            F.col(item_col).alias("_it"),
+            F.col(ranker_col).alias("_rk"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .withColumn("_rmin", F.rank().over(w))
+        .withColumn(
+            "_nt", F.count("*").over(Window.partitionBy("_rk", "_v"))
+        )
+        .withColumn(
+            "_r",
+            F.col("_rmin").cast("double") + (F.col("_nt") - 1) / F.lit(2.0),
+        )
+    )
+    per_item = ranked.groupBy("_it").agg(
+        F.sum("_r").alias("ri"), F.count("*").alias("m")
+    )
+    ties = (
+        ranked.groupBy("_rk", "_v")
+        .agg(F.count("*").cast("double").alias("t"))
+        .agg(
+            F.sum(
+                F.pow(F.col("t"), 3) - F.col("t")
+            ).alias("tsum")
+        )
+    )
+    agg = per_item.agg(
+        F.count("*").cast("double").alias("n"),
+        F.max("m").cast("double").alias("m"),
+        F.sum(F.col("ri") * F.col("ri")).alias("r2"),
+    ).crossJoin(F.broadcast(ties))
+    num = (
+        F.lit(12.0) * F.col("r2")
+        - F.lit(3.0)
+        * F.col("m")
+        * F.col("m")
+        * F.col("n")
+        * F.pow(F.col("n") + 1, 2)
+    )
+    den = F.col("m") * F.col("m") * (
+        F.pow(F.col("n"), 3) - F.col("n")
+    ) - F.col("m") * F.col("tsum")
+    return agg.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("m").cast("long").alias("m_rankers"),
+        F.round(F.when(den > 0, num / den), 6).alias("w"),
+    )

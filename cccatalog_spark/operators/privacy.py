@@ -242,3 +242,67 @@ def l_diversity_audit(
             6,
         ).alias("row_share"),
     )
+
+
+def dp_group_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    clip_lo: float,
+    clip_hi: float,
+    epsilon: float = 1.0,
+    salt: str = "dpm:",
+) -> DataFrame:
+    """Differentially-private per-group MEAN release — the Laplace
+    sum/count mechanism (Dwork et al. TCC'06): clip each value to
+    [clip_lo, clip_hi], add Laplace((hi−lo)/(ε/2)) to the group sum
+    and Laplace(1/(ε/2)) to the group count (ε split evenly by basic
+    composition), release ``noisy_sum / max(noisy_count, 1)``.
+
+    Returns ``(group, n_noised, mean_noised)`` — true aggregates are
+    deliberately not columns.  Noise is derandomized exactly like
+    :func:`dp_noisy_counts` (md5-uniform of salt‖group per draw, two
+    distinct sub-salts so sum and count noise are independent), which
+    keeps the release repartition-stable and SQL-replayable; swap the
+    salt for a secret per release in production.
+
+    Scale shape: one map-side-combinable groupBy over the scan; noise
+    is column algebra on the |groups|-row result.
+    """
+    if epsilon <= 0:
+        raise ValueError("epsilon must be > 0")
+    if not clip_hi > clip_lo:
+        raise ValueError("clip_hi must exceed clip_lo")
+    from cccatalog_spark.operators.sampling import md5_u01
+
+    eps_half = epsilon / 2.0
+    v = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(clip_lo)),
+        F.lit(clip_hi),
+    )
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(v).alias("_s"),
+    )
+    key = F.coalesce(F.col("group").cast("string"), F.lit("\x00null"))
+
+    def lap(sub_salt: str, scale: float):
+        u = md5_u01(key, salt + sub_salt)
+        c = u - F.lit(0.5)
+        return (
+            F.lit(-scale)
+            * F.signum(c)
+            * F.log(F.lit(1.0) - 2.0 * F.abs(c))
+        )
+
+    n_noised = F.greatest(
+        F.col("_n") + lap("n|", 1.0 / eps_half), F.lit(0.0)
+    )
+    s_noised = F.col("_s") + lap("s|", (clip_hi - clip_lo) / eps_half)
+    return g.select(
+        "group",
+        F.round(n_noised, 6).alias("n_noised"),
+        F.round(
+            s_noised / F.greatest(n_noised, F.lit(1.0)), 6
+        ).alias("mean_noised"),
+    )

@@ -345,3 +345,82 @@ def label_model_vote(
         decision.alias("label"),
     )
     return out
+
+
+def filter_funnel(
+    df: DataFrame,
+    gates: list[tuple[str, Column]],
+    token_col: Column | None = None,
+) -> DataFrame:
+    """Quality-filter funnel attrition report: apply the gates
+    CUMULATIVELY (a doc must pass every earlier gate to reach the
+    next) and emit one row per stage — ``(stage_idx, stage, docs_in,
+    docs_out, survival_frac, cumulative_frac, tokens_out)`` — the
+    observability artifact every corpus-cleaning pipeline publishes
+    before committing to a filter chain.
+
+    ``token_col`` (default: whitespace token count of nothing — pass
+    an expression to track token retention) is summed over survivors
+    at each stage.
+
+    Scale shape: ONE scan — the k gate booleans and their cumulative
+    ANDs are plain columns, the per-stage sums one aggregate; the
+    k-row unpivot happens on the 1-row result via stack. No shuffle
+    except the final reduce.
+    """
+    if not gates:
+        raise ValueError("at least one gate required")
+    tok = token_col if token_col is not None else F.lit(0)
+    cur = df.select(
+        *[g.alias(f"_g{i}") for i, (_, g) in enumerate(gates)],
+        tok.cast("double").alias("_tok"),
+    )
+    cum = F.lit(True)
+    aggs = [
+        F.count("*").cast("long").alias("n0"),
+        F.sum("_tok").alias("t0"),
+    ]
+    for i in range(len(gates)):
+        cum = cum & F.col(f"_g{i}")
+        aggs.append(
+            F.sum(cum.cast("long")).cast("long").alias(f"n{i + 1}")
+        )
+        aggs.append(
+            F.sum(F.when(cum, F.col("_tok")).otherwise(0.0)).alias(
+                f"t{i + 1}"
+            )
+        )
+    one = cur.agg(*aggs)
+    stack_args = []
+    for i, (name, _) in enumerate(gates):
+        stack_args.append(f"{i + 1}")
+        stack_args.append(f"'{name}'")
+        stack_args.append(f"n{i}")
+        stack_args.append(f"n{i + 1}")
+        stack_args.append(f"t{i + 1}")
+    expr = (
+        f"stack({len(gates)}, "
+        + ", ".join(stack_args)
+        + ") as (stage_idx, stage, docs_in, docs_out, tokens_out)"
+    )
+    return one.select(F.expr(expr), F.col("n0")).select(
+        F.col("stage_idx").cast("long").alias("stage_idx"),
+        "stage",
+        "docs_in",
+        "docs_out",
+        F.round(
+            F.when(
+                F.col("docs_in") > 0,
+                F.col("docs_out").cast("double") / F.col("docs_in"),
+            ),
+            6,
+        ).alias("survival_frac"),
+        F.round(
+            F.when(
+                F.col("n0") > 0,
+                F.col("docs_out").cast("double") / F.col("n0"),
+            ),
+            6,
+        ).alias("cumulative_frac"),
+        F.col("tokens_out").cast("long").alias("tokens_out"),
+    )

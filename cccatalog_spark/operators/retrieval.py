@@ -650,3 +650,94 @@ def textrank_keywords(
     return r.select(
         F.col("node").alias("word"), F.round("r", 8).alias("rank")
     )
+
+
+def query_likelihood_topk(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: list[str],
+    k: int = 20,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    SIGIR'01) — the LM-based sibling of :func:`bm25_topk`:
+    score(d, q) = Σ_t ln((tf_td + μ·cf_t/|C|) / (dl_d + μ)) over docs
+    matching ≥1 term; ``(id, n_terms, score)`` ordered by rounded
+    score desc then id.
+
+    Unlike BM25, zero-tf terms still contribute (the background
+    model), so hit docs are crossed with the |q|-row term frame and
+    tf coalesced to 0 — the blow-up is |hits|·|q|, not |corpus|·|q|.
+
+    Scale shape: corpus stats = one 1-row aggregate (broadcast);
+    collection frequencies = filtered explode (bounded by matched
+    tokens); the scoring join is hash on id against the tf rows.
+    """
+    sess = docs.sparkSession
+    toks = F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t))
+    total = docs.agg(
+        F.sum(F.size(toks)).cast("double").alias("c_len")
+    )
+    tf = _term_freqs(docs, text_col, id_col, terms)
+    cf = tf.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("cf")
+    )
+    hit_docs = tf.select(id_col, "dl").distinct()
+    term_df = sess.createDataFrame([(t,) for t in terms], ["term"])
+    scored = (
+        hit_docs.crossJoin(F.broadcast(term_df))
+        .join(tf, [id_col, "dl", "term"], "left")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            (F.coalesce(F.col("tf"), F.lit(0)) > 0).cast("int").alias("_hit"),
+            F.log(
+                (
+                    F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                    + F.lit(mu) * F.col("cf") / F.col("c_len")
+                )
+                / (F.col("dl") + F.lit(mu))
+            ).alias("_c"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_hit").cast("long").alias("n_terms"),
+            F.round(F.sum("_c"), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def borda_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    list_len: int,
+    k: int = 20,
+) -> DataFrame:
+    """Borda-count rank aggregation of N top-``list_len`` lists:
+    ``points(d) = Σ_lists (list_len − rank_list(d) + 1)`` (an id
+    absent from a list scores 0 from it) — the positional-points
+    sibling of :func:`rrf_fuse` (RRF is top-heavy; Borda weighs all
+    positions linearly, the classical social-choice aggregator).
+
+    Each input carries ``(id_col, rnk)`` with 1-based ranks ≤
+    ``list_len``.  Returns ``(id, n_lists, borda_points)`` top-k by
+    (points desc, id asc).
+
+    Scale shape: union + one groupBy on the id over O(N·list_len)
+    pre-bounded rows — same budget as RRF.
+    """
+    from functools import reduce
+
+    u = reduce(DataFrame.unionByName, rankings)
+    fused = u.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lists"),
+        F.sum(F.lit(list_len + 1) - F.col("rnk"))
+        .cast("long")
+        .alias("borda_points"),
+    )
+    return fused.orderBy(
+        F.desc("borda_points"), F.asc(id_col)
+    ).limit(k)

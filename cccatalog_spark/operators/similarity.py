@@ -1368,3 +1368,70 @@ def nearest_centroid_eval(
             "top_confusion",
         )
     )
+
+
+def mutual_knn_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Reciprocal (mutual) k-NN pairs within blocks — the high-
+    precision near-duplicate verification filter (a pair survives only
+    if EACH side ranks the other in its top-k; one-directional hubs
+    drop out).  Returns canonical ``(a, b, cosine_sim, rank_ab,
+    rank_ba)`` with a < b.
+
+    Pair generation is BLOCKED on ``block_col`` (Σ_b n_b² work, the
+    soundex/sorted-neighborhood sanction) — at 100 TB the block key is
+    an LSH bucket or cluster id, never a constant.
+
+    Scale shape: one block-keyed self-join, per-point top-k via a
+    window partitioned by point (no global sort), then the mutual
+    check is a self-semi-join of the directed top-k edge list on the
+    reversed key.
+    """
+    from pyspark.sql.window import Window
+
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    scored = (
+        a.join(b, "blk")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cosine_sim"), F.asc("b"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .persist()  # read twice: forward edges + the reversed probe
+    )
+    rev = topk.select(
+        F.col("b").alias("a"),
+        F.col("a").alias("b"),
+        F.col("rank").alias("rank_ba"),
+    )
+    return (
+        topk.join(rev, ["a", "b"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            "cosine_sim",
+            F.col("rank").alias("rank_ab"),
+            "rank_ba",
+        )
+    )

@@ -1144,3 +1144,60 @@ def path_patterns(
         )
         .limit(int(top_k))
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    series_col: str,
+    order_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    threshold: float = 5.0,
+) -> DataFrame:
+    """Page-Hinkley mean-shift drift detector per series (Page 1954;
+    Hinkley 1971 — the sequential test CUSUM generalizes): one row per
+    series — ``(series, n, ph_max, n_alarms, first_alarm_ord)``.
+
+    Classical recursion, window-algebra form: with running mean m_t of
+    x_1..x_t, U_t = Σ_{i≤t} (x_i − m_i − δ) and the alarm fires when
+    U_t − min_{s≤t} U_s > λ.  Running mean, running sum, and running
+    min are all prefix windows PARTITIONED BY the series — no global
+    sort, no state, one shuffle on the series key; the tie order
+    inside a series is (order_col) which callers pick unique.
+
+    Complements :func:`cusum_changepoints` (known-target CUSUM): PH
+    self-centers on the running mean, the form used for on-line
+    concept-drift monitors on unlabeled score streams.
+    """
+    w = (
+        Window.partitionBy("series")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = df.select(
+        F.col(series_col).alias("series"),
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    dev = (F.col("_x") - F.avg("_x").over(w) - F.lit(delta)).alias("_d")
+    u = x.select("series", "_ord", dev).select(
+        "series", "_ord", F.sum("_d").over(w).alias("_u")
+    )
+    ph = u.select(
+        "series",
+        "_ord",
+        (F.col("_u") - F.min("_u").over(w)).alias("_ph"),
+    )
+    return (
+        ph.groupBy("series")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.max("_ph"), 6).alias("ph_max"),
+            F.sum((F.col("_ph") > threshold).cast("int"))
+            .cast("long")
+            .alias("n_alarms"),
+            F.min(
+                F.when(F.col("_ph") > threshold, F.col("_ord"))
+            ).alias("first_alarm_ord"),
+        )
+    )

@@ -21454,3 +21454,1408 @@ def q390_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return padding_waste_sweep(d, "text")
+
+
+# ---------------------------------------------------------------------------
+# q391 — McNemar paired-gate test (operators/paired_tests.
+# mcnemar_test): would swapping the char-length gate for the
+# token-count gate change which documents survive? The two booleans
+# are rated on the SAME rows, so the marginal-homogeneity test (not an
+# independent two-sample test) is the correct comparison. ONE
+# conditional-sum aggregate over the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q391_mcnemar_gates",
+    oracle=f"""
+    WITH g AS (SELECT n_chars >= 250 AS a,
+                      len({_TOKS}) >= 40 AS b
+               FROM documents),
+    c AS (SELECT
+            CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+            CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                AS n10,
+            CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                AS n01,
+            CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                AS n00
+          FROM g)
+    SELECT n11, n10, n01, n00,
+           n10 + n01 AS discordant,
+           round(CASE WHEN n10 + n01 > 0
+                 THEN pow(abs(CAST(n10 AS DOUBLE) - n01) - 1.0, 2)
+                      / CAST(n10 + n01 AS DOUBLE) END, 6) AS mcnemar_chi2,
+           round(CASE WHEN n01 > 0 AND n10 > 0
+                 THEN CAST(n10 AS DOUBLE) / n01 END, 6) AS odds_ratio
+    FROM c
+    """,
+)
+def q391_mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import token_count
+    from cccatalog_spark.operators.paired_tests import mcnemar_test
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= 250).alias("a"),
+        (token_count(F.col("text")) >= 40).alias("b"),
+    )
+    return mcnemar_test(d, "a", "b")
+
+
+# ---------------------------------------------------------------------------
+# q392 — Cochran-Armitage trend test (operators/paired_tests.
+# cochran_armitage): does the high-value-order rate trend with the
+# ordered priority class (1-URGENT … 5-LOW)? One groupBy(dose) to a
+# 5-row table + a 1-row reduce.
+# ---------------------------------------------------------------------------
+@query(
+    "q392_priority_trend",
+    oracle="""
+    WITH g AS (SELECT CAST(substring(o_orderpriority, 1, 1) AS DOUBLE) AS w,
+                      CAST(count(*) AS DOUBLE) AS ni,
+                      CAST(sum(CASE WHEN o_totalprice > 150000
+                               THEN 1 ELSE 0 END) AS DOUBLE) AS ri
+               FROM orders GROUP BY 1),
+    a AS (SELECT sum(ni) AS n, sum(ri) AS r,
+                 CAST(count(*) AS BIGINT) AS k,
+                 sum(w * ri) AS swr, sum(w * ni) AS swn,
+                 sum(w * w * ni) AS swwn
+          FROM g),
+    z AS (SELECT n, k,
+                 CASE WHEN (r / n) * (1 - r / n)
+                           * (swwn - swn * swn / n) > 0
+                 THEN (swr - (r / n) * swn)
+                      / sqrt((r / n) * (1 - r / n)
+                             * (swwn - swn * swn / n)) END AS z
+          FROM a)
+    SELECT CAST(n AS BIGINT) AS n, k, round(z, 6) AS z,
+           round(z * z, 6) AS chi2_trend
+    FROM z
+    """,
+)
+def q392_priority_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.paired_tests import cochran_armitage
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring("o_orderpriority", 1, 1).cast("double").alias("dose"),
+        (F.col("o_totalprice") > 150000).alias("resp"),
+    )
+    return cochran_armitage(o, "dose", "resp")
+
+
+# ---------------------------------------------------------------------------
+# q393 — Friedman rank test (operators/paired_tests.friedman_test,
+# tie-corrected per Conover): do the 5 languages rank consistently by
+# mean document length across source blocks? Complete blocks only
+# (sources carrying all 5 langs); ranks are per-block windows, no
+# global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q393_friedman_lang_ranks",
+    oracle="""
+    WITH cells AS (SELECT source, lang, round(avg(n_chars), 6) AS v
+                   FROM documents GROUP BY 1, 2),
+    k AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS kk FROM cells),
+    comp AS (SELECT source FROM cells GROUP BY 1
+             HAVING count(DISTINCT lang) = (SELECT kk FROM k)),
+    rk AS (SELECT c.source, c.lang,
+                  rank() OVER (PARTITION BY c.source ORDER BY c.v)
+                  + (count(*) OVER (PARTITION BY c.source, c.v) - 1) / 2.0
+                      AS r
+           FROM cells c JOIN comp USING (source)),
+    pt AS (SELECT lang, sum(r) AS rj, sum(r * r) AS r2j,
+                  CAST(count(DISTINCT source) AS DOUBLE) AS nb
+           FROM rk GROUP BY 1),
+    a AS (SELECT max(nb) AS n, (SELECT kk FROM k) AS k,
+                 sum(pow(rj - nb * ((SELECT kk FROM k) + 1) / 2.0, 2)) AS s,
+                 sum(r2j) AS a2
+          FROM pt)
+    SELECT CAST(n AS BIGINT) AS n_blocks, k,
+           round(CASE WHEN a2 > n * k * pow(k + 1.0, 2) / 4.0
+                 THEN (k - 1) * s
+                      / (a2 - n * k * pow(k + 1.0, 2) / 4.0) END, 6)
+               AS friedman_stat
+    FROM a
+    """,
+)
+def q393_friedman_lang_ranks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.paired_tests import friedman_test
+
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.round(F.avg("n_chars"), 6).alias("v"))
+    )
+    return friedman_test(cells, "source", "lang", "v")
+
+
+# ---------------------------------------------------------------------------
+# q394 — Dirichlet query-likelihood retrieval (operators/retrieval.
+# query_likelihood_topk, Zhai-Lafferty SIGIR'01): the LM-based ranker
+# beside q90's BM25 — zero-tf terms still score through the collection
+# background model. Same bounded explode as BM25; the scoring join is
+# |hits|·|q| rows, never |corpus|·|q|.
+# ---------------------------------------------------------------------------
+@query(
+    "q394_query_likelihood",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_transform({_TOKS}, x -> lower(x)) AS toks
+               FROM documents),
+    s AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS c_len FROM t),
+    e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e
+           WHERE term IN ('dup', 'stream', 'merge') GROUP BY 1, 2, 3),
+    cf AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY 1),
+    hd AS (SELECT DISTINCT doc_id, dl FROM tf),
+    q AS (SELECT unnest(['dup', 'stream', 'merge']) AS term),
+    sc AS (SELECT hd.doc_id,
+             CAST(sum(CASE WHEN coalesce(tf.tf, 0) > 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+             round(sum(ln(
+               (CAST(coalesce(tf.tf, 0) AS DOUBLE)
+                + CAST(2000.0 AS DOUBLE) * cf.cf / s.c_len)
+               / (hd.dl + CAST(2000.0 AS DOUBLE)))), 6) AS score
+           FROM hd CROSS JOIN q
+           LEFT JOIN tf ON tf.doc_id = hd.doc_id AND tf.term = q.term
+           JOIN cf ON cf.term = q.term, s
+           GROUP BY 1)
+    SELECT doc_id, n_terms, score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q394_query_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.retrieval import query_likelihood_topk
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return query_likelihood_topk(
+        d, "text", "doc_id", ["dup", "stream", "merge"], k=20, mu=2000.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# q395 — quality-filter funnel attrition (operators/quality.
+# filter_funnel): the per-stage survival scorecard a corpus-cleaning
+# pipeline publishes before committing to a filter chain — cumulative
+# gates, docs and tokens retained per stage. ONE scan, one aggregate,
+# k-row stack unpivot of the 1-row result.
+# ---------------------------------------------------------------------------
+@query(
+    "q395_filter_funnel",
+    oracle=f"""
+    WITH b AS (SELECT CAST(len({_TOKS}) AS DOUBLE) AS tok,
+                      n_chars >= 100 AS g0,
+                      len({_TOKS}) >= 20 AS g1,
+                      lang IN ('en', 'de', 'fr', 'es') AS g2,
+                      CASE WHEN len({_TOKS}) > 0
+                           THEN len(list_distinct({_TOKS})) * 1.0
+                                / len({_TOKS}) >= 0.4
+                           ELSE false END AS g3
+               FROM documents),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN g0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN g0 AND g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            CAST(sum(CASE WHEN g0 AND g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n3,
+            CAST(sum(CASE WHEN g0 AND g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n4,
+            sum(CASE WHEN g0 THEN tok ELSE 0 END) AS t1,
+            sum(CASE WHEN g0 AND g1 THEN tok ELSE 0 END) AS t2,
+            sum(CASE WHEN g0 AND g1 AND g2 THEN tok ELSE 0 END) AS t3,
+            sum(CASE WHEN g0 AND g1 AND g2 AND g3 THEN tok ELSE 0 END) AS t4
+          FROM b)
+    SELECT s.stage_idx, s.stage, s.docs_in, s.docs_out,
+           round(CASE WHEN s.docs_in > 0
+                 THEN CAST(s.docs_out AS DOUBLE) / s.docs_in END, 6)
+               AS survival_frac,
+           round(CASE WHEN a.n0 > 0
+                 THEN CAST(s.docs_out AS DOUBLE) / a.n0 END, 6)
+               AS cumulative_frac,
+           CAST(s.tokens_out AS BIGINT) AS tokens_out
+    FROM a, LATERAL (VALUES
+        (CAST(1 AS BIGINT), 'min_chars', a.n0, a.n1, a.t1),
+        (CAST(2 AS BIGINT), 'min_tokens', a.n1, a.n2, a.t2),
+        (CAST(3 AS BIGINT), 'lang_known', a.n2, a.n3, a.t3),
+        (CAST(4 AS BIGINT), 'distinct_ratio', a.n3, a.n4, a.t4))
+        s(stage_idx, stage, docs_in, docs_out, tokens_out)
+    """,
+)
+def q395_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import tokens
+    from cccatalog_spark.operators.quality import filter_funnel
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nt = F.size(toks)
+    gates = [
+        ("min_chars", F.col("n_chars") >= 100),
+        ("min_tokens", nt >= 20),
+        ("lang_known", F.col("lang").isin("en", "de", "fr", "es")),
+        (
+            "distinct_ratio",
+            F.when(
+                nt > 0,
+                F.size(F.array_distinct(toks)).cast("double") / nt >= 0.4,
+            ).otherwise(F.lit(False)),
+        ),
+    ]
+    return filter_funnel(d, gates, token_col=nt.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# q396 — content-defined-chunking dedup scorecard (operators/cdc_chunk.
+# cdc_dedup_report; LBFS/rsync chunking, Muthitacharoen SOSP'01):
+# byte-shift-robust chunk dedup — shared passages produce identical
+# chunks wherever they sit. Anchors are position-independent md5
+# window hashes (expected chunk ≈ 64 chars), so chunking is pure
+# column algebra with zero shuffle; the report is one groupBy(hash).
+# ---------------------------------------------------------------------------
+@query(
+    "q396_cdc_dedup",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(
+            list_transform(
+                range(2, len([0] || list_filter(
+                        range(8, greatest(length(text), 8) + 1),
+                        i -> i < length(text)
+                             AND ('0x' || substr(md5(substr(text, i - 7, 8)),
+                                                 1, 12))::BIGINT % 64 = 0)
+                      || [length(text)]) + 1),
+                j -> substr(text,
+                            ([0] || list_filter(
+                                range(8, greatest(length(text), 8) + 1),
+                                i -> i < length(text)
+                                     AND ('0x' || substr(
+                                            md5(substr(text, i - 7, 8)),
+                                            1, 12))::BIGINT % 64 = 0)
+                              || [length(text)])[j - 1] + 1,
+                            ([0] || list_filter(
+                                range(8, greatest(length(text), 8) + 1),
+                                i -> i < length(text)
+                                     AND ('0x' || substr(
+                                            md5(substr(text, i - 7, 8)),
+                                            1, 12))::BIGINT % 64 = 0)
+                              || [length(text)])[j]
+                            - ([0] || list_filter(
+                                range(8, greatest(length(text), 8) + 1),
+                                i -> i < length(text)
+                                     AND ('0x' || substr(
+                                            md5(substr(text, i - 7, 8)),
+                                            1, 12))::BIGINT % 64 = 0)
+                              || [length(text)])[j - 1]))) AS c
+        FROM documents WHERE length(text) > 0),
+    per AS (SELECT md5(c) AS h, CAST(count(*) AS BIGINT) AS copies,
+                   max(length(c)) AS clen
+            FROM ch GROUP BY 1),
+    agg AS (SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+                   CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+                   CAST(sum(copies * clen) AS BIGINT) AS total_chars,
+                   CAST(sum(clen) AS BIGINT) AS dedup_chars,
+                   CAST(max(copies) AS BIGINT) AS max_chunk_copies
+            FROM per),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents WHERE length(text) > 0)
+    SELECT nd.n_docs, agg.n_chunks, agg.n_distinct_chunks,
+           agg.total_chars, agg.dedup_chars,
+           round(CASE WHEN agg.total_chars > 0
+                 THEN CAST(agg.dedup_chars AS DOUBLE) / agg.total_chars
+                 END, 6) AS dedup_ratio,
+           round(CAST(agg.total_chars AS DOUBLE) / agg.n_chunks, 6)
+               AS avg_chunk_len,
+           agg.max_chunk_copies
+    FROM agg, nd
+    """,
+)
+def q396_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.cdc_chunk import cdc_dedup_report
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_dedup_report(d, "text", "doc_id", w=8, modulus=64)
+
+
+# ---------------------------------------------------------------------------
+# q397 — linear CKA representation similarity (operators/features.
+# linear_cka, Kornblith ICML'19): how much embedding geometry survives
+# Matryoshka truncation to the first 16 dims — the scorecard beside
+# q261's recall-based audit and q314's JL distortion. Partial second
+# moments per Arrow batch (numpy GEMM), one groupBy merge; nothing on
+# the driver.
+# ---------------------------------------------------------------------------
+@query(
+    "q397_linear_cka",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    x AS (SELECT vec_id, i, e[i] AS xi
+          FROM v, LATERAL unnest(generate_series(1, 64)) g(i)),
+    y AS (SELECT vec_id, j, e[j] AS yj
+          FROM v, LATERAL unnest(generate_series(1, 16)) g(j)),
+    mx AS (SELECT i, sum(xi) AS s FROM x GROUP BY 1),
+    my AS (SELECT j, sum(yj) AS s FROM y GROUP BY 1),
+    xx AS (SELECT sum(pow(v2 - ma.s * mb.s / n.n, 2)) AS f FROM (
+               SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS v2
+               FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2) m
+           JOIN mx ma ON ma.i = m.i JOIN mx mb ON mb.i = m.j, n),
+    yy AS (SELECT sum(pow(v2 - ma.s * mb.s / n.n, 2)) AS f FROM (
+               SELECT a.j AS i, b.j AS j, sum(a.yj * b.yj) AS v2
+               FROM y a JOIN y b USING (vec_id) GROUP BY 1, 2) m
+           JOIN my ma ON ma.j = m.i JOIN my mb ON mb.j = m.j, n),
+    xy AS (SELECT sum(pow(v2 - ma.s * mb.s / n.n, 2)) AS f FROM (
+               SELECT a.i AS i, b.j AS j, sum(a.xi * b.yj) AS v2
+               FROM x a JOIN y b USING (vec_id) GROUP BY 1, 2) m
+           JOIN mx ma ON ma.i = m.i JOIN my mb ON mb.j = m.j, n)
+    SELECT CAST(n.n AS BIGINT) AS n,
+           round(CASE WHEN xx.f > 0 AND yy.f > 0
+                 THEN xy.f / sqrt(xx.f * yy.f) END, 6) AS cka
+    FROM n, xx, yy, xy
+    """,
+)
+def q397_linear_cka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.features import linear_cka
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("x"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("y"),
+    )
+    return linear_cka(emb, "x", "y", 64, 16).select("n", "cka")
+
+
+def _eigencent_oracle_sql(iterations: int = 6) -> str:
+    """Unrolled shifted-power-iteration oracle (CTE-per-round like
+    _pagerank_oracle_sql).  Every round CTE is MATERIALIZED: the
+    oracle engine inlines CTEs by default, and each round references
+    its predecessor twice (self + neighbor-sum), so un-materialized
+    unrolling expands the base scan 4^t-fold and exhausts file
+    handles.  The L1 normalizer is a windowed sum so each round body
+    is referenced exactly once."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+        SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                        'C' || CAST(o_custkey AS VARCHAR) AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)""",
+        """edges AS MATERIALIZED (
+        SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0)""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+        """r0 AS MATERIALIZED (
+        SELECT node, CAST(1.0 AS DOUBLE) / (count(*) OVER ()) AS r
+        FROM nodes)""",
+    ]
+    for t in range(1, iterations + 1):
+        ctes.append(
+            f"""r{t} AS MATERIALIZED (
+        SELECT node, y / sum(y) OVER () AS r FROM (
+            SELECT p.node, p.r + coalesce(s.m, CAST(0.0 AS DOUBLE)) AS y
+            FROM r{t - 1} p LEFT JOIN (
+                SELECT e.dst AS node, sum(p2.r) AS m
+                FROM edges e JOIN r{t - 1} p2 ON e.src = p2.node
+                GROUP BY e.dst) s ON s.node = p.node))"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, round(r, 8) AS rank
+    FROM r{iterations}
+    ORDER BY round(r, 8) DESC, node LIMIT 20"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q398 — eigenvector centrality (operators/graph.
+# eigenvector_centrality): shifted power iteration x ← (x + A·x)/‖·‖₁
+# over the symmetrized supplier-customer co-order graph — the
+# influence ranking beside q97's PageRank (no damping, no out-degree
+# normalization: hubs weigh by neighbor SCORE, not share). 6 fixed
+# rounds, L1 normalizer a 1-row broadcast, lineage truncated per
+# round.
+# ---------------------------------------------------------------------------
+@query("q398_eigenvector_centrality", oracle=_eigencent_oracle_sql(6))
+def q398_eigenvector_centrality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.graph import eigenvector_centrality
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    r = eigenvector_centrality(edges, iterations=6)
+    return (
+        r.select("node", F.round("r", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q399 — Page-Hinkley drift detection (operators/temporal.
+# page_hinkley): per-user mean-shift monitor over purchase values —
+# the self-centering sequential test beside q288's known-target CUSUM.
+# All prefix windows PARTITIONED BY user (no global sort, one shuffle
+# on the series key).
+# ---------------------------------------------------------------------------
+@query(
+    "q399_page_hinkley",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, value FROM events
+               WHERE event_type = 'purchase'),
+    d AS (SELECT user_id, event_id,
+                 value - avg(value) OVER w - CAST(5.0 AS DOUBLE) AS dv
+          FROM p
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    u AS (SELECT user_id, event_id, sum(dv) OVER w AS uu
+          FROM d
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ph AS (SELECT user_id, event_id, uu - min(uu) OVER w AS ph
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(max(ph), 6) AS ph_max,
+           CAST(sum(CASE WHEN ph > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+           min(CASE WHEN ph > 50.0 THEN event_id END) AS first_alarm_ord
+    FROM ph GROUP BY 1
+    """,
+)
+def q399_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import page_hinkley
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    r = page_hinkley(
+        e, "user_id", "event_id", "value", delta=5.0, threshold=50.0
+    )
+    return r.select(
+        F.col("series").alias("user_id"),
+        "n",
+        "ph_max",
+        "n_alarms",
+        "first_alarm_ord",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q400 — DP per-group mean release (operators/privacy.dp_group_means):
+# the Laplace sum/count mechanism with clipping — per-source mean
+# document length, ε split across the two noisy aggregates. Noise
+# md5-derandomized exactly like q259's histogram (distinct sub-salts
+# for sum vs count), hence SQL-replayable.
+# ---------------------------------------------------------------------------
+@query(
+    "q400_dp_group_means",
+    oracle="""
+    WITH g AS (SELECT source AS "group",
+                      CAST(count(*) AS DOUBLE) AS n,
+                      sum(least(greatest(CAST(n_chars AS DOUBLE),
+                                         CAST(0.0 AS DOUBLE)),
+                                CAST(500.0 AS DOUBLE))) AS s
+               FROM documents GROUP BY 1),
+    u AS (SELECT "group", n, s,
+            (('0x' || substring(md5('dpm:n|' || "group"), 1, 12))::BIGINT
+             + CAST(0.5 AS DOUBLE)) / CAST(281474976710656.0 AS DOUBLE)
+              AS un,
+            (('0x' || substring(md5('dpm:s|' || "group"), 1, 12))::BIGINT
+             + CAST(0.5 AS DOUBLE)) / CAST(281474976710656.0 AS DOUBLE)
+              AS us
+          FROM g),
+    r AS (SELECT "group", s,
+                 greatest(n + CAST(-2.0 AS DOUBLE)
+                     * sign(un - CAST(0.5 AS DOUBLE))
+                     * ln(1 - 2 * abs(un - CAST(0.5 AS DOUBLE))),
+                     CAST(0.0 AS DOUBLE)) AS nn,
+                 s + CAST(-1000.0 AS DOUBLE)
+                     * sign(us - CAST(0.5 AS DOUBLE))
+                     * ln(1 - 2 * abs(us - CAST(0.5 AS DOUBLE))) AS sn
+          FROM u)
+    SELECT "group", round(nn, 6) AS n_noised,
+           round(sn / greatest(nn, CAST(1.0 AS DOUBLE)), 6) AS mean_noised
+    FROM r
+    """,
+)
+def q400_dp_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.privacy import dp_group_means
+
+    d = load_table(spark, sf_dir, "documents")
+    return dp_group_means(
+        d, "source", "n_chars", clip_lo=0.0, clip_hi=500.0, epsilon=1.0
+    )
+
+
+def _ind_oracle_block(cn, cc, pn, pc) -> str:
+    return f"""
+    SELECT '{cn}.{cc}' AS child, '{pn}.{pc}' AS parent,
+           CAST(count(*) AS BIGINT) AS n_child_distinct,
+           CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contained,
+           round(CASE WHEN count(*) > 0
+                 THEN sum(CASE WHEN p.v IS NOT NULL THEN 1.0 ELSE 0 END)
+                      / count(*) END, 6) AS containment_frac,
+           sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) = count(*)
+               AS is_ind
+    FROM (SELECT DISTINCT {cc} AS v FROM {cn}
+          WHERE {cc} IS NOT NULL) c
+    LEFT JOIN (SELECT DISTINCT {pc} AS v FROM {pn}
+               WHERE {pc} IS NOT NULL) p USING (v)"""
+
+
+_IND_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+]
+
+
+# ---------------------------------------------------------------------------
+# q401 — inclusion-dependency discovery (operators/ind.
+# inclusion_dependencies): foreign-key candidate profiling across the
+# TPC-H tables — containment of distinct child keys in the parent, the
+# inter-table axis beside q373's intra-table FDs. Two
+# distinct-projections + one key semi-join per candidate; the last two
+# candidates are deliberate near-miss/negative controls.
+# ---------------------------------------------------------------------------
+@query(
+    "q401_ind_discovery",
+    oracle="\nUNION ALL\n".join(
+        _ind_oracle_block(*c) for c in _IND_CANDIDATES
+    ),
+)
+def q401_ind_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.ind import inclusion_dependencies
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("orders", "customer", "lineitem", "part", "supplier",
+                  "nation")
+    }
+    cands = [
+        (cn, t[cn], cc, pn, t[pn], pc)
+        for cn, cc, pn, pc in _IND_CANDIDATES
+    ]
+    return inclusion_dependencies(cands)
+
+
+# ---------------------------------------------------------------------------
+# q402 — Hellinger drift (operators/corpus_stats.hellinger_drift):
+# bounded-metric distribution distance between the en and zh length
+# profiles — the [0,1]-metric beside q235's unbounded PSI (reference
+# grid convention shared: ref min/max bins, edge clamping). One
+# broadcast bounds row + two 16-key groupBys.
+# ---------------------------------------------------------------------------
+@query(
+    "q402_hellinger_drift",
+    oracle="""
+    WITH ref AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                 WHERE lang = 'en' AND n_chars IS NOT NULL),
+    cur AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+            WHERE lang = 'zh' AND n_chars IS NOT NULL),
+    bd AS (SELECT min(x) AS lo, max(x) AS hi FROM ref),
+    rb AS (SELECT least(greatest(CASE WHEN bd.hi > bd.lo
+                   THEN floor((x - bd.lo) / ((bd.hi - bd.lo) / 16.0))
+                   ELSE 0 END, 0), 15) AS bin,
+                  CAST(count(*) AS DOUBLE) AS nr
+           FROM ref, bd GROUP BY 1),
+    cb AS (SELECT least(greatest(CASE WHEN bd.hi > bd.lo
+                   THEN floor((x - bd.lo) / ((bd.hi - bd.lo) / 16.0))
+                   ELSE 0 END, 0), 15) AS bin,
+                  CAST(count(*) AS DOUBLE) AS nc
+           FROM cur, bd GROUP BY 1),
+    j AS (SELECT coalesce(nr, 0.0) AS nr, coalesce(nc, 0.0) AS nc
+          FROM rb FULL JOIN cb USING (bin)),
+    t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM j)
+    SELECT CAST(max(t.tr) AS BIGINT) AS n_ref,
+           CAST(max(t.tc) AS BIGINT) AS n_cur,
+           CAST(16 AS BIGINT) AS n_bins,
+           round(sum(sqrt((j.nr / t.tr) * (j.nc / t.tc))), 6) AS bc,
+           round(sqrt(greatest(
+               1.0 - sum(sqrt((j.nr / t.tr) * (j.nc / t.tc))),
+               CAST(0.0 AS DOUBLE))), 6) AS hellinger
+    FROM j, t
+    """,
+)
+def q402_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import hellinger_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    return hellinger_drift(
+        d.where(F.col("lang") == "en"),
+        d.where(F.col("lang") == "zh"),
+        "n_chars",
+        n_bins=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q403 — linear-kernel MMD² (operators/embedding_quality.mmd_linear):
+# ‖μ_a − μ_b‖² between label-0 and label-1 embedding groups — the
+# representation-space two-sample shift test beside q235's scalar PSI.
+# One posexplode + 64-key aggregate; no kernel matrix anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "q403_mmd_shift",
+    oracle="""
+    WITH v AS (SELECT label = 0 AS is_a, embedding::DOUBLE[] AS e
+               FROM embeddings WHERE label IN (0, 1)),
+    x AS (SELECT is_a, i, e[i] AS xi
+          FROM v, LATERAL unnest(generate_series(1, 64)) g(i)),
+    d AS (SELECT i,
+                 sum(CASE WHEN is_a THEN xi END) AS sa,
+                 sum(CASE WHEN NOT is_a THEN xi END) AS sb,
+                 sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+                 sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS nb
+          FROM x GROUP BY 1)
+    SELECT CAST(sum(na) / 64 AS BIGINT) AS n_a,
+           CAST(sum(nb) / 64 AS BIGINT) AS n_b,
+           round(sum(pow(sa / na - sb / nb, 2)), 6) AS mmd2,
+           round(sqrt(sum(pow(sa / na - sb / nb, 2))), 6) AS mmd
+    FROM d
+    """,
+)
+def q403_mmd_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.embedding_quality import mmd_linear
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmd_linear(emb, "embedding", "label", 0, 1, 64)
+
+
+# ---------------------------------------------------------------------------
+# q404 — mutual k-NN pairs (operators/similarity.mutual_knn_pairs):
+# reciprocal top-5 within label blocks — the high-precision near-dup
+# verification filter (one-directional hub matches drop out). Blocked
+# self-join (Σ n_b²) + per-point window + reversed-edge semi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q404_mutual_knn",
+    oracle="""
+    WITH t AS MATERIALIZED (
+        SELECT a, b, cs, row_number() OVER (
+                   PARTITION BY a ORDER BY cs DESC, b ASC) AS rank
+        FROM (SELECT x.vec_id AS a, y.vec_id AS b,
+                     round(list_cosine_similarity(
+                         x.embedding::DOUBLE[],
+                         y.embedding::DOUBLE[]), 6) AS cs
+              FROM embeddings x JOIN embeddings y
+                ON x.label = y.label AND x.vec_id <> y.vec_id))
+    SELECT t1.a, t1.b, t1.cs AS cosine_sim,
+           CAST(t1.rank AS BIGINT) AS rank_ab,
+           CAST(t2.rank AS BIGINT) AS rank_ba
+    FROM t t1 JOIN t t2 ON t1.a = t2.b AND t1.b = t2.a
+    WHERE t1.rank <= 5 AND t2.rank <= 5 AND t1.a < t1.b
+    """,
+)
+def q404_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.similarity import mutual_knn_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = mutual_knn_pairs(emb, "embedding", "vec_id", "label", k=5)
+    return r.select(
+        "a",
+        "b",
+        "cosine_sim",
+        F.col("rank_ab").cast("long").alias("rank_ab"),
+        F.col("rank_ba").cast("long").alias("rank_ba"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q405 — class-balancing weights (operators/labeling.class_weights):
+# inverse-frequency and effective-number-of-samples (Cui CVPR'19)
+# weight tables for the lang label, both normalized to keep the loss
+# scale. One K-row count aggregate + a 1-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q405_class_weights",
+    oracle="""
+    WITH g AS (SELECT lang AS label, CAST(count(*) AS DOUBLE) AS n
+               FROM documents GROUP BY 1),
+    t AS (SELECT sum(n) AS tn, CAST(count(*) AS DOUBLE) AS k,
+                 sum((1 - CAST(0.999 AS DOUBLE))
+                     / (1 - pow(CAST(0.999 AS DOUBLE), n)) * n) AS em
+          FROM g)
+    SELECT label, CAST(n AS BIGINT) AS n,
+           round(n / tn, 6) AS share,
+           round(tn / (k * n), 6) AS inv_freq_w,
+           round((1 - CAST(0.999 AS DOUBLE))
+                 / (1 - pow(CAST(0.999 AS DOUBLE), n)) * tn / em, 6)
+               AS eff_num_w
+    FROM g, t
+    """,
+)
+def q405_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.labeling import class_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return class_weights(d, "lang", beta=0.999)
+
+
+# ---------------------------------------------------------------------------
+# q406 — per-source KL from the corpus LM (operators/corpus_stats.
+# kl_to_corpus): "which source deviates most from the corpus unigram
+# distribution", exact over the top-50 + OTHER bucketed vocabulary
+# (no dense group×vocab grid, no smoothing). One (group, term)
+# aggregate + a broadcast top-k catalog + a 51-bucket re-aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q406_source_kl",
+    oracle=f"""
+    WITH gt AS MATERIALIZED (
+        SELECT source AS grp, term, count(*) AS c
+        FROM (SELECT source,
+                     unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+    top AS MATERIALIZED (
+        SELECT term FROM (SELECT term, sum(c) AS cc FROM gt GROUP BY 1)
+        ORDER BY cc DESC, term ASC LIMIT 50),
+    b AS MATERIALIZED (
+        SELECT grp, CASE WHEN term IN (SELECT term FROM top)
+                    THEN term ELSE '<other tokens>' END AS bucket,
+               sum(c) AS c
+        FROM gt GROUP BY 1, 2),
+    q AS (SELECT bucket, sum(c) AS qc FROM b GROUP BY 1),
+    qn AS (SELECT CAST(sum(c) AS DOUBLE) AS qn FROM b),
+    tt AS (SELECT grp, CAST(sum(c) AS DOUBLE) AS pn FROM b GROUP BY 1)
+    SELECT b.grp AS "group",
+           CAST(max(tt.pn) AS BIGINT) AS n_tokens,
+           round(sum((b.c / tt.pn)
+                     * ln((b.c / tt.pn) / (q.qc / qn.qn))), 6) AS kl,
+           round(sum(CASE WHEN b.bucket <> '<other tokens>'
+                     THEN b.c ELSE 0 END) / max(tt.pn), 6)
+               AS top_term_share
+    FROM b JOIN q USING (bucket) JOIN tt USING (grp), qn
+    GROUP BY 1
+    """,
+)
+def q406_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import kl_to_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    return kl_to_corpus(d, "text", "source", top_k=50)
+
+
+_BPE_RE_SQL = (
+    r"'''(?:s|d|m|t|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'"
+)
+
+
+# ---------------------------------------------------------------------------
+# q407 — Borda-count rank aggregation (operators/retrieval.
+# borda_fuse): three quality rankers (chars, BPE tokens, lexical
+# distinctness) fused by linear positional points — the social-choice
+# sibling of q100's top-heavy RRF. Inputs pre-bounded to top-50
+# (TakeOrdered heaps), fusion one O(N·50) groupBy.
+# ---------------------------------------------------------------------------
+@query(
+    "q407_borda_fusion",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               len(regexp_extract_all(text, {_BPE_RE_SQL})) AS nb,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})
+                    ELSE 0.0 END AS dr
+        FROM documents),
+    r1 AS (SELECT doc_id, row_number() OVER (
+               ORDER BY n_chars DESC, doc_id ASC) AS rnk FROM base),
+    r2 AS (SELECT doc_id, row_number() OVER (
+               ORDER BY nb DESC, doc_id ASC) AS rnk FROM base),
+    r3 AS (SELECT doc_id, row_number() OVER (
+               ORDER BY dr DESC, doc_id ASC) AS rnk FROM base),
+    u AS (SELECT * FROM r1 WHERE rnk <= 50
+          UNION ALL SELECT * FROM r2 WHERE rnk <= 50
+          UNION ALL SELECT * FROM r3 WHERE rnk <= 50)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+           CAST(sum(51 - rnk) AS BIGINT) AS borda_points
+    FROM u GROUP BY 1
+    ORDER BY borda_points DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q407_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import bpe_token_count, tokens
+    from cccatalog_spark.operators.retrieval import borda_fuse, with_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").alias("s1"),
+        bpe_token_count(F.col("text")).alias("s2"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s3"),
+    )
+    rankings = [
+        with_rank(
+            base.orderBy(F.desc(c), F.asc("doc_id")).limit(50), c, "doc_id"
+        )
+        for c in ("s1", "s2", "s3")
+    ]
+    return borda_fuse(rankings, "doc_id", list_len=50, k=20)
+
+
+# ---------------------------------------------------------------------------
+# q408 — Kendall's W concordance (operators/preferences.kendalls_w,
+# tie-corrected): do the three quality rankers of q407 agree at all?
+# The multi-ranker generalization of q309's pairwise Kendall tau.
+# Per-ranker rank windows (partitioned), two catalog aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "q408_kendalls_w",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS s1,
+               CAST(len(regexp_extract_all(text, {_BPE_RE_SQL})) AS DOUBLE)
+                   AS s2,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})
+                    ELSE 0.0 END AS s3
+        FROM documents),
+    melt AS (SELECT doc_id, 'r1' AS rk, s1 AS v FROM base
+             UNION ALL SELECT doc_id, 'r2', s2 FROM base
+             UNION ALL SELECT doc_id, 'r3', s3 FROM base),
+    rk AS (SELECT doc_id, rk,
+                  rank() OVER (PARTITION BY rk ORDER BY v)
+                  + (count(*) OVER (PARTITION BY rk, v) - 1) / 2.0 AS r,
+                  v
+           FROM melt),
+    pi AS (SELECT doc_id, sum(r) AS ri, count(*) AS m FROM rk GROUP BY 1),
+    tie AS (SELECT coalesce(sum(pow(t, 3) - t), 0.0) AS tsum FROM (
+                SELECT CAST(count(*) AS DOUBLE) AS t
+                FROM rk GROUP BY rk.rk, rk.v)),
+    agg AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(max(m) AS DOUBLE) AS m,
+                   sum(ri * ri) AS r2
+            FROM pi)
+    SELECT CAST(n AS BIGINT) AS n_items, CAST(m AS BIGINT) AS m_rankers,
+           round(CASE WHEN m * m * (pow(n, 3) - n) - m * tsum > 0
+                 THEN (12.0 * r2 - 3.0 * m * m * n * pow(n + 1, 2))
+                      / (m * m * (pow(n, 3) - n) - m * tsum) END, 6) AS w
+    FROM agg, tie
+    """,
+)
+def q408_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import bpe_token_count, tokens
+    from cccatalog_spark.operators.preferences import kendalls_w
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("s1"),
+        bpe_token_count(F.col("text")).cast("double").alias("s2"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s3"),
+    )
+    melted = base.select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'r1', s1, 'r2', s2, 'r3', s3) as (rk, v)"
+        ),
+    )
+    return kendalls_w(melted, "doc_id", "rk", "v")
+
+
+# ---------------------------------------------------------------------------
+# q409 — Cronbach's alpha (operators/experiments.cronbach_alpha): do
+# the three bounded quality subscores measure one construct? Variances
+# from explicit (Σx, Σx²) sums so both engines evaluate the identical
+# formula. ONE aggregate over the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q409_cronbach_alpha",
+    oracle=f"""
+    WITH b AS (
+        SELECT least(CAST(n_chars AS DOUBLE), 500.0) / 500.0 AS s1,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})
+                    ELSE 0.0 END AS s2,
+               least(CAST(len({_TOKS}) AS DOUBLE), 100.0) / 100.0 AS s3
+        FROM documents),
+    a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 sum(s1) AS x1, sum(s1 * s1) AS q1,
+                 sum(s2) AS x2, sum(s2 * s2) AS q2,
+                 sum(s3) AS x3, sum(s3 * s3) AS q3,
+                 sum(s1 + s2 + s3) AS xt,
+                 sum((s1 + s2 + s3) * (s1 + s2 + s3)) AS qt
+          FROM b)
+    SELECT CAST(n AS BIGINT) AS n, CAST(3 AS BIGINT) AS k,
+           round(CASE WHEN n > 1
+                      AND (qt - xt * xt / n) / (n - 1) > 0
+                 THEN 1.5 * (1.0
+                      - ((q1 - x1 * x1 / n) / (n - 1)
+                         + (q2 - x2 * x2 / n) / (n - 1)
+                         + (q3 - x3 * x3 / n) / (n - 1))
+                        / ((qt - xt * xt / n) / (n - 1))) END, 6) AS alpha
+    FROM a
+    """,
+)
+def q409_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import tokens
+    from cccatalog_spark.operators.experiments import cronbach_alpha
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    b = d.select(
+        (F.least(F.col("n_chars").cast("double"), F.lit(500.0)) / 500.0)
+        .alias("s1"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s2"),
+        (
+            F.least(F.size(toks).cast("double"), F.lit(100.0)) / 100.0
+        ).alias("s3"),
+    )
+    return cronbach_alpha(b, ["s1", "s2", "s3"])
+
+
+# ---------------------------------------------------------------------------
+# q410 — radius (caliper) matching ATT (operators/experiments.
+# caliper_matching): zh-vs-en lexical-distinctness effect matched on
+# document length — the matching estimator beside q328's diff-in-diff
+# and q327's balance table. The range join is BANDED (caliper-width
+# buckets ±1, the geo-radius pattern), never treated×controls.
+# ---------------------------------------------------------------------------
+@query(
+    "q410_caliper_matching",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang = 'zh' AS tr,
+               CAST(n_chars AS DOUBLE) AS x,
+               CASE WHEN len({_TOKS}) > 0
+                    THEN len(list_distinct({_TOKS})) * 1.0 / len({_TOKS})
+                    ELSE 0.0 END AS y
+        FROM documents WHERE lang IN ('zh', 'en')),
+    t AS (SELECT * FROM b WHERE tr),
+    c AS (SELECT * FROM b WHERE NOT tr),
+    m AS (SELECT t.doc_id, t.y, avg(c.y) AS ybar
+          FROM t JOIN c ON abs(t.x - c.x) <= 15.0
+          GROUP BY 1, 2),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM t)
+    SELECT nt.n_treated,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           round(count(*) * 1.0 / nt.n_treated, 6) AS match_rate,
+           round(avg(m.y - m.ybar), 6) AS att
+    FROM m, nt GROUP BY 1
+    """,
+)
+def q410_caliper_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.functions.text import tokens
+    from cccatalog_spark.operators.experiments import caliper_matching
+
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("lang").isin("zh", "en")
+    )
+    toks = tokens(F.col("text"))
+    b = d.select(
+        "doc_id",
+        (F.col("lang") == "zh").alias("tr"),
+        F.col("n_chars").cast("double").alias("x"),
+        F.when(
+            F.size(toks) > 0,
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    return caliper_matching(b, "doc_id", "tr", "x", "y", caliper=15.0)
+
+
+# ---------------------------------------------------------------------------
+# q411 — Davies-Bouldin index (operators/cluster_eval.davies_bouldin):
+# centroid-based cluster-separation scorecard beside q253's
+# silhouette — two corpus passes (centroid catalog, scatters against
+# the broadcast catalog), then a k²-row catalog pair join.
+# ---------------------------------------------------------------------------
+@query(
+    "q411_davies_bouldin",
+    oracle="""
+    WITH v AS (SELECT vec_id, label AS c, embedding::DOUBLE[] AS x
+               FROM embeddings),
+    ex AS (SELECT vec_id, c, i, x[i] AS xi
+           FROM v, LATERAL unnest(generate_series(1, 64)) g(i)),
+    cent AS (SELECT c, i, avg(xi) AS m FROM ex GROUP BY 1, 2),
+    d AS (SELECT e.vec_id, e.c, sqrt(sum(pow(e.xi - ct.m, 2))) AS dist
+          FROM ex e JOIN cent ct ON ct.c = e.c AND ct.i = e.i
+          GROUP BY 1, 2),
+    s AS (SELECT c, avg(dist) AS sc FROM d GROUP BY 1),
+    mm AS (SELECT a.c AS ca, b.c AS cb,
+                  sqrt(sum(pow(a.m - b.m, 2))) AS m
+           FROM cent a JOIN cent b ON a.i = b.i AND a.c <> b.c
+           GROUP BY 1, 2),
+    r AS (SELECT mm.ca, max((sa.sc + sb.sc) / mm.m) AS rmax
+          FROM mm JOIN s sa ON sa.c = mm.ca JOIN s sb ON sb.c = mm.cb
+          GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS k,
+           round(avg(rmax), 6) AS db_index
+    FROM r
+    """,
+)
+def q411_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.cluster_eval import davies_bouldin
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return davies_bouldin(emb, "embedding", "label")
+
+
+# ---------------------------------------------------------------------------
+# q412 — streaming Page-Hinkley drift monitor (streaming/stateful.
+# page_hinkley_tracker): q399's self-centering mean-shift test carried
+# as per-key state across two micro-batches (ntile order-preserving
+# split, oldest-first drain) — the online drift watch for ingest-time
+# quality scores. State is seven scalars per key; the exact oracle
+# replays the identical prefix recursion in window algebra.
+# ---------------------------------------------------------------------------
+@query(
+    "q412_stream_page_hinkley",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, value FROM events
+               WHERE event_type = 'view'),
+    d AS (SELECT user_id, event_id,
+                 value - avg(value) OVER w - CAST(5.0 AS DOUBLE) AS dv
+          FROM p
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    u AS (SELECT user_id, event_id, sum(dv) OVER w AS uu
+          FROM d
+          WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    ph AS (SELECT user_id, event_id, uu - min(uu) OVER w AS ph
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(max(ph), 6) AS ph_max,
+           CAST(sum(CASE WHEN ph > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+           min(CASE WHEN ph > 50.0 THEN event_id END) AS first_alarm_ord
+    FROM ph GROUP BY 1
+    """,
+)
+def q412_stream_page_hinkley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from cccatalog_spark.streaming.stateful import page_hinkley_tracker
+
+    base = tempfile.mkdtemp(prefix="ccc_sph_")
+    src = os.path.join(base, "in")
+    os.makedirs(src)
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "view"
+    ).select("user_id", "event_id", "value")
+    halved = e.withColumn(
+        "_half", F.ntile(2).over(Window.orderBy("event_id"))
+    )
+    now = time.time()
+    batches = [
+        halved.where(F.col("_half") == 1).drop("_half"),
+        halved.where(F.col("_half") == 2).drop("_half"),
+    ]
+    for i, b in enumerate(batches):
+        stage = os.path.join(base, f"stage{i}")
+        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
+        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
+        if parts:
+            dst = os.path.join(src, f"batch{i}.tsv")
+            os.rename(os.path.join(stage, parts[0]), dst)
+            os.utime(dst, (now - 120 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.option("sep", "\t")
+        .schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .csv(src)
+    )
+    tracked = page_hinkley_tracker(
+        stream, "user_id", "value", "event_id", delta=5.0, threshold=50.0
+    )
+    sink = f"q412_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        tracked.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max_by("ph_max", "n"), 6).alias("ph_max"),
+            F.max_by("n_alarms", "n").alias("n_alarms"),
+            F.max_by("first_alarm_ord", "n").alias("first_alarm_ord"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q413 — UMass topic coherence (operators/coherence.umass_coherence,
+# Mimno EMNLP'11): are each lang's top-10 frequent terms actually
+# co-used in documents? The scorecard beside q228's class-TFIDF term
+# proposals. Candidate-filtered incidence BEFORE the co-occurrence
+# self-join (broadcast semi-join on ≤ m·|groups| terms), doc-frequency
+# smoothing +1 per the original.
+# ---------------------------------------------------------------------------
+@query(
+    "q413_topic_coherence",
+    oracle=f"""
+    WITH base AS (SELECT doc_id AS doc, lang AS grp,
+                         list_transform({_TOKS}, x -> lower(x)) AS t
+                  FROM documents),
+    gt AS (SELECT grp, term, count(*) AS c FROM (
+               SELECT grp, unnest(t) AS term FROM base) GROUP BY 1, 2),
+    top AS MATERIALIZED (
+        SELECT grp, term, rnk FROM (
+            SELECT grp, term, row_number() OVER (
+                PARTITION BY grp ORDER BY c DESC, term ASC) AS rnk
+            FROM gt) WHERE rnk <= 10),
+    cand AS (SELECT DISTINCT term FROM top),
+    inc AS MATERIALIZED (
+        SELECT DISTINCT doc, term FROM (
+            SELECT doc, unnest(t) AS term FROM base)
+        WHERE term IN (SELECT term FROM cand)),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+              FROM inc GROUP BY 1),
+    cooc AS (SELECT x.term AS ta, y.term AS tb,
+                    CAST(count(*) AS DOUBLE) AS dab
+             FROM inc x JOIN inc y
+               ON x.doc = y.doc AND x.term < y.term
+             GROUP BY 1, 2),
+    pairs AS (SELECT pi.grp, pi.term AS ti, pj.term AS tj,
+                     least(pi.term, pj.term) AS ka,
+                     greatest(pi.term, pj.term) AS kb
+              FROM top pi JOIN top pj
+                ON pi.grp = pj.grp AND pi.rnk > pj.rnk),
+    sc AS (SELECT p.grp,
+                  ln((coalesce(c.dab, 0.0) + 1.0) / d.df) AS s
+           FROM pairs p
+           LEFT JOIN cooc c ON c.ta = p.ka AND c.tb = p.kb
+           JOIN dfreq d ON d.term = p.tj),
+    nt AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_terms
+           FROM top GROUP BY 1)
+    SELECT nt.grp AS "group", nt.n_terms,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(sc.s), 6) AS umass
+    FROM sc JOIN nt ON nt.grp = sc.grp
+    GROUP BY 1, 2
+    """,
+)
+def q413_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.coherence import umass_coherence
+
+    d = load_table(spark, sf_dir, "documents")
+    return umass_coherence(d, "text", "doc_id", "lang", top_m=10)
+
+
+# ---------------------------------------------------------------------------
+# q414 — Wilcoxon signed-rank (operators/experiments.
+# wilcoxon_signed_rank): PAIRED position-bias test — per document, the
+# BPE-token count of the first half minus the second half; the paired
+# complement of q256's Mann-Whitney. Ranks from the |d| value catalog
+# (cumulative window over distincts), never a data-wide sort.
+# ---------------------------------------------------------------------------
+@query(
+    "q414_wilcoxon_signed_rank",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(len(regexp_extract_all(
+                   substr(text, 1,
+                          CAST(floor(length(text) / 2) AS INT)),
+                   {_BPE_RE_SQL})) AS DOUBLE)
+               - len(regexp_extract_all(
+                   substr(text,
+                          CAST(floor(length(text) / 2) AS INT) + 1),
+                   {_BPE_RE_SQL})) AS dd
+        FROM documents),
+    cat AS (SELECT abs(dd) AS a, CAST(count(*) AS DOUBLE) AS t,
+                   CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       AS tp
+            FROM d WHERE dd <> 0 GROUP BY 1),
+    r AS (SELECT t, tp,
+                 sum(t) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+                 - t + (t + 1) / 2.0 AS rr
+          FROM cat),
+    a AS (SELECT sum(t) AS n, sum(tp * rr) AS wp,
+                 sum(pow(t, 3) - t) AS tsum
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_nonzero,
+           round(wp, 6) AS w_plus,
+           round(CASE WHEN n * (n + 1) * (2 * n + 1) / 24.0
+                           - tsum / 48.0 > 0
+                 THEN (wp - n * (n + 1) / 4.0)
+                      / sqrt(n * (n + 1) * (2 * n + 1) / 24.0
+                             - tsum / 48.0) END, 6) AS z
+    FROM a
+    """,
+)
+def q414_wilcoxon_signed_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.experiments import wilcoxon_signed_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (
+            F.expr(
+                "CAST(size(regexp_extract_all(substring(text, 1, "
+                "CAST(floor(length(text) / 2) AS INT)), "
+                f"{_BPE_RE_SQL!r}"
+                ", 0)) AS DOUBLE)"
+            )
+            - F.expr(
+                "size(regexp_extract_all(substring(text, "
+                "CAST(floor(length(text) / 2) AS INT) + 1, "
+                "length(text)), "
+                f"{_BPE_RE_SQL!r}"
+                ", 0))"
+            )
+        ).alias("dd")
+    )
+    return wilcoxon_signed_rank(d, "dd")
+
+
+# ---------------------------------------------------------------------------
+# q415 — Mood's median test (operators/experiments.mood_median_test):
+# robust k-group location test on document length — the median-based
+# sibling of q369's Kruskal-Wallis. Grand median from the value
+# CATALOG cumsum (mad_outliers pattern), contingency one
+# groupBy(lang).
+# ---------------------------------------------------------------------------
+@query(
+    "q415_mood_median",
+    oracle="""
+    WITH cat AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS c
+                 FROM documents GROUP BY 1),
+    cum AS (SELECT v,
+                   sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS cm,
+                   sum(c) OVER () AS n
+            FROM cat),
+    med AS (SELECT min(CASE WHEN cm >= greatest(ceil(0.5 * n), 1)
+                       THEN v END) AS gm
+            FROM cum),
+    g AS (SELECT lang AS grp, med.gm,
+                 CAST(sum(CASE WHEN n_chars > med.gm THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS a,
+                 CAST(sum(CASE WHEN n_chars <= med.gm THEN 1 ELSE 0 END)
+                      AS DOUBLE) AS b
+          FROM documents, med GROUP BY 1, 2),
+    tot AS (SELECT sum(a + b) AS n, sum(a) AS ta, sum(b) AS tb,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM g)
+    SELECT CAST(tot.n AS BIGINT) AS n, tot.k,
+           round(max(g.gm), 6) AS grand_median,
+           round(sum(pow(g.a - (g.a + g.b) * tot.ta / tot.n, 2)
+                     / ((g.a + g.b) * tot.ta / tot.n)
+                     + pow(g.b - (g.a + g.b) * tot.tb / tot.n, 2)
+                     / ((g.a + g.b) * tot.tb / tot.n)), 6) AS chi2,
+           CAST(tot.k - 1 AS BIGINT) AS dof
+    FROM g, tot GROUP BY 1, 2
+    """,
+)
+def q415_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.experiments import mood_median_test
+
+    d = load_table(spark, sf_dir, "documents")
+    return mood_median_test(d, "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q416 — character-bigram entropy rate (operators/corpus_stats.
+# char_entropy_rate): per-lang H(c2|c1) in nats — the order-1 Shannon
+# entropy-rate health signal beside q357's event-transition entropy
+# (template/mojibake text scores low). Margins from windows over the
+# bigram CATALOG (alphabet²-bounded), one corpus count total.
+# ---------------------------------------------------------------------------
+@query(
+    "q416_char_entropy_rate",
+    oracle="""
+    WITH bg AS (
+        SELECT lang AS "group", b, CAST(count(*) AS DOUBLE) AS n12
+        FROM (SELECT lang,
+                     unnest(list_transform(
+                         range(1, greatest(length(text) - 1, 0) + 1),
+                         i -> substr(text, i, 2))) AS b
+              FROM documents WHERE length(text) >= 2)
+        GROUP BY 1, 2),
+    x AS (SELECT "group", n12, substr(b, 1, 1) AS c1,
+                 sum(n12) OVER (PARTITION BY "group", substr(b, 1, 1))
+                     AS n1,
+                 sum(n12) OVER (PARTITION BY "group") AS nn
+          FROM bg)
+    SELECT "group", CAST(max(nn) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT c1) AS BIGINT) AS n_contexts,
+           round(sum((n12 / nn) * ln(n1 / n12)), 6) AS entropy_rate
+    FROM x GROUP BY 1
+    """,
+)
+def q416_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import char_entropy_rate
+
+    d = load_table(spark, sf_dir, "documents")
+    return char_entropy_rate(d, "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q417 — term burstiness (operators/corpus_stats.term_burstiness,
+# Church-Gale 1995): Fano factor of per-document counts for the
+# top-50 terms — bursty terms flag templates/boilerplate the way no
+# global count can. Candidate semi-join BEFORE the per-doc aggregate;
+# variance in closed form so zero rows never materialize.
+# ---------------------------------------------------------------------------
+@query(
+    "q417_term_burstiness",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id,
+                       unnest(list_transform({_TOKS}, x -> lower(x)))
+                           AS term
+                FROM documents),
+    corpus AS (SELECT term, count(*) AS cf FROM ex GROUP BY 1),
+    top AS (SELECT term FROM corpus ORDER BY cf DESC, term ASC LIMIT 50),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    pd AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM ex WHERE term IN (SELECT term FROM top)
+           GROUP BY 1, 2),
+    st AS (SELECT term, sum(tf) AS cf, CAST(count(*) AS DOUBLE) AS df,
+                  sum(tf * tf) AS q
+           FROM pd GROUP BY 1)
+    SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df,
+           round((q / nd.nd - pow(cf / nd.nd, 2)) / (cf / nd.nd), 6)
+               AS fano,
+           round(cf / df, 6) AS mean_in_doc
+    FROM st, nd
+    ORDER BY fano DESC, term ASC
+    """,
+)
+def q417_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.corpus_stats import term_burstiness
+
+    d = load_table(spark, sf_dir, "documents")
+    return term_burstiness(d, "text", "doc_id", top_k=50)

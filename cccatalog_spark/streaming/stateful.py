@@ -588,3 +588,87 @@ def hll_distinct_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def page_hinkley_tracker(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    delta: float,
+    threshold: float,
+) -> DataFrame:
+    """Per-key Page-Hinkley mean-shift monitor carried across
+    micro-batches — the ONLINE form of operators/temporal.page_hinkley
+    (same recursion: running mean m_t, U_t = Σ(x_i − m_i − δ), alarm
+    when U_t − min U > λ), for drift-watching a quality-score stream
+    as it ingests.  Rows fold in ``order_col`` order within each batch
+    under the loader's oldest-first batch contract, so the fold equals
+    the batch-mode prefix windows and the exact SQL oracle replays it.
+
+    Each trigger emits the key's updated ``(n, ph_max, n_alarms,
+    first_alarm_ord)``; the latest emission (max n) is current.
+
+    State: six scalars + the first-alarm ordinal per key — O(distinct
+    keys), RocksDB-backed at scale (same surface note as
+    :func:`ewma_tracker` re transformWithStateInPandas).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, s, u, minu, phmax, alarms, first = state.get
+        else:
+            n, s, u, minu, phmax, alarms, first = 0, 0.0, 0.0, 0.0, 0.0, 0, None
+        batch = pd.concat(list(pdfs))
+        for _, row in batch.sort_values(order_col).iterrows():
+            x = float(row[value_col])
+            n += 1
+            s += x
+            u += x - s / n - delta
+            # prefix-min of U INCLUDING the current row (the batch
+            # twin's window frame) — the first row's min is itself
+            minu = u if n == 1 else min(minu, u)
+            ph = u - minu
+            phmax = max(phmax, ph)
+            if ph > threshold:
+                alarms += 1
+                if first is None:
+                    first = int(row[order_col])
+        state.update(
+            (
+                int(n),
+                float(s),
+                float(u),
+                float(minu),
+                float(phmax),
+                int(alarms),
+                first,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "ph_max": [phmax],
+                "n_alarms": [alarms],
+                "first_alarm_ord": [first],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            f"{key_col} long, n long, ph_max double, n_alarms long, "
+            "first_alarm_ord long"
+        ),
+        stateStructType=(
+            "n long, s double, u double, minu double, phmax double, "
+            "alarms long, first long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

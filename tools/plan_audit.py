@@ -39,6 +39,34 @@ SANCTIONED_BNLJ = {
     # the established pattern; none joins two corpus-sized sides
     "q372_knn_shapley": "bounded probe-catalog broadcast (<=200 eval "
     "rows by construction) scored against the train scan",
+    "q391_mcnemar_gates": "1-row contingency fold (conditional sums)",
+    "q392_priority_trend": "1-row trend-moment fold",
+    "q393_friedman_lang_ranks": "1-row k-catalog broadcast onto the "
+    "block-completeness filter + 1-row reduce",
+    "q395_filter_funnel": "1-row funnel aggregate unpivoted via stack",
+    "q396_cdc_dedup": "1-row doc-count broadcast onto the chunk "
+    "rollup",
+    "q397_linear_cka": "<= (dx*dy)-row moment-catalog self-combines "
+    "+ 1-row n broadcast (single persisted gram pass)",
+    "q398_eigenvector_centrality": "1-row L1-normalizer broadcast per "
+    "round (the pagerank discipline)",
+    "q400_dp_group_means": "k-row group catalog only (noise is "
+    "column algebra)",
+    "q401_ind_discovery": "per-candidate 1-row count x 1-row count "
+    "cross (distinct-key catalogs)",
+    "q402_hellinger_drift": "1-row bounds + 1-row totals broadcast "
+    "over the 16-bin catalog",
+    "q403_mmd_shift": "1-row per-dimension moment fold",
+    "q405_class_weights": "1-row normalizer broadcast over the K-row "
+    "label catalog",
+    "q406_source_kl": "1-row corpus-total + 51-bucket catalog "
+    "broadcasts",
+    "q408_kendalls_w": "1-row tie-correction scalar broadcast",
+    "q409_cronbach_alpha": "1-row moment fold",
+    "q410_caliper_matching": "1-row n_treated broadcast onto the "
+    "matched-unit aggregate",
+    "q411_davies_bouldin": "k-row centroid-catalog pair join (k^2 "
+    "rows, corpus never pairs)",
     "q374_bcubed_eval": "8-row seed-catalog broadcast argmin (the "
     "kmeans_assign sanction)",
     "q377_heavy_hitters": "1-row corpus-total broadcast onto the "

@@ -523,6 +523,72 @@ FAMILIES = {
         "q254_stream_lsh_neardup",
         {"joins": 0, "exchanges": 1},
     ),
+    # CDC chunking: anchor hashes are position-independent column
+    # algebra, so chunk explode is SHUFFLE-FREE; the 5 exchanges are
+    # the hash-dedup aggregate + the 1-row doc-count broadcast
+    # (cdc_chunk.cdc_dedup_report).
+    "cdc-chunking-zero-shuffle": (
+        "q396_cdc_dedup",
+        {"joins": 0, "exchanges": 5},
+    ),
+    # linear CKA: ONE persisted mapInPandas gram pass feeds all seven
+    # moment branches; everything downstream is catalog algebra on
+    # ≤(dx²+dx·dy+dy²)-row frames. String budget includes persisted-
+    # subtree reprints (features.linear_cka).
+    "cka-single-gram-pass": (
+        "q397_linear_cka",
+        {"joins": 6, "exchanges": 29},
+    ),
+    # eigenvector centrality: per-round lineage cuts mean the returned
+    # frame reads the round-6 checkpoint — zero replanned exchanges
+    # (the pagerank discipline; graph.eigenvector_centrality).
+    "eigencent-lineage-cut": (
+        "q398_eigenvector_centrality",
+        {"joins": 0, "exchanges": 0},
+    ),
+    # Page-Hinkley: all three prefix windows are PARTITIONED BY the
+    # series key — one shuffle total, no global sort
+    # (temporal.page_hinkley).
+    "page-hinkley-partitioned-windows": (
+        "q399_page_hinkley",
+        {"joins": 0, "exchanges": 1, "global_window": False},
+    ),
+    # IND discovery: one distinct-key semi-join per candidate pair —
+    # 6 candidates => 6 joins; never a row-level join
+    # (ind.inclusion_dependencies).
+    "ind-semi-join-per-candidate": (
+        "q401_ind_discovery",
+        {"joins": 6, "exchanges": 30},
+    ),
+    # mutual kNN: block-keyed self-join + per-point window + ONE
+    # reversed-edge join of the persisted top-k frame — candidates are
+    # Σ n_b², never corpus² (similarity.mutual_knn_pairs).
+    "mutual-knn-blocked": (
+        "q404_mutual_knn",
+        {"joins": 3, "exchanges": 8},
+    ),
+    # KL-to-corpus: the token explode runs ONCE into the persisted
+    # (group, term) rollup; top-k catalog is TakeOrdered + broadcast;
+    # the KL re-aggregate runs over (top_k+1) buckets
+    # (corpus_stats.kl_to_corpus).
+    "kl-bucketed-vocab": (
+        "q406_source_kl",
+        {"joins": 6, "exchanges": 28},
+    ),
+    # caliper matching: the range join is BANDED (caliper-width
+    # buckets ±1, the geo-radius pattern) — ONE join, candidates
+    # density-bounded (experiments.caliper_matching).
+    "caliper-banded-join": (
+        "q410_caliper_matching",
+        {"joins": 1, "exchanges": 6},
+    ),
+    # Davies-Bouldin: two corpus passes (centroid catalog, scatter
+    # against the broadcast catalog); the (i,j) stage is a k²-row
+    # catalog join (cluster_eval.davies_bouldin).
+    "davies-bouldin-catalog-pairs": (
+        "q411_davies_bouldin",
+        {"joins": 4, "exchanges": 17},
+    ),
 }
 
 
