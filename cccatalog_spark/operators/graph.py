@@ -1754,16 +1754,20 @@ def eigenvector_centrality(
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
+        # persist y: both the L1-normalizer aggregate and the division
+        # read it — without the persist each round computes the
+        # x⋈edges join twice
         y = x.join(msgs, F.col("node") == F.col("dst"), "left").select(
             "node",
             (F.col("r") + F.coalesce(F.col("m"), F.lit(0.0))).alias("y"),
-        )
+        ).persist()
         s = y.agg(F.sum("y").alias("s"))
         new_x = _truncate_lineage(
             y.crossJoin(F.broadcast(s)).select(
                 "node", (F.col("y") / F.col("s")).alias("r")
             )
         )
+        y.unpersist()
         x = new_x
     und.unpersist()
     nodes.unpersist()

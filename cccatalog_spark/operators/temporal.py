@@ -1201,3 +1201,83 @@ def page_hinkley(
             ).alias("first_alarm_ord"),
         )
     )
+
+
+def markov_hitting_time(
+    events: DataFrame,
+    key_col: str,
+    order_col: str,
+    state_col: str,
+    target: str,
+    horizon: int = 8,
+) -> DataFrame:
+    """Truncated expected hitting time to an absorbing target state
+    over the empirical Markov chain of per-key event sequences: for
+    each non-target state s, E[min(steps to reach ``target``, H)]
+    under the MLE transition matrix — "how many interactions until a
+    purchase, starting from a view" as one number per state.
+
+    The recursion h⁰ ≡ 0;  hᵗ(s) = 1 + Σ_s' P(s,s')·hᵗ⁻¹(s') with
+    h(target) ≡ 0, unrolled ``horizon`` times — the truncated
+    Neumann series of (I−Q)⁻¹𝟙, exactly replayable in SQL (same
+    unrolled-CTE discipline as pagerank's oracle).
+
+    Returns ``(state, n_out, p_to_target, hitting_time)``.
+
+    Scale shape: ONE corpus pass builds the k²-row transition catalog
+    (lead window per key); every iteration is a k²⋈k catalog join —
+    corpus size never re-enters.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    trans = (
+        events.select(
+            F.col(state_col).alias("s"),
+            F.lead(state_col).over(w).alias("s2"),
+        )
+        .where(F.col("s2").isNotNull())
+        .groupBy("s", "s2")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    tot = trans.groupBy("s").agg(F.sum("c").alias("n_out"))
+    p = (
+        trans.join(tot, "s")
+        .select("s", "s2", (F.col("c") / F.col("n_out")).alias("p"))
+        .persist()  # k²-row catalog read every round
+    )
+    states = p.select("s").distinct().where(F.col("s") != target)
+    h = states.withColumn("h", F.lit(0.0))
+    for _ in range(horizon):
+        nxt = (
+            p.where(F.col("s") != target)
+            .join(
+                h.select(F.col("s").alias("s2"), F.col("h").alias("h2")),
+                "s2",
+                "left",
+            )
+            .groupBy("s")
+            .agg(
+                (
+                    F.lit(1.0)
+                    + F.sum(
+                        F.col("p") * F.coalesce(F.col("h2"), F.lit(0.0))
+                    )
+                ).alias("h")
+            )
+        )
+        h = nxt
+    pt = p.where(F.col("s2") == target).select(
+        "s", F.col("p").alias("p_to_target")
+    )
+    out = (
+        h.join(tot, "s")
+        .join(pt, "s", "left")
+        .select(
+            F.col("s").alias("state"),
+            F.col("n_out").cast("long").alias("n_out"),
+            F.round(F.coalesce("p_to_target", F.lit(0.0)), 6).alias(
+                "p_to_target"
+            ),
+            F.round("h", 6).alias("hitting_time"),
+        )
+    )
+    return out

@@ -22859,3 +22859,121 @@ def q417_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return term_burstiness(d, "text", "doc_id", top_k=50)
+
+
+def _hitting_time_oracle_sql(horizon: int = 8) -> str:
+    """Unrolled truncated-Neumann hitting-time oracle (materialized
+    CTE per round, the pagerank-oracle discipline)."""
+    ctes = [
+        """tr AS MATERIALIZED (
+        SELECT s, s2, CAST(count(*) AS DOUBLE) AS c FROM (
+            SELECT event_type AS s,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY event_id) AS s2
+            FROM events)
+        WHERE s2 IS NOT NULL GROUP BY 1, 2)""",
+        "tot AS MATERIALIZED (SELECT s, sum(c) AS n_out FROM tr GROUP BY 1)",
+        """p AS MATERIALIZED (
+        SELECT tr.s, tr.s2, tr.c / tot.n_out AS p
+        FROM tr JOIN tot USING (s))""",
+        """h0 AS (SELECT DISTINCT s, CAST(0.0 AS DOUBLE) AS h
+        FROM p WHERE s <> 'purchase')""",
+    ]
+    for t in range(1, horizon + 1):
+        ctes.append(
+            f"""h{t} AS MATERIALIZED (
+        SELECT p.s, 1.0 + sum(p.p * coalesce(hh.h, 0.0)) AS h
+        FROM p LEFT JOIN h{t - 1} hh ON hh.s = p.s2
+        WHERE p.s <> 'purchase' GROUP BY 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT h.s AS state, CAST(tot.n_out AS BIGINT) AS n_out,
+           round(coalesce(pt.p, 0.0), 6) AS p_to_target,
+           round(h.h, 6) AS hitting_time
+    FROM h{horizon} h JOIN tot ON tot.s = h.s
+    LEFT JOIN (SELECT s, p FROM p WHERE s2 = 'purchase') pt
+      ON pt.s = h.s"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# q418 — truncated Markov hitting time (operators/temporal.
+# markov_hitting_time): expected interactions until 'purchase' from
+# each event state within 8 hops — the absorbing-chain readout beside
+# q200's raw transitions and q344's next-event latency. One lead
+# window builds the k²-row transition catalog; every round is a
+# catalog join (corpus never re-enters).
+# ---------------------------------------------------------------------------
+@query("q418_hitting_time", oracle=_hitting_time_oracle_sql(8))
+def q418_hitting_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.temporal import markov_hitting_time
+
+    e = load_table(spark, sf_dir, "events")
+    return markov_hitting_time(
+        e, "user_id", "event_id", "event_type", "purchase", horizon=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# q419 — Cavnar-Trenkle rank-profile lang-ID eval (operators/
+# langid_profile.rank_profile_langid_eval): train top-20 trigram rank
+# profiles on even doc_ids, classify odd ones by out-of-place
+# distance, report per-lang accuracy — the trainable lang-ID eval
+# beside q23's fixed heuristic and q215's annotator kappa. Profiles
+# are catalog windows; scoring is ≤(k·|langs|) rows per test doc.
+# ---------------------------------------------------------------------------
+@query(
+    "q419_langid_profile_eval",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id AS doc, lang, tg, doc_id % 2 = 0 AS tr
+        FROM (SELECT doc_id, lang,
+                     unnest(list_transform(
+                         range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                         i -> substr(lower(text), i, 3))) AS tg
+              FROM documents)),
+    lp AS MATERIALIZED (
+        SELECT lang AS plang, tg, lrank FROM (
+            SELECT lang, tg, row_number() OVER (
+                PARTITION BY lang ORDER BY count(*) DESC, tg ASC)
+                AS lrank
+            FROM base WHERE tr GROUP BY lang, tg)
+        WHERE lrank <= 20),
+    dp AS MATERIALIZED (
+        SELECT doc, true_lang, tg, drank FROM (
+            SELECT doc, lang AS true_lang, tg, row_number() OVER (
+                PARTITION BY doc ORDER BY count(*) DESC, tg ASC)
+                AS drank
+            FROM base WHERE NOT tr GROUP BY doc, lang, tg)
+        WHERE drank <= 20),
+    langs AS (SELECT DISTINCT plang FROM lp),
+    d AS (SELECT dp.doc, dp.true_lang, l.plang,
+                 CAST(sum(coalesce(abs(dp.drank - lp.lrank), 20))
+                      AS BIGINT) AS dist
+          FROM dp CROSS JOIN langs l
+          LEFT JOIN lp ON lp.plang = l.plang AND lp.tg = dp.tg
+          GROUP BY 1, 2, 3),
+    pred AS (SELECT doc, true_lang, plang AS pred FROM (
+                 SELECT *, row_number() OVER (PARTITION BY doc
+                            ORDER BY dist ASC, plang ASC) AS rn
+                 FROM d) WHERE rn = 1)
+    SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(avg(CASE WHEN pred = true_lang THEN 1.0 ELSE 0.0 END), 6)
+               AS accuracy
+    FROM pred GROUP BY 1
+    """,
+)
+def q419_langid_profile_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.langid_profile import (
+        rank_profile_langid_eval,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return rank_profile_langid_eval(d, "text", "doc_id", "lang", k=20)

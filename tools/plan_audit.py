@@ -40,6 +40,16 @@ SANCTIONED_BNLJ = {
     "q372_knn_shapley": "bounded probe-catalog broadcast (<=200 eval "
     "rows by construction) scored against the train scan",
     "q391_mcnemar_gates": "1-row contingency fold (conditional sums)",
+    "q394_query_likelihood": "|q|-row (3) query-term frame crossed "
+    "onto hit docs + 1-row collection-length broadcast",
+    "q415_mood_median": "1-row grand-median broadcast (value-catalog "
+    "cumsum scalar)",
+    "q417_term_burstiness": "1-row doc-count broadcast onto the "
+    "50-term stats catalog",
+    "q418_hitting_time": "k-row state-catalog rounds (transition "
+    "catalog joins, corpus never re-enters)",
+    "q419_langid_profile_eval": "|langs|-row catalog cross onto "
+    "bounded per-doc profiles (the CT scoring grid)",
     "q392_priority_trend": "1-row trend-moment fold",
     "q393_friedman_lang_ranks": "1-row k-catalog broadcast onto the "
     "block-completeness filter + 1-row reduce",

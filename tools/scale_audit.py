@@ -67,6 +67,13 @@ SANCTIONED_GLOBAL_WINDOW = {
     # (value-domain-bounded; the corpus collapses to per-value counts
     # in one aggregate first) — experiments.mann_whitney_u docstring
     "q256_mann_whitney",
+    # same q256 class: Wilcoxon's average ranks are a cumsum over the
+    # |d| DISTINCT-VALUE catalog (one groupBy collapses the corpus to
+    # per-value counts first) — experiments.wilcoxon_signed_rank
+    "q414_wilcoxon_signed_rank",
+    # same class: Mood's grand median is the value-catalog cumsum
+    # (the mad_outliers discipline) — experiments.mood_median_test
+    "q415_mood_median",
     # percentile selection over the b-row REPLICA-MEAN catalog
     # (b = 50 bootstrap replicas) — experiments.poisson_bootstrap_ci
     "q260_bootstrap_ci",
