@@ -418,3 +418,101 @@ def categorical_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         F.round(norm, 6).alias("norm_entropy"),
         F.round(F.col("_top") / n, 6).alias("top_share"),
     ).orderBy("column")
+
+
+def jarque_bera(df: DataFrame, value_col: str) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980): one row
+    ``(n, skewness, kurtosis, jb)`` with JB = n/6·(S² + (K−3)²/4) from
+    the first four central moments — the distribution-shape audit
+    beside q296's two-sample KS (normality is what parametric
+    downstream tests silently assume).
+
+    Moments come from explicit Σx..Σx⁴ raw sums (one pass, map-side
+    combinable), expanded to central moments in column algebra — both
+    engines evaluate the identical polynomial, no builtin
+    skewness/kurtosis variants to reconcile.
+    """
+    x = F.col(value_col).cast("double")
+    a = df.where(x.isNotNull()).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * m * F.col("s2") / F.col("n")
+        + 2 * m * m * m
+    )
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * F.col("s3") / F.col("n")
+        + 6 * m * m * F.col("s2") / F.col("n")
+        - 3 * m * m * m * m
+    )
+    skew = F.when(m2 > 0, m3 / F.pow(m2, 1.5))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2))
+    jb = (
+        F.col("n")
+        / 6.0
+        * (skew * skew + (kurt - 3) * (kurt - 3) / F.lit(4.0))
+    )
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb"),
+    )
+
+
+def theil_decomposition(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Theil-T inequality index with exact between/within-group
+    decomposition (Theil 1967) over a positive quantity — "how unequal
+    is token/byte mass across docs, and how much of that is the source
+    mix vs within-source spread":
+
+        T        = (1/(n·μ))·Σ x ln(x/μ)
+        T_between = Σ_g (n_g μ_g)/(n μ) · ln(μ_g/μ)
+        T_within  = T − T_between   (the identity is exact)
+
+    Non-positive values are excluded (ln domain).  One row:
+    ``(n, k, mean, theil_total, theil_between, theil_within)``.
+
+    Scale shape: one groupBy(group) collecting (n_g, Σx, Σ x ln x) +
+    a 1-row reduce — a single corpus pass.
+    """
+    x = F.col(value_col).cast("double")
+    g = (
+        df.where(x.isNotNull() & (x > 0))
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").cast("double").alias("ng"),
+            F.sum(x).alias("sg"),
+            F.sum(x * F.log(x)).alias("slg"),
+        )
+    )
+    a = g.agg(
+        F.sum("ng").alias("n"),
+        F.count("*").cast("long").alias("k"),
+        F.sum("sg").alias("s"),
+        F.sum("slg").alias("sl"),
+        F.sum(F.col("sg") * F.log(F.col("sg") / F.col("ng"))).alias(
+            "sbl"
+        ),
+    )
+    mu = F.col("s") / F.col("n")
+    total = F.col("sl") / F.col("s") - F.log(mu)
+    between = F.col("sbl") / F.col("s") - F.log(mu)
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        "k",
+        F.round(mu, 6).alias("mean"),
+        F.round(total, 6).alias("theil_total"),
+        F.round(between, 6).alias("theil_between"),
+        F.round(total - between, 6).alias("theil_within"),
+    )

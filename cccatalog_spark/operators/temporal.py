@@ -1281,3 +1281,51 @@ def markov_hitting_time(
         )
     )
     return out
+
+
+def seasonality_strength(decomposed: DataFrame) -> DataFrame:
+    """Variance-explained strength readout over a
+    :func:`seasonal_decompose` result (Hyndman's F_s/F_t from the FPP
+    text): one row ``(n, f_seasonal, f_trend)`` with
+
+        F_s = max(0, 1 − Var(resid)/Var(seasonal + resid))
+        F_t = max(0, 1 − Var(resid)/Var(trend + resid)),
+
+    the "is the weekly cycle real or is it all noise" scorecard a
+    schedule/capacity consumer reads before trusting q302's
+    components.  Variances are POPULATION moments from explicit
+    (Σx, Σx²) sums over the decomposition's already-rounded columns,
+    so the SQL twin is bitwise-identical; edge rows whose centered
+    window was incomplete (null trend) are excluded on both sides.
+
+    Scale shape: ONE aggregate over the day-catalog-sized
+    decomposition frame.
+    """
+    d = decomposed.where(F.col("trend").isNotNull())
+    sr = F.col("seasonal") + F.col("resid")
+    tr = F.col("trend") + F.col("resid")
+    a = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("resid").alias("xr"),
+        F.sum(F.col("resid") * F.col("resid")).alias("qr"),
+        F.sum(sr).alias("xs"),
+        F.sum(sr * sr).alias("qs"),
+        F.sum(tr).alias("xt"),
+        F.sum(tr * tr).alias("qt"),
+    )
+
+    def var(s, q):
+        return F.col(q) / F.col("n") - F.pow(F.col(s) / F.col("n"), 2)
+
+    def strength(s, q):
+        v = var(s, q)
+        return F.when(
+            v > 0,
+            F.greatest(F.lit(1.0) - var("xr", "qr") / v, F.lit(0.0)),
+        )
+
+    return a.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(strength("xs", "qs"), 6).alias("f_seasonal"),
+        F.round(strength("xt", "qt"), 6).alias("f_trend"),
+    )

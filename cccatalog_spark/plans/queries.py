@@ -22977,3 +22977,120 @@ def q419_langid_profile_eval(
 
     d = load_table(spark, sf_dir, "documents")
     return rank_profile_langid_eval(d, "text", "doc_id", "lang", k=20)
+
+
+# ---------------------------------------------------------------------------
+# q420 — seasonality strength (operators/temporal.seasonality_strength,
+# Hyndman F_s/F_t): variance-explained readout over q302's STL-style
+# decomposition — "is the weekly cycle real". One aggregate over the
+# day catalog; variances from explicit sums on the already-rounded
+# components so the composed oracle is bitwise-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q420_seasonality_strength",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CASE WHEN
+                 sum((seasonal + resid) * (seasonal + resid)) / count(*)
+                 - pow(sum(seasonal + resid) / count(*), 2) > 0
+             THEN greatest(1.0 -
+                 (sum(resid * resid) / count(*)
+                  - pow(sum(resid) / count(*), 2))
+                 / (sum((seasonal + resid) * (seasonal + resid)) / count(*)
+                    - pow(sum(seasonal + resid) / count(*), 2)),
+                 0.0) END, 6) AS f_seasonal,
+           round(CASE WHEN
+                 sum((trend + resid) * (trend + resid)) / count(*)
+                 - pow(sum(trend + resid) / count(*), 2) > 0
+             THEN greatest(1.0 -
+                 (sum(resid * resid) / count(*)
+                  - pow(sum(resid) / count(*), 2))
+                 / (sum((trend + resid) * (trend + resid)) / count(*)
+                    - pow(sum(trend + resid) / count(*), 2)),
+                 0.0) END, 6) AS f_trend
+    FROM ({ORACLE["q302_seasonal_decompose"]}) dc
+    WHERE trend IS NOT NULL
+    """,
+)
+def q420_seasonality_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from cccatalog_spark.operators.temporal import seasonality_strength
+
+    return seasonality_strength(
+        QUERIES["q302_seasonal_decompose"](spark, sf_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q421 — Jarque-Bera normality test (operators/stats.jarque_bera):
+# the distribution-shape audit parametric consumers silently assume —
+# skewness/kurtosis from explicit raw sums, one map-side-combinable
+# pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q421_jarque_bera",
+    oracle="""
+    WITH a AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      sum(CAST(n_chars AS DOUBLE)) AS s1,
+                      sum(pow(CAST(n_chars AS DOUBLE), 2)) AS s2,
+                      sum(pow(CAST(n_chars AS DOUBLE), 3)) AS s3,
+                      sum(pow(CAST(n_chars AS DOUBLE), 4)) AS s4
+               FROM documents WHERE n_chars IS NOT NULL),
+    m AS (SELECT n,
+                 s2 / n - pow(s1 / n, 2) AS m2,
+                 s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3)
+                     AS m3,
+                 s4 / n - 4 * (s1 / n) * s3 / n
+                 + 6 * pow(s1 / n, 2) * s2 / n - 3 * pow(s1 / n, 4)
+                     AS m4
+          FROM a)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CASE WHEN m2 > 0 THEN m3 / pow(m2, 1.5) END, 6)
+               AS skewness,
+           round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END, 6)
+               AS kurtosis,
+           round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                 + pow(m4 / (m2 * m2) - 3, 2) / 4.0), 6) AS jb
+    FROM m
+    """,
+)
+def q421_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import jarque_bera
+
+    d = load_table(spark, sf_dir, "documents")
+    return jarque_bera(d, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q422 — Theil-T inequality decomposition (operators/stats.
+# theil_decomposition): how unequal is character mass across docs, and
+# how much is the lang mix vs within-lang spread — between+within is
+# an exact identity. One groupBy(lang) + 1-row reduce.
+# ---------------------------------------------------------------------------
+@query(
+    "q422_theil_inequality",
+    oracle="""
+    WITH g AS (SELECT lang, CAST(count(*) AS DOUBLE) AS ng,
+                      sum(CAST(n_chars AS DOUBLE)) AS sg,
+                      sum(CAST(n_chars AS DOUBLE)
+                          * ln(CAST(n_chars AS DOUBLE))) AS slg
+               FROM documents WHERE n_chars > 0 GROUP BY 1),
+    a AS (SELECT sum(ng) AS n, CAST(count(*) AS BIGINT) AS k,
+                 sum(sg) AS s, sum(slg) AS sl,
+                 sum(sg * ln(sg / ng)) AS sbl
+          FROM g)
+    SELECT CAST(n AS BIGINT) AS n, k,
+           round(s / n, 6) AS mean,
+           round(sl / s - ln(s / n), 6) AS theil_total,
+           round(sbl / s - ln(s / n), 6) AS theil_between,
+           round((sl / s - ln(s / n)) - (sbl / s - ln(s / n)), 6)
+               AS theil_within
+    FROM a
+    """,
+)
+def q422_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators.stats import theil_decomposition
+
+    d = load_table(spark, sf_dir, "documents")
+    return theil_decomposition(d, "lang", "n_chars")

@@ -34,7 +34,7 @@ def test_oracles_follow_query_order():
 def test_full_inventory_counts():
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 419
+    assert len(qs) == 422
     # every query is oracle-paired (q47/q50 gained literal-plane /
     # deterministic-quantizer oracles in round 3)
     assert sorted(set(qs) - set(oracles)) == []

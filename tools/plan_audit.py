@@ -91,6 +91,8 @@ SANCTIONED_BNLJ = {
     "+ 1-row report fold",
     "q300_t_closeness": "1-row totals + m-row value-catalog broadcast "
     "grid (dense group x catalog)",
+    "q420_seasonality_strength": "q302's sanctioned 1-row recentering "
+    "broadcast under the one-row strength aggregate",
     "q302_seasonal_decompose": "1-row seasonal-mean recentering "
     "broadcast over the day catalog",
     "q304_permutation_test": "1-row observed-stat broadcast onto the "

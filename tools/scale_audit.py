@@ -74,6 +74,9 @@ SANCTIONED_GLOBAL_WINDOW = {
     # same class: Mood's grand median is the value-catalog cumsum
     # (the mad_outliers discipline) — experiments.mood_median_test
     "q415_mood_median",
+    # q302's sanctioned day-CATALOG moving-average window, reused by
+    # the strength readout built on top of it
+    "q420_seasonality_strength",
     # percentile selection over the b-row REPLICA-MEAN catalog
     # (b = 50 bootstrap replicas) — experiments.poisson_bootstrap_ci
     "q260_bootstrap_ci",
