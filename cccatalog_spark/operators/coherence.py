@@ -114,9 +114,18 @@ def umass_coherence(
         F.round(F.sum("_s"), 6).alias("umass"),
     )
     nt = top.groupBy("grp").agg(F.count("*").cast("long").alias("n_terms"))
-    return (
-        nt.join(out, "grp")
-        .select(
+    # Materialize the per-group catalog, then release the cached
+    # intermediates — a long-lived session would otherwise accumulate
+    # base/top/inc in the block store on every call (round-6 advice;
+    # the bradley_terry/eigenvector_centrality discipline).
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    result = _truncate_lineage(
+        nt.join(out, "grp").select(
             F.col("grp").alias("group"), "n_terms", "n_pairs", "umass"
         )
     )
+    inc.unpersist()
+    top.unpersist()
+    base.unpersist()
+    return result

@@ -1029,7 +1029,11 @@ def kl_to_corpus(
     totals = bucketed.groupBy("group").agg(
         F.sum("c").cast("double").alias("pn")
     )
-    return (
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    # Materialize the |groups|-row readout, then release the cached
+    # gt/bucketed rollups (session cache leak — round-6 advice).
+    result = _truncate_lineage(
         bucketed.join(F.broadcast(qdist), "bucket")
         .join(F.broadcast(totals), "group")
         .select(
@@ -1050,6 +1054,9 @@ def kl_to_corpus(
             ),
         )
     )
+    bucketed.unpersist()
+    gt.unpersist()
+    return result
 
 
 def hellinger_drift(

@@ -623,7 +623,11 @@ def linear_cka(
         "_syj",
     )
     xy = fro2("xy", mx, my, "_sxi", "_syj")
-    return (
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    # Materialize the one-row readout, then release the cached moment
+    # table (session cache leak — round-6 advice).
+    result = _truncate_lineage(
         n.crossJoin(xx)
         .crossJoin(yy)
         .crossJoin(xy)
@@ -642,3 +646,5 @@ def linear_cka(
             F.round("yy_fro2", 4).alias("cyy_fro2"),
         )
     )
+    sums.unpersist()
+    return result

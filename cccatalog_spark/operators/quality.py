@@ -394,7 +394,9 @@ def filter_funnel(
     stack_args = []
     for i, (name, _) in enumerate(gates):
         stack_args.append(f"{i + 1}")
-        stack_args.append(f"'{name}'")
+        # SQL-escape the caller-supplied stage name: an apostrophe in
+        # the name must not terminate the literal inside stack().
+        stack_args.append("'" + name.replace("'", "''") + "'")
         stack_args.append(f"n{i}")
         stack_args.append(f"n{i + 1}")
         stack_args.append(f"t{i + 1}")

@@ -1358,7 +1358,12 @@ def nearest_centroid_eval(
         .where(F.col("_r") == 1)
         .select("_y", F.col("_pred").alias("top_confusion"))
     )
-    return (
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    # Materialize the per-label catalog, then release the cached
+    # confusion counts (same session-cache-leak fix as
+    # mutual_knn_pairs below — round-6 advice).
+    result = _truncate_lineage(
         tot.join(conf, "_y", "left")
         .select(
             F.col("_y").alias("label"),
@@ -1368,6 +1373,8 @@ def nearest_centroid_eval(
             "top_confusion",
         )
     )
+    per.unpersist()
+    return result
 
 
 def mutual_knn_pairs(
@@ -1424,7 +1431,12 @@ def mutual_knn_pairs(
         F.col("a").alias("b"),
         F.col("rank").alias("rank_ba"),
     )
-    return (
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    # Materialize the (bounded, ≤ N·k-edge) mutual pairs, then release
+    # the cached directed top-k so long-lived sessions don't
+    # accumulate it (round-6 advice).
+    result = _truncate_lineage(
         topk.join(rev, ["a", "b"])
         .where(F.col("a") < F.col("b"))
         .select(
@@ -1435,3 +1447,5 @@ def mutual_knn_pairs(
             "rank_ba",
         )
     )
+    topk.unpersist()
+    return result

@@ -1220,7 +1220,12 @@ def markov_hitting_time(
     The recursion h⁰ ≡ 0;  hᵗ(s) = 1 + Σ_s' P(s,s')·hᵗ⁻¹(s') with
     h(target) ≡ 0, unrolled ``horizon`` times — the truncated
     Neumann series of (I−Q)⁻¹𝟙, exactly replayable in SQL (same
-    unrolled-CTE discipline as pagerank's oracle).
+    unrolled-CTE discipline as pagerank's oracle).  A successor with
+    no outgoing transitions (a non-target absorbing sink) never
+    reaches the target, so its truncated value is the elapsed bound
+    itself: hᵗ(sink) = t, NOT 0 — coalescing it to 0 would score the
+    sink as if it were the target and underestimate its
+    predecessors (round-6 advice).
 
     Returns ``(state, n_out, p_to_target, hitting_time)``.
 
@@ -1246,7 +1251,10 @@ def markov_hitting_time(
     )
     states = p.select("s").distinct().where(F.col("s") != target)
     h = states.withColumn("h", F.lit(0.0))
-    for _ in range(horizon):
+    for it in range(horizon):
+        # Successors absent from h are either the target (h ≡ 0) or a
+        # non-target sink, whose truncated value after `it` unrolls is
+        # exactly `it` (it never reaches the target).
         nxt = (
             p.where(F.col("s") != target)
             .join(
@@ -1259,7 +1267,10 @@ def markov_hitting_time(
                 (
                     F.lit(1.0)
                     + F.sum(
-                        F.col("p") * F.coalesce(F.col("h2"), F.lit(0.0))
+                        F.col("p")
+                        * F.when(F.col("s2") == target, F.lit(0.0)).otherwise(
+                            F.coalesce(F.col("h2"), F.lit(float(it)))
+                        )
                     )
                 ).alias("h")
             )
@@ -1268,7 +1279,11 @@ def markov_hitting_time(
     pt = p.where(F.col("s2") == target).select(
         "s", F.col("p").alias("p_to_target")
     )
-    out = (
+    from cccatalog_spark.operators.dedup import _truncate_lineage
+
+    # Materialize the k-row readout, then release the cached
+    # transition catalog (session cache leak — round-6 advice).
+    out = _truncate_lineage(
         h.join(tot, "s")
         .join(pt, "s", "left")
         .select(
@@ -1280,6 +1295,7 @@ def markov_hitting_time(
             F.round("h", 6).alias("hitting_time"),
         )
     )
+    p.unpersist()
     return out
 
 

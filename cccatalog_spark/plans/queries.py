@@ -4076,16 +4076,15 @@ def q82_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver ordering.  The driver's correctness gate reads the first 50
-# ``queries()`` entries in insertion order.  Rounds 1–5 drove 176
-# distinct queries green (r5: 50/50); this round rotates in 45 of the
-# 94 queries that have never had a driver-side row: the 43 oldest
-# (inventory order, q170–q219) plus the two stateful-streaming
-# canaries the round-5 verdict called out (q254/q268 — scalar-only
-# output schemas, swept for driver-sortable types), keeping 5
-# sentinels (core merge/dedup/stream/continue paths) to detect
-# regressions.  Every displaced query stays defined and oracle-paired
-# (checked by tools/check_oracle.py across all entries and committed
-# as CORRECTNESS_LOCAL_r{N}.json).
+# ``queries()`` entries in insertion order.  Rounds 1–6 drove 221
+# distinct queries green (r6: 50/50); the inventory is FROZEN at 422
+# this round (round-6 verdict item 1) and the window burns down the
+# never-driver-checked backlog: the 45 oldest such queries in
+# inventory order (q220–q265, skipping the already-green q254),
+# keeping 5 sentinels (core merge/dedup/stream/continue paths) to
+# detect regressions.  Every displaced query stays defined and
+# oracle-paired (checked by tools/check_oracle.py across all entries
+# and committed as CORRECTNESS_LOCAL_r{N}.json).
 # ---------------------------------------------------------------------------
 DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary",
@@ -4093,51 +4092,51 @@ DRIVER_WINDOW: list[str] = [
     "q25_minhash_lsh",
     "q45_stream_loader",
     "q67_wikimedia_continue_merge",
-    "q170_event_funnel",
-    "q171_path_rollup",
-    "q172_sync_plan",
-    "q173_wat_manifest",
-    "q174_pr_curve",
-    "q175_chi_square",
-    "q176_shuffle_audit",
-    "q177_window_suite",
-    "q178_bag_set_ops",
-    "q179_pivot_unpivot",
-    "q180_rollup_grouping",
-    "q181_recursive_cte",
-    "q182_incremental_view",
-    "q183_batch_sessions",
-    "q184_cohort_retention",
-    "q186_sorted_neighborhood",
-    "q187_phrase_search",
-    "q190_pca_project",
-    "q193_zipf_slope",
-    "q195_stream_event_pattern",
-    "q196_label_model",
-    "q197_burst_detection",
-    "q198_containment_pairs",
-    "q199_triangle_count",
-    "q200_markov_transitions",
-    "q201_adaptive_join",
-    "q202_query_params",
-    "q203_trimmed_mean_udaf",
-    "q205_cc_scrape_router",
-    "q206_nb_classifier",
-    "q207_logreg_filter",
-    "q208_k_core",
-    "q209_label_propagation",
-    "q210_k_truss",
-    "q211_personalized_pagerank",
-    "q212_unicode_normalize",
-    "q213_line_dedup",
-    "q214_bleu_pairs",
-    "q215_lang_kappa",
-    "q216_readability",
-    "q217_association_rules",
-    "q218_record_linkage",
-    "q219_ip_range_join",
-    "q254_stream_lsh_neardup",
-    "q268_stream_window_distinct",
+    "q220_pareto_frontier",
+    "q221_cuped_experiment",
+    "q222_woe_iv",
+    "q223_winnow_pairs",
+    "q224_geo_radius_join",
+    "q225_luhn_pii",
+    "q226_mutual_information",
+    "q227_benford_audit",
+    "q228_class_tfidf",
+    "q229_kn_lm_nll",
+    "q230_kcenter_coreset",
+    "q231_content_extract",
+    "q232_script_mix",
+    "q233_stratified_exact_k",
+    "q234_random_walks",
+    "q235_psi_drift",
+    "q236_k_anonymity",
+    "q237_sif_embeddings",
+    "q238_skipgram_pairs",
+    "q239_bradley_terry",
+    "q240_dawid_skene",
+    "q241_glove_cooccurrence",
+    "q242_krippendorff_alpha",
+    "q243_ipf_raking",
+    "q244_iban_pii",
+    "q245_lsh_recall_audit",
+    "q246_temperature_fit",
+    "q247_conformal_threshold",
+    "q248_fairness_gaps",
+    "q249_sinkhorn_ot",
+    "q250_mojibake_repair",
+    "q251_phrase_blocklist",
+    "q252_quantile_normalize",
+    "q253_silhouette",
+    "q255_bh_fdr",
+    "q256_mann_whitney",
+    "q257_hard_negatives",
+    "q258_lexical_diversity",
+    "q259_dp_histogram",
+    "q260_bootstrap_ci",
+    "q261_matryoshka_audit",
+    "q262_lsh_plan",
+    "q263_rouge2_pairs",
+    "q264_good_turing",
+    "q265_heaps_law",
 ]
 
 
@@ -22719,22 +22718,21 @@ def q413_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q414_wilcoxon_signed_rank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from cccatalog_spark.functions.text import bpe_token_count
     from cccatalog_spark.operators.experiments import wilcoxon_signed_rank
 
+    # Built from the shared Python-string regex (functions.text.
+    # BPE_PRETOKEN_RE) via F.lit, not the DuckDB-escaped _BPE_RE_SQL
+    # literal: a !r interpolation of the SQL form hands Spark a regex
+    # with the SQL quote characters embedded, which silently diverges
+    # from the oracle on any punctuated text (round-6 advice, high).
+    half = F.floor(F.length("text") / 2).cast("int")
     d = load_table(spark, sf_dir, "documents").select(
         (
-            F.expr(
-                "CAST(size(regexp_extract_all(substring(text, 1, "
-                "CAST(floor(length(text) / 2) AS INT)), "
-                f"{_BPE_RE_SQL!r}"
-                ", 0)) AS DOUBLE)"
-            )
-            - F.expr(
-                "size(regexp_extract_all(substring(text, "
-                "CAST(floor(length(text) / 2) AS INT) + 1, "
-                "length(text)), "
-                f"{_BPE_RE_SQL!r}"
-                ", 0))"
+            bpe_token_count(F.substring(F.col("text"), F.lit(1), half))
+            .cast("double")
+            - bpe_token_count(
+                F.substring(F.col("text"), half + F.lit(1), F.length("text"))
             )
         ).alias("dd")
     )
@@ -22880,9 +22878,13 @@ def _hitting_time_oracle_sql(horizon: int = 8) -> str:
         FROM p WHERE s <> 'purchase')""",
     ]
     for t in range(1, horizon + 1):
+        # Missing hh.h means s2 is the target (h ≡ 0) or a non-target
+        # sink whose truncated value after t−1 unrolls is t−1 — same
+        # convention as operators/temporal.markov_hitting_time.
         ctes.append(
             f"""h{t} AS MATERIALIZED (
-        SELECT p.s, 1.0 + sum(p.p * coalesce(hh.h, 0.0)) AS h
+        SELECT p.s, 1.0 + sum(p.p * CASE WHEN p.s2 = 'purchase'
+            THEN 0.0 ELSE coalesce(hh.h, {float(t - 1)}) END) AS h
         FROM p LEFT JOIN h{t - 1} hh ON hh.s = p.s2
         WHERE p.s <> 'purchase' GROUP BY 1)"""
         )

@@ -56,6 +56,24 @@ def test_hitting_time_horizon_caps(spark):
     assert r["hitting_time"] <= 4.0 + 1e-9
 
 
+def test_hitting_time_nontarget_sink_not_scored_as_target(spark):
+    from cccatalog_spark.operators.temporal import markov_hitting_time
+
+    # a -> d where d is a dead end (no outgoing transitions): the
+    # chain never reaches 't', so truncated h(a) = horizon, not 1.
+    # 't' appears elsewhere so the target exists in the chain.
+    rows = [(1, 1, "a"), (1, 2, "d"), (2, 1, "b"), (2, 2, "t")]
+    df = spark.createDataFrame(rows, ["u", "o", "s"])
+    out = {
+        x["state"]: x
+        for x in markov_hitting_time(df, "u", "o", "s", "t", 6).collect()
+    }
+    # h(a) = 1 + h5(d) = 1 + 5 = 6 == horizon (E[min(steps, H)] with
+    # steps = inf); the old coalesce-to-0 convention reported 1.0.
+    assert out["a"]["hitting_time"] == pytest.approx(6.0, abs=1e-9)
+    assert out["b"]["hitting_time"] == pytest.approx(1.0, abs=1e-9)
+
+
 def test_langid_profile_separable_langs(spark):
     from cccatalog_spark.operators.langid_profile import (
         rank_profile_langid_eval,

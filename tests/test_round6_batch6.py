@@ -206,6 +206,17 @@ def test_filter_funnel_counts(spark):
         filter_funnel(df, [])
 
 
+def test_filter_funnel_apostrophe_stage_name(spark):
+    from cccatalog_spark.operators.quality import filter_funnel
+
+    df = spark.createDataFrame([(10,), (100,)], ["n_chars"])
+    out = filter_funnel(
+        df, [("isn't short", F.col("n_chars") >= 50)]
+    ).collect()
+    assert out[0]["stage"] == "isn't short"
+    assert out[0]["docs_out"] == 1
+
+
 # ------------------------------------------------------------- CDC chunking
 def test_cdc_chunks_reassemble(spark):
     from cccatalog_spark.operators.cdc_chunk import cdc_chunks
