@@ -9,16 +9,33 @@ must-survive line prints LAST):
 The full line is also written to BENCH_LOCAL.json in the repo root so a
 truncated tail capture can never destroy the per-query detail either.
 
-Noise defense: the sandbox shows up to ~15x multi-tenant CPU bursts, so
-each query is timed twice and the MIN is reported (the min of two runs
-is a far better estimator of the query's true cost than one draw).
-Set SPARK_GRAFT_BENCH_RUNS=1 for a quick single-pass run.
+Noise defense (round-6 verdict item 2 — the old design let the wall
+budget trip mid-suite and, because queries ran in lexicographic order,
+the budget cut min-of-2 down to one noisy draw for exactly the
+longest-lived q42–q99 queries, inflating round-over-round deltas):
+
+1. SENTINELS — the long-lived q01–q99 queries — are timed FIRST,
+   min-of-3, before any budget pressure exists.  They are the stable
+   round-over-round comparison set and are additionally reported under
+   a separate "sentinels" key.
+2. The remaining queries run in seeded-SHUFFLED order (seed 7), so if
+   the budget does degrade runs the degradation is uncorrelated with
+   query age / name.
+3. The wall budget scales with inventory size
+   (max(1500 s, 6 s x n_queries)) instead of a fixed 1500 s that a
+   422-query suite inevitably trips.
+
+Each timing is the MIN across runs (the min of k runs is a far better
+estimator of true cost in a sandbox with ~15x multi-tenant CPU bursts
+than one draw).  Set SPARK_GRAFT_BENCH_RUNS=1 for a quick single pass.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import random
+import re
 import sys
 import time
 
@@ -26,10 +43,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
-# wall budget: once exceeded, remaining queries run once instead of
-# RUNS times (noise defense degrades gracefully instead of the whole
-# bench overrunning the driver's patience)
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+SENTINEL_RUNS = max(RUNS, int(os.environ.get("SPARK_GRAFT_SENTINEL_RUNS", "3")))
+# sentinel set: the original long-lived inventory (q01-q99), stable
+# across rounds since round 4 — timed min-of-3 before budget pressure
+SENTINEL_MAX_QNUM = 99
+
+
+def _qnum(name: str) -> int:
+    m = re.match(r"q(\d+)_", name)
+    return int(m.group(1)) if m else 10**9
 
 
 def main() -> int:
@@ -38,6 +60,16 @@ def main() -> int:
 
     spark = get_spark("cccatalog-bench")
     queries = all_queries()
+
+    # wall budget: once exceeded, remaining NON-sentinel queries run
+    # once instead of RUNS times (graceful degradation instead of the
+    # whole bench overrunning the driver's patience); scaled with
+    # inventory size so a full-inventory pass doesn't trip it by design
+    budget_s = float(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_BUDGET_S", str(max(1500.0, 6.0 * len(queries)))
+        )
+    )
 
     # warm the JVM + parquet footers so q01 isn't charged for JIT/startup,
     # and spawn the Python UDF workers (one per core; they're long-lived
@@ -49,19 +81,33 @@ def main() -> int:
         lambda batches: (b for b in batches), "id long"
     ).count()
 
-    timings: dict[str, float] = {}
-    t_start = time.perf_counter()
-    for name, fn in sorted(queries.items()):
+    sentinel_names = sorted(
+        n for n in queries if _qnum(n) <= SENTINEL_MAX_QNUM
+    )
+    rest = [n for n in queries if n not in set(sentinel_names)]
+    rest.sort()
+    random.Random(7).shuffle(rest)
+
+    def time_query(name: str, runs: int) -> float:
         best = float("inf")
-        runs = RUNS if (time.perf_counter() - t_start) < BUDGET_S else 1
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            queries[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
             # dedup/LSH operators persist their index frames; drop them
             # so one run's cache doesn't speed up or crowd out the next
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings: dict[str, float] = {}
+    sentinels: dict[str, float] = {}
+    for name in sentinel_names:
+        sentinels[name] = timings[name] = time_query(name, SENTINEL_RUNS)
+
+    t_start = time.perf_counter()
+    for name in rest:
+        runs = RUNS if (time.perf_counter() - t_start) < budget_s else 1
+        timings[name] = time_query(name, runs)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -74,6 +120,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sentinels": sentinels,
+        "sentinel_total": round(sum(sentinels.values()), 3),
         "sf": sf_val,
     }
     line = json.dumps(payload)
@@ -95,6 +143,7 @@ def main() -> int:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "sentinel_total": round(sum(sentinels.values()), 3),
             }
         )
     )
