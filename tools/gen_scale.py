@@ -8,9 +8,14 @@ needs (a super-linear wall-time ratio then indicts the PLAN, not the
 data shape).
 
 Two deliberate perturbations keep the corpus honest:
-- documents: replicas > 0 get a unique per-doc suffix token (and a
-  recomputed n_chars) so exact/near-dup pair counts don't explode
-  with fake Kx duplicates;
+- documents: replicas > 0 get a GROWING vocabulary — every token is
+  suffixed with a per-replica tag (so the feature space grows with the
+  corpus, Heaps-law-style, and per-feature document frequency stays
+  constant instead of growing Kx), plus a unique per-doc suffix token
+  (and a recomputed n_chars) so exact/near-dup pair counts don't
+  explode with fake Kx duplicates.  A fixed shared vocabulary would
+  manufacture quadratic df growth in exact similarity joins (Σ df²
+  candidates) that no real corpus exhibits — the round-6 q376 lesson;
 - embeddings: replicas > 0 get deterministic per-replica noise so ANN
   buckets don't fill with exact clones.
 
@@ -83,7 +88,12 @@ def _replica(table: str, t: pa.Table, i: int, bases: dict[str, int]) -> pa.Table
         ids = out["doc_id"].to_pylist()
         texts = out["text"].to_pylist()
         texts = [
-            f"{txt} rep{i}tok{d}" if txt is not None else None
+            (
+                " ".join(f"{tok}~{i}" for tok in txt.split())
+                + f" rep{i}tok{d}"
+            )
+            if txt is not None
+            else None
             for txt, d in zip(texts, ids)
         ]
         n_chars = [len(x) if x is not None else None for x in texts]
