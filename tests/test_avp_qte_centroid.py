@@ -4,6 +4,10 @@
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from cccatalog_spark.operators.experiments import (
     always_valid_pvalue,
     quantile_treatment_effect,

@@ -15,6 +15,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cc_golden_pages import CC_PAGES  # noqa: E402

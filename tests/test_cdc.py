@@ -3,6 +3,10 @@ null-safe compares, and plan shape (single join, no driver state)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from pyspark.sql import functions as F
 
 from cccatalog_spark.operators.cdc import scd2_from_snapshots, snapshot_diff

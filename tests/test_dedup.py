@@ -4,6 +4,10 @@ Hamming banding guarantees."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from cccatalog_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,

@@ -3,6 +3,10 @@
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from cccatalog_spark.operators.density import dbscan_2d
 from cccatalog_spark.operators.graph import multi_source_bfs
 

@@ -3,6 +3,10 @@ iteration on crafted graphs."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from cccatalog_spark.operators.graph import pagerank
 
 

@@ -5,6 +5,10 @@ SURVEY §7.3 flags as the system's semantic core)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

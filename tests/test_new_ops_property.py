@@ -3,6 +3,10 @@ Bradley-Terry, Krippendorff alpha, exact-k sampling)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

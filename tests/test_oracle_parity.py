@@ -8,6 +8,8 @@ import math
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 import __spark_entry__ as entry_mod
 
 QUERIES = entry_mod.queries()

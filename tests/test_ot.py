@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
 from pyspark.sql import functions as F
 
 from cccatalog_spark.operators.ot import sinkhorn_transport

@@ -9,6 +9,8 @@ import json
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from cccatalog_spark.operators.provider_specs_cc import (
     CC_SCRAPERS,
     apply_cc_spec,

@@ -4,6 +4,10 @@ rounds with tiny bins/thresholds."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 import math
 import random
 

@@ -3,6 +3,10 @@ mann_kendall_trend (operators/temporal.py)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from cccatalog_spark.operators.dependence import kendall_tau_b, spearman_corr
 from cccatalog_spark.operators.temporal import mann_kendall_trend
 

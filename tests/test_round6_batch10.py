@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 
 def test_hitting_time_deterministic_chain(spark):
     from cccatalog_spark.operators.temporal import markov_hitting_time

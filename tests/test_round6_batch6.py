@@ -5,10 +5,13 @@ group means."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 import math
 
 import numpy as np
-import pytest
 from pyspark.sql import functions as F
 
 

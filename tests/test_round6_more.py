@@ -7,6 +7,8 @@ import math
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 
 def test_cmh_odds_hand_computed(spark):
     from cccatalog_spark.operators.experiments import cmh_odds

@@ -11,6 +11,8 @@ import math
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from pyspark.sql import functions as F
 
 

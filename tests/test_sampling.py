@@ -5,6 +5,8 @@ assignment, repartition stability, per-stratum fractions, RNG-freedom
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
 from pyspark.sql import functions as F
 
 from cccatalog_spark.operators.sampling import (

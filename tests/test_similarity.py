@@ -3,6 +3,10 @@ ordering, knn join shape, and LSH recall vs the exact baseline."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 from pyspark.sql import functions as F
 
 from cccatalog_spark.operators.similarity import (

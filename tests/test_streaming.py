@@ -3,6 +3,10 @@ idempotent snapshot commit (§2.9 loader DAG behaviors)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy sweep; excluded from the fast loop (-m "not slow")
+
 import os
 import time
 
