@@ -7322,24 +7322,28 @@ def _q146_oracle(iterations: int = 3) -> str:
                FROM documents),
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM t),
     p AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
-    e AS (SELECT a.term AS src, b.term AS dst
+    e AS MATERIALIZED (SELECT a.term AS src, b.term AS dst
           FROM p a JOIN p b ON a.doc_id = b.doc_id AND a.term < b.term, n
           GROUP BY 1, 2, n.n_docs
           HAVING count(*) >= 0.25 * n.n_docs),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e
+                           UNION SELECT dst FROM e),
     h0 AS (SELECT node, 1.0 AS h FROM nodes)"""
+    # each round reads the previous h twice (edge join + scalar sum);
+    # MATERIALIZED stops DuckDB re-inlining the whole chain per
+    # reference (the q398/q239 exponential-inlining lesson)
     body = ""
     for i in range(1, iterations + 1):
         body += f""",
-    a{i}r AS (SELECT e.dst AS node, sum(h{i - 1}.h) AS a
+    a{i}r AS MATERIALIZED (SELECT e.dst AS node, sum(h{i - 1}.h) AS a
               FROM e JOIN h{i - 1} ON h{i - 1}.node = e.src GROUP BY 1),
-    a{i} AS (SELECT n.node,
+    a{i} AS MATERIALIZED (SELECT n.node,
                     coalesce(a{i}r.a, 0.0) / (SELECT sum(a) FROM a{i}r)
                       AS a
              FROM nodes n LEFT JOIN a{i}r USING (node)),
-    h{i}r AS (SELECT e.src AS node, sum(a{i}.a) AS h
+    h{i}r AS MATERIALIZED (SELECT e.src AS node, sum(a{i}.a) AS h
               FROM e JOIN a{i} ON a{i}.node = e.dst GROUP BY 1),
-    h{i} AS (SELECT n.node,
+    h{i} AS MATERIALIZED (SELECT n.node,
                     coalesce(h{i}r.h, 0.0) / (SELECT sum(h) FROM h{i}r)
                       AS h
              FROM nodes n LEFT JOIN h{i}r USING (node))"""
@@ -12609,8 +12613,12 @@ def q238_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle unrolls the MM recurrence as CTEs.
 # ---------------------------------------------------------------------------
 def _q239_oracle(iterations: int = 5) -> str:
+    # every round references the previous round's pi TWICE (both join
+    # endpoints) plus a scalar-sum subquery — without MATERIALIZED,
+    # DuckDB inlines the whole chain ~3^r times (the q398 eigenvector
+    # lesson; measured 614 s -> sub-second at sf0.001)
     parts = [
-        """WITH cmp AS (
+        """WITH cmp AS MATERIALIZED (
       SELECT CASE WHEN hwin THEN a ELSE b END AS w,
              CASE WHEN hwin THEN b ELSE a END AS l
       FROM (SELECT a, b,
@@ -12622,29 +12630,33 @@ def _q239_oracle(iterations: int = 5) -> str:
                     CAST((o_custkey % 8 + 1 + o_orderkey % 7) % 8
                          AS BIGINT) AS b
                   FROM orders)))""",
-        "wins AS (SELECT w AS item, CAST(count(*) AS DOUBLE) AS wins"
-        " FROM cmp GROUP BY 1)",
-        "und AS (SELECT least(w, l) AS x, greatest(w, l) AS y,"
+        "wins AS MATERIALIZED (SELECT w AS item,"
+        " CAST(count(*) AS DOUBLE) AS wins FROM cmp GROUP BY 1)",
+        "und AS MATERIALIZED (SELECT least(w, l) AS x,"
+        " greatest(w, l) AS y,"
         " CAST(count(*) AS DOUBLE) AS n FROM cmp GROUP BY 1, 2)",
-        "pr AS (SELECT x AS i, y AS j, n FROM und"
+        "pr AS MATERIALIZED (SELECT x AS i, y AS j, n FROM und"
         " UNION ALL SELECT y, x, n FROM und)",
-        "it AS (SELECT DISTINCT i AS item FROM pr)",
+        "it AS MATERIALIZED (SELECT DISTINCT i AS item FROM pr)",
         "ni AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM it)",
-        "p0 AS (SELECT item, 1.0 / c AS pi FROM it, ni)",
+        "p0 AS MATERIALIZED (SELECT item, 1.0 / c AS pi FROM it, ni)",
     ]
     for r in range(1, iterations + 1):
         parts.append(
-            f"d{r} AS (SELECT pr.i, sum(pr.n / (a.pi + b.pi)) AS den"
+            f"d{r} AS MATERIALIZED"
+            f" (SELECT pr.i, sum(pr.n / (a.pi + b.pi)) AS den"
             f" FROM pr JOIN p{r-1} a ON pr.i = a.item"
             f" JOIN p{r-1} b ON pr.j = b.item GROUP BY 1)"
         )
         parts.append(
-            f"r{r} AS (SELECT it.item, coalesce(w.wins, 0) / d.den AS raw"
+            f"r{r} AS MATERIALIZED"
+            f" (SELECT it.item, coalesce(w.wins, 0) / d.den AS raw"
             f" FROM it JOIN d{r} d ON it.item = d.i"
             f" LEFT JOIN wins w ON it.item = w.item)"
         )
         parts.append(
-            f"p{r} AS (SELECT item, raw / (SELECT sum(raw) FROM r{r})"
+            f"p{r} AS MATERIALIZED"
+            f" (SELECT item, raw / (SELECT sum(raw) FROM r{r})"
             f" AS pi FROM r{r})"
         )
     return (
