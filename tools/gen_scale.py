@@ -8,14 +8,19 @@ needs (a super-linear wall-time ratio then indicts the PLAN, not the
 data shape).
 
 Two deliberate perturbations keep the corpus honest:
-- documents: replicas > 0 get a GROWING vocabulary — every token is
-  suffixed with a per-replica tag (so the feature space grows with the
-  corpus, Heaps-law-style, and per-feature document frequency stays
-  constant instead of growing Kx), plus a unique per-doc suffix token
-  (and a recomputed n_chars) so exact/near-dup pair counts don't
-  explode with fake Kx duplicates.  A fixed shared vocabulary would
+- documents: replicas > 0 get a GROWING vocabulary via a LENGTH-
+  PRESERVING per-replica Caesar shift of the letters (so the feature
+  space grows with the corpus, Heaps-law-style, and per-feature
+  document frequency stays constant instead of growing Kx — while
+  text length, token counts, and chunking statistics stay identical
+  to the source), plus a unique per-doc suffix token (and a
+  recomputed n_chars) so exact/near-dup pair counts don't explode
+  with fake Kx duplicates.  A fixed shared vocabulary would
   manufacture quadratic df growth in exact similarity joins (Σ df²
   candidates) that no real corpus exhibits — the round-6 q376 lesson;
+  a token-suffix transform was tried first and REJECTED: it grew
+  replica text ~1.33x, super-linearizing every per-character operator
+  (CDC chunking hit 6x at a 3x data ratio);
 - embeddings: replicas > 0 get deterministic per-replica noise so ANN
   buckets don't fill with exact clones.
 
@@ -87,11 +92,13 @@ def _replica(table: str, t: pa.Table, i: int, bases: dict[str, int]) -> pa.Table
     if table == "documents" and i > 0:
         ids = out["doc_id"].to_pylist()
         texts = out["text"].to_pylist()
+        lo = "abcdefghijklmnopqrstuvwxyz"
+        hi = lo.upper()
+        shift = str.maketrans(
+            lo + hi, lo[i % 26:] + lo[: i % 26] + hi[i % 26:] + hi[: i % 26]
+        )
         texts = [
-            (
-                " ".join(f"{tok}~{i}" for tok in txt.split())
-                + f" rep{i}tok{d}"
-            )
+            f"{txt.translate(shift)} rep{i}tok{d}"
             if txt is not None
             else None
             for txt, d in zip(texts, ids)
