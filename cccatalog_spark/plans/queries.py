@@ -4076,13 +4076,14 @@ def q82_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver ordering.  The driver's correctness gate reads the first 50
-# ``queries()`` entries in insertion order.  Rounds 1–6 drove 221
-# distinct queries green (r6: 50/50); the inventory is FROZEN at 422
-# this round (round-6 verdict item 1) and the window burns down the
-# never-driver-checked backlog: the 45 oldest such queries in
-# inventory order (q220–q265, skipping the already-green q254),
-# keeping 5 sentinels (core merge/dedup/stream/continue paths) to
-# detect regressions.  Every displaced query stays defined and
+# ``queries()`` entries in insertion order.  Rounds 1-7 drove 266
+# distinct queries green (r7: 50/50 first-pass); the round-8 window
+# continues burning down the never-driver-checked backlog: the 45
+# oldest such queries in inventory order (q266-q311, skipping the
+# already-green q268), 4 sentinels (core agg/merge/dedup/stream
+# paths; q67 rotates out after four green rounds), and q423 — the
+# round-7 STAGED CLIP-retrieval leg promoted per verdict item 3 with
+# an immediate window seat.  Every displaced query stays defined and
 # oracle-paired (checked by tools/check_oracle.py across all entries
 # and committed as CORRECTNESS_LOCAL_r{N}.json).
 # ---------------------------------------------------------------------------
@@ -4091,52 +4092,52 @@ DRIVER_WINDOW: list[str] = [
     "q04_merge_upsert",
     "q25_minhash_lsh",
     "q45_stream_loader",
-    "q67_wikimedia_continue_merge",
-    "q220_pareto_frontier",
-    "q221_cuped_experiment",
-    "q222_woe_iv",
-    "q223_winnow_pairs",
-    "q224_geo_radius_join",
-    "q225_luhn_pii",
-    "q226_mutual_information",
-    "q227_benford_audit",
-    "q228_class_tfidf",
-    "q229_kn_lm_nll",
-    "q230_kcenter_coreset",
-    "q231_content_extract",
-    "q232_script_mix",
-    "q233_stratified_exact_k",
-    "q234_random_walks",
-    "q235_psi_drift",
-    "q236_k_anonymity",
-    "q237_sif_embeddings",
-    "q238_skipgram_pairs",
-    "q239_bradley_terry",
-    "q240_dawid_skene",
-    "q241_glove_cooccurrence",
-    "q242_krippendorff_alpha",
-    "q243_ipf_raking",
-    "q244_iban_pii",
-    "q245_lsh_recall_audit",
-    "q246_temperature_fit",
-    "q247_conformal_threshold",
-    "q248_fairness_gaps",
-    "q249_sinkhorn_ot",
-    "q250_mojibake_repair",
-    "q251_phrase_blocklist",
-    "q252_quantile_normalize",
-    "q253_silhouette",
-    "q255_bh_fdr",
-    "q256_mann_whitney",
-    "q257_hard_negatives",
-    "q258_lexical_diversity",
-    "q259_dp_histogram",
-    "q260_bootstrap_ci",
-    "q261_matryoshka_audit",
-    "q262_lsh_plan",
-    "q263_rouge2_pairs",
-    "q264_good_turing",
-    "q265_heaps_law",
+    "q423_clip_media_retrieval",
+    "q266_emd_drift",
+    "q267_salted_join",
+    "q269_dbscan",
+    "q270_multi_source_bfs",
+    "q271_product_quantization",
+    "q272_min_k_prob",
+    "q273_ccnet_ppl_buckets",
+    "q274_ccnet_mix",
+    "q275_split_leakage",
+    "q276_wilson_gate",
+    "q277_deepwalk_pairs",
+    "q278_touch_attribution",
+    "q279_overlap_stitch",
+    "q280_bitext_margin",
+    "q281_rolling_hll",
+    "q282_dedup_impact",
+    "q283_js_matrix",
+    "q284_eb_reputation",
+    "q285_contrastive_pairs",
+    "q286_rouge_l_pairs",
+    "q287_kaplan_meier",
+    "q288_cusum_changepoint",
+    "q289_theil_sen",
+    "q290_graph_report",
+    "q291_isotonic_calibration",
+    "q292_brier_decomposition",
+    "q293_cumulative_gains",
+    "q294_rbo_ann_agreement",
+    "q295_ips_offpolicy",
+    "q296_ks_test",
+    "q297_effect_sizes",
+    "q298_srm_check",
+    "q299_link_prediction",
+    "q300_t_closeness",
+    "q301_ngram_novelty",
+    "q302_seasonal_decompose",
+    "q303_jackknife_ratio",
+    "q304_permutation_test",
+    "q305_harmonic_centrality",
+    "q306_textrank",
+    "q307_winsorized_stats",
+    "q308_spearman",
+    "q309_kendall_tau",
+    "q310_mann_kendall",
+    "q311_hyperball_harmonic",
 ]
 
 
@@ -23108,3 +23109,110 @@ def q422_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return theil_decomposition(d, "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q423 — CLIP-style cross-modal retrieval end-to-end (operators/
+# multimodal.embed_media + media_embedding_ivf_join), the round-7
+# STAGED leg promoted into the inventory: media payload bytes →
+# unit-norm embedding through the model-injectable Arrow mapInPandas
+# boundary (deterministic fake encoder here; reference analog is the
+# WARC media fetch surface, src/providers/commoncrawl/Provider.py:
+# 235-252), then each media embedding joins its top-k catalog vectors
+# through the IVF index: literal centroid assignment on BOTH sides
+# (no shuffle), per-media nprobe pruning, ONE _ivf_list equi-join,
+# per-media row_number re-rank.  The payload is the md5(text) byte
+# slab (the q46 construction) so the oracle can replay the embedder
+# from hex; catalog = the embeddings table cast to DOUBLE.  dim=64
+# with a 16-byte payload ⇒ buckets 17..64 are exactly 0 (count 0 ⇒
+# 0.0), replayed in SQL by zero-padding.  Centroids = first n_lists
+# catalog vectors by id with 1/||c|| folded in (the ivf_centroids
+# contract); probe + assignment ties break (sim DESC, lid DESC), the
+# re-rank (cosine_sim DESC, cat_id ASC) — all replayed below.
+# ---------------------------------------------------------------------------
+@query(
+    "q423_clip_media_retrieval",
+    oracle="""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS hx FROM documents),
+    raw AS MATERIALIZED (
+        SELECT doc_id AS media_id,
+               list_transform(range(1, 17), i ->
+                   CAST((strpos('0123456789abcdef',
+                                substring(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16
+                      + (strpos('0123456789abcdef',
+                                substring(hx, CAST(2*i AS INT), 1)) - 1)
+                        AS DOUBLE))
+               || list_transform(range(1, 49), i -> CAST(0 AS DOUBLE)) AS rv
+        FROM h),
+    me AS MATERIALIZED (
+        SELECT media_id,
+               list_transform(rv, x -> x / sqrt(list_dot_product(rv, rv)))
+                   AS emb
+        FROM raw),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS lid, embedding::DOUBLE[] AS cv
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+    cn AS MATERIALIZED (
+        SELECT lid,
+               list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv)))
+                   AS ncv
+        FROM cent),
+    probe AS MATERIALIZED (
+        SELECT media_id, lid
+        FROM (SELECT m.media_id, cn.lid,
+                     row_number() OVER (
+                         PARTITION BY m.media_id
+                         ORDER BY list_dot_product(m.emb, cn.ncv) DESC,
+                                  cn.lid DESC) AS pr
+              FROM me m, cn)
+        WHERE pr <= 4),
+    assign AS MATERIALIZED (
+        SELECT cat_id, cv, lid
+        FROM (SELECT e.vec_id AS cat_id, e.embedding::DOUBLE[] AS cv,
+                     cn.lid,
+                     row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY list_dot_product(e.embedding::DOUBLE[],
+                                                   cn.ncv) DESC,
+                                  cn.lid DESC) AS rn
+              FROM embeddings e, cn)
+        WHERE rn = 1),
+    cands AS MATERIALIZED (
+        SELECT p.media_id, a.cat_id,
+               round(list_cosine_similarity(m.emb, a.cv), 6) AS cosine_sim
+        FROM probe p
+        JOIN assign a ON a.lid = p.lid
+        JOIN me m ON m.media_id = p.media_id)
+    SELECT media_id, cat_id, cosine_sim, rank
+    FROM (SELECT *, CAST(row_number() OVER (
+                        PARTITION BY media_id
+                        ORDER BY cosine_sim DESC, cat_id ASC) AS INT)
+                        AS rank
+          FROM cands)
+    WHERE rank <= 3
+    """,
+)
+def q423_clip_media_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cccatalog_spark.operators import multimodal as MM
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+    )
+    catalog = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return MM.media_embedding_ivf_join(
+        media,
+        "media_id",
+        "payload",
+        catalog,
+        "vec_id",
+        "vec",
+        k=3,
+        n_lists=16,
+        nprobe=4,
+        dim=64,
+    )

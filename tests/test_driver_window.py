@@ -34,7 +34,9 @@ def test_oracles_follow_query_order():
 def test_full_inventory_counts():
     qs = all_queries()
     oracles = all_oracles()
-    assert len(qs) == 422
+    # 423 = the frozen 422 + q423 (the round-7 STAGED CLIP retrieval
+    # leg, promoted per the round-7 verdict with a driver-window seat)
+    assert len(qs) == 423
     # every query is oracle-paired (q47/q50 gained literal-plane /
     # deterministic-quantizer oracles in round 3)
     assert sorted(set(qs) - set(oracles)) == []
