@@ -28,6 +28,16 @@ from cccatalog_spark.functions.text import shingles, tokens
 from cccatalog_spark.sources.tables import fan_out
 
 
+# Pre-truncation plan capture for the plan auditor (tools/
+# plan_audit.py): checkpointing collapses the returned frame's plan to
+# a leaf, which made the audit read "0 exchanges, 0 scans" for every
+# operator that truncates in its return path (round-7 advice).  When
+# set, every _truncate_lineage call hands the UN-truncated frame to
+# the hook before checkpointing, so the audit sees the real per-round
+# / pre-return plan.  Never set in production paths.
+PRETRUNCATE_HOOK = None
+
+
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Materialize ``df`` and cut its logical plan to a leaf.
 
@@ -37,7 +47,17 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     Catalyst analysis time — grows exponentially with the round count.
     Uses reliable ``checkpoint()`` when the session has a checkpoint
     dir (the cluster path: survives executor loss under dynamic
-    allocation), else eager ``localCheckpoint()``."""
+    allocation), else eager ``localCheckpoint()``.
+
+    Cluster note: Spark does NOT delete reliable checkpoint files by
+    default — a long-lived session that configures a checkpoint dir
+    must also set ``spark.cleaner.referenceTracking.cleanCheckpoints=
+    true`` (a static conf, set at session build) or manage the
+    directory's lifecycle itself, else each call leaks checkpoint
+    files to storage for the life of the app.  ``get_spark`` sets it;
+    sessions built elsewhere own the trade."""
+    if PRETRUNCATE_HOOK is not None:
+        PRETRUNCATE_HOOK(df)
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None

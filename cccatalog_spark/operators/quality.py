@@ -391,21 +391,26 @@ def filter_funnel(
             )
         )
     one = cur.agg(*aggs)
-    stack_args = []
+    # Build stack() from Column literals, never interpolated SQL: a
+    # caller-supplied stage name with quotes OR backslashes reaches
+    # the plan as an opaque literal, so no escaping discipline exists
+    # to get wrong (the string-building form silently ate backslashes
+    # and let a trailing backslash escape the closing quote).
+    stack_cols: list[Column] = [F.lit(len(gates))]
     for i, (name, _) in enumerate(gates):
-        stack_args.append(f"{i + 1}")
-        # SQL-escape the caller-supplied stage name: an apostrophe in
-        # the name must not terminate the literal inside stack().
-        stack_args.append("'" + name.replace("'", "''") + "'")
-        stack_args.append(f"n{i}")
-        stack_args.append(f"n{i + 1}")
-        stack_args.append(f"t{i + 1}")
-    expr = (
-        f"stack({len(gates)}, "
-        + ", ".join(stack_args)
-        + ") as (stage_idx, stage, docs_in, docs_out, tokens_out)"
+        stack_cols.extend(
+            [
+                F.lit(i + 1),
+                F.lit(name),
+                F.col(f"n{i}"),
+                F.col(f"n{i + 1}"),
+                F.col(f"t{i + 1}"),
+            ]
+        )
+    stacked = F.stack(*stack_cols).alias(
+        "stage_idx", "stage", "docs_in", "docs_out", "tokens_out"
     )
-    return one.select(F.expr(expr), F.col("n0")).select(
+    return one.select(stacked, F.col("n0")).select(
         F.col("stage_idx").cast("long").alias("stage_idx"),
         "stage",
         "docs_in",

@@ -14385,10 +14385,10 @@ def q268_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q269_dbscan",
     oracle="""
-    WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+    WITH RECURSIVE pts AS MATERIALIZED (SELECT c_custkey AS id,
             45.0 + (c_custkey % 100) / 50.0 AS lat,
             8.0 + (c_custkey % 37) / 18.5 AS lon FROM customer),
-    pp AS (SELECT a.id AS ida, b.id AS idb
+    pp AS MATERIALIZED (SELECT a.id AS ida, b.id AS idb
            FROM pts a, pts b
            WHERE a.id <> b.id AND round(2 * 6371.0 * asin(sqrt(
              sin(radians(b.lat - a.lat) / 2)
@@ -14396,19 +14396,19 @@ def q268_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              + cos(radians(a.lat)) * cos(radians(b.lat))
                * sin(radians(b.lon - a.lon) / 2)
                * sin(radians(b.lon - a.lon) / 2))), 6) <= 4.2),
-    deg AS (SELECT ida, count(*) AS d FROM pp GROUP BY 1),
-    core AS (SELECT pts.id, coalesce(deg.d, 0) AS n_nbrs,
+    deg AS MATERIALIZED (SELECT ida, count(*) AS d FROM pp GROUP BY 1),
+    core AS MATERIALIZED (SELECT pts.id, coalesce(deg.d, 0) AS n_nbrs,
                     coalesce(deg.d, 0) + 1 >= 3 AS is_core
              FROM pts LEFT JOIN deg ON pts.id = deg.ida),
-    ce AS (SELECT pp.ida AS src, pp.idb AS dst FROM pp
+    ce AS MATERIALIZED (SELECT pp.ida AS src, pp.idb AS dst FROM pp
            JOIN core ca ON pp.ida = ca.id AND ca.is_core
            JOIN core cb ON pp.idb = cb.id AND cb.is_core),
     reach(node, r) AS (
         SELECT id, id FROM core WHERE is_core
         UNION
         SELECT ce.dst, reach.r FROM reach JOIN ce ON ce.src = reach.node),
-    cc AS (SELECT node, min(r) AS cl FROM reach GROUP BY 1),
-    border AS (SELECT pp.ida AS id, min(cc.cl) AS cl
+    cc AS MATERIALIZED (SELECT node, min(r) AS cl FROM reach GROUP BY 1),
+    border AS MATERIALIZED (SELECT pp.ida AS id, min(cc.cl) AS cl
                FROM pp JOIN core cb ON pp.idb = cb.id AND cb.is_core
                JOIN cc ON cc.node = pp.idb
                JOIN core ca ON pp.ida = ca.id AND NOT ca.is_core

@@ -41,6 +41,12 @@ def get_spark(app_name: str = "cccatalog_spark", cpus: int | None = None) -> Spa
         # (reference: util/loader/sql.py:194-204)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.ui.enabled", "false")
+        # reliable checkpoint() files (operators/dedup._truncate_lineage
+        # when a checkpoint dir is configured) are never deleted by
+        # default — opt into GC-driven cleanup so iterative operators
+        # don't leak checkpoint files to storage across calls (static
+        # conf: must be set at session build, not per-query)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # see sources/tables.ensure_session_confs — stops the optimizer
         # duplicating expensive generator children into inferred filters

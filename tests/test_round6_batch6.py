@@ -220,6 +220,21 @@ def test_filter_funnel_apostrophe_stage_name(spark):
     assert out[0]["docs_out"] == 1
 
 
+def test_filter_funnel_backslash_stage_name(spark):
+    # round-7 advice: the SQL-interpolated form silently ate
+    # backslashes ('back\\slash' -> 'backslash') and a trailing
+    # backslash escaped the closing quote; the Column-literal build
+    # must pass both through verbatim.
+    from cccatalog_spark.operators.quality import filter_funnel
+
+    df = spark.createDataFrame([(10,), (100,)], ["n_chars"])
+    names = ["back\\slash", "trailing\\", "mix'\\quote"]
+    out = filter_funnel(
+        df, [(n, F.col("n_chars") >= 0) for n in names]
+    ).collect()
+    assert [r["stage"] for r in sorted(out, key=lambda r: r["stage_idx"])] == names
+
+
 # ------------------------------------------------------------- CDC chunking
 def test_cdc_chunks_reassemble(spark):
     from cccatalog_spark.operators.cdc_chunk import cdc_chunks

@@ -9,7 +9,7 @@ data shape).
 
 Two deliberate perturbations keep the corpus honest:
 - documents: replicas > 0 get a GROWING vocabulary via a LENGTH-
-  PRESERVING per-replica Caesar shift of the letters (so the feature
+  PRESERVING per-replica seeded alphabet permutation (so the feature
   space grows with the corpus, Heaps-law-style, and per-feature
   document frequency stays constant instead of growing Kx — while
   text length, token counts, and chunking statistics stay identical
@@ -34,6 +34,7 @@ Usage: python tools/gen_scale.py [K] [out_dir]
 from __future__ import annotations
 
 import os
+import random
 import sys
 
 import numpy as np
@@ -94,9 +95,17 @@ def _replica(table: str, t: pa.Table, i: int, bases: dict[str, int]) -> pa.Table
         texts = out["text"].to_pylist()
         lo = "abcdefghijklmnopqrstuvwxyz"
         hi = lo.upper()
-        shift = str.maketrans(
-            lo + hi, lo[i % 26:] + lo[: i % 26] + hi[i % 26:] + hi[: i % 26]
-        )
+        # Seeded full alphabet permutation, not a rotation: a rotation
+        # has only 26 distinct values, so replicas 26, 52, ... would
+        # reuse the base vocabulary verbatim and the quadratic
+        # per-feature-df artifact this fixture removes would return at
+        # replication factors >= 26 (round-7 advice). A permutation is
+        # equally length/frequency/boundary-preserving and is distinct
+        # for every replica.
+        perm = list(lo)
+        random.Random(1000 + i).shuffle(perm)
+        perm = "".join(perm)
+        shift = str.maketrans(lo + hi, perm + perm.upper())
         texts = [
             f"{txt.translate(shift)} rep{i}tok{d}"
             if txt is not None

@@ -21,6 +21,11 @@ FLAGS = {
     "BatchEvalPython": "row-at-a-time Python UDF",
 }
 
+# max pre-truncation plans captured per query: iterative operators
+# truncate once per round; the first few rounds are representative
+# (the round body is the same plan re-instantiated on a new leaf)
+PRETRUNCATE_CAP = 8
+
 # queries whose operator is a stream/sink/iterative driver — their
 # result frame is a read-back of materialized state, so the plan of
 # the returned DataFrame does not describe the interesting work
@@ -293,6 +298,7 @@ SANCTIONED_BNLJ = {
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+    from cccatalog_spark.operators import dedup as _dedup
     from cccatalog_spark.plans.queries import all_queries
     from cccatalog_spark.session import get_spark
 
@@ -300,6 +306,22 @@ def main() -> int:
     rows = []
     problems = 0
     for name, fn in sorted(all_queries().items()):
+        # _truncate_lineage collapses plans to a checkpoint leaf, which
+        # blinded the audit for every operator that truncates per round
+        # or in its return path (round-7 advice): capture the first
+        # PRETRUNCATE_CAP un-truncated plans and audit those too.
+        captured: list[str] = []
+
+        def _hook(pre_df, _c=captured):
+            if len(_c) < PRETRUNCATE_CAP:
+                try:
+                    _c.append(
+                        pre_df._jdf.queryExecution().executedPlan().toString()
+                    )
+                except Exception:  # noqa: BLE001
+                    pass
+
+        _dedup.PRETRUNCATE_HOOK = _hook
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -307,11 +329,33 @@ def main() -> int:
             rows.append((name, "ERROR", str(e)[:100]))
             problems += 1
             continue
-        hits = [label for pat, label in FLAGS.items() if pat in plan]
+        finally:
+            _dedup.PRETRUNCATE_HOOK = None
+        all_plans = [plan] + captured
+        hits = sorted(
+            {
+                label
+                for p in all_plans
+                for pat, label in FLAGS.items()
+                if pat in p
+            }
+        )
         n_exchange = len(re.findall(r"\bExchange\b", plan))
         n_scan = len(re.findall(r"Scan parquet", plan))
         note = "materialized-state readback" if name in MATERIALIZED else ""
         counts = f"{n_exchange} exchanges, {n_scan} scans"
+        if captured:
+            pre_ex = max(
+                len(re.findall(r"\bExchange\b", p)) for p in captured
+            )
+            pre_scan = max(
+                len(re.findall(r"Scan parquet", p)) for p in captured
+            )
+            counts += (
+                f"; checkpointed — {len(captured)} pre-truncation "
+                f"plan(s) audited, max {pre_ex} exchanges, "
+                f"{pre_scan} scans"
+            )
         if hits and name in SANCTIONED_BNLJ:
             rows.append(
                 (name, "ok*", f"{counts} — {SANCTIONED_BNLJ[name]}")
