@@ -65,9 +65,49 @@ QUERIES = [
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
 
-def _time(fn, spark, sf_dir: str) -> float:
+def _q404_scaled(spark, sf_dir: str):
+    """Scale-faithful q404 fixture (round-7 verdict item 4).
+
+    The inventory query blocks on ``label`` — a FIXED 10-value key, the
+    exact anti-shape ``mutual_knn_pairs``' docstring warns about, so at
+    3x data it measured 9x per-block candidates: the fixture, not the
+    operator.  Here the bench does what a 100 TB caller does: block on
+    an LSH sign-bucket whose bit-width grows with the corpus
+    (bits = ceil(log2(n / target_block)), i.e. cluster cardinality
+    scales with n and per-block size stays ~constant), then time the
+    identical operator.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cccatalog_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+        mutual_knn_pairs,
+    )
+    from cccatalog_spark.plans.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    bits = max(1, math.ceil(math.log2(max(n, 2) / 40.0)))
+    planes = _hyperplanes(64, bits)
+    blocked = emb.withColumn(
+        "_blk", lsh_bucket(F.col("embedding"), planes)
+    )
+    return mutual_knn_pairs(blocked, "embedding", "vec_id", "_blk", k=5)
+
+
+# bench-only fixture overrides: same operator, caller-scaled inputs
+# (the operator contract the inventory fixture can't express)
+OVERRIDES = {"q404_mutual_knn": _q404_scaled}
+
+
+def _time(fn, spark, sf_dir: str, runs: int = RUNS) -> float:
     best = float("inf")
-    for _ in range(RUNS):
+    for _ in range(runs):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         best = min(best, time.perf_counter() - t0)
@@ -95,16 +135,41 @@ def main() -> int:
     out = {"small_sf": small, "big_sf": big, "data_ratio": data_ratio,
            "queries": {}}
     for name in QUERIES:
-        t_small = _time(qs[name], spark, small)
-        t_big = _time(qs[name], spark, big)
+        fn = OVERRIDES.get(name, qs.get(name))
+        t_small = _time(fn, spark, small)
+        t_big = _time(fn, spark, big)
         ratio = t_big / t_small if t_small > 0 else float("inf")
         out["queries"][name] = {
             "sec_small": round(t_small, 2),
             "sec_big": round(t_big, 2),
             "ratio": round(ratio, 2),
         }
+        if name in OVERRIDES:
+            out["queries"][name]["fixture"] = (
+                "bench override: caller-scaled block key "
+                "(see tools/bench_scaling.py)"
+            )
         print(f"{name}: {t_small:.2f}s -> {t_big:.2f}s  ratio {ratio:.2f}",
               flush=True)
+
+    # outlier re-probes as ARTIFACTS, not prose (round-7 verdict item
+    # 6): any query whose first-pass ratio exceeds the data ratio gets
+    # an independent min-of-3 re-timing committed beside it, so the
+    # next reader verifies numbers, not sentences.
+    for name, rec in out["queries"].items():
+        if rec["ratio"] > data_ratio:
+            fn = OVERRIDES.get(name, qs.get(name))
+            r_small = _time(fn, spark, small, runs=3)
+            r_big = _time(fn, spark, big, runs=3)
+            rr = r_big / r_small if r_small > 0 else float("inf")
+            rec["reprobe"] = {
+                "runs": 3,
+                "sec_small": round(r_small, 2),
+                "sec_big": round(r_big, 2),
+                "ratio": round(rr, 2),
+            }
+            print(f"{name} reprobe: {r_small:.2f}s -> {r_big:.2f}s  "
+                  f"ratio {rr:.2f}", flush=True)
 
     ratios = [v["ratio"] for v in out["queries"].values()]
     out["max_ratio"] = max(ratios)
@@ -116,25 +181,10 @@ def main() -> int:
     # and hence the Σ df² candidate bound of exact similarity joins —
     # no longer scales with replica count (q376 measured 1.06 at the
     # 3.0 data ratio, was 5.99).
-    out["notes"] = {
-        "q404_mutual_knn": (
-            "blocked pair generator with the fixture's FIXED 10-label "
-            "block space: 3x rows per block means 9x per-block "
-            "candidates (Σ_b n_b² by design); wall grew only ~3.4x "
-            "because the per-point top-k window truncates most of "
-            "them. The operator docstring states the scale contract: "
-            "at 100 TB the block key is an LSH bucket / cluster id "
-            "whose CARDINALITY grows with the corpus, keeping n_b "
-            "bounded — a constant block key is the documented "
-            "anti-shape."
-        ),
-        "q396_cdc_dedup": (
-            "3.08 vs the 3.0 data ratio — measurement noise at this "
-            "duration (an isolated min-of-3 re-probe measured 2.85); "
-            "chunk volume and distinct-hash groups both grow exactly "
-            "linearly under the length-preserving replica transform."
-        ),
-    }
+    # No prose exemptions remain: q404 runs the operator under its
+    # documented caller contract (OVERRIDES above), and any residual
+    # outlier carries its own min-of-3 "reprobe" artifact inline.
+    out["notes"] = {}
     with open("BENCH_SCALING.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"max_ratio": out["max_ratio"],
