@@ -33,6 +33,25 @@ def percentile_disc(value: Column, p: float) -> Column:
     return F.when(n > 0, F.element_at(vals, F.greatest(idx, F.lit(1))))
 
 
+def percentile_cont(value: Column, p: float) -> Column:
+    """Linear-interpolated continuous percentile as an aggregate
+    expression — PostgreSQL/DuckDB ``percentile_cont(p) WITHIN GROUP
+    (ORDER BY v)`` / ``quantile_cont`` semantics: at rank
+    ``h = p*(n-1)`` (0-based), return
+    ``v[floor(h)] + (h - floor(h)) * (v[floor(h)+1] - v[floor(h)])``.
+
+    Spark's builtin ``percentile`` implements the same estimator; this
+    surface exists so callers porting Postgres ``percentile_cont``
+    land on a named, parity-tested function (the disc/cont pair
+    mirrors the reference's ``util/popularity/sql.py:146-167`` choice
+    of disc, with cont as the documented alternative), and so the
+    DuckDB-parity contract is pinned by tests rather than assumed.
+    Same scale caveat as :func:`percentile_disc`: per-group exact
+    aggregation — for billion-row groups use ``percentile_approx``.
+    """
+    return F.percentile(value, F.lit(p))
+
+
 def zero_guard(raw: Column) -> Column:
     return F.when(raw == 0, F.lit(1.0)).otherwise(raw)
 

@@ -11,6 +11,9 @@ repo-wide noise defense — the sandbox shows multi-tenant CPU bursts).
 Writes BENCH_SCALING.json at the repo root.
 
 Usage: python tools/bench_scaling.py [big_sf_dir]
+       python tools/bench_scaling.py big_sf_dir big2_dir ratio2 [n_worst]
+       (the 3-arg form adds a second curve: the worst-n_worst ratio
+       queries re-timed min-of-3 at big2_dir, e.g. .scratch/sf1.0 10)
 """
 
 from __future__ import annotations
@@ -185,6 +188,34 @@ def main() -> int:
     # documented caller contract (OVERRIDES above), and any residual
     # outlier carries its own min-of-3 "reprobe" artifact inline.
     out["notes"] = {}
+
+    # Optional second scaling point (round-7 verdict item 7): rerun
+    # the worst-N ratio queries at a larger replica (e.g. sf1.0 = 10x)
+    # — the cheap way to catch a quadratic term the 3x step hides
+    # (ratio^2 vs ratio separates cleanly at 10x where 3x is noise).
+    if len(sys.argv) > 3:
+        big2, ratio2 = sys.argv[2], float(sys.argv[3])
+        n_worst = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        worst = sorted(
+            out["queries"], key=lambda n: -out["queries"][n]["ratio"]
+        )[:n_worst]
+        curve2 = {"big_sf": big2, "data_ratio": ratio2, "queries": {}}
+        for name in worst:
+            fn = OVERRIDES.get(name, qs.get(name))
+            t_small = out["queries"][name]["sec_small"]
+            t_big2 = _time(fn, spark, big2, runs=3)
+            r2 = t_big2 / t_small if t_small > 0 else float("inf")
+            curve2["queries"][name] = {
+                "sec_small": t_small,
+                "sec_big": round(t_big2, 2),
+                "ratio": round(r2, 2),
+            }
+            print(f"{name} @{ratio2:g}x: {t_small:.2f}s -> "
+                  f"{t_big2:.2f}s  ratio {r2:.2f}", flush=True)
+        curve2["max_ratio"] = max(
+            v["ratio"] for v in curve2["queries"].values()
+        )
+        out["extra_curve"] = curve2
     with open("BENCH_SCALING.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"max_ratio": out["max_ratio"],

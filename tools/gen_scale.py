@@ -141,10 +141,11 @@ def _replica(table: str, t: pa.Table, i: int, bases: dict[str, int]) -> pa.Table
 
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    label = f"sf{k / 10:.1f}"  # k=3 -> sf0.3, k=10 -> sf1.0
     out_dir = (
         sys.argv[2]
         if len(sys.argv) > 2
-        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", f"sf0.{k}")
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch", label)
     )
     os.makedirs(out_dir, exist_ok=True)
     bases = _space_bases()
