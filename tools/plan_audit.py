@@ -291,6 +291,22 @@ SANCTIONED_BNLJ = {
     "q238_skipgram_pairs": "1-row token-total scalar broadcast (the subsample keep-probability denominator)",
     "q242_krippendorff_alpha": "<=|values|-row coincidence marginals cross-combined + 1-row totals (bounded catalogs; |values| is the label alphabet, not the corpus)",
     "q245_lsh_recall_audit": "three 1-row count frames cross-combined (the evaluation summary row)",
+    # round-8: flags newly VISIBLE because the audit now captures
+    # pre-truncation per-round plans (round-7 advice) — each is the
+    # same 1-row / ≤k-row catalog cross-broadcast contract as above,
+    # sitting inside an iterative round body
+    "q207_logreg_filter": "per-round (dim+1)-row weight-frame + 1-row "
+    "learning-rate scalar cross-broadcasts (collect-free SGD round; "
+    "corpus enters only the gradient aggregate)",
+    "q239_bradley_terry": "per-round 1-row total + tie-constant "
+    "cross-broadcasts over the item-strength catalog (MM update; "
+    "pair frame never BNLJ-joined)",
+    "q240_dawid_skene": "per-round 1-row class-prior cross-broadcast "
+    "into the posterior logits + |classes|^2 confusion-catalog "
+    "broadcast join (EM round)",
+    "q249_sinkhorn_ot": "per-round 1-row mass-total cross-broadcasts "
+    "over the two <=k-row marginal catalogs (scaling update; the "
+    "cost matrix is catalog x catalog by construction)",
     "q248_fairness_gaps": "1-row disparity-gap frame cross-broadcast over the |groups|-row report",
 }
 
