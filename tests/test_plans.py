@@ -355,3 +355,38 @@ def test_adaptive_join_merge_for_uniform_big_dim(spark):
     out, d = adaptive_join(fact, dim, "k", broadcast_threshold=1000)
     assert d["strategy"] == "merge"
     assert out.count() == 20000
+
+
+def test_media_ivf_join_plan_shape(spark, sf_dir):
+    """q423: CLIP-style retrieval must plan as ONE _ivf_list equi-hash
+    join (centroid assignment is literal expression work on both
+    sides), ONE MapInPandas embed stage, a media-partitioned re-rank
+    window — and never a nested loop, cartesian, or global sort."""
+    from cccatalog_spark.operators.multimodal import (
+        media_embedding_ivf_join,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("payload"),
+    )
+    cat = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    out = media_embedding_ivf_join(
+        d, "media_id", "payload", cat, "vec_id", "vec",
+        k=3, n_lists=8, nprobe=2, dim=64,
+    )
+    # executedPlan string (one line per node) — the formatted explain
+    # lists every node twice (tree + details), which breaks counting
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    n_joins = (
+        plan.count("BroadcastHashJoin")
+        + plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert n_joins == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan

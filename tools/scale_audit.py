@@ -166,6 +166,15 @@ SANCTIONED_GLOBAL_WINDOW = {
 # family -> (query, budget): every budget key must hold as <= (ints)
 # or == (bools) on the measured metrics
 FAMILIES = {
+    # CLIP-style media retrieval: embed (ONE MapInPandas), literal
+    # centroid assignment both sides (no join, no shuffle), probe ->
+    # catalog equi-join on _ivf_list (ONE join), per-media re-rank
+    # window (hash-partitioned by media, never SinglePartition)
+    # (multimodal.media_embedding_ivf_join)
+    "media-ivf-one-list-join": (
+        "q423_clip_media_retrieval",
+        {"joins": 1, "exchanges": 4, "global_window": False},
+    ),
     # KNN-Shapley: probe catalog broadcast => the |train| x |probes|
     # scoring stage is shuffle-free; one window shuffle keyed by
     # probe, one groupBy keyed by train id (valuation.knn_shapley)
