@@ -177,9 +177,19 @@ def krippendorff_alpha_nominal(
         .select(
             "n_items",
             F.col("n").cast("long").alias("n_pairable_values"),
-            F.round(F.col("_od") / F.col("n"), round_to).alias("d_o"),
+            # n = 0 (no item carries two ratings — nothing is
+            # pairable) leaves every disagreement undefined: emit
+            # nulls rather than a division error under ANSI mode
             F.round(
-                F.col("_ee") / (F.col("n") * (F.col("n") - 1)), round_to
+                F.when(F.col("n") > 0, F.col("_od") / F.col("n")),
+                round_to,
+            ).alias("d_o"),
+            F.round(
+                F.when(
+                    F.col("n") > 1,
+                    F.col("_ee") / (F.col("n") * (F.col("n") - 1)),
+                ),
+                round_to,
             ).alias("d_e"),
             F.round(
                 # D_e = 0 (a single observed value corpus-wide) leaves
