@@ -142,20 +142,40 @@ def lang_id(text: Column) -> Column:
     )
 
 
+def bind_once(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and hand the result to ``body`` as a
+    bound lambda variable.
+
+    Higher-order-function lambdas get no common-subexpression
+    elimination (and no whole-stage codegen), so an expression like
+    ``transform(idx, i -> slice(tokens(text), i, k))`` re-runs the
+    whole tokenize per array element — O(|doc|) re-evaluations of an
+    O(|doc|) expression.  Binding through a 1-element ``transform``
+    forces a single evaluation while staying a pure Column function
+    (guide §1.2 per-task work; measured: the shingle explode's worst
+    draws drop ~5x, q264's trigram spectrum ~1.6x on min-of-3)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-gram shingle array (distinct), the MinHash/Jaccard input.
 
     Guarded for documents shorter than k tokens: F.sequence(1, 0)
     counts DOWN in Spark, which would feed slice an invalid start of 0
     (greatest(...) alone does not prevent that)."""
-    t = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
-    return F.when(
-        F.size(t) >= k,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
+        return F.when(
+            F.size(t) >= k,
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice(t, i, k), " ")
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return bind_once(tokens(text), body)
 
 
 def fingerprint(text: Column) -> Column:

@@ -1207,14 +1207,20 @@ def weighted_jaccard_pairs(
     else:
         # NON-distinct k-grams: multiplicities are the whole point
         # (functions.text.shingles applies array_distinct — the set
-        # semantics q24/q25 want, wrong here)
-        idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
-        feat = F.when(
-            F.size(t) >= k,
-            F.transform(
-                idx, lambda i: F.array_join(F.slice(t, i, k), " ")
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # semantics q24/q25 want, wrong here).  bind_once: same
+        # single-tokenization discipline as shingles.
+        from cccatalog_spark.functions.text import bind_once
+
+        def _grams(tb: Column) -> Column:
+            idx = F.sequence(F.lit(1), F.size(tb) - (k - 1))
+            return F.when(
+                F.size(tb) >= k,
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice(tb, i, k), " ")
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        feat = bind_once(t, _grams)
     toks = fan_out(df).select(
         F.col(id_col), F.explode(feat).alias("_t")
     )

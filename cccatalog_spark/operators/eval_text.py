@@ -34,14 +34,21 @@ from cccatalog_spark.functions.text import tokens
 def _ngram_counts(
     df: DataFrame, id_col: str, text_col: str, n: int, side: str
 ) -> DataFrame:
+    from cccatalog_spark.functions.text import bind_once
+
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
-    grams: Column = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    # bind_once: lambdas get no CSE — inline ``toks`` would re-run the
+    # tokenize n times per gram position (the q264/shingles lesson)
+    grams: Column = bind_once(
+        toks,
+        lambda tb: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(tb) - (n - 1), F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", *[
+                F.element_at(tb, (i + j).cast("int")) for j in range(n)
+            ]),
         ),
-        lambda i: F.concat_ws(" ", *[
-            F.element_at(toks, (i + j).cast("int")) for j in range(n)
-        ]),
     )
     return (
         df.select(F.col(id_col).alias("_pid"), F.explode(grams).alias("g"))

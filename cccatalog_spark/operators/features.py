@@ -272,7 +272,11 @@ def pca_power_component(
         )
 
     for _ in range(n_iter):
-        w = matvec(v)
+        # persist the matvec result: it feeds both the norm aggregate
+        # and the normalized iterate — un-persisted, the matvec
+        # shuffle executed twice per round (guide §5 reuse rule;
+        # arithmetic is unchanged, the same agg runs over cached rows)
+        w = matvec(v).persist()
         nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         v = w.crossJoin(F.broadcast(nrm)).select(
             "i", (F.col("w") / F.col("nrm")).alias("val")
@@ -282,6 +286,7 @@ def pca_power_component(
         # times — without the cut, Catalyst analysis time grows
         # exponentially in n_iter (same rule as connected_components)
         v = v.localCheckpoint(eager=True)
+        w.unpersist()
     w_last = matvec(v)
     lam = (
         w_last.join(v, "i")
@@ -370,8 +375,14 @@ def sif_embed(
         F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""),
         lambda t: F.lower(t),
     )
-    ex = docs.select(F.col(id_col), F.explode(toks).alias("w"))
-    freq = ex.groupBy("w").agg(F.count("*").alias("cnt"))
+    # the token explode feeds both the vocab-frequency build and the
+    # pooling join, and the frequency catalog feeds both the total and
+    # the weight table — persist both so the tokenize→explode subtree
+    # runs ONCE (un-persisted, the final plan re-executed it three
+    # times: the standard index-materialization step, same discipline
+    # as dedup._pair_jaccard; guide §2.4 duplicated-subtree removal)
+    ex = docs.select(F.col(id_col), F.explode(toks).alias("w")).persist()
+    freq = ex.groupBy("w").agg(F.count("*").alias("cnt")).persist()
     total = freq.agg(F.sum("cnt").cast("double").alias("_tot"))
     wt = freq.crossJoin(F.broadcast(total)).select(
         "w",

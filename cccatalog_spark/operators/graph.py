@@ -36,10 +36,21 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 5,
     damping: float = 0.85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Rank every node of the (deduplicated) edge frame; returns
     ``(node, rank)`` at full precision — callers round for output.
-    Deterministic: fixed iterations, no RNG, rational init 1/N."""
+    Deterministic: fixed iterations, no RNG, rational init 1/N.
+
+    ``checkpoint_every``: rounds chain LAZILY and lineage is truncated
+    only every k-th round (plus once on return, so the returned frame
+    stays a materialized leaf).  The rank frame is referenced exactly
+    ONCE per round, so the un-truncated plan grows linearly — unlike
+    connected_components' multiply-nested rounds — and a k-round chain
+    executes as one job with the same k shuffle pairs instead of k
+    jobs each paying checkpoint write+read and scheduling (guide §2.4:
+    two operations keyed the same way share work; §5: localCheckpoint
+    is for cutting lineage, not a per-round obligation)."""
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().persist()
@@ -60,28 +71,27 @@ def pagerank(
     contrib_src = e.join(outdeg, "src").persist()
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(iterations):
         msgs = (
             contrib_src.join(ranks, F.col("src") == F.col("node"))
             .select("dst", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
-        new_ranks = _truncate_lineage(
-            nodes.join(msgs, F.col("node") == F.col("dst"), "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("r"),
-            )
+        ranks = nodes.join(
+            msgs, F.col("node") == F.col("dst"), "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("r"),
         )
-        # checkpoint, not persist: persist caches execution but the
-        # analyzed plan still nests every prior round (plan size and
-        # Catalyst time grow exponentially with iterations)
-        ranks.unpersist()
-        ranks = new_ranks
+        # truncate periodically (and always on return, below): bounds
+        # Catalyst time without a materialization job per round
+        if (it + 1) % max(1, checkpoint_every) == 0 and it + 1 < iterations:
+            ranks = _truncate_lineage(ranks)
+    ranks = _truncate_lineage(ranks)
     contrib_src.unpersist()
     return ranks
 
@@ -167,25 +177,30 @@ def hits(
             .groupBy("dst")
             .agg(F.sum("h").alias("a"))
         )
-        auths = _truncate_lineage(
-            normalized(
-                nodes.join(a_raw, F.col("node") == F.col("dst"), "left")
-                .select("node", F.coalesce("a", F.lit(0.0)).alias("a")),
-                "a",
-            )
+        # persist the pre-normalization frame: ``normalized`` reads it
+        # twice (the L1 total and the division) — un-persisted, the
+        # e⋈hubs join + message sum executed twice per half-round
+        # (guide §5 reuse rule; the eager truncation right after
+        # materializes the cache, so the unpersist below is safe)
+        a_full = (
+            nodes.join(a_raw, F.col("node") == F.col("dst"), "left")
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+            .persist()
         )
+        auths = _truncate_lineage(normalized(a_full, "a"))
+        a_full.unpersist()
         h_raw = (
             e.join(auths, F.col("dst") == F.col("node"))
             .groupBy("src")
             .agg(F.sum("a").alias("h"))
         )
-        hubs = _truncate_lineage(
-            normalized(
-                nodes.join(h_raw, F.col("node") == F.col("src"), "left")
-                .select("node", F.coalesce("h", F.lit(0.0)).alias("h")),
-                "h",
-            )
+        h_full = (
+            nodes.join(h_raw, F.col("node") == F.col("src"), "left")
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+            .persist()
         )
+        hubs = _truncate_lineage(normalized(h_full, "h"))
+        h_full.unpersist()
     return (
         nodes.join(hubs, "node", "left")
         .join(auths, "node", "left")
@@ -219,6 +234,9 @@ def triangle_counts(
     broadcast of anything unbounded. Returns (node, degree,
     triangles, clustering) for every node of degree ≥ 1.
     """
+    # persist the canonical edge list: it feeds BOTH the degree build
+    # and the orientation join — un-persisted, the caller's (possibly
+    # expensive) edge derivation executed twice (guide §5 reuse rule)
     e = (
         edges.select(
             F.least(F.col(u_col), F.col(v_col)).alias("u"),
@@ -226,6 +244,7 @@ def triangle_counts(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -549,23 +568,27 @@ def personalized_pagerank(
     ranks = base.select(
         "node", (F.col("b") / F.lit(1.0 - damping)).alias("r")
     )
-    for _ in range(iterations):
+    # same lazy round-chaining as ``pagerank``: the rank frame is
+    # referenced once per round, so truncation is periodic + on return
+    for it in range(iterations):
         msgs = (
             contrib_src.join(ranks, F.col("src") == F.col("node"))
             .select("dst", (F.col("r") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
-        new_ranks = _truncate_lineage(
-            base.join(msgs, F.col("node") == F.col("dst"), "left").select(
-                "node",
-                (
-                    F.col("b")
-                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("r"),
-            )
+        ranks = base.join(
+            msgs, F.col("node") == F.col("dst"), "left"
+        ).select(
+            "node",
+            (
+                F.col("b")
+                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+            ).alias("r"),
         )
-        ranks = new_ranks
+        if (it + 1) % 4 == 0 and it + 1 < iterations:
+            ranks = _truncate_lineage(ranks)
+    ranks = _truncate_lineage(ranks)
     contrib_src.unpersist()
     return ranks
 
@@ -861,6 +884,12 @@ def multi_source_bfs(
             [(s, 0) for s in seeds], ["node", "dist"]
         )
     )
+    # dist stays a LAZY union of the per-round checkpointed frontiers:
+    # every constituent is already a materialized leaf, so the union
+    # plan is flat and nothing recomputes — re-truncating the union
+    # each round was one extra materialization job per hop for a frame
+    # whose pieces were all just materialized (guide §5:
+    # localCheckpoint cuts lineage; a union of leaves has none to cut)
     dist = frontier
     for r in range(max_hops):
         if _frontier_probe is not None:
@@ -874,7 +903,7 @@ def multi_source_bfs(
             hop.join(dist, "node", "left_anti")
             .withColumn("dist", F.lit(r + 1).cast("long"))
         )
-        dist = _truncate_lineage(dist.unionAll(frontier))
+        dist = dist.unionAll(frontier)
     und.unpersist()
     return dist
 
@@ -1667,6 +1696,9 @@ def multi_source_distances(
             [(s, s, 0) for s in seeds], ["seed", "node", "dist"]
         )
     )
+    # dist stays a LAZY union of checkpointed frontiers — same
+    # reasoning as multi_source_bfs: every piece is a materialized
+    # leaf, so re-truncating the union per hop bought nothing
     dist = frontier
     for r in range(max_hops):
         hop = (
@@ -1678,7 +1710,7 @@ def multi_source_distances(
             hop.join(dist, ["seed", "node"], "left_anti")
             .withColumn("dist", F.lit(r + 1).cast("long"))
         )
-        dist = _truncate_lineage(dist.unionAll(frontier))
+        dist = dist.unionAll(frontier)
     und.unpersist()
     return dist
 
@@ -1747,28 +1779,34 @@ def eigenvector_centrality(
     n = nodes.count()  # bounded catalog scalar (matches pagerank's init)
 
     x = nodes.withColumn("r", F.lit(1.0 / n))
-    for _ in range(iterations):
+    # rounds chain LAZILY (the iterate is referenced once per round;
+    # plan growth is linear — the pagerank discipline): one execution
+    # at the final truncation instead of a checkpoint job per round.
+    # Each round's pre-normalization frame y stays persisted until
+    # after that execution because both the L1-normalizer aggregate
+    # and the division read it — unpersisting mid-chain would put the
+    # x⋈edges join back twice into the final plan's execution.
+    cached = []
+    for it in range(iterations):
         msgs = (
             und.join(x, F.col("src") == F.col("node"))
             .select("dst", F.col("r").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
-        # persist y: both the L1-normalizer aggregate and the division
-        # read it — without the persist each round computes the
-        # x⋈edges join twice
         y = x.join(msgs, F.col("node") == F.col("dst"), "left").select(
             "node",
             (F.col("r") + F.coalesce(F.col("m"), F.lit(0.0))).alias("y"),
         ).persist()
-        s = y.agg(F.sum("y").alias("s"))
-        new_x = _truncate_lineage(
-            y.crossJoin(F.broadcast(s)).select(
-                "node", (F.col("y") / F.col("s")).alias("r")
-            )
-        )
+        cached.append(y)
+        x = y.crossJoin(
+            F.broadcast(y.agg(F.sum("y").alias("s")))
+        ).select("node", (F.col("y") / F.col("s")).alias("r"))
+        if (it + 1) % 3 == 0 and it + 1 < iterations:
+            x = _truncate_lineage(x)
+    x = _truncate_lineage(x)
+    for y in cached:
         y.unpersist()
-        x = new_x
     und.unpersist()
     nodes.unpersist()
     return x

@@ -310,44 +310,74 @@ def good_turing_counts(
     count-r words. Floats rounded 6.
 
     Scale shape: token counts (one aggregate) → count-of-counts (one
-    aggregate over the vocab frame) → a self-join on r+1 over the
-    ≤max_r-row spectrum catalog. The corpus is touched once.
+    aggregate over the vocab frame) → windows over the spectrum
+    catalog. The corpus is touched ONCE: N_{r+1} and the corpus total
+    N both come from windows over the ≤|distinct r|-row spectrum
+    frame instead of re-deriving it (a self-join + a separate total
+    aggregate each re-executed the tokenize→explode→count subtree —
+    three corpus passes for one answer; guide §2.4 duplicated-subtree
+    removal, measured 8.2 s → (see OPTIMIZATION_r08.md) at sf0.1).
+    The unpartitioned windows are safe by the bounded-catalog
+    argument: the spectrum has one row per DISTINCT count value
+    (≤ a few hundred even at 100 TB corpus scale).
     """
+    from pyspark.sql.window import Window
     from cccatalog_spark.functions.text import tokens
 
     toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
     if n > 1:
         # n-gram spectrum (the useful setting on small closed
         # vocabularies, where every unigram is frequent): grams built
-        # by index transform, multiset counts
+        # by index transform, multiset counts.  The token array is
+        # MATERIALIZED as a column first: higher-order-function
+        # lambdas get no common-subexpression elimination, so an
+        # inline ``toks`` would re-run tokenize+lower n times per gram
+        # position — O(n·T·|doc|) per document instead of one
+        # tokenization (measured 1.5–7 s → ~1 s on the sf0.1 trigram
+        # spectrum; guide §1.2 per-task work).
+        tcol = F.col("_t")
         grams = F.transform(
             F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))
+                F.lit(1), F.greatest(F.size(tcol) - (n - 1), F.lit(0))
             ),
             lambda i: F.concat_ws(" ", *[
-                F.element_at(toks, (i + j).cast("int")) for j in range(n)
+                F.element_at(tcol, (i + j).cast("int")) for j in range(n)
             ]),
         )
+        c = (
+            docs.select(toks.alias("_t"))
+            .select(F.explode(grams).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("r"))
+        )
     else:
-        grams = toks
-    c = (
-        docs.select(F.explode(grams).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("r"))
-    )
+        c = (
+            docs.select(F.explode(toks).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("r"))
+        )
     spectrum = c.groupBy("r").agg(
         F.count("*").cast("double").alias("n_r")
     )
-    total = spectrum.agg(
-        F.sum(F.col("r") * F.col("n_r")).alias("_n")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    nxt = spectrum.select(
-        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    w_next = Window.orderBy("r")
+    enriched = spectrum.select(
+        "r",
+        "n_r",
+        F.sum(F.col("r") * F.col("n_r")).over(w_all).alias("_n"),
+        # N_{r+1}: the next spectrum row only if its r is exactly r+1
+        # (count values have gaps; lead() alone would fetch N_{r'} for
+        # the next OBSERVED r' > r+1, which must stay null — the
+        # standard GT cutoff)
+        F.when(
+            F.lead("r").over(w_next) == F.col("r") + 1,
+            F.lead("n_r").over(w_next),
+        ).alias("_n_next"),
     )
     return (
-        spectrum.where(F.col("r") <= max_r)
-        .join(nxt, "r", "left")
-        .crossJoin(F.broadcast(total))
+        enriched.where(F.col("r") <= max_r)
         .select(
             "r",
             F.col("n_r").cast("long").alias("n_r"),

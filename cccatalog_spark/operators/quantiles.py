@@ -52,6 +52,45 @@ def _kth_smallest(pool: DataFrame, k: int):
     return row["v"]
 
 
+def _kth_smallest_batch(frame, items: list) -> dict:
+    """Resolve MANY (predicate, k) k-th-smallest lookups over
+    ``frame.v`` in ONE job.
+
+    ``items``: list of ``(key, pred, k)``. Each item's candidate rows
+    (≤ tail_threshold by the caller's invariant) are tagged with the
+    item index, ranked by value within the tag, and the k-th smallest
+    (duplicates counted) picked per tag — identical semantics to
+    ``_kth_smallest`` per item, but one shuffle for the whole batch
+    instead of one TakeOrdered job per (column, fraction).  This is
+    what keeps ANALYZE-style multi-column stats from degenerating into
+    #columns × #fractions sequential driver round-trips (guide §1.2:
+    the per-task work was fine, the JOB COUNT was the bottleneck —
+    measured 21 tail jobs → 1 on q150).
+    """
+    if not items:
+        return {}
+    structs = [
+        F.when(pred, F.struct(F.lit(i).alias("q"), F.col("v").alias("v")))
+        for i, (_key, pred, _k) in enumerate(items)
+    ]
+    ks = F.array(*[F.lit(int(k)) for (_key, _pred, k) in items])
+    w = Window.partitionBy("q").orderBy("v")
+    rows = (
+        frame.select(
+            F.explode(
+                F.filter(F.array(*structs), lambda s: s.isNotNull())
+            ).alias("s")
+        )
+        .select("s.q", "s.v")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == F.element_at(ks, F.col("q") + 1))
+        .select("q", "v")
+        .collect()
+    )
+    got = {r["q"]: r["v"] for r in rows}
+    return {key: got.get(i) for i, (key, _pred, _k) in enumerate(items)}
+
+
 def exact_quantiles(
     df: DataFrame,
     value_col: str,
@@ -89,10 +128,15 @@ def exact_quantiles(
         if n == 0:
             return [(f, None) for f in fractions]
 
-        # per-fraction state: (lo, hi, k, pred, count) — the answer is
-        # the k-th smallest v among rows matching pred; lo/hi are
-        # (approximate) bounds used only to parametrize the next
-        # bucketing; count is the candidate-set size.
+        # per-fraction state: (lo, hi, k, pred, count, chain) — the
+        # answer is the k-th smallest v among rows matching pred;
+        # lo/hi are (approximate) bounds used only to parametrize the
+        # next bucketing; count is the candidate-set size; chain is a
+        # HASHABLE identity of the bucket-predicate chain (the bucket
+        # indices descended so far) — fractions whose chains are equal
+        # provably share (lo, hi, pred), so the histogram job tags
+        # each row once per DISTINCT candidate set, not once per
+        # fraction (in round 1 every fraction shares one set).
         results: dict[float, float] = {}
         states: dict[float, tuple] = {}
         for f in fractions:
@@ -105,14 +149,17 @@ def exact_quantiles(
                 k,
                 F.lit(True),
                 n,
+                (),
             )
 
         for _ in range(max_rounds):
-            # resolve finished / degenerate states
-            for f, (lo, hi, k, pred, cnt) in list(states.items()):
+            # resolve finished / degenerate states — ALL in one job
+            # (degenerate min == 1st smallest, so it rides the batch)
+            ready: list = []
+            for f, (lo, hi, k, pred, cnt, chain) in list(states.items()):
                 width = (hi - lo) / bins
                 if cnt <= tail_threshold:
-                    results[f] = _kth_smallest(base.where(pred), k)
+                    ready.append((f, pred, k))
                     del states[f]
                 elif width <= 0 or not math.isfinite(width) or (
                     # bucketing below float resolution can no longer
@@ -120,17 +167,19 @@ def exact_quantiles(
                     # one representable step — take the exact minimum.
                     width <= max(abs(lo), abs(hi)) * 1e-15
                 ):
-                    results[f] = base.where(pred).agg(
-                        F.min("v").alias("v")
-                    ).collect()[0]["v"]
+                    ready.append((f, pred, 1))
                     del states[f]
+            results.update(_kth_smallest_batch(base, ready))
             if not states:
                 break
 
-            # one histogram job over all active fractions
-            ordered = list(states.items())
+            # one histogram job over all DISTINCT active candidate sets
+            sets: dict[tuple, tuple] = {}
+            for f, (lo, hi, k, pred, cnt, chain) in states.items():
+                sets.setdefault(chain, (lo, hi, pred))
+            set_ids = {chain: i for i, chain in enumerate(sets)}
             structs = []
-            for i, (f, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+            for chain, (lo, hi, pred) in sets.items():
                 width = (hi - lo) / bins
                 b = F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
                 b = F.least(
@@ -138,7 +187,10 @@ def exact_quantiles(
                 ).cast("int")
                 structs.append(
                     F.when(
-                        pred, F.struct(F.lit(i).alias("q"), b.alias("b"))
+                        pred,
+                        F.struct(
+                            F.lit(set_ids[chain]).alias("q"), b.alias("b")
+                        ),
                     )
                 )
             hist = (
@@ -157,9 +209,9 @@ def exact_quantiles(
             for r in hist:
                 counts.setdefault(r["q"], {})[r["b"]] = r["c"]
 
-            for i, (f, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+            for f, (lo, hi, k, pred, cnt, chain) in list(states.items()):
                 width = (hi - lo) / bins
-                b_counts = counts.get(i, {})
+                b_counts = counts.get(set_ids[chain], {})
                 cum = 0
                 for b in range(bins):
                     c = b_counts.get(b, 0)
@@ -179,18 +231,18 @@ def exact_quantiles(
                             k - cum,
                             pred & (bucket_b == b),
                             c,
+                            chain + (b,),
                         )
                         break
                     cum += c
-        else:
-            # max_rounds exhausted (pathological distribution): the
-            # candidate sets are still bounded-shrinking; finish exact.
-            for f, (lo, hi, k, pred, cnt) in states.items():
-                results[f] = _kth_smallest(base.where(pred), k)
-            states = {}
-
-        for f, (lo, hi, k, pred, cnt) in states.items():
-            results[f] = _kth_smallest(base.where(pred), k)
+        # max_rounds exhausted (pathological distribution): the
+        # candidate sets are still bounded-shrinking; finish exact.
+        results.update(
+            _kth_smallest_batch(
+                base,
+                [(f, st[3], st[2]) for f, st in states.items()],
+            )
+        )
         return [(f, results[f]) for f in fractions]
     finally:
         base.unpersist()
@@ -314,36 +366,34 @@ def exact_quantiles_multi(
                     k,
                     F.col("c") == ci,
                     st["n"],
+                    (ci,),
                 )
 
-        def kth(pred, k):
-            row = (
-                melted.where(pred)
-                .orderBy("v")
-                .limit(k)
-                .agg(F.max("v").alias("v"))
-                .collect()[0]
-            )
-            return row["v"]
-
         for _ in range(max_rounds):
-            for key, (lo, hi, k, pred, cnt) in list(states.items()):
+            # resolve finished / degenerate states — ALL in one job
+            ready: list = []
+            for key, (lo, hi, k, pred, cnt, chain) in list(states.items()):
                 width = (hi - lo) / bins
                 if cnt <= tail_threshold:
-                    results[key] = kth(pred, k)
+                    ready.append((key, pred, k))
                     del states[key]
                 elif width <= 0 or not math.isfinite(width) or (
                     width <= max(abs(lo), abs(hi)) * 1e-15
                 ):
-                    results[key] = melted.where(pred).agg(
-                        F.min("v").alias("v")
-                    ).collect()[0]["v"]
+                    ready.append((key, pred, 1))
                     del states[key]
+            results.update(_kth_smallest_batch(melted, ready))
             if not states:
                 break
-            ordered = list(states.items())
+            # one histogram job over all DISTINCT active candidate
+            # sets (all fractions of a column share one set in round
+            # 1 — tag each melted row once per set, not per fraction)
+            sets: dict[tuple, tuple] = {}
+            for key, (lo, hi, k, pred, cnt, chain) in states.items():
+                sets.setdefault(chain, (lo, hi, pred))
+            set_ids = {chain: i for i, chain in enumerate(sets)}
             structs = []
-            for i, (key, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+            for chain, (lo, hi, pred) in sets.items():
                 width = (hi - lo) / bins
                 b = F.floor((F.col("v") - F.lit(lo)) / F.lit(width))
                 b = F.least(
@@ -351,7 +401,10 @@ def exact_quantiles_multi(
                 ).cast("int")
                 structs.append(
                     F.when(
-                        pred, F.struct(F.lit(i).alias("q"), b.alias("b"))
+                        pred,
+                        F.struct(
+                            F.lit(set_ids[chain]).alias("q"), b.alias("b")
+                        ),
                     )
                 )
             hist = (
@@ -369,9 +422,9 @@ def exact_quantiles_multi(
             counts: dict[int, dict[int, int]] = {}
             for r in hist:
                 counts.setdefault(r["q"], {})[r["b"]] = r["cnt"]
-            for i, (key, (lo, hi, k, pred, cnt)) in enumerate(ordered):
+            for key, (lo, hi, k, pred, cnt, chain) in list(states.items()):
                 width = (hi - lo) / bins
-                b_counts = counts.get(i, {})
+                b_counts = counts.get(set_ids[chain], {})
                 cum = 0
                 for b in range(bins):
                     c = b_counts.get(b, 0)
@@ -391,11 +444,16 @@ def exact_quantiles_multi(
                             k - cum,
                             pred & (bucket_b == b),
                             c,
+                            chain + (b,),
                         )
                         break
                     cum += c
-        for key, (lo, hi, k, pred, cnt) in states.items():
-            results[key] = kth(pred, k)
+        results.update(
+            _kth_smallest_batch(
+                melted,
+                [(key, st[3], st[2]) for key, st in states.items()],
+            )
+        )
         return {
             col: [(f, results[(ci, f)]) for f in fractions]
             for ci, col in enumerate(value_cols)

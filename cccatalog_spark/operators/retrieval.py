@@ -616,19 +616,26 @@ def textrank_keywords(
         F.transform(TX.tokens(F.col(text_col)), lambda t: F.lower(t)),
         lambda t: t.rlike("^[a-z]{%d,}$" % int(min_len)),
     )
+    # the filtered token array is MATERIALIZED as a column before the
+    # pair lambda: higher-order-function lambdas get no common-
+    # subexpression elimination, so an inline ``ft`` would re-run
+    # tokenize+filter per element_at per pair position (the q264
+    # lesson; guide §1.2 per-task work)
+    ftc = F.col("_ft")
     # F.sequence counts DOWN for sequence(1, 0) — same guard as
     # functions/text.shingles: short docs get an explicit empty array
     pairs = F.when(
-        F.size(ft) >= 2,
+        F.size(ftc) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(ft) - 1),
+            F.sequence(F.lit(1), F.size(ftc) - 1),
             lambda i: F.array(
-                F.element_at(ft, i), F.element_at(ft, i + 1)
+                F.element_at(ftc, i), F.element_at(ftc, i + 1)
             ),
         ),
     ).otherwise(F.array().cast("array<array<string>>"))
     ed = (
-        docs.select(F.explode(pairs).alias("p"))
+        docs.select(ft.alias("_ft"))
+        .select(F.explode(pairs).alias("p"))
         .select(
             F.element_at("p", 1).alias("a"),
             F.element_at("p", 2).alias("b"),

@@ -3946,8 +3946,13 @@ def q80_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q81_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
+
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
 
     base = tempfile.mkdtemp(prefix="ccc_wm_")
     src = os.path.join(base, "in")
@@ -3969,14 +3974,7 @@ def q81_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1709251200).alias("sec"), F.lit("zz_sentinel").alias("event_type")
     )
     b1 = e.where(F.col("event_id") % 8 == 4).select("sec", "event_type")
-    now = time.time()
-    for i, b in enumerate([b0, sentinel, b1]):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
-        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-        dst = os.path.join(src, f"batch{i}.tsv")
-        os.rename(os.path.join(stage, part), dst)
-        os.utime(dst, (now - 120 + i * 60,) * 2)  # oldest-first drain
+    write_replay_batches(base, src, [b0, sentinel, b1])  # oldest-first drain
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -3991,15 +3989,16 @@ def q81_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     sink = f"q81_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, dir_bytes(src)):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(
         f"SELECT unix_timestamp(window.start) AS w_start, event_type, n "
         f"FROM {sink}"
@@ -4582,6 +4581,11 @@ def q93_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import running_counts
 
     base = tempfile.mkdtemp(prefix="ccc_state_")
@@ -4589,22 +4593,14 @@ def q93_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
 
     e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 4 == 1)
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        (
-            e.where(F.col("event_id") % 3 == i)
-            .select("event_type")
-            .coalesce(1)
-            .write.option("sep", "\t")
-            .mode("overwrite")
-            .csv(stage)
-        )
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            os.rename(
-                os.path.join(stage, parts[0]),
-                os.path.join(src, f"batch{i}.tsv"),
-            )
+    write_replay_batches(
+        base,
+        src,
+        [
+            e.where(F.col("event_id") % 3 == i).select("event_type")
+            for i in range(3)
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -4614,15 +4610,16 @@ def q93_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = running_counts(stream, "event_type")
     sink = f"q93_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, dir_bytes(src)):
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(
         f"SELECT event_type, max(n) AS n FROM {sink} GROUP BY event_type"
     )
@@ -4849,9 +4846,13 @@ def q97_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q98_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import dedup_first_seen
 
     base = tempfile.mkdtemp(prefix="ccc_fsd_")
@@ -4868,21 +4869,11 @@ def q98_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sec"),
     )
-    now = time.time()
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        (
-            e.where(F.col("event_id") % 3 == i)
-            .coalesce(1)
-            .write.option("sep", "\t")
-            .mode("overwrite")
-            .csv(stage)
-        )
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)  # oldest-first drain
+    write_replay_batches(
+        base,
+        src,
+        [e.where(F.col("event_id") % 3 == i) for i in range(3)],
+    )  # oldest-first drain
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -4897,15 +4888,23 @@ def q98_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["sec", "event_id"],
     )
     sink = f"q98_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        first.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(
+        spark,
+        dir_bytes(src),
+        # applyInPandasWithState over a high-cardinality key:
+        # group-dispatch parallelism = partition count, so keep
+        # core-count partitions (see streaming/replay.py)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ):
+        q = (
+            first.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(f"SELECT user_id, event_type, sec FROM {sink}")
 
 
@@ -5280,10 +5279,14 @@ def q105_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q106_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
     from cccatalog_spark.streaming.joins import interval_join_streams
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
 
     base = tempfile.mkdtemp(prefix="ccc_ssj_")
     e = load_table(spark, sf_dir, "events").select(
@@ -5295,7 +5298,6 @@ def q106_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sec"),
     )
     cutoff = 1705363200  # 2024-01-16: splits the 30-day span mid-way
-    now = time.time()
     srcs = {}
     for side, etype in (("click", "click"), ("purchase", "purchase")):
         src = os.path.join(base, side)
@@ -5304,18 +5306,17 @@ def q106_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         side_df = e.where(F.col("event_type") == etype).select(
             "event_id", "user_id", "sec"
         )
-        for i, pred in enumerate(
-            (F.col("sec") < cutoff, F.col("sec") >= cutoff)
-        ):
-            stage = os.path.join(base, f"stage_{side}{i}")
-            side_df.where(pred).coalesce(1).write.option("sep", "\t").mode(
-                "overwrite"
-            ).csv(stage)
-            parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-            if parts:
-                dst = os.path.join(src, f"batch{i}.tsv")
-                os.rename(os.path.join(stage, parts[0]), dst)
-                os.utime(dst, (now - 120 + i * 60,) * 2)
+        write_replay_batches(
+            os.path.join(base, f"stage_{side}"),
+            src,
+            [
+                side_df.where(pred)
+                for pred in (
+                    F.col("sec") < cutoff,
+                    F.col("sec") >= cutoff,
+                )
+            ],
+        )
 
     def read_side(src: str, id_alias: str, ts_alias: str) -> DataFrame:
         return (
@@ -5347,15 +5348,18 @@ def q106_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_seconds(F.col("purchase_ts")).alias("purchase_sec"),
     )
     sink = f"q106_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(
+        spark, dir_bytes(srcs["click"]) + dir_bytes(srcs["purchase"])
+    ):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {sink}")
 
 
@@ -5576,9 +5580,13 @@ def q110_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q111_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.windows import session_counts
 
     base = tempfile.mkdtemp(prefix="ccc_sess_")
@@ -5592,17 +5600,14 @@ def q111_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sec"),
     )
     cutoff = 1705363200  # 2024-01-16: time-ordered 2-batch replay
-    now = time.time()
-    for i, pred in enumerate((F.col("sec") < cutoff, F.col("sec") >= cutoff)):
-        stage = os.path.join(base, f"stage{i}")
-        e.where(pred).coalesce(1).write.option("sep", "\t").mode(
-            "overwrite"
-        ).csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)
+    write_replay_batches(
+        base,
+        src,
+        [
+            e.where(pred)
+            for pred in (F.col("sec") < cutoff, F.col("sec") >= cutoff)
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -5613,15 +5618,16 @@ def q111_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = session_counts(stream, "ts", "user_id", gap="30 minutes")
     sink = f"q111_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, dir_bytes(src)):
+        q = (
+            sess.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(
         f"""SELECT user_id,
                    unix_seconds(session_start) AS start_sec,
@@ -5970,9 +5976,13 @@ def q119_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q120_stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import dedup_within_watermark
 
     base = tempfile.mkdtemp(prefix="ccc_rdd_")
@@ -5987,17 +5997,9 @@ def q120_stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sec"),
     )
-    now = time.time()
     first = e.where(F.col("event_id") % 2 == 0)
-    batches = [first, e]  # batch 2 re-delivers ALL of batch 1
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)
+    # batch 2 re-delivers ALL of batch 1
+    write_replay_batches(base, src, [first, e])
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -6008,16 +6010,17 @@ def q120_stream_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = dedup_within_watermark(stream, ["event_id"], "ts", "60 days")
     sink = f"q120_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.select("event_id", "user_id", "sec")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, dir_bytes(src)):
+        q = (
+            deduped.select("event_id", "user_id", "sec")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(f"SELECT event_id, user_id, sec FROM {sink}")
 
 
@@ -6091,10 +6094,14 @@ def q121_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q122_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
     from cccatalog_spark.streaming.joins import enrich_stream
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
 
     base = tempfile.mkdtemp(prefix="ccc_enr_")
     src = os.path.join(base, "in")
@@ -6108,19 +6115,17 @@ def q122_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sec"),
     )
-    now = time.time()
-    for i, pred in enumerate(
-        (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1)
-    ):
-        stage = os.path.join(base, f"stage{i}")
-        views.where(pred).coalesce(1).write.option("sep", "\t").mode(
-            "overwrite"
-        ).csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)
+    write_replay_batches(
+        base,
+        src,
+        [
+            views.where(pred)
+            for pred in (
+                F.col("event_id") % 2 == 0,
+                F.col("event_id") % 2 == 1,
+            )
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -6130,16 +6135,17 @@ def q122_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = enrich_stream(stream, dim, ["user_id"], how="inner")
     sink = f"q122_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.select("event_id", "user_id", "sec", "user_total")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, dir_bytes(src)):
+        q = (
+            out.select("event_id", "user_id", "sec", "user_total")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(f"SELECT * FROM {sink}")
 
 
@@ -7106,9 +7112,13 @@ def q142_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q143_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import ewma_tracker
 
     base = tempfile.mkdtemp(prefix="ccc_ewma_")
@@ -7126,19 +7136,14 @@ def q143_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     halved = e.withColumn(
         "_half", F.ntile(2).over(Window.orderBy("event_id"))
     )
-    now = time.time()
-    batches = [
-        halved.where(F.col("_half") == 1).drop("_half"),
-        halved.where(F.col("_half") == 2).drop("_half"),
-    ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)
+    write_replay_batches(
+        base,
+        src,
+        [
+            halved.where(F.col("_half") == 1).drop("_half"),
+            halved.where(F.col("_half") == 2).drop("_half"),
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -7148,14 +7153,22 @@ def q143_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tracked = ewma_tracker(stream, "user_id", "value", "event_id", 0.3)
     sink = f"q143_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        tracked.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_shuffle_partitions(
+        spark,
+        dir_bytes(src),
+        # applyInPandasWithState over a high-cardinality key:
+        # group-dispatch parallelism = partition count, so keep
+        # core-count partitions (see streaming/replay.py)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ):
+        q = (
+            tracked.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return (
         spark.table(sink)
         .groupBy("user_id")
@@ -7864,9 +7877,13 @@ def q155_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q156_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import quota_admit
 
     base = tempfile.mkdtemp(prefix="ccc_quota_")
@@ -7884,19 +7901,14 @@ def q156_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     halved = e.withColumn(
         "_half", F.ntile(2).over(Window.orderBy("event_id"))
     )
-    now = time.time()
-    batches = [
-        halved.where(F.col("_half") == 1).drop("_half"),
-        halved.where(F.col("_half") == 2).drop("_half"),
-    ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)
+    write_replay_batches(
+        base,
+        src,
+        [
+            halved.where(F.col("_half") == 1).drop("_half"),
+            halved.where(F.col("_half") == 2).drop("_half"),
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -7909,14 +7921,22 @@ def q156_stream_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, event_id long, value double",
     )
     sink = f"q156_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        admitted.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_shuffle_partitions(
+        spark,
+        dir_bytes(src),
+        # applyInPandasWithState over a high-cardinality key:
+        # group-dispatch parallelism = partition count, so keep
+        # core-count partitions (see streaming/replay.py)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ):
+        q = (
+            admitted.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return spark.table(sink)
 
 
@@ -9988,9 +10008,13 @@ def q194_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q195_stream_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import match_sequence_stream
 
     base = tempfile.mkdtemp(prefix="ccc_cep_")
@@ -10005,17 +10029,14 @@ def q195_stream_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sec"),
     )
     cutoff = 1705363200  # 2024-01-16: time-ordered 2-batch replay
-    now = time.time()
-    for i, pred in enumerate((F.col("sec") < cutoff, F.col("sec") >= cutoff)):
-        stage = os.path.join(base, f"stage{i}")
-        e.where(pred).coalesce(1).write.option("sep", "\t").mode(
-            "overwrite"
-        ).csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)
+    write_replay_batches(
+        base,
+        src,
+        [
+            e.where(pred)
+            for pred in (F.col("sec") < cutoff, F.col("sec") >= cutoff)
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -10029,15 +10050,23 @@ def q195_stream_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         within=86400, tiebreak_col="event_id",
     )
     sink = f"q195_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        matches.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(
+        spark,
+        dir_bytes(src),
+        # applyInPandasWithState over a high-cardinality key:
+        # group-dispatch parallelism = partition count, so keep
+        # core-count partitions (see streaming/replay.py)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ):
+        q = (
+            matches.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(
         f"SELECT user_id, match_n, start_sec, end_sec FROM {sink}"
     )
@@ -13564,29 +13593,29 @@ def q253_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q254_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
     from cccatalog_spark.functions.text import shingles
     from cccatalog_spark.operators.dedup import minhash_signature
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import lsh_bucket_claims
 
     base = tempfile.mkdtemp(prefix="ccc_slsh_")
     src = os.path.join(base, "in")
     os.makedirs(src)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    now = time.time()
-    batches = [
-        d.where(F.col("doc_id") % 2 == 0),
-        d.where(F.col("doc_id") % 2 == 1),
-    ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        dst = os.path.join(src, f"batch{i}.tsv")
-        os.rename(os.path.join(stage, parts[0]), dst)
-        os.utime(dst, (now - 120 + i * 60,) * 2)
+    write_replay_batches(
+        base,
+        src,
+        [
+            d.where(F.col("doc_id") % 2 == 0),
+            d.where(F.col("doc_id") % 2 == 1),
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -13628,15 +13657,23 @@ def q254_stream_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     claims = lsh_bucket_claims(banded, "doc_id")
     sink = f"q254_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        claims.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(
+        spark,
+        dir_bytes(src),
+        # applyInPandasWithState over a high-cardinality key:
+        # group-dispatch parallelism = partition count, so keep
+        # core-count partitions (see streaming/replay.py)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ):
+        q = (
+            claims.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(
         f"""
         SELECT doc_id, count(*) AS n_buckets,
@@ -14303,8 +14340,13 @@ def q267_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q268_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
+
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
 
     base = tempfile.mkdtemp(prefix="ccc_swd_")
     src = os.path.join(base, "in")
@@ -14330,14 +14372,7 @@ def q268_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("zz_sentinel").alias("event_type"),
         F.lit(-1).cast("long").alias("user_id"),
     )
-    now = time.time()
-    for i, b in enumerate([b0, b1, sentinel]):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
-        part = next(f for f in os.listdir(stage) if f.startswith("part-"))
-        dst = os.path.join(src, f"batch{i}.tsv")
-        os.rename(os.path.join(stage, part), dst)
-        os.utime(dst, (now - 180 + i * 60,) * 2)
+    write_replay_batches(base, src, [b0, b1, sentinel])
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -14358,15 +14393,16 @@ def q268_stream_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", "1 day"), F.col("event_type")
     ).agg(F.count("*").alias("n_users"))
     sink = f"q268_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, dir_bytes(src)):
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return spark.sql(
         f"SELECT unix_timestamp(window.start) AS w_start, event_type,"
         f" n_users FROM {sink}"
@@ -17064,6 +17100,11 @@ def q317_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import heavy_hitters_topk
 
     base = tempfile.mkdtemp(prefix="ccc_hh_")
@@ -17071,22 +17112,14 @@ def q317_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
 
     e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 4 == 2)
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        (
-            e.where(F.col("event_id") % 3 == i)
-            .select("event_type")
-            .coalesce(1)
-            .write.option("sep", "\t")
-            .mode("overwrite")
-            .csv(stage)
-        )
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            os.rename(
-                os.path.join(stage, parts[0]),
-                os.path.join(src, f"batch{i}.tsv"),
-            )
+    write_replay_batches(
+        base,
+        src,
+        [
+            e.where(F.col("event_id") % 3 == i).select("event_type")
+            for i in range(3)
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -17096,15 +17129,23 @@ def q317_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hh = heavy_hitters_topk(stream, "event_type", capacity=8, n_shards=4)
     sink = f"q317_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        hh.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(
+        spark,
+        dir_bytes(src),
+        # applyInPandasWithState over a high-cardinality key:
+        # group-dispatch parallelism = partition count, so keep
+        # core-count partitions (see streaming/replay.py)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ):
+        q = (
+            hh.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # last emission per (shard, key) is the final summary; merge
     # shards by summing ests (the Misra-Gries-family merge)
     return spark.sql(
@@ -18543,6 +18584,11 @@ def q341_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import hll_distinct_stream
 
     base = tempfile.mkdtemp(prefix="ccc_shll_")
@@ -18550,22 +18596,16 @@ def q341_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(src)
 
     e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 4 == 3)
-    for i in range(3):
-        stage = os.path.join(base, f"stage{i}")
-        (
-            e.where(F.col("event_id") % 3 == i)
-            .select("event_type", F.col("user_id").cast("string"))
-            .coalesce(1)
-            .write.option("sep", "\t")
-            .mode("overwrite")
-            .csv(stage)
-        )
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            os.rename(
-                os.path.join(stage, parts[0]),
-                os.path.join(src, f"batch{i}.tsv"),
+    write_replay_batches(
+        base,
+        src,
+        [
+            e.where(F.col("event_id") % 3 == i).select(
+                "event_type", F.col("user_id").cast("string")
             )
+            for i in range(3)
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -18575,15 +18615,16 @@ def q341_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = hll_distinct_stream(stream, "event_type", "user_id")
     sink = f"q341_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        est.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with stream_shuffle_partitions(spark, dir_bytes(src)):
+        q = (
+            est.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     # per key, the LAST emission (max n_used) is the final state
     return spark.sql(
         f"""
@@ -18647,13 +18688,16 @@ def q342_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cccatalog_spark.operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
+    # persist the narrow token-count projection: the headline
+    # aggregate and the language table both read it (guide §5 —
+    # tokenization would otherwise run once per branch)
     t = d.select(
         "doc_id",
         "lang",
         "source",
         "n_chars",
         F.size(TX.tokens(F.col("text"))).alias("ntok"),
-    )
+    ).persist()
     base = t.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("ntok").cast("long").alias("n_tokens"),
@@ -22569,9 +22613,13 @@ def q412_stream_page_hinkley(
 ) -> DataFrame:
     import os
     import tempfile
-    import time
     import uuid
 
+    from cccatalog_spark.streaming.replay import (
+        dir_bytes,
+        stream_shuffle_partitions,
+        write_replay_batches,
+    )
     from cccatalog_spark.streaming.stateful import page_hinkley_tracker
 
     base = tempfile.mkdtemp(prefix="ccc_sph_")
@@ -22583,19 +22631,14 @@ def q412_stream_page_hinkley(
     halved = e.withColumn(
         "_half", F.ntile(2).over(Window.orderBy("event_id"))
     )
-    now = time.time()
-    batches = [
-        halved.where(F.col("_half") == 1).drop("_half"),
-        halved.where(F.col("_half") == 2).drop("_half"),
-    ]
-    for i, b in enumerate(batches):
-        stage = os.path.join(base, f"stage{i}")
-        b.coalesce(1).write.option("sep", "\t").mode("overwrite").csv(stage)
-        parts = [f for f in os.listdir(stage) if f.startswith("part-")]
-        if parts:
-            dst = os.path.join(src, f"batch{i}.tsv")
-            os.rename(os.path.join(stage, parts[0]), dst)
-            os.utime(dst, (now - 120 + i * 60,) * 2)
+    write_replay_batches(
+        base,
+        src,
+        [
+            halved.where(F.col("_half") == 1).drop("_half"),
+            halved.where(F.col("_half") == 2).drop("_half"),
+        ],
+    )
 
     stream = (
         spark.readStream.option("sep", "\t")
@@ -22607,14 +22650,22 @@ def q412_stream_page_hinkley(
         stream, "user_id", "value", "event_id", delta=5.0, threshold=50.0
     )
     sink = f"q412_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        tracked.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    with stream_shuffle_partitions(
+        spark,
+        dir_bytes(src),
+        # applyInPandasWithState over a high-cardinality key:
+        # group-dispatch parallelism = partition count, so keep
+        # core-count partitions (see streaming/replay.py)
+        min_partitions=spark.sparkContext.defaultParallelism,
+    ):
+        q = (
+            tracked.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
     return (
         spark.table(sink)
         .groupBy("user_id")
