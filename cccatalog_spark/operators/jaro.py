@@ -23,6 +23,8 @@ pair join is the only exchange.
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -79,16 +81,47 @@ def _jw_udf():
     # defined lazily: pandas_udf needs an active session to parse the
     # return type (repo convention, cf. operators/bloom.py)
     @pandas_udf("double")
-    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                jaro_winkler(x, y)
-                if x is not None and y is not None
-                else None
-                for x, y in zip(a, b)
-            ],
-            dtype="float64",
-        )
+    def jw(
+        it: Iterator[Tuple[pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
+        # Iterator form so heavyweight init happens once per task
+        # (guide §4.5), then each Arrow batch is scored by DuckDB's
+        # native jaro_winkler_similarity — the SAME engine/function
+        # the parity pin targets, so scores are byte-identical by
+        # construction (and re-verified against the Python reference
+        # in tests/test_jaro.py).  Batching through native code
+        # replaces a per-row interpreted-Python double loop (guide
+        # §4.2: hand whole batches to vectorized native libraries —
+        # DuckDB named explicitly).  Falls back to the pure-Python
+        # reference scorer when duckdb is not importable on workers.
+        try:
+            import duckdb
+
+            con = duckdb.connect()
+        except ImportError:
+            con = None
+        for a, b in it:
+            if con is None:
+                yield pd.Series(
+                    [
+                        jaro_winkler(x, y)
+                        if x is not None and y is not None
+                        else None
+                        for x, y in zip(a, b)
+                    ],
+                    dtype="float64",
+                )
+                continue
+            batch = pd.DataFrame(
+                {"i": range(len(a)), "a": a.values, "b": b.values}
+            )
+            con.register("_jw_batch", batch)
+            out = con.execute(
+                "SELECT jaro_winkler_similarity(a, b) AS jw "
+                "FROM _jw_batch ORDER BY i"
+            ).fetchdf()
+            con.unregister("_jw_batch")
+            yield out["jw"].astype("float64")
 
     # deterministic in fact, but marked non-deterministic so Catalyst
     # cannot push the threshold filter through the projection and

@@ -519,7 +519,8 @@ def media_embedding_ivf_join(
     Returns ``(media_id, cat_id, cosine_sim, rank)``.
     """
     from cccatalog_spark.operators.similarity import (
-        cosine,
+        _dot_lit,
+        _dot_unrolled,
         ivf_assign,
         ivf_centroids,
     )
@@ -529,39 +530,36 @@ def media_embedding_ivf_join(
         media, id_col, payload_col, embedder=embedder, dim=dim
     )
     cents = ivf_centroids(catalog, cat_vec_col, cat_id_col, n_lists)
+    # per-row norm computed ONCE per catalog row, not once per
+    # candidate pair (the cosine_neardup_pairs discipline): cosine =
+    # dot/(norm_a·norm_b) in the exact same operation order as the
+    # per-pair form, so scores are bit-identical
     cat = ivf_assign(catalog, cat_vec_col, cat_id_col, cents).select(
         F.col(cat_id_col).alias("cat_id"),
         F.col(cat_vec_col).alias("_cv"),
+        F.sqrt(
+            _dot_unrolled(F.col(cat_vec_col), F.col(cat_vec_col), dim)
+        ).alias("_nb"),
         "_ivf_list",
     )
 
     # per-media-row top-nprobe centroid ids: sort the bounded literal
     # candidate array by similarity (same normalized-dot argmax
-    # algebra as ivf_assign), slice nprobe, explode
+    # algebra as ivf_assign), slice nprobe, explode.  Dots are
+    # unrolled (``_dot_lit``) so probe scoring runs in whole-stage
+    # codegen instead of the interpreted HOF path — bit-identical fold
+    # order, see ``similarity._dot_unrolled``.
     import math as _math
 
     cand = F.array(
         *[
             F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("embedding"),
-                        F.array(
-                            *[
-                                F.lit(
-                                    x
-                                    / (
-                                        _math.sqrt(sum(y * y for y in vec))
-                                        or 1.0
-                                    )
-                                )
-                                for x in vec
-                            ]
-                        ),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, z: acc + z,
+                _dot_lit(
+                    F.col("embedding"),
+                    [
+                        x / (_math.sqrt(sum(y * y for y in vec)) or 1.0)
+                        for x in vec
+                    ],
                 ).alias("sim"),
                 F.lit(lid).alias("lid"),
             )
@@ -571,6 +569,10 @@ def media_embedding_ivf_join(
     probes = me.select(
         "media_id",
         "embedding",
+        # media-row norm once per row, not once per candidate pair
+        F.sqrt(
+            _dot_unrolled(F.col("embedding"), F.col("embedding"), dim)
+        ).alias("_na"),
         F.explode(
             F.slice(F.reverse(F.array_sort(cand)), 1, nprobe)["lid"]
         ).alias("_ivf_list"),
@@ -584,9 +586,14 @@ def media_embedding_ivf_join(
         .select(
             "media_id",
             "cat_id",
-            F.round(cosine(F.col("embedding"), F.col("_cv")), 6).alias(
-                "cosine_sim"
-            ),
+            # cosine = dot/(norm_a·norm_b), the same operation order
+            # as similarity.cosine — per-pair work is ONE unrolled
+            # codegen dot; both norms were computed per input row
+            F.round(
+                _dot_unrolled(F.col("embedding"), F.col("_cv"), dim)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("cosine_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
