@@ -519,8 +519,8 @@ def media_embedding_ivf_join(
     Returns ``(media_id, cat_id, cosine_sim, rank)``.
     """
     from cccatalog_spark.operators.similarity import (
-        _dot_lit,
-        _dot_unrolled,
+        _dot,
+        _norm,
         ivf_assign,
         ivf_centroids,
     )
@@ -537,29 +537,37 @@ def media_embedding_ivf_join(
     cat = ivf_assign(catalog, cat_vec_col, cat_id_col, cents).select(
         F.col(cat_id_col).alias("cat_id"),
         F.col(cat_vec_col).alias("_cv"),
-        F.sqrt(
-            _dot_unrolled(F.col(cat_vec_col), F.col(cat_vec_col), dim)
-        ).alias("_nb"),
+        _norm(F.col(cat_vec_col)).alias("_nb"),
         "_ivf_list",
     )
 
     # per-media-row top-nprobe centroid ids: sort the bounded literal
     # candidate array by similarity (same normalized-dot argmax
-    # algebra as ivf_assign), slice nprobe, explode.  Dots are
-    # unrolled (``_dot_lit``) so probe scoring runs in whole-stage
-    # codegen instead of the interpreted HOF path — bit-identical fold
-    # order, see ``similarity._dot_unrolled``.
+    # algebra as ivf_assign), slice nprobe, explode
     import math as _math
 
     cand = F.array(
         *[
             F.struct(
-                _dot_lit(
-                    F.col("embedding"),
-                    [
-                        x / (_math.sqrt(sum(y * y for y in vec)) or 1.0)
-                        for x in vec
-                    ],
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.array(
+                            *[
+                                F.lit(
+                                    x
+                                    / (
+                                        _math.sqrt(sum(y * y for y in vec))
+                                        or 1.0
+                                    )
+                                )
+                                for x in vec
+                            ]
+                        ),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, z: acc + z,
                 ).alias("sim"),
                 F.lit(lid).alias("lid"),
             )
@@ -570,9 +578,7 @@ def media_embedding_ivf_join(
         "media_id",
         "embedding",
         # media-row norm once per row, not once per candidate pair
-        F.sqrt(
-            _dot_unrolled(F.col("embedding"), F.col("embedding"), dim)
-        ).alias("_na"),
+        _norm(F.col("embedding")).alias("_na"),
         F.explode(
             F.slice(F.reverse(F.array_sort(cand)), 1, nprobe)["lid"]
         ).alias("_ivf_list"),
@@ -587,10 +593,10 @@ def media_embedding_ivf_join(
             "media_id",
             "cat_id",
             # cosine = dot/(norm_a·norm_b), the same operation order
-            # as similarity.cosine — per-pair work is ONE unrolled
-            # codegen dot; both norms were computed per input row
+            # as similarity.cosine — per-pair work is ONE dot; both
+            # norms were computed once per input row, not per pair
             F.round(
-                _dot_unrolled(F.col("embedding"), F.col("_cv"), dim)
+                _dot(F.col("embedding"), F.col("_cv"))
                 / (F.col("_na") * F.col("_nb")),
                 6,
             ).alias("cosine_sim"),

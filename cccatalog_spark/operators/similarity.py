@@ -37,43 +37,6 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """``_dot`` for arrays of STATICALLY KNOWN length ``dim``,
-    unrolled into plain arithmetic so it runs inside whole-stage
-    codegen instead of the interpreted higher-order-function path
-    (``aggregate``/``zip_with`` are CodegenFallback — every element is
-    an interpreted lambda invocation, the dominant cost of per-pair
-    cosine re-ranks; guide §1.2 per-task work).
-
-    Bitwise-identical to ``_dot`` when both sizes equal ``dim``: the
-    sum starts at 0.0 and adds products left-to-right — exactly
-    ``aggregate``'s fold order — and null elements propagate the same
-    way.  Any other size (including null arrays) falls back to
-    ``_dot`` itself, so mismatched inputs keep their exact legacy
-    semantics (zip_with null-pads the shorter side → null result)."""
-    s: Column = F.lit(0.0)
-    for i in range(dim):
-        s = s + (
-            F.element_at(a, i + 1).cast("double")
-            * F.element_at(b, i + 1).cast("double")
-        )
-    return F.when(
-        (F.size(a) == dim) & (F.size(b) == dim), s
-    ).otherwise(_dot(a, b))
-
-
-def _dot_lit(a: Column, vec: list[float]) -> Column:
-    """``_dot`` against a LITERAL vector, unrolled for codegen (same
-    bitwise-identity argument as ``_dot_unrolled``; the literal side's
-    length is known, so only ``a``'s size needs the guard)."""
-    s: Column = F.lit(0.0)
-    for i, x in enumerate(vec):
-        s = s + F.element_at(a, i + 1).cast("double") * F.lit(float(x))
-    return F.when(F.size(a) == len(vec), s).otherwise(
-        _dot(a, F.array(*[F.lit(float(x)) for x in vec]))
-    )
-
-
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -518,12 +481,14 @@ def ivf_assign(
     cand = F.array(
         *[
             F.struct(
-                _dot_lit(
+                _dot(
                     F.col(vec_col),
-                    [
-                        x / (math.sqrt(sum(y * y for y in vec)) or 1.0)
-                        for x in vec
-                    ],
+                    F.array(
+                        *[
+                            F.lit(x / (math.sqrt(sum(y * y for y in vec)) or 1.0))
+                            for x in vec
+                        ]
+                    ),
                 ).alias("sim"),
                 F.lit(lid).alias("lid"),
             )
