@@ -19,30 +19,53 @@ idiom as every derandomized sampler in this codebase).
 Scale shape: chunking is pure per-row column algebra (sequence →
 filter → transform → posexplode) — O(len·w) hash work, zero shuffle;
 the dedup report is one groupBy on chunk hash.  No Python UDFs.
+HOF lambdas get no CSE, so the anchor scan (the dominant O(len·w)
+md5 work) and the document length are each BOUND ONCE per row via
+``functions.text.bind_once`` — the naive inline form re-ran the full
+anchor scan three times per row (size + two element_at references)
+and re-counted ``length(text)`` once per candidate position.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cccatalog_spark.functions.text import bind_once
 
-def _cuts_expr(text_col: str, w: int, modulus: int) -> str:
-    """SQL expr: sorted cut positions (window ends) for the anchor
-    rule, always terminated by len(text)."""
-    anchor = (
-        f"cast(conv(substring(md5(substring({text_col}, i - {w - 1}, {w})),"
-        f" 1, 12), 16, 10) as bigint) % {modulus} = 0"
-    )
-    # cuts strictly BEFORE the end position, then the end appended —
-    # uniqueness and ascending order by construction (no distinct,
-    # whose list twin in the oracle engine does not pin order)
-    return (
-        f"concat("
-        f"filter(sequence({w}, greatest(length({text_col}), {w})),"
-        f" i -> i < length({text_col}) and {anchor}),"
-        f" array(length({text_col})))"
-    )
+
+def _bounds(text: Column, w: int, modulus: int) -> Column:
+    """Chunk boundary array ``[0, cut_1, …, len]`` for the anchor
+    rule: cuts strictly BEFORE the end position, then the end
+    appended — uniqueness and ascending order by construction (no
+    distinct, whose list twin in the oracle engine does not pin
+    order).  ``length(text)`` is bound once (it is O(len) to count
+    and the filter lambda reads it at every candidate position)."""
+
+    def body(n: Column) -> Column:
+        def is_anchor(i: Column) -> Column:
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(text.substr(i - (w - 1), F.lit(w))), 1, 12
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % modulus
+                == 0
+            )
+
+        cuts = F.concat(
+            F.filter(
+                F.sequence(F.lit(w), F.greatest(n, F.lit(w))),
+                lambda i: (i < n) & is_anchor(i),
+            ),
+            F.array(n),
+        )
+        return F.concat(F.array(F.lit(0)), cuts)
+
+    return bind_once(F.length(text), body)
 
 
 def cdc_chunks(
@@ -56,16 +79,21 @@ def cdc_chunks(
     ``(id, chunk_idx, chunk_len, chunk_hash)`` (idx 1-based in
     document order).  Empty texts produce no rows.
     """
-    cuts = _cuts_expr(text_col, w, modulus)
-    bounds = f"concat(array(0), {cuts})"
-    chunks = (
-        f"transform(sequence(2, size({bounds})), j -> "
-        f"substring({text_col}, element_at({bounds}, j - 1) + 1, "
-        f"element_at({bounds}, j) - element_at({bounds}, j - 1)))"
-    )
+    text = F.col(text_col)
+
+    def chunks_of(b: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(2), F.size(b)),
+            lambda j: text.substr(
+                F.element_at(b, j - 1) + 1,
+                F.element_at(b, j) - F.element_at(b, j - 1),
+            ),
+        )
+
+    chunks = bind_once(_bounds(text, w, modulus), chunks_of)
     return (
         df.where(F.length(text_col) > 0)
-        .select(id_col, F.posexplode(F.expr(chunks)).alias("_p", "_c"))
+        .select(id_col, F.posexplode(chunks).alias("_p", "_c"))
         .select(
             id_col,
             (F.col("_p") + 1).cast("long").alias("chunk_idx"),

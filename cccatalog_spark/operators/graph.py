@@ -487,22 +487,25 @@ def k_truss(
 
     n_prev = e.count()
     empty = e.limit(0).withColumn("support", F.lit(0).cast("long"))
+    prev = e  # persisted frame superseded by the next materialization
     for _ in range(max_rounds):
         if n_prev == 0:
             return empty
-        supp = _support(e)
-        # inner join: edges in zero triangles have no supp row and are
-        # dropped with the below-threshold ones
-        kept = e.join(supp, ["u", "v"]).where(
-            F.col("support") >= k - 2
-        )
+        # supp's (u, v) keys are by construction a subset of e (every
+        # triangle side IS a distinct canonical edge of e), so the
+        # thresholded support frame alone is the surviving edge set —
+        # re-joining it back to e was a redundant per-round shuffle;
+        # edges in zero triangles have no supp row and drop with the
+        # below-threshold ones, exactly as the former inner join did
+        kept = _support(e).where(F.col("support") >= k - 2)
         nxt = _truncate_lineage(kept).persist()
         n_next = nxt.count()
+        prev.unpersist()
         if n_next == n_prev:
             # nothing removed: this round's support was computed on
             # exactly the surviving edge set — it IS the truss support
             return nxt
-        e, n_prev = nxt.select("u", "v").persist(), n_next
+        e, prev, n_prev = nxt.select("u", "v"), nxt, n_next
     # max_rounds exhausted without a fixed point: recompute support on
     # the FINAL pruned edge set (one extra triangle enumeration) so
     # the reported support honors the "measured within the truss"
@@ -1456,15 +1459,18 @@ def strongly_connected_components(
             srcs = er.select(F.col("s").alias("node")).distinct()
             dsts = er.select(F.col("d").alias("node")).distinct()
             keep = srcs.join(dsts, "node", "inner")
-            trivial = remaining.join(keep, "node", "left_anti")
+            # materialize the trimmed-away set ONCE per iteration: the
+            # former code re-executed this anti-join pipeline three
+            # times (empty probe, done-part truncation, remaining
+            # update); after the eager truncation the probe and both
+            # consumers read a leaf (guide §5 reuse discipline)
+            trivial = _truncate_lineage(
+                remaining.join(keep, "node", "left_anti")
+            )
             if trivial.limit(1).count() == 0:
                 break
             done_parts.append(
-                _truncate_lineage(
-                    trivial.select(
-                        "node", F.col("node").alias("scc")
-                    )
-                )
+                trivial.select("node", F.col("node").alias("scc"))
             )
             remaining = _truncate_lineage(
                 remaining.join(trivial, "node", "left_anti")

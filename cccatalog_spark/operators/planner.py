@@ -41,13 +41,17 @@ def sketch_stats(df: DataFrame, key_col: str) -> tuple[DataFrame, int, int]:
     dominates. Three scalars from a 1024-row frame: bounded-catalog
     collects by design."""
     c = cms_counters(df, key_col).persist()
-    total = int(
-        c.where(F.col("_r") == 0).agg(F.sum("_n")).first()[0] or 0
+    # ONE driver job for both scalars (was two): every hash row's
+    # counters sum to the SAME exact total, so any row's sum works —
+    # take max over the per-row sums; hot stays min-over-rows of the
+    # per-row max bucket
+    row = (
+        c.groupBy("_r")
+        .agg(F.max("_n").alias("_m"), F.sum("_n").alias("_t"))
+        .agg(F.min("_m").alias("_hot"), F.max("_t").alias("_total"))
+        .first()
     )
-    hot = (
-        c.groupBy("_r").agg(F.max("_n").alias("_m")).agg(F.min("_m")).first()[0]
-    )
-    return c, total, int(hot or 0)
+    return c, int(row["_total"] or 0), int(row["_hot"] or 0)
 
 
 def adaptive_join(
@@ -69,6 +73,10 @@ def adaptive_join(
     cf, fact_total, fact_hot = sketch_stats(fact, key)
     cd, dim_total, _ = sketch_stats(dim, key)
     est = cms_join_size(cf, cd).first()["est"]
+    # the sketches are only inputs to the decision — release them
+    # before the joined frame (which never reads them) executes
+    cf.unpersist()
+    cd.unpersist()
     decision = {
         "fact_rows": fact_total,
         "dim_rows": dim_total,
