@@ -1459,16 +1459,15 @@ def strongly_connected_components(
             srcs = er.select(F.col("s").alias("node")).distinct()
             dsts = er.select(F.col("d").alias("node")).distinct()
             keep = srcs.join(dsts, "node", "inner")
-            # materialize the trimmed-away set ONCE per iteration: the
-            # former code re-executed this anti-join pipeline three
-            # times (empty probe, done-part truncation, remaining
-            # update); after the eager truncation the probe and both
-            # consumers read a leaf (guide §5 reuse discipline)
-            trivial = _truncate_lineage(
-                remaining.join(keep, "node", "left_anti")
-            )
-            if trivial.limit(1).count() == 0:
+            # probe emptiness LAZILY (limit-1 short-circuits on the
+            # first non-empty partition — the common exit), then
+            # materialize the trimmed-away set ONCE: the former code
+            # re-executed this anti-join pipeline for the done-part
+            # truncation AND inlined it again in the remaining update
+            trivial_lazy = remaining.join(keep, "node", "left_anti")
+            if trivial_lazy.limit(1).count() == 0:
                 break
+            trivial = _truncate_lineage(trivial_lazy)
             done_parts.append(
                 trivial.select("node", F.col("node").alias("scc"))
             )
@@ -1496,19 +1495,30 @@ def strongly_connected_components(
             msgs = er.join(
                 colors.withColumnRenamed("node", "s"), "s"
             ).select(F.col("d").alias("node"), "c")
-            new_colors = _truncate_lineage(
-                colors.unionAll(msgs)
+            # carry the old color through the min-aggregate (min
+            # ignores the message rows' null oc; every remaining node
+            # has exactly one colors row), so the convergence probe is
+            # a filter on the truncated leaf instead of a per-round
+            # shuffle join of old vs new colors — colors only ever
+            # decrease, so "changed" ⟺ some c < oc
+            merged = _truncate_lineage(
+                colors.select("node", "c", F.col("c").alias("oc"))
+                .unionAll(
+                    msgs.select(
+                        "node",
+                        "c",
+                        F.lit(None).cast(
+                            colors.schema["c"].dataType
+                        ).alias("oc"),
+                    )
+                )
                 .groupBy("node")
-                .agg(F.min("c").alias("c"))
+                .agg(F.min("c").alias("c"), F.min("oc").alias("oc"))
             )
             changed = (
-                new_colors.alias("n")
-                .join(colors.alias("o"), "node")
-                .where(F.col("n.c") != F.col("o.c"))
-                .limit(1)
-                .count()
+                merged.where(F.col("c") < F.col("oc")).limit(1).count()
             )
-            colors = new_colors
+            colors = merged.select("node", "c")
             if changed == 0:
                 break
         # --- backward mark within color class --------------------------
