@@ -142,14 +142,34 @@ def dedup_ngram_jaccard(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by word-k-gram Jaccard ≥ threshold."""
-    shingled = fan_out(df).select(
-        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
-    ).withColumn("n_sh", F.size("sh")).where(F.col("n_sh") > 0)
+    """Near-duplicate pairs by word-k-gram Jaccard ≥ threshold.
+
+    ``shingled``: optional precomputed ``(id_col, sh)`` frame (the
+    output of :func:`shingle_docs`) — callers running several dedup
+    pipelines over the SAME corpus (e.g. the q245 recall audit) build
+    the shingle index once and share it, instead of re-running
+    tokenize+shingle per pipeline."""
+    if shingled is None:
+        shingled = shingle_docs(df, text_col, id_col, k)
+    shingled = shingled.withColumn("n_sh", F.size("sh")).where(
+        F.col("n_sh") > 0
+    )
     pairs = _pair_jaccard(shingled, id_col, max_doc_freq)
     return pairs.where(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "common", "jaccard"
+    )
+
+
+def shingle_docs(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """``(id_col, sh)`` word-k-gram shingle arrays — the shared
+    tokenize+shingle pass both Jaccard and MinHash dedup start from.
+    Callers composing several dedup pipelines persist this once."""
+    return fan_out(df).select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
     )
 
 
@@ -196,6 +216,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact Jaccard verification.
 
@@ -203,11 +224,14 @@ def dedup_minhash_lsh(
     Plan: signatures (narrow) → explode bands (num rows × bands) →
     shuffle on band key → per-bucket pairs → verify. No all-pairs
     product; the band join is the only wide stage.
+
+    ``shingled``: optional precomputed ``(id_col, sh)`` frame shared
+    with other dedup pipelines (see :func:`shingle_docs`).
     """
     rows_per_band = num_hashes // bands
-    shingled = fan_out(df).select(
-        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
-    ).where(F.size("sh") > 0)
+    if shingled is None:
+        shingled = shingle_docs(df, text_col, id_col, k)
+    shingled = shingled.where(F.size("sh") > 0)
     # sig feeds four consumers (both banded join sides + both verify
     # sides): persist so shingling + k×md5 hashing run once per doc,
     # not four times — the signature table IS the LSH index artifact

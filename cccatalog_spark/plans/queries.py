@@ -13127,11 +13127,17 @@ def q244_iban_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q245_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # both pipelines audit the SAME corpus at the same k: build the
+    # tokenize+shingle index once and share it (at scale this is the
+    # materialized shingle index both the truth pass and the detector
+    # would read anyway)
+    sh = D.shingle_docs(d, "text", "doc_id", k=3).persist()
     truth = D.dedup_ngram_jaccard(
-        d, "text", "doc_id", k=3, threshold=0.4
+        d, "text", "doc_id", k=3, threshold=0.4, shingled=sh
     ).select("id_a", "id_b").persist()
     det = D.dedup_minhash_lsh(
-        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.4
+        d, "text", "doc_id", k=3, num_hashes=8, bands=4, threshold=0.4,
+        shingled=sh,
     ).select("id_a", "id_b").persist()
     tr = truth.agg(F.count("*").alias("n_true"))
     de = det.agg(F.count("*").alias("n_detected"))

@@ -494,3 +494,31 @@ def test_overlap_stitch_no_self_pairs(spark):
     # doc 1's tail 'a b' == its own head but self-pairs are excluded;
     # it does stitch into doc 2's head 'a b'
     assert got == {(1, 2)}
+
+
+def test_shared_shingle_seam_matches_default_path(spark):
+    """r8 optimization seam: passing a precomputed shingle_docs frame
+    must give byte-identical pairs to the internal tokenize+shingle
+    path, for BOTH Jaccard truth and MinHash-LSH detection (the q245
+    recall audit builds the index once and shares it)."""
+    from cccatalog_spark.operators.dedup import shingle_docs
+
+    df = _docs(spark, [BASE, NEAR, BASE, OTHER])
+    sh = shingle_docs(df, "text", "doc_id", k=3).persist()
+    try:
+        for fn, kw in (
+            (dedup_ngram_jaccard, dict(threshold=0.4)),
+            (dedup_minhash_lsh, dict(num_hashes=8, bands=4, threshold=0.4)),
+        ):
+            base = sorted(
+                map(tuple, fn(df, "text", "doc_id", k=3, **kw).collect())
+            )
+            seamed = sorted(
+                map(
+                    tuple,
+                    fn(df, "text", "doc_id", k=3, shingled=sh, **kw).collect(),
+                )
+            )
+            assert seamed == base
+    finally:
+        sh.unpersist()
