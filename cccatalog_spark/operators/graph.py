@@ -1795,34 +1795,36 @@ def eigenvector_centrality(
     n = nodes.count()  # bounded catalog scalar (matches pagerank's init)
 
     x = nodes.withColumn("r", F.lit(1.0 / n))
-    # rounds chain LAZILY (the iterate is referenced once per round;
-    # plan growth is linear — the pagerank discipline): one execution
-    # at the final truncation instead of a checkpoint job per round.
-    # Each round's pre-normalization frame y stays persisted until
-    # after that execution because both the L1-normalizer aggregate
-    # and the division read it — unpersisting mid-chain would put the
-    # x⋈edges join back twice into the final plan's execution.
-    cached = []
-    for it in range(iterations):
+    # UNLIKE pagerank, rounds here may NOT chain lazily: the iterate
+    # is referenced twice per round (the L1-normalizer aggregate and
+    # the division both read y), and the normalizer's broadcast
+    # subquery is an execution barrier each round regardless — a lazy
+    # chain just nests cold-cache broadcast dependencies and measured
+    # 7.8 s → 11.2 s at sf0.1 (r8 A/B).  Eager per-round truncation
+    # restores the r7 shape: one materialization job per round, each
+    # starting from the previous round's leaf.
+    for _ in range(iterations):
         msgs = (
             und.join(x, F.col("src") == F.col("node"))
             .select("dst", F.col("r").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
+        # persist y: both the L1-normalizer aggregate and the division
+        # read it — without the persist each round computes the
+        # x⋈edges join twice
         y = x.join(msgs, F.col("node") == F.col("dst"), "left").select(
             "node",
             (F.col("r") + F.coalesce(F.col("m"), F.lit(0.0))).alias("y"),
         ).persist()
-        cached.append(y)
-        x = y.crossJoin(
-            F.broadcast(y.agg(F.sum("y").alias("s")))
-        ).select("node", (F.col("y") / F.col("s")).alias("r"))
-        if (it + 1) % 3 == 0 and it + 1 < iterations:
-            x = _truncate_lineage(x)
-    x = _truncate_lineage(x)
-    for y in cached:
+        s = y.agg(F.sum("y").alias("s"))
+        new_x = _truncate_lineage(
+            y.crossJoin(F.broadcast(s)).select(
+                "node", (F.col("y") / F.col("s")).alias("r")
+            )
+        )
         y.unpersist()
+        x = new_x
     und.unpersist()
     nodes.unpersist()
     return x

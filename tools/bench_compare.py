@@ -19,10 +19,11 @@ def main() -> int:
     args = ap.parse_args()
     a = json.load(open(args.old))["queries"]
     b = json.load(open(args.new))["queries"]
-    both = sorted(set(a) & set(b), key=lambda q: a[q] - b[q])
-    print(f"{'query':42s} {'old':>8s} {'new':>8s} {'delta':>8s}")
+    both = sorted(set(a) & set(b), key=lambda q: b[q] - a[q])
     rows = [q for q in both if abs(a[q] - b[q]) > 0.15]
-    for q in rows[: args.top][::-1]:  # biggest improvements
+    print(f"{'query':42s} {'old':>8s} {'new':>8s} {'delta':>8s}")
+    print("--- biggest improvements ---")
+    for q in [q for q in rows if b[q] < a[q]][: args.top]:
         print(f"{q:42s} {a[q]:8.2f} {b[q]:8.2f} {b[q]-a[q]:+8.2f}")
     print("--- regressions (new slower by >0.15s) ---")
     for q in [q for q in rows[::-1] if b[q] > a[q]][: args.top]:
