@@ -1232,21 +1232,32 @@ def maximal_independent_set(
             .where(F.col("_mx").isNull() | (F.col("_p") > F.col("_mx")))
             .select("node")
         ).persist()
-        mis = _truncate_lineage(
-            mis.unionAll(
-                cand.select("node", F.lit(r).cast("int").alias("round"))
-            )
+        # truncate only this round's DELTA (the winners), not the
+        # whole accumulated MIS: the running union is a union of
+        # already-materialized leaves, so re-truncating it each round
+        # re-materialized O(rounds x |mis|) rows for nothing (the
+        # multi_source_bfs settled-set lesson)
+        cand_t = _truncate_lineage(
+            cand.select("node", F.lit(r).cast("int").alias("round"))
         )
+        mis = mis.unionAll(cand_t)
         excluded = (
             und.join(cand.select(F.col("node").alias("n")), "n")
             .select(F.col("m").alias("node"))
             .distinct()
         )
+        prev_undecided = undecided
         undecided = _truncate_lineage(
             undecided.join(
                 cand.unionAll(excluded).distinct(), "node", "left_anti"
             )
         ).persist()
+        # superseded round frames: both truncations above consumed
+        # them, and nothing later re-reads them (guide §5 - don't
+        # leak a persist per round)
+        prev_undecided.unpersist()
+        pri.unpersist()
+        cand.unpersist()
     und.unpersist()
     return mis
 
