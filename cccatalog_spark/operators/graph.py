@@ -391,9 +391,9 @@ def label_propagation(
     Scale shape per round: one labels⋈edges join keyed by endpoint,
     one (node, label) count aggregate (map-side combinable), one
     per-node argmax — all exchanges data-proportional, labels frame is
-    |V| rows, lineage truncated per round like the PageRank loop
-    above. No driver-side state at all (not even a convergence
-    scalar).
+    |V| rows, rounds chained lazily with periodic lineage truncation
+    like the PageRank loop above. No driver-side state at all (not
+    even a convergence scalar).
     """
     e = edges.select(
         F.col(u_col).alias("u"), F.col(v_col).alias("v")
@@ -406,7 +406,12 @@ def label_propagation(
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(rounds):
+    # the label frame is referenced exactly ONCE per round and there
+    # is no per-round action/barrier (fixed rounds, no convergence
+    # probe), so rounds chain lazily with periodic truncation — the
+    # pagerank discipline (NOT the eigenvector case, whose normalizer
+    # forces a barrier every round)
+    for it in range(rounds):
         msgs = e.join(
             labels, e["v"] == labels["node"]
         ).select("u", "label")
@@ -418,11 +423,15 @@ def label_propagation(
         win = Window.partitionBy("u").orderBy(
             F.desc("c"), F.asc("label")
         )
-        labels = _truncate_lineage(
+        labels = (
             counts.withColumn("_rn", F.row_number().over(win))
             .where(F.col("_rn") == 1)
             .select(F.col("u").alias("node"), "label")
         )
+        if (it + 1) % 3 == 0 and it + 1 < rounds:
+            labels = _truncate_lineage(labels)
+    labels = _truncate_lineage(labels)
+    e.unpersist()
     return labels
 
 
