@@ -93,9 +93,14 @@ def learn_merges(
     cur = word_freqs.select(
         F.split(F.col("word"), "").alias("syms"), F.col("freq")
     ).persist()
+    prev: DataFrame | None = None
     out: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, n_merges + 1):
+            # ONE job per round: the argmax aggregation's scan of the
+            # persisted-but-cold ``cur`` doubles as its cache
+            # materialization (through ``prev``'s still-live cache),
+            # so the old explicit ``nxt.count()`` job is gone.
             top = (
                 cur.select(
                     F.explode(_adjacent_pairs(F.col("syms"))).alias("p"),
@@ -107,20 +112,24 @@ def learn_merges(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
             out.append((step, left, right, cnt))
-            nxt = cur.select(
-                _merge_pair(F.col("syms"), left, right).alias("syms"),
-                "freq",
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            cur.unpersist()
-            cur = nxt
+            if step < n_merges:  # the final round's merged table is never read
+                nxt = cur.select(
+                    _merge_pair(F.col("syms"), left, right).alias("syms"),
+                    "freq",
+                ).persist()
+                prev, cur = cur, nxt
         return out
     finally:
         cur.unpersist()
+        if prev is not None:
+            prev.unpersist()
 
 
 def learn_merges_df(

@@ -71,21 +71,24 @@ def pagerank(
     contrib_src = e.join(outdeg, "src").persist()
 
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    # zero-contribution seed rows replace the per-round
+    # nodes ⋈ msgs LEFT JOIN (a SortMergeJoin costing two exchanges +
+    # two sorts per round, there only to keep zero-in-degree nodes):
+    # union them into the message aggregation instead, so one
+    # map-side-combinable groupBy(dst) yields every node directly
+    # (guide §2.4 — remove shuffles outright; +0.0 terms are exact)
+    zeros = nodes.select(F.col("node").alias("dst"), F.lit(0.0).alias("c"))
     for it in range(iterations):
-        msgs = (
+        ranks = (
             contrib_src.join(ranks, F.col("src") == F.col("node"))
             .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .unionByName(zeros)
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
-        )
-        ranks = nodes.join(
-            msgs, F.col("node") == F.col("dst"), "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-            ).alias("r"),
+            .select(
+                F.col("dst").alias("node"),
+                (F.lit(base) + F.lit(damping) * F.col("m")).alias("r"),
+            )
         )
         # truncate periodically (and always on return, below): bounds
         # Catalyst time without a materialization job per round
@@ -171,32 +174,34 @@ def hits(
 
     hubs = nodes.withColumn("h", F.lit(1.0))
     auths = nodes.withColumn("a", F.lit(1.0))
+    # zero-contribution rows replace the per-half-round
+    # nodes ⋈ raw LEFT JOIN (SortMergeJoin: two exchanges + two sorts)
+    # — union them into the message aggregation so one groupBy yields
+    # every node, 0.0 for the no-in/out-edge ones (guide §2.4; +0.0
+    # terms are exact).  Persist the pre-normalization frame: the L1
+    # total and the division both read it (guide §5 reuse rule; the
+    # eager truncation right after materializes the cache, so the
+    # unpersist below is safe).
+    zeros = nodes.select(F.col("node").alias("_z"), F.lit(0.0).alias("_c"))
     for _ in range(iterations):
-        a_raw = (
-            e.join(hubs, F.col("src") == F.col("node"))
-            .groupBy("dst")
-            .agg(F.sum("h").alias("a"))
-        )
-        # persist the pre-normalization frame: ``normalized`` reads it
-        # twice (the L1 total and the division) — un-persisted, the
-        # e⋈hubs join + message sum executed twice per half-round
-        # (guide §5 reuse rule; the eager truncation right after
-        # materializes the cache, so the unpersist below is safe)
         a_full = (
-            nodes.join(a_raw, F.col("node") == F.col("dst"), "left")
-            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+            e.join(hubs, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("_z"), F.col("h").alias("_c"))
+            .unionByName(zeros)
+            .groupBy("_z")
+            .agg(F.sum("_c").alias("a"))
+            .select(F.col("_z").alias("node"), "a")
             .persist()
         )
         auths = _truncate_lineage(normalized(a_full, "a"))
         a_full.unpersist()
-        h_raw = (
-            e.join(auths, F.col("dst") == F.col("node"))
-            .groupBy("src")
-            .agg(F.sum("a").alias("h"))
-        )
         h_full = (
-            nodes.join(h_raw, F.col("node") == F.col("src"), "left")
-            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+            e.join(auths, F.col("dst") == F.col("node"))
+            .select(F.col("src").alias("_z"), F.col("a").alias("_c"))
+            .unionByName(zeros)
+            .groupBy("_z")
+            .agg(F.sum("_c").alias("h"))
+            .select(F.col("_z").alias("node"), "h")
             .persist()
         )
         hubs = _truncate_lineage(normalized(h_full, "h"))
@@ -581,22 +586,33 @@ def personalized_pagerank(
         "node", (F.col("b") / F.lit(1.0 - damping)).alias("r")
     )
     # same lazy round-chaining as ``pagerank``: the rank frame is
-    # referenced once per round, so truncation is periodic + on return
+    # referenced once per round, so truncation is periodic + on return.
+    # The per-node teleport mass ``b`` rides THROUGH the message
+    # aggregation (zero-contribution seed rows carrying b; messages
+    # carry null — max() picks the one non-null per group), replacing
+    # the per-round base ⋈ msgs LEFT JOIN exactly as in ``pagerank``.
+    seed_rows = base.select(
+        F.col("node").alias("dst"),
+        F.lit(0.0).alias("c"),
+        F.col("b"),
+    )
     for it in range(iterations):
-        msgs = (
+        ranks = (
             contrib_src.join(ranks, F.col("src") == F.col("node"))
-            .select("dst", (F.col("r") / F.col("deg")).alias("c"))
+            .select(
+                "dst",
+                (F.col("r") / F.col("deg")).alias("c"),
+                F.lit(None).cast("double").alias("b"),
+            )
+            .unionByName(seed_rows)
             .groupBy("dst")
-            .agg(F.sum("c").alias("m"))
-        )
-        ranks = base.join(
-            msgs, F.col("node") == F.col("dst"), "left"
-        ).select(
-            "node",
-            (
-                F.col("b")
-                + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-            ).alias("r"),
+            .agg(F.sum("c").alias("m"), F.max("b").alias("b"))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.col("b") + F.lit(damping) * F.col("m")
+                ).alias("r"),
+            )
         )
         if (it + 1) % 4 == 0 and it + 1 < iterations:
             ranks = _truncate_lineage(ranks)
@@ -1545,19 +1561,24 @@ def strongly_connected_components(
         marked = _truncate_lineage(
             colors.where(F.col("c") == F.col("node"))
         )
+        # marked only grows; carrying its count in a driver variable
+        # makes the convergence check ONE count job per round (over
+        # the just-materialized leaf) instead of re-counting the
+        # previous round's frame too
+        n_marked = marked.count()
         for _p in range(prop_rounds):
             msgs = (
                 er.join(marked.withColumnRenamed("node", "d"), "d")
                 .select(F.col("s").alias("node"), "c")
                 .join(colors, ["node", "c"], "left_semi")
             )
-            new_marked = _truncate_lineage(
+            marked = _truncate_lineage(
                 marked.unionAll(msgs).distinct()
             )
-            if new_marked.count() == marked.count():
-                marked = new_marked
+            n_new = marked.count()
+            if n_new == n_marked:
                 break
-            marked = new_marked
+            n_marked = n_new
         done_parts.append(
             _truncate_lineage(
                 marked.select("node", F.col("c").alias("scc"))
@@ -1824,19 +1845,24 @@ def eigenvector_centrality(
     # restores the r7 shape: one materialization job per round, each
     # starting from the previous round's leaf.
     for _ in range(iterations):
-        msgs = (
+        # the shift term x(v) rides through the message aggregation as
+        # a self-contribution row (x is an eager checkpoint leaf each
+        # round, so the second reference is a cheap leaf rescan) —
+        # replacing the per-round x ⋈ msgs LEFT JOIN (a SortMergeJoin:
+        # two exchanges + two sorts) with one groupBy(dst) that yields
+        # every node directly.  Persist y: both the L1-normalizer
+        # aggregate and the division read it.
+        y = (
             und.join(x, F.col("src") == F.col("node"))
             .select("dst", F.col("r").alias("c"))
+            .unionByName(
+                x.select(F.col("node").alias("dst"), F.col("r").alias("c"))
+            )
             .groupBy("dst")
-            .agg(F.sum("c").alias("m"))
+            .agg(F.sum("c").alias("y"))
+            .select(F.col("dst").alias("node"), "y")
+            .persist()
         )
-        # persist y: both the L1-normalizer aggregate and the division
-        # read it — without the persist each round computes the
-        # x⋈edges join twice
-        y = x.join(msgs, F.col("node") == F.col("dst"), "left").select(
-            "node",
-            (F.col("r") + F.coalesce(F.col("m"), F.lit(0.0))).alias("y"),
-        ).persist()
         s = y.agg(F.sum("y").alias("s"))
         new_x = _truncate_lineage(
             y.crossJoin(F.broadcast(s)).select(

@@ -17138,10 +17138,13 @@ def q317_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stream_shuffle_partitions(
         spark,
         dir_bytes(src),
-        # applyInPandasWithState over a high-cardinality key:
-        # group-dispatch parallelism = partition count, so keep
-        # core-count partitions (see streaming/replay.py)
-        min_partitions=spark.sparkContext.defaultParallelism,
+        # UNLIKE the per-user stateful replays, the group key here is
+        # the shard id: cardinality is bounded by n_shards, so
+        # dispatch parallelism beyond that is dead weight — every
+        # extra partition is an empty state-store commit per
+        # micro-batch at ANY scale (the shard count, not the data
+        # size, bounds useful parallelism)
+        min_partitions=min(4, spark.sparkContext.defaultParallelism),
     ):
         q = (
             hh.writeStream.outputMode("update")
