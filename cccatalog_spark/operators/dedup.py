@@ -466,19 +466,18 @@ def connected_components(
     )
     prev_sum = None  # sum of the identity labels is never re-collected
     for _ in range(max_iterations):
-        nbr_min = (
-            und.join(labels, und["nbr"] == labels["n"])
-            .groupBy(und["n"].alias("n"))
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
+        # min(own label, neighbours' labels) as ONE aggregation: the
+        # node's own label rides the message aggregation as a
+        # self-row (labels is a per-round checkpoint leaf, so the
+        # second reference is a cheap leaf rescan) — this replaces the
+        # old labels ⋈ nbr_min LEFT JOIN, removing a join (and its
+        # exchanges) per round; min is exact, no FP concern
         new_labels = _truncate_lineage(
-            labels.join(nbr_min, "n", "left")
-            .select(
-                "n",
-                F.least(
-                    F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))
-                ).alias("lbl"),
-            )
+            und.join(labels, und["nbr"] == labels["n"])
+            .select(und["n"].alias("n"), F.col("lbl"))
+            .unionAll(labels.select("n", "lbl"))
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
         )
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels

@@ -35,7 +35,6 @@ from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def sinkhorn_transport(
@@ -72,8 +71,6 @@ def sinkhorn_transport(
         raise ValueError("dst_targets must be non-empty")
     if any(v <= 0 for v in dst_targets.values()):
         raise ValueError("dst_targets masses must be > 0")
-    from cccatalog_spark.operators.dedup import _truncate_lineage
-
     spark = df.sparkSession
     total_b = float(sum(dst_targets.values()))
     b = spark.createDataFrame(
@@ -105,26 +102,58 @@ def sinkhorn_transport(
             ).alias("k"),
         )
     )
-    w_src = Window.partitionBy("src")
-    w_dst = Window.partitionBy("dst")
-    state = cells.select("*", F.lit(1.0).alias("v"))
+    # the (src × dst) cell catalog is BOUNDED by the category
+    # cardinalities independent of corpus size, so the u/v scaling
+    # rounds run on the collected catalog driver-side (the
+    # bounded-catalog discipline of ipf_weights/centroids) — the
+    # kernel itself stays Spark-computed above, and the previous
+    # all-relational loop paid two window passes + a lineage-
+    # truncation job per round for a catalog-sized frame
+    rows = sorted(cells.collect(), key=lambda r: (r["src"], r["dst"]))
+    srcs = [r["src"] for r in rows]
+    dsts = [r["dst"] for r in rows]
+    av = [float(r["a"]) for r in rows]
+    bv = [float(r["b"]) for r in rows]
+    kv = [float(r["k"]) for r in rows]
+    vv = [1.0] * len(rows)
+    uv = [1.0] * len(rows)
     for _ in range(iterations):
-        state = state.select(
-            "src", "dst", "a", "b", "k", "v",
-            (F.col("a") / F.sum(F.col("k") * F.col("v")).over(w_src)).alias("u"),
-        )
-        state = _truncate_lineage(
-            state.select(
-                "src", "dst", "a", "b", "k", "u",
-                (F.col("b") / F.sum(F.col("k") * F.col("u")).over(w_dst)).alias("v"),
+        su: dict = {}
+        for s, k, v in zip(srcs, kv, vv):
+            su[s] = su.get(s, 0.0) + k * v
+        uv = [a / su[s] for s, a in zip(srcs, av)]
+        sv: dict = {}
+        for d, k, u in zip(dsts, kv, uv):
+            sv[d] = sv.get(d, 0.0) + k * u
+        vv = [b / sv[d] for d, b in zip(dsts, bv)]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    cf = {f.name: f for f in cells.schema.fields}
+    out = spark.createDataFrame(
+        [
+            (s, d, a, b, u * k * v, (u * k * v) / a)
+            for s, d, a, b, k, u, v in zip(
+                srcs, dsts, av, bv, kv, uv, vv
             )
-        )
-    mass = F.col("u") * F.col("k") * F.col("v")
-    return state.select(
+        ],
+        StructType(
+            [
+                # src/dst keep the caller's category dtypes
+                StructField("src", cf["src"].dataType, True),
+                StructField("dst", cf["dst"].dataType, True),
+                StructField("a", DoubleType(), True),
+                StructField("b", DoubleType(), True),
+                StructField("mass", DoubleType(), True),
+                StructField("move_share", DoubleType(), True),
+            ]
+        ),
+    )
+    # round in Spark (HALF_UP), keeping the previous form's semantics
+    return out.select(
         "src",
         "dst",
         F.round("a", 6).alias("a"),
         F.round("b", 6).alias("b"),
-        F.round(mass, 6).alias("mass"),
-        F.round(mass / F.col("a"), 6).alias("move_share"),
+        F.round("mass", 6).alias("mass"),
+        F.round("move_share", 6).alias("move_share"),
     )

@@ -700,78 +700,65 @@ def ipf_weights(
     categories absent from a target dict get target 0 (weight → 0).
 
     Scale shape: the corpus is touched ONCE (the contingency
-    aggregate); every IPF round is two joins against the broadcast
-    target dims over the ≤|rows|×|cols| cell catalog — bounded work
-    independent of corpus size, the same split as the PCA/k-means
-    family. Deterministic: no RNG, fixed rounds, unrolled-SQL
-    replayable.
+    aggregate); the ≤|rows|×|cols| cell catalog is BOUNDED by the
+    category cardinalities independent of corpus size, so the raking
+    rounds run on the collected catalog driver-side (the established
+    bounded-catalog discipline of the centroid/quantile operators) —
+    the previous all-relational loop paid two joins, two aggregates
+    and a lineage-truncation job per round for a catalog-sized frame,
+    ~10 s of pure scheduling at any data size. Deterministic: no RNG,
+    fixed rounds, cells iterated in sorted (row, col) order,
+    unrolled-SQL replayable.
     """
-    from cccatalog_spark.operators.dedup import _truncate_lineage
-
     spark = df.sparkSession
-    cells = (
-        df.groupBy(
-            F.col(row_col).alias("row"), F.col(col_col).alias("col")
-        )
-        .agg(F.count("*").cast("double").alias("n"))
-        .persist()
-    )
-    rt = spark.createDataFrame(
-        sorted(row_targets.items()), ["row", "rt"]
-    )
-    ct = spark.createDataFrame(
-        sorted(col_targets.items()), ["col", "ct"]
-    )
-    w = cells.select("row", "col", "n", F.lit(1.0).alias("weight"))
+    cell_df = df.groupBy(
+        F.col(row_col).alias("row"), F.col(col_col).alias("col")
+    ).agg(F.count("*").cast("double").alias("n"))
+    cells = sorted(cell_df.collect(), key=lambda r: (r["row"], r["col"]))
+    rows = [r["row"] for r in cells]
+    colv = [r["col"] for r in cells]
+    ns = [float(r["n"]) for r in cells]
+    ws = [1.0] * len(cells)
     for _ in range(iterations):
-        rsum = w.groupBy("row").agg(
-            F.sum(F.col("n") * F.col("weight")).alias("_rs")
-        )
-        w = (
-            w.join(rsum, "row")
-            .join(F.broadcast(rt), "row", "left")
-            .select(
-                "row",
-                "col",
-                "n",
-                F.when(
-                    F.col("_rs") > 0,
-                    F.col("weight")
-                    * F.coalesce(F.col("rt"), F.lit(0.0))
-                    / F.col("_rs"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("weight"),
-            )
-        )
-        csum = w.groupBy("col").agg(
-            F.sum(F.col("n") * F.col("weight")).alias("_cs")
-        )
-        # the cell catalog is tiny, but without a per-round lineage cut
-        # the analyzed plan nests both scalings every round and
-        # Catalyst analysis time grows exponentially (the iterative-
-        # operator discipline used by pagerank/lloyd/bradley_terry)
-        w = _truncate_lineage(
-            w.join(csum, "col")
-            .join(F.broadcast(ct), "col", "left")
-            .select(
-                "row",
-                "col",
-                "n",
-                F.when(
-                    F.col("_cs") > 0,
-                    F.col("weight")
-                    * F.coalesce(F.col("ct"), F.lit(0.0))
-                    / F.col("_cs"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("weight"),
-            )
-        )
-    return w.select(
-        "row", "col", F.col("n").cast("long").alias("n"),
-        F.round("weight", 6).alias("weight"),
+        rs: dict[str, float] = {}
+        for r, n, w in zip(rows, ns, ws):
+            rs[r] = rs.get(r, 0.0) + n * w
+        ws = [
+            w * row_targets.get(r, 0.0) / rs[r] if rs[r] > 0 else 0.0
+            for r, w in zip(rows, ws)
+        ]
+        cs: dict[str, float] = {}
+        for c, n, w in zip(colv, ns, ws):
+            cs[c] = cs.get(c, 0.0) + n * w
+        ws = [
+            w * col_targets.get(c, 0.0) / cs[c] if cs[c] > 0 else 0.0
+            for c, w in zip(colv, ws)
+        ]
+    # round in Spark (HALF_UP), not Python (HALF_EVEN), so rounding
+    # semantics stay identical to the previous all-relational form;
+    # row/col keep the caller's category dtypes
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    cf = {f.name: f for f in cell_df.schema.fields}
+    return spark.createDataFrame(
+        [
+            (r, c, int(n), w)
+            for r, c, n, w in zip(rows, colv, ns, ws)
+        ],
+        StructType(
+            [
+                StructField("row", cf["row"].dataType, True),
+                StructField("col", cf["col"].dataType, True),
+                StructField("n", LongType(), True),
+                StructField("weight", DoubleType(), True),
+            ]
+        ),
+    ).select("row", "col", "n", F.round("weight", 6).alias("weight"))
 
 
 def neyman_allocation(

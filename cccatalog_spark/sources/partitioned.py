@@ -54,12 +54,31 @@ class PartitionedTable:
     def _with_part(self, df: DataFrame) -> DataFrame:
         return df.withColumn(self.partition_col, self.partition_expr)
 
+    def _clustered(self, df: DataFrame) -> DataFrame:
+        """Cluster rows by partition value (plus a salt when more than
+        one file per directory is wanted) WITHOUT collapsing the task
+        count: hash-repartitioning on the partition value at the
+        session's shuffle-partition count routes each value wholly to
+        one task — one file per (value, salt) — while write
+        parallelism stays min(#values·salt, shuffle partitions).  The
+        old ``repartition(files_per_partition, col)`` form pinned
+        numPartitions to the FILE goal (1), funnelling the entire
+        table through a single writer task at any scale."""
+        cols = [F.col(self.partition_col)]
+        if self.files_per_partition > 1:
+            cols.append(
+                F.pmod(
+                    F.xxhash64(F.lit("fpp:"), *df.columns),
+                    F.lit(self.files_per_partition),
+                )
+            )
+        return df.repartition(*cols)
+
     def write(self, df: DataFrame) -> None:
-        """Full (re)build of the table. ``repartition`` on the
-        partition value bounds the file count per directory."""
+        """Full (re)build of the table. Clustering on the partition
+        value bounds the file count per directory."""
         (
-            self._with_part(df)
-            .repartition(self.files_per_partition, F.col(self.partition_col))
+            self._clustered(self._with_part(df))
             .write.mode("overwrite")
             .partitionBy(self.partition_col)
             .parquet(self.path)
@@ -72,8 +91,7 @@ class PartitionedTable:
         day/month reload primitive — re-running a failed ingest for
         one month can never disturb its neighbors."""
         (
-            self._with_part(batch)
-            .repartition(self.files_per_partition, F.col(self.partition_col))
+            self._clustered(self._with_part(batch))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)

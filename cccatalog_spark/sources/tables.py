@@ -29,7 +29,11 @@ _NANOS_TS_COLS = {"events": ["ts"]}
 _CPU_HEAVY_TABLES = {"documents", "embeddings"}
 
 
-def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_parts: int | None = None,
+    known_parts: int | None = None,
+) -> DataFrame:
     """Repartition a narrow DataFrame up to the session's parallelism.
 
     A parquet scan can never be split finer than a row group, so small
@@ -39,10 +43,17 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     No-op when the input already has enough partitions — i.e. at real
     scale this never adds a shuffle. The explicit partition count also
     stops AQE from coalescing the exchange back down.
+
+    ``known_parts``: the caller's already-known scan partition count.
+    The ``df.rdd.getNumPartitions()`` probe builds the full RDD
+    conversion of the plan (~0.2 s of driver work); callers that load
+    the same file repeatedly (``load_table``) pass the memoized count
+    instead so the probe runs once per (session, file).
     """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    n = known_parts if known_parts is not None else df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)
 
@@ -74,6 +85,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
     )
 
 
+# scan-partition-count memo for fan_out's probe: (app id, file path) →
+# partition count.  Planning METADATA only (never rows or results, the
+# same class as Spark's own per-session file-listing cache): the split
+# count of one immutable file under fixed session confs is a constant,
+# and re-deriving it via df.rdd costs ~0.2 s of driver work per
+# load_table call — paid hundreds of times per bench run without this.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -89,7 +109,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.expr(f"CAST(timestamp_micros(`{c}` div 1000) AS TIMESTAMP_NTZ)"),
             )
     if name in _CPU_HEAVY_TABLES:
-        df = fan_out(df)
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.join(sf_dir, f"{name}.parquet"),
+        )
+        n = _SCAN_PARTS.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SCAN_PARTS[key] = n
+        df = fan_out(df, known_parts=n)
     return df
 
 
