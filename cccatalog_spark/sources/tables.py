@@ -9,6 +9,7 @@ declaratively and let them reach the scan (verify with
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +59,13 @@ def fan_out(
     return df.repartition(target)
 
 
+# sessions already configured by ensure_session_confs (weak refs — a
+# replaced session object is dropped with the object, and an address
+# reused by a NEW session can never false-hit); avoids 4 py4j conf
+# round-trips on every load_table call
+_CONFED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Dynamic SQL confs the engine's semantics rely on, applied to
     whatever session the caller hands us (the correctness driver builds
@@ -69,6 +77,9 @@ def ensure_session_confs(spark: SparkSession) -> None:
       merge operators (default EXCEPTION would throw on key conflicts).
     - nanosAsLong: lets the events table load (converted below).
     """
+    if spark in _CONFED_SESSIONS:
+        return
+    _CONFED_SESSIONS.add(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
