@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 
 from cccatalog_spark.operators.dedup import _truncate_lineage
 
+# Iterative operators join a node-sized iterate (a checkpoint leaf —
+# size stats UNKNOWN to the planner) against the persisted edge frame
+# (size stats KNOWN and locally small).  Left alone, the planner
+# broadcasts the EDGE side every round — locally wasteful (|E| ≥ |V|
+# rows collected to the driver per round) and exactly backwards, since
+# the iterate has one row per node by construction.  When the node
+# count (already a driver scalar in every iterative operator) bounds
+# the iterate comfortably under the broadcast threshold, hint it;
+# above the bound, leave strategy to the planner (SMJ/SHJ at scale).
+_BCAST_ITERATE_MAX_NODES = 1_000_000  # ~tens of MB at ~32 B/row
+
+
+def _iterate_side(x: DataFrame, n_nodes: int) -> DataFrame:
+    return F.broadcast(x) if n_nodes <= _BCAST_ITERATE_MAX_NODES else x
+
 
 def pagerank(
     edges: DataFrame,
@@ -172,6 +187,7 @@ def hits(
             "node", (F.col(col) / F.col("__t")).alias(col)
         )
 
+    n = nodes.count()  # bounded catalog scalar (sizes the iterate hint)
     hubs = nodes.withColumn("h", F.lit(1.0))
     auths = nodes.withColumn("a", F.lit(1.0))
     # zero-contribution rows replace the per-half-round
@@ -185,7 +201,7 @@ def hits(
     zeros = nodes.select(F.col("node").alias("_z"), F.lit(0.0).alias("_c"))
     for _ in range(iterations):
         a_full = (
-            e.join(hubs, F.col("src") == F.col("node"))
+            e.join(_iterate_side(hubs, n), F.col("src") == F.col("node"))
             .select(F.col("dst").alias("_z"), F.col("h").alias("_c"))
             .unionByName(zeros)
             .groupBy("_z")
@@ -196,7 +212,7 @@ def hits(
         auths = _truncate_lineage(normalized(a_full, "a"))
         a_full.unpersist()
         h_full = (
-            e.join(auths, F.col("dst") == F.col("node"))
+            e.join(_iterate_side(auths, n), F.col("dst") == F.col("node"))
             .select(F.col("src").alias("_z"), F.col("a").alias("_c"))
             .unionByName(zeros)
             .groupBy("_z")
@@ -1836,41 +1852,34 @@ def eigenvector_centrality(
     n = nodes.count()  # bounded catalog scalar (matches pagerank's init)
 
     x = nodes.withColumn("r", F.lit(1.0 / n))
-    # UNLIKE pagerank, rounds here may NOT chain lazily: the iterate
-    # is referenced twice per round (the L1-normalizer aggregate and
-    # the division both read y), and the normalizer's broadcast
-    # subquery is an execution barrier each round regardless — a lazy
-    # chain just nests cold-cache broadcast dependencies and measured
-    # 7.8 s → 11.2 s at sf0.1 (r8 A/B).  Eager per-round truncation
-    # restores the r7 shape: one materialization job per round, each
-    # starting from the previous round's leaf.
+    # Power iteration is SCALE-INVARIANT: every per-round L1
+    # normalizer is a positive scalar that commutes with the linear
+    # map (I + A), so x_k = (I+A)^k x_0 / ‖(I+A)^k x_0‖₁ — normalize
+    # ONCE at the end instead of paying a persist + 1-row broadcast
+    # aggregate + division per round.  Iterate magnitudes grow by
+    # ~(1+avg-degree) per round — a handful of rounds stays far from
+    # double overflow at any graph size.  Per round: the shift term
+    # x(v) rides through the message aggregation as a
+    # self-contribution row (x is an eager checkpoint leaf each
+    # round, so the second reference is a cheap leaf rescan) —
+    # replacing the old per-round x ⋈ msgs LEFT JOIN (a
+    # SortMergeJoin: two exchanges + two sorts) with one groupBy(dst)
+    # that yields every node directly.
     for _ in range(iterations):
-        # the shift term x(v) rides through the message aggregation as
-        # a self-contribution row (x is an eager checkpoint leaf each
-        # round, so the second reference is a cheap leaf rescan) —
-        # replacing the per-round x ⋈ msgs LEFT JOIN (a SortMergeJoin:
-        # two exchanges + two sorts) with one groupBy(dst) that yields
-        # every node directly.  Persist y: both the L1-normalizer
-        # aggregate and the division read it.
-        y = (
-            und.join(x, F.col("src") == F.col("node"))
+        x = _truncate_lineage(
+            und.join(_iterate_side(x, n), F.col("src") == F.col("node"))
             .select("dst", F.col("r").alias("c"))
             .unionByName(
                 x.select(F.col("node").alias("dst"), F.col("r").alias("c"))
             )
             .groupBy("dst")
-            .agg(F.sum("c").alias("y"))
-            .select(F.col("dst").alias("node"), "y")
-            .persist()
+            .agg(F.sum("c").alias("r"))
+            .select(F.col("dst").alias("node"), "r")
         )
-        s = y.agg(F.sum("y").alias("s"))
-        new_x = _truncate_lineage(
-            y.crossJoin(F.broadcast(s)).select(
-                "node", (F.col("y") / F.col("s")).alias("r")
-            )
-        )
-        y.unpersist()
-        x = new_x
+    s = x.agg(F.sum("r").alias("s"))
+    out = x.crossJoin(F.broadcast(s)).select(
+        "node", (F.col("r") / F.col("s")).alias("r")
+    )
     und.unpersist()
     nodes.unpersist()
-    return x
+    return out
