@@ -125,16 +125,48 @@ def main() -> int:
         "sf": sf_val,
     }
     line = json.dumps(payload)
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_LOCAL.json"), "w"
-        ) as f:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             f.write(line + "\n")
+        # per-core-count copy so a lower-core scaling pass can't
+        # clobber the main pass's per-query artifact
+        if cpus:
+            with open(
+                os.path.join(here, f"BENCH_LOCAL_c{cpus}.json"), "w"
+            ) as f:
+                f.write(line + "\n")
     except OSError:
         pass
     # full line first, tiny summary LAST (tail-capture-safe)
     print(line)
+    # round-8 verdict item 2: the full line is ~15 KB at 423 queries
+    # and a bounded tail capture truncates it, losing per-query data.
+    # Re-emit the queries map CHUNKED across bounded-length lines
+    # (key "queries_part", so no parser can mistake a chunk for the
+    # main payload); any line-based reader can reassemble the map.
+    chunk: dict[str, float] = {}
+    chunks: list[dict[str, float]] = []
+    for k in sorted(timings):
+        chunk[k] = timings[k]
+        if len(chunk) == 45:
+            chunks.append(chunk)
+            chunk = {}
+    if chunk:
+        chunks.append(chunk)
+    for i, c in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "query_inventory_chunk",
+                    "chunk": i,
+                    "chunks": len(chunks),
+                    "queries_part": c,
+                },
+                separators=(",", ":"),
+            )
+        )
     print(
         json.dumps(
             {
@@ -144,6 +176,8 @@ def main() -> int:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "sentinel_total": round(sum(sentinels.values()), 3),
+                "chunks": len(chunks),
+                "queries_file": "BENCH_LOCAL.json",
             }
         )
     )

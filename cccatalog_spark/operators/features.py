@@ -256,6 +256,20 @@ def pca_power_component(
     """
     import numpy as np
 
+    from cccatalog_spark.operators.sampling import (
+        _BOUNDED_CATALOG_MAX_CELLS as _cap,
+    )
+
+    # d² guard (round-8 verdict item 6): the collect below is bounded
+    # by the caller-declared dimension, not by data — verify it before
+    # running any job so an absurd `dim` fails loudly, not at collect.
+    if dim * dim > _cap:
+        raise ValueError(
+            f"pca_power_component: dim²={dim * dim} exceeds the "
+            f"bounded-catalog cap ({_cap}); power iteration on a "
+            "matrix this size does not belong on the driver"
+        )
+
     spark = df.sparkSession
     # numpy-GEMM covariance (same contract, pinned equal by test):
     # one d×d partial per Arrow batch instead of the d²/2-per-row

@@ -109,7 +109,20 @@ def sinkhorn_transport(
     # kernel itself stays Spark-computed above, and the previous
     # all-relational loop paid two window passes + a lineage-
     # truncation job per round for a catalog-sized frame
-    rows = sorted(cells.collect(), key=lambda r: (r["src"], r["dst"]))
+    # bounded-catalog guard (round-8 verdict item 6): same cap and
+    # rationale as sampling.ipf_weights — the driver-side scaling
+    # rounds are sanctioned only for category-bounded cell matrices.
+    from cccatalog_spark.operators.sampling import (
+        _BOUNDED_CATALOG_MAX_CELLS as _cap,
+    )
+
+    rows = cells.limit(_cap + 1).collect()
+    if len(rows) > _cap:
+        raise ValueError(
+            f"sinkhorn_transport: cost catalog exceeds {_cap} cells; "
+            "src/dst are not bounded category columns"
+        )
+    rows = sorted(rows, key=lambda r: (r["src"], r["dst"]))
     srcs = [r["src"] for r in rows]
     dsts = [r["dst"] for r in rows]
     av = [float(r["a"]) for r in rows]

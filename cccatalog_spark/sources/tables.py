@@ -104,10 +104,25 @@ def ensure_session_confs(spark: SparkSession) -> None:
 # load_table call — paid hundreds of times per bench run without this.
 _SCAN_PARTS: dict[tuple[str, str], int] = {}
 
+# analyzed-relation memo (round-8 verdict item "next round" 3):
+# (app id, file path) → the loaded DataFrame. A DataFrame is an
+# immutable LOGICAL PLAN — no rows, no results, exactly the analyzed
+# scan relation Spark itself caches per query; rebuilding it through
+# `spark.read.parquet` costs ~90 ms of py4j/driver work (footer read,
+# schema resolve) and was paid by every query over the same immutable
+# file. Keyed by applicationId so a new session can never false-hit;
+# every action on the returned frame still scans the parquet input.
+_TABLE_DFS: dict[tuple[str, str], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    memo_key = (spark.sparkContext.applicationId, path)
+    cached = _TABLE_DFS.get(memo_key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     for c in _NANOS_TS_COLS.get(name, []):
         if dict(df.dtypes).get(c) == "bigint":
             # TIMESTAMP_NTZ, not TIMESTAMP: NTZ collects as naive UTC
@@ -120,15 +135,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.expr(f"CAST(timestamp_micros(`{c}` div 1000) AS TIMESTAMP_NTZ)"),
             )
     if name in _CPU_HEAVY_TABLES:
-        key = (
-            spark.sparkContext.applicationId,
-            os.path.join(sf_dir, f"{name}.parquet"),
-        )
-        n = _SCAN_PARTS.get(key)
+        n = _SCAN_PARTS.get(memo_key)
         if n is None:
             n = df.rdd.getNumPartitions()
-            _SCAN_PARTS[key] = n
+            _SCAN_PARTS[memo_key] = n
         df = fan_out(df, known_parts=n)
+    if len(_TABLE_DFS) > 512:
+        # stale sessions' plans are useless (appId never recurs) —
+        # keep only the live app's entries
+        app = memo_key[0]
+        for k in [k for k in _TABLE_DFS if k[0] != app]:
+            del _TABLE_DFS[k]
+    _TABLE_DFS[memo_key] = df
     return df
 
 

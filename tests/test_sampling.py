@@ -499,3 +499,45 @@ def test_ipf_missing_target_category_zeroes_out(spark):
     }
     assert out[("xx", "web")] == 0.0
     assert out[("en", "web")] > 0
+
+
+def test_bounded_catalog_guards_raise_on_high_cardinality(spark, monkeypatch):
+    """Round-8 verdict item 6: the driver-side IPF/Sinkhorn rounds are
+    sanctioned only for category-bounded cell catalogs; a corpus-
+    cardinality caller must fail loudly instead of collecting."""
+    import cccatalog_spark.operators.sampling as sampling
+    from cccatalog_spark.operators.ot import sinkhorn_transport
+    from cccatalog_spark.operators.sampling import ipf_weights
+
+    monkeypatch.setattr(sampling, "_BOUNDED_CATALOG_MAX_CELLS", 4)
+    rows = [(f"r{i}", f"c{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "lang string, src string")
+    with pytest.raises(ValueError, match="exceeds 4 cells"):
+        ipf_weights(
+            df, "lang", "src", {f"r{i}": 1.0 for i in range(10)},
+            {f"c{i}": 1.0 for i in range(10)},
+        )
+    with pytest.raises(ValueError, match="exceeds 4 cells"):
+        sinkhorn_transport(
+            df, "lang", {f"c{i}": 0.1 for i in range(10)},
+            lambda s, d: (s != d).cast("double"),
+        )
+
+
+def test_bounded_catalog_guard_passes_within_cap(spark):
+    from cccatalog_spark.operators.sampling import ipf_weights
+
+    rows = [("en", "web")] * 3 + [("de", "book")] * 2
+    df = spark.createDataFrame(rows, "lang string, src string")
+    out = ipf_weights(
+        df, "lang", "src", {"en": 3.0, "de": 2.0},
+        {"web": 3.0, "book": 2.0},
+    ).collect()
+    assert len(out) == 2
+
+
+def test_pca_power_dim_guard():
+    from cccatalog_spark.operators.features import pca_power_component
+
+    with pytest.raises(ValueError, match="bounded-catalog cap"):
+        pca_power_component(None, "v", 10_000)

@@ -20,18 +20,40 @@ def test_scan_parts_memo_captures_and_reuses(spark):
         f"{SF}/documents.parquet",
     )
     T._SCAN_PARTS.pop(key, None)
+    T._TABLE_DFS.pop(key, None)
     a = T.load_table(spark, SF, "documents")
     assert key in T._SCAN_PARTS  # first load probed and memoized
     probed = T._SCAN_PARTS[key]
-    # poison the memo to prove the second load READS it (no re-probe)
+    # poison the memo to prove a fresh build READS it (no re-probe);
+    # the relation memo must be dropped too or the build is skipped
     T._SCAN_PARTS[key] = 10**6  # "plenty of partitions" -> no fan-out
+    T._TABLE_DFS.pop(key, None)
     b = T.load_table(spark, SF, "documents")
-    assert b.rdd.getNumPartitions() <= probed or True  # no repartition node
     assert "Repartition" not in b._jdf.queryExecution().logical().toString()
     T._SCAN_PARTS[key] = probed
+    T._TABLE_DFS.pop(key, None)
     c = T.load_table(spark, SF, "documents")
     # same rows either way
     assert a.count() == b.count() == c.count()
+
+
+def test_table_df_memo_returns_same_plan(spark):
+    """The analyzed-relation memo returns the SAME immutable plan
+    object for repeated loads within one app — and never across apps
+    (key includes applicationId)."""
+    key = (
+        spark.sparkContext.applicationId,
+        f"{SF}/events.parquet",
+    )
+    T._TABLE_DFS.pop(key, None)
+    a = T.load_table(spark, SF, "events")
+    b = T.load_table(spark, SF, "events")
+    assert a is b  # memo hit: no second read.parquet round trip
+    # the memoized frame still carries the nanos->NTZ conversion
+    assert dict(a.dtypes)["ts"].startswith("timestamp")
+    # and every action recomputes from the parquet input (no caching)
+    assert a.count() == b.count() > 0
+    assert not a.is_cached
 
 
 def test_ensure_session_confs_idempotent(spark):

@@ -21,14 +21,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r08"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09"
 )
+
+# iterative operators truncate lineage per round; their returned frame
+# explains as a 3-node checkpoint-leaf stub. Capture the first few
+# PRE-truncation plans via the plan-audit hook so the committed dumps
+# show the per-round exchanges/joins (round-8 verdict item 7).
+PRETRUNCATE_CAP = 4
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
-    ap.add_argument("--tag", default=None, help="write plans/r08/<q>_<tag>.txt")
+    ap.add_argument("--tag", default=None, help="write plans/r09/<q>_<tag>.txt")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--no-time", action="store_true", help="only capture plans")
     args = ap.parse_args()
@@ -53,12 +59,40 @@ def main() -> int:
             print(f"!! unknown query {name}", file=sys.stderr)
             continue
         if args.tag:
-            df = queries[name](spark, SF_DIR)
+            from cccatalog_spark.operators import dedup as _dedup
+
+            captured: list[str] = []
+
+            def _hook(pre_df, _c=captured):
+                if len(_c) < PRETRUNCATE_CAP:
+                    try:
+                        _c.append(
+                            pre_df._jdf.queryExecution()
+                            .explainString(
+                                spark._jvm.org.apache.spark.sql.execution
+                                .ExplainMode.fromString("formatted")
+                            )
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass
+
+            _dedup.PRETRUNCATE_HOOK = _hook
+            try:
+                df = queries[name](spark, SF_DIR)
+            finally:
+                _dedup.PRETRUNCATE_HOOK = None
             plan = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
+            if captured:
+                plan += (
+                    "\n\n== Pre-truncation plans (plan-audit hook; "
+                    f"first {len(captured)} lineage-truncation points; "
+                    "the returned frame above is a checkpoint-leaf "
+                    "readback) ==\n\n"
+                ) + "\n\n---\n\n".join(captured)
             with open(
                 os.path.join(PLANS_DIR, f"{name}_{args.tag}.txt"), "w"
             ) as f:
