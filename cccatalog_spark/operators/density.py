@@ -50,31 +50,72 @@ def dbscan_2d(
     )
     from cccatalog_spark.operators.geo import radius_join
 
-    left = points.select(
-        F.col(id_col).alias("_ida"),
-        F.col(lat_col).alias("_lata"),
-        F.col(lon_col).alias("_lona"),
+    # --- duplicate-position pre-aggregate (guide §2.3 "aggregate
+    # before you shuffle"). Co-located points are mutual eps-neighbors
+    # (d = 0 ≤ eps), so every point at one position has the SAME
+    # neighbor multiset, degree, core flag and cluster: the radius
+    # join, degree aggregate, star-CC rounds and border attach all run
+    # at POSITION grain (multiplicity ``_m`` carried as a weight), and
+    # points re-attach by one position equi-join at the end. With k
+    # points per distinct position the pair volume drops k² — the
+    # radius join was the operator's dominant cost. Null-coordinate
+    # points never join anything in the original form (NULL distance),
+    # so they stay SINGLETON positions keyed by their own id rather
+    # than collapsing.
+    pid, plat, plon = "_pmin", "_plat", "_plon"
+    lat_c, lon_c = F.col(lat_col), F.col(lon_col)
+    nn = points.where(lat_c.isNotNull() & lon_c.isNotNull())
+    nulls = points.where(lat_c.isNull() | lon_c.isNull())
+    pos = (
+        nn.groupBy(
+            lat_c.alias(plat), lon_c.alias(plon)
+        )
+        .agg(
+            F.min(id_col).alias(pid),
+            F.count("*").alias("_m"),
+        )
+        .unionByName(
+            nulls.select(
+                lat_c.alias(plat),
+                lon_c.alias(plon),
+                F.col(id_col).alias(pid),
+                F.lit(1).cast("long").alias("_m"),
+            )
+        )
+        .persist()
     )
-    right = points.select(
-        F.col(id_col).alias("_idb"),
-        F.col(lat_col).alias("_latb"),
-        F.col(lon_col).alias("_lonb"),
+
+    left = pos.select(
+        F.col(pid).alias("_ida"),
+        F.col(plat).alias("_lata"),
+        F.col(plon).alias("_lona"),
     )
+    right = pos.select(
+        F.col(pid).alias("_idb"),
+        F.col(plat).alias("_latb"),
+        F.col(plon).alias("_lonb"),
+        F.col("_m").alias("_mb"),
+    )
+    # keep the (p, p) self-pair: a position's own multiplicity feeds
+    # its points' neighbor counts (each point's co-located twins)
     pairs = radius_join(
         left, right, eps_km,
         lat_cols=("_lata", "_latb"), lon_cols=("_lona", "_lonb"),
         max_abs_lat=max_abs_lat,
-    ).where(F.col("_ida") != F.col("_idb")).select("_ida", "_idb")
+    ).select("_ida", "_idb", "_mb")
     pairs = pairs.persist()
 
-    deg = pairs.groupBy(F.col("_ida").alias("_id")).agg(
-        F.count("*").alias("n_nbrs")
+    # per-point degree at position grain: all points within eps of p
+    # (own position included) minus the point itself
+    deg = pairs.groupBy(F.col("_ida").alias(pid)).agg(
+        (F.sum("_mb") - F.lit(1)).cast("long").alias("n_nbrs")
     )
-    flags = (
-        points.select(F.col(id_col).alias("_id"))
-        .join(deg, "_id", "left")
+    posflags = (
+        pos.join(deg, pid, "left")
         .select(
-            "_id",
+            pid,
+            plat,
+            plon,
             F.coalesce("n_nbrs", F.lit(0)).alias("n_nbrs"),
             (F.coalesce("n_nbrs", F.lit(0)) + 1 >= min_pts).alias(
                 "is_core"
@@ -82,29 +123,34 @@ def dbscan_2d(
         )
         .persist()
     )
-    cores = flags.where("is_core").select("_id")
+    cores = posflags.where("is_core").select(pid)
     core_edges = (
-        pairs.join(cores.withColumnRenamed("_id", "_ida"), "_ida")
-        .join(cores.withColumnRenamed("_id", "_idb"), "_idb")
+        pairs.join(cores.withColumnRenamed(pid, "_ida"), "_ida")
+        .join(cores.withColumnRenamed(pid, "_idb"), "_idb")
         .where(F.col("_ida") < F.col("_idb"))
         .select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"))
     )
+    # position node ids are min point ids, so the component's min node
+    # id IS the component's min (core) point id — the same label the
+    # point-grain CC produced
     cc = connected_components_star(
-        cores.select(F.col("_id").alias("node")), core_edges
-    ).select(F.col("node").alias("_id"), F.col("cluster_id"))
+        cores.select(F.col(pid).alias("node")), core_edges
+    ).select(F.col("node").alias(pid), F.col("cluster_id"))
 
     border = (
         pairs.join(
-            cc.withColumnRenamed("_id", "_idb"), "_idb"
-        )  # neighbor is a core with a cluster
-        .groupBy(F.col("_ida").alias("_id"))
+            cc.withColumnRenamed(pid, "_idb"), "_idb"
+        )  # neighbor position is core with a cluster
+        .groupBy(F.col("_ida").alias(pid))
         .agg(F.min("cluster_id").alias("_border_cl"))
     )
-    return (
-        flags.join(cc, "_id", "left")
-        .join(border, "_id", "left")
+    posout = (
+        posflags.join(cc, pid, "left")
+        .join(border, pid, "left")
         .select(
-            F.col("_id").alias(id_col),
+            plat,
+            plon,
+            pid,
             "n_nbrs",
             "is_core",
             F.when(F.col("is_core"), F.col("cluster_id"))
@@ -112,3 +158,20 @@ def dbscan_2d(
             .alias("cluster"),
         )
     )
+    # re-attach points to their position's result (nulls by own id —
+    # they are their own singleton positions)
+    out_nn = nn.select(F.col(id_col), lat_c.alias(plat), lon_c.alias(plon)).join(
+        posout.where(
+            F.col(plat).isNotNull() & F.col(plon).isNotNull()
+        ),
+        [plat, plon],
+    )
+    out_nul = nulls.select(F.col(id_col)).join(
+        posout.where(
+            F.col(plat).isNull() | F.col(plon).isNull()
+        ).withColumnRenamed(pid, id_col),
+        id_col,
+    )
+    return out_nn.select(
+        id_col, "n_nbrs", "is_core", "cluster"
+    ).unionByName(out_nul.select(id_col, "n_nbrs", "is_core", "cluster"))

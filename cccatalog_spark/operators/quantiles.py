@@ -308,6 +308,7 @@ def exact_quantiles_multi(
     bins: int = 64,
     tail_threshold: int = 65536,
     max_rounds: int = 64,
+    base_stats_out: dict | None = None,
 ) -> dict[str, list[tuple[float, float]]]:
     """Exact ``percentile_disc`` for SEVERAL columns in one shared
     pass structure: the table is melted to (column-id, value) ONCE,
@@ -316,11 +317,23 @@ def exact_quantiles_multi(
     ANALYZE-grade form of :func:`exact_quantiles` (which this
     generalizes; n columns no longer means n cached scans).
 
+    ``base_stats_out``: optional dict the caller provides to ALSO
+    receive ANALYZE-grade base statistics per column —
+    ``{col: (n_rows, n_nulls, min, max, ndv)}`` — fused into the same
+    melt pass and its first aggregate (guide §1.2: don't rescan the
+    corpus for stats the melt already carries; ``column_stats``
+    previously paid a second full scan + a 5-agg-per-column expand for
+    these). Exactness note: values are folded through the melt's
+    ``double`` cast, so distinct counts require value-preserving
+    numeric columns (identity for double/float/int ≤ 2^53 — every
+    column this engine's stats surface accepts).
+
     Returns {column: [(fraction, value), ...]}.
     """
     for f in fractions:
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction out of [0,1]: {f}")
+    with_stats = base_stats_out is not None
     melted = df.select(
         F.explode(
             F.array(
@@ -333,7 +346,11 @@ def exact_quantiles_multi(
                 ]
             )
         ).alias("s")
-    ).select("s.c", "s.v").where(F.col("v").isNotNull())
+    ).select("s.c", "s.v")
+    if not with_stats:
+        # quantiles ignore nulls; without the stats request they are
+        # dropped before the cache (smaller cached frame)
+        melted = melted.where(F.col("v").isNotNull())
     # spread the melt across the cluster: the parent's file-partition
     # count (often a handful of parquet files) would otherwise make
     # every refinement job a straggler over 3 fat cached partitions
@@ -341,16 +358,41 @@ def exact_quantiles_multi(
         df.sparkSession.sparkContext.defaultParallelism
     ).persist()
     try:
+        first_aggs = [
+            F.count("v").alias("n"),  # non-null count (quantile pool)
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ]
+        if with_stats:
+            first_aggs += [
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct(F.col("v")).alias("ndv"),
+            ]
         base_stats = {
             r["c"]: r
-            for r in melted.groupBy("c")
-            .agg(
-                F.count("*").alias("n"),
-                F.min("v").alias("mn"),
-                F.max("v").alias("mx"),
-            )
-            .collect()
+            for r in melted.groupBy("c").agg(*first_aggs).collect()
         }
+        if with_stats:
+            for ci, col in enumerate(value_cols):
+                st = base_stats.get(ci)
+                base_stats_out[col] = (
+                    (0, 0, None, None, 0)
+                    if st is None
+                    else (
+                        st["n_rows"],
+                        st["n_rows"] - st["n"],
+                        st["mn"],
+                        st["mx"],
+                        st["ndv"],
+                    )
+                )
+        # the refinement pool: non-null values over the cached melt (a
+        # cached-frame filter in stats mode, the cached frame itself
+        # otherwise — `melted` keeps naming the persisted frame so the
+        # finally-unpersist below releases the right one)
+        pool = (
+            melted.where(F.col("v").isNotNull()) if with_stats else melted
+        )
         results: dict[tuple[int, float], float] = {}
         states: dict[tuple[int, float], tuple] = {}
         for ci in range(len(value_cols)):
@@ -382,7 +424,7 @@ def exact_quantiles_multi(
                 ):
                     ready.append((key, pred, 1))
                     del states[key]
-            results.update(_kth_smallest_batch(melted, ready))
+            results.update(_kth_smallest_batch(pool, ready))
             if not states:
                 break
             # one histogram job over all DISTINCT active candidate
@@ -408,7 +450,7 @@ def exact_quantiles_multi(
                     )
                 )
             hist = (
-                melted.select(
+                pool.select(
                     F.explode(
                         F.filter(
                             F.array(*structs), lambda s: s.isNotNull()
@@ -450,7 +492,7 @@ def exact_quantiles_multi(
                     cum += c
         results.update(
             _kth_smallest_batch(
-                melted,
+                pool,
                 [(key, st[3], st[2]) for key, st in states.items()],
             )
         )

@@ -41,29 +41,28 @@ def column_stats(
 ) -> DataFrame:
     """Statistics rows ``(column, n_rows, n_nulls, min, max, ndv,
     p25, p50, p75)`` for every requested (numeric) column."""
-    aggs = []
-    for c in columns:
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(c).alias(f"{c}__min"),
-            F.max(c).alias(f"{c}__max"),
-            F.countDistinct(c).alias(f"{c}__ndv"),
-        ]
-    row = df.agg(*aggs).collect()[0]
+    # fused pass (guide §1.2 / round-8 verdict item 8): base stats ride
+    # the quantile machinery's melt scan + first aggregate instead of a
+    # second full scan with a 5-agg-per-column expand. Counts/min/max/
+    # ndv fold through the melt's double cast — identity for the
+    # numeric columns this surface accepts (doubles/floats/ints ≤2^53).
     kw = quantile_kwargs or {}
-    all_qs = exact_quantiles_multi(df, columns, list(fractions), **kw)
+    base: dict = {}
+    all_qs = exact_quantiles_multi(
+        df, columns, list(fractions), base_stats_out=base, **kw
+    )
     out = []
     for c in columns:
         qs = dict(all_qs[c])
+        n_rows, n_nulls, mn, mx, ndv = base[c]
         out.append(
             (
                 c,
-                row[f"{c}__n"],
-                row[f"{c}__nulls"],
-                float(row[f"{c}__min"]),
-                float(row[f"{c}__max"]),
-                row[f"{c}__ndv"],
+                n_rows,
+                n_nulls,
+                float(mn),
+                float(mx),
+                ndv,
                 qs[fractions[0]],
                 qs[fractions[1]],
                 qs[fractions[2]],
