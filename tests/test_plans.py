@@ -358,10 +358,11 @@ def test_adaptive_join_merge_for_uniform_big_dim(spark):
 
 
 def test_media_ivf_join_plan_shape(spark, sf_dir):
-    """q423: CLIP-style retrieval must plan as ONE _ivf_list equi-hash
-    join (centroid assignment is literal expression work on both
-    sides), ONE MapInPandas embed stage, a media-partitioned re-rank
-    window — and never a nested loop, cartesian, or global sort."""
+    """q423: CLIP-style retrieval must plan as ONE MapInPandas
+    embed+probe stage, ONE _ivf_list cogroup scorer (the r9 Arrow GEMM
+    — candidate pairs never materialize in the JVM, no CodegenFallback
+    HOF aggregate in the scorer), a media-partitioned re-rank window —
+    and never a nested loop, cartesian, or global sort."""
     from cccatalog_spark.operators.multimodal import (
         media_embedding_ivf_join,
     )
@@ -381,12 +382,13 @@ def test_media_ivf_join_plan_shape(spark, sf_dir):
     # lists every node twice (tree + details), which breaks counting
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapCoGroupsInPandas") == 1
     n_joins = (
         plan.count("BroadcastHashJoin")
         + plan.count("SortMergeJoin")
         + plan.count("ShuffledHashJoin")
     )
-    assert n_joins == 1
+    assert n_joins == 0  # the cogroup IS the list join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Exchange SinglePartition" not in plan
